@@ -1,0 +1,126 @@
+"""Text-analysis expressions for the documents table.
+
+Everything is built from ``pyspark.sql.functions`` higher-order array
+functions — JVM-side, codegen-friendly, no Python UDFs — so each one has
+an exact ANSI-SQL mirror for the DuckDB oracle and scales linearly over a
+100-TB corpus (per-row expressions, no shuffle).
+
+Operators: token counting (whitespace + BPE-ish regex), quality scoring
+(length / punctuation / stopword ratios), language-ID (marker-word
+heuristic with deterministic tie-break), and document fingerprinting
+(min-shingle-hash, a k=1 MinHash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish tokenizer: letter runs, digit runs, or single non-space symbols.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+#: tiny marker-word inventories for the language-ID heuristic.  Real
+#: language ID would use char n-gram profiles; the deterministic marker
+#: heuristic keeps the operator oracle-checkable and is the shape a
+#: production n-gram scorer would take (per-row array ops, no shuffle).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "que"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+}
+
+#: stopword list for the quality score (EN markers — matches the corpus).
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens; empty/blank text yields an empty array."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, "\\s+")
+    )
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Count of BPE-ish token matches (letter runs / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Non-word, non-space characters per character (0 for empty text)."""
+    n = F.size(F.regexp_extract_all(text, F.lit("[^A-Za-z0-9\\s]"), F.lit(0)))
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        n.cast("double") / F.length(text).cast("double")
+    )
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = ws_tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    total = F.size(toks)
+    return F.when(total == 0, F.lit(0.0)).otherwise(hits.cast("double") / total.cast("double"))
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = ws_tokens(text)
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t).cast("bigint")
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total_chars.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] heuristic quality score: long enough, not
+    punctuation-heavy, has some (but not only) stopwords, sane word length.
+    Deterministic arithmetic → oracle-checkable."""
+    n_tok = token_count_ws(text).cast("double")
+    length_ok = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * F.lit(4.0))
+    sw = stopword_ratio(text)
+    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    wl = mean_token_len(text)
+    wl_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        length_ok * F.lit(0.4) + punct_pen * F.lit(0.2) + sw_ok * F.lit(0.2) + wl_ok * F.lit(0.2),
+        6,
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language ID with deterministic alphabetical tie-break;
+    'und' when no marker hits at all."""
+    toks = ws_tokens(F.lower(text))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*scores.values())
+    out = F.when(best == 0, F.lit("und"))
+    for lang in sorted(LANG_MARKERS):  # alphabetical ⇒ first max wins
+        out = out.when(scores[lang] == best, F.lit(lang))
+    return out.otherwise(F.lit("und"))
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-token shingles (word n-grams) as strings; documents
+    shorter than k tokens contribute the whole text as one shingle."""
+    toks = ws_tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    )
+    return F.array_distinct(gram)
+
+
+def fingerprint(text: Column, k: int = 5) -> Column:
+    """Document fingerprint: lexicographic min of md5(shingle) — a k=1
+    MinHash, stable across engines (md5 is portable, unlike xxhash)."""
+    return F.array_min(F.transform(shingles(text, k), F.md5))

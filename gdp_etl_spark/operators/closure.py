@@ -1,0 +1,110 @@
+"""Transitive closure over an edge list (SURVEY.md §2.3 J7).
+
+The reference's ``expand_hierarchy`` (``gpd_etl_pipeline.R:347-388``)
+repeatedly replaces each child by that child's children until only leaf
+rows remain — a recursive self-join Spark has no native operator for
+(recursive CTEs only land in Spark 4.x SQL and are not the scale path).
+
+Design: a driver-side loop of *broadcast* self-joins.
+
+* The frontier (rows still expandable) is tiny relative to the fact —
+  hierarchy edge lists are dimension-sized — so each iteration joins the
+  current closure against a broadcast of the raw edges: no shuffle at all.
+* ``localCheckpoint`` per iteration truncates lineage; without it the
+  plan doubles every pass and analysis time dominates by depth ~10.
+* Termination = left-semi join (cheapest existence test) between current
+  child codes and parent codes; depth is bounded by the hierarchy's
+  longest path (the reference data needs ≤5 passes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transitive_closure(
+    edges: DataFrame,
+    parent_col: str = "parent",
+    child_col: str = "child",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Expand (parent, child) edges to (ancestor, descendant) pairs where
+    every descendant is a *leaf* (never itself a parent), mirroring the
+    reference's replace-until-leaf semantics.  Returns distinct pairs with
+    the original column names."""
+    parents = edges.select(F.col(parent_col).alias("__p")).distinct()
+    cur = edges.select(F.col(parent_col).alias("A"), F.col(child_col).alias("D"))
+    raw = edges.select(
+        F.col(parent_col).alias("__ep"), F.col(child_col).alias("__ec")
+    )
+
+    for _ in range(max_iterations):
+        expandable = cur.join(
+            F.broadcast(parents), cur["D"] == parents["__p"], "left_semi"
+        )
+        if expandable.limit(1).count() == 0:
+            break
+        done = cur.join(F.broadcast(parents), cur["D"] == parents["__p"], "left_anti")
+        stepped = (
+            expandable.join(F.broadcast(raw), expandable["D"] == raw["__ep"], "inner")
+            .select(F.col("A"), F.col("__ec").alias("D"))
+        )
+        cur = done.unionByName(stepped).distinct().localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(f"closure did not converge in {max_iterations} iterations (cycle?)")
+
+    return cur.select(F.col("A").alias(parent_col), F.col("D").alias(child_col)).distinct()
+
+
+def closure_all_pairs(
+    edges: DataFrame,
+    parent_col: str = "parent",
+    child_col: str = "child",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Full ancestor→descendant closure (descendants at *every* level, not
+    just leaves) — the standard semantics a recursive CTE would give."""
+    cur = edges.select(F.col(parent_col).alias("A"), F.col(child_col).alias("D")).distinct()
+    raw = edges.select(F.col(parent_col).alias("__ep"), F.col(child_col).alias("__ec"))
+    frontier = cur
+    for _ in range(max_iterations):
+        nxt = (
+            frontier.join(F.broadcast(raw), frontier["D"] == raw["__ep"], "inner")
+            .select(F.col("A"), F.col("__ec").alias("D"))
+            .distinct()
+            .join(cur, ["A", "D"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        cur = cur.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise RuntimeError(f"closure did not converge in {max_iterations} iterations (cycle?)")
+    return cur.select(F.col("A").alias(parent_col), F.col("D").alias(child_col))
+
+
+def rollup_hierarchy(
+    fact: DataFrame,
+    closure: DataFrame,
+    fact_key: str,
+    closure_parent: str,
+    closure_child: str,
+    group_keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """J8 + A2 (reference ``gpd_etl_pipeline.R:393-399``): fan the fact out
+    over group membership and sum per (ancestor, group_keys).  The
+    closure is dimension-sized → broadcast; the only shuffle is the final
+    aggregation, with map-side partial aggregation for free.
+
+    R ``sum(na.rm=TRUE)`` yields 0 for all-NA groups, so the sum is
+    coalesced to 0 (SURVEY.md §2.4 A1 semantic gap)."""
+    joined = fact.join(
+        F.broadcast(closure), fact[fact_key] == closure[closure_child], "inner"
+    )
+    return (
+        joined.groupBy(closure_parent, *group_keys)
+        .agg(F.coalesce(F.sum(value_col), F.lit(0.0)).alias(value_col))
+    )

@@ -1,0 +1,291 @@
+"""Deduplication operators over the documents table.
+
+Four families, each picked for a different point on the
+exactness/recall/cost curve at 100-TB scale:
+
+* exact         — md5-hash groupBy; one shuffle keyed on the hash, never
+                  on the full text (hashing first keeps shuffle bytes
+                  tiny and skew bounded).
+* MinHash + LSH — shingle → k permuted min-hashes → band buckets →
+                  candidate pairs only within buckets → exact Jaccard
+                  verify.  Shuffle volume is O(docs × bands), not
+                  O(docs²); all hashing via built-in higher-order array
+                  functions (xxhash64 + affine permutations), zero UDFs.
+* SimHash       — 64-bit signatures via an Arrow-batched pandas UDF
+                  (per-bit majority vote genuinely needs numpy); Hamming
+                  candidates by pigeonhole over 16-bit chunks.
+* n-gram Jaccard / embedding-cosine — exact verifies used standalone or
+  as the LSH verify stage.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..functions.text import shingles, ws_tokens
+from ..functions.vectors import cosine
+
+# Mersenne prime + fixed affine coefficients → deterministic MinHash perms.
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact text.  Grouping on
+    md5(text) instead of text keeps shuffle keys 16 bytes regardless of
+    document size; md5 collisions are negligible for dedup purposes (and
+    portable to the SQL oracle, unlike xxhash)."""
+    return (
+        df.withColumn("__h", F.md5(F.col(text_col)))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__h")
+    )
+
+
+def _minhash_signature(text: Column, num_perm: int, shingle_k: int) -> Column:
+    """array<bigint> of ``num_perm`` min-hashes.  Base hash = xxhash64 of
+    each shingle; permutation i applies (aᵢ·h + bᵢ) mod M61.  All arithmetic
+    is bigint built-ins — wraps are impossible below M61 after pmod."""
+    sh = shingles(text, shingle_k)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    perms = []
+    for i in range(num_perm):
+        a = 2 * i + 1  # odd → bijective mod 2^64; small ints keep products < 2^63
+        b = 0x9E3779B1 * (i + 1) % _MERSENNE
+        permuted = F.transform(
+            base, lambda h, a=a, b=b: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+        )
+        perms.append(F.array_min(permuted))
+    return F.array(*perms)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), _minhash_signature(F.col(text_col), num_perm, shingle_k).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Banding: signature split into ``bands`` rows of ``num_perm/bands``
+    hashes; docs sharing any full band collide into a candidate bucket.
+    The bucket join is an equi-join on (band_index, band_hash) — the only
+    shuffle, sized by candidates rather than the corpus square.  Final
+    exact Jaccard over shingle sets kills false positives."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh"))
+    verified = (
+        candidates.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs.  Without ``bucket_col``
+    this is all-pairs (quadratic — only for small/verification use);
+    production path buckets first (LSH above) or blocks on a cheap key."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh"))
+    if bucket_col is not None:
+        sh = sh.join(df.select(id_col, bucket_col), id_col)
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if bucket_col is not None:
+        cond = cond & (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+            / F.size(F.array_union("a.sh", "b.sh")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash — the one legitimately-numpy operator (per-bit majority vote)
+# --------------------------------------------------------------------------
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document via an Arrow-batched pandas UDF: token
+    hashes vote per bit position; sign of the vote sets the bit.  numpy
+    unpackbits keeps the inner loop vectorized — this is the documented
+    exception to the no-UDF rule (64 per-bit aggregates have no sane
+    built-in expression)."""
+    import numpy as np
+
+    @F.pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            hs = np.array(
+                [hash64(tok) for tok in toks], dtype=np.uint64
+            )
+            bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+            votes = bits.sum(axis=0) * 2 - len(toks)
+            sig_bits = (votes > 0).astype(np.uint8)
+            out[i] = np.packbits(sig_bits, bitorder="little").view(np.int64)[0]
+        return pd.Series(out)
+
+    def hash64(token: str) -> int:
+        # FNV-1a 64-bit: deterministic across processes (unlike Python hash()).
+        h = 0xCBF29CE484222325
+        for byte in token.encode("utf-8"):
+            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(sig_a, sig_b) ≤ max_hamming.  Pigeonhole:
+    split 64 bits into 4 × 16-bit chunks — any pair within distance 3
+    agrees on ≥1 chunk, so candidates come from 4 equi-joins on chunk
+    value (shuffle keyed on 16-bit chunks, never all-pairs)."""
+    sig = simhash_signatures(df, text_col, id_col)
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", F.col("cc.chunk_idx").alias("chunk_idx"), F.col("cc.chunk").alias("chunk"))
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine ≥ threshold.  All-pairs
+    without ``bucket_col`` (verification scale); the scale path feeds LSH
+    buckets from ``similarity.hyperplane_lsh_bucket`` as the blocker."""
+    cols = [id_col, vec_col] + ([bucket_col] if bucket_col else [])
+    v = df.select(*cols)
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if bucket_col:
+        cond = cond & (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"))
+    return (
+        a.join(b, cond)
+        .withColumn("cos", cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("cos").alias("cos_sim"),
+        )
+    )

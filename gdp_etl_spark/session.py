@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-aware defaults.
+
+The engine targets a 1000-executor cluster reading ~100 TB; tests run on
+``local[*]``.  The defaults below are the ones that matter at both ends:
+
+* AQE on — runtime shuffle-partition coalescing, skew-join splitting and
+  dynamic broadcast conversion replace hand-tuned partition counts.
+* Arrow on — every Pandas-UDF / ``toPandas`` boundary is batched, never
+  row-at-a-time pickled.
+* Explicit shuffle-partition default sized for the local test rig; on a
+  real cluster AQE's coalescing makes the initial number a ceiling, not a
+  constant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_spark(
+    app_name: str = "gdp_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``shuffle_partitions`` defaults to the local core count; with AQE
+    enabled this is an upper bound that adaptive coalescing shrinks per
+    stage, so the same code runs unchanged on a large cluster where the
+    submitter sets a larger ceiling.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{_LOCAL_CPUS}]")
+        # --- adaptive execution: the scale story -------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- Arrow for every Python<->JVM data exchange -------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- deterministic, ANSI-off numeric semantics (match reference) --
+        .config("spark.sql.ansi.enabled", "false")
+        # --- sane local-mode memory behaviour ------------------------------
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _default_shuffle()))
+        .config("spark.driver.maxResultSize", "2g")
+        # keep UI off in tests/bench (startup cost, port clashes)
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def _default_shuffle() -> int:
+    cpus = _LOCAL_CPUS
+    if cpus in ("*", ""):
+        return max(os.cpu_count() or 8, 8)
+    try:
+        return max(int(cpus), 4)
+    except ValueError:
+        return 32
