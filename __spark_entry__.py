@@ -1,38 +1,1091 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every implemented operator from SURVEY.md §2 (plus the beyond-reference
+LLM-data-pipeline set) is registered here as a named query over the
+driver's parquet tables, with a DuckDB-runnable ANSI-SQL oracle.
+
+Cross-engine determinism rules used throughout (see
+``gdp_etl_spark.functions.expressions`` / ``vectors``):
+
+* summed doubles go through ``decimal(28,6)`` in BOTH engines (double
+  summation is order-dependent; decimal accumulation is exact),
+* dot products use fixed-point bigint accumulation (``floor(x*y*1e12)``),
+* counts/lengths are cast so Spark INT ↔ DuckDB BIGINT defaults agree,
+* no ``round()`` on doubles (engines differ in edge rounding); raw IEEE
+  expressions are evaluated in the same textual order instead.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gdp_etl_spark.functions.expressions import (
+    bankers_round,
+    conditional_overwrite,
+    dsum,
+    davg,
+    near,
+    pad_code,
+    recode,
+    ref_date,
+    sum_na_zero,
+)
+from gdp_etl_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    mean_token_len,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count_bpe,
+    token_count_ws,
+)
+from gdp_etl_spark.operators.closure import rollup_hierarchy, transitive_closure
+from gdp_etl_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from gdp_etl_spark.operators.diff import classify_diff, full_outer_diff
+from gdp_etl_spark.operators.multimodal import attach_payload, binary_meta
+from gdp_etl_spark.operators.reshape import pivot_wide, union_by_name, unpivot
+from gdp_etl_spark.operators.sessions import sessionize
+from gdp_etl_spark.operators.similarity import brute_force_topk, lsh_topk
+from gdp_etl_spark.operators.windows import (
+    gaps_and_islands,
+    group_extrema,
+    rebase_index,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events parquet stores TIMESTAMP(NANOS), which Spark's reader
+    rejects by default (DuckDB reads it natively, truncating to µs).
+    Read nanos as long, then truncate with exact integer division —
+    ``ns div 1000`` matches DuckDB's truncation bit-for-bit.  (A double
+    division would corrupt: epoch-nanos ≈ 1.7e18 ≫ 2^53.)"""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# ===========================================================================
+# oracle-SQL builders (shared fragments)
+# ===========================================================================
+
+#: whitespace tokens of raw / lowered text — mirrors functions.text.ws_tokens
+_TOKS_RAW = "string_split_regex(trim(text), '\\s+')"
+_TOKS_LOW = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _shingles_sql(k: int = 5) -> str:
+    """Mirror of functions.text.shingles: distinct k-token grams of the
+    lowered text; <k-token docs contribute the whole text as one gram."""
+    t = _TOKS_LOW
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({t}) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(({t})[i:i+{k - 1}], ' ')))"
+    )
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """Mirror of functions.vectors.dot_fixed (fixed-point bigint sum)."""
+    return (
+        f"(CAST(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e12) AS BIGINT)"
+        f")) AS DOUBLE) / 1e12)"
+    )
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    """Mirror of functions.vectors.cosine_exact."""
+    return (
+        f"({_dot_sql(a, b, dim)} / "
+        f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)})))"
+    )
+
+
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def _dsum_sql(x: str) -> str:
+    return _DSUM.format(x=x)
+
+
+def _sql_list(vals) -> str:
+    return "[" + ", ".join(f"'{v}'" for v in vals) + "]"
+
+
+# ===========================================================================
+# flagship (entry) — revenue by region/year with a ship-date band filter
+# ===========================================================================
+
+def q_flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query (J1/J4/F2/A2/P4): lineitem ⋈ orders ⋈
+    customer ⋈ nation ⋈ region, band filter on ship date, revenue rollup
+    by (region, order-year).  Dimension joins are broadcast; the only
+    shuffles are lineitem⋈orders and the final aggregation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1998-12-31")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        joined.groupBy("r_name", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_FLAGSHIP_SQL = f"""
+SELECT r_name,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+GROUP BY 1, 2
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_flagship_revenue(spark, "/root/testdata/sf0.001")
 
+
+# ===========================================================================
+# projections / filters (P*, F*)
+# ===========================================================================
+
+def q_projection(spark, sf_dir):
+    """P1: column projection — pruned at the parquet scan."""
+    return _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+def q_neg_projection(spark, sf_dir):
+    """P2: negative projection (drop)."""
+    return _t(spark, sf_dir, "nation").drop("n_regionkey")
+
+
+def q_compute_project(spark, sf_dir):
+    """P4/C8: transmute — replace all columns with computed ones."""
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue.alias("revenue"),
+        (revenue * (F.lit(1.0) + F.col("l_tax"))).alias("charge"),
+    )
+
+
+def q_filter_in(spark, sf_dir):
+    """F1: IN-list filter + grouped agg."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+    )
+
+
+def q_filter_band(spark, sf_dir):
+    """F2: between-band predicate (pushed to the scan)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").between("1997-01-01", "1997-12-31"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+def q_filter_strlen(spark, sf_dir):
+    """F5: string-length predicate."""
+    n = _t(spark, sf_dir, "nation")
+    return n.filter(F.length("n_name") < 9).select(
+        "n_name", F.length("n_name").alias("name_len")
+    )
+
+
+def q_filter_compound(spark, sf_dir):
+    """F6: compound boolean filter."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000))
+            | (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_drop_na(spark, sf_dir):
+    """F7: drop-any-NA after a NULL-producing left join."""
+    cust = _t(spark, sf_dir, "customer")
+    cnt = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        cust.select("c_custkey", "c_mktsegment")
+        .join(cnt, "c_custkey", "left")
+        .na.drop()
+    )
+
+
+def q_distinct_values(spark, sf_dir):
+    """F8: distinct."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# ===========================================================================
+# joins (J*)
+# ===========================================================================
+
+def q_join_composite(spark, sf_dir):
+    """J1: inner join on a composite key (user_id, event_type)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_day"))
+    totals = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_total"))
+    return daily.join(totals, ["user_id", "event_type"], "inner")
+
+
+def q_left_join_sum_zero(spark, sf_dir):
+    """J2 + A1: left join then group-sum where all-NULL groups yield 0
+    (R ``sum(na.rm=TRUE)`` semantics via ``coalesce(sum, 0)``)."""
+    nation = _t(spark, sf_dir, "nation")
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 4000)
+    joined = nation.join(
+        sup, nation["n_nationkey"] == sup["s_nationkey"], "left"
+    )
+    return joined.groupBy("n_name").agg(
+        F.coalesce(
+            F.sum(F.col("s_acctbal").cast("decimal(28,6)")).cast("double"), F.lit(0.0)
+        ).alias("rich_bal"),
+        F.count("s_suppkey").alias("n_rich"),
+    )
+
+
+def q_join_suffix(spark, sf_dir):
+    """J3: join with suffix-disambiguated value columns."""
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(davg("s_acctbal", "avg_bal_sup"))
+    )
+    cus = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(davg("c_acctbal", "avg_bal_cus"))
+    )
+    return sup.join(cus, "nationkey", "inner")
+
+
+_SEGMENT_LABELS = [
+    ("AUTOMOBILE", "Retail"),
+    ("BUILDING", "Construction"),
+    ("FURNITURE", "Retail"),
+    ("MACHINERY", "Industrial"),
+    ("HOUSEHOLD", "Consumer"),
+]
+
+
+def q_join_label(spark, sf_dir):
+    """J5: broadcast join on a string label key against an inline dim."""
+    cust = _t(spark, sf_dir, "customer")
+    dim = spark.createDataFrame(_SEGMENT_LABELS, "seg string, label string")
+    return (
+        cust.join(F.broadcast(dim), cust["c_mktsegment"] == dim["seg"], "left")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("c_acctbal", "total_bal"))
+    )
+
+
+def q_diff_classify(spark, sf_dir):
+    """J6 + F3 + F4 (§3.2 release diff): full-outer join of two release
+    slices, then missing/added/changed/unchanged classification with a
+    tolerance (the reference's ``near(tol)`` rounding-noise rule)."""
+    o = _t(spark, sf_dir, "orders")
+    old = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice", "spend"))
+    )
+    new = (
+        o.filter(F.year("o_orderdate") == 1997)
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice", "spend"))
+    )
+    diff = full_outer_diff(new, old, ["o_custkey"], "spend")
+    return classify_diff(diff, "spend", tol=50000.0)
+
+
+# ---- hierarchy: a 3-level edge list built from region/nation ----------------
+
+def _hierarchy_edges(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rn = nation.join(region, nation["n_regionkey"] == region["r_regionkey"]).select(
+        F.concat(F.lit("R"), F.col("r_regionkey").cast("string")).alias("parent"),
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("child"),
+    )
+    all_r = region.select(
+        F.lit("ALL").alias("parent"),
+        F.concat(F.lit("R"), F.col("r_regionkey").cast("string")).alias("child"),
+    )
+    root = spark.createDataFrame([("ROOT", "ALL")], "parent string, child string")
+    return rn.unionByName(all_r).unionByName(root)
+
+
+def q_closure_leaves(spark, sf_dir):
+    """J7: transitive closure (replace-until-leaf) over a 3-level edge
+    list — the reference's ``expand_hierarchy`` re-expressed as an
+    iterative broadcast self-join with semi-join termination."""
+    return transitive_closure(_hierarchy_edges(spark, sf_dir), "parent", "child")
+
+
+_CLOSURE_SQL = """
+SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS parent,
+       'N' || CAST(n_nationkey AS VARCHAR) AS child
+FROM nation JOIN region ON n_regionkey = r_regionkey
+UNION ALL
+SELECT 'ALL', 'N' || CAST(n_nationkey AS VARCHAR) FROM nation
+UNION ALL
+SELECT 'ROOT', 'N' || CAST(n_nationkey AS VARCHAR) FROM nation
+"""
+
+
+def q_rollup_hierarchy(spark, sf_dir):
+    """J8 + A2: fan the fact out over (data-driven) group membership and
+    aggregate per ancestor — Spark ``rollup`` can't express a ragged
+    custom hierarchy, so membership is a broadcast closure join."""
+    closure = transitive_closure(_hierarchy_edges(spark, sf_dir), "parent", "child")
+    fact = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("code"),
+        F.col("c_acctbal").cast("decimal(28,6)").alias("bal"),
+    )
+    out = rollup_hierarchy(
+        fact, closure, fact_key="code", closure_parent="parent",
+        closure_child="child", group_keys=[], value_col="bal",
+    )
+    return out.select(
+        F.col("parent").alias("group_code"), F.col("bal").cast("double").alias("total_bal")
+    )
+
+
+def q_scalar_share(spark, sf_dir):
+    """A3/W2: global-agg driver scalar broadcast into a per-group ratio."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    total = joined.agg(dsum("o_totalprice")).first()[0]
+    return (
+        joined.groupBy("n_name")
+        .agg(dsum("o_totalprice", "revenue"))
+        .withColumn("share", F.col("revenue") / F.lit(total))
+    )
+
+
+# ===========================================================================
+# aggregations / windows (A*, W*)
+# ===========================================================================
+
+def q_group_first(spark, sf_dir):
+    """A4: group-by + deterministic first value (min as the deterministic
+    analog of R's ``x[1]``)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("event_type").alias("first_type"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_gaps_islands(spark, sf_dir):
+    """A5: consecutive-run compression ("1999-2001, 2005") — Spark-native
+    gaps-and-islands, no UDF."""
+    years = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("y")
+    )
+    return gaps_and_islands(years, ["o_custkey"], "y", out_col="ranges")
+
+
+def q_base_broadcast(spark, sf_dir):
+    """W1: group-wise base-year broadcast with the exactly-one-row guard
+    (NULL index when the base year is missing/duplicated)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", F.year("o_orderdate").alias("year"))
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+    return rebase_index(rev, ["n_name"], "year", "revenue", base_year=1997, out_col="idx")
+
+
+def q_group_extrema(spark, sf_dir):
+    """W3: keep each group's max-|value| rows."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return group_extrema(ev, ["user_id"], F.col("value"), keep="max_abs")
+
+
+def q_topk_orders(spark, sf_dir):
+    """O2/O3: order by expression desc + top-k (TakeOrderedAndProject —
+    never a global sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(19)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ===========================================================================
+# set ops / scalars / reshape (U*, C*, R*)
+# ===========================================================================
+
+def q_union_by_name(spark, sf_dir):
+    """U1: by-name union with NULL-fill (R ``bind_rows`` semantics)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    return union_by_name([cust, sup])
+
+
+def q_conditional_overwrite(spark, sf_dir):
+    """C1: ordered conditional-overwrite rule engine (the reference's
+    dissolved-economy remap machinery, data-driven)."""
+    n = _t(spark, sf_dir, "nation")
+    rules = [
+        (F.col("n_name") == "FRANCE", "EU-FR"),
+        (F.col("n_regionkey") == 2, "ASIA-X"),
+        (F.col("n_nationkey") >= 20, "HIGH"),
+    ]
+    return (
+        n.withColumn("code", conditional_overwrite(F.col("n_name"), rules))
+        .groupBy("code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_recode_values(spark, sf_dir):
+    """C3: value recoding with default."""
+    ev = _t(spark, sf_dir, "events")
+    m = {"click": "C", "view": "V", "purchase": "P"}
+    return (
+        ev.withColumn("code", recode(F.col("event_type"), m, default=F.lit("OTHER")))
+        .groupBy("code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_pad_codes(spark, sf_dir):
+    """C4/C5: zero-padded string codes + length/concat — the reference's
+    #1 silent-corruption hazard, kept as explicit string ops."""
+    n = _t(spark, sf_dir, "nation")
+    code = pad_code("n_nationkey", 3)
+    return n.select(
+        "n_name",
+        code.alias("code"),
+        F.length(code).alias("code_len"),
+        F.concat_ws("-", code, F.col("n_name")).alias("tag"),
+    )
+
+
+def q_ref_date_stamp(spark, sf_dir):
+    """C6: injectable run-date stamp ("29-Aug-25")."""
+    return _t(spark, sf_dir, "region").select(
+        "r_name", ref_date("2025-08-29").alias("stamp")
+    )
+
+
+def q_bankers_round(spark, sf_dir):
+    """C7: half-to-even rounding (R ``round`` ≠ Spark ``round``; must be
+    ``bround``) — exercised on exact .5 values (odd quantities / 2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(bankers_round(F.col("l_quantity") / F.lit(2.0), 0).cast("long")).alias(
+            "sum_half_qty"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_pivot_wide(spark, sf_dir):
+    """R3: long → wide with explicit pivot values (no discovery scan)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_returnflag", F.col("l_quantity").cast("decimal(28,6)").alias("q")
+    )
+    out = li.groupBy("l_linestatus").pivot("l_returnflag", ["A", "N", "R"]).agg(
+        F.sum("q").cast("double")
+    )
+    return out
+
+
+def q_unpivot_long(spark, sf_dir):
+    """R1/R2: wide → long melt (round-trips the pivot back to long)."""
+    wide = q_pivot_wide(spark, sf_dir)
+    return unpivot(
+        wide, ids=["l_linestatus"], values=["A", "N", "R"],
+        var_name="l_returnflag", value_name="sum_qty",
+    ).na.drop(subset=["sum_qty"])
+
+
+# ===========================================================================
+# LLM-data-pipeline operators: dedup / text / similarity / multimodal
+# ===========================================================================
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup via md5-hash groupBy (16-byte shuffle keys)."""
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
+    Oracle = exact all-pairs Jaccard: at threshold 0.8 with 8 bands × 2
+    rows, P[miss] < 1e-7 per true pair, so LSH recall is exhaustive."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        num_perm=16, bands=8, jaccard_threshold=0.8,
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3 via 4×16-bit pigeonhole).
+    FNV-1a hashing is not SQL-expressible → rows-only check."""
+    return simhash_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Blocked n-gram Jaccard pairs (blocking key = lang): the quadratic
+    verify stage bounded by a cheap equality blocker."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        shingle_k=5, threshold=0.8, bucket_col="lang",
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact, fixed-point cosine)."""
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.3
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Exact brute-force top-k cosine neighbours for 5 query vectors —
+    the correctness baseline for ANN."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=10,
+        query_id="vec_id", corpus_id="vec_id",
+        query_vec="embedding", corpus_vec="embedding",
+    )
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed approximate top-k (the 100-TB scale path;
+    approximate → rows-only check)."""
+    return lsh_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=10, num_bits=8, num_tables=4,
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    """Text analysis: whitespace + BPE-ish token counts, punctuation
+    ratio, stopword ratio, mean token length — all JVM-side HOFs."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count_ws(t).alias("n_ws"),
+        token_count_bpe(t).alias("n_bpe"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        mean_token_len(t).alias("mean_token_len"),
+    )
+
+
+def q_quality_lang(spark, sf_dir):
+    """Quality score + marker-based language ID per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint: min md5(shingle) — portable k=1 MinHash."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text"), 5).alias("fp"))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload column → Arrow-batched
+    metadata extraction via mapInPandas (length + magic bytes)."""
+    d = attach_payload(_t(spark, sf_dir, "documents"), "text", "payload")
+    return binary_meta(d, "payload", "doc_id")
+
+
+# ===========================================================================
+# events: batch window coverage of the stream-shaped table
+# ===========================================================================
+
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling 1-hour windows over event time (batch form of the
+    streaming window agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    """Sessionization: 30-minute-gap sessions per user (lag + running
+    sum), then per-user session/event counts."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800, order_tiebreak="event_id")
+    return s.groupBy("user_id").agg(
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_revenue": q_flagship_revenue,
+        "projection": q_projection,
+        "neg_projection": q_neg_projection,
+        "compute_project": q_compute_project,
+        "filter_in": q_filter_in,
+        "filter_band": q_filter_band,
+        "filter_strlen": q_filter_strlen,
+        "filter_compound": q_filter_compound,
+        "drop_na": q_drop_na,
+        "distinct_values": q_distinct_values,
+        "join_composite": q_join_composite,
+        "left_join_sum_zero": q_left_join_sum_zero,
+        "join_suffix": q_join_suffix,
+        "join_label": q_join_label,
+        "diff_classify": q_diff_classify,
+        "closure_leaves": q_closure_leaves,
+        "rollup_hierarchy": q_rollup_hierarchy,
+        "scalar_share": q_scalar_share,
+        "group_first": q_group_first,
+        "gaps_islands": q_gaps_islands,
+        "base_broadcast": q_base_broadcast,
+        "group_extrema": q_group_extrema,
+        "topk_orders": q_topk_orders,
+        "union_by_name": q_union_by_name,
+        "conditional_overwrite": q_conditional_overwrite,
+        "recode_values": q_recode_values,
+        "pad_codes": q_pad_codes,
+        "ref_date_stamp": q_ref_date_stamp,
+        "bankers_round": q_bankers_round,
+        "pivot_wide": q_pivot_wide,
+        "unpivot_long": q_unpivot_long,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_topk": q_ann_topk,
+        "lsh_topk": q_lsh_topk,
+        "token_stats": q_token_stats,
+        "quality_lang": q_quality_lang,
+        "fingerprint": q_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "events_tumbling": q_events_tumbling,
+        "events_sessions": q_events_sessions,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ===========================================================================
+# oracles
+# ===========================================================================
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sh = _shingles_sql(5)
+    sw_list = _sql_list(STOPWORDS)
+    lang_score = {
+        lang: f"len(list_filter({_TOKS_LOW}, t -> list_contains({_sql_list(m)}, t)))"
+        for lang, m in sorted(LANG_MARKERS.items())
+    }
+    best = "greatest(" + ", ".join(lang_score[k] for k in sorted(lang_score)) + ")"
+    lang_case = (
+        "CASE WHEN " + best + " = 0 THEN 'und' "
+        + " ".join(
+            f"WHEN {lang_score[k]} = {best} THEN '{k}'" for k in sorted(lang_score)
+        )
+        + " ELSE 'und' END"
+    )
+    pr = (
+        "CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0 "
+        "ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE) END"
+    )
+    swr = (
+        f"CASE WHEN len({_TOKS_RAW}) = 0 THEN 0.0 "
+        f"ELSE CAST(len(list_filter({_TOKS_RAW}, t -> list_contains({sw_list}, t))) AS DOUBLE)"
+        f" / CAST(len({_TOKS_RAW}) AS DOUBLE) END"
+    )
+    mtl = (
+        f"CASE WHEN len({_TOKS_RAW}) = 0 THEN 0.0 "
+        f"ELSE CAST(list_sum(list_transform({_TOKS_RAW}, t -> length(t))) AS DOUBLE)"
+        f" / CAST(len({_TOKS_RAW}) AS DOUBLE) END"
+    )
+    n_tok_d = f"CAST(len({_TOKS_RAW}) AS DOUBLE)"
+    quality = (
+        f"(least({n_tok_d} / 50.0, 1.0) * 0.4"
+        f" + greatest(0.0, 1.0 - ({pr}) * 4.0) * 0.2"
+        f" + (CASE WHEN ({swr}) >= 0.01 AND ({swr}) <= 0.6 THEN 1.0 ELSE 0.5 END) * 0.2"
+        f" + (CASE WHEN ({mtl}) >= 2.0 AND ({mtl}) <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2)"
+    )
+    jaccard = (
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)"
+    )
+    seg_values = ", ".join(f"('{s}', '{l}')" for s, l in _SEGMENT_LABELS)
+
+    return {
+        "flagship_revenue": _FLAGSHIP_SQL,
+        "projection": "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
+        "neg_projection": "SELECT n_nationkey, n_name FROM nation",
+        "compute_project": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1.0 - l_discount) AS revenue,
+                   (l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS charge
+            FROM lineitem
+        """,
+        "filter_in": f"""
+            SELECT o_orderpriority, count(*) AS n, {_dsum_sql('o_totalprice')} AS total
+            FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+            GROUP BY o_orderpriority
+        """,
+        "filter_band": f"""
+            SELECT l_returnflag, count(*) AS n, {_dsum_sql('l_quantity')} AS sum_qty
+            FROM lineitem
+            WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+            GROUP BY l_returnflag
+        """,
+        "filter_strlen": """
+            SELECT n_name, CAST(length(n_name) AS INT) AS name_len
+            FROM nation WHERE length(n_name) < 9
+        """,
+        "filter_compound": """
+            SELECT o_orderstatus, count(*) AS n FROM orders
+            WHERE (o_orderstatus = 'F' AND o_totalprice > 100000)
+               OR o_orderpriority = '1-URGENT'
+            GROUP BY o_orderstatus
+        """,
+        "drop_na": """
+            SELECT c.c_custkey, c.c_mktsegment, o.n_orders
+            FROM customer c
+            JOIN (SELECT o_custkey AS c_custkey, count(*) AS n_orders
+                  FROM orders GROUP BY o_custkey) o USING (c_custkey)
+        """,
+        "distinct_values": "SELECT DISTINCT c_mktsegment FROM customer",
+        "join_composite": """
+            WITH daily AS (
+              SELECT user_id, event_type, date_trunc('day', ts) AS day, count(*) AS n_day
+              FROM events GROUP BY 1, 2, 3),
+            totals AS (
+              SELECT user_id, event_type, count(*) AS n_total
+              FROM events GROUP BY 1, 2)
+            SELECT d.user_id, d.event_type, CAST(d.day AS TIMESTAMP) AS day,
+                   d.n_day, t.n_total
+            FROM daily d JOIN totals t USING (user_id, event_type)
+        """,
+        "left_join_sum_zero": """
+            SELECT n_name,
+                   COALESCE(CAST(SUM(CAST(s_acctbal AS DECIMAL(28,6))) AS DOUBLE), 0.0)
+                     AS rich_bal,
+                   count(s_suppkey) AS n_rich
+            FROM nation LEFT JOIN (SELECT * FROM supplier WHERE s_acctbal > 4000) s
+              ON n_nationkey = s_nationkey
+            GROUP BY n_name
+        """,
+        "join_suffix": """
+            WITH sup AS (SELECT s_nationkey AS nationkey,
+                           CAST(SUM(CAST(s_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                             / COUNT(s_acctbal) AS avg_bal_sup
+                         FROM supplier GROUP BY 1),
+                 cus AS (SELECT c_nationkey AS nationkey,
+                           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                             / COUNT(c_acctbal) AS avg_bal_cus
+                         FROM customer GROUP BY 1)
+            SELECT nationkey, avg_bal_sup, avg_bal_cus FROM sup JOIN cus USING (nationkey)
+        """,
+        "join_label": f"""
+            SELECT d.label, count(*) AS n, {_dsum_sql('c_acctbal')} AS total_bal
+            FROM customer c LEFT JOIN (VALUES {seg_values}) d(seg, label)
+              ON c.c_mktsegment = d.seg
+            GROUP BY d.label
+        """,
+        "diff_classify": f"""
+            WITH old AS (SELECT o_custkey, {_dsum_sql('o_totalprice')} AS spend
+                         FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey),
+                 new AS (SELECT o_custkey, {_dsum_sql('o_totalprice')} AS spend
+                         FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey)
+            SELECT COALESCE(new.o_custkey, old.o_custkey) AS o_custkey,
+                   new.spend AS spend_new, old.spend AS spend_old,
+                   CASE WHEN new.spend IS NULL AND old.spend IS NOT NULL THEN 'missing'
+                        WHEN new.spend IS NOT NULL AND old.spend IS NULL THEN 'added'
+                        WHEN abs(new.spend - old.spend) > 50000.0 THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM new FULL OUTER JOIN old ON new.o_custkey = old.o_custkey
+        """,
+        "closure_leaves": _CLOSURE_SQL,
+        "rollup_hierarchy": f"""
+            WITH closure AS ({_CLOSURE_SQL}),
+                 fact AS (SELECT 'N' || CAST(c_nationkey AS VARCHAR) AS code, c_acctbal
+                          FROM customer)
+            SELECT closure.parent AS group_code,
+                   COALESCE(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 0.0)
+                     AS total_bal
+            FROM fact JOIN closure ON fact.code = closure.child
+            GROUP BY closure.parent
+        """,
+        "scalar_share": f"""
+            WITH j AS (SELECT n_name, o_totalprice
+                       FROM orders JOIN customer ON o_custkey = c_custkey
+                                   JOIN nation ON c_nationkey = n_nationkey)
+            SELECT n_name, {_dsum_sql('o_totalprice')} AS revenue,
+                   {_dsum_sql('o_totalprice')} /
+                     (SELECT {_dsum_sql('o_totalprice')} FROM j) AS share
+            FROM j GROUP BY n_name
+        """,
+        "group_first": """
+            SELECT user_id, min(event_type) AS first_type, count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "gaps_islands": """
+            WITH yrs AS (SELECT DISTINCT o_custkey, CAST(year(o_orderdate) AS INT) AS y
+                         FROM orders),
+                 isl AS (SELECT o_custkey, y,
+                           y - CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY y)
+                                    AS INT) AS island
+                         FROM yrs),
+                 runs AS (SELECT o_custkey, island, min(y) AS lo, max(y) AS hi
+                          FROM isl GROUP BY 1, 2)
+            SELECT o_custkey,
+                   string_agg(CASE WHEN lo = hi THEN CAST(lo AS VARCHAR)
+                                   ELSE CAST(lo AS VARCHAR) || '-' || CAST(hi AS VARCHAR)
+                              END, ', ' ORDER BY lo) AS ranges
+            FROM runs GROUP BY o_custkey
+        """,
+        "base_broadcast": f"""
+            WITH rev AS (
+              SELECT n_name, CAST(year(o_orderdate) AS INT) AS year,
+                     {_dsum_sql('o_totalprice')} AS revenue
+              FROM orders JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1, 2)
+            SELECT n_name, year, revenue,
+                   CASE WHEN count(CASE WHEN year = 1997 THEN 1 END)
+                             OVER (PARTITION BY n_name) = 1
+                        THEN (100.0 * revenue) /
+                             (max(CASE WHEN year = 1997 THEN revenue END)
+                              OVER (PARTITION BY n_name))
+                   END AS idx
+            FROM rev
+        """,
+        "group_extrema": """
+            SELECT user_id, event_id, value FROM events
+            QUALIFY abs(value) = max(abs(value)) OVER (PARTITION BY user_id)
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 19
+        """,
+        "union_by_name": """
+            SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal,
+                   c_mktsegment AS segment
+            FROM customer
+            UNION ALL
+            SELECT s_suppkey, s_name, s_acctbal, CAST(NULL AS VARCHAR) FROM supplier
+        """,
+        "conditional_overwrite": """
+            SELECT CASE WHEN n_name = 'FRANCE' THEN 'EU-FR'
+                        WHEN n_regionkey = 2 THEN 'ASIA-X'
+                        WHEN n_nationkey >= 20 THEN 'HIGH'
+                        ELSE n_name END AS code,
+                   count(*) AS n
+            FROM nation GROUP BY 1
+        """,
+        "recode_values": """
+            SELECT CASE event_type WHEN 'click' THEN 'C' WHEN 'view' THEN 'V'
+                        WHEN 'purchase' THEN 'P' ELSE 'OTHER' END AS code,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "pad_codes": """
+            SELECT n_name,
+                   lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS code,
+                   CAST(length(lpad(CAST(n_nationkey AS VARCHAR), 3, '0')) AS INT)
+                     AS code_len,
+                   lpad(CAST(n_nationkey AS VARCHAR), 3, '0') || '-' || n_name AS tag
+            FROM nation
+        """,
+        "ref_date_stamp": """
+            SELECT r_name, strftime(DATE '2025-08-29', '%-d-%b-%y') AS stamp FROM region
+        """,
+        "bankers_round": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(round_even(l_quantity / 2.0, 0) AS BIGINT)) AS BIGINT)
+                     AS sum_half_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "pivot_wide": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN l_returnflag = 'A'
+                            THEN CAST(l_quantity AS DECIMAL(28,6)) END) AS DOUBLE) AS "A",
+                   CAST(SUM(CASE WHEN l_returnflag = 'N'
+                            THEN CAST(l_quantity AS DECIMAL(28,6)) END) AS DOUBLE) AS "N",
+                   CAST(SUM(CASE WHEN l_returnflag = 'R'
+                            THEN CAST(l_quantity AS DECIMAL(28,6)) END) AS DOUBLE) AS "R"
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "unpivot_long": f"""
+            SELECT l_linestatus, l_returnflag, {_dsum_sql('l_quantity')} AS sum_qty
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "minhash_lsh": f"""
+            WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents)
+            SELECT * FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jaccard} AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.8
+        """,
+        "ngram_jaccard": f"""
+            WITH sh AS (SELECT doc_id, lang, {sh} AS sh FROM documents)
+            SELECT * FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jaccard} AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang)
+            WHERE jaccard >= 0.8
+        """,
+        "embedding_near_dup": f"""
+            SELECT * FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE cos_sim >= 0.3
+        """,
+        "ann_topk": f"""
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbour_id,
+                     {_cos_sql('q.embedding', 'c.embedding')} AS cos_sim
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 5)
+            SELECT query_id, neighbour_id, cos_sim, CAST(rn AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbour_id ASC) AS rn
+                  FROM scored)
+            WHERE rn <= 10
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS_RAW}) AS INT) AS n_ws,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe,
+                   {pr} AS punct_ratio,
+                   {swr} AS stopword_ratio,
+                   {mtl} AS mean_token_len
+            FROM documents
+        """,
+        "quality_lang": f"""
+            SELECT doc_id, {quality} AS quality, {lang_case} AS lang_pred
+            FROM documents
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, list_min(list_transform({sh}, s -> md5(s))) AS fp
+            FROM documents
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INT) AS payload_len,
+                   lower(substr(hex(encode(text)), 1, 8)) AS magic
+            FROM documents
+        """,
+        "events_tumbling": f"""
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+                   event_type, count(*) AS n, {_dsum_sql('value')} AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH e AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM e GROUP BY user_id
+        """,
+        # simhash_pairs, lsh_topk: approximate / non-SQL-expressible →
+        # intentionally omitted (driver records rows-only checks).
+    }

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Each query is forced end-to-end with the ``noop`` sink (full computation
+of every output column, no driver collect overhead).  Prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from gdp_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: headline set: every family that matters at scale, nothing quadratic.
+BENCH_QUERIES = [
+    "flagship_revenue",     # multi-join star + agg
+    "compute_project",      # scan-heavy projection math
+    "filter_band",          # pushed-down band predicate
+    "diff_classify",        # full-outer diff (sort-merge join)
+    "closure_leaves",       # iterative closure (driver loop)
+    "rollup_hierarchy",     # fan-out join + agg
+    "gaps_islands",         # window + double agg
+    "base_broadcast",       # partitioned window w/ guard
+    "group_extrema",        # window extrema
+    "topk_orders",          # TakeOrderedAndProject
+    "pivot_wide",           # pivot agg
+    "exact_dedup",          # hash dedup
+    "minhash_lsh",          # banded LSH near-dup
+    "simhash_pairs",        # pandas-UDF signatures + pigeonhole join
+    "token_stats",          # HOF text expressions
+    "quality_lang",         # HOF text scoring
+    "ann_topk",             # brute-force cosine top-k
+    "lsh_topk",             # bucketed approximate top-k
+    "events_tumbling",      # time windows
+    "events_sessions",      # sessionization windows
+]
+
+
+def main() -> None:
+    spark = get_spark(
+        "bench", master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS) if CPUS.isdigit() else None,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

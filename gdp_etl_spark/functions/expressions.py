@@ -124,9 +124,11 @@ def dsum(col: Column | str, alias: str | None = None) -> Column:
 
 
 def davg(col: Column | str, alias: str | None = None) -> Column:
-    """Exact decimal mean (sum/count in decimal, one final double round)."""
+    """Cross-engine-deterministic mean: exact decimal sum, cast to double,
+    THEN divide by the count.  (Dividing in decimal first would inherit
+    each engine's decimal-division scale rules, which differ.)"""
     c = F.col(col) if isinstance(col, str) else col
-    out = (F.sum(c.cast(_DEC)) / F.count(c)).cast("double")
+    out = F.sum(c.cast(_DEC)).cast("double") / F.count(c)
     return out.alias(alias) if alias else out
 
 

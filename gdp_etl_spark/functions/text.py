@@ -91,9 +91,10 @@ def quality_score(text: Column) -> Column:
     sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
     wl = mean_token_len(text)
     wl_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.round(
-        length_ok * F.lit(0.4) + punct_pen * F.lit(0.2) + sw_ok * F.lit(0.2) + wl_ok * F.lit(0.2),
-        6,
+    # no final rounding: each engine's round(double, n) differs in edge
+    # rounding, while the raw IEEE expression is bit-identical everywhere.
+    return (
+        length_ok * F.lit(0.4) + punct_pen * F.lit(0.2) + sw_ok * F.lit(0.2) + wl_ok * F.lit(0.2)
     )
 
 

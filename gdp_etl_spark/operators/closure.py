@@ -32,12 +32,20 @@ def transitive_closure(
     """Expand (parent, child) edges to (ancestor, descendant) pairs where
     every descendant is a *leaf* (never itself a parent), mirroring the
     reference's replace-until-leaf semantics.  Returns distinct pairs with
-    the original column names."""
-    parents = edges.select(F.col(parent_col).alias("__p")).distinct()
-    cur = edges.select(F.col(parent_col).alias("A"), F.col(child_col).alias("D"))
+    the original column names.
+
+    Per-iteration cost discipline: the edge list and parent set are
+    ``localCheckpoint``-ed ONCE up front (otherwise every broadcast
+    rebuilds their upstream plan — scans, unions — each pass), and each
+    pass is a single broadcast left join where matched rows fan out to
+    their children and unmatched rows keep their leaf (``coalesce``),
+    replacing the previous done/stepped/union triple.  Two jobs per
+    iteration: the semi-join termination probe and the checkpoint."""
     raw = edges.select(
         F.col(parent_col).alias("__ep"), F.col(child_col).alias("__ec")
-    )
+    ).localCheckpoint(eager=True)
+    parents = raw.select(F.col("__ep").alias("__p")).distinct().localCheckpoint(eager=True)
+    cur = raw.select(F.col("__ep").alias("A"), F.col("__ec").alias("D"))
 
     for _ in range(max_iterations):
         expandable = cur.join(
@@ -45,12 +53,12 @@ def transitive_closure(
         )
         if expandable.limit(1).count() == 0:
             break
-        done = cur.join(F.broadcast(parents), cur["D"] == parents["__p"], "left_anti")
-        stepped = (
-            expandable.join(F.broadcast(raw), expandable["D"] == raw["__ep"], "inner")
-            .select(F.col("A"), F.col("__ec").alias("D"))
+        annotated = cur.join(F.broadcast(raw), cur["D"] == raw["__ep"], "left")
+        cur = (
+            annotated.select("A", F.coalesce(F.col("__ec"), F.col("D")).alias("D"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        cur = done.unionByName(stepped).distinct().localCheckpoint(eager=True)
     else:
         raise RuntimeError(f"closure did not converge in {max_iterations} iterations (cycle?)")
 
@@ -65,8 +73,10 @@ def closure_all_pairs(
 ) -> DataFrame:
     """Full ancestor→descendant closure (descendants at *every* level, not
     just leaves) — the standard semantics a recursive CTE would give."""
-    cur = edges.select(F.col(parent_col).alias("A"), F.col(child_col).alias("D")).distinct()
-    raw = edges.select(F.col(parent_col).alias("__ep"), F.col(child_col).alias("__ec"))
+    raw = edges.select(
+        F.col(parent_col).alias("__ep"), F.col(child_col).alias("__ec")
+    ).localCheckpoint(eager=True)
+    cur = raw.select(F.col("__ep").alias("A"), F.col("__ec").alias("D")).distinct()
     frontier = cur
     for _ in range(max_iterations):
         nxt = (

@@ -1,0 +1,154 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+Design for 100 TB of images/audio/video:
+
+* payloads travel as parquet ``binary`` columns (or pointers to object
+  storage — same plumbing, the bytes just arrive later),
+* every per-payload transform is an Arrow-batched ``mapInPandas`` so
+  bytes cross the JVM↔Python boundary once per record batch, never per
+  row,
+* decode / resize / frame-sample are pluggable: the Spark-side schema,
+  partitioning and batch shape are real and tested; the actual codecs
+  (Pillow / torchaudio / pyav) are NOT in this container, so the decode
+  step is stubbed behind ``NotImplementedError`` with a deterministic
+  fake available for plumbing tests.
+
+The reference (JaromirKoflak/gdp-etl) has no binary columns at all; this
+module is part of the beyond-reference LLM-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def attach_payload(df: DataFrame, text_col: str, out_col: str = "payload") -> DataFrame:
+    """Stand-in payload producer: UTF-8 bytes of a text column as a
+    ``binary`` column.  In production the payload arrives from the source
+    (parquet binary / object-store fetch); the downstream plumbing is
+    identical."""
+    return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload_len", IntegerType()),
+        StructField("magic", StringType()),
+    ]
+)
+
+
+def binary_meta(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Typed metadata per payload (length + leading "magic" bytes) via a
+    single mapInPandas pass — the canonical shape for any per-payload
+    extractor: project only (id, payload) into the UDF, return a typed
+    struct, let Catalyst prune everything else."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload_len": payloads.map(len).astype("int32"),
+                    "magic": payloads.map(lambda b: bytes(b)[:4].hex()),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        extract, META_SCHEMA
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_features(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    dim: int = 16,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Payload → fixed-dim float feature vector.
+
+    ``decoder="fake"`` produces a deterministic hash-derived vector —
+    the real image/audio decode is stubbed because the codec libraries
+    are not in this container.  The Spark-side contract (schema,
+    Arrow batching, column pruning) is exactly what a real decoder
+    plugs into.
+    """
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder={decoder!r}: real codecs (Pillow/pyav/torchaudio) are "
+            "not available in this environment; only the deterministic "
+            "'fake' decoder is implemented"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for b in pdf[payload_col]:
+                # deterministic fake: md5-seeded bytes -> dim floats in [0,1)
+                raw = hashlib.md5(bytes(b)).digest()
+                need = dim * 4
+                buf = (raw * (need // len(raw) + 1))[:need]
+                vec = np.frombuffer(buf, dtype=np.uint32).astype(np.float32)
+                feats.append(vec / np.float32(2**32))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "features": feats}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        decode, FEATURE_SCHEMA
+    )
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    every_n: int = 10,
+) -> DataFrame:
+    """Video frame sampling stub: real decode needs pyav.  The plumbing —
+    one input row fanning out to N typed frame rows inside mapInPandas —
+    is the part that matters at scale and is implemented; the pixel
+    decode raises."""
+    raise NotImplementedError(
+        "frame decode requires pyav (not in this container); use "
+        "decode_features(decoder='fake') to exercise the fan-out plumbing"
+    )
+
+
+def payload_stats(df: DataFrame, payload_col: str) -> DataFrame:
+    """Corpus-level payload size stats — pure JVM expressions, no UDF."""
+    size = F.length(F.col(payload_col))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum(size.cast("bigint")).alias("total_bytes"),
+        F.min(size).alias("min_bytes"),
+        F.max(size).alias("max_bytes"),
+    )

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 on Spark AND its
+``oracle_sql()`` on DuckDB, then compares:
+
+* row count,
+* column name set,
+* order-insensitive values (columns sorted by name, rows sorted, doubles
+  compared exactly first and with rel-tol 1e-9 as a diagnostic fallback).
+
+Usage: python tools/check_correctness.py [query ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def sort_key(row):
+    return tuple((x is None, str(type(x)), str(x)) for x in row)
+
+
+def compare(name, spark_rows, spark_cols, oracle_rows, oracle_cols):
+    issues = []
+    if len(spark_rows) != len(oracle_rows):
+        issues.append(f"rowcount spark={len(spark_rows)} oracle={len(oracle_rows)}")
+    if sorted(spark_cols) != sorted(oracle_cols):
+        issues.append(f"cols spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}")
+        return issues
+    # align column order by sorted name
+    s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
+    o_idx = [oracle_cols.index(c) for c in sorted(oracle_cols)]
+    s = sorted(
+        (tuple(norm_cell(r[i]) for i in s_idx) for r in spark_rows), key=sort_key
+    )
+    o = sorted(
+        (tuple(norm_cell(r[i]) for i in o_idx) for r in oracle_rows), key=sort_key
+    )
+    if issues:
+        return issues
+    n_exact_bad = 0
+    n_tol_bad = 0
+    example = None
+    for sr, orow in zip(s, o):
+        for a, b in zip(sr, orow):
+            if a == b:
+                continue
+            n_exact_bad += 1
+            ok_tol = (
+                isinstance(a, float)
+                and isinstance(b, (float, int))
+                and math.isclose(a, float(b), rel_tol=1e-9, abs_tol=1e-12)
+            )
+            if not ok_tol:
+                n_tol_bad += 1
+                if example is None:
+                    example = (sr, orow)
+    if n_exact_bad:
+        issues.append(f"value mismatches: exact={n_exact_bad} beyond-tol={n_tol_bad}")
+        if example:
+            issues.append(f"  e.g. spark={example[0]}\n       oracle={example[1]}")
+    return issues
+
+
+def main():
+    import __spark_entry__ as e
+    from gdp_etl_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    qs, oracles = e.queries(), e.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    spark = get_spark("check", master="local[8]", shuffle_partitions=8)
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL  {name}: SPARK ERROR {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(spark_rows)} rows (rows-only, no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            oracle_cols = [d[0] for d in cur.description]
+            oracle_rows = cur.fetchall()
+        except Exception as ex:
+            print(f"FAIL  {name}: ORACLE ERROR {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        issues = compare(name, spark_rows, spark_cols, oracle_rows, oracle_cols)
+        if issues:
+            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            for i in issues:
+                print(f"      {i}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(spark_rows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
