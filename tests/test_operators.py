@@ -1,0 +1,189 @@
+"""Relational operator semantics: closure, rollup, windows, reshape,
+diff, sessionization (SURVEY.md §2.3-2.9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdp_etl_spark.operators.closure import (
+    closure_all_pairs,
+    rollup_hierarchy,
+    transitive_closure,
+)
+from gdp_etl_spark.operators.diff import classify_diff, full_outer_diff
+from gdp_etl_spark.operators.reshape import pivot_wide, union_by_name, unpivot
+from gdp_etl_spark.operators.sessions import session_stats, sessionize
+from gdp_etl_spark.operators.windows import (
+    base_value_broadcast,
+    gaps_and_islands,
+    group_extrema,
+    rebase_index,
+)
+
+from .conftest import rows
+
+
+# ---------------------------------------------------------------------------
+# J7 closure
+# ---------------------------------------------------------------------------
+def _edges(spark):
+    # 3-level DAG: W -> {G1, G2}; G1 -> {a, b}; G2 -> {b, c}; plus deep chain
+    # W -> G3 -> G4 -> d  (depth 4, needs >2 passes)
+    return spark.createDataFrame(
+        [
+            ("W", "G1"), ("W", "G2"), ("G1", "a"), ("G1", "b"),
+            ("G2", "b"), ("G2", "c"), ("W", "G3"), ("G3", "G4"), ("G4", "d"),
+        ],
+        "parent string, child string",
+    )
+
+
+def test_transitive_closure_leaves(spark):
+    got = rows(transitive_closure(_edges(spark)))
+    assert got == sorted(
+        [
+            ("W", "a"), ("W", "b"), ("W", "c"), ("W", "d"),
+            ("G1", "a"), ("G1", "b"), ("G2", "b"), ("G2", "c"),
+            ("G3", "d"), ("G4", "d"),
+        ]
+    )
+
+
+def test_closure_all_pairs_keeps_intermediate_levels(spark):
+    got = set(rows(closure_all_pairs(_edges(spark))))
+    assert ("W", "G4") in got and ("W", "d") in got and ("W", "G1") in got
+
+
+def test_closure_cycle_raises(spark):
+    cyc = spark.createDataFrame([("a", "b"), ("b", "a")], "parent string, child string")
+    with pytest.raises(RuntimeError, match="converge"):
+        transitive_closure(cyc, max_iterations=5)
+
+
+def test_rollup_sum_children_equals_parent(spark):
+    closure = transitive_closure(_edges(spark))
+    fact = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 4.0), ("d", 8.0)], "code string, v double"
+    )
+    out = dict(
+        rows(
+            rollup_hierarchy(
+                fact, closure, "code", "parent", "child", group_keys=[], value_col="v"
+            )
+        )
+    )
+    # property: each parent's total == sum over its leaf members
+    assert out == {"W": 15.0, "G1": 3.0, "G2": 6.0, "G3": 8.0, "G4": 8.0}
+
+
+def test_rollup_all_null_group_is_zero(spark):
+    closure = transitive_closure(_edges(spark))
+    fact = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", 1.0), ("d", None)], "code string, v double"
+    )
+    out = dict(
+        rows(rollup_hierarchy(fact, closure, "code", "parent", "child", [], "v"))
+    )
+    assert out["G1"] == 0.0  # all-NULL members -> 0, not NULL (R semantics)
+    assert out["G2"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# W1/W3/A5 windows
+# ---------------------------------------------------------------------------
+def test_base_broadcast_guard_missing_and_duplicate(spark):
+    df = spark.createDataFrame(
+        [
+            ("ok", 2015, 10.0), ("ok", 2016, 20.0),
+            ("missing", 2016, 5.0),
+            ("dup", 2015, 1.0), ("dup", 2015, 2.0), ("dup", 2016, 3.0),
+        ],
+        "g string, year int, v double",
+    )
+    out = base_value_broadcast(df, ["g"], "year", "v", 2015, "base")
+    got = {(r["g"], r["year"]): r["base"] for r in out.collect()}
+    assert got[("ok", 2016)] == 10.0
+    assert got[("missing", 2016)] is None  # base year absent -> NULL
+    assert got[("dup", 2016)] is None      # base year duplicated -> NULL
+
+
+def test_rebase_index_base_year_is_100(spark):
+    df = spark.createDataFrame(
+        [("g", 2015, 50.0), ("g", 2016, 75.0)], "g string, year int, v double"
+    )
+    got = {r["year"]: r["idx"] for r in rebase_index(df, ["g"], "year", "v", 2015, "idx").collect()}
+    assert got[2015] == 100.0 and got[2016] == 150.0
+
+
+def test_group_extrema_keeps_max_abs_with_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 1, -5.0), ("g", 2, 5.0), ("g", 3, 1.0), ("h", 4, 0.0)],
+        "g string, id int, v double",
+    )
+    got = rows(group_extrema(df, ["g"], F.col("v")), "id")
+    assert got == [(1,), (2,), (4,)]
+
+
+def test_gaps_and_islands_reference_example(spark):
+    df = spark.createDataFrame(
+        [("x", 1999), ("x", 2000), ("x", 2001), ("x", 2005), ("y", 2020)],
+        "g string, y int",
+    )
+    got = dict(rows(gaps_and_islands(df, ["g"], "y")))
+    assert got == {"x": "1999-2001, 2005", "y": "2020"}
+
+
+# ---------------------------------------------------------------------------
+# R1-R3 / U1 reshape
+# ---------------------------------------------------------------------------
+def test_unpivot_pivot_roundtrip(spark):
+    long = spark.createDataFrame(
+        [("k1", "A", 1.0), ("k1", "B", 2.0), ("k2", "A", 3.0)],
+        "k string, var string, val double",
+    )
+    wide = pivot_wide(long, ["k"], "var", ["A", "B"], "val")
+    assert rows(wide) == [("k1", 1.0, 2.0), ("k2", 3.0, None)]
+    back = unpivot(wide, ["k"], ["A", "B"], "var", "val").na.drop(subset=["val"])
+    assert rows(back) == rows(long)
+
+
+def test_union_by_name_null_fills_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, extra string")
+    b = spark.createDataFrame([(2,)], "id int")
+    got = rows(union_by_name([a, b]))
+    assert got == [(1, "x"), (2, None)]
+
+
+# ---------------------------------------------------------------------------
+# J6/F3/F4 diff
+# ---------------------------------------------------------------------------
+def test_diff_classify_all_statuses(spark):
+    new = spark.createDataFrame([("a", 10.0), ("b", 20.0), ("d", 1.0)], "k string, v double")
+    old = spark.createDataFrame([("a", 10.5), ("b", 99.0), ("c", 7.0)], "k string, v double")
+    d = classify_diff(full_outer_diff(new, old, ["k"], "v"), "v", tol=2.0)
+    got = {r["k"]: r["status"] for r in d.collect()}
+    assert got == {"a": "unchanged", "b": "changed", "c": "missing", "d": "added"}
+
+
+# ---------------------------------------------------------------------------
+# sessions
+# ---------------------------------------------------------------------------
+def test_sessionize_gap_splits(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+            (1, "2024-01-01 01:00:00"),  # 50-min gap -> new session
+            (2, "2024-01-01 00:00:00"),
+        ],
+        "uid int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    s = sessionize(df, "uid", "ts", gap_seconds=1800)
+    got = rows(s, "uid", "session_id")
+    assert got == [(1, 0), (1, 0), (1, 1), (2, 0)]
+
+
+def test_session_stats_duration(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00")], "uid int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    st = session_stats(df, "uid", "ts").first()
+    assert st["n_events"] == 2 and st["duration_sec"] == 600.0

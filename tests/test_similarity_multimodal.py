@@ -1,0 +1,131 @@
+"""Similarity search, vector math, multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdp_etl_spark.functions.vectors import cosine, cosine_exact, dot, dot_fixed, norm
+from gdp_etl_spark.operators.multimodal import (
+    attach_payload,
+    binary_meta,
+    decode_features,
+    frame_sample,
+    payload_stats,
+)
+from gdp_etl_spark.operators.similarity import (
+    brute_force_topk,
+    expected_bucket_collision_prob,
+    hyperplane_lsh_bucket,
+    lsh_topk,
+)
+
+from .conftest import rows
+
+
+def _vecs(spark):
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # closest to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),  # antipodal to 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_dot_norm_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [([3.0, 4.0], [3.0, 4.0]), ([1.0, 0.0], [0.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    got = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        norm(F.col("a")).alias("n"),
+        cosine(F.col("a"), F.col("b")).alias("c"),
+    ).collect()
+    assert got[0]["d"] == 25.0 and got[0]["n"] == 5.0 and got[0]["c"] == pytest.approx(1.0)
+    assert got[1]["d"] == 0.0 and got[1]["c"] == pytest.approx(0.0)
+
+
+def test_fixed_point_matches_float_dot(spark):
+    df = _vecs(spark).select(
+        dot(F.col("embedding"), F.col("embedding")).alias("d"),
+        dot_fixed(F.col("embedding"), F.col("embedding")).alias("dfp"),
+    )
+    for r in df.collect():
+        assert r["dfp"] == pytest.approx(r["d"], abs=1e-9)
+
+
+def test_cosine_exact_zero_norm_is_null(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 0.0])], "a array<float>, b array<float>"
+    )
+    assert df.select(cosine_exact(F.col("a"), F.col("b")).alias("c")).first()["c"] is None
+
+
+def test_brute_force_topk_ordering(spark):
+    out = brute_force_topk(
+        _vecs(spark).filter(F.col("vec_id") == 0), _vecs(spark), k=3
+    ).collect()
+    ranked = [r["neighbour_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]  # cos: ~0.994, 0.0, -1.0
+
+
+def test_hyperplane_bucket_deterministic(spark):
+    b1 = dict(rows(hyperplane_lsh_bucket(_vecs(spark), "embedding", 8, seed=7), "vec_id", "bucket"))
+    b2 = dict(rows(hyperplane_lsh_bucket(_vecs(spark), "embedding", 8, seed=7), "vec_id", "bucket"))
+    assert b1 == b2
+    assert all(0 <= v < 256 for v in b1.values())
+
+
+def test_lsh_topk_finds_closest_neighbour(spark):
+    out = lsh_topk(_vecs(spark), "vec_id", "embedding", k=2, num_bits=2, num_tables=6)
+    got = {(r["query_id"], r["neighbour_id"]) for r in out.collect()}
+    assert (0, 1) in got and (1, 0) in got  # near-identical pair found
+
+
+def test_collision_prob_identity():
+    assert expected_bucket_collision_prob(1.0, 16) == pytest.approx(1.0)
+    assert expected_bucket_collision_prob(0.0, 1) == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello"), (2, "worlds!")], "doc_id long, text string"
+    )
+
+
+def test_binary_meta_len_and_magic(spark):
+    d = attach_payload(_docs(spark), "text", "payload")
+    got = {r["doc_id"]: (r["payload_len"], r["magic"]) for r in binary_meta(d, "payload", "doc_id").collect()}
+    assert got[1] == (5, "68656c6c")  # 'hell'
+    assert got[2] == (7, "776f726c")  # 'worl'
+
+
+def test_decode_features_deterministic_shape(spark):
+    d = attach_payload(_docs(spark), "text", "payload")
+    f1 = dict(rows(decode_features(d, "payload", "doc_id", dim=16)))
+    f2 = dict(rows(decode_features(d, "payload", "doc_id", dim=16)))
+    assert f1 == f2
+    assert len(f1[1]) == 16 and all(0.0 <= x < 1.0 for x in f1[1])
+    assert f1[1] != f1[2]
+
+
+def test_real_decoder_is_stubbed(spark):
+    d = attach_payload(_docs(spark), "text", "payload")
+    with pytest.raises(NotImplementedError):
+        decode_features(d, "payload", "doc_id", decoder="pillow")
+    with pytest.raises(NotImplementedError):
+        frame_sample(d, "payload", "doc_id")
+
+
+def test_payload_stats(spark):
+    d = attach_payload(_docs(spark), "text", "payload")
+    r = payload_stats(d, "payload").first()
+    assert r["n_payloads"] == 2 and r["total_bytes"] == 12
+    assert r["min_bytes"] == 5 and r["max_bytes"] == 7

@@ -1,0 +1,142 @@
+"""Text analysis + dedup families over small planted corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdp_etl_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    shingles,
+    stopword_ratio,
+    token_count_bpe,
+    token_count_ws,
+)
+from gdp_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+
+from .conftest import rows
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # 1-word change -> high jaccard
+    other = "completely different content about spark query engines at scale"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "doc_id long, text string"
+    )
+
+
+def test_token_counts_and_ratios(spark):
+    df = spark.createDataFrame([(1, "Hello, world 42!")], "id long, text string")
+    r = df.select(
+        token_count_ws(F.col("text")).alias("ws"),
+        token_count_bpe(F.col("text")).alias("bpe"),
+        punct_ratio(F.col("text")).alias("pr"),
+    ).first()
+    assert r["ws"] == 3
+    assert r["bpe"] == 5  # Hello , world 42 !
+    assert r["pr"] == pytest.approx(2 / 16)  # ',' and '!'
+
+
+def test_null_and_empty_text_are_safe(spark):
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "  ")], "id long, text string")
+    out = df.select(
+        token_count_ws(F.col("text")).alias("ws"),
+        token_count_bpe(F.col("text")).alias("bpe"),
+        stopword_ratio(F.col("text")).alias("sr"),
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(shingles(F.col("text"))).alias("nsh"),
+    ).collect()
+    for r in out:
+        assert r["ws"] == 0 and r["bpe"] == 0 and r["sr"] == 0.0
+        assert r["fp"] is None and r["nsh"] == 0  # never size(NULL) = -1
+
+
+def test_lang_id_markers_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house"),
+            (2, "der hund ist nicht hier"),
+            (3, "el gato es un animal"),
+            (4, "xyzzy plugh"),
+            (5, "la la la"),  # fr and es tie via 'la' -> alphabetical: es
+        ],
+        "id long, text string",
+    )
+    got = dict(rows(df.select("id", lang_id(F.col("text")).alias("l"))))
+    assert got == {1: "en", 2: "de", 3: "es", 4: "und", 5: "es"}
+
+
+def test_quality_score_range(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox is a good dog and it runs to the park"), (2, "x")],
+        "id long, text string",
+    )
+    got = dict(rows(df.select("id", quality_score(F.col("text")).alias("q"))))
+    assert 0.0 <= got[2] < got[1] <= 1.0
+
+
+def test_fingerprint_stable_and_discriminating(spark):
+    df = _docs(spark)
+    fp = dict(rows(df.select("doc_id", fingerprint(F.col("text")).alias("f"))))
+    assert fp[1] == fp[2]          # identical docs -> same fingerprint
+    assert fp[1] != fp[4]          # different docs -> different
+
+
+def test_exact_dedup_counts(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id")
+    got = dict(rows(out))
+    assert got == {1: 2, 3: 1, 4: 1}  # min-id representative, dup_count
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    df = _docs(spark)
+    s1 = dict(rows(minhash_signatures(df, "text", "doc_id", 16, 5)))
+    s2 = dict(rows(minhash_signatures(df, "text", "doc_id", 16, 5)))
+    assert s1 == s2
+    assert len(s1[1]) == 16 and s1[1] == s1[2] and s1[1] != s1[4]
+    assert all(0 <= h < (1 << 61) - 1 for h in s1[1])
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            _docs(spark), "text", "doc_id", num_perm=16, bands=8, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0           # exact dup
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_respects_bucket(spark):
+    df = _docs(spark).withColumn(
+        "grp", F.when(F.col("doc_id") <= 2, "g1").otherwise("g2")
+    )
+    pairs = set(
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.5, bucket_col="grp"
+        ).collect()
+    )
+    assert (1, 2) in pairs and (1, 3) not in pairs  # 3 is in the other bucket
+
+
+def test_simhash_near_dup_and_distinct(spark):
+    sigs = dict(rows(simhash_signatures(_docs(spark), "text", "doc_id")))
+    assert sigs[1] == sigs[2] and sigs[1] != sigs[4]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(_docs(spark), "text", "doc_id", max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs
