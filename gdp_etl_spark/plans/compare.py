@@ -1,0 +1,91 @@
+"""Release-diff job (``gdp_compare_with_old_data.R:3-94``).
+
+The previous published release has labels but no codes; codes are
+recovered by a label join (after patching renamed labels), the wide
+value columns are melted to the canonical (Variable, Value) long form,
+and new ⋈⟗ old on (Economy_Code, Year, Variable) yields the diff table
+every QA query derives from.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.expressions import conditional_overwrite
+from ..operators.diff import full_outer_diff
+
+#: label patches applied to the old release before the code-recovery
+#: join (``gdp_compare_with_old_data.R:24-26``): old label -> new label.
+DEFAULT_LABEL_PATCHES: dict[str, str] = {}
+
+
+def patch_labels(
+    old: DataFrame, label_col: str, patches: dict[str, str]
+) -> DataFrame:
+    """C1-style label rewrites so the old release's labels match the
+    current label dimension."""
+    rules = [(F.col(label_col) == src, dst) for src, dst in patches.items()]
+    return old.withColumn(label_col, conditional_overwrite(F.col(label_col), rules))
+
+
+def melt_old_release(
+    old_wide: DataFrame,
+    label_col: str,
+    year_col: str,
+    measure_cols: dict[str, str],
+) -> DataFrame:
+    """R2: old release carries one value column per measure
+    (``US_at_current_prices_Value`` …); melt to (Variable, Value) using
+    ``measure_cols``: wide column -> canonical Variable name."""
+    struct = F.array(
+        *[
+            F.struct(F.lit(var).alias("Variable"), F.col(c).alias("Value"))
+            for c, var in measure_cols.items()
+        ]
+    )
+    return (
+        old_wide.select(
+            F.col(label_col).alias("Economy_Label"),
+            F.col(year_col).alias("Year"),
+            F.explode(struct).alias("mv"),
+        )
+        .select("Economy_Label", "Year", "mv.Variable", "mv.Value")
+    )
+
+
+def release_diff(
+    new: DataFrame,
+    old_long: DataFrame,
+    labels: DataFrame,
+    label_patches: dict[str, str] | None = None,
+) -> DataFrame:
+    """J5 + J6 (``gdp_compare_with_old_data.R:30-44``): recover codes on
+    the old side via the label dim, then full-outer diff on
+    (Economy_Code, Year, Variable) with suffixed values."""
+    patched = patch_labels(
+        old_long, "Economy_Label", label_patches or DEFAULT_LABEL_PATCHES
+    )
+    lab = labels.select(F.col("Code"), F.col("Label"))
+    old_coded = (
+        patched.join(
+            F.broadcast(lab), patched["Economy_Label"] == lab["Label"], "left"
+        )
+        .select(
+            F.col("Code").alias("Economy_Code"),
+            "Economy_Label",
+            "Year",
+            "Variable",
+            "Value",
+        )
+    )
+    new_keyed = new.select("Economy_Code", "Year", "Variable", "Value")
+    diff = full_outer_diff(
+        new_keyed,
+        old_coded.select("Economy_Code", "Year", "Variable", "Value"),
+        ["Economy_Code", "Year", "Variable"],
+        "Value",
+    )
+    # carry the old release's label for report grouping (A4)
+    old_labels = old_coded.select("Economy_Code", "Economy_Label").distinct()
+    return diff.join(F.broadcast(old_labels), "Economy_Code", "left")

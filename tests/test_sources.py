@@ -1,0 +1,81 @@
+"""Ingestion sources: explicit-schema CSV, preamble/footer trim, NA
+markers, injectable HTTP fetch, Excel gating (SURVEY.md §2.1 S1-S5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdp_etl_spark.sources import (
+    read_csv,
+    read_csv_trimmed,
+    read_http_csv,
+    trim_footer_by_predicate,
+    usis_url,
+)
+
+from .conftest import rows
+
+TAIWANISH = """fetched from API
+unit: millions
+Period,At Current Prices,Chained
+1970,100.5,90.0
+1971,--,95.0
+1972,110.0,--
+note: footer line 1
+note: footer line 2
+note: footer line 3
+"""
+
+
+def test_read_csv_explicit_schema_preserves_codes(spark, tmp_path):
+    p = tmp_path / "dim.csv"
+    p.write_text("Code,Label\n004,Afghanistan\n0000,World\n")
+    df = read_csv(spark, str(p), "Code string, Label string")
+    assert rows(df) == [("0000", "World"), ("004", "Afghanistan")]
+
+
+def test_read_csv_trimmed_skip_na_footer(spark, tmp_path):
+    p = tmp_path / "taiwan.csv"
+    p.write_text(TAIWANISH)
+    df = read_csv_trimmed(
+        spark, str(p),
+        "Period int, `At Current Prices` double, Chained double",
+        skip_rows=2, skip_footer=3, na_values=["--"],
+    )
+    got = rows(df)
+    assert got == [
+        (1970, 100.5, 90.0),
+        (1971, None, 95.0),   # "--" -> NULL
+        (1972, 110.0, None),
+    ]
+
+
+def test_trim_footer_by_predicate(spark):
+    df = spark.createDataFrame(
+        [("1970", 1.0), ("1971", 2.0), ("note: source", None)],
+        "Period string, v double",
+    )
+    out = trim_footer_by_predicate(df, F.col("Period").cast("int").isNotNull())
+    assert out.count() == 2
+
+
+def test_read_http_csv_with_injected_fetcher(spark):
+    fetched_urls = []
+
+    def fake_fetch(url):
+        fetched_urls.append(url)
+        return TAIWANISH.encode()
+
+    df = read_http_csv(
+        spark, "https://example.invalid/feed.csv",
+        "Period int, `At Current Prices` double, Chained double",
+        skip_rows=2, skip_footer=3, na_values=["--"],
+        fetcher=fake_fetch,
+    )
+    assert df.count() == 3
+    assert fetched_urls == ["https://example.invalid/feed.csv"]
+
+
+def test_usis_url_shape():
+    url = usis_url("5301", "0101", "6510")
+    assert "Series5301" in url and "Source0101" in url and "Measure6510" in url
+    assert url.endswith("$format=csv")
