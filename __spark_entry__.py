@@ -58,6 +58,11 @@ from gdp_etl_spark.operators.diff import classify_diff, full_outer_diff
 from gdp_etl_spark.operators.multimodal import attach_payload, binary_meta
 from gdp_etl_spark.operators.reshape import pivot_wide, union_by_name, unpivot
 from gdp_etl_spark.operators.sessions import sessionize
+from gdp_etl_spark.plans.qa import (
+    added_values,
+    discrepancies_before_last_year,
+    top_discrepancies_last_year,
+)
 from gdp_etl_spark.operators.similarity import brute_force_topk, lsh_topk
 from gdp_etl_spark.operators.windows import (
     gaps_and_islands,
@@ -677,6 +682,111 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 # ===========================================================================
+# QA report suite (§3.3) — plans/qa.py driven against a TPC-H-shaped diff
+# ===========================================================================
+
+def _orders_release_diff(spark, sf_dir, old_predicate=None):
+    """A release-diff-shaped frame from the driver tables: per
+    (nation, year) revenue, "new" = all orders vs "old" = a filtered
+    subset (default: F-status orders), mapped onto the QA contract
+    (code/label/year/variable)."""
+    if old_predicate is None:
+        old_predicate = F.col("o_orderstatus") == "F"
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+
+    def spend(df):
+        return (
+            df.groupBy(
+                pad_code("n_nationkey", 3).alias("Economy_Code"),
+                F.col("n_name").alias("Economy_Label"),
+                F.year("o_orderdate").alias("Year"),
+            )
+            .agg(dsum("o_totalprice", "Value"))
+            .withColumn("Variable", F.lit("revenue"))
+        )
+
+    new = spend(joined)
+    old = spend(joined.filter(old_predicate))
+    diff = full_outer_diff(
+        new.select("Economy_Code", "Year", "Variable", "Value"),
+        old.select("Economy_Code", "Year", "Variable", "Value"),
+        ["Economy_Code", "Year", "Variable"],
+        "Value",
+    )
+    labels = new.select("Economy_Code", "Economy_Label").distinct()
+    return diff.join(F.broadcast(labels), "Economy_Code", "left")
+
+
+def _qa_diff_sql(old_pred: str) -> str:
+    return f"""
+            WITH j AS (
+              SELECT lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS Economy_Code,
+                     n_name AS Economy_Label,
+                     CAST(year(o_orderdate) AS INT) AS Year,
+                     o_totalprice, o_orderstatus
+              FROM orders JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey),
+            new AS (SELECT Economy_Code, Economy_Label, Year,
+                           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                             AS Value
+                    FROM j GROUP BY 1, 2, 3),
+            old AS (SELECT Economy_Code, Year,
+                           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                             AS Value
+                    FROM j WHERE {old_pred} GROUP BY 1, 2),
+            diff AS (
+              SELECT COALESCE(new.Economy_Code, old.Economy_Code) AS Economy_Code,
+                     COALESCE(new.Year, old.Year) AS Year,
+                     new.Value AS Value_new, old.Value AS Value_old
+              FROM new FULL OUTER JOIN old
+                ON new.Economy_Code = old.Economy_Code AND new.Year = old.Year),
+            labeled AS (
+              SELECT d.*, l.Economy_Label
+              FROM diff d LEFT JOIN (SELECT DISTINCT Economy_Code, Economy_Label
+                                     FROM new) l USING (Economy_Code))
+"""
+
+
+_QA_DIFF_SQL = _qa_diff_sql("o_orderstatus = 'F'")
+_QA_DIFF_BIG_SQL = _qa_diff_sql("o_totalprice > 480000")
+
+
+def q_qa_discrepancies(spark, sf_dir):
+    """QA 1 (``04:94-106``): tolerance-filtered discrepancies compressed
+    to per-economy year ranges."""
+    diff = _orders_release_diff(spark, sf_dir)
+    out = discrepancies_before_last_year(diff, last_year=2001, tol=100000.0)
+    return out.select("Economy_Code", "Variable", "Economy_Label", "Years")
+
+
+def q_qa_top_log_ratio(spark, sf_dir):
+    """QA 2 (``05:10-28``): top-k discrepancies by |log(new/old)| in the
+    last year."""
+    diff = _orders_release_diff(spark, sf_dir)
+    out = top_discrepancies_last_year(diff, last_year=2001, k=10)
+    return out.select("Economy_Code", "Economy_Label", "Value_new", "Value_old")
+
+
+def q_qa_added_years(spark, sf_dir):
+    """QA 4 (``07:5-16``): values present in new but absent from old,
+    as compressed year ranges."""
+    # "old" side = only big-ticket orders, so some nation-years exist
+    # only in the new release (the F-status old side covers everything)
+    diff = _orders_release_diff(
+        spark, sf_dir, old_predicate=F.col("o_totalprice") > 480000
+    )
+    return added_values(diff).select(
+        "Economy_Code", "Variable", "Economy_Label", "Years"
+    )
+
+
+# ===========================================================================
 # events: batch window coverage of the stream-shaped table
 # ===========================================================================
 
@@ -752,6 +862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lang": q_quality_lang,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "qa_discrepancies": q_qa_discrepancies,
+        "qa_top_log_ratio": q_qa_top_log_ratio,
+        "qa_added_years": q_qa_added_years,
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
     }
@@ -1085,6 +1198,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM e GROUP BY user_id
+        """,
+        "qa_discrepancies": _QA_DIFF_SQL + """
+            , bad AS (
+              SELECT * FROM labeled
+              WHERE Year <> 2001 AND abs(Value_new - Value_old) > 100000.0),
+            lab AS (SELECT Economy_Code, 'revenue' AS Variable,
+                           min(Economy_Label) AS Economy_Label
+                    FROM bad GROUP BY 1),
+            isl AS (SELECT Economy_Code, Year,
+                      Year - CAST(row_number() OVER (PARTITION BY Economy_Code
+                                  ORDER BY Year) AS INT) AS island
+                    FROM (SELECT DISTINCT Economy_Code, Year FROM bad)),
+            runs AS (SELECT Economy_Code, island, min(Year) AS lo, max(Year) AS hi
+                     FROM isl GROUP BY 1, 2),
+            yrs AS (SELECT Economy_Code,
+                      string_agg(CASE WHEN lo = hi THEN CAST(lo AS VARCHAR)
+                                 ELSE CAST(lo AS VARCHAR) || '-' || CAST(hi AS VARCHAR)
+                                 END, ', ' ORDER BY lo) AS Years
+                    FROM runs GROUP BY 1)
+            SELECT lab.Economy_Code, lab.Variable, lab.Economy_Label, yrs.Years
+            FROM lab JOIN yrs USING (Economy_Code)
+        """,
+        "qa_top_log_ratio": _QA_DIFF_SQL + """
+            SELECT Economy_Code, Economy_Label, Value_new, Value_old
+            FROM labeled WHERE Year = 2001
+            ORDER BY abs(ln(Value_new / Value_old)) DESC, Economy_Code
+            LIMIT 10
+        """,
+        "qa_added_years": _QA_DIFF_BIG_SQL + """
+            , addv AS (
+              SELECT * FROM labeled
+              WHERE Value_new IS NOT NULL AND Value_old IS NULL),
+            lab AS (SELECT Economy_Code, 'revenue' AS Variable,
+                           min(Economy_Label) AS Economy_Label
+                    FROM addv GROUP BY 1),
+            isl AS (SELECT Economy_Code, Year,
+                      Year - CAST(row_number() OVER (PARTITION BY Economy_Code
+                                  ORDER BY Year) AS INT) AS island
+                    FROM (SELECT DISTINCT Economy_Code, Year FROM addv)),
+            runs AS (SELECT Economy_Code, island, min(Year) AS lo, max(Year) AS hi
+                     FROM isl GROUP BY 1, 2),
+            yrs AS (SELECT Economy_Code,
+                      string_agg(CASE WHEN lo = hi THEN CAST(lo AS VARCHAR)
+                                 ELSE CAST(lo AS VARCHAR) || '-' || CAST(hi AS VARCHAR)
+                                 END, ', ' ORDER BY lo) AS Years
+                    FROM runs GROUP BY 1)
+            SELECT lab.Economy_Code, lab.Variable, lab.Economy_Label, yrs.Years
+            FROM lab JOIN yrs USING (Economy_Code)
         """,
         # simhash_pairs, lsh_topk: approximate / non-SQL-expressible →
         # intentionally omitted (driver records rows-only checks).

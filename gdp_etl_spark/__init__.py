@@ -13,10 +13,13 @@ Layout:
     session    — SparkSession factory tuned for scale-out defaults
     schemas    — explicit StructTypes (string codes: the #1 hazard)
     sources    — CSV/Excel/HTTP ingestion kept off the executors
-    functions  — Column-level expression library (no UDFs)
-    operators  — reusable relational/dataflow operators
-    plans      — the reference ETL pipeline re-expressed as lazy stages
+    io         — table loading + CSV/parquet sinks
+    functions  — Column-level expression library (text, vectors; no UDFs)
+    operators  — reusable relational/dataflow operators (closure, windows,
+                 reshape, diff, dedup, similarity, sessions, multimodal)
+    plans      — the reference ETL pipeline, release diff and QA suite
+                 re-expressed as lazy stages
     streaming  — Structured Streaming equivalents for the events table
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -1,0 +1,27 @@
+"""Structured Streaming equivalents for the events table.
+
+The reference is batch-only (SURVEY.md §2.10), so this module is the
+beyond-reference streaming surface: the same windowed aggregations the
+batch queries run (``__spark_entry__.q_events_tumbling`` /
+``q_events_sessions``), expressed as incremental streams with
+watermarked state so they run unbounded at cluster scale.
+
+Batch/stream parity is the design invariant — the tests replay the
+driver's events parquet through the file-stream source with an
+``availableNow`` trigger and assert the streaming results equal the
+batch ones.
+"""
+
+from .windows import (
+    session_window_stats,
+    stream_events,
+    run_available_now_to_memory,
+    tumbling_counts,
+)
+
+__all__ = [
+    "session_window_stats",
+    "stream_events",
+    "run_available_now_to_memory",
+    "tumbling_counts",
+]
