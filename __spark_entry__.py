@@ -42,6 +42,7 @@ from gdp_etl_spark.functions.text import (
     mean_token_len,
     punct_ratio,
     quality_score,
+    rolling_content_hash,
     stopword_ratio,
     token_count_bpe,
     token_count_ws,
@@ -63,7 +64,7 @@ from gdp_etl_spark.plans.qa import (
     discrepancies_before_last_year,
     top_discrepancies_last_year,
 )
-from gdp_etl_spark.operators.similarity import brute_force_topk, lsh_topk
+from gdp_etl_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from gdp_etl_spark.operators.windows import (
     gaps_and_islands,
     group_extrema,
@@ -74,7 +75,15 @@ from gdp_etl_spark.operators.windows import (
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name in ("documents", "embeddings"):
+        # these ship as one single-row-group file → 1 input split → the
+        # expensive per-row work (shingling, hashing, vector math) runs
+        # single-threaded.  Spread it across the cluster once up front;
+        # at real scale the tables arrive as many files and this is a
+        # no-op decision made by the writer, not the reader.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,6 +643,15 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-style approximate top-k (centroid cells + nprobe probing) —
+    the partition-pruned ANN scale path; approximate → rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, num_centroids=8, nprobe=3
+    )
+
+
 def q_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH bucketed approximate top-k (the 100-TB scale path;
     approximate → rows-only check)."""
@@ -672,6 +690,13 @@ def q_fingerprint(spark, sf_dir):
     """Document fingerprint: min md5(shingle) — portable k=1 MinHash."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint(F.col("text"), 5).alias("fp"))
+
+
+def q_content_hash(spark, sf_dir):
+    """Rabin-Karp rolling content hash per document — a JVM-side
+    character fold, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_content_hash(F.col("text")).alias("content_hash"))
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -858,9 +883,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "token_stats": q_token_stats,
         "quality_lang": q_quality_lang,
         "fingerprint": q_fingerprint,
+        "content_hash": q_content_hash,
         "multimodal_meta": q_multimodal_meta,
         "qa_discrepancies": q_qa_discrepancies,
         "qa_top_log_ratio": q_qa_top_log_ratio,
@@ -1174,6 +1201,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": f"""
             SELECT doc_id, list_min(list_transform({sh}, s -> md5(s))) AS fp
+            FROM documents
+        """,
+        "content_hash": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                     (acc, x) -> (acc * 31 + x) % 2147483647) AS content_hash
             FROM documents
         """,
         "multimodal_meta": """

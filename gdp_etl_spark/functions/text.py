@@ -141,3 +141,26 @@ def fingerprint(text: Column, k: int = 5) -> Column:
     """Document fingerprint: lexicographic min of md5(shingle) — a k=1
     MinHash, stable across engines (md5 is portable, unlike xxhash)."""
     return F.array_min(F.transform(shingles(text, k), F.md5))
+
+
+#: polynomial rolling-hash parameters (Rabin-Karp shape): small base keeps
+#: every intermediate < 2^36, far from bigint overflow under any ANSI mode.
+_RH_BASE = 31
+_RH_MOD = (1 << 31) - 1
+
+
+def rolling_content_hash(text: Column) -> Column:
+    """Left-to-right polynomial content hash over the character stream
+    (``h = (h·B + codepoint) mod M``) — the Rabin-Karp building block for
+    document fingerprinting, as a pure JVM fold (no UDF, no shuffle).
+    Deterministic and engine-portable: the DuckDB mirror is
+    ``list_reduce(list_prepend(0, string_split(text,'')), ...)``.
+    NULL text hashes to 0 (the empty-fold value)."""
+    codes = F.transform(
+        F.split(F.coalesce(text, F.lit("")), ""), lambda c: F.ascii(c).cast("bigint")
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.pmod(acc * F.lit(_RH_BASE) + x, F.lit(_RH_MOD)),
+    )

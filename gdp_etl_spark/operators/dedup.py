@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import shingles
 from ..functions.vectors import cosine_exact
@@ -106,7 +107,13 @@ def minhash_lsh_pairs(
     shuffle, sized by candidates rather than the corpus square.  Final
     exact Jaccard over shingle sets kills false positives."""
     rows_per_band = num_perm // bands
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh"))
+    # the shingle frame feeds the signature path AND both sides of the
+    # verify join — persist so the O(tokens·k) shingling runs once, not
+    # three times (MEMORY_AND_DISK: spills instead of recomputing at
+    # corpus scale; evicted LRU / released with the session)
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sig = sh.select(
         F.col(id_col), _signature_from_shingles(F.col("sh"), num_perm).alias("signature")
     )

@@ -33,7 +33,7 @@ import math
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType
 
 from ..functions.vectors import cosine_exact
 
@@ -110,6 +110,47 @@ def hyperplane_lsh_bucket(
     return df.withColumn(out_col, _bucket(F.col(vec_col)))
 
 
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_bits: int = 12,
+    num_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+    out_col: str = "buckets",
+) -> DataFrame:
+    """All ``num_tables`` bucket ids in ONE Arrow pass: a single
+    (dim × num_bits·num_tables) matrix multiply per record batch, then
+    per-table bit packing — num_tables× fewer Python boundary crossings
+    than calling :func:`hyperplane_lsh_bucket` per table."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("empty DataFrame and no dim given")
+        dim = first["d"]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        planes = np.hstack(
+            [
+                np.random.default_rng(seed + t).standard_normal((dim, num_bits))
+                for t in range(num_tables)
+            ]
+        )  # (dim, num_bits*num_tables) — matches per-table seeding exactly
+        mat = np.vstack(vecs.to_numpy())
+        bits = (mat @ planes) > 0  # (batch, num_bits*num_tables)
+        weights = (1 << np.arange(num_bits)).astype(np.int64)
+        out = [
+            (bits[:, t * num_bits : (t + 1) * num_bits] @ weights).astype(np.int32)
+            for t in range(num_tables)
+        ]
+        return pd.Series(np.stack(out, axis=1).tolist())
+
+    return df.withColumn(out_col, _buckets(F.col(vec_col)))
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -130,23 +171,13 @@ def lsh_topk(
     tables).
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    bucketed = base
-    for t in range(num_tables):
-        bucketed = hyperplane_lsh_bucket(
-            bucketed, "vec", num_bits=num_bits, seed=seed + t, out_col=f"__b{t}"
-        )
+    bucketed = hyperplane_lsh_buckets(
+        base, "vec", num_bits=num_bits, num_tables=num_tables, seed=seed,
+        out_col="__bs",
+    )
     exploded = bucketed.select(
-        "id",
-        "vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("table"), F.col(f"__b{t}").alias("bucket"))
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "vec", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+        "id", "vec", F.posexplode(F.col("__bs")).alias("table", "bucket")
+    )
 
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
@@ -167,6 +198,94 @@ def lsh_topk(
     scored = cand.withColumn(
         "cos_sim", cosine_exact(F.col("__qv"), F.col("__cv"))
     ).drop("__qv", "__cv")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbour_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbour_id", "cos_sim", "rank")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into Voronoi
+    cells around sampled centroids, then search each query only in its
+    ``nprobe`` nearest cells.
+
+    Scale shape (the FAISS-IVF recipe, Spark-ified):
+
+    * **train**: centroids come from a driver-side k-means-lite (a few
+      Lloyd iterations over a bounded sample).  Centroid matrices are
+      model state — kilobytes — so driver compute is the right place;
+      the corpus itself never leaves the executors.
+    * **assign**: one Arrow pass tags each corpus vector with its
+      nearest-centroid cell id.  At rest this would be the partition /
+      cluster key of the vector table.
+    * **probe**: queries fan out to ``nprobe`` cells (explode), candidates
+      come from the cell equi-join — shuffle ∝ |corpus| + |Q|·nprobe·cell
+      size, never |Q|·|corpus| — and exact cosine re-ranks inside cells.
+    """
+    import numpy as np
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    n_total = base.count()
+    if n_total == 0:
+        raise ValueError("empty corpus")
+    frac = sample_fraction or min(1.0, (num_centroids * 64) / max(n_total, 1))
+    sample = np.array(
+        base.sample(fraction=frac, seed=seed).select("vec").toPandas()["vec"].tolist(),
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    if len(sample) < num_centroids:
+        num_centroids = max(1, len(sample))
+    centroids = sample[rng.choice(len(sample), num_centroids, replace=False)]
+    for _ in range(5):  # Lloyd iterations on the sample
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(num_centroids):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    cent = centroids  # (num_centroids, dim)
+
+    @F.pandas_udf(IntegerType())
+    def _cell(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _probe_cells(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, : min(nprobe, cent.shape[0])].astype(np.int32)
+        return pd.Series(order.tolist())
+
+    corpus_cells = base.withColumn("cell", _cell(F.col("vec")))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .withColumn("cell", F.explode(_probe_cells(F.col("__qv"))))
+    )
+    cand = corpus_cells.join(F.broadcast(q), "cell").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("neighbour_id"),
+        cosine_exact(F.col("__qv"), F.col("vec")).alias("cos_sim"),
+    ).dropDuplicates(["query_id", "neighbour_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbour_id").asc()
     )
