@@ -706,6 +706,28 @@ def q_multimodal_meta(spark, sf_dir):
     return binary_meta(d, "payload", "doc_id")
 
 
+def q_csv_roundtrip(spark, sf_dir):
+    """S1 + S6: single-file CSV sink → explicit-schema CSV scan.  The
+    round-trip is the reference's deliverable contract AND the
+    zero-padded-code preservation test: "004" must come back a string,
+    which only an explicit schema guarantees (inferSchema is banned)."""
+    import tempfile
+
+    from gdp_etl_spark.io import write_single_csv
+    from gdp_etl_spark.sources import read_csv
+
+    out = _t(spark, sf_dir, "nation").select(
+        pad_code("n_nationkey", 3).alias("code"),
+        "n_name",
+        F.col("n_regionkey").cast("string").alias("region_code"),
+    )
+    path = tempfile.mkdtemp(prefix="csv_rt_") + "/nation_csv"
+    write_single_csv(out, path)
+    return read_csv(
+        spark, path, "code string, n_name string, region_code string"
+    )
+
+
 # ===========================================================================
 # QA report suite (§3.3) — plans/qa.py driven against a TPC-H-shaped diff
 # ===========================================================================
@@ -873,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recode_values": q_recode_values,
         "pad_codes": q_pad_codes,
         "ref_date_stamp": q_ref_date_stamp,
+        "csv_roundtrip": q_csv_roundtrip,
         "bankers_round": q_bankers_round,
         "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
@@ -1126,6 +1149,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ref_date_stamp": """
             SELECT r_name, strftime(DATE '2025-08-29', '%-d-%b-%y') AS stamp FROM region
+        """,
+        "csv_roundtrip": """
+            SELECT lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS code,
+                   n_name, CAST(n_regionkey AS VARCHAR) AS region_code
+            FROM nation
         """,
         "bankers_round": """
             SELECT l_returnflag,
