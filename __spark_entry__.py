@@ -628,7 +628,8 @@ def q_ngram_jaccard(spark, sf_dir):
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact, fixed-point cosine)."""
     return embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.3
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.3,
+        allow_all_pairs=True,  # exact verification baseline, bounded corpus
     )
 
 
@@ -704,6 +705,48 @@ def q_multimodal_meta(spark, sf_dir):
     metadata extraction via mapInPandas (length + magic bytes)."""
     d = attach_payload(_t(spark, sf_dir, "documents"), "text", "payload")
     return binary_meta(d, "payload", "doc_id")
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-mitigation salted join: result is row-identical to the plain
+    equi-join (the oracle is the plain join), only the shuffle keys
+    carry the salt."""
+    from gdp_etl_spark.operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, ["o_custkey"], num_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+    )
+
+
+def q_rolling_window(spark, sf_dir):
+    """Rolling-frame window analytics: 3-year trailing revenue sum and
+    year-over-year delta per nation (ROWS frame + lag) — decimal-exact
+    inside the frame so both engines agree bit-for-bit."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", F.year("o_orderdate").alias("year"))
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("year")
+    rolling = (
+        F.sum(F.col("revenue").cast("decimal(28,6)"))
+        .over(w.rowsBetween(-2, 0))
+        .cast("double")
+    )
+    return rev.select(
+        "n_name", "year", "revenue",
+        rolling.alias("revenue_3y"),
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("yoy_delta"),
+    )
 
 
 def q_csv_roundtrip(spark, sf_dir):
@@ -896,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pad_codes": q_pad_codes,
         "ref_date_stamp": q_ref_date_stamp,
         "csv_roundtrip": q_csv_roundtrip,
+        "salted_join": q_salted_join,
+        "rolling_window": q_rolling_window,
         "bankers_round": q_bankers_round,
         "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
@@ -1154,6 +1199,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS code,
                    n_name, CAST(n_regionkey AS VARCHAR) AS region_code
             FROM nation
+        """,
+        "salted_join": f"""
+            SELECT c_mktsegment, count(*) AS n, {_dsum_sql('o_totalprice')} AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "rolling_window": f"""
+            WITH rev AS (
+              SELECT n_name, CAST(year(o_orderdate) AS INT) AS year,
+                     {_dsum_sql('o_totalprice')} AS revenue
+              FROM orders JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1, 2)
+            SELECT n_name, year, revenue,
+                   CAST(SUM(CAST(revenue AS DECIMAL(28,6)))
+                        OVER (PARTITION BY n_name ORDER BY year
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS revenue_3y,
+                   revenue - lag(revenue) OVER (PARTITION BY n_name ORDER BY year)
+                     AS yoy_delta
+            FROM rev
         """,
         "bankers_round": """
             SELECT l_returnflag,

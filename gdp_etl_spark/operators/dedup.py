@@ -175,10 +175,18 @@ def ngram_jaccard_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     bucket_col: str | None = None,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs.  Without ``bucket_col``
-    this is all-pairs (quadratic — only for small/verification use);
-    production path buckets first (LSH above) or blocks on a cheap key."""
+    this is all-pairs (quadratic); that path is the canonical
+    scale-killer, so it must be opted into explicitly with
+    ``allow_all_pairs=True`` (verification-scale only) — production
+    blocks on a cheap key or feeds LSH buckets (minhash above)."""
+    if bucket_col is None and not allow_all_pairs:
+        raise ValueError(
+            "all-pairs n-gram Jaccard is quadratic; pass bucket_col=... to "
+            "block, or allow_all_pairs=True for verification-scale use"
+        )
     sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh"))
     if bucket_col is not None:
         sh = sh.join(df.select(id_col, bucket_col), id_col)
@@ -295,10 +303,19 @@ def embedding_near_dup_pairs(
     id_col: str,
     threshold: float = 0.95,
     bucket_col: str | None = None,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: pairs with cosine ≥ threshold.  All-pairs
-    without ``bucket_col`` (verification scale); the scale path feeds LSH
-    buckets from ``similarity.hyperplane_lsh_bucket`` as the blocker."""
+    """Embedding-cosine near-dup: pairs with cosine ≥ threshold.
+    All-pairs without ``bucket_col`` is quadratic and must be opted into
+    with ``allow_all_pairs=True`` (exact verification baseline); the
+    scale path feeds ``similarity.hyperplane_lsh_bucket`` output as the
+    blocker."""
+    if bucket_col is None and not allow_all_pairs:
+        raise ValueError(
+            "all-pairs cosine is quadratic; pass bucket_col=... (e.g. from "
+            "similarity.hyperplane_lsh_bucket) or allow_all_pairs=True for "
+            "verification-scale use"
+        )
     cols = [id_col, vec_col] + ([bucket_col] if bucket_col else [])
     v = df.select(*cols)
     a, b = v.alias("a"), v.alias("b")

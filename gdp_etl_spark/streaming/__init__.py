@@ -12,6 +12,7 @@ driver's events parquet through the file-stream source with an
 batch ones.
 """
 
+from .stateful import running_user_stats
 from .windows import (
     session_window_stats,
     stream_events,
@@ -20,6 +21,7 @@ from .windows import (
 )
 
 __all__ = [
+    "running_user_stats",
     "session_window_stats",
     "stream_events",
     "run_available_now_to_memory",

@@ -187,3 +187,48 @@ def test_session_stats_duration(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     st = session_stats(df, "uid", "ts").first()
     assert st["n_events"] == 2 and st["duration_sec"] == 600.0
+
+
+# ---------------------------------------------------------------------------
+# skew salting
+# ---------------------------------------------------------------------------
+def test_salted_join_equals_plain_join(spark):
+    from gdp_etl_spark.operators.skew import salted_join
+
+    # hot key: 100 of 103 rows share k=1
+    left = spark.createDataFrame(
+        [(1, i) for i in range(100)] + [(2, 100), (3, 101), (4, 102)], "k int, v int"
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "a"), (3, "b")], "k int, tag string")
+    plain = rows(left.join(right, ["k"], "inner"))
+    salted = rows(salted_join(left, right, ["k"], num_salts=4))
+    assert salted == plain
+    # salts actually spread the hot key
+    from pyspark.sql import functions as F2
+    salts = (
+        left.withColumn(
+            "__salt",
+            F2.pmod(F2.xxhash64(F2.struct(*[F2.col(c) for c in left.columns])), F2.lit(4)),
+        )
+        .filter("k = 1")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert salts > 1
+
+
+def test_all_pairs_guard_requires_opt_in(spark):
+    from gdp_etl_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    vecs = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="quadratic"):
+        ngram_jaccard_pairs(docs, "text", "doc_id")
+    with pytest.raises(ValueError, match="quadratic"):
+        embedding_near_dup_pairs(vecs, "embedding", "vec_id")
+    # explicit opt-in works
+    assert ngram_jaccard_pairs(docs, "text", "doc_id", allow_all_pairs=True).count() == 0
