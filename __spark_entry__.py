@@ -56,7 +56,12 @@ from gdp_etl_spark.operators.dedup import (
     simhash_pairs,
 )
 from gdp_etl_spark.operators.diff import classify_diff, full_outer_diff
-from gdp_etl_spark.operators.multimodal import attach_payload, binary_meta
+from gdp_etl_spark.operators.multimodal import (
+    attach_payload,
+    binary_meta,
+    decode_features,
+    frame_sample,
+)
 from gdp_etl_spark.operators.reshape import pivot_wide, union_by_name, unpivot
 from gdp_etl_spark.operators.sessions import sessionize
 from gdp_etl_spark.plans.qa import (
@@ -771,6 +776,21 @@ def q_csv_roundtrip(spark, sf_dir):
     )
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal decode plumbing: payload → fixed-dim feature vector
+    via Arrow-batched mapInPandas (deterministic fake decoder — real
+    codecs are stubbed; rows-only check)."""
+    d = attach_payload(_t(spark, sf_dir, "documents"), "text", "payload")
+    return decode_features(d, "payload", "doc_id", dim=16)
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling fan-out: one payload row → N typed frame rows
+    (every 4th fake 16-byte frame; rows-only check)."""
+    d = attach_payload(_t(spark, sf_dir, "documents"), "text", "payload")
+    return frame_sample(d, "payload", "doc_id", every_n=4)
+
+
 # ===========================================================================
 # QA report suite (§3.3) — plans/qa.py driven against a TPC-H-shaped diff
 # ===========================================================================
@@ -957,6 +977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "content_hash": q_content_hash,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "qa_discrepancies": q_qa_discrepancies,
         "qa_top_log_ratio": q_qa_top_log_ratio,
         "qa_added_years": q_qa_added_years,

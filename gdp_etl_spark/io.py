@@ -56,3 +56,22 @@ def write_partitioned_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int = 32,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Co-location path for repeated big-big joins: bucket both sides of
+    a hot join key once at write time and every subsequent equi-join on
+    that key is shuffle-free (SortMergeJoin with no Exchange — the
+    single biggest lever for a fact⋈fact join repeated across a 100-TB
+    pipeline).  Requires a saveAsTable target (buckets are metastore
+    metadata, not plain-directory layout)."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

@@ -127,19 +127,54 @@ def decode_features(
     )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str,
     id_col: str,
     every_n: int = 10,
+    decoder: str = "fake",
 ) -> DataFrame:
-    """Video frame sampling stub: real decode needs pyav.  The plumbing —
-    one input row fanning out to N typed frame rows inside mapInPandas —
-    is the part that matters at scale and is implemented; the pixel
-    decode raises."""
-    raise NotImplementedError(
-        "frame decode requires pyav (not in this container); use "
-        "decode_features(decoder='fake') to exercise the fan-out plumbing"
+    """Video frame sampling: one payload row fans out to every
+    ``every_n``-th frame as a typed (doc_id, frame_idx, frame) row —
+    the mapInPandas 1→N shape every frame-level pipeline builds on.
+
+    Real container demuxing needs pyav (not in this container), so the
+    default ``decoder="fake"`` treats the payload as a flat stream of
+    fixed-size fake "frames" (16-byte chunks) — the fan-out, schema and
+    Arrow batching are exactly what a real decoder plugs into."""
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder={decoder!r}: real video demuxing (pyav) is not "
+            "available in this environment; only the deterministic "
+            "'fake' chunk decoder is implemented"
+        )
+    frame_bytes = 16
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                n_frames = max(1, len(raw) // frame_bytes)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    frames.append(raw[fi * frame_bytes : (fi + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            ).astype({"doc_id": "int64", "frame_idx": "int32"})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        sample, FRAME_SCHEMA
     )
 
 

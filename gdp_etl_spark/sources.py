@@ -144,11 +144,14 @@ def read_excel(
             pdf = pd.read_excel(io.BytesIO(path_or_bytes), skiprows=skip_rows)
         else:
             pdf = pd.read_excel(path_or_bytes, skiprows=skip_rows)
-    except ImportError as exc:
+    except (ImportError, ValueError) as exc:
+        # pandas raises ImportError for a missing engine on a valid
+        # workbook, ValueError when it can't even sniff the format
         raise NotImplementedError(
-            "Excel ingestion needs openpyxl, which is not installed in this "
-            "environment; convert the workbook to CSV and use read_csv, or "
-            "pass a fixture DataFrame to the pipeline stage directly"
+            "Excel ingestion needs openpyxl (not installed in this "
+            f"environment) and a valid workbook; underlying error: {exc}. "
+            "Convert the workbook to CSV and use read_csv, or pass a "
+            "fixture DataFrame to the pipeline stage directly"
         ) from exc
     if schema is not None:
         return spark.createDataFrame(pdf, schema=schema)

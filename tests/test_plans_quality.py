@@ -89,3 +89,35 @@ def test_rolling_content_hash_known_value(spark):
     got = dict(rows(df.select("id", rolling_content_hash(F.col("t")).alias("h"))))
     # h("ab") = (0*31+97)*31 + 98 = 3105
     assert got == {1: 3105, 2: 0, 3: 0}
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing both sides of a repeated join key removes the Exchange:
+    the defining co-location property at 100-TB scale."""
+    from gdp_etl_spark.io import write_bucketed_table
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    try:
+        # force the sort-merge path: broadcast would also avoid the
+        # shuffle but says nothing about bucket co-location
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed_table(li, "li_b", ["l_orderkey"], num_buckets=4)
+        write_bucketed_table(o, "o_b", ["o_orderkey"], num_buckets=4)
+        joined = spark.table("li_b").join(
+            spark.table("o_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        # and it still computes the right thing
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")

@@ -121,7 +121,20 @@ def test_real_decoder_is_stubbed(spark):
     with pytest.raises(NotImplementedError):
         decode_features(d, "payload", "doc_id", decoder="pillow")
     with pytest.raises(NotImplementedError):
-        frame_sample(d, "payload", "doc_id")
+        frame_sample(d, "payload", "doc_id", decoder="pyav")
+
+
+def test_frame_sample_fanout(spark):
+    # 40-byte payload -> 2 fake 16-byte frames at every_n=1 (idx 0, 1)
+    df = spark.createDataFrame([(1, b"x" * 40), (2, b"y" * 10)], "doc_id long, payload binary")
+    out = frame_sample(df, "payload", "doc_id", every_n=1)
+    got = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in out.collect()}
+    assert set(got) == {(1, 0), (1, 1), (2, 0)}
+    assert got[(1, 0)] == b"x" * 16 and got[(2, 0)] == b"y" * 10
+    # sampling stride
+    df3 = spark.createDataFrame([(3, b"z" * 80)], "doc_id long, payload binary")
+    idxs = sorted(r["frame_idx"] for r in frame_sample(df3, "payload", "doc_id", every_n=2).collect())
+    assert idxs == [0, 2, 4]
 
 
 def test_payload_stats(spark):

@@ -79,3 +79,13 @@ def test_usis_url_shape():
     url = usis_url("5301", "0101", "6510")
     assert "Series5301" in url and "Source0101" in url and "Measure6510" in url
     assert url.endswith("$format=csv")
+
+
+def test_read_excel_gated_when_engine_missing(spark):
+    """openpyxl is not in this container: the Excel reader must fail
+    with a clear NotImplementedError, not a raw ImportError."""
+    from gdp_etl_spark.sources import read_excel
+
+    with pytest.raises((NotImplementedError, ImportError)) as exc:
+        read_excel(spark, b"not-really-xlsx", skip_rows=2)
+    assert "openpyxl" in str(exc.value) or "excel" in str(exc.value).lower()
