@@ -900,6 +900,22 @@ def q_qa_added_years(spark, sf_dir):
 # events: batch window coverage of the stream-shaped table
 # ===========================================================================
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (most-recent-match): every event carries the latest
+    prior purchase by the same user — union + one window, single
+    shuffle, no range explosion.  Oracle: DuckDB native ASOF LEFT JOIN."""
+    from gdp_etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        on=["user_id"], left_ts="ts", right_ts="ts", value_cols=["value"],
+    )
+
+
 def q_events_tumbling(spark, sf_dir):
     """Tumbling 1-hour windows over event time (batch form of the
     streaming window agg)."""
@@ -982,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_discrepancies": q_qa_discrepancies,
         "qa_top_log_ratio": q_qa_top_log_ratio,
         "qa_added_years": q_qa_added_years,
+        "asof_join": q_asof_join,
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
     }
@@ -1333,6 +1350,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS INT) AS payload_len,
                    lower(substr(hex(encode(text)), 1, 8)) AS magic
             FROM documents
+        """,
+        "asof_join": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS ts_asof, r.value AS value_asof
+            FROM events l ASOF LEFT JOIN
+                 (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "events_tumbling": f"""
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,

@@ -232,3 +232,35 @@ def test_all_pairs_guard_requires_opt_in(spark):
         embedding_near_dup_pairs(vecs, "embedding", "vec_id")
     # explicit opt-in works
     assert ngram_jaccard_pairs(docs, "text", "doc_id", allow_all_pairs=True).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+def test_asof_join_semantics(spark):
+    from gdp_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 10), (3, 1, 20), (4, 2, 7)], "id int, k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 99, 999.0)], "k int, ts int, v double"
+    )
+    out = asof_join(left, right, ["k"], "ts", "ts", ["v"])
+    got = {r["id"]: (r["ts_asof"], r["v_asof"]) for r in out.collect()}
+    assert got[1] == (None, None)       # nothing at or before ts=5
+    assert got[2] == (10, 100.0)        # exact-timestamp match included
+    assert got[3] == (15, 150.0)        # latest of the two earlier rows
+    assert got[4] == (None, None)       # right rows exist only later
+    assert out.count() == left.count()  # left-join cardinality preserved
+
+
+def test_asof_join_null_payload_is_matched(spark):
+    from gdp_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 1, 10)], "id int, k int, ts int")
+    right = spark.createDataFrame([(1, 5, None)], "k int, ts int, v double")
+    r = asof_join(left, right, ["k"], "ts", "ts", ["v"]).first()
+    # the matched row's NULL value must surface as NULL-with-a-match,
+    # not fall through to an earlier row
+    assert r["ts_asof"] == 5 and r["v_asof"] is None
