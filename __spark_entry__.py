@@ -576,6 +576,21 @@ def q_bankers_round(spark, sf_dir):
     )
 
 
+def q_sci_format(spark, sf_dir):
+    """C9 number formatting (reference report tables use
+    ``format(digits=3, scientific=TRUE)``): C-style %e formatting is
+    engine-portable; %f tie-rounding is not, so reports use %e."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(dsum("o_totalprice", "total"))
+        .select(
+            "o_orderpriority",
+            F.format_string("%.3e", F.col("total")).alias("total_sci"),
+        )
+    )
+
+
 def q_pivot_wide(spark, sf_dir):
     """R3: long → wide with explicit pivot values (no discovery scan)."""
     li = _t(spark, sf_dir, "lineitem").select(
@@ -978,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "rolling_window": q_rolling_window,
         "bankers_round": q_bankers_round,
+        "sci_format": q_sci_format,
         "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
         "exact_dedup": q_exact_dedup,
@@ -1266,6 +1282,11 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_half_qty,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "sci_format": f"""
+            SELECT o_orderpriority,
+                   printf('%.3e', {_dsum_sql('o_totalprice')}) AS total_sci
+            FROM orders GROUP BY o_orderpriority
         """,
         "pivot_wide": """
             SELECT l_linestatus,

@@ -96,3 +96,70 @@ def test_stateful_running_stats_matches_batch(spark):
     for k in batch:
         assert final[k][0] == batch[k][0]
         assert final[k][1] == pytest.approx(batch[k][1], rel=1e-9)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Real late-data scenario: batch 2 carries an event older than
+    (max event time − watermark) when batch 3 closes the window; the
+    late row must be dropped from the aggregate, and an in-watermark
+    late row must be counted."""
+    import time
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minute):
+        return datetime(2024, 1, 1, 10, minute, 0)
+
+    # batch 1: events at 10:00-10:05
+    write_batch("b1", [(1, at(0)), (1, at(5))])
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")  # append emits a window only once it's closed
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: advance event time far ahead (10:40) AND a late row at
+        # 10:01 — within no watermark trouble yet for the 10:00 window?
+        # watermark after b1 = 10:05-10:10 => still open; b2's late row
+        # lands in the 10:00-05 window legally, then max ts 10:40 moves
+        # the watermark to 10:30, closing every early window.
+        write_batch("b2", [(1, at(40)), (1, at(1))])
+        q.processAllAvailable()
+        # batch 3: a VERY late row at 10:02 (watermark is now 10:30) —
+        # must be discarded — plus a fresh row keeping the stream moving.
+        write_batch("b3", [(1, at(2)), (1, at(45))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["start"].minute: r["n"] for r in spark.table("t_late").collect()}
+    # closed [10:00,10:05) window: 1 original (10:00) + the batch-2
+    # in-watermark late row (10:01) = 2.  The batch-3 row at 10:02 was
+    # beyond the 10:30 watermark and MUST be dropped (3 would mean the
+    # watermark leaked).  10:05 lives in the next window.
+    assert got.get(0) == 2
+    assert got.get(5) == 1
