@@ -576,6 +576,21 @@ def q_bankers_round(spark, sf_dir):
     )
 
 
+def q_interpolate(spark, sf_dir):
+    """Grouped linear interpolation of a gapped year series (densify +
+    ignorenulls windows, zero UDFs) — the op a pandas-habituated
+    pipeline would write as applyInPandas."""
+    from gdp_etl_spark.operators.interpolate import interpolate_gaps
+
+    obs = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") != 1998)  # carve an interior gap
+        .groupBy("o_orderpriority", F.year("o_orderdate").alias("year"))
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+    return interpolate_gaps(obs, ["o_orderpriority"], "year", "revenue")
+
+
 def q_sci_format(spark, sf_dir):
     """C9 number formatting (reference report tables use
     ``format(digits=3, scientific=TRUE)``): C-style %e formatting is
@@ -993,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "rolling_window": q_rolling_window,
         "bankers_round": q_bankers_round,
+        "interpolate": q_interpolate,
         "sci_format": q_sci_format,
         "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
@@ -1282,6 +1298,39 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_half_qty,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "interpolate": f"""
+            WITH obs AS (
+              SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS y,
+                     {_dsum_sql('o_totalprice')} AS v
+              FROM orders WHERE year(o_orderdate) <> 1998
+              GROUP BY 1, 2),
+            bounds AS (SELECT o_orderpriority, min(y) AS lo, max(y) AS hi
+                       FROM obs GROUP BY 1),
+            dense AS (SELECT o_orderpriority, unnest(range(lo, hi + 1)) AS y
+                      FROM bounds),
+            j AS (SELECT d.o_orderpriority, d.y, o.v
+                  FROM dense d LEFT JOIN obs o
+                    ON d.o_orderpriority = o.o_orderpriority AND d.y = o.y),
+            win AS (
+              SELECT o_orderpriority, y, v,
+                last_value(v IGNORE NULLS) OVER wb AS prev_v,
+                first_value(v IGNORE NULLS) OVER wf AS next_v,
+                last_value(CASE WHEN v IS NOT NULL THEN y END IGNORE NULLS)
+                  OVER wb AS prev_s,
+                first_value(CASE WHEN v IS NOT NULL THEN y END IGNORE NULLS)
+                  OVER wf AS next_s
+              FROM j
+              WINDOW wb AS (PARTITION BY o_orderpriority ORDER BY y
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wf AS (PARTITION BY o_orderpriority ORDER BY y
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT o_orderpriority, CAST(y AS INT) AS year,
+                   CASE WHEN v IS NOT NULL THEN v
+                        ELSE prev_v + (next_v - prev_v) * (y - prev_s)
+                             / (next_s - prev_s) END AS revenue,
+                   v IS NOT NULL AS was_observed
+            FROM win
         """,
         "sci_format": f"""
             SELECT o_orderpriority,

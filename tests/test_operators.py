@@ -264,3 +264,37 @@ def test_asof_join_null_payload_is_matched(spark):
     # the matched row's NULL value must surface as NULL-with-a-match,
     # not fall through to an earlier row
     assert r["ts_asof"] == 5 and r["v_asof"] is None
+
+
+# ---------------------------------------------------------------------------
+# grouped linear interpolation
+# ---------------------------------------------------------------------------
+def test_interpolate_gaps(spark):
+    from gdp_etl_spark.operators.interpolate import interpolate_gaps
+
+    df = spark.createDataFrame(
+        [
+            ("a", 2000, 10.0), ("a", 2003, 40.0), ("a", 2004, 0.0),
+            ("b", 2001, 5.0),
+        ],
+        "g string, y int, v double",
+    )
+    out = interpolate_gaps(df, ["g"], "y", "v")
+    got = {(r["g"], r["y"]): (r["v"], r["was_observed"]) for r in out.collect()}
+    assert got[("a", 2001)] == (20.0, False)   # linear between 10 and 40
+    assert got[("a", 2002)] == (30.0, False)
+    assert got[("a", 2000)] == (10.0, True)
+    assert got[("a", 2004)] == (0.0, True)
+    assert got[("b", 2001)] == (5.0, True)     # single point, dense range = itself
+    assert len(got) == 6
+
+
+def test_interpolate_leading_gap_stays_null(spark):
+    from gdp_etl_spark.operators.interpolate import interpolate_gaps
+
+    # NULL observation at the series head: no left neighbour -> stays NULL
+    df = spark.createDataFrame(
+        [("a", 2000, None), ("a", 2001, 10.0)], "g string, y int, v double"
+    )
+    out = {r["y"]: r["v"] for r in interpolate_gaps(df, ["g"], "y", "v").collect()}
+    assert out[2000] is None and out[2001] == 10.0
