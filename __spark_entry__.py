@@ -32,7 +32,6 @@ from gdp_etl_spark.functions.expressions import (
     pad_code,
     recode,
     ref_date,
-    sum_na_zero,
 )
 from gdp_etl_spark.functions.text import (
     LANG_MARKERS,
