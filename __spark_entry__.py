@@ -929,6 +929,53 @@ def q_qa_added_years(spark, sf_dir):
 # events: batch window coverage of the stream-shaped table
 # ===========================================================================
 
+def q_json_extract(spark, sf_dir):
+    """Semi-structured handling: extract a typed field from the JSON
+    props column (JVM-side get_json_object; no UDF) and aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_group_stats(spark, sf_dir):
+    """Statistical aggregates per group: exact interpolated median plus
+    extrema (both engines use the linear-interpolation definition)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.median("c_acctbal").alias("median_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_semi_anti_join(spark, sf_dir):
+    """Left-semi / left-anti joins (the existence idioms the closure uses
+    internally): customers with vs without an urgent 1997 order."""
+    c = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.year("o_orderdate") == 1997))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    with_u = c.join(urgent, "c_custkey", "left_semi").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_with")
+    )
+    without_u = c.join(urgent, "c_custkey", "left_anti").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_without")
+    )
+    return with_u.join(without_u, "c_mktsegment", "full")
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (most-recent-match): every event carries the latest
     prior purchase by the same user — union + one window, single
@@ -1029,6 +1076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_discrepancies": q_qa_discrepancies,
         "qa_top_log_ratio": q_qa_top_log_ratio,
         "qa_added_years": q_qa_added_years,
+        "json_extract": q_json_extract,
+        "group_stats": q_group_stats,
+        "semi_anti_join": q_semi_anti_join,
         "asof_join": q_asof_join,
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
@@ -1419,6 +1469,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS INT) AS payload_len,
                    lower(substr(hex(encode(text)), 1, 8)) AS magic
             FROM documents
+        """,
+        "json_extract": """
+            SELECT event_type, count(*) AS n,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS min_k,
+                   CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "group_stats": """
+            SELECT c_mktsegment,
+                   median(c_acctbal) AS median_bal,
+                   min(c_acctbal) AS min_bal,
+                   max(c_acctbal) AS max_bal,
+                   count(*) AS n
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "semi_anti_join": """
+            WITH urgent AS (SELECT DISTINCT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT'
+                              AND year(o_orderdate) = 1997)
+            SELECT c_mktsegment,
+                   count(*) FILTER (WHERE EXISTS
+                     (SELECT 1 FROM urgent u WHERE u.o_custkey = c.c_custkey))
+                     AS n_with,
+                   count(*) FILTER (WHERE NOT EXISTS
+                     (SELECT 1 FROM urgent u WHERE u.o_custkey = c.c_custkey))
+                     AS n_without
+            FROM customer c GROUP BY c_mktsegment
         """,
         "asof_join": """
             SELECT l.event_id, l.user_id, l.ts,
