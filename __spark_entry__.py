@@ -929,6 +929,70 @@ def q_qa_added_years(spark, sf_dir):
 # events: batch window coverage of the stream-shaped table
 # ===========================================================================
 
+def q_native_rollup(spark, sf_dir):
+    """Native ROLLUP subtotals (columnar hierarchies — the data-driven
+    ragged hierarchy uses the closure operator instead; this covers the
+    columnar case)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return j.rollup("r_name", "n_name").agg(
+        dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_rank_windows(spark, sf_dir):
+    """Ranking-function family: row_number / rank / dense_rank per
+    group, top-3 by balance."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_mktsegment", "c_custkey", "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def q_string_funcs(spark, sf_dir):
+    """String-function family: case folding, trim, replace, regexp
+    replace, substring, split-part, reverse."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        F.lower("n_name").alias("lower_name"),
+        F.initcap(F.lower("n_name")).alias("title_name"),
+        F.regexp_replace("n_name", "_[0-9]+$", "").alias("base_name"),
+        F.substring("n_name", 1, 6).alias("prefix6"),
+        F.reverse(F.col("n_name")).alias("rev_name"),
+        F.replace(F.col("n_name"), F.lit("_"), F.lit("-")).alias("dashed"),
+    )
+
+
+def q_conditional_agg(spark, sf_dir):
+    """Conditional/boolean aggregates: count_if, bool_and/bool_or,
+    sum FILTER-style via when()."""
+    c = _t(spark, sf_dir, "customer")
+    pos = F.col("c_acctbal") > 0
+    return c.groupBy("c_mktsegment").agg(
+        F.count_if(pos).alias("n_pos"),
+        F.bool_and(pos).alias("all_pos"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+        dsum(F.when(pos, F.col("c_acctbal")).otherwise(F.lit(0.0)), "pos_bal"),
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured handling: extract a typed field from the JSON
     props column (JVM-side get_json_object; no UDF) and aggregate."""
@@ -1076,6 +1140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_discrepancies": q_qa_discrepancies,
         "qa_top_log_ratio": q_qa_top_log_ratio,
         "qa_added_years": q_qa_added_years,
+        "native_rollup": q_native_rollup,
+        "rank_windows": q_rank_windows,
+        "string_funcs": q_string_funcs,
+        "conditional_agg": q_conditional_agg,
         "json_extract": q_json_extract,
         "group_stats": q_group_stats,
         "semi_anti_join": q_semi_anti_join,
@@ -1469,6 +1537,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS INT) AS payload_len,
                    lower(substr(hex(encode(text)), 1, 8)) AS magic
             FROM documents
+        """,
+        "native_rollup": f"""
+            SELECT r_name, n_name, {_dsum_sql('o_totalprice')} AS revenue,
+                   count(*) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+                        JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "rank_windows": """
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk,
+                   CAST(drnk AS INT) AS drnk
+            FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                         row_number() OVER w AS rn,
+                         rank() OVER w AS rnk,
+                         dense_rank() OVER w AS drnk
+                  FROM customer
+                  WINDOW w AS (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey ASC))
+            WHERE rn <= 3
+        """,
+        "string_funcs": """
+            SELECT n_name,
+                   lower(n_name) AS lower_name,
+                   -- initcap of NATION_12 -> Nation_12 (underscore is not
+                   -- a word boundary for Spark initcap)
+                   upper(substr(lower(n_name), 1, 1))
+                     || substr(lower(n_name), 2) AS title_name,
+                   regexp_replace(n_name, '_[0-9]+$', '') AS base_name,
+                   substr(n_name, 1, 6) AS prefix6,
+                   reverse(n_name) AS rev_name,
+                   replace(n_name, '_', '-') AS dashed
+            FROM nation
+        """,
+        "conditional_agg": f"""
+            SELECT c_mktsegment,
+                   count(*) FILTER (WHERE c_acctbal > 0) AS n_pos,
+                   bool_and(c_acctbal > 0) AS all_pos,
+                   bool_or(c_acctbal > 9000) AS any_rich,
+                   {_dsum_sql('CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0.0 END')}
+                     AS pos_bal
+            FROM customer GROUP BY c_mktsegment
         """,
         "json_extract": """
             SELECT event_type, count(*) AS n,
