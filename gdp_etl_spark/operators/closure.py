@@ -34,31 +34,34 @@ def transitive_closure(
     reference's replace-until-leaf semantics.  Returns distinct pairs with
     the original column names.
 
-    Per-iteration cost discipline: the edge list and parent set are
+    Per-iteration cost discipline: the edge list is
     ``localCheckpoint``-ed ONCE up front (otherwise every broadcast
-    rebuilds their upstream plan — scans, unions — each pass), and each
-    pass is a single broadcast left join where matched rows fan out to
-    their children and unmatched rows keep their leaf (``coalesce``),
-    replacing the previous done/stepped/union triple.  Two jobs per
-    iteration: the semi-join termination probe and the checkpoint."""
+    rebuilds its upstream plan — scans, unions — each pass), and each
+    pass is ONE broadcast left join where matched rows fan out to their
+    children and unmatched rows keep their leaf (``coalesce``), with a
+    match marker carried through the same checkpoint.  One checkpoint
+    job + one cached-count probe per iteration — no separate semi-join
+    pass."""
     raw = edges.select(
         F.col(parent_col).alias("__ep"), F.col(child_col).alias("__ec")
     ).localCheckpoint(eager=True)
-    parents = raw.select(F.col("__ep").alias("__p")).distinct().localCheckpoint(eager=True)
     cur = raw.select(F.col("__ep").alias("A"), F.col("__ec").alias("D"))
 
     for _ in range(max_iterations):
-        expandable = cur.join(
-            F.broadcast(parents), cur["D"] == parents["__p"], "left_semi"
-        )
-        if expandable.limit(1).count() == 0:
-            break
-        annotated = cur.join(F.broadcast(raw), cur["D"] == raw["__ep"], "left")
-        cur = (
-            annotated.select("A", F.coalesce(F.col("__ec"), F.col("D")).alias("D"))
+        annotated = (
+            cur.join(F.broadcast(raw), cur["D"] == raw["__ep"], "left")
+            .select(
+                "A",
+                F.coalesce(F.col("__ec"), F.col("D")).alias("D"),
+                F.col("__ep").isNotNull().alias("__expanded"),
+            )
             .distinct()
             .localCheckpoint(eager=True)
         )
+        cur = annotated.select("A", "D")
+        # probe runs on the already-materialized checkpoint — near-free
+        if annotated.filter(F.col("__expanded")).limit(1).count() == 0:
+            break
     else:
         raise RuntimeError(f"closure did not converge in {max_iterations} iterations (cycle?)")
 
