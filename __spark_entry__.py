@@ -734,6 +734,32 @@ def q_content_hash(spark, sf_dir):
     return d.select("doc_id", rolling_content_hash(F.col("text")).alias("content_hash"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → transitive clusters → canonical documents (the
+    dedup pipeline's final step: min-label propagation connected
+    components; iterative → rows-only check)."""
+    from gdp_etl_spark.operators.cluster import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_perm=16, bands=8, jaccard_threshold=0.8
+    )
+    out = dedup_clusters(docs.select("doc_id", "lang"), pairs, "doc_id")
+    return out.select("doc_id", "cluster_id", "is_canonical")
+
+
+def q_array_agg(spark, sf_dir):
+    """Array aggregation family: sorted distinct collect per group +
+    size + membership test."""
+    ev = _t(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        types.alias("types"),
+        F.size(types).alias("n_types"),
+        F.array_contains(types, "purchase").alias("has_purchase"),
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload column → Arrow-batched
     metadata extraction via mapInPandas (length + magic bytes)."""
@@ -1123,6 +1149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
         "exact_dedup": q_exact_dedup,
+        "dedup_clusters": q_dedup_clusters,
+        "array_agg": q_array_agg,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1467,6 +1495,15 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_long": f"""
             SELECT l_linestatus, l_returnflag, {_dsum_sql('l_quantity')} AS sum_qty
             FROM lineitem GROUP BY 1, 2
+        """,
+        "array_agg": """
+            SELECT user_id,
+                   list_sort(list(DISTINCT event_type)) AS types,
+                   CAST(len(list_sort(list(DISTINCT event_type))) AS INT)
+                     AS n_types,
+                   list_contains(list(DISTINCT event_type), 'purchase')
+                     AS has_purchase
+            FROM events GROUP BY user_id
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count

@@ -140,3 +140,30 @@ def test_simhash_near_dup_and_distinct(spark):
     }
     assert pairs[(1, 2)] == 0
     assert (1, 4) not in pairs
+
+
+def test_connected_components_transitivity(spark):
+    from gdp_etl_spark.operators.cluster import connected_components
+
+    # chain 1-2-3, clique 5-6, isolated pair 8-9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 5), (8, 9)], "id_a long, id_b long"
+    )
+    got = dict(rows(connected_components(pairs)))
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8}
+
+
+def test_dedup_clusters_end_to_end(spark):
+    from gdp_etl_spark.operators.cluster import dedup_clusters
+
+    docs = _docs(spark)  # 1==2 exact, 3 near-dup of both, 4 unrelated
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", num_perm=16, bands=8,
+                              jaccard_threshold=0.5)
+    out = dedup_clusters(docs, pairs, "doc_id")
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out.collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[3] == (1, False)   # transitive member of the cluster
+    assert got[4] == (4, True)    # singleton stays canonical
+    # keeping canonical rows yields the deduplicated corpus
+    assert sorted(k for k, v in got.items() if v[1]) == [1, 4]
