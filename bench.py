@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "lsh_topk",             # bucketed approximate top-k
     "ivf_topk",             # centroid-cell approximate top-k
     "content_hash",         # rolling-hash char fold
+    "asof_join",            # most-recent-match join (union + window)
+    "rolling_window",       # 3-year frame + lag
+    "interpolate",          # densify + ignorenulls windows
+    "dedup_clusters",       # pairs -> connected components -> canonical
     "events_tumbling",      # time windows
     "events_sessions",      # sessionization windows
 ]

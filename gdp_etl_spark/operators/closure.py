@@ -23,16 +23,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _closure_driver_side(
+    pairs: list[tuple], parent_col: str, child_col: str
+) -> list[tuple]:
+    """Exact replace-until-leaf closure in plain Python (memoized DFS
+    with cycle detection) — identical semantics to the distributed loop."""
+    from collections import defaultdict
+
+    children = defaultdict(list)
+    for p, c in pairs:
+        children[p].append(c)
+    memo: dict = {}
+    WHITE, GRAY, BLACK = 0, 1, 2
+    color: dict = defaultdict(int)
+
+    def leaves(node):
+        if node in memo:
+            return memo[node]
+        if color[node] == GRAY:
+            raise RuntimeError("closure did not converge (cycle?)")
+        if node not in children:
+            return frozenset([node])
+        color[node] = GRAY
+        acc = set()
+        for c in children[node]:
+            acc |= leaves(c)
+        color[node] = BLACK
+        memo[node] = frozenset(acc)
+        return memo[node]
+
+    out = set()
+    for p in children:
+        for leaf in leaves(p):
+            out.add((p, leaf))
+    return sorted(out)
+
+
 def transitive_closure(
     edges: DataFrame,
     parent_col: str = "parent",
     child_col: str = "child",
     max_iterations: int = 50,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Expand (parent, child) edges to (ancestor, descendant) pairs where
     every descendant is a *leaf* (never itself a parent), mirroring the
     reference's replace-until-leaf semantics.  Returns distinct pairs with
     the original column names.
+
+    Hierarchy edge lists are metadata — dimension-sized, kilobytes — so
+    below ``driver_threshold`` rows the closure runs driver-side (one
+    collect, memoized DFS, one createDataFrame) instead of paying N
+    Spark jobs of pure scheduling overhead; the iterative distributed
+    loop below remains the path for genuinely large graphs
+    (``driver_threshold=0`` forces it).  Both paths share exact
+    semantics, including the cycle error; tests cover both.
 
     Per-iteration cost discipline: the edge list is
     ``localCheckpoint``-ed ONCE up front (otherwise every broadcast
@@ -42,6 +87,16 @@ def transitive_closure(
     match marker carried through the same checkpoint.  One checkpoint
     job + one cached-count probe per iteration — no separate semi-join
     pass."""
+    if driver_threshold:
+        head = edges.select(parent_col, child_col).limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            pairs = _closure_driver_side(
+                [(r[0], r[1]) for r in head], parent_col, child_col
+            )
+            return edges.sparkSession.createDataFrame(
+                pairs, edges.select(parent_col, child_col).schema
+            )
+
     raw = edges.select(
         F.col(parent_col).alias("__ep"), F.col(child_col).alias("__ec")
     ).localCheckpoint(eager=True)

@@ -53,10 +53,20 @@ def test_closure_all_pairs_keeps_intermediate_levels(spark):
     assert ("W", "G4") in got and ("W", "d") in got and ("W", "G1") in got
 
 
+def test_transitive_closure_distributed_path_matches(spark):
+    # driver_threshold=0 forces the iterative distributed loop; results
+    # must be identical to the driver-side fast path
+    fast = rows(transitive_closure(_edges(spark)))
+    dist = rows(transitive_closure(_edges(spark), driver_threshold=0))
+    assert fast == dist
+
+
 def test_closure_cycle_raises(spark):
     cyc = spark.createDataFrame([("a", "b"), ("b", "a")], "parent string, child string")
     with pytest.raises(RuntimeError, match="converge"):
         transitive_closure(cyc, max_iterations=5)
+    with pytest.raises(RuntimeError, match="converge"):
+        transitive_closure(cyc, max_iterations=5, driver_threshold=0)
 
 
 def test_rollup_sum_children_equals_parent(spark):
