@@ -1095,6 +1095,28 @@ def q_events_tumbling(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Banded point-in-interval join (non-equi → equi via bands): map
+    every event back to the session interval containing it."""
+    from gdp_etl_spark.operators.rangejoin import point_in_interval_join
+    from gdp_etl_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+    intervals = session_stats(
+        ev, "user_id", "ts", gap_seconds=1800, order_tiebreak="event_id"
+    ).select(
+        "user_id",
+        "session_id",
+        F.unix_micros("session_start").alias("lo_us"),
+        F.unix_micros("session_end").alias("hi_us"),
+    )
+    return point_in_interval_join(
+        points, intervals, "ts_us", "lo_us", "hi_us",
+        band_width=3_600_000_000, keys=("user_id",),
+    ).select("event_id", "user_id", "session_id")
+
+
 def q_events_sessions(spark, sf_dir):
     """Sessionization: 30-minute-gap sessions per user (lag + running
     sum), then per-user session/event counts."""
@@ -1177,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": q_semi_anti_join,
         "asof_join": q_asof_join,
         "events_tumbling": q_events_tumbling,
+        "range_join": q_range_join,
         "events_sessions": q_events_sessions,
     }
 
@@ -1661,6 +1684,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
                    event_type, count(*) AS n, {_dsum_sql('value')} AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "range_join": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                        AS session_id
+              FROM e),
+            iv AS (SELECT user_id, session_id, min(ts_us) AS lo, max(ts_us) AS hi
+                   FROM s GROUP BY 1, 2)
+            SELECT p.event_id, p.user_id, iv.session_id
+            FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events) p
+            JOIN iv ON p.user_id = iv.user_id
+                   AND p.ts_us BETWEEN iv.lo AND iv.hi
         """,
         "events_sessions": """
             WITH e AS (

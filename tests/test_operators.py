@@ -308,3 +308,39 @@ def test_interpolate_leading_gap_stays_null(spark):
     )
     out = {r["y"]: r["v"] for r in interpolate_gaps(df, ["g"], "y", "v").collect()}
     assert out[2000] is None and out[2001] == 10.0
+
+
+# ---------------------------------------------------------------------------
+# banded range join
+# ---------------------------------------------------------------------------
+def test_point_in_interval_join(spark):
+    from gdp_etl_spark.operators.rangejoin import point_in_interval_join
+
+    points = spark.createDataFrame(
+        [(1, 5), (2, 15), (3, 99), (4, 25)], "pid int, p long"
+    )
+    intervals = spark.createDataFrame(
+        [("a", 0, 10), ("b", 10, 20), ("c", 14, 30)], "iv string, lo long, hi long"
+    )
+    out = point_in_interval_join(points, intervals, "p", "lo", "hi", band_width=7)
+    got = sorted((r["pid"], r["iv"]) for r in out.collect())
+    # p=15 is inside both b and c (overlap); p=99 matches nothing
+    assert got == [(1, "a"), (2, "b"), (2, "c"), (4, "c")]
+    # inclusive bounds: p=10 hits both a (hi) and b (lo)
+    edge = point_in_interval_join(
+        spark.createDataFrame([(9, 10)], "pid int, p long"),
+        intervals, "p", "lo", "hi", band_width=7,
+    )
+    assert sorted(r["iv"] for r in edge.collect()) == ["a", "b"]
+
+
+def test_point_in_interval_left_join(spark):
+    from gdp_etl_spark.operators.rangejoin import point_in_interval_join
+
+    points = spark.createDataFrame([(1, 5), (2, 99)], "pid int, p long")
+    intervals = spark.createDataFrame([("a", 0, 10)], "iv string, lo long, hi long")
+    out = point_in_interval_join(
+        points, intervals, "p", "lo", "hi", band_width=7, how="left"
+    )
+    got = {r["pid"]: r["iv"] for r in out.collect()}
+    assert got == {1: "a", 2: None}  # matchless point kept with NULLs
