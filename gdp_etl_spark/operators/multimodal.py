@@ -178,6 +178,60 @@ def frame_sample(
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("resized", BinaryType()),
+        StructField("orig_len", IntegerType()),
+        StructField("resized_len", IntegerType()),
+    ]
+)
+
+
+def resize_payload(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    factor: int = 4,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Payload "resize": binary in → smaller binary out, per row, Arrow
+    batched — the shape of every image-resize / audio-downsample stage.
+    Real pixel-aware resizing needs Pillow (not in this container); the
+    deterministic ``fake`` kernel keeps every ``factor``-th byte so the
+    plumbing (binary→binary schema, size accounting, batching) is real
+    and testable."""
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder={decoder!r}: real image resize (Pillow) is not "
+            "available in this environment; only the deterministic "
+            "'fake' byte-downsample kernel is implemented"
+        )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs, olens, rlens = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                small = raw[::factor]
+                ids.append(int(doc_id))
+                outs.append(small)
+                olens.append(len(raw))
+                rlens.append(len(small))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "resized": outs,
+                    "orig_len": olens,
+                    "resized_len": rlens,
+                }
+            ).astype({"doc_id": "int64", "orig_len": "int32", "resized_len": "int32"})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        resize, RESIZED_SCHEMA
+    )
+
+
 def payload_stats(df: DataFrame, payload_col: str) -> DataFrame:
     """Corpus-level payload size stats — pure JVM expressions, no UDF."""
     size = F.length(F.col(payload_col))

@@ -142,3 +142,17 @@ def test_payload_stats(spark):
     r = payload_stats(d, "payload").first()
     assert r["n_payloads"] == 2 and r["total_bytes"] == 12
     assert r["min_bytes"] == 5 and r["max_bytes"] == 7
+
+
+def test_resize_payload_fake_kernel(spark):
+    from gdp_etl_spark.operators.multimodal import resize_payload
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(16))), (2, b"abc")], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r for r in resize_payload(df, "payload", "doc_id", factor=4).collect()}
+    assert bytes(out[1]["resized"]) == bytes([0, 4, 8, 12])
+    assert out[1]["orig_len"] == 16 and out[1]["resized_len"] == 4
+    assert bytes(out[2]["resized"]) == b"a"
+    with pytest.raises(NotImplementedError):
+        resize_payload(df, "payload", "doc_id", decoder="pillow")
