@@ -734,6 +734,19 @@ def q_content_hash(spark, sf_dir):
     return d.select("doc_id", rolling_content_hash(F.col("text")).alias("content_hash"))
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling: md5-bucket thresholds per
+    stratum — same rows in or out across runs, engines and
+    partitionings (RNG sampling is none of those)."""
+    from gdp_etl_spark.operators.sampling import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_hash_sample(
+        d, "doc_id", "lang",
+        fractions={"en": 0.1, "de": 1.0}, default_fraction=0.5, seed="42",
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → transitive clusters → canonical documents (the
     dedup pipeline's final step: min-label propagation connected
@@ -1171,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
         "exact_dedup": q_exact_dedup,
+        "hash_sample": q_hash_sample,
         "dedup_clusters": q_dedup_clusters,
         "array_agg": q_array_agg,
         "minhash_lsh": q_minhash_lsh,
@@ -1518,6 +1532,14 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_long": f"""
             SELECT l_linestatus, l_returnflag, {_dsum_sql('l_quantity')} AS sum_qty
             FROM lineitem GROUP BY 1, 2
+        """,
+        "hash_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 8))
+                       AS BIGINT)
+                  < CASE WHEN lang = 'en' THEN 429496729
+                         WHEN lang = 'de' THEN 4294967296
+                         ELSE 2147483648 END
         """,
         "array_agg": """
             SELECT user_id,

@@ -1,0 +1,59 @@
+"""Deterministic sampling for training-data pipelines.
+
+Random sampling (``df.sample``) is engine- and partitioning-dependent —
+useless for reproducible corpus curation.  ``hash_sample`` keys the
+decision on a content hash instead: the same row is always in or out,
+across runs, engines, partitionings and cluster sizes, and the sample
+composes (a 10% sample is a subset of the 20% sample for the same
+seed).  Per-stratum rates via ``stratified_hash_sample`` give quota
+control (e.g. language balancing) with the same determinism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: md5-prefix bucket space: first 8 hex chars → uniform 32-bit int
+_BUCKETS = 1 << 32
+
+
+def _hash_bucket(key: Column, seed: str) -> Column:
+    """Uniform [0, 2^32) bucket from md5 of (key, seed) — portable to
+    any engine with md5 (DuckDB mirror:
+    ``CAST('0x' || substr(md5(key || ':' || seed), 1, 8) AS BIGINT)``)."""
+    h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(seed)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: str = "42"
+) -> DataFrame:
+    """Keep rows whose hash bucket falls below ``fraction`` of the
+    bucket space — deterministic, composable sampling."""
+    threshold = int(fraction * _BUCKETS)
+    return df.filter(_hash_bucket(F.col(key_col), seed) < F.lit(threshold))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "42",
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. language balancing:
+    ``{"en": 0.1, "de": 1.0}``); strata not listed get
+    ``default_fraction``."""
+    threshold: Column | None = None
+    for stratum, frac in fractions.items():
+        t = F.when(F.col(stratum_col) == stratum, F.lit(int(frac * _BUCKETS)))
+        threshold = t if threshold is None else threshold.when(
+            F.col(stratum_col) == stratum, F.lit(int(frac * _BUCKETS))
+        )
+    default = F.lit(int(default_fraction * _BUCKETS))
+    threshold = default if threshold is None else threshold.otherwise(default)
+    return df.filter(_hash_bucket(F.col(key_col), seed) < threshold)

@@ -167,3 +167,31 @@ def test_dedup_clusters_end_to_end(spark):
     assert got[4] == (4, True)    # singleton stays canonical
     # keeping canonical rows yields the deduplicated corpus
     assert sorted(k for k, v in got.items() if v[1]) == [1, 4]
+
+
+def test_hash_sample_deterministic_and_composable(spark):
+    from gdp_etl_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s10a = {r["k"] for r in hash_sample(df, "k", 0.10).collect()}
+    s10b = {r["k"] for r in hash_sample(df, "k", 0.10).collect()}
+    s20 = {r["k"] for r in hash_sample(df, "k", 0.20).collect()}
+    assert s10a == s10b                      # deterministic
+    assert s10a <= s20                       # composable (nested samples)
+    assert 0.05 < len(s10a) / 2000 < 0.15    # roughly the asked rate
+    other_seed = {r["k"] for r in hash_sample(df, "k", 0.10, seed="7").collect()}
+    assert other_seed != s10a                # seed changes the sample
+
+
+def test_stratified_hash_sample_rates(spark):
+    from gdp_etl_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+    )
+    out = stratified_hash_sample(
+        df, "k", "g", fractions={"a": 1.0}, default_fraction=0.0
+    )
+    got = {r["g"] for r in out.collect()}
+    assert got == {"a"} and out.count() == 1500  # full stratum kept, rest dropped
