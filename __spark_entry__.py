@@ -35,10 +35,13 @@ from gdp_etl_spark.functions.expressions import (
 )
 from gdp_etl_spark.functions.text import (
     LANG_MARKERS,
+    LANG_TRIGRAMS,
     STOPWORDS,
     fingerprint,
     lang_id,
     mean_token_len,
+    _lang_ngram_from_trigrams,
+    char_trigrams,
     punct_ratio,
     quality_score,
     rolling_content_hash,
@@ -712,12 +715,17 @@ def q_token_stats(spark, sf_dir):
 
 
 def q_quality_lang(spark, sf_dir):
-    """Quality score + marker-based language ID per document."""
+    """Quality score + marker-based AND char-trigram language ID per
+    document.  The trigram array is materialized into a column before
+    per-language scoring (Catalyst has no CSE across HOF lambdas — the
+    inline form re-evaluates it per language, 10× slower)."""
     d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("__tg", char_trigrams(F.col("text")))
     return d.select(
         "doc_id",
         quality_score(F.col("text")).alias("quality"),
         lang_id(F.col("text")).alias("lang_pred"),
+        _lang_ngram_from_trigrams(F.col("__tg")).alias("lang_ngram"),
     )
 
 
@@ -1237,6 +1245,23 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ELSE 'und' END"
     )
+    _norm = "lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))"
+    _tg = (
+        f"list_transform(range(1, greatest(length({_norm}) - 2, 0) + 1), "
+        f"i -> substr({_norm}, i, 3))"
+    )
+    tg_score = {
+        lang: f"len(list_filter({_tg}, t -> list_contains({_sql_list(p)}, t)))"
+        for lang, p in sorted(LANG_TRIGRAMS.items())
+    }
+    tg_best = "greatest(" + ", ".join(tg_score[k] for k in sorted(tg_score)) + ")"
+    tg_case = (
+        "CASE WHEN " + tg_best + " <= 0 THEN 'und' "
+        + " ".join(
+            f"WHEN {tg_score[k]} = {tg_best} THEN '{k}'" for k in sorted(tg_score)
+        )
+        + " ELSE 'und' END"
+    )
     pr = (
         "CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0 "
         "ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)"
@@ -1598,7 +1623,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "quality_lang": f"""
-            SELECT doc_id, {quality} AS quality, {lang_case} AS lang_pred
+            SELECT doc_id, {quality} AS quality, {lang_case} AS lang_pred,
+                   {tg_case} AS lang_ngram
             FROM documents
         """,
         "fingerprint": f"""

@@ -20,10 +20,17 @@ from .text import (  # noqa: F401
     mean_token_len,
     punct_ratio,
     quality_score,
+    rolling_content_hash,
     shingles,
     stopword_ratio,
     token_count_bpe,
     token_count_ws,
     ws_tokens,
 )
-from .vectors import cosine, dot, norm  # noqa: F401
+from .vectors import (  # noqa: F401
+    cosine,
+    cosine_exact,
+    dot,
+    dot_fixed,
+    norm,
+)

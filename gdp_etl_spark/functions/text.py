@@ -121,6 +121,66 @@ def lang_id(text: Column) -> Column:
     return out.otherwise(F.lit("und"))
 
 
+#: distinctive character trigrams per language for the n-gram heuristic
+#: (leading/trailing spaces mark word boundaries, " le" ≠ "le ").
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "de": ("sch", "ich", "der", "ein", "und", "cht", "die", "gen"),
+    "en": ("the", "ing", "and", "ion", " th", "he ", "ed ", "of "),
+    "es": ("que", "ión", " de", "los", "ado", "la ", "el ", "ent"),
+    "fr": ("les", " le", "ent", "eur", "ait", "que", "des", "ois"),
+}
+
+
+def char_trigrams(text: Column) -> Column:
+    """All character trigrams of the lowered, whitespace-normalized text
+    (occurrences, not distinct — frequency matters for scoring).
+
+    Extraction slices a split-once char array instead of calling
+    ``substring(norm, i, 3)`` per position: UTF-8 substring is
+    O(position) (it must scan codepoints), which makes the positional
+    loop quadratic per document; array slicing is O(k)."""
+    norm = F.lower(F.regexp_replace(F.coalesce(text, F.lit("")), "\\s+", " "))
+    chars = F.split(norm, "")
+    n = F.size(chars)
+    # sequence(1, 0) counts DOWN to [1, 0] and slice rejects start=0, so
+    # short texts need an explicit empty-index guard.
+    idx = F.when(
+        n >= 3, F.sequence(F.lit(1), n - F.lit(2))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws("", F.slice(chars, i, 3)))
+
+
+def _trigram_filter(profile: tuple[str, ...]):
+    """Closure factory (see :func:`_marker_filter` for why)."""
+    return lambda t: t.isin(*profile)
+
+
+def _lang_ngram_from_trigrams(tg: Column) -> Column:
+    """Score a (materialized) trigram array against every language
+    profile; alphabetical tie-break; 'und' when nothing hits."""
+    scores = {
+        lang: F.size(F.filter(tg, _trigram_filter(profile)))
+        for lang, profile in sorted(LANG_TRIGRAMS.items())
+    }
+    best = F.greatest(*scores.values())
+    out = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(LANG_TRIGRAMS):
+        out = out.when(scores[lang] == best, F.lit(lang))
+    return out.otherwise(F.lit("und"))
+
+
+def lang_id_ngram(text: Column) -> Column:
+    """Character-n-gram language ID — complements the marker-word scorer
+    (:func:`lang_id`) on text without clean word boundaries.
+
+    NOTE: inlines the trigram expression once per language score, which
+    Catalyst re-evaluates (no CSE across HOFs).  In per-row hot paths
+    materialize the array first and use
+    :func:`_lang_ngram_from_trigrams` on the column (10× at corpus
+    scale — same trap as the MinHash permutations)."""
+    return _lang_ngram_from_trigrams(char_trigrams(text))
+
+
 def shingles(text: Column, k: int = 5) -> Column:
     """Distinct k-token shingles (word n-grams) as strings; documents
     shorter than k tokens contribute the whole text as one shingle."""

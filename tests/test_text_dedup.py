@@ -195,3 +195,25 @@ def test_stratified_hash_sample_rates(spark):
     )
     got = {r["g"] for r in out.collect()}
     assert got == {"a"} and out.count() == 1500  # full stratum kept, rest dropped
+
+
+def test_lang_id_ngram_trigram_scoring(spark):
+    from gdp_etl_spark.functions.text import char_trigrams, lang_id_ngram
+
+    df = spark.createDataFrame(
+        [
+            (1, "the thing and the other thing"),
+            (2, "ich dachte der schlechte hund"),
+            (3, ""),
+            (4, None),
+        ],
+        "id long, text string",
+    )
+    got = dict(rows(df.select("id", lang_id_ngram(F.col("text")).alias("l"))))
+    assert got[1] == "en" and got[2] == "de"
+    assert got[3] == "und" and got[4] == "und"
+    # trigram extraction: "ab cd" -> 'ab ', 'b c', ' cd'
+    tg = spark.createDataFrame([("ab cd",)], "text string").select(
+        char_trigrams(F.col("text")).alias("t")
+    ).first()["t"]
+    assert tg == ["ab ", "b c", " cd"]
