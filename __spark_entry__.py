@@ -40,8 +40,8 @@ from gdp_etl_spark.functions.text import (
     fingerprint,
     lang_id,
     mean_token_len,
-    _lang_ngram_from_trigrams,
-    char_trigrams,
+    _lang_ngram_from_norm,
+    _norm_text,
     punct_ratio,
     quality_score,
     rolling_content_hash,
@@ -716,16 +716,15 @@ def q_token_stats(spark, sf_dir):
 
 def q_quality_lang(spark, sf_dir):
     """Quality score + marker-based AND char-trigram language ID per
-    document.  The trigram array is materialized into a column before
-    per-language scoring (Catalyst has no CSE across HOF lambdas — the
-    inline form re-evaluates it per language, 10× slower)."""
+    document.  Normalized text is materialized into a column before the
+    32-trigram replace-count fan-out so it is normalized once."""
     d = _t(spark, sf_dir, "documents")
-    d = d.withColumn("__tg", char_trigrams(F.col("text")))
+    d = d.withColumn("__norm", _norm_text(F.col("text")))
     return d.select(
         "doc_id",
         quality_score(F.col("text")).alias("quality"),
         lang_id(F.col("text")).alias("lang_pred"),
-        _lang_ngram_from_trigrams(F.col("__tg")).alias("lang_ngram"),
+        _lang_ngram_from_norm(F.col("__norm")).alias("lang_ngram"),
     )
 
 
@@ -1245,13 +1244,12 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ELSE 'und' END"
     )
-    _norm = "lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))"
-    _tg = (
-        f"list_transform(range(1, greatest(length({_norm}) - 2, 0) + 1), "
-        f"i -> substr({_norm}, i, 3))"
-    )
+    _norm = r"lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))"
     tg_score = {
-        lang: f"len(list_filter({_tg}, t -> list_contains({_sql_list(p)}, t)))"
+        lang: " + ".join(
+            f"(length({_norm}) - length(replace({_norm}, '{t}', '')))"
+            for t in p
+        )
         for lang, p in sorted(LANG_TRIGRAMS.items())
     }
     tg_best = "greatest(" + ", ".join(tg_score[k] for k in sorted(tg_score)) + ")"

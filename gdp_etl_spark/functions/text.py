@@ -150,18 +150,28 @@ def char_trigrams(text: Column) -> Column:
     return F.transform(idx, lambda i: F.concat_ws("", F.slice(chars, i, 3)))
 
 
-def _trigram_filter(profile: tuple[str, ...]):
-    """Closure factory (see :func:`_marker_filter` for why)."""
-    return lambda t: t.isin(*profile)
+def _norm_text(text: Column) -> Column:
+    """Lowered, whitespace-collapsed text ('' for NULL)."""
+    return F.lower(
+        F.regexp_replace(F.coalesce(text, F.lit("")), "\\s+", " ")
+    )
 
 
-def _lang_ngram_from_trigrams(tg: Column) -> Column:
-    """Score a (materialized) trigram array against every language
-    profile; alphabetical tie-break; 'und' when nothing hits."""
-    scores = {
-        lang: F.size(F.filter(tg, _trigram_filter(profile)))
-        for lang, profile in sorted(LANG_TRIGRAMS.items())
-    }
+def _lang_ngram_from_norm(norm: Column) -> Column:
+    """Score normalized text against every language trigram profile via
+    the replace-count trick: removed-character length per profile
+    trigram counts its (non-overlapping) occurrences.  Pure JVM string
+    ops — no per-char array allocation, no HOF (so ordinary codegen CSE
+    applies to ``norm``).  Alphabetical tie-break; 'und' when nothing
+    hits."""
+    n = F.length(norm)
+    scores = {}
+    for lang, profile in sorted(LANG_TRIGRAMS.items()):
+        terms = [n - F.length(F.replace(norm, F.lit(t))) for t in profile]
+        s = terms[0]
+        for t in terms[1:]:
+            s = s + t
+        scores[lang] = s
     best = F.greatest(*scores.values())
     out = F.when(best <= 0, F.lit("und"))
     for lang in sorted(LANG_TRIGRAMS):
@@ -173,12 +183,11 @@ def lang_id_ngram(text: Column) -> Column:
     """Character-n-gram language ID — complements the marker-word scorer
     (:func:`lang_id`) on text without clean word boundaries.
 
-    NOTE: inlines the trigram expression once per language score, which
-    Catalyst re-evaluates (no CSE across HOFs).  In per-row hot paths
-    materialize the array first and use
-    :func:`_lang_ngram_from_trigrams` on the column (10× at corpus
-    scale — same trap as the MinHash permutations)."""
-    return _lang_ngram_from_trigrams(char_trigrams(text))
+    Occurrence counting deliberately uses non-overlapping ``replace``
+    semantics (matches DuckDB ``replace`` for the oracle).  In per-row
+    hot paths materialize ``_norm_text`` into a column first so the
+    32-way fan-out shares one normalization."""
+    return _lang_ngram_from_norm(_norm_text(text))
 
 
 def shingles(text: Column, k: int = 5) -> Column:
