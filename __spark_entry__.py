@@ -741,6 +741,55 @@ def q_content_hash(spark, sf_dir):
     return d.select("doc_id", rolling_content_hash(F.col("text")).alias("content_hash"))
 
 
+#: BM25 demo query vocabulary (shared between the Spark query and oracle).
+_BM25_TERMS = ["spark", "join", "fast"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval: top-10 docs for a 3-term query.  Query-term
+    filter lands before the (doc, term) shuffle; df/corpus stats are
+    broadcast; per-doc score accumulates through fixed-point bigints
+    (engine-portable, partitioning-independent)."""
+    from gdp_etl_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_TERMS, k=10)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted index: term → df + sorted distinct posting list (one
+    distinct + one term-keyed shuffle)."""
+    from gdp_etl_spark.operators.retrieval import inverted_index
+
+    d = _t(spark, sf_dir, "documents")
+    return inverted_index(d).select("term", "df", "postings")
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub over documents with synthesized URL/email/phone columns
+    appended (the corpus itself is PII-free): per-kind match counts and
+    the redacted text length.  Pure regexp map work — no shuffle."""
+    from gdp_etl_spark.functions.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://ex.com/d/"), F.col("doc_id").cast("string"),
+        F.lit(" call +1 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = d.withColumn("__aug", aug)
+    counts = pii_counts(F.col("__aug"))
+    return d.select(
+        "doc_id",
+        counts["url"].alias("n_url"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        F.length(redact_pii(F.col("__aug"))).alias("redacted_len"),
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic stratified sampling: md5-bucket thresholds per
     stratum — same rows in or out across runs, engines and
@@ -1205,6 +1254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lang": q_quality_lang,
         "fingerprint": q_fingerprint,
         "content_hash": q_content_hash,
+        "bm25_topk": q_bm25_topk,
+        "inverted_index": q_inverted_index,
+        "pii_redact": q_pii_redact,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -1637,6 +1689,97 @@ def oracle_sql() -> dict[str, str]:
                                       c -> CAST(ascii(c) AS BIGINT))),
                      (acc, x) -> (acc * 31 + x) % 2147483647) AS content_hash
             FROM documents
+        """,
+        "bm25_topk": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                       END AS dl,
+                       CASE WHEN text IS NULL OR length(trim(text)) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(lower(trim(text)), '\s+')
+                       END AS toks
+                FROM documents
+            ), stats AS (
+                SELECT count(*) AS n_docs,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                FROM tok
+            ), ex AS (
+                SELECT doc_id, dl, unnest(toks) AS term FROM tok
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+                FROM ex
+                WHERE term <> '' AND term IN ('spark', 'join', 'fast')
+                GROUP BY doc_id, term
+            ), dfs AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), scored AS (
+                SELECT tf.doc_id,
+                       ln(CAST(n_docs - df + 0.5 AS DOUBLE)
+                          / CAST(df + 0.5 AS DOUBLE) + 1.0)
+                         * (tf * 2.5)
+                         / (tf + 1.5 * (0.25 + 0.75 * dl / avgdl)) AS term_score
+                FROM tf JOIN dfs USING (term) CROSS JOIN stats
+            )
+            SELECT doc_id,
+                   CAST(SUM(CAST(floor(term_score * 1e12) AS BIGINT)) AS DOUBLE)
+                     / 1e12 AS score,
+                   CAST(count(*) AS INT) AS n_terms
+            FROM scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "inverted_index": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL OR length(trim(text)) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(lower(trim(text)), '\s+')
+                       END AS toks
+                FROM documents
+            ), pairs AS (
+                SELECT DISTINCT doc_id, term
+                FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+                WHERE term <> ''
+            )
+            SELECT term, CAST(count(*) AS INT) AS df,
+                   list(doc_id ORDER BY doc_id) AS postings
+            FROM pairs GROUP BY term
+        """,
+        "pii_redact": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       coalesce(text, '') || ' contact user'
+                         || CAST(doc_id AS VARCHAR)
+                         || '@example.com or https://ex.com/d/'
+                         || CAST(doc_id AS VARCHAR)
+                         || ' call +1 555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS a
+                FROM documents
+            )
+            , r1 AS (
+                SELECT doc_id, a,
+                       regexp_replace(a, 'https?://[^\s]+', '<URL>', 'g') AS a1
+                FROM aug
+            ), r2 AS (
+                SELECT doc_id, a, a1,
+                       regexp_replace(a1,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS a2
+                FROM r1
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(a,
+                        'https?://[^\s]+')) AS INT) AS n_url,
+                   CAST(len(regexp_extract_all(a1,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+                     AS n_email,
+                   CAST(len(regexp_extract_all(a2,
+                        '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS INT) AS n_phone,
+                   CAST(length(regexp_replace(a2,
+                        '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')) AS INT)
+                     AS redacted_len
+            FROM r2
         """,
         "multimodal_meta": """
             SELECT doc_id,

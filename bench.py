@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "dedup_clusters",       # pairs -> connected components -> canonical
     "events_tumbling",      # time windows
     "events_sessions",      # sessionization windows
+    "bm25_topk",            # ranked retrieval (explode + filtered agg)
+    "pii_redact",           # regex scrub map work
 ]
 
 

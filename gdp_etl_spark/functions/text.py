@@ -190,6 +190,44 @@ def lang_id_ngram(text: Column) -> Column:
     return _lang_ngram_from_norm(_norm_text(text))
 
 
+#: PII patterns, applied in this order (URL first so its path digits are
+#: gone before the phone pass).  Kept to syntax valid in BOTH Java regex
+#: (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Count of replacements each :func:`redact_pii` pass actually makes
+    (0 for NULL): every pattern is counted on the text with all PRIOR
+    passes applied, so e.g. a URL's digit path is never double-counted
+    as a phone number."""
+    out: dict[str, Column] = {}
+    cur = text
+    for kind, pat, tag in PII_PATTERNS:
+        out[kind] = F.when(text.isNull(), F.lit(0)).otherwise(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        )
+        cur = F.regexp_replace(cur, pat, tag)
+    return out
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace URLs, then emails, then phone numbers with typed tags.
+
+    A chain of JVM ``regexp_replace`` calls — per-row, no shuffle, no
+    Python; at 100 TB this is pure map work inside whole-stage codegen.
+    Pass order matters (and the oracle mirrors it): URL paths often
+    contain digit runs a later phone pass would otherwise tag."""
+    out = text
+    for _, pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
 def shingles(text: Column, k: int = 5) -> Column:
     """Distinct k-token shingles (word n-grams) as strings; documents
     shorter than k tokens contribute the whole text as one shingle."""

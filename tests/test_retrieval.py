@@ -1,0 +1,100 @@
+"""Ranked retrieval (BM25, inverted index) and PII redaction."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdp_etl_spark.functions.text import pii_counts, redact_pii
+from gdp_etl_spark.operators.retrieval import (
+    bm25_topk,
+    corpus_stats,
+    doc_term_freq,
+    inverted_index,
+)
+
+from .conftest import rows
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark spark spark fast"),
+            (2, "spark join"),
+            (3, "slow table scan join join join"),
+            (4, "unrelated words only here"),
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_doc_term_freq_filters_before_agg(corpus):
+    tf = doc_term_freq(corpus, terms=["spark", "join"])
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["dl"]) for r in tf.collect()}
+    assert got[(1, "spark")] == (3, 4)
+    assert got[(2, "spark")] == (1, 2) and got[(2, "join")] == (1, 2)
+    assert got[(3, "join")] == (3, 6)
+    assert (4, "spark") not in got and not any(d in (5, 6) for d, _ in got)
+
+
+def test_corpus_stats_counts_empty_docs(corpus):
+    r = corpus_stats(corpus).collect()[0]
+    # empty/NULL docs count as length-0 documents, not as absent ones
+    assert r["n_docs"] == 6
+    assert r["avgdl"] == pytest.approx((4 + 2 + 6 + 4 + 0 + 0) / 6)
+
+
+def test_bm25_ranking_matches_hand_formula(corpus):
+    out = [(r["doc_id"], r["score"]) for r in bm25_topk(corpus, ["spark", "join"], k=10).collect()]
+    got = dict(out)
+    # doc 4/5/6 match no term
+    assert set(got) == {1, 2, 3}
+
+    def idf(df, n=6):
+        return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    def part(tf, dl, avgdl=16 / 6, k1=1.5, b=0.75):
+        return tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp1 = idf(2) * part(3, 4)  # 'spark' df=2
+    assert got[1] == pytest.approx(exp1, rel=1e-9)
+    exp2 = idf(2) * part(1, 2) + idf(2) * part(1, 2)  # both terms, df=2 each
+    assert got[2] == pytest.approx(exp2, rel=1e-9)
+    # ranking: doc2 (two matched terms, tiny doc) above doc1 above doc3
+    assert [d for d, _ in out] == sorted(got, key=lambda d: (-got[d], d))
+
+
+def test_inverted_index_sorted_distinct_postings(corpus):
+    idx = {r["term"]: r for r in inverted_index(corpus).collect()}
+    assert idx["spark"]["postings"] == [1, 2]  # repeated in doc1 -> once
+    assert idx["spark"]["df"] == 2
+    assert idx["join"]["postings"] == [2, 3]
+    assert "" not in idx
+
+
+def test_redact_pii_order_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see https://x.io/p/123456789 or mail a.b@x.io, call +1 555-123-4567"),
+            (2, "no pii at all"),
+            (3, None),
+        ],
+        "id long, t string",
+    )
+    c = pii_counts(F.col("t"))
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii(F.col("t")).alias("red"),
+            *[v.alias(k) for k, v in c.items()],
+        ).collect()
+    }
+    # URL pass runs first, so its digit run is never phone-tagged
+    assert got[1]["red"] == "see <URL> or mail <EMAIL>, call <PHONE>"
+    assert (got[1]["url"], got[1]["email"], got[1]["phone"]) == (1, 1, 1)
+    assert got[2]["red"] == "no pii at all"
+    assert got[3]["red"] is None and got[3]["phone"] == 0
