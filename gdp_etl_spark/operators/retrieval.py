@@ -22,7 +22,7 @@ dedup / similarity), sharing the tokenizer with
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import ws_tokens
@@ -96,11 +96,15 @@ def bm25_topk(
     would round 1.2 differently than IEEE text→double in edge cases).
     """
     tf = doc_term_freq(docs, text_col, id_col, terms=query_terms)
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df as a window count over tf itself: the corpus is scanned/exploded
+    # exactly once (a groupBy-join formulation makes Catalyst re-scan the
+    # whole corpus for the df branch — no subtree reuse).  tf holds only
+    # query-term postings, so the term-keyed window shuffle is tiny.
+    w = Window.partitionBy("term")
     stats = corpus_stats(docs, text_col, id_col)
 
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(w))
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
