@@ -12,6 +12,7 @@ driver's events parquet through the file-stream source with an
 batch ones.
 """
 
+from .dedup import dedup_within_watermark, enrich_with_static
 from .stateful import running_user_stats
 from .windows import (
     session_window_stats,
@@ -21,6 +22,8 @@ from .windows import (
 )
 
 __all__ = [
+    "dedup_within_watermark",
+    "enrich_with_static",
     "running_user_stats",
     "session_window_stats",
     "stream_events",

@@ -98,6 +98,70 @@ def test_stateful_running_stats_matches_batch(spark):
         assert final[k][1] == pytest.approx(batch[k][1], rel=1e-9)
 
 
+def test_stream_dedup_drops_redelivered_batch(spark, tmp_path):
+    """At-least-once replay: the same events file delivered twice must
+    come out once per event_id."""
+    import tempfile
+
+    from gdp_etl_spark.streaming import dedup_within_watermark
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    ev = _batch_events(spark).limit(200)
+    # two identical deliveries, one file each
+    ev.coalesce(1).write.parquet(str(src / "d1"))
+    ev.coalesce(1).write.parquet(str(src / "d2"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = dedup_within_watermark(stream, keys=("event_id",), watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_dedup")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    """Stream-static broadcast join parity: per-batch enrichment equals
+    the batch join."""
+    import tempfile
+
+    from gdp_etl_spark.streaming import enrich_with_static
+
+    dim = (
+        _batch_events(spark)
+        .select("user_id")
+        .distinct()
+        .withColumn("user_bucket", (F.col("user_id") % 7).cast("int"))
+    )
+    out = enrich_with_static(stream_events(spark, SF_DIR), dim, on="user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_enrich").groupBy("user_bucket").count()
+    expect = (
+        _batch_events(spark).join(dim, "user_id").groupBy("user_bucket").count()
+    )
+    assert rows(got) == rows(expect)
+    assert spark.table("t_enrich").filter("user_bucket IS NULL").count() == 0
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Real late-data scenario: batch 2 carries an event older than
     (max event time − watermark) when batch 3 closes the window; the
