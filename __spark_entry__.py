@@ -1042,6 +1042,51 @@ def q_native_rollup(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping_id disambiguation (ROLLUP's
+    general form: arbitrary subtotal combinations in one shuffle pass —
+    at scale one grouping-sets job replaces S separate groupBys and S
+    scans)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            dsum("o_totalprice", "revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "gid", "revenue", "n")
+    )
+
+
+def q_sketch_stats(spark, sf_dir):
+    """HLL++ NDV + approximate quantiles per group — fixed-size mergeable
+    sketch state, the only cardinality/quantile shape that holds at
+    100 TB.  Approximate values are engine-specific → rows-only check;
+    the unit tests bound the error vs exact aggregates."""
+    from gdp_etl_spark.operators.sketches import (
+        group_cardinality_sketch,
+        group_quantile_sketch,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    ndv = group_cardinality_sketch(o, ["o_orderpriority"], "o_custkey")
+    qs = group_quantile_sketch(
+        o, ["o_orderpriority"], "o_totalprice", (0.5, 0.95)
+    ).select(
+        "o_orderpriority",
+        F.col("quantiles_approx")[0].alias("p50_approx"),
+        F.col("quantiles_approx")[1].alias("p95_approx"),
+    )
+    return ndv.join(qs, "o_orderpriority").select(
+        "o_orderpriority", "ndv_approx", "n_rows", "p50_approx", "p95_approx"
+    )
+
+
 def q_rank_windows(spark, sf_dir):
     """Ranking-function family: row_number / rank / dense_rank per
     group, top-3 by balance."""
@@ -1264,6 +1309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_top_log_ratio": q_qa_top_log_ratio,
         "qa_added_years": q_qa_added_years,
         "native_rollup": q_native_rollup,
+        "grouping_sets": q_grouping_sets,
+        "sketch_stats": q_sketch_stats,
         "rank_windows": q_rank_windows,
         "string_funcs": q_string_funcs,
         "conditional_agg": q_conditional_agg,
@@ -1794,6 +1841,15 @@ def oracle_sql() -> dict[str, str]:
                         JOIN nation ON c_nationkey = n_nationkey
                         JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "grouping_sets": f"""
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid,
+                   {_dsum_sql('o_totalprice')} AS revenue,
+                   count(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                    (o_orderstatus), ())
         """,
         "rank_windows": """
             SELECT c_mktsegment, c_custkey, c_acctbal,

@@ -121,3 +121,75 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned sink + filter => partition pruning at the scan:
+    the filter must land in PartitionFilters (directory skipping), not as
+    a post-scan row filter over every partition."""
+    from gdp_etl_spark.io import write_partitioned_parquet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    out = str(tmp_path / "ev_part")
+    write_partitioned_parquet(ev, out, partition_by=["event_type"])
+    one_type = ev.select("event_type").first()[0]
+    back = spark.read.parquet(out).filter(F.col("event_type") == one_type)
+    plan = _plan(back)
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert back.count() == ev.filter(F.col("event_type") == one_type).count()
+
+
+def test_bm25_scans_corpus_once_per_pass(spark):
+    """The df computation must not re-scan/re-explode the corpus: exactly
+    two parquet scans total (postings pass + corpus-stats pass)."""
+    plan = _plan(e.queries()["bm25_topk"](spark, SF))
+    assert plan.count("Scan parquet") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_sketch_error_bounds(spark):
+    """HLL NDV within 3·rsd of exact; approx percentile within rank
+    tolerance of the exact interpolated percentile."""
+    from gdp_etl_spark.operators.sketches import (
+        group_cardinality_sketch,
+        group_quantile_sketch,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    exact = {
+        r["o_orderpriority"]: r["ndv"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("ndv"))
+        .collect()
+    }
+    approx = {
+        r["o_orderpriority"]: r["ndv_approx"]
+        for r in group_cardinality_sketch(
+            o, ["o_orderpriority"], "o_custkey", rsd=0.05
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, nd in exact.items():
+        assert abs(approx[k] - nd) <= max(3, 3 * 0.05 * nd), k
+
+    qa = {
+        r["o_orderpriority"]: r["quantiles_approx"]
+        for r in group_quantile_sketch(
+            o, ["o_orderpriority"], "o_totalprice", (0.5,), accuracy=10_000
+        ).collect()
+    }
+    med = {
+        r["o_orderpriority"]: r["m"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.expr("percentile(o_totalprice, 0.5)").alias("m"))
+        .collect()
+    }
+    for k in med:
+        # rank error 1e-4 on ~1-2k rows per group: the approx median must
+        # be within a handful of ranks — use a generous 2% value band
+        assert qa[k][0] == pytest.approx(med[k], rel=0.02), k
