@@ -790,6 +790,19 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+def q_corpus_clean(spark, sf_dir):
+    """The composed corpus-cleaning pipeline (plans.corpus): quality +
+    language scoring → filter → PII redaction → exact dedup (window on
+    md5, no self-join) → deterministic 50% hash sample.  End-to-end
+    oracle-checkable — every stage is engine-portable."""
+    from gdp_etl_spark.plans.corpus import clean_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return clean_corpus(
+        d, min_quality=0.85, langs=("en",), sample_fraction=0.5, seed="42"
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic stratified sampling: md5-bucket thresholds per
     stratum — same rows in or out across runs, engines and
@@ -1302,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "inverted_index": q_inverted_index,
         "pii_redact": q_pii_redact,
+        "corpus_clean": q_corpus_clean,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -1384,6 +1398,14 @@ def oracle_sql() -> dict[str, str]:
     jaccard = (
         "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
         " / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)"
+    )
+    # mirror of functions.text.redact_pii applied to the `text` column
+    # (plain string: the regexes contain literal braces)
+    _pii_red_text = (
+        r"regexp_replace(regexp_replace(regexp_replace(text,"
+        r" 'https?://[^\s]+', '<URL>', 'g'),"
+        r" '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+        r" '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')"
     )
     seg_values = ", ".join(f"('{s}', '{l}')" for s, l in _SEGMENT_LABELS)
 
@@ -1827,6 +1849,23 @@ def oracle_sql() -> dict[str, str]:
                         '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')) AS INT)
                      AS redacted_len
             FROM r2
+        """,
+        "corpus_clean": f"""
+            WITH scored AS (
+                SELECT doc_id, text, {quality} AS quality,
+                       {lang_case} AS lang_pred
+                FROM documents
+            ), kept AS (
+                SELECT doc_id, lang_pred, quality, {_pii_red_text} AS text_clean
+                FROM scored WHERE quality >= 0.85 AND lang_pred IN ('en')
+            ), dedup AS (
+                SELECT doc_id, lang_pred, quality, text_clean FROM kept
+                QUALIFY row_number()
+                        OVER (PARTITION BY md5(text_clean) ORDER BY doc_id) = 1
+            )
+            SELECT doc_id, lang_pred, quality, text_clean FROM dedup
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '42'),
+                       1, 8) AS BIGINT) < 2147483648
         """,
         "multimodal_meta": """
             SELECT doc_id,

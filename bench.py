@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "events_sessions",      # sessionization windows
     "bm25_topk",            # ranked retrieval (explode + filtered agg)
     "pii_redact",           # regex scrub map work
+    "corpus_clean",         # composed clean pipeline (score+redact+dedup+sample)
 ]
 
 

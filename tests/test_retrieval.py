@@ -98,3 +98,28 @@ def test_redact_pii_order_and_counts(spark):
     assert (got[1]["url"], got[1]["email"], got[1]["phone"]) == (1, 1, 1)
     assert got[2]["red"] == "no pii at all"
     assert got[3]["red"] is None and got[3]["phone"] == 0
+
+
+def test_clean_corpus_stages(spark):
+    from gdp_etl_spark.plans.corpus import clean_corpus
+
+    docs = spark.createDataFrame(
+        [
+            # two docs identical after redaction -> lowest id survives
+            (1, "the data table is fast and the scan is slow mail x@y.io ok"),
+            (2, "the data table is fast and the scan is slow mail z@q.io ok"),
+            # different doc, same language
+            (3, "a join of the batch and the stream is in the plan today ok"),
+            # non-english -> filtered
+            (4, "el la los las es un una que si no mas por para con sin"),
+            (5, None),  # NULL -> quality 0 -> filtered
+        ],
+        "doc_id long, text string",
+    )
+    out = clean_corpus(docs, min_quality=0.1, langs=("en",), sample_fraction=None)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 3}
+    assert "<EMAIL>" in got[1]["text_clean"] and "x@y.io" not in got[1]["text_clean"]
+    # sampling composes: the 30% sample is a subset of the 100% result
+    sampled = clean_corpus(docs, min_quality=0.1, langs=("en",), sample_fraction=0.3)
+    assert {r["doc_id"] for r in sampled.collect()} <= set(got)
