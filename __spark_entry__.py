@@ -1255,6 +1255,61 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-active week ×
+    weeks-since-cohort.  distinct → groupBy → join all key on user_id,
+    so the join reuses the aggregation's partitioning (no extra
+    exchange); week offsets are exact 7-day multiples, so the /7 cast
+    is engine-portable."""
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: first-touch
+    timestamps per user in ONE pass (conditional min aggregates — no
+    per-step self-joins, which at scale would be three shuffles instead
+    of one), then strict-order step counts."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        *[
+            F.min(
+                F.when(F.col("event_type") == step, F.col("ts"))
+            ).alias(f"t_{step}")
+            for step in ("view", "click", "purchase")
+        ]
+    )
+    c = F.col
+    return m.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(c("t_view").isNotNull(), 1).otherwise(0)).alias("step_view"),
+        F.sum(
+            F.when(c("t_view").isNotNull() & (c("t_click") > c("t_view")), 1)
+            .otherwise(0)
+        ).alias("step_click"),
+        F.sum(
+            F.when(
+                c("t_view").isNotNull()
+                & (c("t_click") > c("t_view"))
+                & (c("t_purchase") > c("t_click")),
+                1,
+            ).otherwise(0)
+        ).alias("step_purchase"),
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1335,6 +1390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "range_join": q_range_join,
         "events_sessions": q_events_sessions,
+        "cohort_retention": q_cohort_retention,
+        "funnel": q_funnel,
     }
 
 
@@ -2001,6 +2058,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM e GROUP BY user_id
+        """,
+        "cohort_retention": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+                FROM events
+            ), fw AS (
+                SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1
+            )
+            SELECT cohort_week,
+                   CAST(date_diff('day', CAST(cohort_week AS DATE),
+                                  CAST(week AS DATE)) / 7 AS INT) AS week_offset,
+                   count(DISTINCT user_id) AS n_users
+            FROM uw JOIN fw USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "funnel": """
+            WITH m AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view'
+                                THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+                       min(CASE WHEN event_type = 'click'
+                                THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+                FROM events GROUP BY 1
+            )
+            SELECT count(*) AS n_users,
+                   CAST(sum(CASE WHEN t_view IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+                   CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+                   CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                                  AND t_purchase > t_click
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+            FROM m
         """,
         "qa_discrepancies": _QA_DIFF_SQL + """
             , bad AS (
