@@ -1255,6 +1255,33 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+#: TPC-H Q1-shaped pricing summary — ONE SQL text executed verbatim by
+#: both Spark SQL and the DuckDB oracle (the SQL-API parity proof: the
+#: engine's declarative surface is ANSI enough to share the exact
+#: query).  Decimal-sum casts keep double totals order-independent.
+_SQL_API_TEXT = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_api(spark, sf_dir):
+    """The SQL surface: register the parquet as a view and run the
+    TPC-H-Q1-shaped text through ``spark.sql`` — Catalyst plans it
+    identically to the DataFrame form (pushdown, partial aggregation,
+    one shuffle)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL_API_TEXT)
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users grouped by first-active week ×
     weeks-since-cohort.  distinct → groupBy → join all key on user_id,
@@ -1392,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "cohort_retention": q_cohort_retention,
         "funnel": q_funnel,
+        "sql_api": q_sql_api,
     }
 
 
@@ -2059,6 +2087,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM e GROUP BY user_id
         """,
+        "sql_api": _SQL_API_TEXT,
         "cohort_retention": """
             WITH uw AS (
                 SELECT DISTINCT user_id,
