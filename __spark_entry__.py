@@ -790,6 +790,16 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs: length-band blocked equi-join (±1
+    band expansion, never all-pairs), length-difference prefilter, then
+    early-exit thresholded levenshtein."""
+    from gdp_etl_spark.operators.dedup import fuzzy_levenshtein_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return fuzzy_levenshtein_pairs(d, "text", "doc_id", max_dist=16)
+
+
 def q_corpus_clean(spark, sf_dir):
     """The composed corpus-cleaning pipeline (plans.corpus): quality +
     language scoring → filter → PII redaction → exact dedup (window on
@@ -1397,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "inverted_index": q_inverted_index,
         "pii_redact": q_pii_redact,
+        "fuzzy_pairs": q_fuzzy_pairs,
         "corpus_clean": q_corpus_clean,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
@@ -1934,6 +1945,22 @@ def oracle_sql() -> dict[str, str]:
                         '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')) AS INT)
                      AS redacted_len
             FROM r2
+        """,
+        "fuzzy_pairs": """
+            WITH v AS (
+                SELECT doc_id AS id,
+                       lower(trim(coalesce(text, ''))) AS t,
+                       CAST(floor(length(lower(trim(coalesce(text, '')))) / 16)
+                            AS BIGINT) AS band
+                FROM documents
+            ), lft AS (
+                SELECT id, t, unnest([band - 1, band, band + 1]) AS band FROM v
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(levenshtein(a.t, b.t) AS INT) AS dist
+            FROM lft a JOIN v b ON a.band = b.band AND a.id < b.id
+            WHERE abs(length(a.t) - length(b.t)) <= 16
+              AND levenshtein(a.t, b.t) <= 16
         """,
         "corpus_clean": f"""
             WITH scored AS (

@@ -332,3 +332,58 @@ def embedding_near_dup_pairs(
             F.col("cos").alias("cos_sim"),
         )
     )
+
+
+def fuzzy_levenshtein_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 16,
+    band_width: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-dup pairs with length-band blocking.
+
+    Blocking: docs are bucketed by ``floor(len/band_width)``; one side
+    expands to its band ±1 so every pair with ``|len_a − len_b| ≤
+    max_dist`` meets in exactly one bucket (guaranteed when
+    ``band_width ≥ max_dist`` — the default ties them).  The join is a
+    plain equi-join on the band: shuffle ∝ docs, never all-pairs.
+    Candidates are prefiltered on length difference (an edit-distance
+    lower bound) before the O(n·m) levenshtein, which runs with Spark's
+    early-exit threshold form (returns −1 past ``max_dist``).
+
+    Levenshtein (unit insert/delete/substitute) is implemented
+    identically in DuckDB, so the operator is oracle-checkable.
+    """
+    if band_width is None:
+        band_width = max_dist
+    if band_width < max_dist:
+        raise ValueError("band_width < max_dist loses cross-band pairs")
+    norm = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    v = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("t"),
+        F.floor(F.length(norm) / band_width).cast("bigint").alias("band"),
+    )
+    left = v.select(
+        "id", "t",
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("band"),
+    )
+    a, b = left.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .filter(
+            F.abs(F.length(F.col("a.t")) - F.length(F.col("b.t"))) <= max_dist
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("a.t"), F.col("b.t"), max_dist)
+        )
+        .filter(F.col("dist") != -1)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

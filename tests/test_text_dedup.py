@@ -217,3 +217,28 @@ def test_lang_id_ngram_trigram_scoring(spark):
         char_trigrams(F.col("text")).alias("t")
     ).first()["t"]
     assert tg == ["ab ", "b c", " cd"]
+
+
+def test_fuzzy_levenshtein_pairs_blocking(spark):
+    from gdp_etl_spark.operators.dedup import fuzzy_levenshtein_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base[:-6] + "cat x"),          # few edits, shorter -> may cross band
+            (3, "completely different words about spark joins and tables"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_levenshtein_pairs(docs, "text", "doc_id", max_dist=16).collect()
+    }
+    assert (1, 2) in got and 0 < got[(1, 2)] <= 16
+    assert all(3 not in p and 4 not in p for p in got)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        fuzzy_levenshtein_pairs(docs, "text", "doc_id", max_dist=16, band_width=8)
