@@ -790,6 +790,25 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+def q_merge_upsert(spark, sf_dir):
+    """Snapshot merge: fold a deterministic change batch (some rows
+    missing, some doubled totals) into a target snapshot in ONE
+    full-outer join, emitting the next snapshot + change audit."""
+    from gdp_etl_spark.operators.merge import merge_upsert
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    target = o.filter(F.col("o_orderkey") % 97 != 0)
+    source = o.filter(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return merge_upsert(target, source, keys=["o_orderkey"])
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     """Edit-distance near-dup pairs: length-band blocked equi-join (±1
     band expansion, never all-pairs), length-difference prefilter, then
@@ -1407,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "inverted_index": q_inverted_index,
         "pii_redact": q_pii_redact,
+        "merge_upsert": q_merge_upsert,
         "fuzzy_pairs": q_fuzzy_pairs,
         "corpus_clean": q_corpus_clean,
         "multimodal_meta": q_multimodal_meta,
@@ -1945,6 +1965,29 @@ def oracle_sql() -> dict[str, str]:
                         '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')) AS INT)
                      AS redacted_len
             FROM r2
+        """,
+        "merge_upsert": """
+            WITH t AS (
+                SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+                WHERE o_orderkey % 97 != 0
+            ), s AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderstatus
+                FROM orders WHERE o_orderkey % 89 != 0
+            )
+            SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+                   CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                        ELSE t.o_totalprice END AS o_totalprice,
+                   CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                        ELSE t.o_orderstatus END AS o_orderstatus,
+                   CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                        WHEN s.o_orderkey IS NULL THEN 'delete'
+                        WHEN NOT (s.o_totalprice IS NOT DISTINCT FROM t.o_totalprice)
+                          OR NOT (s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus)
+                        THEN 'update' ELSE 'unchanged' END AS change
+            FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
         """,
         "fuzzy_pairs": """
             WITH v AS (
