@@ -1130,8 +1130,8 @@ def q_sketch_stats(spark, sf_dir):
 
 
 def q_rank_windows(spark, sf_dir):
-    """Ranking-function family: row_number / rank / dense_rank per
-    group, top-3 by balance."""
+    """Ranking-function family: row_number / rank / dense_rank / ntile /
+    percent_rank / cume_dist per group, top-3 by balance."""
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey").asc()
@@ -1142,6 +1142,9 @@ def q_rank_windows(spark, sf_dir):
             F.row_number().over(w).alias("rn"),
             F.rank().over(w).alias("rnk"),
             F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cdist"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -1311,6 +1314,18 @@ def q_sql_api(spark, sf_dir):
     return spark.sql(_SQL_API_TEXT)
 
 
+def q_events_sliding(spark, sf_dir):
+    """Sliding windows (2-hour width, 1-hour slide): every event lands
+    in exactly two windows.  Spark's window() generates the copies
+    JVM-side; the oracle mirrors with an explicit 2-element unnest."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users grouped by first-active week ×
     weeks-since-cohort.  distinct → groupBy → join all key on user_id,
@@ -1448,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "range_join": q_range_join,
         "events_sessions": q_events_sessions,
+        "events_sliding": q_events_sliding,
         "cohort_retention": q_cohort_retention,
         "funnel": q_funnel,
         "sql_api": q_sql_api,
@@ -2048,11 +2064,16 @@ def oracle_sql() -> dict[str, str]:
         "rank_windows": """
             SELECT c_mktsegment, c_custkey, c_acctbal,
                    CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk,
-                   CAST(drnk AS INT) AS drnk
+                   CAST(drnk AS INT) AS drnk,
+                   CAST(quartile AS INT) AS quartile,
+                   pct_rank, cdist
             FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
                          row_number() OVER w AS rn,
                          rank() OVER w AS rnk,
-                         dense_rank() OVER w AS drnk
+                         dense_rank() OVER w AS drnk,
+                         ntile(4) OVER w AS quartile,
+                         percent_rank() OVER w AS pct_rank,
+                         cume_dist() OVER w AS cdist
                   FROM customer
                   WINDOW w AS (PARTITION BY c_mktsegment
                                ORDER BY c_acctbal DESC, c_custkey ASC))
@@ -2158,6 +2179,16 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY user_id
         """,
         "sql_api": _SQL_API_TEXT,
+        "events_sliding": """
+            SELECT ws AS window_start, event_type, count(*) AS n
+            FROM (SELECT unnest([
+                       date_trunc('hour', CAST(ts AS TIMESTAMP))
+                         - INTERVAL 1 HOUR,
+                       date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   ]) AS ws, event_type
+                  FROM events)
+            GROUP BY 1, 2
+        """,
         "cohort_retention": """
             WITH uw AS (
                 SELECT DISTINCT user_id,
