@@ -25,9 +25,19 @@ def connected_components(
     left_col: str = "id_a",
     right_col: str = "id_b",
     max_iterations: int = 50,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = the
-    minimum node id reachable through the pair graph."""
+    minimum node id reachable through the pair graph.
+
+    Graphs with ≤ ``driver_threshold`` edges take a driver-side
+    union-find fast path (one collect + one createDataFrame) — near-dup
+    pair graphs are tiny relative to their corpus, and the distributed
+    loop's per-iteration scheduling dominates at that size (same
+    rationale as the closure operator's fast path,
+    ``closure.py``).  Set ``driver_threshold=0`` to force the
+    distributed min-label loop (kept for genuinely large graphs and
+    exercised by tests)."""
     edges = (
         pairs.select(F.col(left_col).alias("u"), F.col(right_col).alias("v"))
         .unionByName(
@@ -36,6 +46,32 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_threshold and edges.count() <= driver_threshold:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r_ in rows:
+            u, v = r_["u"], r_["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:  # min-root union keeps component = min node id
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        out = [(n, find(n)) for n in parent]
+        return edges.sparkSession.createDataFrame(
+            out, schema=edges.select(F.col("u").alias("node"),
+                                     F.col("u").alias("component")).schema
+        )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()

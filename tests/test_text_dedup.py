@@ -151,6 +151,9 @@ def test_connected_components_transitivity(spark):
     )
     got = dict(rows(connected_components(pairs)))
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8}
+    # distributed min-label loop must agree with the driver fast path
+    dist = dict(rows(connected_components(pairs, driver_threshold=0)))
+    assert dist == got
 
 
 def test_dedup_clusters_end_to_end(spark):
