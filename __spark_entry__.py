@@ -868,6 +868,7 @@ def q_array_agg(spark, sf_dir):
         types.alias("types"),
         F.size(types).alias("n_types"),
         F.array_contains(types, "purchase").alias("has_purchase"),
+        F.concat_ws(",", types).alias("types_csv"),
     )
 
 
@@ -1823,7 +1824,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_sort(list(DISTINCT event_type))) AS INT)
                      AS n_types,
                    list_contains(list(DISTINCT event_type), 'purchase')
-                     AS has_purchase
+                     AS has_purchase,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                     AS types_csv
             FROM events GROUP BY user_id
         """,
         "exact_dedup": """
