@@ -845,6 +845,16 @@ def q_hash_sample(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split: hash-bucket thresholds
+    per doc — leak-free and reproducible across engines/partitionings
+    (RNG splits are neither)."""
+    from gdp_etl_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(d, "doc_id", seed="42")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → transitive clusters → canonical documents (the
     dedup pipeline's final step: min-label propagation connected
@@ -1443,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "pii_redact": q_pii_redact,
         "merge_upsert": q_merge_upsert,
+        "hash_split": q_hash_split,
         "fuzzy_pairs": q_fuzzy_pairs,
         "corpus_clean": q_corpus_clean,
         "multimodal_meta": q_multimodal_meta,
@@ -1984,6 +1995,16 @@ def oracle_sql() -> dict[str, str]:
                         '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')) AS INT)
                      AS redacted_len
             FROM r2
+        """,
+        "hash_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN b < 3865470566 THEN 'train'
+                        WHEN b < 4080218931 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, lang,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                              || ':' || '42'), 1, 8)) AS BIGINT) AS b
+                  FROM documents)
         """,
         "merge_upsert": """
             WITH t AS (

@@ -57,3 +57,35 @@ def stratified_hash_sample(
     default = F.lit(int(default_fraction * _BUCKETS))
     threshold = default if threshold is None else threshold.otherwise(default)
     return df.filter(_hash_bucket(F.col(key_col), seed) < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: Mapping[str, float] | None = None,
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic dataset split: each row gets a split label from its
+    hash bucket against cumulative fraction thresholds (insertion order
+    of ``fractions``).  Same guarantees as :func:`hash_sample` — stable
+    across runs, engines and partitionings, and leak-free: a key can
+    never land in two splits.  Fractions must sum to 1."""
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = _hash_bucket(F.col(key_col), seed)
+    acc = 0.0
+    expr = None
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = bucket < F.lit(int(acc * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    expr = (
+        F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("split", expr)

@@ -245,3 +245,21 @@ def test_fuzzy_levenshtein_pairs_blocking(spark):
 
     with _pt.raises(ValueError):
         fuzzy_levenshtein_pairs(docs, "text", "doc_id", max_dist=16, band_width=8)
+
+
+def test_hash_split_deterministic_partition(spark):
+    import pytest as _pt
+
+    from gdp_etl_spark.operators.sampling import hash_split
+
+    d = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s1 = {r["k"]: r["split"] for r in hash_split(d, "k").collect()}
+    s2 = {r["k"]: r["split"] for r in hash_split(d.repartition(7), "k").collect()}
+    assert s1 == s2  # partitioning-independent
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.85 < c["train"] / 2000 < 0.95  # ~90/5/5
+    with _pt.raises(ValueError):
+        hash_split(d, "k", fractions={"a": 0.5, "b": 0.4})
