@@ -48,6 +48,7 @@ from gdp_etl_spark.functions.text import (
     stopword_ratio,
     token_count_bpe,
     token_count_ws,
+    ws_tokens,
 )
 from gdp_etl_spark.operators.closure import rollup_hierarchy, transitive_closure
 from gdp_etl_spark.operators.dedup import (
@@ -790,6 +791,51 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+def q_top_bigrams(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams: per-row bigram construction
+    (adjacent-token concat, short-doc guarded), explode, one count
+    shuffle, deterministic tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    d = d.select(toks.alias("t"))
+    n = F.size(F.col("t"))
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bg = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+        ),
+    )
+    return (
+        d.select(F.explode(bg).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+def q_value_windows(spark, sf_dir):
+    """Value-window family: first_value / last_value / nth_value over an
+    explicit whole-partition frame (engine default frames differ — pin
+    the frame in both engines), per customer ordered by date."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
 def q_merge_upsert(spark, sf_dir):
     """Snapshot merge: fold a deterministic change batch (some rows
     missing, some doubled totals) into a target snapshot in ONE
@@ -1454,6 +1500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "merge_upsert": q_merge_upsert,
         "hash_split": q_hash_split,
+        "top_bigrams": q_top_bigrams,
+        "value_windows": q_value_windows,
         "fuzzy_pairs": q_fuzzy_pairs,
         "corpus_clean": q_corpus_clean,
         "multimodal_meta": q_multimodal_meta,
@@ -1995,6 +2043,33 @@ def oracle_sql() -> dict[str, str]:
                         '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')) AS INT)
                      AS redacted_len
             FROM r2
+        """,
+        "top_bigrams": r"""
+            WITH tok AS (
+                SELECT CASE WHEN text IS NULL OR length(trim(text)) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(lower(trim(text)), '\s+')
+                       END AS t
+                FROM documents
+            ), bg AS (
+                SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                              i -> t[i] || ' ' || t[i + 1])) AS bigram
+                FROM tok
+            )
+            SELECT bigram, count(*) AS n
+            FROM bg GROUP BY bigram
+            ORDER BY n DESC, bigram LIMIT 20
+        """,
+        "value_windows": """
+            SELECT o_custkey, o_orderkey,
+                   first_value(o_totalprice) OVER w AS first_price,
+                   last_value(o_totalprice) OVER w AS last_price,
+                   nth_value(o_totalprice, 2) OVER w AS second_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
         """,
         "hash_split": """
             SELECT doc_id, lang,
