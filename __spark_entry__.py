@@ -904,7 +904,9 @@ def q_hash_split(spark, sf_dir):
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → transitive clusters → canonical documents (the
     dedup pipeline's final step: min-label propagation connected
-    components; iterative → rows-only check)."""
+    components).  Oracle: exact all-pairs Jaccard pairs (same rationale
+    as ``minhash_lsh``) fed through a DuckDB ``WITH RECURSIVE``
+    reachability walk — component = min reachable doc_id."""
     from gdp_etl_spark.operators.cluster import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
@@ -1896,14 +1898,41 @@ def oracle_sql() -> dict[str, str]:
             WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents)
             SELECT * FROM (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jaccard} AS jaccard
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               AND len(a.sh) * 5 >= len(b.sh) * 4
+               AND len(b.sh) * 5 >= len(a.sh) * 4)
             WHERE jaccard >= 0.8
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            sh AS (SELECT doc_id, {sh} AS sh FROM documents),
+            p AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jaccard} AS jaccard
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                 AND len(a.sh) * 5 >= len(b.sh) * 4
+                 AND len(b.sh) * 5 >= len(a.sh) * 4)
+              WHERE jaccard >= 0.8),
+            edges AS (SELECT id_a AS u, id_b AS v FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            walk(node, reach) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, w.reach FROM edges e JOIN walk w ON e.v = w.node),
+            comp AS (SELECT node, min(reach) AS component
+                     FROM walk GROUP BY node)
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS cluster_id,
+                   d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
         """,
         "ngram_jaccard": f"""
             WITH sh AS (SELECT doc_id, lang, {sh} AS sh FROM documents)
             SELECT * FROM (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jaccard} AS jaccard
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang)
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
+               AND len(a.sh) * 5 >= len(b.sh) * 4
+               AND len(b.sh) * 5 >= len(a.sh) * 4)
             WHERE jaccard >= 0.8
         """,
         "embedding_near_dup": f"""
