@@ -348,7 +348,9 @@ _SEGMENT_LABELS = [
 def q_join_label(spark, sf_dir):
     """J5: broadcast join on a string label key against an inline dim."""
     cust = _t(spark, sf_dir, "customer")
-    dim = spark.createDataFrame(_SEGMENT_LABELS, "seg string, label string")
+    from gdp_etl_spark.session import local_df
+
+    dim = local_df(spark, _SEGMENT_LABELS, "seg string, label string")
     return (
         cust.join(F.broadcast(dim), cust["c_mktsegment"] == dim["seg"], "left")
         .groupBy("label")
@@ -388,7 +390,9 @@ def _hierarchy_edges(spark, sf_dir):
         F.lit("ALL").alias("parent"),
         F.concat(F.lit("R"), F.col("r_regionkey").cast("string")).alias("child"),
     )
-    root = spark.createDataFrame([("ROOT", "ALL")], "parent string, child string")
+    from gdp_etl_spark.session import local_df
+
+    root = local_df(spark, [("ROOT", "ALL")], "parent string, child string")
     return rn.unionByName(all_r).unionByName(root)
 
 

@@ -93,8 +93,11 @@ def transitive_closure(
             pairs = _closure_driver_side(
                 [(r[0], r[1]) for r in head], parent_col, child_col
             )
-            return edges.sparkSession.createDataFrame(
-                pairs, edges.select(parent_col, child_col).schema
+            from gdp_etl_spark.session import local_df
+
+            return local_df(
+                edges.sparkSession, pairs,
+                edges.select(parent_col, child_col).schema,
             )
 
     raw = edges.select(

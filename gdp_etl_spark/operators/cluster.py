@@ -68,9 +68,12 @@ def connected_components(
                     ru, rv = rv, ru
                 parent[rv] = ru
         out = [(n, find(n)) for n in parent]
-        return edges.sparkSession.createDataFrame(
-            out, schema=edges.select(F.col("u").alias("node"),
-                                     F.col("u").alias("component")).schema
+        from gdp_etl_spark.session import local_df
+
+        return local_df(
+            edges.sparkSession, out,
+            edges.select(F.col("u").alias("node"),
+                         F.col("u").alias("component")).schema,
         )
     labels = (
         edges.select(F.col("u").alias("node"))
