@@ -125,6 +125,17 @@ def _shingles_sql(k: int = 5) -> str:
     )
 
 
+def _ngrams_raw_sql(n: int) -> str:
+    """Mirror of functions.text.word_ngrams: ALL n-grams, duplicates
+    kept (unlike the distinct ``_shingles_sql``)."""
+    t = _TOKS_LOW
+    return (
+        f"list_transform("
+        f"range(1, greatest(len({t}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(({t})[i:i+{n - 1}], ' '))"
+    )
+
+
 def _dot_sql(a: str, b: str, dim: int = 64) -> str:
     """Mirror of functions.vectors.dot_fixed (fixed-point bigint sum)."""
     return (
@@ -1444,6 +1455,102 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing ≥1 8-token
+    shingle with a held-out eval set (here: every 50th doc).  Broadcast
+    hash semi-join — the corpus side never shuffles text."""
+    from gdp_etl_spark.operators.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    out = decontaminate(docs, bench, "text", "doc_id", shingle_k=8)
+    return out.select("doc_id", "n_overlap", "is_contaminated")
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-document repetition signals: duplicate
+    bi/tri-gram fractions, top-token dominance, and the token count
+    removed by consecutive-repeat collapse."""
+    from gdp_etl_spark.functions.text import (
+        collapse_repeated_tokens,
+        dup_ngram_ratio,
+        token_count_ws,
+        top_token_dominance,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        dup_ngram_ratio(t, 2).alias("dup_bigram_ratio"),
+        dup_ngram_ratio(t, 3).alias("dup_trigram_ratio"),
+        top_token_dominance(t).alias("top_token_share"),
+        (token_count_ws(t) - token_count_ws(collapse_repeated_tokens(t)))
+        .cast("int")
+        .alias("n_collapsed"),
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing: per-language token stream in
+    doc_id order cut into 512-token training sequences — one window per
+    shard, no global sort."""
+    from gdp_etl_spark.functions.text import token_count_ws
+    from gdp_etl_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count_ws(F.col("text")).cast("int").alias("n_tok")
+    )
+    return pack_sequences(d, "n_tok", 512, ["lang"], ["doc_id"]).select(
+        "doc_id", "lang", "n_tok", "seq_id", "seq_offset"
+    )
+
+
+def q_embed_transform(spark, sf_dir):
+    """Embedding transforms: unit-norm (fixed-point divisor), symmetric
+    int8 quantization, and a 4-dim signed random projection — all
+    engine-deterministic by the dot_fixed recipe."""
+    from gdp_etl_spark.functions.vectors import (
+        l2_normalize,
+        quantize_int8,
+        random_projection,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = F.col("embedding")
+    return e.select(
+        "vec_id",
+        l2_normalize(a).alias("unit"),
+        quantize_int8(a).alias("q8"),
+        random_projection(a, 4).alias("proj"),
+    )
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact support-threshold frequent items over the token stream
+    (share ≥ 0.2%) — explode → partial-agg count → vocabulary-sized
+    share window."""
+    from gdp_etl_spark.functions.text import ws_tokens
+    from gdp_etl_spark.operators.outliers import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    return heavy_hitters(d, F.col("tok"), min_share=0.002)
+
+
+def q_outlier_fences(spark, sf_dir):
+    """Tukey (IQR) outlier fences per return flag with outlier counts —
+    exact quartiles at binary-exact interpolation fractions, fences
+    broadcast back for the tagging pass."""
+    from gdp_etl_spark.operators.outliers import iqr_fences
+
+    li = _t(spark, sf_dir, "lineitem")
+    return iqr_fences(li, "l_extendedprice", ["l_returnflag"]).select(
+        "l_returnflag", "p25", "p75", "lo", "hi", "n_below", "n_above", "n_total"
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1533,6 +1640,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "funnel": q_funnel,
         "sql_api": q_sql_api,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "pack_sequences": q_pack_sequences,
+        "embed_transform": q_embed_transform,
+        "heavy_hitters": q_heavy_hitters,
+        "outlier_fences": q_outlier_fences,
     }
 
 
@@ -1540,8 +1653,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles
 # ===========================================================================
 
+def _rproj_sql(j: int, col: str = "embedding", dim: int = 64, seed: str = "rp") -> str:
+    """Mirror of functions.vectors.random_projection component j: signed
+    fixed-point fold with the md5-parity ±1 sign."""
+    sign = (
+        f"CASE WHEN substr(md5(CAST(i - 1 AS VARCHAR) || ':' || '{j}'"
+        f" || ':' || '{seed}'), 1, 1)"
+        f" IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END"
+    )
+    return (
+        f"(CAST(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(floor(CAST({col}[i] AS DOUBLE) * 1e12) AS BIGINT)"
+        f" * {sign})) AS DOUBLE) / 1e12)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sh = _shingles_sql(5)
+    sh8 = _shingles_sql(8)
+    g2 = _ngrams_raw_sql(2)
+    g3 = _ngrams_raw_sql(3)
     sw_list = _sql_list(STOPWORDS)
     lang_score = {
         lang: f"len(list_filter({_TOKS_LOW}, t -> list_contains({_sql_list(m)}, t)))"
@@ -2404,6 +2535,93 @@ def oracle_sql() -> dict[str, str]:
                     FROM runs GROUP BY 1)
             SELECT lab.Economy_Code, lab.Variable, lab.Economy_Label, yrs.Years
             FROM lab JOIN yrs USING (Economy_Code)
+        """,
+        "decontaminate": f"""
+            WITH bs AS (
+              SELECT DISTINCT unnest({sh8}) AS s
+              FROM documents WHERE doc_id % 50 = 0),
+            ds AS (SELECT doc_id, unnest({sh8}) AS s FROM documents),
+            ov AS (SELECT doc_id, count(DISTINCT s) AS n
+                   FROM ds JOIN bs USING (s) GROUP BY doc_id)
+            SELECT d.doc_id, CAST(coalesce(o.n, 0) AS INT) AS n_overlap,
+                   coalesce(o.n, 0) >= 1 AS is_contaminated
+            FROM documents d LEFT JOIN ov o USING (doc_id)
+        """,
+        "repetition_stats": f"""
+            SELECT doc_id,
+                   CASE WHEN len({g2}) = 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct({g2})) AS DOUBLE)
+                             / CAST(len({g2}) AS DOUBLE) END AS dup_bigram_ratio,
+                   CASE WHEN len({g3}) = 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct({g3})) AS DOUBLE)
+                             / CAST(len({g3}) AS DOUBLE) END AS dup_trigram_ratio,
+                   CASE WHEN len({_TOKS_LOW}) = 0 THEN 0.0
+                        ELSE CAST(list_max(list_transform(
+                               list_distinct({_TOKS_LOW}),
+                               u -> len(list_filter({_TOKS_LOW}, x -> x = u))))
+                             AS DOUBLE) / CAST(len({_TOKS_LOW}) AS DOUBLE)
+                   END AS top_token_share,
+                   CAST(len({_TOKS_RAW})
+                        - len(list_filter({_TOKS_RAW},
+                              (x, i) -> i = 1 OR x <> ({_TOKS_RAW})[i - 1]))
+                        AS INT) AS n_collapsed
+            FROM documents
+        """,
+        "pack_sequences": f"""
+            WITH d AS (
+              SELECT doc_id, lang, CAST(len({_TOKS_RAW}) AS INT) AS n_tok
+              FROM documents),
+            s AS (
+              SELECT *,
+                     CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tok AS BIGINT) AS start
+              FROM d)
+            SELECT doc_id, lang, n_tok,
+                   CAST(floor(start / 512.0) AS BIGINT) AS seq_id,
+                   CAST(start % 512 AS BIGINT) AS seq_offset
+            FROM s
+        """,
+        "embed_transform": f"""
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     {_dot_sql('embedding', 'embedding')} AS n2,
+                     list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS mx
+              FROM embeddings)
+            SELECT vec_id,
+                   CASE WHEN n2 <= 0 THEN NULL
+                        ELSE list_transform(embedding,
+                               x -> CAST(x AS DOUBLE) / sqrt(n2)) END AS unit,
+                   CASE WHEN mx <= 0 THEN NULL
+                        ELSE list_transform(embedding,
+                               x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
+                                          + 0.5) AS INT)) END AS q8,
+                   [{", ".join(_rproj_sql(j) for j in range(4))}] AS proj
+            FROM b
+        """,
+        "heavy_hitters": f"""
+            WITH tc AS (SELECT unnest({_TOKS_LOW}) AS item FROM documents),
+            g AS (SELECT item, count(*) AS cnt FROM tc GROUP BY item)
+            SELECT item, cnt,
+                   CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE)
+                     AS share
+            FROM g QUALIFY cnt >= 0.002 * CAST(SUM(cnt) OVER () AS DOUBLE)
+        """,
+        "outlier_fences": """
+            WITH b AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, 0.25) AS p25,
+                     quantile_cont(l_extendedprice, 0.75) AS p75
+              FROM lineitem GROUP BY 1),
+            f AS (SELECT *, p25 - 1.5 * (p75 - p25) AS lo,
+                         p75 + 1.5 * (p75 - p25) AS hi FROM b)
+            SELECT l.l_returnflag, f.p25, f.p75, f.lo, f.hi,
+                   count(CASE WHEN l_extendedprice < lo THEN 1 END) AS n_below,
+                   count(CASE WHEN l_extendedprice > hi THEN 1 END) AS n_above,
+                   count(*) AS n_total
+            FROM lineitem l JOIN f USING (l_returnflag)
+            GROUP BY 1, 2, 3, 4, 5
         """,
         # simhash_pairs, lsh_topk: approximate / non-SQL-expressible →
         # intentionally omitted (driver records rows-only checks).

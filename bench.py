@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "bm25_topk",            # ranked retrieval (explode + filtered agg)
     "pii_redact",           # regex scrub map work
     "corpus_clean",         # composed clean pipeline (score+redact+dedup+sample)
+    "decontaminate",        # benchmark shingle-hash broadcast semi-join
+    "repetition_stats",     # intra-doc repetition HOFs
+    "pack_sequences",       # per-shard running-sum packing window
+    "embed_transform",      # fixed-point vector transforms
 ]
 
 

@@ -271,3 +271,64 @@ def rolling_content_hash(text: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: F.pmod(acc * F.lit(_RH_BASE) + x, F.lit(_RH_MOD)),
     )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """ALL word n-grams (duplicates kept, unlike ``shingles``) — the raw
+    material for repetition metrics.  Docs shorter than n tokens yield
+    one gram (the whole text); tokenless docs yield an empty array."""
+    toks = ws_tokens(F.lower(text))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(1)))
+    gram = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(cnt == 0, F.array().cast("array<string>")).otherwise(gram)
+
+
+def dup_ngram_ratio(text: Column, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram —
+    the Gopher-style intra-document repetition signal (high value ⇒
+    boilerplate / looping generation).  0.0 for docs with no grams."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double") / total.cast("double")
+    )
+
+
+def top_token_dominance(text: Column) -> Column:
+    """Frequency share of the single most common token (1.0 ⇒ the doc is
+    one token repeated).  0.0 for tokenless docs.  O(unique·n) per row —
+    all JVM HOFs, fine for document-sized arrays."""
+    toks = ws_tokens(F.lower(text))
+    n = F.size(toks)
+    max_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        max_cnt.cast("double") / n.cast("double")
+    )
+
+
+def collapse_repeated_tokens(text: Column) -> Column:
+    """Collapse immediate token repeats ("the the the" → "the") — the
+    cheap intra-document cleanup step of a corpus pipeline.  Index-aware
+    ``filter``: element i survives unless it equals element i-1
+    (``element_at`` is 1-based, so ``element_at(toks, i)`` IS the
+    previous element for 0-based lambda index i ≥ 1).  NULL text stays
+    NULL."""
+    toks = ws_tokens(text)
+    # CASE-gated so element_at(toks, 0) is never evaluated (it raises in
+    # every ANSI mode; `|` does not short-circuit, CASE branches do)
+    kept = F.filter(
+        toks,
+        lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+            x != F.element_at(toks, i)
+        ),
+    )
+    return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(
+        F.array_join(kept, " ")
+    )

@@ -70,3 +70,67 @@ def cosine_exact(a: Column, b: Column) -> Column:
     return F.when((na2 <= 0) | (nb2 <= 0), F.lit(None).cast("double")).otherwise(
         dot_fixed(a, b) / (F.sqrt(na2) * F.sqrt(nb2))
     )
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-norm vector as ``array<double>``; NULL for zero/NULL norm.
+    The norm comes from the fixed-point self-dot (``dot_fixed``), so the
+    divisor — and therefore every element — is bit-identical across
+    engines and partitionings."""
+    n2 = dot_fixed(a, a)
+    return F.when(n2 <= 0, F.lit(None).cast("array<double>")).otherwise(
+        F.transform(_to_double(a), lambda x: x / F.sqrt(n2))
+    )
+
+
+def quantize_int8(a: Column) -> Column:
+    """Symmetric int8 quantization: scale = 127/max|x|, elements →
+    ``floor(x·scale + 0.5)`` (explicit half-up; engine ``round`` tie
+    rules differ).  NULL for all-zero vectors."""
+    mx = F.array_max(F.transform(_to_double(a), F.abs))
+    scale = F.lit(127.0) / mx
+    return F.when(mx <= 0, F.lit(None).cast("array<int>")).otherwise(
+        F.transform(
+            _to_double(a), lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
+        )
+    )
+
+
+def random_projection(a: Column, out_dim: int, seed: str = "rp") -> Column:
+    """Signed random projection to ``out_dim`` dims:
+    ``out[j] = Σᵢ sign(md5(i:j:seed)) · aᵢ`` — the JL-sketch used for
+    cheap embedding compression and LSH preprocessing.
+
+    Determinism recipe (mirrors ``dot_fixed``): elements are floored to
+    fixed-point bigints, the ±1 sign comes from the parity of the first
+    hex digit of a portable md5, and accumulation is exact integer —
+    reproducible across engines, partitionings, and executors."""
+    ad = _to_double(a)
+    even = ("0", "2", "4", "6", "8", "a", "c", "e")
+
+    def comp(j: int) -> Column:
+        signed = F.transform(
+            ad,
+            lambda x, i: F.floor(x * F.lit(_FP_SCALE)).cast("bigint")
+            * F.when(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", i.cast("string"), F.lit(str(j)), F.lit(seed)
+                        )
+                    ),
+                    1,
+                    1,
+                ).isin(*even),
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("bigint"),
+        )
+        return (
+            F.aggregate(signed, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+            .cast("double")
+            / F.lit(_FP_SCALE)
+        )
+
+    return F.array(*[comp(j) for j in range(out_dim)])

@@ -1,0 +1,61 @@
+"""Benchmark decontamination: drop/flag training documents that overlap a
+held-out evaluation set.
+
+The standard recipe for large-scale training corpora (n-gram collision
+against benchmark text, cf. GPT-3 App. C / PaLM / Llama reports): any
+training document sharing at least ``min_overlap`` k-token shingles with
+the benchmark is contaminated.
+
+Scale shape: the benchmark side is tiny (eval sets are thousands of
+rows) → distinct shingle hashes broadcast; the corpus side explodes to
+(doc, shingle-hash) pairs that join map-side with NO shuffle of document
+text, then partially aggregate per doc id.  Shuffle keys are 8-byte
+hashes, never shingle strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gdp_etl_spark.functions.text import shingles
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 8,
+    min_overlap: int = 1,
+    benchmark_text_col: str | None = None,
+) -> DataFrame:
+    """``docs`` + ``n_overlap`` (distinct shared shingles) +
+    ``is_contaminated`` (n_overlap ≥ min_overlap).
+
+    Callers filter ``~is_contaminated`` to keep the clean corpus; the
+    flag form is returned so audits can count/export what was dropped.
+    """
+    b_text = benchmark_text_col or text_col
+    bench_hashes = (
+        benchmark.select(
+            F.explode(shingles(F.col(b_text), shingle_k)).alias("__s")
+        )
+        .select(F.xxhash64("__s").alias("__h"))
+        .distinct()
+    )
+    doc_hashes = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),
+    ).select(id_col, F.xxhash64("__s").alias("__h"))
+    overlap = (
+        doc_hashes.join(F.broadcast(bench_hashes), "__h")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__h").alias("__n"))
+    )
+    return (
+        docs.join(overlap, id_col, "left")
+        .withColumn("n_overlap", F.coalesce(F.col("__n"), F.lit(0)).cast("int"))
+        .drop("__n")
+        .withColumn("is_contaminated", F.col("n_overlap") >= F.lit(min_overlap))
+    )

@@ -1,0 +1,188 @@
+"""Tests for the corpus-pipeline operators added late in round 2:
+decontamination, repetition metrics, sequence packing, embedding
+transforms, heavy hitters, and IQR fences."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from gdp_etl_spark.operators.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words nothing shared here at all folks"),
+            (3, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    out = rows(
+        decontaminate(docs, bench, "text", "doc_id", shingle_k=8),
+        "doc_id", "n_overlap", "is_contaminated",
+    )
+    flags = {r[0]: (r[1], r[2]) for r in out}
+    assert flags[1][0] >= 1 and flags[1][1] is True
+    assert flags[2] == (0, False)
+    assert flags[3] == (0, False)  # NULL text → no shingles → clean
+
+
+def test_decontaminate_min_overlap_threshold(spark):
+    from gdp_etl_spark.operators.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h x")], "doc_id bigint, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c d e f g h")], "doc_id bigint, text string"
+    )
+    # doc has shingles "a..h" and "b..x": exactly one overlaps
+    out = decontaminate(docs, bench, "text", "doc_id", shingle_k=8,
+                        min_overlap=2)
+    assert rows(out, "n_overlap", "is_contaminated") == [(1, False)]
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics
+# ---------------------------------------------------------------------------
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).first()["v"]
+
+
+def test_dup_ngram_ratio(spark):
+    from gdp_etl_spark.functions.text import dup_ngram_ratio
+
+    # "a a a a": bigrams [a a, a a, a a] → 1 distinct of 3 → ratio 2/3
+    v = _one(spark, "a a a a", dup_ngram_ratio(F.col("text"), 2))
+    assert v == pytest.approx(2.0 / 3.0)
+    assert _one(spark, "a b c d", dup_ngram_ratio(F.col("text"), 2)) == 0.0
+    assert _one(spark, None, dup_ngram_ratio(F.col("text"), 2)) == 0.0
+    assert _one(spark, "   ", dup_ngram_ratio(F.col("text"), 3)) == 0.0
+
+
+def test_top_token_dominance(spark):
+    from gdp_etl_spark.functions.text import top_token_dominance
+
+    assert _one(spark, "a b a", top_token_dominance(F.col("text"))) == (
+        pytest.approx(2.0 / 3.0)
+    )
+    assert _one(spark, "x x x", top_token_dominance(F.col("text"))) == 1.0
+    assert _one(spark, None, top_token_dominance(F.col("text"))) == 0.0
+
+
+def test_collapse_repeated_tokens(spark):
+    from gdp_etl_spark.functions.text import collapse_repeated_tokens
+
+    c = collapse_repeated_tokens(F.col("text"))
+    assert _one(spark, "x x y y y z", c) == "x y z"
+    assert _one(spark, "a b a", c) == "a b a"  # only IMMEDIATE repeats
+    assert _one(spark, None, c) is None
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_chunking(spark):
+    from gdp_etl_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "en", 4), (2, "en", 4), (3, "en", 4), (4, "en", 4),
+         (5, "de", 11)],
+        "doc_id bigint, lang string, n_tok int",
+    )
+    out = rows(
+        pack_sequences(df, "n_tok", 10, ["lang"], ["doc_id"]),
+        "doc_id", "seq_id", "seq_offset",
+    )
+    # en stream starts: 0,4,8,12 → seqs 0,0,0,1; de shard independent
+    assert out == [(1, 0, 0), (2, 0, 4), (3, 0, 8), (4, 1, 2), (5, 0, 0)]
+
+
+def test_pack_sequences_requires_order(spark):
+    from gdp_etl_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 1)], "doc_id bigint, n_tok int")
+    with pytest.raises(ValueError):
+        pack_sequences(df, "n_tok", 10, [], [])
+
+
+# ---------------------------------------------------------------------------
+# embedding transforms
+# ---------------------------------------------------------------------------
+
+def test_l2_normalize_and_quantize(spark):
+    from gdp_etl_spark.functions.vectors import l2_normalize, quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["unit"], r["q8"])
+        for r in df.select(
+            "vec_id",
+            l2_normalize(F.col("embedding")).alias("unit"),
+            quantize_int8(F.col("embedding")).alias("q8"),
+        ).collect()
+    }
+    unit, q8 = out[1]
+    assert unit[0] == pytest.approx(0.6) and unit[1] == pytest.approx(0.8)
+    assert math.isclose(sum(x * x for x in unit), 1.0, rel_tol=1e-9)
+    assert q8 == [95, 127]  # floor(3*127/4 + .5)=95, max → 127
+    assert out[2] == (None, None)  # zero vector → NULL, not div-by-zero
+
+
+def test_random_projection_deterministic(spark):
+    from gdp_etl_spark.functions.vectors import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 8)], "vec_id bigint, embedding array<float>"
+    )
+    a = df.select(random_projection(F.col("embedding"), 4).alias("p")).first()["p"]
+    b = df.select(random_projection(F.col("embedding"), 4).alias("p")).first()["p"]
+    assert len(a) == 4 and a == b  # same seed → identical output
+    c = df.select(
+        random_projection(F.col("embedding"), 4, seed="other").alias("p")
+    ).first()["p"]
+    assert a != c  # seed changes the sign matrix
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters / IQR fences
+# ---------------------------------------------------------------------------
+
+def test_heavy_hitters_threshold(spark):
+    from gdp_etl_spark.operators.outliers import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",)] * 60 + [("b",)] * 39 + [("c",)], "item string"
+    )
+    out = rows(heavy_hitters(df, F.col("item"), min_share=0.02),
+               "item", "cnt")
+    assert out == [("a", 60), ("b", 39)]  # c = 1% < 2% support
+
+
+def test_iqr_fences_counts(spark):
+    from gdp_etl_spark.operators.outliers import iqr_fences
+
+    vals = [float(v) for v in range(1, 13)] + [1000.0, -1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v double")
+    r = iqr_fences(df, "v", ["grp"]).first()
+    assert r["n_total"] == 14
+    assert r["n_above"] == 1 and r["n_below"] == 1
+    assert r["lo"] < 1.0 and r["hi"] > 12.0
