@@ -70,6 +70,7 @@ from gdp_etl_spark.operators.sessions import sessionize
 from gdp_etl_spark.plans.qa import (
     added_values,
     discrepancies_before_last_year,
+    missing_values,
     top_discrepancies_last_year,
 )
 from gdp_etl_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
@@ -1035,11 +1036,12 @@ def q_multimodal_frames(spark, sf_dir):
 # QA report suite (§3.3) — plans/qa.py driven against a TPC-H-shaped diff
 # ===========================================================================
 
-def _orders_release_diff(spark, sf_dir, old_predicate=None):
+def _orders_release_diff(spark, sf_dir, old_predicate=None, new_predicate=None):
     """A release-diff-shaped frame from the driver tables: per
-    (nation, year) revenue, "new" = all orders vs "old" = a filtered
-    subset (default: F-status orders), mapped onto the QA contract
-    (code/label/year/variable)."""
+    (nation, year) revenue, "new" = all orders (or a ``new_predicate``
+    subset, to synthesize values MISSING from the new release) vs
+    "old" = a filtered subset (default: F-status orders), mapped onto
+    the QA contract (code/label/year/variable)."""
     if old_predicate is None:
         old_predicate = F.col("o_orderstatus") == "F"
     o = _t(spark, sf_dir, "orders")
@@ -1061,7 +1063,7 @@ def _orders_release_diff(spark, sf_dir, old_predicate=None):
             .withColumn("Variable", F.lit("revenue"))
         )
 
-    new = spend(joined)
+    new = spend(joined if new_predicate is None else joined.filter(new_predicate))
     old = spend(joined.filter(old_predicate))
     diff = full_outer_diff(
         new.select("Economy_Code", "Year", "Variable", "Value"),
@@ -1073,7 +1075,7 @@ def _orders_release_diff(spark, sf_dir, old_predicate=None):
     return diff.join(F.broadcast(labels), "Economy_Code", "left")
 
 
-def _qa_diff_sql(old_pred: str) -> str:
+def _qa_diff_sql(old_pred: str, new_pred: str = "TRUE") -> str:
     return f"""
             WITH j AS (
               SELECT lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS Economy_Code,
@@ -1085,7 +1087,7 @@ def _qa_diff_sql(old_pred: str) -> str:
             new AS (SELECT Economy_Code, Economy_Label, Year,
                            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
                              AS Value
-                    FROM j GROUP BY 1, 2, 3),
+                    FROM j WHERE {new_pred} GROUP BY 1, 2, 3),
             old AS (SELECT Economy_Code, Year,
                            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
                              AS Value
@@ -1105,6 +1107,7 @@ def _qa_diff_sql(old_pred: str) -> str:
 
 _QA_DIFF_SQL = _qa_diff_sql("o_orderstatus = 'F'")
 _QA_DIFF_BIG_SQL = _qa_diff_sql("o_totalprice > 480000")
+_QA_DIFF_MISS_SQL = _qa_diff_sql("TRUE", "Year <= 1996")
 
 
 def q_qa_discrepancies(spark, sf_dir):
@@ -1121,6 +1124,71 @@ def q_qa_top_log_ratio(spark, sf_dir):
     diff = _orders_release_diff(spark, sf_dir)
     out = top_discrepancies_last_year(diff, last_year=2001, k=10)
     return out.select("Economy_Code", "Economy_Label", "Value_new", "Value_old")
+
+
+def q_qa_missing_years(spark, sf_dir):
+    """QA 3 (``06:5-16``): values present in the old release but absent
+    from the new, as compressed year ranges — the new side is truncated
+    at 1996 so later years go missing."""
+    diff = _orders_release_diff(
+        spark, sf_dir,
+        old_predicate=F.lit(True),
+        new_predicate=F.year("o_orderdate") <= 1996,
+    )
+    return missing_values(diff).select(
+        "Economy_Code", "Variable", "Economy_Label", "Years"
+    )
+
+
+def q_qa_deflator_check(spark, sf_dir):
+    """QA 5 (``08:10-93``): metamorphic deflator cross-check — the
+    deflator implied by the fact's own current/constant series
+    (pivot + 100·cur/con, estimation year NA-ed) against an
+    independently derived series (discounted unit price), keeping each
+    economy's largest |discrepancy| (W3)."""
+    from gdp_etl_spark.plans.qa import deflator_check
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            pad_code("n_nationkey", 3).alias("Economy_Code"),
+            F.col("n_name").alias("Economy_Label"),
+            F.year("o_orderdate").alias("Year"),
+            F.col("l_extendedprice").alias("ep"),
+            F.col("l_discount").alias("disc"),
+            F.col("l_quantity").alias("q"),
+        )
+    )
+    agg = j.groupBy("Economy_Code", "Economy_Label", "Year").agg(
+        dsum("ep", "cur"),
+        dsum("q", "dq"),
+        dsum(F.col("ep") * (F.lit(1.0) - F.col("disc")), "dep"),
+    )
+    fact = (
+        agg.select(
+            "Economy_Code", "Economy_Label", "Year",
+            F.col("cur").alias("Value"),
+            F.lit("GDP_at_current_prices").alias("Variable"),
+        )
+        .unionByName(
+            agg.select(
+                "Economy_Code", "Economy_Label", "Year",
+                (F.col("dq") * F.lit(100.0)).alias("Value"),
+                F.lit("GDP_at_constant_prices_2015").alias("Variable"),
+            )
+        )
+    )
+    independent = agg.select(
+        "Economy_Code", "Year",
+        (F.col("dep") / F.col("dq")).alias("Deflator_USD"),
+    )
+    return deflator_check(fact, independent, last_year=1998, tol=1.0)
 
 
 def q_qa_added_years(spark, sf_dir):
@@ -1623,6 +1691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_discrepancies": q_qa_discrepancies,
         "qa_top_log_ratio": q_qa_top_log_ratio,
         "qa_added_years": q_qa_added_years,
+        "qa_missing_years": q_qa_missing_years,
+        "qa_deflator_check": q_qa_deflator_check,
         "native_rollup": q_native_rollup,
         "grouping_sets": q_grouping_sets,
         "sketch_stats": q_sketch_stats,
@@ -2535,6 +2605,57 @@ def oracle_sql() -> dict[str, str]:
                     FROM runs GROUP BY 1)
             SELECT lab.Economy_Code, lab.Variable, lab.Economy_Label, yrs.Years
             FROM lab JOIN yrs USING (Economy_Code)
+        """,
+        "qa_missing_years": _QA_DIFF_MISS_SQL + """
+            , msng AS (
+              SELECT * FROM labeled
+              WHERE Value_new IS NULL AND Value_old IS NOT NULL),
+            lab AS (SELECT Economy_Code, 'revenue' AS Variable,
+                           min(Economy_Label) AS Economy_Label
+                    FROM msng GROUP BY 1),
+            isl AS (SELECT Economy_Code, Year,
+                      Year - CAST(row_number() OVER (PARTITION BY Economy_Code
+                                  ORDER BY Year) AS INT) AS island
+                    FROM (SELECT DISTINCT Economy_Code, Year FROM msng)),
+            runs AS (SELECT Economy_Code, island, min(Year) AS lo, max(Year) AS hi
+                     FROM isl GROUP BY 1, 2),
+            yrs AS (SELECT Economy_Code,
+                      string_agg(CASE WHEN lo = hi THEN CAST(lo AS VARCHAR)
+                                 ELSE CAST(lo AS VARCHAR) || '-' || CAST(hi AS VARCHAR)
+                                 END, ', ' ORDER BY lo) AS Years
+                    FROM runs GROUP BY 1)
+            SELECT lab.Economy_Code, lab.Variable, lab.Economy_Label, yrs.Years
+            FROM lab JOIN yrs USING (Economy_Code)
+        """,
+        "qa_deflator_check": """
+            WITH j AS (
+              SELECT lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS Economy_Code,
+                     n_name AS Economy_Label,
+                     CAST(year(o_orderdate) AS INT) AS Year,
+                     l_extendedprice AS ep, l_discount AS disc, l_quantity AS q
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                   JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey),
+            agg AS (
+              SELECT Economy_Code, Economy_Label, Year,
+                     CAST(SUM(CAST(ep AS DECIMAL(28,6))) AS DOUBLE) AS cur,
+                     CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) AS dq,
+                     CAST(SUM(CAST(ep * (1.0 - disc) AS DECIMAL(28,6))) AS DOUBLE)
+                       AS dep
+              FROM j GROUP BY 1, 2, 3),
+            imp AS (
+              SELECT Economy_Code, Economy_Label, Year,
+                     CASE WHEN Year = 1998 THEN NULL
+                          ELSE 100.0 * cur / (dq * 100.0) END AS Deflator_implied,
+                     dep / dq AS Deflator_USD
+              FROM agg),
+            bad AS (
+              SELECT *, Deflator_implied - Deflator_USD AS Diff FROM imp
+              WHERE abs(Deflator_implied - Deflator_USD) > 1.0)
+            SELECT Economy_Code, Economy_Label, Year,
+                   Deflator_implied, Deflator_USD, Diff
+            FROM bad
+            QUALIFY abs(Diff) = max(abs(Diff)) OVER (PARTITION BY Economy_Label)
         """,
         "decontaminate": f"""
             WITH bs AS (
