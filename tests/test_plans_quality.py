@@ -193,3 +193,46 @@ def test_sketch_error_bounds(spark):
         # rank error 1e-4 on ~1-2k rows per group: the approx median must
         # be within a handful of ranks — use a generous 2% value band
         assert qa[k][0] == pytest.approx(med[k], rel=0.02), k
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast — the corpus side of a
+    decontamination pass can be 100 TB and must never shuffle."""
+    plan = _plan(e.q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_single_window_exchange(spark):
+    """Packing is one hash exchange on the shard key (plus the window
+    sort) — no global single-partition window."""
+    df = e.q_pack_sequences(spark, SF)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_embed_transform_is_shuffle_free(spark):
+    """Vector transforms are pure per-row map work: no key shuffle (the
+    only Exchange is the loader's round-robin split-spread, which at
+    real scale is the writer's file layout, not a reader step)."""
+    plan = _plan(e.q_embed_transform(spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    plan = _plan(e.q_repetition_stats(spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_outlier_fences_broadcasts_bands(spark):
+    """Quartile bands (group-count rows) broadcast back to the tagging
+    pass; the fact table itself shuffles once for the percentile agg
+    and once for the count agg — never for the band join."""
+    plan = _plan(e.q_outlier_fences(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
