@@ -1619,6 +1619,27 @@ def q_outlier_fences(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling without replacement: 50
+    docs drawn ∝ token count, fully deterministic (hash-uniform draw),
+    planned as TakeOrderedAndProject — never a global sort."""
+    from gdp_etl_spark.functions.text import token_count_ws
+    from gdp_etl_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count_ws(F.col("text")).cast("int").alias("w")
+    )
+    return weighted_sample(d, "doc_id", "w", k=50)
+
+
+def q_profile_table(spark, sf_dir):
+    """One-pass table profile: per-column null counts and exact
+    cardinality from a single wide aggregation, unpivoted."""
+    from gdp_etl_spark.operators.profile import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "orders"))
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1716,6 +1737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_transform": q_embed_transform,
         "heavy_hitters": q_heavy_hitters,
         "outlier_fences": q_outlier_fences,
+        "weighted_sample": q_weighted_sample,
+        "profile_table": q_profile_table,
     }
 
 
@@ -2744,6 +2767,33 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN f USING (l_returnflag)
             GROUP BY 1, 2, 3, 4, 5
         """,
+        "weighted_sample": f"""
+            WITH d AS (
+              SELECT doc_id, lang, CAST(len({_TOKS_RAW}) AS INT) AS w
+              FROM documents),
+            s AS (
+              SELECT *,
+                CASE WHEN w > 0 THEN
+                  ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                       || ':' || 'ws'), 1, 8)) AS BIGINT) + 1)
+                     / 4294967296.0) / w
+                ELSE CAST('-inf' AS DOUBLE) END AS score
+              FROM d)
+            SELECT doc_id, lang, w FROM s
+            ORDER BY score DESC, doc_id LIMIT 50
+        """,
+        "profile_table": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS "column", count(*) AS n_rows,
+                   count(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+                   CAST(count(CASE WHEN {c} IS NULL THEN 1 END) AS DOUBLE)
+                     / count(*) AS null_frac,
+                   count(DISTINCT {c}) AS n_distinct
+            FROM orders
+            """
+            for c in ["o_orderkey", "o_custkey", "o_orderstatus",
+                      "o_totalprice", "o_orderdate", "o_orderpriority"]
+        ),
         # simhash_pairs, lsh_topk: approximate / non-SQL-expressible →
         # intentionally omitted (driver records rows-only checks).
     }

@@ -89,3 +89,35 @@ def hash_split(
         F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
     )
     return df.withColumn("split", expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "ws",
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement:
+    every row draws a deterministic uniform u ∈ (0, 1] from its content
+    hash and scores ``ln(u) / w``; the top-``k`` scores win.  Selection
+    probability is proportional to weight, yet the draw is fully
+    reproducible (same rows across runs, engines, partitionings) —
+    ``df.sample``'s weighted cousin for corpus curation quotas.
+
+    Scale shape: score is per-row map work; top-k plans as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k),
+    never a global sort.  Zero-weight rows are excluded (score −∞ via
+    u^(1/0⁺) → ln-key −∞)."""
+    u = (
+        (_hash_bucket(F.col(key_col), seed) + F.lit(1)).cast("double")
+        / F.lit(float(_BUCKETS))
+    )
+    w = F.col(weight_col).cast("double")
+    score = F.when(w > 0, F.log(u) / w).otherwise(F.lit(float("-inf")))
+    return (
+        df.withColumn("__score", score)
+        .orderBy(F.col("__score").desc(), F.col(key_col))
+        .limit(k)
+        .drop("__score")
+    )

@@ -186,3 +186,38 @@ def test_iqr_fences_counts(spark):
     assert r["n_total"] == 14
     assert r["n_above"] == 1 and r["n_below"] == 1
     assert r["lo"] < 1.0 and r["hi"] > 12.0
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling / profiling
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    from gdp_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(100)] + [(1000, 100000), (1001, 0)],
+        "doc_id bigint, w int",
+    )
+    a = rows(weighted_sample(df, "doc_id", "w", k=10), "doc_id")
+    b = rows(weighted_sample(df, "doc_id", "w", k=10), "doc_id")
+    assert a == b and len(a) == 10          # deterministic draw
+    assert (1000,) in a                      # w=100000 dominates k=10 draw
+    assert (1001,) not in a                  # zero weight never sampled
+    # composability with a different seed changes the sample
+    c = rows(weighted_sample(df, "doc_id", "w", k=10, seed="s2"), "doc_id")
+    assert (1000,) in c and a != c
+
+
+def test_profile_columns_counts(spark):
+    from gdp_etl_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "k bigint, v string",
+    )
+    out = {r["column"]: r for r in profile_columns(df).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 1
+    assert out["k"]["n_distinct"] == 3
+    assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 2
+    assert out["v"]["null_frac"] == 0.25

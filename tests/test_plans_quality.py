@@ -236,3 +236,11 @@ def test_outlier_fences_broadcasts_bands(spark):
     plan = _plan(e.q_outlier_fences(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_plans_take_ordered(spark):
+    """The weighted draw must plan per-partition heaps + driver merge,
+    never a global sort-shuffle."""
+    plan = _plan(e.q_weighted_sample(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
