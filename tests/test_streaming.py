@@ -227,3 +227,35 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # watermark leaked).  10:05 lives in the next window.
     assert got.get(0) == 2
     assert got.get(5) == 1
+
+
+def test_incremental_merge_converges_to_batch_upsert(spark, tmp_path):
+    """Multi-batch foreachBatch merge == batch last-writer-wins, no
+    matter how the files were cut into micro-batches, including
+    redelivered duplicates."""
+    import pandas as pd
+
+    from gdp_etl_spark.streaming.sink import run_incremental_merge
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # three files → three micro-batches (maxFilesPerTrigger=1):
+    # k=1 updated twice, k=2 redelivered identically, k=3 insert-only
+    pd.DataFrame(
+        {"k": [1, 2], "version": [1, 1], "v": ["a", "x"]}
+    ).to_parquet(src / "f1.parquet")
+    pd.DataFrame(
+        {"k": [1, 2], "version": [2, 1], "v": ["b", "x"]}
+    ).to_parquet(src / "f2.parquet")
+    pd.DataFrame(
+        {"k": [1, 3], "version": [3, 1], "v": ["c", "z"]}
+    ).to_parquet(src / "f3.parquet")
+
+    stream = (
+        spark.readStream.schema("k bigint, version bigint, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    snap = run_incremental_merge(stream, ["k"], "version")
+    got = sorted(tuple(r) for r in snap.select("k", "version", "v").collect())
+    assert got == [(1, 3, "c"), (2, 1, "x"), (3, 1, "z")]
