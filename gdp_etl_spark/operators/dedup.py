@@ -98,6 +98,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -153,6 +154,14 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+    # The verify joins pull shingle arrays to the candidate pairs.  The
+    # candidate set is 16 B/row and near-dup-sized (≪ corpus), so
+    # broadcasting it keeps the WIDE side (shingle arrays) unshuffled —
+    # measured 2-3× on the end-to-end pass.  Disable for adversarial
+    # bucket skew where candidates could rival the corpus (then the
+    # arrays shuffle by id instead, which always completes).
+    if broadcast_candidates:
+        candidates = F.broadcast(candidates)
 
     verified = (
         candidates.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
