@@ -1619,6 +1619,36 @@ def q_outlier_fences(spark, sf_dir):
     )
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL sink → explicit-schema PERMISSIVE scan (the training-data
+    interchange format): clean rows round-trip exactly, corrupt lines
+    would quarantine into _corrupt_record instead of failing the job."""
+    import tempfile
+
+    from gdp_etl_spark.sources import read_jsonl
+
+    out = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    path = tempfile.mkdtemp(prefix="jsonl_rt_") + "/docs_jsonl"
+    out.coalesce(1).write.mode("overwrite").json(path)
+    back = read_jsonl(spark, path, "doc_id bigint, lang string, text string")
+    return back.filter(F.col("_corrupt_record").isNull()).select(
+        "doc_id", "lang", "text"
+    )
+
+
+def q_pseudonymize(spark, sf_dir):
+    """Salted SHA-256 keyed de-identification: stable pseudonymous ids
+    that still join/group, irreversible without the salt."""
+    from gdp_etl_spark.functions.text import pseudonymize
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        pseudonymize(F.col("c_custkey"), "s3cret").alias("pseudo_id"),
+        "c_mktsegment",
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Efraimidis–Spirakis weighted sampling without replacement: 50
     docs drawn ∝ token count, fully deterministic (hash-uniform draw),
@@ -1739,6 +1769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_fences": q_outlier_fences,
         "weighted_sample": q_weighted_sample,
         "profile_table": q_profile_table,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "pseudonymize": q_pseudonymize,
     }
 
 
@@ -2766,6 +2798,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_total
             FROM lineitem l JOIN f USING (l_returnflag)
             GROUP BY 1, 2, 3, 4, 5
+        """,
+        "jsonl_roundtrip": "SELECT doc_id, lang, text FROM documents",
+        "pseudonymize": """
+            SELECT c_custkey,
+                   sha256('s3cret' || ':' || CAST(c_custkey AS VARCHAR))
+                     AS pseudo_id,
+                   c_mktsegment
+            FROM customer
         """,
         "weighted_sample": f"""
             WITH d AS (

@@ -332,3 +332,13 @@ def collapse_repeated_tokens(text: Column) -> Column:
     return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(
         F.array_join(kept, " ")
     )
+
+
+def pseudonymize(key: Column, salt: str) -> Column:
+    """Salted SHA-256 pseudonymous id for a key column — the standard
+    GDPR-style keyed de-identification: stable for joins/grouping,
+    irreversible without the salt, portable (DuckDB mirror:
+    ``sha256(salt || ':' || key)``).  NULL keys stay NULL."""
+    return F.when(
+        key.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.sha2(F.concat_ws(":", F.lit(salt), key.cast("string")), 256))

@@ -156,3 +156,39 @@ def read_excel(
     if schema is not None:
         return spark.createDataFrame(pdf, schema=schema)
     return spark.createDataFrame(pdf)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-Lines corpus reader (the de-facto training-data interchange
+    format): explicit schema — never inference, which costs a full extra
+    pass at corpus scale and silently widens types between drops — plus
+    PERMISSIVE corrupt-record capture so one bad line quarantines into
+    ``corrupt_col`` instead of failing a 100-TB job.
+
+    Filter ``col(corrupt_col).isNull()`` for the clean rows and route
+    the rest to a quarantine sink; both stay one scan.  Spark refuses a
+    query that references ONLY the corrupt column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache the
+    parsed frame, or keep a data column in the quarantine projection."""
+    if isinstance(schema, str):
+        schema = _parse_ddl(spark, schema)
+    # copy before .add — StructType.add appends IN PLACE and would
+    # mutate a caller-owned schema object
+    full = StructType(list(schema.fields)).add(corrupt_col, "string")
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def _parse_ddl(spark: SparkSession, ddl: str) -> StructType:
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(ddl)

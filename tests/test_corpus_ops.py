@@ -221,3 +221,18 @@ def test_profile_columns_counts(spark):
     assert out["k"]["n_distinct"] == 3
     assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 2
     assert out["v"]["null_frac"] == 0.25
+
+
+def test_pseudonymize_stable_salted_null_safe(spark):
+    from gdp_etl_spark.functions.text import pseudonymize
+
+    df = spark.createDataFrame([(1,), (1,), (2,), (None,)], "k bigint")
+    out = [
+        r["p"]
+        for r in df.select(pseudonymize(F.col("k"), "s").alias("p")).collect()
+    ]
+    assert out[0] == out[1] and len(out[0]) == 64  # stable, sha-256 hex
+    assert out[2] != out[0]
+    assert out[3] is None
+    other = df.select(pseudonymize(F.col("k"), "t").alias("p")).first()["p"]
+    assert other != out[0]  # salt changes the mapping

@@ -89,3 +89,36 @@ def test_read_excel_gated_when_engine_missing(spark):
     with pytest.raises((NotImplementedError, ImportError)) as exc:
         read_excel(spark, b"not-really-xlsx", skip_rows=2)
     assert "openpyxl" in str(exc.value) or "excel" in str(exc.value).lower()
+
+
+def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gdp_etl_spark.sources import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "lang": "en", "text": "hello"}\n'
+        'NOT JSON AT ALL\n'
+        '{"doc_id": 2, "lang": "de", "text": "hallo"}\n'
+    )
+    df = read_jsonl(
+        spark, str(p), "doc_id bigint, lang string, text string"
+    ).cache()  # Spark disallows querying ONLY _corrupt_record unparsed
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    assert bad.count() == 1
+    assert bad.first()["_corrupt_record"] == "NOT JSON AT ALL"
+
+
+def test_read_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
+    from pyspark.sql.types import StructType, StructField, LongType
+
+    from gdp_etl_spark.sources import read_jsonl
+
+    p = tmp_path / "one.jsonl"
+    p.write_text('{"doc_id": 1}\n')
+    schema = StructType([StructField("doc_id", LongType())])
+    read_jsonl(spark, str(p), schema)
+    assert [f.name for f in schema.fields] == ["doc_id"]
