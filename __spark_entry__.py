@@ -1619,6 +1619,18 @@ def q_outlier_fences(spark, sf_dir):
     )
 
 
+def q_corpus_curate(spark, sf_dir):
+    """The FULL curation DAG (plans.corpus.curate_corpus): quality +
+    repetition filter → benchmark decontamination → exact dedup →
+    MinHash near-dup canonical keep → leak-free split → per-(split,
+    lang) sequence packing.  One DuckDB oracle covers the whole DAG."""
+    from gdp_etl_spark.plans.corpus import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return curate_corpus(docs, bench)
+
+
 def q_jsonl_roundtrip(spark, sf_dir):
     """JSONL sink → explicit-schema PERMISSIVE scan (the training-data
     interchange format): clean rows round-trip exactly, corrupt lines
@@ -1771,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "pseudonymize": q_pseudonymize,
+        "corpus_curate": q_corpus_curate,
     }
 
 
@@ -2798,6 +2811,68 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_total
             FROM lineitem l JOIN f USING (l_returnflag)
             GROUP BY 1, 2, 3, 4, 5
+        """,
+        "corpus_curate": f"""
+            WITH RECURSIVE
+            base AS (
+              SELECT doc_id, lang, text, {quality} AS q,
+                     CASE WHEN len({g3}) = 0 THEN 0.0
+                          ELSE 1.0 - CAST(len(list_distinct({g3})) AS DOUBLE)
+                               / CAST(len({g3}) AS DOUBLE) END AS d3,
+                     CAST(len({_TOKS_RAW}) AS INT) AS n_tok
+              FROM documents),
+            filt AS (SELECT * FROM base WHERE q >= 0.8 AND d3 <= 0.6),
+            bs AS (SELECT DISTINCT unnest({sh8}) AS s
+                   FROM documents WHERE doc_id % 50 = 0),
+            contaminated AS (
+              SELECT DISTINCT d.doc_id
+              FROM (SELECT doc_id, unnest({sh8}) AS s FROM filt) d
+              JOIN bs USING (s)),
+            decon AS (SELECT * FROM filt
+                      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+            exact AS (
+              SELECT * FROM decon
+              QUALIFY row_number()
+                      OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+            shx AS (SELECT doc_id, {sh} AS sh FROM exact),
+            p AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jaccard} AS jaccard
+                FROM shx a JOIN shx b ON a.doc_id < b.doc_id
+                 AND len(a.sh) * 5 >= len(b.sh) * 4
+                 AND len(b.sh) * 5 >= len(a.sh) * 4)
+              WHERE jaccard >= 0.8),
+            edges AS (SELECT id_a AS u, id_b AS v FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            walk(node, reach) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, w.reach FROM edges e JOIN walk w ON e.v = w.node),
+            comp AS (SELECT node, min(reach) AS component
+                     FROM walk GROUP BY node),
+            canon AS (
+              SELECT e.* FROM exact e
+              LEFT JOIN comp c ON e.doc_id = c.node
+              WHERE coalesce(c.component, e.doc_id) = e.doc_id),
+            spl AS (
+              SELECT doc_id, lang, n_tok,
+                     CASE WHEN b < 3865470566 THEN 'train'
+                          WHEN b < 4080218931 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT *,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                           || ':' || '42'), 1, 8)) AS BIGINT) AS b
+                    FROM canon)),
+            packed AS (
+              SELECT doc_id, lang, split, n_tok,
+                     CAST(SUM(n_tok) OVER (PARTITION BY split, lang
+                            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - n_tok AS BIGINT) AS start
+              FROM spl)
+            SELECT doc_id, lang, split, n_tok,
+                   CAST(floor(start / 128.0) AS BIGINT) AS seq_id,
+                   CAST(start % 128 AS BIGINT) AS seq_offset
+            FROM packed
         """,
         "jsonl_roundtrip": "SELECT doc_id, lang, text FROM documents",
         "pseudonymize": """

@@ -63,3 +63,67 @@ def clean_corpus(
     if sample_fraction is not None:
         d = hash_sample(d, "doc_id", sample_fraction, seed)
     return d
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_quality: float = 0.8,
+    max_dup3: float = 0.6,
+    budget: int = 128,
+    seed: str = "42",
+    decontam_k: int = 8,
+    near_dup_threshold: float = 0.8,
+) -> DataFrame:
+    """The FULL training-corpus curation DAG, every stage from the
+    operator library in production order (cheap per-row filters first,
+    pair-wise work on survivors only):
+
+    1. quality + repetition filter (per-row map work);
+    2. benchmark decontamination (broadcast shingle-hash semi-join);
+    3. exact dedup (window on md5, one 16-byte-key shuffle);
+    4. near-dup removal: MinHash-LSH pairs → connected components →
+       canonical survivors;
+    5. deterministic leak-free train/val/test split;
+    6. per-(split, lang) sequence packing (concat-then-chunk windows).
+
+    Returns (doc_id, lang, split, n_tok, seq_id, seq_offset) — the
+    manifest a training job consumes.  Every stage is engine-portable:
+    the whole DAG has a single DuckDB oracle (``corpus_curate``)."""
+    from ..functions.text import dup_ngram_ratio, token_count_ws
+    from ..operators.cluster import dedup_clusters
+    from ..operators.decontam import decontaminate
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.packing import pack_sequences
+    from ..operators.sampling import hash_split
+
+    t = F.col(text_col)
+    d = docs.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col(text_col),
+        quality_score(t).alias("__q"),
+        dup_ngram_ratio(t, 3).alias("__d3"),
+        token_count_ws(t).cast("int").alias("n_tok"),
+    ).filter((F.col("__q") >= min_quality) & (F.col("__d3") <= max_dup3))
+    d = decontaminate(d, benchmark, text_col, id_col, shingle_k=decontam_k)
+    d = d.filter(~F.col("is_contaminated")).drop("n_overlap", "is_contaminated")
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    d = d.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+    pairs = minhash_lsh_pairs(
+        d, text_col, id_col,
+        num_perm=16, bands=8, jaccard_threshold=near_dup_threshold,
+    )
+    d = dedup_clusters(d, pairs, id_col).filter(F.col("is_canonical")).drop(
+        "cluster_id", "is_canonical"
+    )
+    d = hash_split(d, id_col, seed=seed)
+    return pack_sequences(
+        d.select(id_col, lang_col, "n_tok", "split"),
+        "n_tok", budget, ["split", lang_col], [id_col],
+    ).select(id_col, lang_col, "split", "n_tok", "seq_id", "seq_offset")

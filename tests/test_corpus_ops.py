@@ -236,3 +236,27 @@ def test_pseudonymize_stable_salted_null_safe(spark):
     assert out[3] is None
     other = df.select(pseudonymize(F.col("k"), "t").alias("p")).first()["p"]
     assert other != out[0]  # salt changes the mapping
+
+
+# ---------------------------------------------------------------------------
+# composed curation DAG
+# ---------------------------------------------------------------------------
+
+def test_curate_corpus_invariants(spark):
+    from gdp_etl_spark.plans.corpus import curate_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    out = curate_corpus(docs, bench).cache()
+    a = rows(out)
+    assert a == rows(curate_corpus(docs, bench))  # deterministic end to end
+    assert 0 < len(a) <= docs.count()
+    # benchmark members decontaminate themselves away
+    got_ids = {r[0] for r in a}
+    assert not got_ids & {r[0] for r in bench.select("doc_id").collect()}
+    # survivors have unique texts (exact + near-dup stages both applied)
+    texts = docs.filter(F.col("doc_id").isin(list(got_ids))).select("text")
+    assert texts.distinct().count() == len(a)
+    # packing offsets stay inside the budget and splits are exhaustive
+    assert all(0 <= r[5] < 128 for r in a)
+    assert {r[2] for r in a} <= {"train", "val", "test"}
