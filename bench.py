@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "repetition_stats",     # intra-doc repetition HOFs
     "pack_sequences",       # per-shard running-sum packing window
     "embed_transform",      # fixed-point vector transforms
+    "heavy_hitters",        # explode + partial-agg frequent items
+    "outlier_fences",       # exact quartiles + broadcast band tagging
+    "weighted_sample",      # weighted TakeOrdered draw
+    "profile_table",        # one-pass multi-distinct profile
+    "corpus_curate",        # the full curation DAG end-to-end
 ]
 
 

@@ -115,6 +115,14 @@ def curate_corpus(
     d = d.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
     ).drop("__rn")
+    # fan-out point: the filtered/decontaminated/deduped frame feeds the
+    # LSH pair computation AND the cluster join AND the split/pack tail —
+    # persist so the expensive upstream (quality HOFs, shingle semi-join,
+    # md5 window) runs once, not once per branch (measured 2× end-to-end
+    # at sf0.1; MEMORY_AND_DISK spills rather than recomputes at scale)
+    from pyspark.storagelevel import StorageLevel
+
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = minhash_lsh_pairs(
         d, text_col, id_col,
         num_perm=16, bands=8, jaccard_threshold=near_dup_threshold,
