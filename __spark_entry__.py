@@ -96,14 +96,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events parquet stores TIMESTAMP(NANOS), which Spark's reader
-    rejects by default (DuckDB reads it natively, truncating to µs).
-    Read nanos as long, then truncate with exact integer division —
-    ``ns div 1000`` matches DuckDB's truncation bit-for-bit.  (A double
-    division would corrupt: epoch-nanos ≈ 1.7e18 ≫ 2^53.)"""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Events with a normalized µs ``ts`` whatever the file's physical
+    encoding (TIMESTAMP(NANOS) or TIMESTAMP(MICROS)) — see io.load_events."""
+    from gdp_etl_spark.io import load_events
+
+    return load_events(spark, sf_dir)
 
 
 # ===========================================================================

@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .schemas import TESTDATA_TABLES
 
@@ -25,6 +26,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table.  Parquet carries its schema;
     column pruning + predicate pushdown happen at the scan."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table with a normalized µs ``ts`` timestamp,
+    whatever the file's physical encoding.
+
+    Driver testdata has shipped ``ts`` two ways: TIMESTAMP(NANOS) (which
+    Spark's reader rejects unless ``nanosAsLong`` maps it to long) and
+    plain TIMESTAMP(MICROS) (read natively as timestamp_ntz).  Inspect
+    the footer schema — free, no data scan — and convert only when the
+    column arrives as nanos-long.  ``ns div 1000`` is exact integer
+    truncation, matching DuckDB bit-for-bit (a double division would
+    corrupt: epoch-nanos ≈ 1.7e18 ≫ 2^53).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(raw.dtypes)["ts"] in ("bigint", "long"):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # native TIMESTAMP(MICROS) arrives as timestamp_ntz; normalize to
+        # TIMESTAMP (LTZ) so watermarks/windows accept it.  Session tz is
+        # UTC, so the cast is value-preserving and oracle-neutral.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
+def events_raw_ts_is_long(spark: SparkSession, sf_dir: str) -> bool:
+    """Whether the events parquet stores ``ts`` as nanos (→ long under
+    ``nanosAsLong``) rather than a native timestamp.  Footer-only probe;
+    used by the streaming reader, which must declare its schema up front."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return dict(raw.dtypes)["ts"] in ("bigint", "long")
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

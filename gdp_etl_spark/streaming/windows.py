@@ -21,26 +21,44 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: physical schema of the driver's events parquet (ts is TIMESTAMP(NANOS),
-#: which the reader maps to long under nanosAsLong — see __spark_entry__).
-EVENTS_RAW_SCHEMA = (
+#: stream schemas for the two physical encodings the driver's events
+#: parquet has shipped with (ts as TIMESTAMP(NANOS)→long under
+#: nanosAsLong, or native TIMESTAMP(MICROS)→timestamp_ntz).
+EVENTS_RAW_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+EVENTS_RAW_SCHEMA_MICROS = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream the driver's events parquet with exact ns→µs
-    timestamp conversion (same semantics as the batch loader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-stream the driver's events parquet with a normalized µs
+    ``ts`` timestamp (same semantics as the batch ``io.load_events``).
+
+    A file stream must declare its schema up front, so probe the parquet
+    footer via the batch reader first (footer-only, no data scan) to
+    learn which encoding this sf_dir uses."""
+    from ..io import events_raw_ts_is_long
+
+    ts_is_long = events_raw_ts_is_long(spark, sf_dir)
+    schema = EVENTS_RAW_SCHEMA_NANOS if ts_is_long else EVENTS_RAW_SCHEMA_MICROS
     # the file-stream source wants a directory; select the events file
     # out of the shared sf_dir with a glob filter
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # normalize timestamp_ntz → TIMESTAMP (LTZ) for watermark support;
+        # session tz is UTC so the cast is value-preserving
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(

@@ -19,9 +19,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _batch_events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from gdp_etl_spark.io import load_events
+
+    return load_events(spark, SF_DIR)
 
 
 def test_tumbling_stream_matches_batch(spark):
