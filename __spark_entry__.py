@@ -1679,6 +1679,38 @@ def q_profile_table(spark, sf_dir):
     return profile_columns(_t(spark, sf_dir, "orders"))
 
 
+def q_resample_locf(spark, sf_dir):
+    """Per-user hourly resample of the irregular events series with
+    last-observation-carried-forward fill — densify via distributed
+    ``sequence`` explode + ignorenulls window, zero UDFs."""
+    from gdp_etl_spark.operators.timeseries import resample_locf
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    return resample_locf(ev, ["user_id"], "ts", "value", step="1 hour")
+
+
+def q_scd2(spark, sf_dir):
+    """SCD-type-2 history build: compress each customer's order-priority
+    change log into validity intervals [valid_from, valid_to) — one row
+    per run of consecutive equal values (gaps-and-islands + lead)."""
+    from gdp_etl_spark.operators.timeseries import scd2_intervals
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    return scd2_intervals(o, ["o_custkey"], "o_orderdate", "o_orderpriority")
+
+
+def q_histogram(spark, sf_dir):
+    """Equi-width 20-bin histogram of l_extendedprice: global min/max
+    agg broadcast into one bin-id hash agg; empty bins emitted via a
+    distributed sequence explode.  Bin math is plain binary64 —
+    bit-reproducible on any IEEE-754 engine."""
+    from gdp_etl_spark.operators.profile import equiwidth_histogram
+
+    return equiwidth_histogram(_t(spark, sf_dir, "lineitem"), "l_extendedprice", 20)
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1781,6 +1813,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "pseudonymize": q_pseudonymize,
         "corpus_curate": q_corpus_curate,
+        "resample_locf": q_resample_locf,
+        "scd2": q_scd2,
+        "histogram": q_histogram,
     }
 
 
@@ -2906,6 +2941,69 @@ def oracle_sql() -> dict[str, str]:
             for c in ["o_orderkey", "o_custkey", "o_orderstatus",
                       "o_totalprice", "o_orderdate", "o_orderpriority"]
         ),
+        "resample_locf": """
+            WITH b AS (
+              SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+                     date_trunc('hour', max(ts)) AS hi
+              FROM events GROUP BY 1),
+            dense AS (
+              SELECT user_id,
+                     unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+              FROM b),
+            latest AS (
+              SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+                     row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                        ORDER BY ts DESC) AS rn
+              FROM events),
+            j AS (
+              SELECT d.user_id, d.bucket, l.value
+              FROM dense d LEFT JOIN (SELECT * FROM latest WHERE rn = 1) l
+                ON d.user_id = l.user_id AND d.bucket = l.bucket)
+            SELECT user_id, CAST(bucket AS TIMESTAMP) AS bucket,
+                   last_value(value IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+                   value IS NOT NULL AS was_observed
+            FROM j
+        """,
+        "scd2": """
+            WITH runs AS (
+              SELECT o_custkey, o_orderdate, o_orderpriority,
+                     CASE WHEN row_number() OVER w = 1 THEN TRUE
+                          ELSE NOT (o_orderpriority IS NOT DISTINCT FROM
+                                    lag(o_orderpriority) OVER w) END AS chg
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderpriority))
+            SELECT o_custkey, o_orderpriority,
+                   o_orderdate AS valid_from,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate) AS valid_to,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate) IS NULL
+                     AS is_current
+            FROM runs WHERE chg
+        """,
+        "histogram": """
+            WITH b AS (
+              SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+                     CAST(max(l_extendedprice) AS DOUBLE) AS hi
+              FROM lineitem),
+            counted AS (
+              SELECT CAST(least(19, floor((CAST(l_extendedprice AS DOUBLE) - b.lo)
+                                          / ((b.hi - b.lo) / 20.0))) AS INT) AS bin,
+                     count(*) AS n
+              FROM lineitem, b
+              WHERE l_extendedprice IS NOT NULL
+              GROUP BY 1),
+            grid AS (
+              SELECT unnest(generate_series(0, 19)) AS bin, lo, hi FROM b)
+            SELECT CAST(g.bin AS INT) AS bin,
+                   g.lo + g.bin * ((g.hi - g.lo) / 20.0) AS lo,
+                   g.lo + (g.bin + 1) * ((g.hi - g.lo) / 20.0) AS hi,
+                   coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN counted c ON g.bin = c.bin
+        """,
         # simhash_pairs, lsh_topk: approximate / non-SQL-expressible →
         # intentionally omitted (driver records rows-only checks).
     }

@@ -41,3 +41,55 @@ def profile_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFra
         for c in cols
     ]
     return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def equiwidth_histogram(
+    df: DataFrame, col: str, nbins: int = 20
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, lo, hi, n).
+
+    Two-pass but one-scan-each: a global min/max agg (tiny, broadcast
+    back as a literal-free cross join), then one hash agg on the bin
+    id.  Bin math is plain binary64 arithmetic — ``floor((x-min)/w)``
+    clamped to the last bin — so any IEEE-754 engine reproduces it
+    bit-for-bit (oracle-checkable).  Empty bins are emitted with n=0
+    via a distributed ``sequence`` explode, not a driver loop.
+    NULLs are excluded.
+    """
+    x = F.col(col)
+    bounds = df.agg(
+        F.min(x).cast("double").alias("__lo"), F.max(x).cast("double").alias("__hi")
+    )
+    counted = (
+        df.filter(x.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(nbins - 1),
+                F.floor(
+                    (x.cast("double") - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / F.lit(float(nbins)))
+                ),
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(nbins - 1))).alias("bin"),
+        "__lo",
+        "__hi",
+    )
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(float(nbins))
+    return (
+        grid.join(counted, "bin", "left")
+        .select(
+            "bin",
+            (F.col("__lo") + F.col("bin") * w).alias("lo"),
+            (F.col("__lo") + (F.col("bin") + 1) * w).alias("hi"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+        .orderBy("bin")
+    )

@@ -1,0 +1,143 @@
+"""Time-series regularization and slowly-changing-dimension history.
+
+Two batch operators a warehouse team reaches for constantly and the
+reference (a yearly-frequency GDP pipeline) never needed:
+
+* :func:`resample_locf` — regularize an irregular event series onto a
+  fixed-step time grid, carrying the last observation forward (LOCF).
+  The sibling of :mod:`.interpolate` (linear fill over integer grids):
+  same densify-then-window shape, but over timestamps and with
+  step-function semantics.
+* :func:`scd2_intervals` — compress a keyed change log into SCD-type-2
+  validity intervals ``[valid_from, valid_to)`` with one row per
+  *distinct consecutive* attribute value (gaps-and-islands collapse +
+  ``lead`` for the closing bound).
+
+Both are pure window/join compositions — zero UDFs, and every step
+hashes on the same group key, so Catalyst reuses one exchange.
+
+Scale notes (100 TB): the dense grid is ``groups × (span / step)`` rows
+generated *distributed* (explode of ``sequence`` after a group-by —
+never a driver loop).  Pick ``step`` so the per-group sequence stays
+bounded (e.g. hourly over a month = 720 elements); the explode then
+fans out map-side with no extra shuffle.  SCD2 shuffles once on the
+entity key for the windows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_locf(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Resample each group's series onto a fixed-step grid with LOCF.
+
+    Grid points are ``date_trunc``-aligned to the step unit and span each
+    group's observed range.  At each grid point the output is the value
+    of the latest observation at-or-before it (step-function semantics);
+    grid points before a group's first observation stay NULL.  Multiple
+    observations inside one bucket resolve to the *latest* by ``time_col``
+    (deterministic, matches as-of semantics).
+
+    ``step`` must be a Spark interval literal whose unit is also a valid
+    ``date_trunc`` field (``"1 hour"``, ``"1 day"``, ``"15 minutes"`` is
+    aligned to the minute).  Returns one row per (group, bucket) with
+    ``out_col`` (default ``value_col``) filled and ``was_observed``
+    marking buckets that contained a real observation.
+    """
+    out_col = out_col or value_col
+    group_cols = list(group_cols)
+    unit = step.strip().split()[-1].rstrip("s")  # "1 hour" -> "hour"
+    bucket = lambda c: F.date_trunc(unit, c)  # noqa: E731
+
+    dense = (
+        df.groupBy(*group_cols)
+        .agg(
+            bucket(F.min(time_col)).alias("__lo"),
+            bucket(F.max(time_col)).alias("__hi"),
+        )
+        .select(
+            *group_cols,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+            ).alias("__bucket"),
+        )
+    )
+
+    # latest observation within each bucket (as-of the bucket's end)
+    w_rank = Window.partitionBy(*group_cols, "__bucket").orderBy(
+        F.col("__ts").desc()
+    )
+    obs = (
+        df.select(
+            *group_cols,
+            bucket(time_col).alias("__bucket"),
+            F.col(time_col).alias("__ts"),
+            F.col(value_col).alias("__v"),
+        )
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__ts")
+    )
+
+    joined = dense.join(obs, [*group_cols, "__bucket"], "left")
+    w_ff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *group_cols,
+        F.col("__bucket").alias("bucket"),
+        F.last("__v", ignorenulls=True).over(w_ff).alias(out_col),
+        F.col("__v").isNotNull().alias("was_observed"),
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_col: str,
+    change_col: Column | None = None,
+) -> DataFrame:
+    """Compress a keyed change log into SCD2 validity intervals.
+
+    Input: one row per (key, ts) observation of ``attr_col`` (ties on
+    ``ts`` resolve to an arbitrary-but-deterministic winner via a
+    secondary sort on the attribute).  Output: one row per *run* of
+    consecutive equal values with ``valid_from`` (first ts of the run),
+    ``valid_to`` (next run's start, NULL for the current value) and
+    ``is_current``.  NULL-safe: a NULL attribute value is a run of its
+    own (``eqNullSafe`` comparison).
+    """
+    key_cols = list(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, attr_col)
+    prev = F.lag(attr_col).over(w)
+    is_change = F.when(
+        F.row_number().over(w) == 1, F.lit(True)
+    ).otherwise(~F.col(attr_col).eqNullSafe(prev))
+
+    changes = (
+        df.select(*key_cols, ts_col, attr_col)
+        .withColumn("__chg", change_col if change_col is not None else is_change)
+        .filter(F.col("__chg"))
+        .drop("__chg")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(ts_col)
+    return changes.select(
+        *key_cols,
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -1,0 +1,82 @@
+"""Time-series regularization + SCD2 + histogram edge cases."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from gdp_etl_spark.operators.profile import equiwidth_histogram
+from gdp_etl_spark.operators.timeseries import resample_locf, scd2_intervals
+
+from .conftest import rows
+
+
+def _ts(h, m=0):
+    return datetime(2024, 1, 1, h, m)
+
+
+def test_resample_locf_fills_gaps_and_leaves_leading_null(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", _ts(1, 30), 10.0),   # bucket 01:00
+            ("a", _ts(4, 10), 40.0),   # bucket 04:00 — 02:00/03:00 gap
+            ("b", _ts(2, 0), 99.0),
+        ],
+        "g string, ts timestamp, v double",
+    )
+    got = rows(resample_locf(df, ["g"], "ts", "v", step="1 hour"))
+    assert got == sorted(
+        [
+            ("a", _ts(1), 10.0, True),
+            ("a", _ts(2), 10.0, False),   # carried forward
+            ("a", _ts(3), 10.0, False),
+            ("a", _ts(4), 40.0, True),
+            ("b", _ts(2), 99.0, True),
+        ]
+    )
+
+
+def test_resample_locf_latest_observation_in_bucket_wins(spark):
+    df = spark.createDataFrame(
+        [("a", _ts(1, 5), 1.0), ("a", _ts(1, 55), 2.0)],
+        "g string, ts timestamp, v double",
+    )
+    got = rows(resample_locf(df, ["g"], "ts", "v", step="1 hour"))
+    assert got == [("a", _ts(1), 2.0, True)]
+
+
+def test_scd2_collapses_consecutive_equal_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts(1), "x"),
+            (1, _ts(2), "x"),   # no change — collapsed into the first run
+            (1, _ts(3), "y"),
+            (1, _ts(4), "x"),   # x returns — new run, not merged
+        ],
+        "k int, ts timestamp, attr string",
+    )
+    got = rows(scd2_intervals(df, ["k"], "ts", "attr"))
+    assert sorted(got, key=lambda t: t[2]) == [
+        (1, "x", _ts(1), _ts(3), False),
+        (1, "y", _ts(3), _ts(4), False),
+        (1, "x", _ts(4), None, True),
+    ]
+
+
+def test_scd2_null_attribute_is_its_own_run(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(1), "x"), (1, _ts(2), None), (1, _ts(3), None), (1, _ts(4), "x")],
+        "k int, ts timestamp, attr string",
+    )
+    got = [tuple(r) for r in scd2_intervals(df, ["k"], "ts", "attr").collect()]
+    assert (1, None, _ts(2), _ts(4), False) in got
+    assert len(got) == 3  # x / NULL / x — consecutive NULLs collapsed
+
+
+def test_histogram_emits_empty_bins_and_clamps_max(spark):
+    df = spark.createDataFrame([(0.0,), (1.0,), (10.0,), (None,)], "x double")
+    got = rows(equiwidth_histogram(df, "x", nbins=5))  # width 2.0
+    by_bin = {r[0]: r[3] for r in got}
+    assert len(got) == 5
+    assert by_bin == {0: 2, 1: 0, 2: 0, 3: 0, 4: 1}  # max lands IN last bin
+    lo0 = [r for r in got if r[0] == 0][0]
+    assert (lo0[1], lo0[2]) == (0.0, 2.0)
