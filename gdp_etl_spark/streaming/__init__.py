@@ -13,6 +13,7 @@ batch ones.
 """
 
 from .dedup import dedup_within_watermark, enrich_with_static
+from .join import attribute_purchases
 from .stateful import running_user_stats
 from .windows import (
     session_window_stats,
@@ -22,6 +23,7 @@ from .windows import (
 )
 
 __all__ = [
+    "attribute_purchases",
     "dedup_within_watermark",
     "enrich_with_static",
     "running_user_stats",

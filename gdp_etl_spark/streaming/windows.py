@@ -98,17 +98,19 @@ def session_window_stats(
 
 
 def run_available_now_to_memory(
-    stream_df: DataFrame, name: str, timeout_sec: int = 120
+    stream_df: DataFrame, name: str, timeout_sec: int = 120,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Replay the whole backlog (``availableNow``) into an in-memory
     table and return it as a batch DataFrame — the parity-test harness.
     Aggregations run in ``complete`` mode so the final state is the full
-    result."""
+    result; stream-stream joins must pass ``output_mode="append"``
+    (complete mode is not defined for non-aggregating queries)."""
     checkpoint = tempfile.mkdtemp(prefix="ckpt_")
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

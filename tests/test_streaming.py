@@ -259,3 +259,16 @@ def test_incremental_merge_converges_to_batch_upsert(spark, tmp_path):
     snap = run_incremental_merge(stream, ["k"], "version")
     got = sorted(tuple(r) for r in snap.select("k", "version", "v").collect())
     assert got == [(1, 3, "c"), (2, 1, "x"), (3, 1, "z")]
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from gdp_etl_spark.streaming import attribute_purchases
+
+    got = run_available_now_to_memory(
+        attribute_purchases(stream_events(spark, SF_DIR)),
+        "t_ssjoin",
+        output_mode="append",
+    )
+    expect = attribute_purchases(_batch_events(spark))
+    assert rows(got) == rows(expect)
+    assert rows(expect)  # non-vacuous: sf0.001 must contain matched pairs
