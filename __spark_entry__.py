@@ -1711,6 +1711,38 @@ def q_histogram(spark, sf_dir):
     return equiwidth_histogram(_t(spark, sf_dir, "lineitem"), "l_extendedprice", 20)
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust (median/MAD) outlier counts per return flag — modified
+    z-score 0.6745·(x−med)/MAD, exact interpolated medians, two hash
+    aggs + two broadcast joins."""
+    from gdp_etl_spark.operators.outliers import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", ["l_returnflag"]
+    )
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over the customer→supplier trade graph (distinct
+    (o_custkey, l_suppkey) edges), 5 damped power iterations.  Edge
+    list partitioned-by-src once and reused each iteration; dangling
+    (supplier) mass redistributed uniformly.  Iterative → rows-only
+    driver check; values pinned against NumPy in tests/test_graph.py."""
+    from gdp_etl_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"), (-F.col("l_suppkey")).alias("dst")
+        )
+        # suppliers negated so the two key spaces can't collide
+        .distinct()
+    )
+    return pagerank(edges, iterations=5)
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1816,6 +1848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_locf": q_resample_locf,
         "scd2": q_scd2,
         "histogram": q_histogram,
+        "mad_outliers": q_mad_outliers,
+        "pagerank": q_pagerank,
     }
 
 
@@ -3004,6 +3038,25 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.n, 0) AS n
             FROM grid g LEFT JOIN counted c ON g.bin = c.bin
         """,
-        # simhash_pairs, lsh_topk: approximate / non-SQL-expressible →
-        # intentionally omitted (driver records rows-only checks).
+        "mad_outliers": """
+            WITH m AS (
+              SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+              FROM lineitem GROUP BY 1),
+            d AS (
+              SELECT l.l_returnflag, m.med,
+                     quantile_cont(abs(l_extendedprice - m.med), 0.5) AS mad
+              FROM lineitem l JOIN m USING (l_returnflag)
+              GROUP BY 1, 2)
+            SELECT l.l_returnflag, d.med, d.mad,
+                   CASE WHEN d.mad <> 0 THEN
+                     count(CASE WHEN abs(0.6745 * (l_extendedprice - d.med)
+                                         / d.mad) > 3.5 THEN 1 END)
+                   END AS n_outliers,
+                   count(*) AS n_total
+            FROM lineitem l JOIN d USING (l_returnflag)
+            GROUP BY 1, 2, 3
+        """,
+        # simhash_pairs, lsh_topk, pagerank: approximate / iterative /
+        # non-SQL-expressible → intentionally omitted (driver records
+        # rows-only checks).
     }

@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "weighted_sample",      # weighted TakeOrdered draw
     "profile_table",        # one-pass multi-distinct profile
     "corpus_curate",        # the full curation DAG end-to-end
+    "resample_locf",        # time-grid densify + LOCF window
+    "histogram",            # two-pass equi-width bins
+    "pagerank",             # iterative power iteration (5 rounds)
 ]
 
 

@@ -73,3 +73,51 @@ def heavy_hitters(
         .filter(F.col("cnt") >= F.lit(min_share) * F.col("__total"))
         .select("item", "cnt", "share")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Per-group robust (median/MAD) outlier counts.
+
+    Modified z-score ``0.6745 * (x − median) / MAD`` with MAD =
+    median(|x − median|) — robust where mean/stddev fences break on the
+    heavy-tailed distributions corpus metrics actually have.  Two exact
+    interpolated-median aggs (one per pass), each followed by a
+    broadcast of the tiny per-group stats — the big side never shuffles
+    more than the two hash aggs on the group key.  Groups with MAD = 0
+    (over half the values identical) report NULL counts rather than
+    dividing by zero.
+    """
+    v = F.col(value_col)
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.lit(0.5)).alias("med")
+    )
+    mad = (
+        df.join(F.broadcast(med), list(group_cols))
+        .groupBy(*group_cols)
+        .agg(
+            F.first("med").alias("med"),
+            F.percentile(F.abs(v - F.col("med")), F.lit(0.5)).alias("mad"),
+        )
+    )
+    z = F.lit(0.6745) * (v - F.col("med")) / F.col("mad")
+    return (
+        df.join(F.broadcast(mad), list(group_cols))
+        .groupBy(*group_cols)
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count(
+                F.when(F.col("mad") != 0, F.when(F.abs(z) > threshold, 1))
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .withColumn(
+            "n_outliers",
+            F.when(F.col("mad") != 0, F.col("n_outliers")),
+        )
+    )

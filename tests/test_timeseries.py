@@ -80,3 +80,15 @@ def test_histogram_emits_empty_bins_and_clamps_max(spark):
     assert by_bin == {0: 2, 1: 0, 2: 0, 3: 0, 4: 1}  # max lands IN last bin
     lo0 = [r for r in got if r[0] == 0][0]
     assert (lo0[1], lo0[2]) == (0.0, 2.0)
+
+
+def test_mad_outliers_zero_mad_group_reports_null(spark):
+    from gdp_etl_spark.operators.outliers import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", 1.0)] * 5 + [("a", 100.0), ("b", 1.0), ("b", 2.0), ("b", 3.0)],
+        "g string, x double",
+    )
+    got = {r["g"]: r for r in mad_outliers(df, "x", ["g"]).collect()}
+    assert got["a"]["mad"] == 0.0 and got["a"]["n_outliers"] is None
+    assert got["b"]["mad"] == 1.0 and got["b"]["n_outliers"] == 0
