@@ -1743,6 +1743,21 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, iterations=5)
 
 
+def q_linear_trend(spark, sf_dir):
+    """Per-event-type OLS trend of value over time (hours since epoch):
+    closed-form slope/intercept/r2 from five decimal-exact sufficient
+    sums in ONE hash agg — deterministic where native regr_* aggregates
+    are order-dependent."""
+    from gdp_etl_spark.operators.regression import grouped_linear_fit
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(3.6e9)).alias("x_hours"),
+        F.col("value"),
+    )
+    return grouped_linear_fit(ev, ["event_type"], "x_hours", "value")
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1850,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "mad_outliers": q_mad_outliers,
         "pagerank": q_pagerank,
+        "linear_trend": q_linear_trend,
     }
 
 
@@ -3055,6 +3071,43 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_total
             FROM lineitem l JOIN d USING (l_returnflag)
             GROUP BY 1, 2, 3
+        """,
+        "linear_trend": """
+            WITH pts AS (
+              SELECT event_type,
+                     CAST(floor((epoch_us(ts) / 3600000000.0) * 1e6)
+                          AS DECIMAL(19,0)) AS qx,
+                     CAST(floor(value * 1e6) AS DECIMAL(19,0)) AS qy
+              FROM events),
+            s AS (
+              SELECT event_type,
+                     count(CASE WHEN qx IS NOT NULL AND qy IS NOT NULL
+                                THEN 1 END) AS n,
+                     CAST(sum(CASE WHEN qy IS NOT NULL THEN qx END)
+                          AS DOUBLE) / 1e6 AS sx,
+                     CAST(sum(CASE WHEN qx IS NOT NULL THEN qy END)
+                          AS DOUBLE) / 1e6 AS sy,
+                     CAST(sum(qx * qy) AS DOUBLE) / 1e12 AS sxy,
+                     CAST(sum(CASE WHEN qy IS NOT NULL THEN qx * qx END)
+                          AS DOUBLE) / 1e12 AS sxx,
+                     CAST(sum(CASE WHEN qx IS NOT NULL THEN qy * qy END)
+                          AS DOUBLE) / 1e12 AS syy
+              FROM pts GROUP BY 1)
+            SELECT event_type, n,
+                   CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0 THEN
+                     (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+                   CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0 THEN
+                     (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                             / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+                       / CAST(n AS DOUBLE) END AS intercept,
+                   CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                         AND CAST(n AS DOUBLE) * syy - sy * sy <> 0 THEN
+                     ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                      * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                       / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                          * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
+            FROM s
         """,
         # simhash_pairs, lsh_topk, pagerank: approximate / iterative /
         # non-SQL-expressible → intentionally omitted (driver records

@@ -1,0 +1,88 @@
+"""Grouped ordinary-least-squares trend fit, cross-engine deterministic.
+
+Spark (and DuckDB) ship native ``regr_slope``/``regr_intercept``/
+``regr_r2`` aggregates, but their internal double accumulation is
+order-dependent — a shuffled sum differs run-to-run in the last ulps,
+which breaks value-hash verification and reproducible pipelines.  Nor
+does summing ``CAST(x*y AS DECIMAL)`` fix it across engines: engines
+round double→decimal differently at large magnitudes (measured: Spark
+rounds the exact binary expansion, DuckDB scales in binary64 first).
+
+This operator uses the repo's fixed-point recipe (see
+``functions.vectors.dot_fixed``): quantize each coordinate per-row with
+``floor(v * 1e6)`` — the scale-multiply and floor are single IEEE-754
+ops, bit-identical on any engine — then accumulate the five sufficient
+sums (Σx, Σy, Σxy, Σx², Σy²) as *exact* decimal-integer sums, and apply
+the closed-form OLS formulas in plain binary64.  Deterministic under
+any parallelism, row order, or engine.
+
+One hash aggregation on the group key; no second pass, no UDF.
+Quantization bounds: |v|·1e6 must fit a bigint per row (|v| < 9e12) and
+cross-products fit decimal(38,0) sums up to ~1e38 rows·magnitude —
+far beyond any real series.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: per-coordinate fixed-point scale (6 decimals)
+_Q = 1_000_000.0
+
+
+def _q(col: Column) -> Column:
+    """floor(v·1e6) as an exact decimal(19,0) integer."""
+    return F.floor(col * F.lit(_Q)).cast("decimal(19,0)")
+
+
+def grouped_linear_fit(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x: Column | str,
+    y: Column | str,
+) -> DataFrame:
+    """Per-group OLS fit of ``y = slope·x + intercept`` plus ``r2``.
+
+    Rows where either coordinate is NULL are excluded (SQL ``regr_*``
+    semantics).  Groups with zero x-variance get NULL slope/intercept/r2;
+    r2 is NULL when y has zero variance (0/0).  Coordinates are
+    quantized to 6 decimals (the determinism recipe above), so inputs
+    should be scaled to "reasonable units" — e.g. hours, not
+    microseconds since epoch.
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    both = xc.isNotNull() & yc.isNotNull()
+    qx = F.when(both, _q(xc))
+    qy = F.when(both, _q(yc))
+
+    agg = df.groupBy(*list(group_cols)).agg(
+        F.count(F.when(both, 1)).alias("n"),
+        F.sum(qx).alias("isx"),
+        F.sum(qy).alias("isy"),
+        F.sum(qx * qy).alias("isxy"),
+        F.sum(qx * qx).alias("isxx"),
+        F.sum(qy * qy).alias("isyy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("isx").cast("double") / F.lit(_Q)
+    sy = F.col("isy").cast("double") / F.lit(_Q)
+    sxy = F.col("isxy").cast("double") / F.lit(_Q * _Q)
+    sxx = F.col("isxx").cast("double") / F.lit(_Q * _Q)
+    syy = F.col("isyy").cast("double") / F.lit(_Q * _Q)
+    det_x = n * sxx - sx * sx
+    det_y = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = F.when(det_x != 0, cov / det_x)
+    intercept = F.when(det_x != 0, (sy - (cov / det_x) * sx) / n)
+    r2 = F.when((det_x != 0) & (det_y != 0), (cov * cov) / (det_x * det_y))
+    return agg.select(
+        *list(group_cols),
+        F.col("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

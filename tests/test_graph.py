@@ -47,3 +47,36 @@ def test_pagerank_parallel_edges_count_once(spark):
 def test_pagerank_empty_graph(spark):
     df = spark.createDataFrame([], "src int, dst int")
     assert pagerank(df).count() == 0
+
+
+def test_grouped_linear_fit_matches_numpy(spark):
+    from gdp_etl_spark.operators.regression import grouped_linear_fit
+
+    xs = [0.0, 1.0, 2.0, 3.0, 4.0]
+    ys = [1.0, 3.1, 4.9, 7.2, 8.8]
+    df = spark.createDataFrame(
+        [("a", x, y) for x, y in zip(xs, ys)] + [("b", 1.0, 5.0), ("b", 1.0, 7.0)],
+        "g string, x double, y double",
+    )
+    got = {r["g"]: r for r in grouped_linear_fit(df, ["g"], "x", "y").collect()}
+    slope, intercept = np.polyfit(xs, ys, 1)
+    # inputs are exact at 6 decimals, so quantization is lossless here
+    assert got["a"]["slope"] == pytest.approx(slope, rel=1e-9)
+    assert got["a"]["intercept"] == pytest.approx(intercept, rel=1e-9)
+    assert 0.99 < got["a"]["r2"] <= 1.0
+    # zero x-variance group -> NULL fit
+    assert got["b"]["slope"] is None and got["b"]["r2"] is None
+
+
+def test_grouped_linear_fit_ignores_null_coordinates(spark):
+    from gdp_etl_spark.operators.regression import grouped_linear_fit
+
+    df = spark.createDataFrame(
+        [("a", 0.0, 0.0), ("a", 1.0, 2.0), ("a", None, 99.0), ("a", 2.0, None),
+         ("a", 2.0, 4.0)],
+        "g string, x double, y double",
+    )
+    r = grouped_linear_fit(df, ["g"], "x", "y").collect()[0]
+    assert r["n"] == 3
+    assert r["slope"] == pytest.approx(2.0, rel=1e-9)
+    assert r["intercept"] == pytest.approx(0.0, abs=1e-9)
