@@ -1758,6 +1758,26 @@ def q_linear_trend(spark, sf_dir):
     return grouped_linear_fit(ev, ["event_type"], "x_hours", "value")
 
 
+def q_dq_checks(spark, sf_dir):
+    """Declarative data-quality gate over orders: NULL / range rules
+    fused into one scan, uniqueness via one group-agg, FK integrity via
+    a broadcast left-anti join — (rule, kind, n_violations, n_checked)."""
+    from gdp_etl_spark.operators import validate as V
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return V.run_checks(
+        o,
+        [
+            V.not_null("o_custkey"),
+            V.in_range("o_totalprice", 0.0, 300000.0),
+            V.unique("o_orderkey"),
+            V.unique(["o_custkey", "o_orderdate"]),
+            V.foreign_key("o_custkey", c, "c_custkey"),
+        ],
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1866,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "pagerank": q_pagerank,
         "linear_trend": q_linear_trend,
+        "dq_checks": q_dq_checks,
     }
 
 
@@ -3108,6 +3129,35 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "dq_checks": """
+            SELECT 'not_null_o_custkey' AS rule, 'not_null' AS kind,
+                   count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_violations,
+                   count(*) AS n_checked
+            FROM orders
+            UNION ALL
+            SELECT 'range_o_totalprice', 'in_range',
+                   count(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0 OR o_totalprice > 300000)
+                              THEN 1 END),
+                   count(*)
+            FROM orders
+            UNION ALL
+            SELECT 'unique_o_orderkey', 'unique',
+                   coalesce(sum(CASE WHEN c > 1 THEN c END), 0), sum(c)
+            FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+            UNION ALL
+            SELECT 'unique_o_custkey_o_orderdate', 'unique',
+                   coalesce(sum(CASE WHEN c > 1 THEN c END), 0), sum(c)
+            FROM (SELECT count(*) AS c FROM orders
+                  GROUP BY o_custkey, o_orderdate)
+            UNION ALL
+            SELECT 'fk_o_custkey', 'foreign_key',
+                   (SELECT count(*) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey)),
+                   count(*)
+            FROM orders
         """,
         # simhash_pairs, lsh_topk, pagerank: approximate / iterative /
         # non-SQL-expressible → intentionally omitted (driver records
