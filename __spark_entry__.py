@@ -1778,6 +1778,18 @@ def q_dq_checks(spark, sf_dir):
     )
 
 
+def q_drift_psi(spark, sf_dir):
+    """Population Stability Index of order value, 1992-94 baseline vs
+    1995+ current: reference-defined equi-width bins, Laplace-smoothed
+    shares, per-bin (q−p)·ln(q/p) contributions."""
+    from gdp_etl_spark.operators.profile import drift_psi
+
+    o = _t(spark, sf_dir, "orders")
+    ref = o.filter(F.year("o_orderdate") <= 1994)
+    cur = o.filter(F.year("o_orderdate") >= 1995)
+    return drift_psi(ref, cur, "o_totalprice", nbins=10)
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1887,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "linear_trend": q_linear_trend,
         "dq_checks": q_dq_checks,
+        "drift_psi": q_drift_psi,
     }
 
 
@@ -3129,6 +3142,43 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "drift_psi": """
+            WITH b AS (
+              SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+                     CAST(max(o_totalprice) AS DOUBLE) AS hi
+              FROM orders WHERE year(o_orderdate) <= 1994),
+            rc AS (
+              SELECT CAST(greatest(0, least(9,
+                       floor((CAST(o_totalprice AS DOUBLE) - b.lo)
+                             / ((b.hi - b.lo) / 10.0)))) AS INT) AS bin,
+                     count(*) AS n_ref
+              FROM orders, b
+              WHERE year(o_orderdate) <= 1994 AND o_totalprice IS NOT NULL
+              GROUP BY 1),
+            cc AS (
+              SELECT CAST(greatest(0, least(9,
+                       floor((CAST(o_totalprice AS DOUBLE) - b.lo)
+                             / ((b.hi - b.lo) / 10.0)))) AS INT) AS bin,
+                     count(*) AS n_cur
+              FROM orders, b
+              WHERE year(o_orderdate) >= 1995 AND o_totalprice IS NOT NULL
+              GROUP BY 1),
+            g AS (SELECT unnest(generate_series(0, 9)) AS bin),
+            j AS (
+              SELECT CAST(g.bin AS INT) AS bin,
+                     coalesce(rc.n_ref, 0) AS n_ref,
+                     coalesce(cc.n_cur, 0) AS n_cur
+              FROM g LEFT JOIN rc ON g.bin = rc.bin
+                     LEFT JOIN cc ON g.bin = cc.bin),
+            t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+            SELECT bin, n_ref, n_cur,
+                   (n_ref + 0.5) / (t.tr + 5.0) AS p_ref,
+                   (n_cur + 0.5) / (t.tc + 5.0) AS p_cur,
+                   ((n_cur + 0.5) / (t.tc + 5.0) - (n_ref + 0.5) / (t.tr + 5.0))
+                     * ln(((n_cur + 0.5) / (t.tc + 5.0))
+                          / ((n_ref + 0.5) / (t.tr + 5.0))) AS psi_contrib
+            FROM j, t
         """,
         "dq_checks": """
             SELECT 'not_null_o_custkey' AS rule, 'not_null' AS kind,

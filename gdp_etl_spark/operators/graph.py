@@ -90,23 +90,28 @@ def pagerank(
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("in_rank"))
         )
         # rank mass sitting on dangling nodes is redistributed uniformly
-        # (textbook treatment) — one scalar agg, no extra join on the
-        # big side
-        dangling_mass = (
-            dangling_nodes.join(ranks, "node").agg(F.sum("rank")).first()[0]
-            or 0.0
+        # (textbook treatment).  Kept lazy as a 1-row broadcast cross
+        # join so each iteration is ONE job (the eager checkpoint), not
+        # a scalar-collect job plus a checkpoint job.
+        dangling_mass = dangling_nodes.join(ranks, "node").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
         )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit((1.0 - damping) / n_nodes)
-                + F.lit(damping)
-                * (
-                    F.coalesce("in_rank", F.lit(0.0))
-                    + F.lit(dangling_mass / n_nodes)
-                )
-            ).alias("rank"),
-        ).localCheckpoint(eager=True)
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling_mass))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("in_rank", F.lit(0.0))
+                        + F.col("__dangling") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
 
     e_deg.unpersist()
     return ranks

@@ -93,3 +93,84 @@ def equiwidth_histogram(
         )
         .orderBy("bin")
     )
+
+
+def drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    nbins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    slice of the same metric — the standard distribution-drift monitor
+    for feature/score pipelines.
+
+    Bins are equi-width over the REFERENCE min/max (the convention:
+    the baseline defines the grid; current values outside it clamp into
+    the edge bins).  Per bin: smoothed shares
+    ``p = (n_ref + s) / (N_ref + s·nbins)`` (Laplace, so empty bins
+    never hit ln(0)), and the contribution ``(q − p)·ln(q / p)``.
+    Total PSI = ``sum(psi_contrib)``; rule-of-thumb alert at > 0.2.
+
+    Three scans total (ref bounds, ref counts, cur counts), each a
+    map-side partial agg; the per-bin frame is nbins rows.  All math
+    after the counts is scalar binary64 — engine-portable.
+    """
+    x = F.col(col)
+    bounds = ref.agg(
+        F.min(x).cast("double").alias("__lo"), F.max(x).cast("double").alias("__hi")
+    )
+
+    def bin_counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.filter(x.isNotNull())
+            .crossJoin(F.broadcast(bounds))
+            .select(
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(nbins - 1),
+                        F.floor(
+                            (x.cast("double") - F.col("__lo"))
+                            / ((F.col("__hi") - F.col("__lo")) / F.lit(float(nbins)))
+                        ),
+                    ),
+                )
+                .cast("int")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    grid = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(nbins - 1))).alias("bin")
+    )
+    joined = (
+        grid.join(bin_counts(ref, "n_ref"), "bin", "left")
+        .join(bin_counts(cur, "n_cur"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    s = float(smoothing)
+    p = (F.col("n_ref") + F.lit(s)) / (F.col("__tr") + F.lit(s * nbins))
+    q = (F.col("n_cur") + F.lit(s)) / (F.col("__tc") + F.lit(s * nbins))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            p.alias("p_ref"),
+            q.alias("p_cur"),
+            ((q - p) * F.log(q / p)).alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )

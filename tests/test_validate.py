@@ -59,3 +59,32 @@ def test_fk_with_differently_named_key_columns(spark):
         V.run_checks(child, [V.foreign_key("cust_ref", dim, "c_custkey")])
     )
     assert got["fk_cust_ref"] == ("foreign_key", 1, 2)
+
+
+def test_drift_psi_zero_for_identical_and_positive_for_shifted(spark):
+    from pyspark.sql import functions as F
+
+    from gdp_etl_spark.operators.profile import drift_psi
+
+    base = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("x"))
+    same = drift_psi(base, base, "x", nbins=10)
+    total_same = same.agg(F.sum("psi_contrib")).first()[0]
+    assert abs(total_same) < 1e-12
+
+    shifted = base.select((F.col("x") + 50.0).alias("x"))  # half out of range
+    total_shift = (
+        drift_psi(base, shifted, "x", nbins=10)
+        .agg(F.sum("psi_contrib"))
+        .first()[0]
+    )
+    assert total_shift > 0.2  # rule-of-thumb alert threshold
+
+
+def test_drift_psi_out_of_range_values_clamp_to_edge_bins(spark):
+    from gdp_etl_spark.operators.profile import drift_psi
+
+    ref = spark.createDataFrame([(0.0,), (10.0,)], "x double")
+    cur = spark.createDataFrame([(-100.0,), (100.0,)], "x double")
+    got = {r["bin"]: r["n_cur"] for r in drift_psi(ref, cur, "x", nbins=5).collect()}
+    assert got[0] == 1 and got[4] == 1
+    assert sum(got.values()) == 2
