@@ -60,6 +60,14 @@ def resample_locf(
     unit = step.strip().split()[-1].rstrip("s")  # "1 hour" -> "hour"
     bucket = lambda c: F.date_trunc(unit, c)  # noqa: E731
 
+    # Single-window formulation: instead of (latest-per-bucket rank
+    # window) + (grid left join) + (forward-fill window) — three
+    # exchanges — union the grid rows under the observations and read
+    # the carried value off ONE forward-fill window partitioned on the
+    # group key.  Within a bucket, observations sort before the grid
+    # row (ordered by time, so the latest wins), making "value at
+    # bucket = latest observation at-or-before bucket end" fall out of
+    # plain last(ignorenulls).
     dense = (
         df.groupBy(*group_cols)
         .agg(
@@ -72,35 +80,42 @@ def resample_locf(
                 F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
             ).alias("__bucket"),
         )
-    )
-
-    # latest observation within each bucket (as-of the bucket's end)
-    w_rank = Window.partitionBy(*group_cols, "__bucket").orderBy(
-        F.col("__ts").desc()
-    )
-    obs = (
-        df.select(
+        .select(
             *group_cols,
-            bucket(time_col).alias("__bucket"),
-            F.col(time_col).alias("__ts"),
-            F.col(value_col).alias("__v"),
+            "__bucket",
+            F.lit(None).cast(df.schema[time_col].dataType).alias("__ts"),
+            F.lit(None).cast(df.schema[value_col].dataType).alias("__v"),
+            F.lit(1).alias("__is_grid"),
         )
-        .withColumn("__rn", F.row_number().over(w_rank))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__ts")
     )
+    obs = df.select(
+        *group_cols,
+        bucket(time_col).alias("__bucket"),
+        F.col(time_col).alias("__ts"),
+        F.col(value_col).alias("__v"),
+        F.lit(0).alias("__is_grid"),
+    )
+    unioned = obs.unionByName(dense)
 
-    joined = dense.join(obs, [*group_cols, "__bucket"], "left")
     w_ff = (
         Window.partitionBy(*group_cols)
-        .orderBy("__bucket")
+        .orderBy("__bucket", "__is_grid", "__ts", "__v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return joined.select(
-        *group_cols,
-        F.col("__bucket").alias("bucket"),
-        F.last("__v", ignorenulls=True).over(w_ff).alias(out_col),
-        F.col("__v").isNotNull().alias("was_observed"),
+    last_v = F.last("__v", ignorenulls=True).over(w_ff)
+    last_obs_bucket = F.last(
+        F.when(F.col("__is_grid") == 0, F.col("__bucket")), ignorenulls=True
+    ).over(w_ff)
+    return (
+        unioned.select(
+            *group_cols,
+            F.col("__bucket").alias("bucket"),
+            last_v.alias(out_col),
+            (last_obs_bucket == F.col("__bucket")).alias("was_observed"),
+            "__is_grid",
+        )
+        .filter(F.col("__is_grid") == 1)
+        .drop("__is_grid")
     )
 
 
