@@ -244,3 +244,38 @@ def test_weighted_sample_plans_take_ordered(spark):
     plan = _plan(e.q_weighted_sample(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_dq_checks_fk_is_broadcast_anti_join(spark):
+    plan = _plan(e.q_dq_checks(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # dim side must never shuffle
+
+
+def test_drift_psi_broadcasts_bounds_no_real_cartesian(spark):
+    """The scalar bounds/totals rows ride broadcast nested loops; the
+    data-sized sides must never meet in a cartesian or sort-merge."""
+    plan = _plan(e.q_drift_psi(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_resample_locf_single_window_exchange(spark):
+    """The union-window formulation: exactly one window operator and no
+    join in the optimized plan."""
+    opt = _optimized(e.q_resample_locf(spark, SF))
+    assert opt.count("Window ") == 1
+    assert "Join" not in opt
+
+
+def test_pagerank_reuses_src_partitioning(spark):
+    """The per-iteration join must hash on src (edge side pre-partitioned
+    and cached) — no cartesian, no broadcast of the big rank side."""
+    from gdp_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(200)], "src int, dst int"
+    )
+    plan = _plan(pagerank(edges, iterations=1))
+    assert "CartesianProduct" not in plan
