@@ -1790,6 +1790,63 @@ def q_drift_psi(spark, sf_dir):
     return drift_psi(ref, cur, "o_totalprice", nbins=10)
 
 
+def q_calendar_dim(spark, sf_dir):
+    """Date-dimension generation entirely from a distributed sequence
+    explode (no source table): one row per day 1992-1998 with the
+    standard derived attributes.  The dimension every time-rollup joins
+    against; generated, never hand-maintained."""
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1992-01-01").cast("date"),
+                F.lit("1998-12-31").cast("date"),
+            )
+        ).alias("d")
+    )
+    return days.select(
+        F.col("d"),
+        F.year("d").alias("year"),
+        F.quarter("d").alias("quarter"),
+        F.month("d").alias("month"),
+        F.dayofmonth("d").alias("day"),
+        # ISO day-of-week (Mon=1) is engine-portable; Spark's dayofweek
+        # (Sun=1) is not DuckDB's convention
+        F.expr("extract(DAYOFWEEK_ISO FROM d)").cast("int").alias("iso_dow"),
+        (F.expr("extract(DAYOFWEEK_ISO FROM d)") >= 6).alias("is_weekend"),
+    )
+
+
+def q_pareto_share(spark, sf_dir):
+    """Pareto / ABC analysis: per-nation revenue, cumulative share in
+    descending-revenue order, and the ABC class cut at 80%/95% — one
+    agg + one window over the 25-row rollup."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), "n_name").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_share = F.sum("revenue").over(w) / F.sum("revenue").over(total)
+    return rev.select(
+        "n_name",
+        "revenue",
+        cum_share.alias("cum_share"),
+        F.when(cum_share <= 0.80, "A")
+        .when(cum_share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1900,6 +1957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_trend": q_linear_trend,
         "dq_checks": q_dq_checks,
         "drift_psi": q_drift_psi,
+        "calendar_dim": q_calendar_dim,
+        "pareto_share": q_pareto_share,
     }
 
 
@@ -3142,6 +3201,37 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "calendar_dim": """
+            SELECT CAST(d AS DATE) AS d,
+                   CAST(year(d) AS INT) AS year,
+                   CAST(quarter(d) AS INT) AS quarter,
+                   CAST(month(d) AS INT) AS month,
+                   CAST(day(d) AS INT) AS day,
+                   CAST(isodow(d) AS INT) AS iso_dow,
+                   isodow(d) >= 6 AS is_weekend
+            FROM (SELECT unnest(generate_series(DATE '1992-01-01',
+                                                DATE '1998-12-31',
+                                                INTERVAL 1 DAY)) AS d)
+        """,
+        "pareto_share": f"""
+            WITH rev AS (
+              SELECT n_name, {_dsum_sql('o_totalprice')} AS revenue
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1),
+            c AS (
+              SELECT n_name, revenue,
+                     sum(revenue) OVER (ORDER BY revenue DESC, n_name
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       / sum(revenue) OVER () AS cum_share
+              FROM rev)
+            SELECT n_name, revenue, cum_share,
+                   CASE WHEN cum_share <= 0.80 THEN 'A'
+                        WHEN cum_share <= 0.95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM c
         """,
         "drift_psi": """
             WITH b AS (

@@ -67,6 +67,12 @@ BENCH_QUERIES = [
     "resample_locf",        # time-grid densify + LOCF window
     "histogram",            # two-pass equi-width bins
     "pagerank",             # iterative power iteration (5 rounds)
+    "scd2",                 # gaps-and-islands interval build
+    "mad_outliers",         # two-pass exact-median robust fences
+    "linear_trend",         # fixed-point OLS sufficient sums
+    "dq_checks",            # fused-scan rules + group + anti-join
+    "drift_psi",            # reference-binned drift contributions
+    "pareto_share",         # cumulative-share window over rollup
 ]
 
 
