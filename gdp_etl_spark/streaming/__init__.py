@@ -13,7 +13,7 @@ batch ones.
 """
 
 from .dedup import dedup_within_watermark, enrich_with_static
-from .join import attribute_purchases
+from .join import attribute_purchases, attribute_purchases_outer
 from .stateful import running_user_stats
 from .windows import (
     session_window_stats,
@@ -24,6 +24,7 @@ from .windows import (
 
 __all__ = [
     "attribute_purchases",
+    "attribute_purchases_outer",
     "dedup_within_watermark",
     "enrich_with_static",
     "running_user_stats",

@@ -61,3 +61,49 @@ def attribute_purchases(
     return joined.select(
         "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"
     )
+
+
+def attribute_purchases_outer(
+    events: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Left-outer variant: every click appears, purchase columns NULL
+    when no purchase followed within ``max_lag``.
+
+    The semantic difference from the inner join is *when* the NULL rows
+    can be emitted: only once the watermark passes a click's join
+    horizon can the engine prove no matching purchase will arrive, so
+    unmatched clicks surface with watermark delay — the test drives a
+    multi-batch file source to force exactly that transition.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""p_user_id = user_id
+                AND purchase_ts >= click_ts
+                AND purchase_ts <= click_ts + INTERVAL {max_lag}"""
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"
+    )

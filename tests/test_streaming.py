@@ -272,3 +272,75 @@ def test_stream_stream_join_matches_batch(spark):
     expect = attribute_purchases(_batch_events(spark))
     assert rows(got) == rows(expect)
     assert rows(expect)  # non-vacuous: sf0.001 must contain matched pairs
+
+
+def test_outer_stream_join_emits_null_after_watermark_passes(spark, tmp_path):
+    """A click with no purchase must surface with NULL purchase columns —
+    but only once the watermark proves no match can still arrive."""
+    import tempfile
+    from datetime import datetime
+
+    from gdp_etl_spark.streaming import attribute_purchases_outer
+
+    def at(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    src = tmp_path / "outer_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    # batch 1: user 1 click->purchase (matched); user 2 click, no purchase
+    write_batch(
+        "b1",
+        [
+            (1, at(10, 0), 1, "click"),
+            (2, at(10, 30), 1, "purchase"),
+            (3, at(10, 0), 2, "click"),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = attribute_purchases_outer(
+        stream, max_lag="1 hour", watermark="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_outer")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark is still at 10:30-1h => the unmatched click CANNOT
+        # have been emitted yet
+        assert spark.table("t_outer").filter("purchase_id IS NULL").count() == 0
+        # the global watermark is the MIN across the click and purchase
+        # watermark nodes, so later batches must advance BOTH sides —
+        # each carries a (matched) click+purchase pair at a later time
+        write_batch(
+            "b2", [(9, at(14, 0), 9, "click"), (11, at(14, 0), 9, "purchase")]
+        )
+        q.processAllAvailable()
+        write_batch(
+            "b3", [(12, at(18, 0), 7, "click"), (13, at(18, 0), 7, "purchase")]
+        )
+        q.processAllAvailable()
+        got = spark.table("t_outer")
+        matched = got.filter("purchase_id IS NOT NULL").collect()
+        assert sorted(
+            (r["user_id"], r["click_id"], r["purchase_id"]) for r in matched
+        ) == [(1, 1, 2), (7, 12, 13), (9, 9, 11)]
+        # the unmatched click finally surfaced, with NULLs
+        unmatched = got.filter("purchase_id IS NULL").collect()
+        assert {r["click_id"] for r in unmatched} == {3}
+    finally:
+        q.stop()
