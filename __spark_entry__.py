@@ -1847,6 +1847,35 @@ def q_pareto_share(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): BUILDING-segment orders
+    placed before 1995-03-15 with lineitems shipped after it, top 10 by
+    discounted revenue.  Customer dim broadcast; both date filters push
+    to the scans; top-k plans as TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1959,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "calendar_dim": q_calendar_dim,
         "pareto_share": q_pareto_share,
+        "shipping_priority": q_shipping_priority,
     }
 
 
@@ -3201,6 +3231,19 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "shipping_priority": f"""
+            SELECT l_orderkey, o_orderdate,
+                   {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1995-03-15'
+              AND l_shipdate > DATE '1995-03-15'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
         """,
         "calendar_dim": """
             SELECT CAST(d AS DATE) AS d,

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "dq_checks",            # fused-scan rules + group + anti-join
     "drift_psi",            # reference-binned drift contributions
     "pareto_share",         # cumulative-share window over rollup
+    "shipping_priority",    # TPC-H Q3 shape: 3-way join + top-k
 ]
 
 

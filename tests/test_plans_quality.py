@@ -279,3 +279,11 @@ def test_pagerank_reuses_src_partitioning(spark):
     )
     plan = _plan(pagerank(edges, iterations=1))
     assert "CartesianProduct" not in plan
+
+
+def test_shipping_priority_pushes_both_date_filters(spark):
+    plan = _plan(e.q_shipping_priority(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
