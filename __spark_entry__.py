@@ -1453,6 +1453,32 @@ def q_sql_api(spark, sf_dir):
     return spark.sql(_SQL_API_TEXT)
 
 
+_SQL_API_Q3_TEXT = """
+    SELECT l_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+def q_sql_api_q3(spark, sf_dir):
+    """Second SQL-API parity proof, this time with joins + top-k: the
+    exact Q3-shaped text below runs verbatim on spark.sql AND DuckDB
+    (the oracle IS this string).  Catalyst still broadcasts the dims
+    and plans TakeOrderedAndProject from the raw SQL."""
+    for t in ("lineitem", "orders", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_API_Q3_TEXT)
+
+
 def q_events_sliding(spark, sf_dir):
     """Sliding windows (2-hour width, 1-hour slide): every event lands
     in exactly two windows.  Spark's window() generates the copies
@@ -1967,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "funnel": q_funnel,
         "sql_api": q_sql_api,
+        "sql_api_q3": q_sql_api_q3,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
@@ -2785,6 +2812,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY user_id
         """,
         "sql_api": _SQL_API_TEXT,
+        "sql_api_q3": _SQL_API_Q3_TEXT,
         "events_sliding": """
             SELECT ws AS window_start, event_type, count(*) AS n
             FROM (SELECT unnest([
