@@ -1902,6 +1902,36 @@ def q_shipping_priority(spark, sf_dir):
     )
 
 
+def q_range_frame(spark, sf_dir):
+    """Value-RANGE window frame (vs the row frames elsewhere): per
+    priority, each order day's trailing-90-day revenue — the frame
+    bounds follow the ORDER BY *value* (epoch day), so sparse dates
+    still cover exactly 90 calendar days, which no rowsBetween can
+    express."""
+    o = _t(spark, sf_dir, "orders")
+    # the per-day sum stays DECIMAL through the window so the windowed
+    # re-aggregation is exact too (a double window-sum would expose the
+    # engines' different frame-accumulation orders); one cast at the end
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")).alias(
+            "epoch_day"
+        ),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("__rev"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("epoch_day")
+        .rangeBetween(-89, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "epoch_day",
+        F.col("__rev").cast("double").alias("day_rev"),
+        F.sum("__rev").over(w).cast("double").alias("rev_90d"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2016,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_dim": q_calendar_dim,
         "pareto_share": q_pareto_share,
         "shipping_priority": q_shipping_priority,
+        "range_frame": q_range_frame,
     }
 
 
@@ -3259,6 +3290,21 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "range_frame": """
+            WITH daily AS (
+              SELECT o_orderpriority,
+                     datediff('day', DATE '1970-01-01', o_orderdate)
+                       AS epoch_day,
+                     SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+              FROM orders GROUP BY 1, 2)
+            SELECT o_orderpriority, CAST(epoch_day AS INT) AS epoch_day,
+                   CAST(rev AS DOUBLE) AS day_rev,
+                   CAST(SUM(rev) OVER w AS DOUBLE) AS rev_90d,
+                   count(*) OVER w AS days_in_window
+            FROM daily
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY epoch_day
+                         RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
         """,
         "shipping_priority": f"""
             SELECT l_orderkey, o_orderdate,
