@@ -1932,6 +1932,17 @@ def q_range_frame(spark, sf_dir):
     )
 
 
+def q_ab_test(spark, sf_dir):
+    """Welch's two-sample t between click and purchase event values —
+    one scan, quantized Σv/Σv² sums, closed-form t and
+    Welch–Satterthwaite dof in binary64."""
+    from gdp_etl_spark.operators.regression import welch_ttest
+
+    return welch_ttest(
+        _events(spark, sf_dir), "event_type", "value", "click", "purchase"
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2047,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_share": q_pareto_share,
         "shipping_priority": q_shipping_priority,
         "range_frame": q_range_frame,
+        "ab_test": q_ab_test,
     }
 
 
@@ -3290,6 +3302,42 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "ab_test": """
+            WITH q AS (
+              SELECT event_type,
+                     CAST(floor(value * 1e6) AS DECIMAL(19,0)) AS qv
+              FROM events
+              WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+            s AS (
+              SELECT count(CASE WHEN event_type = 'click' THEN 1 END) AS n_a,
+                     count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_b,
+                     CAST(sum(CASE WHEN event_type = 'click' THEN qv END)
+                          AS DOUBLE) / 1e6 AS sa,
+                     CAST(sum(CASE WHEN event_type = 'click' THEN qv * qv END)
+                          AS DOUBLE) / 1e12 AS saa,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN qv END)
+                          AS DOUBLE) / 1e6 AS sb,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN qv * qv END)
+                          AS DOUBLE) / 1e12 AS sbb
+              FROM q),
+            d AS (
+              SELECT n_a, n_b,
+                     sa / n_a AS mean_a, sb / n_b AS mean_b,
+                     (saa - sa * sa / n_a) / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+                     (sbb - sb * sb / n_b) / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+              FROM s)
+            SELECT n_a, n_b, mean_a, mean_b,
+                   CASE WHEN n_a >= 2 AND n_b >= 2
+                         AND va / n_a + vb / n_b > 0 THEN
+                     (mean_a - mean_b) / sqrt(va / n_a + vb / n_b) END AS t_stat,
+                   CASE WHEN n_a >= 2 AND n_b >= 2
+                         AND va / n_a + vb / n_b > 0 THEN
+                     ((va / n_a + vb / n_b) * (va / n_a + vb / n_b))
+                       / ((va / n_a) * (va / n_a) / (CAST(n_a AS DOUBLE) - 1.0)
+                          + (vb / n_b) * (vb / n_b)
+                            / (CAST(n_b AS DOUBLE) - 1.0)) END AS dof
+            FROM d
         """,
         "range_frame": """
             WITH daily AS (

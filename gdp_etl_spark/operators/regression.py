@@ -86,3 +86,58 @@ def grouped_linear_fit(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic between two
+    named groups — the A/B-comparison primitive, deterministic by the
+    same fixed-point recipe as :func:`grouped_linear_fit`.
+
+    One scan, one tiny two-row aggregation; means and (sample)
+    variances derive from quantized Σv / Σv², then t and the
+    Welch–Satterthwaite degrees of freedom are plain binary64.
+    Returns one row: (n_a, n_b, mean_a, mean_b, t_stat, dof).
+    NULL t when either group has < 2 rows or both variances are 0.
+    """
+    g = F.col(group_col)
+    v = F.col(value_col)
+    qa = F.when(g == F.lit(group_a), _q(v))
+    qb = F.when(g == F.lit(group_b), _q(v))
+    agg = df.filter(v.isNotNull() & g.isin(group_a, group_b)).agg(
+        F.count(F.when(g == F.lit(group_a), 1)).alias("n_a"),
+        F.count(F.when(g == F.lit(group_b), 1)).alias("n_b"),
+        F.sum(qa).alias("sa"),
+        F.sum(qa * qa).alias("saa"),
+        F.sum(qb).alias("sb"),
+        F.sum(qb * qb).alias("sbb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa = F.col("sa").cast("double") / F.lit(_Q)
+    sb = F.col("sb").cast("double") / F.lit(_Q)
+    saa = F.col("saa").cast("double") / F.lit(_Q * _Q)
+    sbb = F.col("sbb").cast("double") / F.lit(_Q * _Q)
+    mean_a, mean_b = sa / na, sb / nb
+    # sample variance via sums: (Σv² − (Σv)²/n) / (n−1)
+    var_a = (saa - sa * sa / na) / (na - F.lit(1.0))
+    var_b = (sbb - sb * sb / nb) / (nb - F.lit(1.0))
+    se2 = var_a / na + var_b / nb
+    t = (mean_a - mean_b) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (var_a / na) * (var_a / na) / (na - F.lit(1.0))
+        + (var_b / nb) * (var_b / nb) / (nb - F.lit(1.0))
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        F.when(ok, t).alias("t_stat"),
+        F.when(ok, dof).alias("dof"),
+    )

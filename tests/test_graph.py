@@ -80,3 +80,34 @@ def test_grouped_linear_fit_ignores_null_coordinates(spark):
     assert r["n"] == 3
     assert r["slope"] == pytest.approx(2.0, rel=1e-9)
     assert r["intercept"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_welch_ttest_matches_reference_formula(spark):
+    from gdp_etl_spark.operators.regression import welch_ttest
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = [2.5, 3.5, 4.5, 6.5]
+    df = spark.createDataFrame(
+        [("A", v) for v in a] + [("B", v) for v in b] + [("C", 99.0)],
+        "g string, v double",
+    )
+    r = welch_ttest(df, "g", "v", "A", "B").collect()[0]
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t_ref = (np.mean(a) - np.mean(b)) / np.sqrt(se2)
+    dof_ref = se2**2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert (r["n_a"], r["n_b"]) == (5, 4)
+    assert r["t_stat"] == pytest.approx(t_ref, rel=1e-9)
+    assert r["dof"] == pytest.approx(dof_ref, rel=1e-9)
+
+
+def test_welch_ttest_degenerate_groups_give_null(spark):
+    from gdp_etl_spark.operators.regression import welch_ttest
+
+    df = spark.createDataFrame(
+        [("A", 1.0), ("B", 2.0), ("B", 3.0)], "g string, v double"
+    )
+    r = welch_ttest(df, "g", "v", "A", "B").collect()[0]
+    assert r["t_stat"] is None and r["dof"] is None  # n_a < 2
