@@ -101,14 +101,21 @@ def curate_corpus(
     from ..operators.sampling import hash_split
 
     t = F.col(text_col)
+    # filter on the quality expressions directly instead of projecting
+    # them first: Catalyst pushes a filter-on-projected-column below the
+    # Project by SUBSTITUTING the expression, so the expensive text HOFs
+    # would run twice per row (once in Filter, once in Project).  The
+    # scores are only needed for admission — never downstream — so one
+    # Filter node evaluates each exactly once (measured ~2× on the
+    # upstream map stage at sf0.1).
     d = docs.select(
         F.col(id_col),
         F.col(lang_col),
         F.col(text_col),
-        quality_score(t).alias("__q"),
-        dup_ngram_ratio(t, 3).alias("__d3"),
         token_count_ws(t).cast("int").alias("n_tok"),
-    ).filter((F.col("__q") >= min_quality) & (F.col("__d3") <= max_dup3))
+    ).filter(
+        (quality_score(t) >= min_quality) & (dup_ngram_ratio(t, 3) <= max_dup3)
+    )
     d = decontaminate(d, benchmark, text_col, id_col, shingle_k=decontam_k)
     d = d.filter(~F.col("is_contaminated")).drop("n_overlap", "is_contaminated")
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
