@@ -1943,6 +1943,59 @@ def q_ab_test(spark, sf_dir):
     )
 
 
+def q_usis_export(spark, sf_dir):
+    """S7: the reference's 15-column USIS upload layout (reference
+    ``gpd_etl_pipeline.R:525-558``) over a GDP-shaped fact synthesized
+    from driver tables — per-nation-year revenue as Value, both Variable
+    recodes, every DataSource branch (2024→0001, economy 158→3001,
+    else 4809), the length<4 group filter, and the injectable RefDate."""
+    from gdp_etl_spark.plans.gdp import CONSTANT, CURRENT, export_usis_layout
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_nationkey", (F.year("o_orderdate") + F.lit(26)).alias("Year")
+        )
+        .agg(dsum("o_totalprice", "Value"))
+        .select(
+            # nation 15 plays economy 158 so the NSO DataSource branch
+            # is exercised; a fake 4-char group code must be filtered out
+            F.when(F.col("n_nationkey") == 15, F.lit("158"))
+            .otherwise(F.lpad(F.col("n_nationkey").cast("string"), 3, "0"))
+            .alias("Economy_Code"),
+            F.col("Year").cast("int").alias("Year"),
+            "Value",
+        )
+    )
+    both = rev.withColumn(
+        "Variable", F.explode(F.array(F.lit(CURRENT), F.lit(CONSTANT)))
+    ).withColumn(
+        "Value",
+        F.when(F.col("Variable") == CONSTANT, F.col("Value") * 0.9).otherwise(
+            F.col("Value")
+        ),
+    )
+    group_row = rev.limit(1).select(
+        F.lit("1000").alias("Economy_Code"),
+        F.col("Year"),
+        F.col("Value"),
+        F.lit(CURRENT).alias("Variable"),
+    )
+    fact = both.unionByName(group_row).select(
+        "Economy_Code",
+        "Year",
+        "Variable",
+        "Value",
+        F.lit(None).cast("string").alias("CommentEN"),
+        F.lit(None).cast("string").alias("CommentFR"),
+    )
+    return export_usis_layout(fact, run_date="2025-08-29")
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2059,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "range_frame": q_range_frame,
         "ab_test": q_ab_test,
+        "usis_export": q_usis_export,
     }
 
 
@@ -3302,6 +3356,43 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "usis_export": f"""
+            WITH rev AS (
+              SELECT n_nationkey,
+                     CAST(year(o_orderdate) + 26 AS INT) AS yr,
+                     {_dsum_sql('o_totalprice')} AS v
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1, 2),
+            coded AS (
+              SELECT CASE WHEN n_nationkey = 15 THEN '158'
+                          ELSE lpad(CAST(n_nationkey AS VARCHAR), 3, '0') END
+                       AS economy_code,
+                     yr, v
+              FROM rev),
+            b2 AS (
+              SELECT economy_code, yr,
+                     'GDP_at_current_prices' AS variable, v FROM coded
+              UNION ALL
+              SELECT economy_code, yr,
+                     'GDP_at_constant_prices_2015', v * 0.9 FROM coded)
+            SELECT '5100' AS Series, economy_code AS Country, yr AS Year,
+                   'A00' AS Period, '00' AS NAComponent,
+                   CASE variable WHEN 'GDP_at_current_prices' THEN '0100'
+                                 ELSE '0940' END AS Measure,
+                   '0101' AS Source,
+                   CASE WHEN yr = 2024 THEN '0001'
+                        WHEN economy_code = '158' THEN '3001'
+                        ELSE '4809' END AS DataSource,
+                   v AS Value, '00' AS DataStatus,
+                   '0' AS DataConfidentiality,
+                   CAST(NULL AS VARCHAR) AS CommentEN,
+                   CAST(NULL AS VARCHAR) AS CommentFR,
+                   '0' AS CommentConfidentiality,
+                   '29-Aug-25' AS RefDate
+            FROM b2 WHERE length(economy_code) < 4
         """,
         "ab_test": """
             WITH q AS (
