@@ -1996,6 +1996,22 @@ def q_usis_export(spark, sf_dir):
     return export_usis_layout(fact, run_date="2025-08-29")
 
 
+def q_cube(spark, sf_dir):
+    """Full CUBE over (priority, status): all 2^2 grouping combinations
+    with grouping_id, one shuffle pass — completes the ROLLUP /
+    GROUPING SETS / CUBE family."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            dsum("o_totalprice", "revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "gid", "revenue", "n")
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2113,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame": q_range_frame,
         "ab_test": q_ab_test,
         "usis_export": q_usis_export,
+        "cube": q_cube,
     }
 
 
@@ -3288,8 +3305,9 @@ def oracle_sql() -> dict[str, str]:
                      CAST(max(l_extendedprice) AS DOUBLE) AS hi
               FROM lineitem),
             counted AS (
-              SELECT CAST(least(19, floor((CAST(l_extendedprice AS DOUBLE) - b.lo)
-                                          / ((b.hi - b.lo) / 20.0))) AS INT) AS bin,
+              SELECT CAST(CASE WHEN b.hi = b.lo THEN 0 ELSE
+                       least(19, floor((CAST(l_extendedprice AS DOUBLE) - b.lo)
+                                       / ((b.hi - b.lo) / 20.0))) END AS INT) AS bin,
                      count(*) AS n
               FROM lineitem, b
               WHERE l_extendedprice IS NOT NULL
@@ -3356,6 +3374,14 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "cube": f"""
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid,
+                   {_dsum_sql('o_totalprice')} AS revenue,
+                   count(*) AS n
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
         """,
         "usis_export": f"""
             WITH rev AS (
@@ -3495,17 +3521,19 @@ def oracle_sql() -> dict[str, str]:
                      CAST(max(o_totalprice) AS DOUBLE) AS hi
               FROM orders WHERE year(o_orderdate) <= 1994),
             rc AS (
-              SELECT CAST(greatest(0, least(9,
+              SELECT CAST(CASE WHEN b.hi = b.lo THEN 0 ELSE
+                       greatest(0, least(9,
                        floor((CAST(o_totalprice AS DOUBLE) - b.lo)
-                             / ((b.hi - b.lo) / 10.0)))) AS INT) AS bin,
+                             / ((b.hi - b.lo) / 10.0)))) END AS INT) AS bin,
                      count(*) AS n_ref
               FROM orders, b
               WHERE year(o_orderdate) <= 1994 AND o_totalprice IS NOT NULL
               GROUP BY 1),
             cc AS (
-              SELECT CAST(greatest(0, least(9,
+              SELECT CAST(CASE WHEN b.hi = b.lo THEN 0 ELSE
+                       greatest(0, least(9,
                        floor((CAST(o_totalprice AS DOUBLE) - b.lo)
-                             / ((b.hi - b.lo) / 10.0)))) AS INT) AS bin,
+                             / ((b.hi - b.lo) / 10.0)))) END AS INT) AS bin,
                      count(*) AS n_cur
               FROM orders, b
               WHERE year(o_orderdate) >= 1995 AND o_totalprice IS NOT NULL

@@ -64,12 +64,18 @@ def equiwidth_histogram(
         df.filter(x.isNotNull())
         .crossJoin(F.broadcast(bounds))
         .select(
-            F.least(
-                F.lit(nbins - 1),
-                F.floor(
-                    (x.cast("double") - F.col("__lo"))
-                    / ((F.col("__hi") - F.col("__lo")) / F.lit(float(nbins)))
-                ),
+            # degenerate hi==lo (all values equal) → bin 0, explicitly:
+            # the NaN the division would produce routes through floor
+            # differently per engine
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(nbins - 1),
+                    F.floor(
+                        (x.cast("double") - F.col("__lo"))
+                        / ((F.col("__hi") - F.col("__lo")) / F.lit(float(nbins)))
+                    ),
+                )
             )
             .cast("int")
             .alias("bin")
@@ -127,15 +133,21 @@ def drift_psi(
             df.filter(x.isNotNull())
             .crossJoin(F.broadcast(bounds))
             .select(
-                F.greatest(
-                    F.lit(0),
-                    F.least(
-                        F.lit(nbins - 1),
-                        F.floor(
-                            (x.cast("double") - F.col("__lo"))
-                            / ((F.col("__hi") - F.col("__lo")) / F.lit(float(nbins)))
+                F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+                .otherwise(
+                    F.greatest(
+                        F.lit(0),
+                        F.least(
+                            F.lit(nbins - 1),
+                            F.floor(
+                                (x.cast("double") - F.col("__lo"))
+                                / (
+                                    (F.col("__hi") - F.col("__lo"))
+                                    / F.lit(float(nbins))
+                                )
+                            ),
                         ),
-                    ),
+                    )
                 )
                 .cast("int")
                 .alias("bin")

@@ -1,121 +1,94 @@
-"""Property-based spot checks (SURVEY.md §5): invariants over random
-inputs, batched into one DataFrame per example so each hypothesis case
-costs one Spark job, not one per row."""
+"""Property-based invariants (hypothesis) for the time-series and
+distribution operators — randomized inputs, structural guarantees."""
 
-import math
-import re
-from decimal import ROUND_HALF_UP, Decimal
+from datetime import datetime, timedelta
 
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from gdp_etl_spark.functions.expressions import bankers_round, dsum, pad_code
-from gdp_etl_spark.operators.closure import rollup_hierarchy, transitive_closure
-from gdp_etl_spark.operators.windows import gaps_and_islands
+from gdp_etl_spark.operators.profile import equiwidth_histogram
+from gdp_etl_spark.operators.timeseries import resample_locf, scd2_intervals
 
-from .conftest import rows
-
-_SET = settings(
-    max_examples=10, deadline=None,
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
+BASE = datetime(2024, 1, 1)
 
-def _parse_ranges(s: str) -> set[int]:
-    out: set[int] = set()
-    for part in s.split(", "):
-        m = re.fullmatch(r"(\d+)-(\d+)", part)
-        if m:
-            out.update(range(int(m.group(1)), int(m.group(2)) + 1))
+#: (hour-offset, value) observations — unique hours per example
+series = st.lists(
+    st.tuples(st.integers(0, 72), st.floats(-100, 100, allow_nan=False)),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(obs=series)
+@settings(**_SETTINGS)
+def test_locf_covers_exactly_the_span_and_carries_values(spark, obs):
+    df = spark.createDataFrame(
+        [("g", BASE + timedelta(hours=h, minutes=30), v) for h, v in obs],
+        "g string, ts timestamp, v double",
+    )
+    out = resample_locf(df, ["g"], "ts", "v", step="1 hour").collect()
+    hours = sorted(h for h, _ in obs)
+    # one row per hour across the observed span, no more, no fewer
+    assert len(out) == hours[-1] - hours[0] + 1
+    by_bucket = {r["bucket"]: r for r in out}
+    vals = dict(obs)
+    carried = None
+    for h in range(hours[0], hours[-1] + 1):
+        row = by_bucket[BASE + timedelta(hours=h)]
+        if h in vals:
+            carried = vals[h]
+            assert row["was_observed"] is True
         else:
-            out.add(int(part))
-    return out
+            assert row["was_observed"] is False
+        assert row["v"] == carried
 
 
-@_SET
 @given(
-    st.lists(
-        st.sets(st.integers(1970, 2030), min_size=1, max_size=15),
-        min_size=1, max_size=6,
+    log=st.lists(
+        st.tuples(st.integers(0, 20), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
     )
 )
-def test_gaps_islands_is_lossless(spark, cases):
-    data = [(i, y) for i, ys in enumerate(cases) for y in ys]
-    df = spark.createDataFrame(data, "g int, y int")
-    got = dict(rows(gaps_and_islands(df, ["g"], "y")))
-    for i, ys in enumerate(cases):
-        assert _parse_ranges(got[i]) == ys  # compression is invertible
-
-
-@_SET
-@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=30))
-def test_bankers_round_matches_python(spark, halves):
-    # Python round() IS banker's rounding — the reference semantic (R round)
-    vals = [k / 2.0 for k in halves]
-    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v double")
-    got = dict(rows(df.select("i", bankers_round(F.col("v")).alias("r"))))
-    for i, v in enumerate(vals):
-        assert got[i] == float(round(v)), (v, got[i])
-
-
-@_SET
-@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=50))
-def test_dsum_is_partitioning_independent(spark, vals):
-    data = [(float(v),) for v in vals]
-    a = spark.createDataFrame(data, "v double").coalesce(1)
-    b = spark.createDataFrame(data, "v double").repartition(7)
-    sa = a.agg(dsum("v").alias("s")).first()["s"]
-    sb = b.agg(dsum("v").alias("s")).first()["s"]
-    assert sa == sb  # bit-exact, not approx: decimal accumulation
-    expect = float(
-        sum(Decimal(str(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP) for v in vals)
+@settings(**_SETTINGS)
+def test_scd2_intervals_tile_the_timeline_without_overlap(spark, log):
+    df = spark.createDataFrame(
+        [(1, BASE + timedelta(days=d), a) for d, a in log],
+        "k int, ts timestamp, attr string",
     )
-    assert sa == pytest.approx(expect, rel=1e-12)
-
-
-@_SET
-@given(st.integers(0, 999))
-def test_pad_code_roundtrips(spark, n):
-    df = spark.createDataFrame([(n,)], "c int")
-    code = df.select(pad_code("c").alias("p")).first()["p"]
-    assert len(code) == 3 and int(code) == n
-
-
-@settings(max_examples=5, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(st.data())
-def test_closure_and_rollup_invariants(spark, data):
-    # random forest: node i>0 gets a parent drawn from 0..i-1 → acyclic
-    n = data.draw(st.integers(3, 12))
-    parents = {i: data.draw(st.integers(0, i - 1)) for i in range(1, n)}
-    weights = {i: data.draw(st.integers(0, 100)) for i in range(n)}
-    edges = spark.createDataFrame(
-        [(f"n{p}", f"n{c}") for c, p in parents.items()], "parent string, child string"
+    out = sorted(
+        scd2_intervals(df, ["k"], "ts", "attr").collect(),
+        key=lambda r: r["valid_from"],
     )
-    closure = transitive_closure(edges)
-    got_pairs = set(rows(closure))
+    # first interval starts at the first observation; last is open
+    assert out[0]["valid_from"] == BASE + timedelta(days=min(d for d, _ in log))
+    assert out[-1]["valid_to"] is None and out[-1]["is_current"] is True
+    for prev, nxt in zip(out, out[1:]):
+        assert prev["valid_to"] == nxt["valid_from"]  # contiguous, no gaps
+        assert prev["attr"] != nxt["attr"]  # runs truly collapsed
 
-    parent_set = set(parents.values())
-    leaves = [i for i in range(n) if i not in parent_set and i in parents]
 
-    def ancestors(i):
-        while i in parents:
-            i = parents[i]
-            yield i
-
-    expect_pairs = {
-        (f"n{a}", f"n{l}") for l in leaves for a in ancestors(l)
-    }
-    assert got_pairs == expect_pairs  # exactly the (ancestor, leaf) pairs
-
-    fact = spark.createDataFrame(
-        [(f"n{i}", float(w)) for i, w in weights.items()], "code string, v double"
+@given(
+    xs=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False), min_size=2, max_size=40
     )
-    totals = dict(
-        rows(rollup_hierarchy(fact, closure, "code", "parent", "child", [], "v"))
-    )
-    for a in set(a for a, _ in expect_pairs):
-        member_leaves = [l for (x, l) in expect_pairs if x == a]
-        assert totals[a] == sum(weights[int(l[1:])] for l in member_leaves)
+)
+@settings(**_SETTINGS)
+def test_histogram_conserves_mass_and_brackets_bounds(spark, xs):
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    out = equiwidth_histogram(df, "x", nbins=7).collect()
+    assert len(out) == 7
+    assert sum(r["n"] for r in out) == len(xs)
+    lo, hi = min(xs), max(xs)
+    assert out[0]["lo"] == pytest.approx(lo)
+    assert out[-1]["hi"] == pytest.approx(hi, rel=1e-12, abs=1e-9)

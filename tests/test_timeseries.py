@@ -92,3 +92,9 @@ def test_mad_outliers_zero_mad_group_reports_null(spark):
     got = {r["g"]: r for r in mad_outliers(df, "x", ["g"]).collect()}
     assert got["a"]["mad"] == 0.0 and got["a"]["n_outliers"] is None
     assert got["b"]["mad"] == 1.0 and got["b"]["n_outliers"] == 0
+
+
+def test_histogram_all_equal_values_land_in_bin_zero(spark):
+    df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "x double")
+    got = rows(equiwidth_histogram(df, "x", nbins=4))
+    assert {r[0]: r[3] for r in got} == {0: 3, 1: 0, 2: 0, 3: 0}
