@@ -2012,6 +2012,42 @@ def q_cube(spark, sf_dir):
     )
 
 
+def q_scd2_lookup(spark, sf_dir):
+    """Point-in-time lookup against the SCD2 history — the consumption
+    side of ``scd2``: each order joined to the priority version active
+    for its customer on its order date (valid_from <= d < valid_to,
+    open-ended current row).  History and fact hash on the same key, so
+    the interval join reuses one exchange; per order it returns exactly
+    one version row."""
+    from gdp_etl_spark.operators.timeseries import scd2_intervals
+
+    o = _t(spark, sf_dir, "orders")
+    hist = scd2_intervals(
+        o.select("o_custkey", "o_orderdate", "o_orderpriority"),
+        ["o_custkey"],
+        "o_orderdate",
+        "o_orderpriority",
+    ).select(
+        F.col("o_custkey").alias("h_custkey"),
+        F.col("o_orderpriority").alias("version_priority"),
+        "valid_from",
+        "valid_to",
+    )
+    fact = o.select("o_orderkey", "o_custkey", "o_orderdate")
+    return (
+        fact.join(
+            hist,
+            (F.col("o_custkey") == F.col("h_custkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("o_orderdate") < F.col("valid_to"))
+            ),
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "version_priority")
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2130,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "usis_export": q_usis_export,
         "cube": q_cube,
+        "scd2_lookup": q_scd2_lookup,
     }
 
 
@@ -3374,6 +3411,28 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "scd2_lookup": """
+            WITH runs AS (
+              SELECT o_custkey, o_orderdate, o_orderpriority,
+                     CASE WHEN row_number() OVER w = 1 THEN TRUE
+                          ELSE NOT (o_orderpriority IS NOT DISTINCT FROM
+                                    lag(o_orderpriority) OVER w) END AS chg
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderpriority)),
+            hist AS (
+              SELECT o_custkey AS h_custkey, o_orderpriority AS version_priority,
+                     o_orderdate AS valid_from,
+                     lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate) AS valid_to
+              FROM runs WHERE chg)
+            SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                   h.version_priority
+            FROM orders o JOIN hist h
+              ON o.o_custkey = h.h_custkey
+             AND o.o_orderdate >= h.valid_from
+             AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
         """,
         "cube": f"""
             SELECT o_orderpriority, o_orderstatus,
