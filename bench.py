@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "drift_psi",            # reference-binned drift contributions
     "pareto_share",         # cumulative-share window over rollup
     "shipping_priority",    # TPC-H Q3 shape: 3-way join + top-k
+    "scd2_lookup",          # SCD2 build + point-in-time interval join
+    "cube",                 # full CUBE grouping pass
 ]
 
 

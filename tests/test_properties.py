@@ -1,21 +1,134 @@
-"""Property-based invariants (hypothesis) for the time-series and
-distribution operators — randomized inputs, structural guarantees."""
+"""Property-based spot checks (SURVEY.md §5): invariants over random
+inputs, batched into one DataFrame per example so each hypothesis case
+costs one Spark job, not one per row."""
 
-from datetime import datetime, timedelta
+import math
+import re
+from decimal import ROUND_HALF_UP, Decimal
 
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from gdp_etl_spark.operators.profile import equiwidth_histogram
-from gdp_etl_spark.operators.timeseries import resample_locf, scd2_intervals
+from gdp_etl_spark.functions.expressions import bankers_round, dsum, pad_code
+from gdp_etl_spark.operators.closure import rollup_hierarchy, transitive_closure
+from gdp_etl_spark.operators.windows import gaps_and_islands
 
-_SETTINGS = dict(
-    max_examples=8,
-    deadline=None,
+from .conftest import rows
+
+_SET = settings(
+    max_examples=10, deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+
+
+def _parse_ranges(s: str) -> set[int]:
+    out: set[int] = set()
+    for part in s.split(", "):
+        m = re.fullmatch(r"(\d+)-(\d+)", part)
+        if m:
+            out.update(range(int(m.group(1)), int(m.group(2)) + 1))
+        else:
+            out.add(int(part))
+    return out
+
+
+@_SET
+@given(
+    st.lists(
+        st.sets(st.integers(1970, 2030), min_size=1, max_size=15),
+        min_size=1, max_size=6,
+    )
+)
+def test_gaps_islands_is_lossless(spark, cases):
+    data = [(i, y) for i, ys in enumerate(cases) for y in ys]
+    df = spark.createDataFrame(data, "g int, y int")
+    got = dict(rows(gaps_and_islands(df, ["g"], "y")))
+    for i, ys in enumerate(cases):
+        assert _parse_ranges(got[i]) == ys  # compression is invertible
+
+
+@_SET
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=30))
+def test_bankers_round_matches_python(spark, halves):
+    # Python round() IS banker's rounding — the reference semantic (R round)
+    vals = [k / 2.0 for k in halves]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v double")
+    got = dict(rows(df.select("i", bankers_round(F.col("v")).alias("r"))))
+    for i, v in enumerate(vals):
+        assert got[i] == float(round(v)), (v, got[i])
+
+
+@_SET
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=50))
+def test_dsum_is_partitioning_independent(spark, vals):
+    data = [(float(v),) for v in vals]
+    a = spark.createDataFrame(data, "v double").coalesce(1)
+    b = spark.createDataFrame(data, "v double").repartition(7)
+    sa = a.agg(dsum("v").alias("s")).first()["s"]
+    sb = b.agg(dsum("v").alias("s")).first()["s"]
+    assert sa == sb  # bit-exact, not approx: decimal accumulation
+    expect = float(
+        sum(Decimal(str(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP) for v in vals)
+    )
+    assert sa == pytest.approx(expect, rel=1e-12)
+
+
+@_SET
+@given(st.integers(0, 999))
+def test_pad_code_roundtrips(spark, n):
+    df = spark.createDataFrame([(n,)], "c int")
+    code = df.select(pad_code("c").alias("p")).first()["p"]
+    assert len(code) == 3 and int(code) == n
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_closure_and_rollup_invariants(spark, data):
+    # random forest: node i>0 gets a parent drawn from 0..i-1 → acyclic
+    n = data.draw(st.integers(3, 12))
+    parents = {i: data.draw(st.integers(0, i - 1)) for i in range(1, n)}
+    weights = {i: data.draw(st.integers(0, 100)) for i in range(n)}
+    edges = spark.createDataFrame(
+        [(f"n{p}", f"n{c}") for c, p in parents.items()], "parent string, child string"
+    )
+    closure = transitive_closure(edges)
+    got_pairs = set(rows(closure))
+
+    parent_set = set(parents.values())
+    leaves = [i for i in range(n) if i not in parent_set and i in parents]
+
+    def ancestors(i):
+        while i in parents:
+            i = parents[i]
+            yield i
+
+    expect_pairs = {
+        (f"n{a}", f"n{l}") for l in leaves for a in ancestors(l)
+    }
+    assert got_pairs == expect_pairs  # exactly the (ancestor, leaf) pairs
+
+    fact = spark.createDataFrame(
+        [(f"n{i}", float(w)) for i, w in weights.items()], "code string, v double"
+    )
+    totals = dict(
+        rows(rollup_hierarchy(fact, closure, "code", "parent", "child", [], "v"))
+    )
+    for a in set(a for a, _ in expect_pairs):
+        member_leaves = [l for (x, l) in expect_pairs if x == a]
+        assert totals[a] == sum(weights[int(l[1:])] for l in member_leaves)
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: time-series + distribution operator invariants
+# ---------------------------------------------------------------------------
+
+from datetime import datetime, timedelta
+
+from gdp_etl_spark.operators.profile import equiwidth_histogram
+from gdp_etl_spark.operators.timeseries import resample_locf, scd2_intervals
 
 BASE = datetime(2024, 1, 1)
 
@@ -28,8 +141,8 @@ series = st.lists(
 )
 
 
+@_SET
 @given(obs=series)
-@settings(**_SETTINGS)
 def test_locf_covers_exactly_the_span_and_carries_values(spark, obs):
     df = spark.createDataFrame(
         [("g", BASE + timedelta(hours=h, minutes=30), v) for h, v in obs],
@@ -52,6 +165,7 @@ def test_locf_covers_exactly_the_span_and_carries_values(spark, obs):
         assert row["v"] == carried
 
 
+@_SET
 @given(
     log=st.lists(
         st.tuples(st.integers(0, 20), st.sampled_from(["a", "b", "c"])),
@@ -60,7 +174,6 @@ def test_locf_covers_exactly_the_span_and_carries_values(spark, obs):
         unique_by=lambda t: t[0],
     )
 )
-@settings(**_SETTINGS)
 def test_scd2_intervals_tile_the_timeline_without_overlap(spark, log):
     df = spark.createDataFrame(
         [(1, BASE + timedelta(days=d), a) for d, a in log],
@@ -78,12 +191,12 @@ def test_scd2_intervals_tile_the_timeline_without_overlap(spark, log):
         assert prev["attr"] != nxt["attr"]  # runs truly collapsed
 
 
+@_SET
 @given(
     xs=st.lists(
         st.floats(-1e6, 1e6, allow_nan=False), min_size=2, max_size=40
     )
 )
-@settings(**_SETTINGS)
 def test_histogram_conserves_mass_and_brackets_bounds(spark, xs):
     df = spark.createDataFrame([(x,) for x in xs], "x double")
     out = equiwidth_histogram(df, "x", nbins=7).collect()
