@@ -196,13 +196,36 @@ def ngram_jaccard_pairs(
             "all-pairs n-gram Jaccard is quadratic; pass bucket_col=... to "
             "block, or allow_all_pairs=True for verification-scale use"
         )
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh"))
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
     if bucket_col is not None:
         sh = sh.join(df.select(id_col, bucket_col), id_col)
+    # materialize the shingle arrays before self-joining: without the
+    # barrier the shingling HOF inlines into BOTH join sides and is
+    # re-evaluated per candidate pair instead of per document (measured
+    # ~10× on the sf0.1 lang-blocked self-join)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = sh.alias("a"), sh.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if bucket_col is not None:
         cond = cond & (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"))
+    # sound containment bound: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    # J >= θ implies the size ratio is >= θ.  An O(1) size predicate in
+    # the join condition prunes the candidate pairs BEFORE the O(n)
+    # intersect/union runs — semantics-free speedup (the oracle carries
+    # the same bound).  Integer form avoids float compare: |A| >= θ|B|.
+    cond = (
+        cond
+        & (
+            F.col("a.n_sh") * F.lit(100)
+            >= F.col("b.n_sh") * F.lit(int(threshold * 100))
+        )
+        & (
+            F.col("b.n_sh") * F.lit(100)
+            >= F.col("a.n_sh") * F.lit(int(threshold * 100))
+        )
+    )
     return (
         a.join(b, cond)
         .withColumn(

@@ -20,6 +20,7 @@ import urllib.request
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -171,21 +172,27 @@ def read_jsonl(
     ``corrupt_col`` instead of failing a 100-TB job.
 
     Filter ``col(corrupt_col).isNull()`` for the clean rows and route
-    the rest to a quarantine sink; both stay one scan.  Spark refuses a
-    query that references ONLY the corrupt column
-    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache the
-    parsed frame, or keep a data column in the quarantine projection."""
+    the rest to a quarantine sink; both stay one scan.
+
+    Implementation: text scan + ``from_json`` rather than the raw
+    ``spark.read.json`` PERMISSIVE path — the raw path refuses any plan
+    whose pruned column set is only the corrupt column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), which a
+    bare ``count()`` after a quarantine filter triggers.  ``from_json``
+    runs the same PERMISSIVE parser as an ordinary expression, so every
+    downstream plan shape is legal, and the line scan is still one
+    whole-stage-codegen pass."""
     if isinstance(schema, str):
         schema = _parse_ddl(spark, schema)
     # copy before .add — StructType.add appends IN PLACE and would
     # mutate a caller-owned schema object
     full = StructType(list(schema.fields)).add(corrupt_col, "string")
-    return (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .json(path)
+    parsed = F.from_json(
+        F.col("value"),
+        full,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
     )
+    return spark.read.text(path).select(parsed.alias("__r")).select("__r.*")
 
 
 def _parse_ddl(spark: SparkSession, ddl: str) -> StructType:
