@@ -288,7 +288,11 @@ def simhash_pairs(
     split 64 bits into 4 × 16-bit chunks — any pair within distance 3
     agrees on ≥1 chunk, so candidates come from 4 equi-joins on chunk
     value (shuffle keyed on 16-bit chunks, never all-pairs)."""
-    sig = simhash_signatures(df, text_col, id_col)
+    # materialize before the self-join: both sides consume the frame, so
+    # without the barrier the Arrow-batched signature UDF runs twice
+    sig = simhash_signatures(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     chunks = sig.select(
         id_col,
         "simhash",
