@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.vectors import cosine_exact
 
@@ -171,10 +172,12 @@ def lsh_topk(
     tables).
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # materialize before the self-join: both sides consume the frame, so
+    # without the barrier the bucket-signature pandas UDF runs twice
     bucketed = hyperplane_lsh_buckets(
         base, "vec", num_bits=num_bits, num_tables=num_tables, seed=seed,
         out_col="__bs",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     exploded = bucketed.select(
         "id", "vec", F.posexplode(F.col("__bs")).alias("table", "bucket")
     )
