@@ -2048,6 +2048,17 @@ def q_scd2_lookup(spark, sf_dir):
     )
 
 
+def q_category_drift(spark, sf_dir):
+    """Chi-square contingency drift of the event-type mix, first half
+    of the month vs second — the categorical sibling of drift_psi."""
+    from gdp_etl_spark.operators.profile import category_drift
+
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.dayofmonth("ts") <= 15).select("event_type")
+    cur = ev.filter(F.dayofmonth("ts") > 15).select("event_type")
+    return category_drift(ref, cur, "event_type")
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2167,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "usis_export": q_usis_export,
         "cube": q_cube,
         "scd2_lookup": q_scd2_lookup,
+        "category_drift": q_category_drift,
     }
 
 
@@ -3411,6 +3423,39 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "category_drift": """
+            WITH rc AS (
+              SELECT event_type AS category, count(*) AS n_ref
+              FROM events WHERE day(ts) <= 15 AND event_type IS NOT NULL
+              GROUP BY 1),
+            cc AS (
+              SELECT event_type AS category, count(*) AS n_cur
+              FROM events WHERE day(ts) > 15 AND event_type IS NOT NULL
+              GROUP BY 1),
+            j AS (
+              SELECT coalesce(rc.category, cc.category) AS category,
+                     coalesce(rc.n_ref, 0) AS n_ref,
+                     coalesce(cc.n_cur, 0) AS n_cur
+              FROM rc FULL OUTER JOIN cc ON rc.category = cc.category),
+            t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+            SELECT category, n_ref, n_cur,
+                   CAST(t.tr * (n_ref + n_cur) AS DOUBLE) / (t.tr + t.tc)
+                     AS e_ref,
+                   CAST(t.tc * (n_ref + n_cur) AS DOUBLE) / (t.tr + t.tc)
+                     AS e_cur,
+                   (n_ref - CAST(t.tr * (n_ref + n_cur) AS DOUBLE)
+                              / (t.tr + t.tc))
+                   * (n_ref - CAST(t.tr * (n_ref + n_cur) AS DOUBLE)
+                                / (t.tr + t.tc))
+                   / (CAST(t.tr * (n_ref + n_cur) AS DOUBLE) / (t.tr + t.tc))
+                   + (n_cur - CAST(t.tc * (n_ref + n_cur) AS DOUBLE)
+                                / (t.tr + t.tc))
+                     * (n_cur - CAST(t.tc * (n_ref + n_cur) AS DOUBLE)
+                                  / (t.tr + t.tc))
+                     / (CAST(t.tc * (n_ref + n_cur) AS DOUBLE) / (t.tr + t.tc))
+                     AS chi2_contrib
+            FROM j, t
         """,
         "scd2_lookup": """
             WITH runs AS (

@@ -186,3 +186,59 @@ def drift_psi(
         )
         .orderBy("bin")
     )
+
+
+def category_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Chi-square contingency drift between two slices of a categorical
+    column — the discrete sibling of :func:`drift_psi`.
+
+    Per category: observed counts in each slice, the expected counts
+    under the no-drift hypothesis (marginal products), and the
+    category's chi-square contribution; ``sum(chi2_contrib)`` is the
+    statistic with ``n_categories − 1`` degrees of freedom.  Categories
+    absent from one slice count as zero (full-outer union of the two
+    count sets).  One count-agg per slice, a tiny per-category frame,
+    all post-count math in plain binary64 — engine-portable.
+    """
+    c = F.col(col)
+
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.filter(c.isNotNull())
+            .groupBy(c.alias("category"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    joined = (
+        counts(ref, "n_ref")
+        .join(counts(cur, "n_cur"), "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    with_tot = joined.crossJoin(F.broadcast(tot))
+    n_cat = F.col("n_ref") + F.col("n_cur")
+    grand = F.col("__tr") + F.col("__tc")
+    e_ref = (F.col("__tr") * n_cat).cast("double") / grand
+    e_cur = (F.col("__tc") * n_cat).cast("double") / grand
+    contrib = (
+        (F.col("n_ref") - e_ref) * (F.col("n_ref") - e_ref) / e_ref
+        + (F.col("n_cur") - e_cur) * (F.col("n_cur") - e_cur) / e_cur
+    )
+    return with_tot.select(
+        "category",
+        "n_ref",
+        "n_cur",
+        e_ref.alias("e_ref"),
+        e_cur.alias("e_cur"),
+        contrib.alias("chi2_contrib"),
+    ).orderBy("category")

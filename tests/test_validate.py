@@ -1,5 +1,7 @@
 """Data-quality check suite: each rule kind catches planted violations."""
 
+import pytest
+
 from gdp_etl_spark.operators import validate as V
 
 
@@ -88,3 +90,30 @@ def test_drift_psi_out_of_range_values_clamp_to_edge_bins(spark):
     got = {r["bin"]: r["n_cur"] for r in drift_psi(ref, cur, "x", nbins=5).collect()}
     assert got[0] == 1 and got[4] == 1
     assert sum(got.values()) == 2
+
+
+def test_category_drift_zero_when_mix_unchanged_and_detects_shift(spark):
+    from pyspark.sql import functions as F
+
+    from gdp_etl_spark.operators.profile import category_drift
+
+    base = spark.createDataFrame(
+        [("a",)] * 60 + [("b",)] * 40, "c string"
+    )
+    same = category_drift(base, base, "c")
+    assert same.agg(F.sum("chi2_contrib")).first()[0] == pytest.approx(0.0)
+    shifted = spark.createDataFrame([("a",)] * 40 + [("b",)] * 60, "c string")
+    chi2 = (
+        category_drift(base, shifted, "c").agg(F.sum("chi2_contrib")).first()[0]
+    )
+    assert chi2 > 3.84  # > chi2(dof=1) 95% critical value
+
+
+def test_category_drift_handles_one_sided_categories(spark):
+    from gdp_etl_spark.operators.profile import category_drift
+
+    ref = spark.createDataFrame([("a",), ("b",)], "c string")
+    cur = spark.createDataFrame([("a",), ("z",)], "c string")
+    got = {r["category"]: (r["n_ref"], r["n_cur"])
+           for r in category_drift(ref, cur, "c").collect()}
+    assert got == {"a": (1, 1), "b": (1, 0), "z": (0, 1)}
