@@ -2059,6 +2059,15 @@ def q_category_drift(spark, sf_dir):
     return category_drift(ref, cur, "event_type")
 
 
+def q_equidepth(spark, sf_dir):
+    """Equi-depth (quantile) histogram of order value: exact
+    interpolated decile boundaries from one percentile agg, then a
+    boundary-counting bucketize — no global sort, no ntile."""
+    from gdp_etl_spark.operators.profile import equidepth_histogram
+
+    return equidepth_histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 10)
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2179,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "scd2_lookup": q_scd2_lookup,
         "category_drift": q_category_drift,
+        "equidepth": q_equidepth,
     }
 
 
@@ -3423,6 +3433,26 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "equidepth": """
+            WITH b AS (
+              SELECT quantile_cont(o_totalprice,
+                       [0.0, 0.1, 0.2, 0.3, 0.4, 0.5,
+                        0.6, 0.7, 0.8, 0.9, 1.0]) AS bnds
+              FROM orders),
+            binned AS (
+              SELECT len(list_filter(b.bnds[2:10],
+                                     x -> CAST(o_totalprice AS DOUBLE) > x))
+                       AS bin
+              FROM orders, b
+              WHERE o_totalprice IS NOT NULL),
+            counted AS (SELECT bin, count(*) AS n FROM binned GROUP BY 1),
+            grid AS (SELECT unnest(range(0, 10)) AS bin, bnds FROM b)
+            SELECT CAST(g.bin AS INT) AS bin,
+                   g.bnds[g.bin + 1] AS lo,
+                   g.bnds[g.bin + 2] AS hi,
+                   coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN counted c ON g.bin = c.bin
         """,
         "category_drift": """
             WITH rc AS (

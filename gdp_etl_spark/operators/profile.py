@@ -242,3 +242,54 @@ def category_drift(
         e_cur.alias("e_cur"),
         contrib.alias("chi2_contrib"),
     ).orderBy("category")
+
+
+def equidepth_histogram(
+    df: DataFrame, col: str, nbins: int = 10
+) -> DataFrame:
+    """Equi-depth (quantile) histogram: bins hold ~equal row counts.
+
+    Boundaries are the exact interpolated i/nbins quantiles from ONE
+    percentile aggregation — no global sort, no single-partition ntile
+    (the naive formulation): the second scan bucketizes each row by
+    counting boundaries strictly below it (interior boundaries only),
+    one hash agg on the bin id.  Duplicate boundary values (heavy
+    hitters spanning quantiles) produce under-filled bins rather than
+    splitting equal values across bins — ties stay together.
+    NULLs are excluded.  (bin, lo, hi, n); lo/hi are the quantile
+    boundaries, bin 0 starts at min, the last bin ends at max.
+    """
+    x = F.col(col)
+    fracs = [i / nbins for i in range(nbins + 1)]
+    bounds = df.agg(
+        F.percentile(x, F.array(*[F.lit(f) for f in fracs])).alias("__b")
+    )
+    # interior boundaries __b[1..nbins-1]; bin = count of boundaries < x
+    interior = F.slice(F.col("__b"), 2, nbins - 1)
+    counted = (
+        df.filter(x.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.aggregate(
+                interior,
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(x.cast("double") > b, 1).otherwise(0),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(nbins - 1))).alias("bin"), "__b"
+    )
+    return (
+        grid.join(counted, "bin", "left")
+        .select(
+            "bin",
+            F.element_at("__b", F.col("bin") + 1).alias("lo"),
+            F.element_at("__b", F.col("bin") + 2).alias("hi"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+        .orderBy("bin")
+    )

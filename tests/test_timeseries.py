@@ -98,3 +98,18 @@ def test_histogram_all_equal_values_land_in_bin_zero(spark):
     df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "x double")
     got = rows(equiwidth_histogram(df, "x", nbins=4))
     assert {r[0]: r[3] for r in got} == {0: 3, 1: 0, 2: 0, 3: 0}
+
+
+def test_equidepth_histogram_balances_counts_and_keeps_ties_together(spark):
+    from gdp_etl_spark.operators.profile import equidepth_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    got = rows(equidepth_histogram(df, "x", nbins=4))
+    assert [r[3] for r in got] == [25, 25, 25, 25]
+    assert got[0][1] == 0.0 and got[-1][2] == 99.0
+
+    # heavy hitter spanning quantiles: ties stay in one bin
+    hh = spark.createDataFrame([(1.0,)] * 90 + [(2.0,), (3.0,)], "x double")
+    got2 = rows(equidepth_histogram(hh, "x", nbins=4))
+    assert sum(r[3] for r in got2) == 92
+    assert got2[0][3] == 90  # all the tied 1.0s in bin 0
