@@ -2068,6 +2068,22 @@ def q_equidepth(spark, sf_dir):
     return equidepth_histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 10)
 
 
+def q_udtf_matches(spark, sf_dir):
+    """Python UDTF surface (table function → rows per input row):
+    6+-letter word matches with ordinals via a LATERAL join.  Row-at-a-time Python by
+    design — the API-coverage demo; production span extraction stays
+    JVM-side (explode(regexp_extract_all), as pii_redact does)."""
+    from gdp_etl_spark.operators.udtf import RegexMatches
+
+    spark.udtf.register("regex_matches", RegexMatches)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__docs")
+    return spark.sql(
+        r"""SELECT d.doc_id, m.match, m.match_idx
+            FROM __docs d,
+            LATERAL regex_matches(d.text, '[a-z]{6,}') m"""
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2189,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_lookup": q_scd2_lookup,
         "category_drift": q_category_drift,
         "equidepth": q_equidepth,
+        "udtf_matches": q_udtf_matches,
     }
 
 
@@ -3433,6 +3450,14 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "udtf_matches": """
+            WITH m AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[a-z]{6,}') AS ms
+              FROM documents)
+            SELECT doc_id, ms[i + 1] AS "match", CAST(i AS INT) AS match_idx
+            FROM m, unnest(range(0, len(ms))) AS t(i)
         """,
         "equidepth": """
             WITH b AS (

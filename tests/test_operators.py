@@ -344,3 +344,22 @@ def test_point_in_interval_left_join(spark):
     )
     got = {r["pid"]: r["iv"] for r in out.collect()}
     assert got == {1: "a", 2: None}  # matchless point kept with NULLs
+
+
+def test_udtf_regex_matches_rows_with_ordinals_and_offsets(spark):
+    from gdp_etl_spark.operators.udtf import RegexMatches
+
+    spark.udtf.register("t_regex_matches", RegexMatches)
+    spark.createDataFrame(
+        [(1, "ab 12 cd 34"), (2, None), (3, "no digits")],
+        "id int, text string",
+    ).createOrReplaceTempView("t_udtf_in")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT i.id, m.match, m.match_idx, m.char_offset "
+            "FROM t_udtf_in i, LATERAL t_regex_matches(i.text, '[0-9]+') m"
+        ).collect()
+    )
+    # NULL text and no-match rows yield no rows; ordinals and offsets exact
+    assert got == [(1, "12", 0, 3), (1, "34", 1, 9)]
