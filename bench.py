@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "shipping_priority",    # TPC-H Q3 shape: 3-way join + top-k
     "scd2_lookup",          # SCD2 build + point-in-time interval join
     "cube",                 # full CUBE grouping pass
+    "equidepth",            # exact quantile-boundary bucketize
+    "category_drift",       # chi-square contingency drift
 ]
 
 
