@@ -2084,6 +2084,33 @@ def q_udtf_matches(spark, sf_dir):
     )
 
 
+def q_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns in
+    1996-Q4 — 4-way join with broadcast dims, pushed return-flag
+    and date filters, TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            )
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2206,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_drift": q_category_drift,
         "equidepth": q_equidepth,
         "udtf_matches": q_udtf_matches,
+        "returned_revenue": q_returned_revenue,
     }
 
 
@@ -3450,6 +3478,20 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "returned_revenue": f"""
+            SELECT c_custkey, c_name, n_name, c_mktsegment,
+                   {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= DATE '1996-10-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
         """,
         "udtf_matches": """
             WITH m AS (

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "cube",                 # full CUBE grouping pass
     "equidepth",            # exact quantile-boundary bucketize
     "category_drift",       # chi-square contingency drift
+    "returned_revenue",     # TPC-H Q10 shape: 4-way join + top-k
 ]
 
 
