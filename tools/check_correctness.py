@@ -97,7 +97,7 @@ def main():
         )
 
     spark = get_spark("check", master="local[8]", shuffle_partitions=8)
-    n_pass = n_fail = n_rows_only = 0
+    n_pass = n_fail = n_rows_only = n_vacuous = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -130,9 +130,21 @@ def main():
                 print(f"      {i}")
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(spark_rows)} rows [{time.time()-t0:.1f}s]")
+            # a 0==0 comparison proves nothing — flag it so a vacuous
+            # filter (e.g. a date band outside the data) can't pass
+            # silently (this bit once: a TPC-H-dated quarter on data
+            # spanning 1995-2001)
+            vac = "  ** VACUOUS (0 rows both sides)" if not spark_rows else ""
+            print(
+                f"PASS  {name}: {len(spark_rows)} rows "
+                f"[{time.time()-t0:.1f}s]{vac}"
+            )
             n_pass += 1
-    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+            n_vacuous += not spark_rows
+    print(
+        f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only, "
+        f"{n_vacuous} vacuous =="
+    )
     spark.stop()
     return 1 if n_fail else 0
 
