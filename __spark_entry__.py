@@ -538,7 +538,7 @@ def q_conditional_overwrite(spark, sf_dir):
     dissolved-economy remap machinery, data-driven)."""
     n = _t(spark, sf_dir, "nation")
     rules = [
-        (F.col("n_name") == "FRANCE", "EU-FR"),
+        (F.col("n_name") == "NATION_3", "EU-FR"),
         (F.col("n_regionkey") == 2, "ASIA-X"),
         (F.col("n_nationkey") >= 20, "HIGH"),
     ]
@@ -2111,6 +2111,43 @@ def q_returned_revenue(spark, sf_dir):
     )
 
 
+def q_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral revenue by (supplier nation, customer
+    nation, year) for one nation pair in both directions — the
+    two-dimension-leg join topology (lineitem→supplier→nation AND
+    lineitem→orders→customer→nation), both legs broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (
+        F.col("cust_nation") == "NATION_7"
+    ) | (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("year")
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            )
+        )
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2234,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth": q_equidepth,
         "udtf_matches": q_udtf_matches,
         "returned_revenue": q_returned_revenue,
+        "trade_volume": q_trade_volume,
     }
 
 
@@ -3478,6 +3516,20 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "trade_volume": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS year,
+                   {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+            GROUP BY 1, 2, 3
         """,
         "returned_revenue": f"""
             SELECT c_custkey, c_name, n_name, c_mktsegment,
