@@ -2523,7 +2523,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name, s_acctbal, CAST(NULL AS VARCHAR) FROM supplier
         """,
         "conditional_overwrite": """
-            SELECT CASE WHEN n_name = 'FRANCE' THEN 'EU-FR'
+            SELECT CASE WHEN n_name = 'NATION_3' THEN 'EU-FR'
                         WHEN n_regionkey = 2 THEN 'ASIA-X'
                         WHEN n_nationkey >= 20 THEN 'HIGH'
                         ELSE n_name END AS code,
