@@ -2148,6 +2148,28 @@ def q_trade_volume(spark, sf_dir):
     )
 
 
+def q_rolling_corr(spark, sf_dir):
+    """Trailing-30-day correlation between daily revenue and daily
+    order count per priority — windowed fixed-point sufficient sums
+    (decimal through the RANGE frame), closed-form corr per row."""
+    from gdp_etl_spark.operators.regression import rolling_corr
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")).alias(
+            "epoch_day"
+        ),
+    ).agg(
+        dsum("o_totalprice", "day_rev"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return rolling_corr(
+        daily, ["o_orderpriority"], "epoch_day", "day_rev", "n_orders",
+        preceding=29,
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2272,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_matches": q_udtf_matches,
         "returned_revenue": q_returned_revenue,
         "trade_volume": q_trade_volume,
+        "rolling_corr": q_rolling_corr,
     }
 
 
@@ -3516,6 +3539,58 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "rolling_corr": f"""
+            WITH daily AS (
+              SELECT o_orderpriority,
+                     datediff('day', DATE '1970-01-01', o_orderdate)
+                       AS epoch_day,
+                     {_dsum_sql('o_totalprice')} AS day_rev,
+                     CAST(count(*) AS DOUBLE) AS n_orders
+              FROM orders GROUP BY 1, 2),
+            q AS (
+              SELECT o_orderpriority, epoch_day,
+                     CAST(floor(day_rev * 1e6) AS DECIMAL(19,0)) AS qx,
+                     CAST(floor(n_orders * 1e6) AS DECIMAL(19,0)) AS qy
+              FROM daily),
+            rawsums AS (
+              SELECT o_orderpriority, epoch_day,
+                     CAST(count(*) OVER w AS DOUBLE) AS n,
+                     sum(qx) OVER w AS sqx, sum(qy) OVER w AS sqy,
+                     sum(qx * qy) OVER w AS sqxy,
+                     sum(qx * qx) OVER w AS sqxx,
+                     sum(qy * qy) OVER w AS sqyy
+              FROM q
+              WINDOW w AS (PARTITION BY o_orderpriority ORDER BY epoch_day
+                           RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)),
+            -- decimal→double via the hi/lo 2^32 split (cross-engine
+            -- identical rounding; direct casts diverge above 2^53)
+            sums AS (
+              SELECT o_orderpriority, epoch_day, n,
+                (CAST((sqx - sqx % 4294967296) / 4294967296 AS DOUBLE)
+                   * 4294967296.0
+                 + CAST(sqx % 4294967296 AS DOUBLE)) / 1e6 AS sx,
+                (CAST((sqy - sqy % 4294967296) / 4294967296 AS DOUBLE)
+                   * 4294967296.0
+                 + CAST(sqy % 4294967296 AS DOUBLE)) / 1e6 AS sy,
+                (CAST((sqxy - sqxy % 4294967296) / 4294967296 AS DOUBLE)
+                   * 4294967296.0
+                 + CAST(sqxy % 4294967296 AS DOUBLE)) / 1e12 AS sxy,
+                (CAST((sqxx - sqxx % 4294967296) / 4294967296 AS DOUBLE)
+                   * 4294967296.0
+                 + CAST(sqxx % 4294967296 AS DOUBLE)) / 1e12 AS sxx,
+                (CAST((sqyy - sqyy % 4294967296) / 4294967296 AS DOUBLE)
+                   * 4294967296.0
+                 + CAST(sqyy % 4294967296 AS DOUBLE)) / 1e12 AS syy
+              FROM rawsums)
+            SELECT o_orderpriority, CAST(epoch_day AS INT) AS epoch_day,
+                   CAST(n AS BIGINT) AS n_window,
+                   CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                         AND n * syy - sy * sy > 0 THEN
+                     (n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+                     AS corr
+            FROM sums
         """,
         "trade_volume": f"""
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

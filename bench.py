@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "category_drift",       # chi-square contingency drift
     "returned_revenue",     # TPC-H Q10 shape: 4-way join + top-k
     "trade_volume",         # TPC-H Q7 shape: two-leg nation join
+    "rolling_corr",         # windowed fixed-point correlation
 ]
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: per-coordinate fixed-point scale (6 decimals)
@@ -140,4 +140,80 @@ def welch_ttest(
         mean_b.alias("mean_b"),
         F.when(ok, t).alias("t_stat"),
         F.when(ok, dof).alias("dof"),
+    )
+
+
+def rolling_corr(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    x: Column | str,
+    y: Column | str,
+    preceding: int = 29,
+) -> DataFrame:
+    """Trailing-window Pearson correlation of two series per group —
+    window form of the OLS machinery, deterministic end to end.
+
+    The five sufficient sums accumulate over a value-RANGE frame
+    (``preceding`` units of ``order_col`` back to the current row) as
+    exact decimal integers of the 1e6-quantized coordinates — double
+    window-sums would expose each engine's frame-accumulation order —
+    then one closed-form binary64 expression per row.  One shuffle on
+    the group key.  ``corr`` is NULL while the frame holds < 2 points
+    or either series has zero variance in-frame.
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    qx, qy = _q(xc), _q(yc)
+    base = df.select(
+        *list(group_cols),
+        F.col(order_col),
+        qx.alias("__qx"),
+        qy.alias("__qy"),
+        (qx * qy).alias("__qxy"),
+        (qx * qx).alias("__qxx"),
+        (qy * qy).alias("__qyy"),
+    )
+    w = (
+        Window.partitionBy(*list(group_cols))
+        .orderBy(order_col)
+        .rangeBetween(-preceding, 0)
+    )
+    summed = base.select(
+        *list(group_cols),
+        F.col(order_col),
+        F.count(F.lit(1)).over(w).cast("double").alias("__n"),
+        F.sum("__qx").over(w).alias("__sqx"),
+        F.sum("__qy").over(w).alias("__sqy"),
+        F.sum("__qxy").over(w).alias("__sqxy"),
+        F.sum("__qxx").over(w).alias("__sqxx"),
+        F.sum("__qyy").over(w).alias("__sqyy"),
+    )
+    # decimal→double via a hi/lo 2^32 split: a direct CAST(decimal AS
+    # DOUBLE) above 2^53 is NOT identically rounded across engines
+    # (measured: DuckDB's hugeint two-limb conversion vs Java's
+    # correctly-rounded BigDecimal) — the split pins both engines to
+    # the same two-rounding sequence (exact while the sum < 2^85)
+    def dec2dbl(name: str, scale: float) -> Column:
+        hi = F.expr(f"CAST(({name} - {name} % 4294967296) / 4294967296 AS DOUBLE)")
+        lo = F.expr(f"CAST({name} % 4294967296 AS DOUBLE)")
+        return (hi * F.lit(4294967296.0) + lo) / F.lit(scale)
+
+    n = F.col("__n")
+    sx = dec2dbl("__sqx", _Q)
+    sy = dec2dbl("__sqy", _Q)
+    sxy = dec2dbl("__sqxy", _Q * _Q)
+    sxx = dec2dbl("__sqxx", _Q * _Q)
+    syy = dec2dbl("__sqyy", _Q * _Q)
+    det_x = n * sxx - sx * sx
+    det_y = n * syy - sy * sy
+    corr = F.when(
+        (n >= 2) & (det_x > 0) & (det_y > 0),
+        (n * sxy - sx * sy) / F.sqrt(det_x * det_y),
+    )
+    return summed.select(
+        *list(group_cols),
+        F.col(order_col),
+        n.cast("long").alias("n_window"),
+        corr.alias("corr"),
     )

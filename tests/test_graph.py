@@ -111,3 +111,25 @@ def test_welch_ttest_degenerate_groups_give_null(spark):
     )
     r = welch_ttest(df, "g", "v", "A", "B").collect()[0]
     assert r["t_stat"] is None and r["dof"] is None  # n_a < 2
+
+
+def test_rolling_corr_matches_numpy_per_window(spark):
+    from gdp_etl_spark.operators.regression import rolling_corr
+
+    xs = [1.0, 2.0, 4.0, 3.0, 6.0, 8.0, 7.0]
+    ys = [2.0, 3.0, 5.0, 5.0, 9.0, 11.0, 12.0]
+    df = spark.createDataFrame(
+        [("g", i, x, y) for i, (x, y) in enumerate(zip(xs, ys))],
+        "g string, t int, x double, y double",
+    )
+    got = {r["t"]: (r["n_window"], r["corr"])
+           for r in rolling_corr(df, ["g"], "t", "x", "y", preceding=2).collect()}
+    for t in range(len(xs)):
+        lo = max(0, t - 2)
+        wx, wy = xs[lo:t + 1], ys[lo:t + 1]
+        n, c = got[t]
+        assert n == len(wx)
+        if len(wx) < 2:
+            assert c is None
+        else:
+            assert c == pytest.approx(np.corrcoef(wx, wy)[0][1], rel=1e-9)
