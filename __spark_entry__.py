@@ -3514,15 +3514,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type,
                      count(CASE WHEN qx IS NOT NULL AND qy IS NOT NULL
                                 THEN 1 END) AS n,
-                     CAST(sum(CASE WHEN qy IS NOT NULL THEN qx END)
-                          AS DOUBLE) / 1e6 AS sx,
-                     CAST(sum(CASE WHEN qx IS NOT NULL THEN qy END)
-                          AS DOUBLE) / 1e6 AS sy,
-                     CAST(sum(qx * qy) AS DOUBLE) / 1e12 AS sxy,
-                     CAST(sum(CASE WHEN qy IS NOT NULL THEN qx * qx END)
-                          AS DOUBLE) / 1e12 AS sxx,
-                     CAST(sum(CASE WHEN qx IS NOT NULL THEN qy * qy END)
-                          AS DOUBLE) / 1e12 AS syy
+                     (CAST((sum(CASE WHEN qy IS NOT NULL THEN qx END) - sum(CASE WHEN qy IS NOT NULL THEN qx END) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(CASE WHEN qy IS NOT NULL THEN qx END) % 4294967296 AS DOUBLE)) / 1e6 AS sx,
+                     (CAST((sum(CASE WHEN qx IS NOT NULL THEN qy END) - sum(CASE WHEN qx IS NOT NULL THEN qy END) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(CASE WHEN qx IS NOT NULL THEN qy END) % 4294967296 AS DOUBLE)) / 1e6 AS sy,
+                     (CAST((sum(qx * qy) - sum(qx * qy) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(qx * qy) % 4294967296 AS DOUBLE)) / 1e12 AS sxy,
+                     (CAST((sum(CASE WHEN qy IS NOT NULL THEN qx * qx END) - sum(CASE WHEN qy IS NOT NULL THEN qx * qx END) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(CASE WHEN qy IS NOT NULL THEN qx * qx END) % 4294967296 AS DOUBLE)) / 1e12 AS sxx,
+                     (CAST((sum(CASE WHEN qx IS NOT NULL THEN qy * qy END) - sum(CASE WHEN qx IS NOT NULL THEN qy * qy END) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(CASE WHEN qx IS NOT NULL THEN qy * qy END) % 4294967296 AS DOUBLE)) / 1e12 AS syy
               FROM pts GROUP BY 1)
             SELECT event_type, n,
                    CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0 THEN
@@ -3757,14 +3753,10 @@ def oracle_sql() -> dict[str, str]:
             s AS (
               SELECT count(CASE WHEN event_type = 'click' THEN 1 END) AS n_a,
                      count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_b,
-                     CAST(sum(CASE WHEN event_type = 'click' THEN qv END)
-                          AS DOUBLE) / 1e6 AS sa,
-                     CAST(sum(CASE WHEN event_type = 'click' THEN qv * qv END)
-                          AS DOUBLE) / 1e12 AS saa,
-                     CAST(sum(CASE WHEN event_type = 'purchase' THEN qv END)
-                          AS DOUBLE) / 1e6 AS sb,
-                     CAST(sum(CASE WHEN event_type = 'purchase' THEN qv * qv END)
-                          AS DOUBLE) / 1e12 AS sbb
+                     (CAST((sum(CASE WHEN event_type = 'click' THEN qv END) - sum(CASE WHEN event_type = 'click' THEN qv END) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(CASE WHEN event_type = 'click' THEN qv END) % 4294967296 AS DOUBLE)) / 1e6 AS sa,
+                     (CAST((sum(CASE WHEN event_type = 'click' THEN qv * qv END) - sum(CASE WHEN event_type = 'click' THEN qv * qv END) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(CASE WHEN event_type = 'click' THEN qv * qv END) % 4294967296 AS DOUBLE)) / 1e12 AS saa,
+                     (CAST((sum(CASE WHEN event_type = 'purchase' THEN qv END) - sum(CASE WHEN event_type = 'purchase' THEN qv END) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(CASE WHEN event_type = 'purchase' THEN qv END) % 4294967296 AS DOUBLE)) / 1e6 AS sb,
+                     (CAST((sum(CASE WHEN event_type = 'purchase' THEN qv * qv END) - sum(CASE WHEN event_type = 'purchase' THEN qv * qv END) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(CASE WHEN event_type = 'purchase' THEN qv * qv END) % 4294967296 AS DOUBLE)) / 1e12 AS sbb
               FROM q),
             d AS (
               SELECT n_a, n_b,

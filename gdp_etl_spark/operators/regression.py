@@ -38,6 +38,20 @@ def _q(col: Column) -> Column:
     return F.floor(col * F.lit(_Q)).cast("decimal(19,0)")
 
 
+def _dec2dbl(name: str, scale: float) -> Column:
+    """Decimal column (by name) → double via a hi/lo 2^32 split.
+
+    A direct ``CAST(decimal AS DOUBLE)`` above 2^53 is NOT identically
+    rounded across engines (DuckDB's two-limb hugeint conversion vs
+    Java's correctly-rounded BigDecimal); the split pins every engine to
+    the same two-rounding sequence — ``(s − s%2³²)/2³²`` divides
+    exactly, both halves convert exactly (sums < 2^85), then one
+    multiply-add and the scale division."""
+    hi = F.expr(f"CAST(({name} - {name} % 4294967296) / 4294967296 AS DOUBLE)")
+    lo = F.expr(f"CAST({name} % 4294967296 AS DOUBLE)")
+    return (hi * F.lit(4294967296.0) + lo) / F.lit(scale)
+
+
 def grouped_linear_fit(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -68,11 +82,11 @@ def grouped_linear_fit(
         F.sum(qy * qy).alias("isyy"),
     )
     n = F.col("n").cast("double")
-    sx = F.col("isx").cast("double") / F.lit(_Q)
-    sy = F.col("isy").cast("double") / F.lit(_Q)
-    sxy = F.col("isxy").cast("double") / F.lit(_Q * _Q)
-    sxx = F.col("isxx").cast("double") / F.lit(_Q * _Q)
-    syy = F.col("isyy").cast("double") / F.lit(_Q * _Q)
+    sx = _dec2dbl("isx", _Q)
+    sy = _dec2dbl("isy", _Q)
+    sxy = _dec2dbl("isxy", _Q * _Q)
+    sxx = _dec2dbl("isxx", _Q * _Q)
+    syy = _dec2dbl("isyy", _Q * _Q)
     det_x = n * sxx - sx * sx
     det_y = n * syy - sy * sy
     cov = n * sxy - sx * sy
@@ -118,10 +132,10 @@ def welch_ttest(
         F.sum(qb * qb).alias("sbb"),
     )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    sa = F.col("sa").cast("double") / F.lit(_Q)
-    sb = F.col("sb").cast("double") / F.lit(_Q)
-    saa = F.col("saa").cast("double") / F.lit(_Q * _Q)
-    sbb = F.col("sbb").cast("double") / F.lit(_Q * _Q)
+    sa = _dec2dbl("sa", _Q)
+    sb = _dec2dbl("sb", _Q)
+    saa = _dec2dbl("saa", _Q * _Q)
+    sbb = _dec2dbl("sbb", _Q * _Q)
     mean_a, mean_b = sa / na, sb / nb
     # sample variance via sums: (Σv² − (Σv)²/n) / (n−1)
     var_a = (saa - sa * sa / na) / (na - F.lit(1.0))
@@ -189,22 +203,12 @@ def rolling_corr(
         F.sum("__qxx").over(w).alias("__sqxx"),
         F.sum("__qyy").over(w).alias("__sqyy"),
     )
-    # decimal→double via a hi/lo 2^32 split: a direct CAST(decimal AS
-    # DOUBLE) above 2^53 is NOT identically rounded across engines
-    # (measured: DuckDB's hugeint two-limb conversion vs Java's
-    # correctly-rounded BigDecimal) — the split pins both engines to
-    # the same two-rounding sequence (exact while the sum < 2^85)
-    def dec2dbl(name: str, scale: float) -> Column:
-        hi = F.expr(f"CAST(({name} - {name} % 4294967296) / 4294967296 AS DOUBLE)")
-        lo = F.expr(f"CAST({name} % 4294967296 AS DOUBLE)")
-        return (hi * F.lit(4294967296.0) + lo) / F.lit(scale)
-
     n = F.col("__n")
-    sx = dec2dbl("__sqx", _Q)
-    sy = dec2dbl("__sqy", _Q)
-    sxy = dec2dbl("__sqxy", _Q * _Q)
-    sxx = dec2dbl("__sqxx", _Q * _Q)
-    syy = dec2dbl("__sqyy", _Q * _Q)
+    sx = _dec2dbl("__sqx", _Q)
+    sy = _dec2dbl("__sqy", _Q)
+    sxy = _dec2dbl("__sqxy", _Q * _Q)
+    sxx = _dec2dbl("__sqxx", _Q * _Q)
+    syy = _dec2dbl("__sqyy", _Q * _Q)
     det_x = n * sxx - sx * sx
     det_y = n * syy - sy * sy
     corr = F.when(
