@@ -287,3 +287,18 @@ def test_shipping_priority_pushes_both_date_filters(spark):
     assert "LessThan(o_orderdate" in plan
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_trade_volume_broadcasts_all_four_dims(spark):
+    plan = _plan(e.q_trade_volume(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_corr_single_window_partitioned_on_group(spark):
+    """One groupBy exchange + one window exchange, both keyed on the
+    group column — the RANGE-frame sums must not add extra shuffles."""
+    opt = _optimized(e.q_rolling_corr(spark, SF))
+    assert opt.count("Window ") == 1
+    plan = _plan(e.q_rolling_corr(spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 2
