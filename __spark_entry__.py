@@ -2170,6 +2170,33 @@ def q_rolling_corr(spark, sf_dir):
     )
 
 
+def q_binary_header(spark, sf_dir):
+    """Binary-column metadata extraction with ZERO Python: synthesize a
+    RIFF-style 12-byte header + text payload per document, then parse
+    magic / LE-u32 size / LE-u16 fields back out via hex slicing inside
+    whole-stage codegen (multimodal.parse_fixed_header)."""
+    from gdp_etl_spark.functions.text import token_count_ws
+    from gdp_etl_spark.operators.multimodal import le_hex, parse_fixed_header
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("long").alias("n_tok"),
+        F.col("text"),
+    )
+    payload = F.unhex(
+        F.concat(
+            F.lit("52494646"),                       # 'RIFF'
+            le_hex(F.col("n_tok"), 4),               # u32-LE size
+            le_hex(F.lit(2), 2),                     # u16-LE channels
+            le_hex(F.lit(62), 2),                    # u16-LE rate/256
+            F.lower(F.hex(F.encode(F.col("text"), "UTF-8"))),
+        )
+    )
+    return parse_fixed_header(
+        d.select("doc_id", payload.alias("payload")), "payload", "doc_id"
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2295,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_revenue": q_returned_revenue,
         "trade_volume": q_trade_volume,
         "rolling_corr": q_rolling_corr,
+        "binary_header": q_binary_header,
     }
 
 
@@ -3535,6 +3563,39 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "binary_header": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\\s+'))
+                          AS BIGINT) AS n_tok,
+                     text
+              FROM documents),
+            hx AS (
+              SELECT doc_id,
+                     concat(
+                       '52494646',
+                       -- u32-LE of n_tok: pad big-endian hex, reverse pairs
+                       substring(lpad(lower(hex(n_tok)), 8, '0'), 7, 2),
+                       substring(lpad(lower(hex(n_tok)), 8, '0'), 5, 2),
+                       substring(lpad(lower(hex(n_tok)), 8, '0'), 3, 2),
+                       substring(lpad(lower(hex(n_tok)), 8, '0'), 1, 2),
+                       '0200',                     -- u16-LE channels=2
+                       '3e00',                     -- u16-LE rate/256=62
+                       lower(hex(encode(text)))
+                     ) AS h
+              FROM toks)
+            SELECT doc_id,
+                   substring(h, 1, 8) = '52494646' AS is_riff,
+                   CAST(concat('0x', substring(h, 15, 2), substring(h, 13, 2),
+                               substring(h, 11, 2), substring(h, 9, 2))
+                        AS BIGINT) AS declared_size,
+                   CAST(concat('0x', substring(h, 19, 2), substring(h, 17, 2))
+                        AS BIGINT) AS channels,
+                   CAST(concat('0x', substring(h, 23, 2), substring(h, 21, 2))
+                        AS BIGINT) AS rate_div256,
+                   CAST(len(h) / 2 AS BIGINT) AS total_bytes
+            FROM hx
         """,
         "rolling_corr": f"""
             WITH daily AS (

@@ -241,3 +241,44 @@ def payload_stats(df: DataFrame, payload_col: str) -> DataFrame:
         F.min(size).alias("min_bytes"),
         F.max(size).alias("max_bytes"),
     )
+
+
+def le_hex(n, width_bytes: int):
+    """Little-endian hex encoding of an int column (JVM-side): pad the
+    big-endian hex to ``width_bytes`` and reverse the byte pairs."""
+    h = F.lpad(F.lower(F.hex(n)), width_bytes * 2, "0")
+    pairs = [
+        F.substring(h, i * 2 + 1, 2) for i in reversed(range(width_bytes))
+    ]
+    return F.concat(*pairs)
+
+
+def parse_fixed_header(
+    df: DataFrame, payload_col: str, id_col: str
+) -> DataFrame:
+    """Parse a RIFF-style fixed-offset container header ENTIRELY
+    JVM-side — binary metadata extraction needs no Python when offsets
+    are static: ``hex(payload)`` once, then string slices + base-16
+    parses inside whole-stage codegen.
+
+    Layout (12-byte header): bytes 0-3 ASCII magic, 4-7 u32-LE payload
+    size, 8-9 u16-LE channels, 10-11 u16-LE rate/256.  Returns
+    (id, is_riff, declared_size, channels, rate_div256, total_bytes).
+    """
+    hx = F.lower(F.hex(F.col(payload_col)))
+
+    def le_int(char_pos: int, nbytes: int):
+        pairs = [
+            F.substring(hx, char_pos + 2 * i, 2)
+            for i in reversed(range(nbytes))
+        ]
+        return F.conv(F.concat(*pairs), 16, 10).cast("long")
+
+    return df.select(
+        F.col(id_col),
+        (F.substring(hx, 1, 8) == "52494646").alias("is_riff"),
+        le_int(9, 4).alias("declared_size"),
+        le_int(17, 2).alias("channels"),
+        le_int(21, 2).alias("rate_div256"),
+        (F.length(hx) / 2).cast("long").alias("total_bytes"),
+    )

@@ -156,3 +156,26 @@ def test_resize_payload_fake_kernel(spark):
     assert bytes(out[2]["resized"]) == b"a"
     with pytest.raises(NotImplementedError):
         resize_payload(df, "payload", "doc_id", decoder="pillow")
+
+
+def test_fixed_header_parse_roundtrips_jvm_side(spark):
+    """Synthesized RIFF header fields parse back exactly — no Python in
+    the plan (whole-stage hex slicing)."""
+    import struct
+
+    from gdp_etl_spark.operators.multimodal import parse_fixed_header
+
+    payload = b"RIFF" + struct.pack("<IHH", 70000, 2, 62) + b"body-bytes"
+    df = spark.createDataFrame([(1, payload), (2, b"XXXX" + b"\x00" * 8)],
+                               "id long, payload binary")
+    got = {r["id"]: r for r in parse_fixed_header(df, "payload", "id").collect()}
+    assert got[1]["is_riff"] is True
+    assert got[1]["declared_size"] == 70000
+    assert got[1]["channels"] == 2
+    assert got[1]["rate_div256"] == 62
+    assert got[1]["total_bytes"] == len(payload)
+    assert got[2]["is_riff"] is False and got[2]["declared_size"] == 0
+    # the parse plan must be pure JVM: no python UDF / arrow eval nodes
+    plan = parse_fixed_header(df, "payload", "id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
