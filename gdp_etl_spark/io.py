@@ -13,6 +13,7 @@ anti-scale choice.  ``write_partitioned_parquet`` is the scale path.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -109,3 +110,65 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_mb`` — the table-maintenance job every long-running
+    ingest needs (streaming sinks and incremental merges accrete small
+    files; scans then pay per-file open cost and lose row-group
+    locality).
+
+    File count comes from the CURRENT on-disk byte size (cheap driver
+    listing, no data scan); ``sort_within_by`` optionally sorts within
+    partitions during the rewrite so min/max row-group stats become
+    selective (poor man's clustering).  Writes to a temp sibling then
+    swaps, so a failed rewrite never loses the original.  Returns
+    (files_before, files_after).
+    """
+    import shutil
+
+    src = Path(path)
+    part_files = [p for p in src.rglob("*.parquet") if p.is_file()]
+    total_bytes = sum(p.stat().st_size for p in part_files)
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = str(src.with_name(src.name + "__compact_tmp"))
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    after = len([p for p in Path(path).rglob("*.parquet") if p.is_file()])
+    return len(part_files), after
+
+
+def zorder_key(x, y, bits: int = 10):
+    """Interleave-bit (Morton / Z-order) key of two bounded ints —
+    sort-cluster a table by this before writing and range predicates on
+    EITHER column become selective against parquet min/max row-group
+    stats (single-column sort only helps one column; Z-order preserves
+    locality in both).
+
+    Pure JVM bit arithmetic (shiftleft/or inside codegen); inputs must
+    already be reduced to ``[0, 2^bits)`` (mod or bucketize first).
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        xbit = F.shiftright(xc.cast("long"), b).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(yc.cast("long"), b).bitwiseAND(F.lit(1))
+        key = (
+            key
+            .bitwiseOR(F.shiftleft(xbit, 2 * b))
+            .bitwiseOR(F.shiftleft(ybit, 2 * b + 1))
+        )
+    return key
