@@ -2197,6 +2197,18 @@ def q_binary_header(spark, sf_dir):
     )
 
 
+def q_table_checksum(spark, sf_dir):
+    """Orderless table checksum over orders — md5-prefix 60-bit ints
+    summed exactly; partitioning-independent, engine-portable, one
+    map-side-combined scan."""
+    from gdp_etl_spark.operators.profile import table_checksum
+
+    return table_checksum(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2323,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_volume": q_trade_volume,
         "rolling_corr": q_rolling_corr,
         "binary_header": q_binary_header,
+        "table_checksum": q_table_checksum,
     }
 
 
@@ -3563,6 +3576,21 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "table_checksum": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CAST(CAST(concat('0x',
+                       substring(md5(concat_ws(chr(31),
+                         coalesce(CAST(o_orderkey AS VARCHAR),
+                                  chr(0) || 'NULL'),
+                         coalesce(CAST(o_custkey AS VARCHAR),
+                                  chr(0) || 'NULL'),
+                         coalesce(CAST(o_orderstatus AS VARCHAR),
+                                  chr(0) || 'NULL'),
+                         coalesce(CAST(o_orderpriority AS VARCHAR),
+                                  chr(0) || 'NULL'))), 1, 15))
+                     AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+            FROM orders
         """,
         "binary_header": """
             WITH toks AS (

@@ -293,3 +293,31 @@ def equidepth_histogram(
         )
         .orderBy("bin")
     )
+
+
+def table_checksum(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Orderless content checksum of a table — the replication /
+    migration validation primitive: compute on both sides of a copy and
+    compare one row, no matter how the rows are partitioned or ordered.
+
+    Per row: md5 over a canonical string encoding of the selected
+    columns (NULL marked distinctly from the string 'NULL'); the first
+    15 hex chars parse into a 60-bit int, and the CHECKSUM is their
+    exact decimal sum plus the row count.  Addition is commutative, so
+    any partitioning gives the same result, and md5 + base-16 parsing
+    are engine-portable (the DuckDB oracle reproduces it exactly).
+    A single map-side-combined aggregation — one scan, one tiny row.
+    """
+    cols = list(cols or df.columns)
+    canon = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in cols
+        ],
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).cast("string").alias("checksum"),
+    )

@@ -89,3 +89,29 @@ def test_zorder_sorted_write_helps_both_columns(spark, tmp_path):
     # an eighth of the x-range and of the y-range each skip SOME files
     assert files_overlapping("x", 0, 15) < total
     assert files_overlapping("y", 0, 15) < total
+
+
+def test_table_checksum_is_partitioning_and_order_independent(spark):
+    from gdp_etl_spark.operators.profile import table_checksum
+
+    df = spark.range(0, 500).selectExpr("id", "id % 7 AS g",
+                                        "CAST(id * 1.5 AS DOUBLE) AS v")
+    a = table_checksum(df.coalesce(1)).first()
+    b = table_checksum(df.repartition(13, "g")).first()
+    assert (a["n_rows"], a["checksum"]) == (b["n_rows"], b["checksum"])
+    # any single-value change must move the checksum
+    c = table_checksum(
+        df.withColumn("v", F.when(F.col("id") == 250, 0.0).otherwise(F.col("v")))
+    ).first()
+    assert c["checksum"] != a["checksum"]
+
+
+def test_table_checksum_distinguishes_null_from_null_string(spark):
+    from gdp_etl_spark.operators.profile import table_checksum
+
+    a = spark.createDataFrame([("NULL",)], "s string")
+    b = spark.createDataFrame([(None,)], "s string")
+    assert (
+        table_checksum(a).first()["checksum"]
+        != table_checksum(b).first()["checksum"]
+    )
