@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "returned_revenue",     # TPC-H Q10 shape: 4-way join + top-k
     "trade_volume",         # TPC-H Q7 shape: two-leg nation join
     "rolling_corr",         # windowed fixed-point correlation
+    "binary_header",        # JVM-side binary header parse
+    "table_checksum",       # orderless content checksum scan
 ]
 
 
