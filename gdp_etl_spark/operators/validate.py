@@ -145,3 +145,31 @@ def run_checks(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
 
     out = reduce(DataFrame.unionByName, results)
     return out.select("rule", "kind", "n_violations", "n_checked")
+
+
+def quarantine_orphans(
+    df: DataFrame,
+    dim: DataFrame,
+    cols: Sequence[str] | str,
+    dim_cols: Sequence[str] | str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split a child frame into (valid, orphans) by FK membership — the
+    actionable sibling of :func:`run_checks`'s foreign_key counter:
+    route the clean rows onward and the orphans to a quarantine sink
+    instead of failing the whole load.
+
+    One broadcast left-semi and one left-anti join against the same
+    distinct dim projection — the dim scans once (identical subplans),
+    the child is never shuffled.
+    """
+    cols = (cols,) if isinstance(cols, str) else tuple(cols)
+    dim_cols = cols if dim_cols is None else (
+        (dim_cols,) if isinstance(dim_cols, str) else tuple(dim_cols)
+    )
+    keys = F.broadcast(
+        dim.select(
+            *[F.col(d).alias(c) for c, d in zip(cols, dim_cols)]
+        ).distinct()
+    )
+    on = list(cols)
+    return df.join(keys, on, "left_semi"), df.join(keys, on, "left_anti")

@@ -115,3 +115,23 @@ def test_table_checksum_distinguishes_null_from_null_string(spark):
         table_checksum(a).first()["checksum"]
         != table_checksum(b).first()["checksum"]
     )
+
+
+def test_zorder_key_property_random(spark):
+    import random
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(64)]
+
+    def morton(x, y, bits=10):
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {(r["x"], r["y"]): r["z"]
+           for r in df.select("x", "y", zorder_key("x", "y").alias("z")).collect()}
+    for (x, y) in pts:
+        assert got[(x, y)] == morton(x, y)

@@ -117,3 +117,16 @@ def test_category_drift_handles_one_sided_categories(spark):
     got = {r["category"]: (r["n_ref"], r["n_cur"])
            for r in category_drift(ref, cur, "c").collect()}
     assert got == {"a": (1, 1), "b": (1, 0), "z": (0, 1)}
+
+
+def test_quarantine_orphans_partitions_the_frame_exactly(spark):
+    from gdp_etl_spark.operators.validate import quarantine_orphans
+
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "zz"), (4, "a")], "id int, k string"
+    )
+    dim = spark.createDataFrame([("a",), ("b",)], "dim_k string")
+    valid, orphans = quarantine_orphans(child, dim, "k", "dim_k")
+    assert sorted(r["id"] for r in valid.collect()) == [1, 2, 4]
+    assert [r["id"] for r in orphans.collect()] == [3]
+    assert valid.count() + orphans.count() == child.count()
