@@ -6,6 +6,12 @@ Each query is forced end-to-end with the ``noop`` sink (full computation
 of every output column, no driver collect overhead).  Prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+``--repeat N`` (or SPARK_GRAFT_REPEAT=N) runs every query N times and
+reports the per-query MEDIAN: BASELINE.md documents up to 2.5× host-load
+variance on single runs, so medians are what make round-over-round
+comparisons (and the 2× regression gate) trustworthy.  The JSON then
+carries "repeat": N and "value" = sum of medians.
 """
 
 from __future__ import annotations
@@ -107,7 +113,19 @@ def _warmup(spark) -> None:
     ).write.format("noop").mode("overwrite").save()
 
 
+def _parse_repeat(argv: list[str]) -> int:
+    if "--repeat" in argv:
+        return max(1, int(argv[argv.index("--repeat") + 1]))
+    return max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "3")))
+
+
+#: stop starting new repeat passes once this much bench wall-clock has
+#: elapsed — keeps the default median mode from tripling a slow run
+_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+
+
 def main() -> None:
+    repeat = _parse_repeat(sys.argv[1:])
     spark = get_spark(
         "bench", master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS) if CPUS.isdigit() else None,
@@ -115,27 +133,41 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _warmup(spark)
     queries = entry_mod.queries()
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    # round-robin over repeats (not query-by-query back-to-back) so a
+    # transient host-load spike lands on different queries per pass and
+    # the median sees it at most once per query
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    bench_t0 = time.time()
+    done = 0
+    for _ in range(repeat):
+        for name in BENCH_QUERIES:
+            fn = queries[name]
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
+        done += 1
+        if time.time() - bench_t0 > _BUDGET_SEC:
+            break
+    repeat = done
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+    timings = {name: round(median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if repeat > 1:
+        out["repeat"] = repeat
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -8,10 +8,13 @@ Design for 100 TB of images/audio/video:
   bytes cross the JVM↔Python boundary once per record batch, never per
   row,
 * decode / resize / frame-sample are pluggable: the Spark-side schema,
-  partitioning and batch shape are real and tested; the actual codecs
-  (Pillow / torchaudio / pyav) are NOT in this container, so the decode
-  step is stubbed behind ``NotImplementedError`` with a deterministic
-  fake available for plumbing tests.
+  partitioning and batch shape are real and tested.  Each transform
+  ships a REAL codec path (``decoder="pillow"`` for image decode /
+  resize, ``decoder="pyav"`` for video demux) behind an optional-dep
+  import gate plus a deterministic ``"fake"`` decoder that is always
+  available.  This container has no codec libs, so here the real paths
+  raise ``NotImplementedError`` and tests ``importorskip`` them; in an
+  environment with Pillow/pyav installed they run real bytes unchanged.
 
 The reference (JaromirKoflak/gdp-etl) has no binary columns at all; this
 module is part of the beyond-reference LLM-data-pipeline surface.
@@ -93,31 +96,57 @@ def decode_features(
 ) -> DataFrame:
     """Payload → fixed-dim float feature vector.
 
-    ``decoder="fake"`` produces a deterministic hash-derived vector —
-    the real image/audio decode is stubbed because the codec libraries
-    are not in this container.  The Spark-side contract (schema,
-    Arrow batching, column pruning) is exactly what a real decoder
-    plugs into.
+    Decoders:
+
+    * ``"fake"`` (default) — deterministic hash-derived vector; always
+      available, used by plumbing tests and the registered query.
+    * ``"pillow"`` — REAL image decode: PIL opens the payload bytes,
+      grayscales, resizes to a ``dim``-cell grid and emits normalized
+      mean intensities.  Optional dependency: raises
+      ``NotImplementedError`` when Pillow is absent (it is not baked
+      into this container; tests ``importorskip`` it).
+
+    Either way the Spark-side contract (schema, Arrow batching, column
+    pruning) is identical — the decoder is a per-batch pure function.
     """
-    if decoder != "fake":
+    if decoder == "pillow":
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "decoder='pillow' needs the optional Pillow dependency, "
+                "which is not installed in this environment; use "
+                "decoder='fake' for codec-free plumbing"
+            ) from exc
+    elif decoder != "fake":
         raise NotImplementedError(
-            f"decoder={decoder!r}: real codecs (Pillow/pyav/torchaudio) are "
-            "not available in this environment; only the deterministic "
-            "'fake' decoder is implemented"
+            f"decoder={decoder!r}: supported decoders are 'fake' "
+            "(deterministic, always available) and 'pillow' (optional)"
         )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        if decoder == "pillow":
+            import io
+
+            from PIL import Image
+
         for pdf in batches:
             feats = []
             for b in pdf[payload_col]:
-                # deterministic fake: md5-seeded bytes -> dim floats in [0,1)
-                raw = hashlib.md5(bytes(b)).digest()
-                need = dim * 4
-                buf = (raw * (need // len(raw) + 1))[:need]
-                vec = np.frombuffer(buf, dtype=np.uint32).astype(np.float32)
-                feats.append(vec / np.float32(2**32))
+                if decoder == "pillow":
+                    img = Image.open(io.BytesIO(bytes(b))).convert("L")
+                    img = img.resize((dim, 1))
+                    vec = np.asarray(img, dtype=np.float32).reshape(dim)
+                    feats.append(vec / np.float32(255.0))
+                else:
+                    # deterministic fake: md5-seeded bytes -> dim floats in [0,1)
+                    raw = hashlib.md5(bytes(b)).digest()
+                    need = dim * 4
+                    buf = (raw * (need // len(raw) + 1))[:need]
+                    vec = np.frombuffer(buf, dtype=np.uint32).astype(np.float32)
+                    feats.append(vec / np.float32(2**32))
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), "features": feats}
             )
@@ -147,23 +176,51 @@ def frame_sample(
     ``every_n``-th frame as a typed (doc_id, frame_idx, frame) row —
     the mapInPandas 1→N shape every frame-level pipeline builds on.
 
-    Real container demuxing needs pyav (not in this container), so the
-    default ``decoder="fake"`` treats the payload as a flat stream of
-    fixed-size fake "frames" (16-byte chunks) — the fan-out, schema and
-    Arrow batching are exactly what a real decoder plugs into."""
-    if decoder != "fake":
+    Decoders: ``"fake"`` (default, always available) treats the payload
+    as a flat stream of fixed-size 16-byte "frames"; ``"pyav"`` does
+    REAL container demuxing — every ``every_n``-th decoded video frame
+    re-encoded as PNG bytes.  pyav is an optional dependency: absent
+    (as in this container) that path raises ``NotImplementedError`` and
+    tests ``importorskip`` it.  The 1→N fan-out, schema and Arrow
+    batching are identical either way."""
+    if decoder == "pyav":
+        try:
+            import av  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "decoder='pyav' needs the optional pyav dependency, which "
+                "is not installed in this environment; use decoder='fake' "
+                "for codec-free plumbing"
+            ) from exc
+    elif decoder != "fake":
         raise NotImplementedError(
-            f"decoder={decoder!r}: real video demuxing (pyav) is not "
-            "available in this environment; only the deterministic "
-            "'fake' chunk decoder is implemented"
+            f"decoder={decoder!r}: supported decoders are 'fake' "
+            "(deterministic, always available) and 'pyav' (optional)"
         )
     frame_bytes = 16
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "pyav":
+            import io
+
+            import av
+
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
+                if decoder == "pyav":
+                    with av.open(io.BytesIO(raw)) as container:
+                        for fi, frame in enumerate(container.decode(video=0)):
+                            if fi % every_n:
+                                continue
+                            img = frame.to_image()
+                            buf = io.BytesIO()
+                            img.save(buf, format="PNG")
+                            ids.append(int(doc_id))
+                            idxs.append(fi)
+                            frames.append(buf.getvalue())
+                    continue
                 n_frames = max(1, len(raw) // frame_bytes)
                 for fi in range(0, n_frames, every_n):
                     ids.append(int(doc_id))
@@ -197,23 +254,47 @@ def resize_payload(
 ) -> DataFrame:
     """Payload "resize": binary in → smaller binary out, per row, Arrow
     batched — the shape of every image-resize / audio-downsample stage.
-    Real pixel-aware resizing needs Pillow (not in this container); the
-    deterministic ``fake`` kernel keeps every ``factor``-th byte so the
-    plumbing (binary→binary schema, size accounting, batching) is real
-    and testable."""
-    if decoder != "fake":
+    Decoders: ``"fake"`` (default, always available) keeps every
+    ``factor``-th byte; ``"pillow"`` does a REAL pixel-aware resize —
+    decode, scale both dimensions by ``1/factor`` (floor 1 px),
+    re-encode as PNG.  Pillow is an optional dependency: absent (as in
+    this container) the pillow path raises ``NotImplementedError`` and
+    tests ``importorskip`` it."""
+    if decoder == "pillow":
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "decoder='pillow' needs the optional Pillow dependency, "
+                "which is not installed in this environment; use "
+                "decoder='fake' for codec-free plumbing"
+            ) from exc
+    elif decoder != "fake":
         raise NotImplementedError(
-            f"decoder={decoder!r}: real image resize (Pillow) is not "
-            "available in this environment; only the deterministic "
-            "'fake' byte-downsample kernel is implemented"
+            f"decoder={decoder!r}: supported decoders are 'fake' "
+            "(deterministic, always available) and 'pillow' (optional)"
         )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "pillow":
+            import io
+
+            from PIL import Image
+
         for pdf in batches:
             ids, outs, olens, rlens = [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
-                small = raw[::factor]
+                if decoder == "pillow":
+                    img = Image.open(io.BytesIO(raw))
+                    img = img.resize(
+                        (max(1, img.width // factor), max(1, img.height // factor))
+                    )
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    small = buf.getvalue()
+                else:
+                    small = raw[::factor]
                 ids.append(int(doc_id))
                 outs.append(small)
                 olens.append(len(raw))

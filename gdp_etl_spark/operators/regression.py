@@ -178,7 +178,12 @@ def rolling_corr(
     """
     xc = F.col(x) if isinstance(x, str) else x
     yc = F.col(y) if isinstance(y, str) else y
-    qx, qy = _q(xc), _q(yc)
+    # joint NULL mask: a row with either coordinate NULL contributes to
+    # NONE of the sufficient statistics (same guard as grouped_linear_fit)
+    # — otherwise the frame count includes rows the sums skip and the
+    # closed form silently uses an inconsistent n
+    both = xc.isNotNull() & yc.isNotNull()
+    qx, qy = F.when(both, _q(xc)), F.when(both, _q(yc))
     base = df.select(
         *list(group_cols),
         F.col(order_col),
@@ -196,7 +201,7 @@ def rolling_corr(
     summed = base.select(
         *list(group_cols),
         F.col(order_col),
-        F.count(F.lit(1)).over(w).cast("double").alias("__n"),
+        F.count("__qx").over(w).cast("double").alias("__n"),
         F.sum("__qx").over(w).alias("__sqx"),
         F.sum("__qy").over(w).alias("__sqy"),
         F.sum("__qxy").over(w).alias("__sqxy"),

@@ -152,6 +152,84 @@ def hyperplane_lsh_buckets(
     return df.withColumn(out_col, _buckets(F.col(vec_col)))
 
 
+def rademacher_signs(
+    num_bits: int, dim: int, seed: str
+) -> list[list[int]]:
+    """±1 sign matrix ``[bit j][element i]`` from the md5-parity recipe
+    shared with :func:`gdp_etl_spark.functions.vectors.random_projection`:
+    sign(i, j) = +1 iff the first hex digit of md5(f"{i}:{j}:{seed}") is
+    even.  Generated driver-side with hashlib (md5 is md5 everywhere), so
+    the same matrix is reproducible in any engine — the DuckDB oracle
+    embeds it as list literals and matches bit-for-bit."""
+    import hashlib
+
+    even = set("02468ace")
+    return [
+        [
+            1
+            if hashlib.md5(f"{i}:{j}:{seed}".encode()).hexdigest()[0] in even
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(num_bits)
+    ]
+
+
+def rademacher_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_bits: int = 8,
+    num_tables: int = 4,
+    dim: int | None = None,
+    seed: str = "lsh",
+    out_col: str = "buckets",
+) -> DataFrame:
+    """Sign-random-projection buckets with **Rademacher (±1) hyperplanes**
+    instead of Gaussian ones — same collision geometry (sign projections
+    only need symmetric zero-mean entries), but fully deterministic and
+    engine-portable:
+
+    * the sign matrix is built driver-side from md5 parity
+      (:func:`rademacher_signs`) and inlined as *array literals*, so the
+      whole bucket computation is JVM-side whole-stage codegen — zero
+      Python boundary, zero runtime hashing;
+    * per-bit projections use the repo's fixed-point recipe
+      (``floor(x·1e12)`` bigint sums), so buckets are bit-identical
+      across engines/partitionings and the DuckDB oracle can recompute
+      them exactly — which upgrades LSH queries from rows-only to full
+      hash-checked correctness.
+
+    Output: ``out_col`` = ``array<int>`` of ``num_tables`` bucket ids
+    (``num_bits`` bits each), table t seeded ``f"{seed}:{t}"``.
+    """
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("empty DataFrame and no dim given")
+        dim = first["d"]
+
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    buckets = []
+    for t in range(num_tables):
+        signs = rademacher_signs(num_bits, dim, f"{seed}:{t}")
+        bucket = F.lit(0)
+        for j in range(num_bits):
+            sgn = F.array(*[F.lit(s) for s in signs[j]])
+            proj = F.aggregate(
+                F.zip_with(
+                    vd,
+                    sgn,
+                    lambda x, s: F.floor(x * F.lit(1e12)).cast("bigint")
+                    * s.cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        buckets.append(bucket.cast("int"))
+    return df.withColumn(out_col, F.array(*buckets))
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -160,6 +238,7 @@ def lsh_topk(
     num_bits: int = 12,
     num_tables: int = 4,
     seed: int = 42,
+    method: str = "gaussian",
 ) -> DataFrame:
     """Approximate all-pairs top-k: per vector, its top-k neighbours among
     vectors sharing an LSH bucket in ANY of ``num_tables`` tables.
@@ -174,10 +253,18 @@ def lsh_topk(
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     # materialize before the self-join: both sides consume the frame, so
     # without the barrier the bucket-signature pandas UDF runs twice
-    bucketed = hyperplane_lsh_buckets(
-        base, "vec", num_bits=num_bits, num_tables=num_tables, seed=seed,
-        out_col="__bs",
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # (for "rademacher" the barrier instead stops the 2048-op codegen
+    # expression from inlining into both join sides)
+    if method == "rademacher":
+        bucketed = rademacher_lsh_buckets(
+            base, "vec", num_bits=num_bits, num_tables=num_tables,
+            seed=str(seed), out_col="__bs",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        bucketed = hyperplane_lsh_buckets(
+            base, "vec", num_bits=num_bits, num_tables=num_tables, seed=seed,
+            out_col="__bs",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     exploded = bucketed.select(
         "id", "vec", F.posexplode(F.col("__bs")).alias("table", "bucket")
     )

@@ -31,6 +31,17 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: fixed-length time units in microseconds (UTC session zone, no DST —
+#: pinned in session.get_spark).  Calendar units (month, year) are
+#: variable-length and handled by date_trunc with n=1 only.
+_UNIT_MICROS = {
+    "second": 1_000_000,
+    "minute": 60 * 1_000_000,
+    "hour": 3_600 * 1_000_000,
+    "day": 86_400 * 1_000_000,
+    "week": 7 * 86_400 * 1_000_000,
+}
+
 
 def resample_locf(
     df: DataFrame,
@@ -57,8 +68,17 @@ def resample_locf(
     """
     out_col = out_col or value_col
     group_cols = list(group_cols)
-    unit = step.strip().split()[-1].rstrip("s")  # "1 hour" -> "hour"
-    bucket = lambda c: F.date_trunc(unit, c)  # noqa: E731
+    parts = step.strip().split()
+    n_units = int(parts[0]) if len(parts) == 2 else 1
+    unit = parts[-1].rstrip("s")  # "15 minutes" -> "minute"
+    if unit not in _UNIT_MICROS and n_units != 1:
+        # calendar units have no fixed micro length; a "3 month" grid
+        # would need add_months bucketing — unsupported rather than wrong
+        raise ValueError(
+            f"multi-unit step {step!r} is only supported for fixed-length "
+            f"units {sorted(_UNIT_MICROS)}; use a single calendar unit "
+            f"(e.g. '1 month') or a fixed-length step"
+        )
 
     # Single-window formulation: instead of (latest-per-bucket rank
     # window) + (grid left join) + (forward-fill window) — three
@@ -68,29 +88,49 @@ def resample_locf(
     # row (ordered by time, so the latest wins), making "value at
     # bucket = latest observation at-or-before bucket end" fall out of
     # plain last(ignorenulls).
-    dense = (
-        df.groupBy(*group_cols)
-        .agg(
-            bucket(F.min(time_col)).alias("__lo"),
-            bucket(F.max(time_col)).alias("__hi"),
-        )
-        .select(
-            *group_cols,
-            F.explode(
-                F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
-            ).alias("__bucket"),
-        )
-        .select(
-            *group_cols,
-            "__bucket",
-            F.lit(None).cast(df.schema[time_col].dataType).alias("__ts"),
-            F.lit(None).cast(df.schema[value_col].dataType).alias("__v"),
-            F.lit(1).alias("__is_grid"),
-        )
+    # per-group grid origin/end, date_trunc-aligned to the step UNIT;
+    # computed once and shared by the grid explode AND the observation
+    # bucketing (bounds is one tiny row per group — AQE broadcasts it,
+    # so the observation side never shuffles for the join)
+    bounds = df.groupBy(*group_cols).agg(
+        F.date_trunc(unit, F.min(time_col)).alias("__lo"),
+        F.date_trunc(unit, F.max(time_col)).alias("__hi"),
     )
-    obs = df.select(
+    dense = bounds.select(
         *group_cols,
-        bucket(time_col).alias("__bucket"),
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+        ).alias("__bucket"),
+    ).select(
+        *group_cols,
+        "__bucket",
+        F.lit(None).cast(df.schema[time_col].dataType).alias("__ts"),
+        F.lit(None).cast(df.schema[value_col].dataType).alias("__v"),
+        F.lit(1).alias("__is_grid"),
+    )
+    # observations flooring onto the ACTUAL grid (__lo + k·step), not
+    # onto unit truncation: for multi-unit steps like "15 minutes" the
+    # two disagree (minute-truncated buckets never coincide with the
+    # 15-minute grid).  For single-unit steps __lo is unit-aligned, so
+    # this reduces to date_trunc exactly.  Calendar units (month/year)
+    # are restricted to n=1 above, where date_trunc IS the grid floor.
+    if unit in _UNIT_MICROS:
+        step_us = n_units * _UNIT_MICROS[unit]
+        lo_us = F.unix_micros(F.col("__lo"))
+        ts_us = F.unix_micros(F.col(time_col))
+        on_grid = F.timestamp_micros(
+            lo_us
+            + F.floor((ts_us - lo_us) / F.lit(step_us)).cast("long")
+            * F.lit(step_us)
+        )
+    else:
+        on_grid = F.date_trunc(unit, F.col(time_col))
+    # no explicit broadcast hint: bounds is group-cardinality (small for
+    # sensor-style data, but unbounded in general) — AQE picks broadcast
+    # when it fits and shuffle-hash when it doesn't
+    obs = df.join(bounds.select(*group_cols, "__lo"), group_cols).select(
+        *group_cols,
+        on_grid.alias("__bucket"),
         F.col(time_col).alias("__ts"),
         F.col(value_col).alias("__v"),
         F.lit(0).alias("__is_grid"),
@@ -149,7 +189,13 @@ def scd2_intervals(
         .filter(F.col("__chg"))
         .drop("__chg")
     )
-    w2 = Window.partitionBy(*key_cols).orderBy(ts_col)
+    # same secondary sort as the change-detection window: with duplicate
+    # (key, ts) rows carrying different attributes, lead() over a
+    # ts-only ordering is nondeterministic about which row receives the
+    # degenerate [ts, ts) interval — (ts, attr) makes every run
+    # reproducible across partitionings and engines (the oracle's lead()
+    # carries the identical ordering)
+    w2 = Window.partitionBy(*key_cols).orderBy(ts_col, attr_col)
     return changes.select(
         *key_cols,
         F.col(attr_col),

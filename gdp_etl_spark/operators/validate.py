@@ -75,7 +75,22 @@ def foreign_key(
 
 def run_checks(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     """Evaluate every rule against ``df``; returns the violations
-    summary (rule, kind, n_violations, n_checked), one row per rule."""
+    summary (rule, kind, n_violations, n_checked), one row per rule.
+
+    Raises ``ValueError`` for an empty rule list (nothing to report —
+    and ``reduce`` over zero frames has no identity) and for duplicate
+    rule names (two ``in_range`` rules on one column via default naming
+    would collide on the fused ``__v_<name>`` columns and produce an
+    ambiguous-column error or silently wrong counts)."""
+    if not rules:
+        raise ValueError("run_checks requires at least one rule")
+    seen: set[str] = set()
+    dups = {r.name for r in rules if r.name in seen or seen.add(r.name)}
+    if dups:
+        raise ValueError(
+            f"duplicate rule names {sorted(dups)}; pass name=... to "
+            f"disambiguate rules that share a default name"
+        )
     spark = df.sparkSession
     results: list[DataFrame] = []
 

@@ -45,6 +45,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- deterministic, ANSI-off numeric semantics (match reference) --
         .config("spark.sql.ansi.enabled", "false")
+        # --- pinned UTC session zone ---------------------------------------
+        # The MICROS/NTZ timestamp paths (io.load_events,
+        # streaming.stream_events) cast timestamp_ntz -> TIMESTAMP relying
+        # on a UTC session zone; pin it (plus the JVM default) so the
+        # assumption holds on any host instead of only UTC ones, and
+        # unix_micros / dayofmonth / window bucketing stay aligned with
+        # oracles that read naive timestamps.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
         # --- sane local-mode memory behaviour ------------------------------
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _default_shuffle()))
         .config("spark.driver.maxResultSize", "2g")

@@ -133,3 +133,30 @@ def test_rolling_corr_matches_numpy_per_window(spark):
             assert c is None
         else:
             assert c == pytest.approx(np.corrcoef(wx, wy)[0][1], rel=1e-9)
+
+
+def test_rolling_corr_null_coordinate_excluded_jointly(spark):
+    import math
+
+    from gdp_etl_spark.operators.regression import rolling_corr
+
+    # row t=2 has a NULL y: it must drop out of the count AND the sums,
+    # so the frame at t=3 holds exactly the two complete points (t=1,
+    # t=3) and corr is computed with a consistent n
+    df = spark.createDataFrame(
+        [
+            ("g", 1, 1.0, 2.0),
+            ("g", 2, 2.0, None),
+            ("g", 3, 3.0, 6.0),
+            ("g", 4, 4.0, 8.0),
+        ],
+        "g string, t int, x double, y double",
+    )
+    got = {
+        r["t"]: (r["n_window"], r["corr"])
+        for r in rolling_corr(df, ["g"], "t", "x", "y", preceding=9).collect()
+    }
+    assert got[2] == (1, None)          # lone complete point: no corr
+    assert got[3][0] == 2               # NOT 3: null row excluded
+    assert math.isclose(got[3][1], 1.0, rel_tol=1e-9)  # collinear pair
+    assert got[4][0] == 3

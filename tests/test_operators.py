@@ -363,3 +363,30 @@ def test_udtf_regex_matches_rows_with_ordinals_and_offsets(spark):
     )
     # NULL text and no-match rows yield no rows; ordinals and offsets exact
     assert got == [(1, "12", 0, 3), (1, "34", 1, 9)]
+
+
+def test_array_agg_raw_array_variant(spark):
+    # The registered array_agg query serializes the collected set as a
+    # CSV so the driver canonicalizer can hash it; the raw array<string>
+    # form (collect_set + array_sort) is pinned here instead.
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(1, "view"), (1, "purchase"), (1, "view"), (2, "click")],
+        "user_id int, event_type string",
+    )
+    types = F.array_sort(F.collect_set("event_type"))
+    got = {
+        r["user_id"]: (r["types"], r["n"], r["has_purchase"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            types.alias("types"),
+            F.size(types).alias("n"),
+            F.array_contains(types, "purchase").alias("has_purchase"),
+        )
+        .collect()
+    }
+    assert got == {
+        1: (["purchase", "view"], 2, True),
+        2: (["click"], 1, False),
+    }

@@ -38,6 +38,28 @@ def test_flagship_broadcasts_dimensions(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_no_broadcast_hint_on_fact_scaling_tables(spark):
+    """customer/supplier/orders/lineitem are fact-scaling (rows × SF):
+    an explicit broadcast hint would override Catalyst/AQE's size check
+    and OOM at the 100-TB north star.  Only true dims (nation, region,
+    inline literal dims) may carry hints — the fact joins must rely on
+    AQE, which still picks broadcast at small SF and degrades to
+    shuffle-hash at scale instead of failing."""
+    opt = _optimized(e.q_flagship_revenue(spark, SF))
+    # exactly the two dim hints survive into the optimized plan
+    assert opt.count("strategy=broadcast") == 2, opt
+    # ...and the physical plan still broadcasts the dims without help
+    plan = _plan(e.q_flagship_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    # the QA fact builders and TPC-H shapes carry no broadcast hint on
+    # the orders⋈customer join edge (hints on the dim edges are fine)
+    for q in ("scalar_share", "returned_revenue", "trade_volume", "usis_export"):
+        for line in _optimized(e.queries()[q](spark, SF)).splitlines():
+            if "Join" in line and "c_custkey" in line:
+                assert "strategy=broadcast" not in line, (q, line)
+
+
 def test_topk_plans_take_ordered(spark):
     plan = _plan(e.q_topk_orders(spark, SF))
     assert "TakeOrderedAndProject" in plan

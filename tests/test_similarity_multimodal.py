@@ -179,3 +179,59 @@ def test_fixed_header_parse_roundtrips_jvm_side(spark):
     plan = parse_fixed_header(df, "payload", "id")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# optional-dep real codec paths (Pillow / pyav)
+# ---------------------------------------------------------------------------
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_real_decoder_gate_raises_cleanly_without_pillow(spark):
+    from gdp_etl_spark.operators.multimodal import decode_features
+
+    if _has_pil():
+        pytest.skip("Pillow present: gate test is for codec-free envs")
+    df = spark.createDataFrame([(1, b"xx")], "doc_id long, payload binary")
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_features(df, "payload", "doc_id", decoder="pillow")
+
+
+def test_unknown_decoder_rejected(spark):
+    from gdp_etl_spark.operators.multimodal import (
+        decode_features,
+        frame_sample,
+        resize_payload,
+    )
+
+    df = spark.createDataFrame([(1, b"xx")], "doc_id long, payload binary")
+    for fn in (decode_features, frame_sample, resize_payload):
+        with pytest.raises(NotImplementedError, match="supported decoders"):
+            fn(df, "payload", "doc_id", decoder="nope")
+
+
+def test_pillow_decode_and_resize_real_bytes(spark):
+    # runs only where the optional codec dep exists (not this container)
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from gdp_etl_spark.operators.multimodal import decode_features, resize_payload
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, buf.getvalue())], "doc_id long, payload binary"
+    )
+    feats = decode_features(df, "payload", "doc_id", dim=4, decoder="pillow").collect()
+    assert len(feats[0]["features"]) == 4
+    assert all(abs(v - 128 / 255) < 1e-6 for v in feats[0]["features"])
+    resized = resize_payload(df, "payload", "doc_id", factor=2, decoder="pillow").collect()
+    assert Image.open(io.BytesIO(bytes(resized[0]["resized"]))).size == (4, 4)

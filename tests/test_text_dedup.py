@@ -263,3 +263,20 @@ def test_hash_split_deterministic_partition(spark):
     assert 0.85 < c["train"] / 2000 < 0.95  # ~90/5/5
     with _pt.raises(ValueError):
         hash_split(d, "k", fractions={"a": 0.5, "b": 0.4})
+
+
+def test_dedup_clusters_all_singleton_corpus(spark):
+    # no near-dup pairs at all: every doc must come back as its own
+    # canonical singleton cluster via the coalesce path (nodes absent
+    # from the pair set never reach connected_components)
+    from gdp_etl_spark.operators.cluster import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"unique text {i}") for i in range(5)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_clusters(docs, pairs, "doc_id").collect()
+    }
+    assert out == {i: (i, True) for i in range(5)}

@@ -113,3 +113,61 @@ def test_equidepth_histogram_balances_counts_and_keeps_ties_together(spark):
     got2 = rows(equidepth_histogram(hh, "x", nbins=4))
     assert sum(r[3] for r in got2) == 92
     assert got2[0][3] == 90  # all the tied 1.0s in bin 0
+
+
+def test_resample_locf_multi_unit_step_lands_on_grid(spark):
+    # "15 minutes": date_trunc('minute') would put observations on
+    # minute buckets that never coincide with the lo + k*15min grid;
+    # the grid-floor bucketing must mark the right buckets observed
+    df = spark.createDataFrame(
+        [
+            ("a", _ts(1, 7), 1.0),    # grid 01:07 -> bucket 01:07? no: lo
+            ("a", _ts(1, 40), 2.0),
+            ("a", _ts(2, 6), 3.0),
+        ],
+        "g string, ts timestamp, v double",
+    )
+    got = rows(resample_locf(df, ["g"], "ts", "v", step="15 minutes"))
+    # lo = minute-trunc(min ts) = 01:07; grid = 01:07, 01:22, 01:37,
+    # 01:52, 02:07?  hi = 02:06 -> sequence stops at 01:52.  Buckets:
+    # obs 01:07 -> 01:07; 01:40 -> 01:37; 02:06 -> 01:52.
+    assert got == sorted(
+        [
+            ("a", _ts(1, 7), 1.0, True),
+            ("a", _ts(1, 22), 1.0, False),
+            ("a", _ts(1, 37), 2.0, True),
+            ("a", _ts(1, 52), 3.0, True),
+        ]
+    )
+
+
+def test_resample_locf_multi_unit_calendar_step_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", _ts(1), 1.0)], "g string, ts timestamp, v double"
+    )
+    with pytest.raises(ValueError, match="multi-unit"):
+        resample_locf(df, ["g"], "ts", "v", step="3 months")
+
+
+def test_scd2_duplicate_key_ts_ties_are_deterministic(spark):
+    # two rows with the same (key, ts) but different attrs: both survive
+    # the change filter; the (ts, attr) secondary sort pins which one
+    # gets the degenerate [ts, ts) interval on every run/partitioning
+    df = spark.createDataFrame(
+        [
+            (1, _ts(1), "B"),
+            (1, _ts(1), "A"),
+            (1, _ts(3), "C"),
+        ],
+        "k int, ts timestamp, attr string",
+    )
+    got = rows(scd2_intervals(df, ["k"], "ts", "attr"))
+    assert got == sorted(
+        [
+            (1, "A", _ts(1), _ts(1), False),   # degenerate: A sorts first
+            (1, "B", _ts(1), _ts(3), False),
+            (1, "C", _ts(3), None, True),
+        ]
+    )

@@ -130,3 +130,15 @@ def test_quarantine_orphans_partitions_the_frame_exactly(spark):
     assert sorted(r["id"] for r in valid.collect()) == [1, 2, 4]
     assert [r["id"] for r in orphans.collect()] == [3]
     assert valid.count() + orphans.count() == child.count()
+
+
+def test_run_checks_rejects_empty_and_duplicate_rules(spark):
+    import pytest
+
+    from gdp_etl_spark.operators.validate import in_range, run_checks
+
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError, match="at least one rule"):
+        run_checks(df, [])
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        run_checks(df, [in_range("x", 0, 1), in_range("x", 0, 2)])
