@@ -213,6 +213,52 @@ def _simhash_sig_sql() -> str:
     """
 
 
+def _pagerank_sql(iters: int = 5, scale: int = 10**12, dp: int = 85) -> str:
+    """Mirror of operators.graph._pagerank_quantized: the 5 damped power
+    iterations unrolled as integer-arithmetic CTEs (``//`` in DuckDB ==
+    ``div`` in Spark on the all-positive fixed-point ranks), so every
+    rank_q matches the Spark bigint bit-for-bit."""
+    ctes = [
+        f"""
+        edges AS (
+          SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        outdeg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+        edeg AS (SELECT e.src, e.dst, d.out_deg
+                 FROM edges e JOIN outdeg d ON e.src = d.src),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        params AS (SELECT count(*) AS n FROM nodes),
+        dang AS (SELECT n.node FROM nodes n
+                 LEFT JOIN outdeg o ON n.node = o.src WHERE o.src IS NULL),
+        r0 AS (SELECT node, CAST({scale} // p.n AS BIGINT) AS rank_q
+               FROM nodes, params p)"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""
+        c{k} AS (SELECT e.dst AS node, sum(r.rank_q // e.out_deg) AS in_q
+                 FROM edeg e JOIN r{k - 1} r ON e.src = r.node
+                 GROUP BY e.dst),
+        d{k} AS (SELECT coalesce(sum(r.rank_q), 0) AS dq
+                 FROM dang g JOIN r{k - 1} r ON g.node = r.node),
+        r{k} AS (SELECT n.node,
+                   CAST((({100 - dp} * {scale} // 100) // p.n)
+                        + ({dp} * (coalesce(c.in_q, 0) + (d.dq // p.n))) // 100
+                        AS BIGINT) AS rank_q
+                 FROM nodes n LEFT JOIN c{k} c ON n.node = c.node,
+                      d{k} d, params p)"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+        SELECT node, rank_q,
+               CAST(rank_q AS DOUBLE) / {float(scale)} AS rank
+        FROM r{iters}"""
+    )
+
+
 _DSUM = "CAST(SUM(CAST({x} AS DECIMAL(28,6))) AS DOUBLE)"
 
 
@@ -1179,17 +1225,28 @@ def q_csv_trimmed(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal decode plumbing: payload → fixed-dim feature vector
-    via Arrow-batched mapInPandas (deterministic fake decoder — real
-    codecs are stubbed; rows-only check)."""
+    via Arrow-batched mapInPandas.  The registered output explodes the
+    vector to (doc_id, pos, feature) scalar rows, and because the fake
+    decoder is md5-derived uint32/2^32 in float64 (exact), the DuckDB
+    oracle rebuilds every feature from ``md5(text)`` hex pairs —
+    full hash equality.  Real codecs plug in via ``decoder="pillow"``
+    (optional dep, unit-tested)."""
     d = attach_payload(_t(spark, sf_dir, "documents"), "text", "payload")
-    return decode_features(d, "payload", "doc_id", dim=16)
+    return decode_features(d, "payload", "doc_id", dim=16).select(
+        "doc_id", F.posexplode("features").alias("pos", "feature")
+    )
 
 
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling fan-out: one payload row → N typed frame rows
-    (every 4th fake 16-byte frame; rows-only check)."""
+    (every 4th fake 16-byte frame).  Registered output hex-encodes the
+    frame bytes so the driver canonicalizer can hash rows, and the
+    oracle replays the chunking as hex-string slices — full equality
+    check on the 1→N fan-out, indices and bytes."""
     d = attach_payload(_t(spark, sf_dir, "documents"), "text", "payload")
-    return frame_sample(d, "payload", "doc_id", every_n=4)
+    return frame_sample(d, "payload", "doc_id", every_n=4).select(
+        "doc_id", "frame_idx", F.lower(F.hex("frame")).alias("frame_hex")
+    )
 
 
 # ===========================================================================
@@ -1428,6 +1485,65 @@ def q_sketch_stats(spark, sf_dir):
     )
     return ndv.join(qs, "o_orderpriority").select(
         "o_orderpriority", "ndv_approx", "n_rows", "p50_approx", "p95_approx"
+    )
+
+
+def q_sketch_bounds(spark, sf_dir):
+    """Driver-checkable companion to ``sketch_stats``: approximate
+    sketch values are engine-specific, but their ERROR GUARANTEES are
+    not — HLL++ at rsd=0.05 stays within ±20% (4σ) of exact NDV, and
+    percentile_approx at accuracy=10⁴ returns an element whose rank is
+    within 1e-4·n of the target (checked with a 100× margin, 0.01·n).
+    This query recomputes the exact aggregates next to the sketches and
+    emits the bound-satisfaction booleans; the oracle asserts all-TRUE
+    rows, so a broken sketch pipeline fails the hash check."""
+    from gdp_etl_spark.operators.sketches import (
+        group_cardinality_sketch,
+        group_quantile_sketch,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    ndv = group_cardinality_sketch(o, ["o_orderpriority"], "o_custkey", rsd=0.05)
+    qs = group_quantile_sketch(
+        o, ["o_orderpriority"], "o_totalprice", (0.5, 0.95), accuracy=10_000
+    ).select(
+        "o_orderpriority",
+        F.col("quantiles_approx")[0].alias("p50"),
+        F.col("quantiles_approx")[1].alias("p95"),
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("ndv_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = ndv.join(qs, "o_orderpriority").join(exact, "o_orderpriority")
+    ranks = (
+        o.join(j.select("o_orderpriority", "p50", "p95"), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") <= F.col("p50"), 1).otherwise(0)).alias("le50"),
+            F.sum(F.when(F.col("o_totalprice") < F.col("p50"), 1).otherwise(0)).alias("lt50"),
+            F.sum(F.when(F.col("o_totalprice") <= F.col("p95"), 1).otherwise(0)).alias("le95"),
+            F.sum(F.when(F.col("o_totalprice") < F.col("p95"), 1).otherwise(0)).alias("lt95"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return (
+        j.join(ranks, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            (
+                F.abs(F.col("ndv_approx") - F.col("ndv_exact"))
+                <= 0.2 * F.col("ndv_exact")
+            ).alias("ndv_ok"),
+            (
+                (F.col("le50") >= (0.5 - 0.01) * nd)
+                & (F.col("lt50") <= (0.5 + 0.01) * nd)
+            ).alias("p50_ok"),
+            (
+                (F.col("le95") >= (0.95 - 0.01) * nd)
+                & (F.col("lt95") <= (0.95 + 0.01) * nd)
+            ).alias("p95_ok"),
+        )
     )
 
 
@@ -1915,8 +2031,11 @@ def q_pagerank(spark, sf_dir):
     """PageRank over the customer→supplier trade graph (distinct
     (o_custkey, l_suppkey) edges), 5 damped power iterations.  Edge
     list partitioned-by-src once and reused each iteration; dangling
-    (supplier) mass redistributed uniformly.  Iterative → rows-only
-    driver check; values pinned against NumPy in tests/test_graph.py."""
+    (supplier) mass redistributed uniformly.  Runs the exact-bigint
+    fixed-point tier (``quantize_scale=10**12``), so every rank is an
+    integer multiple of 1e-12 and the oracle replays all 5 iterations
+    with unrolled integer-arithmetic SQL — full hash equality, not
+    rows-only.  Float-tier values pinned vs NumPy in tests/test_graph.py."""
     from gdp_etl_spark.operators.graph import pagerank
 
     o = _t(spark, sf_dir, "orders")
@@ -1929,7 +2048,7 @@ def q_pagerank(spark, sf_dir):
         # suppliers negated so the two key spaces can't collide
         .distinct()
     )
-    return pagerank(edges, iterations=5)
+    return pagerank(edges, iterations=5, quantize_scale=10**12)
 
 
 def q_linear_trend(spark, sf_dir):
@@ -2466,6 +2585,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_stats": q_group_stats,
         "rank_windows": q_rank_windows,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "pagerank": q_pagerank,
+        "sketch_bounds": q_sketch_bounds,
         # -- driver-green in round 2 (CORRECTNESS_r02.json) -----------------
         "projection": q_projection,
         "neg_projection": q_neg_projection,
@@ -2508,12 +2631,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lang": q_quality_lang,
         "fingerprint": q_fingerprint,
         "content_hash": q_content_hash,
-        # -- rows-only by design (no SQL-expressible oracle) ----------------
+        # -- rows-only by design --------------------------------------------
+        # ivf_topk: approximate pruning path; its machinery is fully
+        # checked by ivf_recall (exhaustive-probe == exact oracle).
+        # sketch_stats: engine-specific approximate values; its error
+        # guarantees are oracle-checked by sketch_bounds.
         "ivf_topk": q_ivf_topk,
         "sketch_stats": q_sketch_stats,
-        "pagerank": q_pagerank,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -3816,6 +3940,38 @@ def oracle_sql() -> dict[str, str]:
                        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                           * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
             FROM s
+        """,
+        "pagerank": _pagerank_sql(iters=5),
+        # fake decoder mirror: md5 digest repeated 4x -> 16 LE uint32 ->
+        # /2^32 in float64 (exact).  Corpus is ASCII so md5(text) ==
+        # md5(utf8 payload); frombuffer is little-endian (x86).
+        "multimodal_features": """
+            WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents)
+            SELECT doc_id, CAST(pos AS INT) AS pos,
+                   CAST(CAST(concat('0x',
+                       substring(hx, 2*((4*(pos%4)+3)%16)+1, 2),
+                       substring(hx, 2*((4*(pos%4)+2)%16)+1, 2),
+                       substring(hx, 2*((4*(pos%4)+1)%16)+1, 2),
+                       substring(hx, 2*((4*(pos%4)+0)%16)+1, 2))
+                     AS BIGINT) AS DOUBLE) / 4294967296.0 AS feature
+            FROM d, unnest(range(0, 16)) t(pos)
+        """,
+        # fake frame chunker mirror: payload = utf8(text); frames are
+        # 16-byte slices at every 4th index over max(len/16, 1) chunks,
+        # replayed as 32-hex-char slices
+        "multimodal_frames": """
+            WITH d AS (
+              SELECT doc_id, lower(hex(encode(text))) AS hx,
+                     greatest(octet_length(encode(text)) // 16, 1) AS nf
+              FROM documents)
+            SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+                   substring(hx, CAST(fi AS INT) * 32 + 1, 32) AS frame_hex
+            FROM d, unnest(range(0, nf, 4)) t(fi)
+        """,
+        "sketch_bounds": """
+            SELECT DISTINCT o_orderpriority,
+                   TRUE AS ndv_ok, TRUE AS p50_ok, TRUE AS p95_ok
+            FROM orders
         """,
         "table_checksum": """
             SELECT count(*) AS n_rows,

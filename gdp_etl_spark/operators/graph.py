@@ -22,10 +22,21 @@ Spark-first design, engineered for the 100-TB shape:
   teleport term re-normalizes per iteration with a single scalar agg,
   keeping ``sum(rank) == 1`` without an extra join.
 
-Deterministic given a fixed iteration count (double addition order
-inside a hash agg is not guaranteed, so ranks agree across runs to
-~1e-15 relative, not bitwise — the driver records a rows-only check,
-and the unit test pins values against a NumPy power iteration).
+Determinism has two tiers:
+
+* default (float) — double addition order inside a hash agg is not
+  guaranteed, so ranks agree across runs to ~1e-15 relative, not
+  bitwise; the unit test pins values against a NumPy power iteration.
+* ``quantize_scale=10**12`` — every iteration's rank vector is an exact
+  bigint at the given fixed-point scale: per-edge contributions use
+  integer division, the damping factor is applied as an exact integer
+  ratio, and sums are bigint.  Bit-identical across runs, partitionings
+  AND engines — an unrolled integer-arithmetic SQL replay (DuckDB
+  oracle) reproduces every rank exactly, upgrading the driver check
+  from rows-only to full hash equality.  The quantization bias per
+  iteration is < ``iterations × n_nodes / scale`` of total mass
+  (≪ 1e-6 at the default scale), far below float tier's own run-to-run
+  wobble in what it *guarantees*.
 """
 
 from __future__ import annotations
@@ -40,13 +51,22 @@ def pagerank(
     dst_col: str = "dst",
     iterations: int = 10,
     damping: float = 0.85,
+    quantize_scale: int | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` of damped power iteration.
 
     ``edges`` is a directed edge list; parallel edges count once.
-    Ranks sum to 1 (dangling-node mass is redistributed uniformly via
+    Ranks sum to ~1 (dangling-node mass is redistributed uniformly via
     per-iteration renormalization).
+
+    With ``quantize_scale`` set (e.g. ``10**12``) the whole iteration
+    runs in exact bigint fixed-point (see module docstring): ``damping``
+    must then be expressible as a percentage (``damping*100`` integral).
     """
+    if quantize_scale is not None:
+        return _pagerank_quantized(
+            edges, src_col, dst_col, iterations, damping, quantize_scale
+        )
     spark = edges.sparkSession
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -115,3 +135,90 @@ def pagerank(
 
     e_deg.unpersist()
     return ranks
+
+
+def _pagerank_quantized(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int,
+    damping: float,
+    scale: int,
+) -> DataFrame:
+    """Exact-bigint power iteration (see module docstring).
+
+    Every rank is an integer multiple of ``1/scale``:
+
+    * ``r0 = scale div n``
+    * per-edge contribution = ``rank div out_deg`` (bigint div)
+    * ``r' = teleport + (dp·(Σ contrib + dangling div n)) div 100``,
+      ``teleport = ((100−dp)·scale div 100) div n``, ``dp = damping·100``
+
+    All operands stay < 100·scale < 2⁶³ for scale ≤ 10¹⁶.  Returns
+    (node, rank_q bigint, rank double = rank_q/scale) — both columns
+    bit-reproducible across engines.
+    """
+    dp = int(round(damping * 100))
+    if abs(damping * 100 - dp) > 1e-9:
+        raise ValueError(
+            f"quantized pagerank needs damping expressible in percent, got {damping}"
+        )
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node", F.lit(0).cast("bigint").alias("rank_q"),
+            F.lit(0.0).alias("rank"),
+        )
+
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e_deg = e.join(out_deg, "src").repartition("src").persist()
+    e_deg.count()
+
+    teleport = ((100 - dp) * scale // 100) // n_nodes
+    ranks = nodes.select(
+        "node", F.lit(scale // n_nodes).cast("bigint").alias("rank_q")
+    ).localCheckpoint(eager=True)
+    dangling_nodes = nodes.join(
+        out_deg.withColumnRenamed("src", "node"), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        contrib = (
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rank_q div out_deg")).alias("in_q"))
+        )
+        dangling_mass = dangling_nodes.join(ranks, "node").agg(
+            F.coalesce(F.sum("rank_q"), F.lit(0)).cast("bigint").alias("__dq")
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling_mass))
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("bigint")
+                    + F.expr(
+                        f"({dp} * (coalesce(in_q, CAST(0 AS BIGINT))"
+                        f" + (__dq div {n_nodes}))) div 100"
+                    )
+                ).alias("rank_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    e_deg.unpersist()
+    return ranks.select(
+        "node", "rank_q", (F.col("rank_q") / F.lit(float(scale))).alias("rank")
+    )

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -79,10 +79,14 @@ def binary_meta(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     )
 
 
+#: features travel as float64: the fake decoder's uint32/2^32 values and
+#: the pillow path's intensity/255 are then EXACT (not rounded through a
+#: 24-bit mantissa), which is what lets the DuckDB oracle reproduce the
+#: fake-decoded features bit-for-bit.
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("features", ArrayType(FloatType())),
+        StructField("features", ArrayType(DoubleType())),
     ]
 )
 
@@ -138,15 +142,17 @@ def decode_features(
                 if decoder == "pillow":
                     img = Image.open(io.BytesIO(bytes(b))).convert("L")
                     img = img.resize((dim, 1))
-                    vec = np.asarray(img, dtype=np.float32).reshape(dim)
-                    feats.append(vec / np.float32(255.0))
+                    vec = np.asarray(img, dtype=np.float64).reshape(dim)
+                    feats.append(vec / 255.0)
                 else:
-                    # deterministic fake: md5-seeded bytes -> dim floats in [0,1)
+                    # deterministic fake: md5-seeded bytes -> dim floats
+                    # in [0,1); uint32/2^32 is exact in float64, so the
+                    # SQL oracle reproduces these bit-for-bit
                     raw = hashlib.md5(bytes(b)).digest()
                     need = dim * 4
                     buf = (raw * (need // len(raw) + 1))[:need]
-                    vec = np.frombuffer(buf, dtype=np.uint32).astype(np.float32)
-                    feats.append(vec / np.float32(2**32))
+                    vec = np.frombuffer(buf, dtype=np.uint32).astype(np.float64)
+                    feats.append(vec / float(2**32))
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), "features": feats}
             )

@@ -208,26 +208,50 @@ def rademacher_lsh_buckets(
             raise ValueError("empty DataFrame and no dim given")
         dim = first["d"]
 
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    buckets = []
-    for t in range(num_tables):
-        signs = rademacher_signs(num_bits, dim, f"{seed}:{t}")
-        bucket = F.lit(0)
-        for j in range(num_bits):
-            sgn = F.array(*[F.lit(s) for s in signs[j]])
-            proj = F.aggregate(
-                F.zip_with(
-                    vd,
-                    sgn,
-                    lambda x, s: F.floor(x * F.lit(1e12)).cast("bigint")
-                    * s.cast("bigint"),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
+    # ONE nested higher-order expression over a literal sign matrix
+    # (rows = num_tables·num_bits hyperplanes) instead of
+    # num_tables·num_bits flattened fold expressions: semantically
+    # identical, but the generated code is ~num_bits·num_tables×
+    # smaller, which keeps whole-stage codegen compile time negligible.
+    sign_matrix = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(s)
+                    for s in rademacher_signs(num_bits, dim, f"{seed}:{t}")[j]
+                ]
             )
-            bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        buckets.append(bucket.cast("int"))
-    return df.withColumn(out_col, F.array(*buckets))
+            for t in range(num_tables)
+            for j in range(num_bits)
+        ]
+    )
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    projs = F.transform(
+        sign_matrix,
+        lambda row: F.aggregate(
+            F.zip_with(
+                vd,
+                row,
+                lambda x, s: F.floor(x * F.lit(1e12)).cast("bigint")
+                * s.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    with_projs = df.withColumn("__rlb_projs", projs)
+    buckets = [
+        sum(
+            (
+                F.when(F.col("__rlb_projs")[t * num_bits + j] > 0, F.lit(1 << j))
+                .otherwise(F.lit(0))
+                for j in range(num_bits)
+            ),
+            start=F.lit(0),
+        ).cast("int")
+        for t in range(num_tables)
+    ]
+    return with_projs.withColumn(out_col, F.array(*buckets)).drop("__rlb_projs")
 
 
 def lsh_topk(

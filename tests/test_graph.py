@@ -160,3 +160,33 @@ def test_rolling_corr_null_coordinate_excluded_jointly(spark):
     assert got[3][0] == 2               # NOT 3: null row excluded
     assert math.isclose(got[3][1], 1.0, rel_tol=1e-9)  # collinear pair
     assert got[4][0] == 3
+
+
+def test_pagerank_quantized_matches_float_tier(spark):
+    from gdp_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)], "src long, dst long"
+    )
+    f = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    q = pagerank(edges, iterations=5, quantize_scale=10**12)
+    qr = {r["node"]: (r["rank_q"], r["rank"]) for r in q.collect()}
+    assert set(qr) == set(f)
+    for node, (rank_q, rank) in qr.items():
+        # quantization bias per iteration < n/scale of total mass
+        assert abs(rank - f[node]) < 1e-9
+        assert rank_q == int(rank * 10**12)
+    # bit-identical across runs
+    qr2 = {r["node"]: r["rank_q"] for r in pagerank(
+        edges, iterations=5, quantize_scale=10**12).collect()}
+    assert qr2 == {n: v[0] for n, v in qr.items()}
+
+
+def test_pagerank_quantized_rejects_odd_damping(spark):
+    import pytest
+
+    from gdp_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="percent"):
+        pagerank(edges, damping=0.8567, quantize_scale=10**12)

@@ -117,11 +117,19 @@ def test_decode_features_deterministic_shape(spark):
 
 
 def test_real_decoder_is_stubbed(spark):
+    # in codec-free environments (like this container) the optional-dep
+    # real paths must fail fast at plan-build time, not inside executors
     d = attach_payload(_docs(spark), "text", "payload")
-    with pytest.raises(NotImplementedError):
-        decode_features(d, "payload", "doc_id", decoder="pillow")
-    with pytest.raises(NotImplementedError):
-        frame_sample(d, "payload", "doc_id", decoder="pyav")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_features(d, "payload", "doc_id", decoder="pillow")
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            frame_sample(d, "payload", "doc_id", decoder="pyav")
 
 
 def test_frame_sample_fanout(spark):
@@ -235,3 +243,32 @@ def test_pillow_decode_and_resize_real_bytes(spark):
     assert all(abs(v - 128 / 255) < 1e-6 for v in feats[0]["features"])
     resized = resize_payload(df, "payload", "doc_id", factor=2, decoder="pillow").collect()
     assert Image.open(io.BytesIO(bytes(resized[0]["resized"]))).size == (4, 4)
+
+
+def test_rademacher_buckets_deterministic_and_bounded(spark):
+    from gdp_etl_spark.operators.similarity import (
+        rademacher_lsh_buckets,
+        rademacher_signs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    b1 = {
+        r["vec_id"]: r["b"]
+        for r in rademacher_lsh_buckets(
+            emb, "embedding", num_bits=8, num_tables=4, dim=64, seed="42"
+        ).selectExpr("vec_id", "buckets AS b").collect()
+    }
+    b2 = {
+        r["vec_id"]: r["b"]
+        for r in rademacher_lsh_buckets(
+            emb, "embedding", num_bits=8, num_tables=4, dim=64, seed="42"
+        ).selectExpr("vec_id", "buckets AS b").collect()
+    }
+    assert b1 == b2                      # bit-identical across runs
+    for bs in b1.values():
+        assert len(bs) == 4
+        assert all(0 <= b < 256 for b in bs)
+    # sign matrix is ±1 and stable under the md5 recipe
+    signs = rademacher_signs(4, 8, "s")
+    assert signs == rademacher_signs(4, 8, "s")
+    assert all(s in (-1, 1) for row in signs for s in row)
