@@ -53,7 +53,9 @@ def resample_locf(
 ) -> DataFrame:
     """Resample each group's series onto a fixed-step grid with LOCF.
 
-    Grid points are ``date_trunc``-aligned to the step unit and span each
+    Grid points are ``date_trunc``-aligned for single-unit steps and
+    epoch-aligned (``floor(us / step) * step``, the :func:`F.window`
+    convention) for multi-unit fixed-length steps; they span each
     group's observed range.  At each grid point the output is the value
     of the latest observation at-or-before it (step-function semantics);
     grid points before a group's first observation stay NULL.  Multiple
@@ -80,6 +82,26 @@ def resample_locf(
             f"(e.g. '1 month') or a fixed-length step"
         )
 
+    # Bucketing convention: single-unit steps truncate with date_trunc
+    # (so calendar units like month/year work, and '1 week' keeps the
+    # Monday alignment users expect); multi-unit fixed-length steps
+    # floor onto the EPOCH-ALIGNED grid floor(us/step)*step — the same
+    # convention as Spark's own F.window().  Epoch alignment makes the
+    # bucket a pure per-row expression (no per-group anchor), so the
+    # observation side needs no join and the whole operator stays a
+    # single union + single window exchange on the group key.
+    if n_units == 1:
+        def bucket_of(c: Column) -> Column:
+            return F.date_trunc(unit, c)
+    else:
+        step_us = n_units * _UNIT_MICROS[unit]
+
+        def bucket_of(c: Column) -> Column:
+            return F.timestamp_micros(
+                F.floor(F.unix_micros(c) / F.lit(step_us)).cast("long")
+                * F.lit(step_us)
+            )
+
     # Single-window formulation: instead of (latest-per-bucket rank
     # window) + (grid left join) + (forward-fill window) — three
     # exchanges — union the grid rows under the observations and read
@@ -88,13 +110,9 @@ def resample_locf(
     # row (ordered by time, so the latest wins), making "value at
     # bucket = latest observation at-or-before bucket end" fall out of
     # plain last(ignorenulls).
-    # per-group grid origin/end, date_trunc-aligned to the step UNIT;
-    # computed once and shared by the grid explode AND the observation
-    # bucketing (bounds is one tiny row per group — AQE broadcasts it,
-    # so the observation side never shuffles for the join)
     bounds = df.groupBy(*group_cols).agg(
-        F.date_trunc(unit, F.min(time_col)).alias("__lo"),
-        F.date_trunc(unit, F.max(time_col)).alias("__hi"),
+        bucket_of(F.min(time_col)).alias("__lo"),
+        bucket_of(F.max(time_col)).alias("__hi"),
     )
     dense = bounds.select(
         *group_cols,
@@ -108,29 +126,9 @@ def resample_locf(
         F.lit(None).cast(df.schema[value_col].dataType).alias("__v"),
         F.lit(1).alias("__is_grid"),
     )
-    # observations flooring onto the ACTUAL grid (__lo + k·step), not
-    # onto unit truncation: for multi-unit steps like "15 minutes" the
-    # two disagree (minute-truncated buckets never coincide with the
-    # 15-minute grid).  For single-unit steps __lo is unit-aligned, so
-    # this reduces to date_trunc exactly.  Calendar units (month/year)
-    # are restricted to n=1 above, where date_trunc IS the grid floor.
-    if unit in _UNIT_MICROS:
-        step_us = n_units * _UNIT_MICROS[unit]
-        lo_us = F.unix_micros(F.col("__lo"))
-        ts_us = F.unix_micros(F.col(time_col))
-        on_grid = F.timestamp_micros(
-            lo_us
-            + F.floor((ts_us - lo_us) / F.lit(step_us)).cast("long")
-            * F.lit(step_us)
-        )
-    else:
-        on_grid = F.date_trunc(unit, F.col(time_col))
-    # no explicit broadcast hint: bounds is group-cardinality (small for
-    # sensor-style data, but unbounded in general) — AQE picks broadcast
-    # when it fits and shuffle-hash when it doesn't
-    obs = df.join(bounds.select(*group_cols, "__lo"), group_cols).select(
+    obs = df.select(
         *group_cols,
-        on_grid.alias("__bucket"),
+        bucket_of(F.col(time_col)).alias("__bucket"),
         F.col(time_col).alias("__ts"),
         F.col(value_col).alias("__v"),
         F.lit(0).alias("__is_grid"),

@@ -117,26 +117,27 @@ def test_equidepth_histogram_balances_counts_and_keeps_ties_together(spark):
 
 def test_resample_locf_multi_unit_step_lands_on_grid(spark):
     # "15 minutes": date_trunc('minute') would put observations on
-    # minute buckets that never coincide with the lo + k*15min grid;
-    # the grid-floor bucketing must mark the right buckets observed
+    # minute buckets that never coincide with the epoch-aligned 15-min
+    # grid; epoch-floor bucketing must mark the right buckets observed
     df = spark.createDataFrame(
         [
-            ("a", _ts(1, 7), 1.0),    # grid 01:07 -> bucket 01:07? no: lo
+            ("a", _ts(1, 7), 1.0),
             ("a", _ts(1, 40), 2.0),
             ("a", _ts(2, 6), 3.0),
         ],
         "g string, ts timestamp, v double",
     )
     got = rows(resample_locf(df, ["g"], "ts", "v", step="15 minutes"))
-    # lo = minute-trunc(min ts) = 01:07; grid = 01:07, 01:22, 01:37,
-    # 01:52, 02:07?  hi = 02:06 -> sequence stops at 01:52.  Buckets:
-    # obs 01:07 -> 01:07; 01:40 -> 01:37; 02:06 -> 01:52.
+    # epoch-aligned grid (F.window convention): lo = floor(01:07) =
+    # 01:00, hi = floor(02:06) = 02:00; grid = 01:00..02:00 by 15 min.
+    # Buckets: obs 01:07 -> 01:00; 01:40 -> 01:30; 02:06 -> 02:00.
     assert got == sorted(
         [
-            ("a", _ts(1, 7), 1.0, True),
-            ("a", _ts(1, 22), 1.0, False),
-            ("a", _ts(1, 37), 2.0, True),
-            ("a", _ts(1, 52), 3.0, True),
+            ("a", _ts(1, 0), 1.0, True),
+            ("a", _ts(1, 15), 1.0, False),
+            ("a", _ts(1, 30), 2.0, True),
+            ("a", _ts(1, 45), 2.0, False),
+            ("a", _ts(2, 0), 3.0, True),
         ]
     )
 
