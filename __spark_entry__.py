@@ -871,6 +871,37 @@ def q_ivf_recall(spark, sf_dir):
     )
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """Distributed deterministic k-means over the full embedding table
+    (operators/kmeans.py): fixed-point Lloyd's — hash-seeded centroids,
+    exact integer squared distances, integer floor-division updates —
+    so the DuckDB oracle replays both iterations as unrolled CTEs and
+    the final (vec_id, cluster, dist2) assignment hash-matches exactly.
+    Scale shape: assignment is literal-centroid map work (no join, no
+    shuffle); each update is ONE k-row shuffle + a k·d driver collect —
+    the same layout Spark ML's KMeans uses, minus the nondeterminism."""
+    from gdp_etl_spark.operators.kmeans import kmeans_fixed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_fixed(emb, "vec_id", "embedding", k=8, n_iter=2)
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Budget-driven corpus mixing (operators/sampling.py:mix_to_budget):
+    each language gets a token target ``budget · w/Σw`` and a
+    deterministic md5-hash sampling rate quantized to parts-per-million
+    with pure BIGINT floor arithmetic — the exact sample is
+    engine-portable, so the oracle recomputes rates AND membership."""
+    from gdp_etl_spark.operators.sampling import mix_to_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_to_budget(
+        docs, "doc_id", "lang", "n_chars", 60_000,
+        {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1},
+    )
+    return out.select("doc_id", "lang", "n_chars", "rate_ppm")
+
+
 def q_lsh_topk(spark, sf_dir):
     """LSH bucketed approximate top-k (the 100-TB scale path) with
     deterministic Rademacher hyperplanes: buckets are engine-portable
@@ -2525,7 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "returned_revenue": q_returned_revenue,
         "table_checksum": q_table_checksum,
-        "array_agg": q_array_agg,
+        "kmeans_assign": q_kmeans_assign,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_recall": q_ivf_recall,
@@ -2556,8 +2587,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonymize": q_pseudonymize,
         "profile_table": q_profile_table,
         "dq_checks": q_dq_checks,
+        "corpus_mix": q_corpus_mix,
+        # -- round-4 window rotation candidates (array_agg / binary_header
+        #    rotated out this round — driver-green in r02, oracle-covered
+        #    below) ---------------------------------------------------------
+        "array_agg": q_array_agg,
         "binary_header": q_binary_header,
-        # -- round-4 window rotation candidates ----------------------------
         "inverted_index": q_inverted_index,
         "hash_split": q_hash_split,
         "top_bigrams": q_top_bigrams,
@@ -3005,6 +3040,109 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN lang = 'en' THEN 429496729
                          WHEN lang = 'de' THEN 4294967296
                          ELSE 2147483648 END
+        """,
+        # full unrolled replay of the fixed-point Lloyd iterations:
+        # hash-seeded centroids (c0), two assignment+update passes
+        # (a1/c1, a2/c2), final assignment vs c2.  All-integer
+        # arithmetic (quantize floor((x+1)*1e6), exact squared
+        # distances, floor-division updates) makes every intermediate
+        # bit-identical to the Spark run.
+        "kmeans_assign": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000.0)
+                                 AS BIGINT)) AS q,
+                     CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':km'),
+                                          1, 8)) AS BIGINT) AS h
+              FROM embeddings
+            ),
+            c0 AS (
+              SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster,
+                     q AS c
+              FROM q QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 8
+            ),
+            d1 AS (
+              SELECT v.vec_id, v.q, c.cluster,
+                     CAST(list_sum(list_transform(range(1, 65),
+                       i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])))
+                       AS BIGINT) AS d2
+              FROM q v CROSS JOIN c0 c
+            ),
+            a1 AS (
+              SELECT vec_id, q, cluster FROM d1
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cluster) = 1
+            ),
+            u1 AS (
+              SELECT a.cluster, t.i AS dim, SUM(a.q[t.i]) AS s, COUNT(*) AS n
+              FROM a1 a, (SELECT unnest(range(1, 65)) AS i) t
+              GROUP BY a.cluster, t.i
+            ),
+            c1 AS (
+              SELECT c0.cluster, COALESCE(upd.c, c0.c) AS c
+              FROM c0 LEFT JOIN (
+                SELECT cluster, list(CAST(s // n AS BIGINT) ORDER BY dim) AS c
+                FROM u1 GROUP BY cluster
+              ) upd USING (cluster)
+            ),
+            d2_ AS (
+              SELECT v.vec_id, v.q, c.cluster,
+                     CAST(list_sum(list_transform(range(1, 65),
+                       i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])))
+                       AS BIGINT) AS d2
+              FROM q v CROSS JOIN c1 c
+            ),
+            a2 AS (
+              SELECT vec_id, q, cluster FROM d2_
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cluster) = 1
+            ),
+            u2 AS (
+              SELECT a.cluster, t.i AS dim, SUM(a.q[t.i]) AS s, COUNT(*) AS n
+              FROM a2 a, (SELECT unnest(range(1, 65)) AS i) t
+              GROUP BY a.cluster, t.i
+            ),
+            c2 AS (
+              SELECT c1.cluster, COALESCE(upd.c, c1.c) AS c
+              FROM c1 LEFT JOIN (
+                SELECT cluster, list(CAST(s // n AS BIGINT) ORDER BY dim) AS c
+                FROM u2 GROUP BY cluster
+              ) upd USING (cluster)
+            ),
+            d3 AS (
+              SELECT v.vec_id, c.cluster,
+                     CAST(list_sum(list_transform(range(1, 65),
+                       i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])))
+                       AS BIGINT) AS d2
+              FROM q v CROSS JOIN c2 c
+            )
+            SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, d2 AS dist2
+            FROM d3
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cluster) = 1
+        """,
+        # rates in exact BIGINT ppm, membership by md5-bucket mod 1e6 —
+        # bit-for-bit the mix_to_budget recipe
+        "corpus_mix": """
+            WITH avail AS (
+              SELECT lang, SUM(n_chars) AS av FROM documents GROUP BY lang
+            ),
+            w(lang, wt) AS (
+              VALUES ('en', 4), ('de', 2), ('fr', 2), ('es', 1), ('zh', 1)
+            ),
+            rates AS (
+              SELECT a.lang,
+                     LEAST(CAST(1000000 AS BIGINT),
+                           (CAST(60000 AS BIGINT) * w.wt * 1000000)
+                             // (10 * a.av)) AS rate_ppm
+              FROM avail a JOIN w USING (lang)
+            )
+            SELECT d.doc_id, d.lang, d.n_chars, r.rate_ppm
+            FROM documents d JOIN rates r USING (lang)
+            WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                            || ':mix'), 1, 8)) AS BIGINT)
+                   % 1000000) < r.rate_ppm
         """,
         "array_agg": """
             SELECT user_id,

@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "rolling_corr",         # windowed fixed-point correlation
     "binary_header",        # JVM-side binary header parse
     "table_checksum",       # orderless content checksum scan
+    "kmeans_assign",        # distributed fixed-point Lloyd's k-means
+    "corpus_mix",           # budget-driven domain mixing sample
 ]
 
 

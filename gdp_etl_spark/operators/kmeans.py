@@ -1,0 +1,148 @@
+"""Distributed deterministic k-means over embedding columns.
+
+The missing piece between the ANN family (similarity.py — which trains
+its IVF centroids driver-side on a small *sample*) and corpus curation:
+cluster the FULL embedding table distributed, e.g. to balance training
+data across semantic domains, pick diverse exemplars, or build coarse
+IVF cells from all points instead of a sample.
+
+Spark-first shape (the classic scalable Lloyd's layout, same as
+Spark ML's KMeans but engine-deterministic):
+
+* **assignment is map work** — centroids (k·d numbers, tiny) ride into
+  the executors as one literal nested-array expression; each row finds
+  its argmin cell with a single nested higher-order function (one
+  ``transform`` over centroids around one ``zip_with``/``aggregate``
+  dot — compact whole-stage codegen, no UDF, no join, no shuffle).
+* **update is one bounded shuffle** — ``groupBy(cluster)`` with ``d``
+  per-dimension integer ``sum`` aggregates (map-side partial combine),
+  producing exactly ``k`` rows that are collected to the driver
+  (k·d ≪ memory; the same treeAggregate-to-driver pattern Spark ML
+  uses).  Per iteration: one shuffle of k rows, nothing else moves.
+
+Determinism & oracle portability (the repo's fixed-point recipe —
+cf. functions/vectors.py:dot_fixed, graph.py:pagerank exact tier):
+
+* elements are quantized once to non-negative BIGINT
+  ``floor((x + offset) · scale)`` — the shared +offset cancels in every
+  squared distance, and non-negativity makes floor-division equal to
+  truncating division, so Spark's ``div`` and DuckDB's ``//`` agree;
+* distances are exact integer sums of squared differences;
+* centroid updates are integer floor-divisions of per-dim sums;
+* seeds are the ``k`` rows with the smallest ``md5(id:seed)`` prefix
+  (the sampling.py hash-bucket), cluster ids assigned in hash order;
+* ties (equal distance) resolve to the smallest cluster id.
+
+Every step is therefore bit-reproducible across engines, partitionings
+and cluster sizes, and a DuckDB oracle can replay the full iteration
+history as unrolled CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _quantize(vec: Column, scale: float, offset: float) -> Column:
+    """Non-negative fixed-point: floor((x + offset) * scale) as bigint."""
+    return F.transform(
+        vec,
+        lambda x: F.floor(
+            (x.cast("double") + F.lit(float(offset))) * F.lit(float(scale))
+        ).cast("bigint"),
+    )
+
+
+def _dist2(q: Column, cent: Column) -> Column:
+    """Exact integer squared L2 distance between two bigint arrays."""
+    return F.aggregate(
+        F.zip_with(q, cent, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_fixed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 2,
+    scale: float = 1e6,
+    offset: float = 1.0,
+    seed: str = "km",
+) -> DataFrame:
+    """Lloyd's k-means with exact integer arithmetic; returns one row per
+    input row: ``(id_col, cluster int, dist2 bigint)`` where ``dist2`` is
+    the squared fixed-point distance to the final centroid.
+
+    ``offset`` must make every quantized element non-negative (embedding
+    values in [-offset, ∞) — unit-ish embeddings with the default 1.0).
+    Empty clusters keep their previous centroid.  ``k`` is capped at the
+    row count.  Assignment plans as pure map work (literal centroids);
+    each iteration's update is ONE k-row shuffle + a k·d driver collect.
+    """
+    dim = None
+    # quantize once and persist: every iteration re-reads this frame
+    h = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+    )
+    qdf = df.select(
+        F.col(id_col).alias("__id"),
+        _quantize(F.col(vec_col), scale, offset).alias("__q"),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("__h"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        seeds = (
+            qdf.orderBy("__h", "__id").limit(k).select("__q").collect()
+        )
+        centroids = [list(r["__q"]) for r in seeds]  # hash order = cluster id
+        k = len(centroids)
+        if k == 0:
+            return df.select(
+                F.col(id_col),
+                F.lit(None).cast("int").alias("cluster"),
+                F.lit(None).cast("bigint").alias("dist2"),
+            ).limit(0)
+        dim = len(centroids[0])
+
+        def cents_lit() -> Column:
+            return F.array(
+                *[F.array(*[F.lit(v) for v in c]) for c in centroids]
+            )
+
+        def assign() -> DataFrame:
+            dists = F.transform(cents_lit(), lambda c: _dist2(F.col("__q"), c))
+            return qdf.select(
+                "__id",
+                "__q",
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("int")
+                .alias("cluster"),
+                F.array_min(dists).alias("dist2"),
+            )
+
+        for _ in range(n_iter):
+            stats = (
+                assign()
+                .groupBy("cluster")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.element_at("__q", i + 1)).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            for r in stats:
+                c, n = r["cluster"], r["n"]
+                # non-negative sums: truncating div == floor div (oracle //)
+                centroids[c] = [int(r[f"s{i}"]) // n for i in range(dim)]
+
+        return assign().select(F.col("__id").alias(id_col), "cluster", "dist2")
+    finally:
+        # lazily unpersist: the returned plan re-derives __q cheaply
+        qdf.unpersist(blocking=False)

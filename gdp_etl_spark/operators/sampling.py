@@ -91,6 +91,66 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def mix_to_budget(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    tokens_col: str,
+    budget: int,
+    weights: Mapping[str, int],
+    seed: str = "mix",
+) -> DataFrame:
+    """Domain-weighted corpus mixing to a total token budget.
+
+    The standard last step of a training-data pipeline: given a target
+    ``budget`` of tokens and integer mixing ``weights`` per domain
+    (language, source, quality tier…), each domain ``d`` gets a token
+    target ``budget * w_d / sum(w)`` and a deterministic hash-sampling
+    rate ``min(1, target_d / available_d)``.  Domains absent from
+    ``weights`` get weight 0 (dropped).
+
+    Determinism & portability: the rate is quantized to parts-per-million
+    with pure BIGINT floor arithmetic —
+    ``rate_ppm = min(1e6, budget*w*1e6 // (W*available))`` — and a row is
+    kept iff ``md5-bucket(key, seed) % 1e6 < rate_ppm``.  Every quantity
+    is integer, so any engine with md5 reproduces the exact sample (the
+    DuckDB oracle replays it bit-for-bit).  At extreme scale
+    (``budget * w * 1e6`` past int64) the same formula runs in
+    DECIMAL(38,0) / int128; the testdata scales stay well inside int64.
+
+    Scale shape: one tiny per-domain aggregate (|domains| rows) joined
+    back — AQE broadcasts it, the corpus never shuffles; the keep
+    decision is per-row map work.  Returns the sampled rows plus
+    ``rate_ppm``.
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive integer")
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    avail = df.groupBy(domain_col).agg(
+        F.sum(F.col(tokens_col).cast("bigint")).alias("__avail")
+    )
+    w = F.coalesce(wmap[F.col(domain_col)], F.lit(0)).cast("bigint")
+    # BIGINT floor division (`div`), never `/` (double division in Spark)
+    rate = F.least(
+        F.lit(1_000_000).cast("bigint"),
+        F.expr(
+            f"(CAST({int(budget)} AS BIGINT) * __w * 1000000) "
+            f"div (CAST({int(total_w)} AS BIGINT) * __avail)"
+        ),
+    )
+    keep = _hash_bucket(F.col(key_col), seed) % F.lit(1_000_000)
+    return (
+        df.join(avail, domain_col)
+        .withColumn("__w", w)
+        .withColumn("rate_ppm", rate)
+        .filter(keep < F.col("rate_ppm"))
+        .drop("__avail", "__w")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     key_col: str,

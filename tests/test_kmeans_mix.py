@@ -1,0 +1,94 @@
+"""Distributed deterministic k-means + budget-driven corpus mixing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdp_etl_spark.operators.kmeans import kmeans_fixed
+from gdp_etl_spark.operators.sampling import mix_to_budget
+from tests.conftest import rows
+
+
+def _planted(spark, n_per=20):
+    """Three well-separated 4-d blobs: cluster structure is unambiguous."""
+    centers = [(-0.8, -0.8, -0.8, -0.8), (0.0, 0.8, -0.5, 0.5),
+               (0.9, 0.9, 0.9, 0.9)]
+    data = []
+    i = 0
+    for ci, c in enumerate(centers):
+        for j in range(n_per):
+            jit = ((i * 37) % 11 - 5) / 200.0  # deterministic +-0.025
+            data.append((i, [x + jit for x in c], ci))
+            i += 1
+    return spark.createDataFrame(
+        data, "id long, vec array<float>, truth int"
+    )
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    df = _planted(spark)
+    out = kmeans_fixed(df, "id", "vec", k=3, n_iter=3)
+    joined = out.join(df, "id")
+    # every truth-group maps to exactly one cluster and vice versa
+    m = rows(joined.select("truth", "cluster").distinct())
+    assert len(m) == 3
+    assert len({c for _, c in m}) == 3
+
+
+def test_kmeans_deterministic_across_runs_and_partitionings(spark):
+    df = _planted(spark)
+    a = rows(kmeans_fixed(df, "id", "vec", k=3, n_iter=2))
+    b = rows(kmeans_fixed(df.repartition(7), "id", "vec", k=3, n_iter=2))
+    assert a == b
+
+
+def test_kmeans_k_capped_and_empty_input(spark):
+    df = _planted(spark, n_per=1)  # 3 rows
+    out = kmeans_fixed(df, "id", "vec", k=10, n_iter=1)
+    assert out.count() == 3
+    assert rows(out.select("dist2")) == [(0,), (0,), (0,)]  # own centroid
+    empty = kmeans_fixed(df.limit(0), "id", "vec", k=3)
+    assert empty.count() == 0
+
+
+def test_kmeans_assignment_is_map_work(spark):
+    """Final assignment plan: no join, no window — centroids are literals."""
+    df = _planted(spark)
+    plan = (
+        kmeans_fixed(df, "id", "vec", k=3, n_iter=1)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_mix_to_budget_rates_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i < 80 else "de", 100) for i in range(100)],
+        "doc_id long, lang string, toks long",
+    )
+    # budget 5000, weights en:1 de:1 -> target 2500 each;
+    # en avail 8000 -> 312500 ppm; de avail 2000 -> capped 1000000 ppm
+    out = mix_to_budget(df, "doc_id", "lang", "toks", 5000, {"en": 1, "de": 1})
+    got = {r["lang"]: r["rate_ppm"] for r in out.collect()}
+    assert got["de"] == 1_000_000
+    assert got["en"] == 312_500
+    # all of de kept (rate 100%), en subsampled
+    cnt = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert cnt["de"] == 20
+    assert 0 < cnt["en"] < 80
+    # deterministic across partitionings
+    out2 = mix_to_budget(
+        df.repartition(5), "doc_id", "lang", "toks", 5000, {"en": 1, "de": 1}
+    )
+    assert rows(out) == rows(out2)
+
+
+def test_mix_to_budget_unlisted_domain_dropped_and_bad_weights(spark):
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "xx", 10)], "doc_id long, lang string, toks long"
+    )
+    out = mix_to_budget(df, "doc_id", "lang", "toks", 100, {"en": 1})
+    assert {r["lang"] for r in out.collect()} <= {"en"}
+    with pytest.raises(ValueError):
+        mix_to_budget(df, "doc_id", "lang", "toks", 100, {})
