@@ -2461,6 +2461,69 @@ def q_trade_volume(spark, sf_dir):
     )
 
 
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each part in a size class, the supplier(s)
+    offering the minimal unit price — the correlated-scalar-subquery
+    topology, expressed Spark-first as a group-wise min + equi-join
+    back (what Catalyst decorrelates Q2's subquery into anyway).
+    Unit price is a single IEEE division (bit-identical cross-engine,
+    no accumulation); ties keep every minimal supplier, same rule both
+    sides.  Scale: the per-part min aggregates map-side before its one
+    shuffle; dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    offers = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("p_partkey", "p_brand", "l_suppkey", unit)
+    )
+    min_price = offers.groupBy("p_partkey").agg(
+        F.min("unit_price").alias("min_price")
+    )
+    return (
+        offers.join(min_price, "p_partkey")
+        .filter(F.col("unit_price") == F.col("min_price"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey", "p_brand", F.col("s_name"),
+            F.col("n_name").alias("supp_nation"), "min_price",
+        )
+        .distinct()
+    )
+
+
+def q_top_acctbal_no_orders(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average positive account
+    balance and no order since 2000, counted per nation — the
+    global-scalar-subquery + NOT EXISTS topology: a 1-row broadcast
+    threshold (deterministic decimal-sum mean) and a left-anti join
+    against the filtered orders (filter pushed below the anti-join),
+    then one small aggregation.  Scale: anti-join shuffles on custkey
+    (or runtime-filters at scale); the threshold never materializes
+    more than one row."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(davg("c_acctbal", "avg_bal"))
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal", "total_bal"),
+        )
+    )
+
+
 def q_rolling_corr(spark, sf_dir):
     """Trailing-30-day correlation between daily revenue and daily
     order count per priority — windowed fixed-point sufficient sums
@@ -2593,6 +2656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    below) ---------------------------------------------------------
         "array_agg": q_array_agg,
         "binary_header": q_binary_header,
+        "min_cost_supplier": q_min_cost_supplier,
+        "top_acctbal_no_orders": q_top_acctbal_no_orders,
         "inverted_index": q_inverted_index,
         "hash_split": q_hash_split,
         "top_bigrams": q_top_bigrams,
@@ -3040,6 +3105,44 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN lang = 'en' THEN 429496729
                          WHEN lang = 'de' THEN 4294967296
                          ELSE 2147483648 END
+        """,
+        # Q2 shape: the correlated scalar subquery, decorrelated the
+        # same way on both engines (group-wise min + equi-join back)
+        "min_cost_supplier": """
+            WITH offers AS (
+              SELECT p.p_partkey, p.p_brand, l.l_suppkey,
+                     l_extendedprice / l_quantity AS unit_price
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_size <= 10
+            ),
+            mp AS (
+              SELECT p_partkey, MIN(unit_price) AS min_price
+              FROM offers GROUP BY p_partkey
+            )
+            SELECT DISTINCT o.p_partkey, o.p_brand, s.s_name,
+                   n.n_name AS supp_nation, mp.min_price
+            FROM offers o JOIN mp USING (p_partkey)
+            JOIN supplier s ON o.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE o.unit_price = mp.min_price
+        """,
+        # Q22 shape: global scalar threshold (deterministic decimal-sum
+        # mean) + NOT EXISTS anti-join + aggregation
+        "top_acctbal_no_orders": """
+            WITH thr AS (
+              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                       / COUNT(c_acctbal) AS avg_bal
+              FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_nationkey, COUNT(*) AS n_cust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                     AS total_bal
+            FROM customer c, thr
+            WHERE c.c_acctbal > thr.avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_nationkey
         """,
         # full unrolled replay of the fixed-point Lloyd iterations:
         # hash-seeded centroids (c0), two assignment+update passes

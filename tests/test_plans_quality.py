@@ -291,6 +291,25 @@ def test_resample_locf_single_window_exchange(spark):
     assert "Join" not in opt
 
 
+def test_min_cost_supplier_pushes_size_filter_no_cartesian(spark):
+    """Q2 shape: the p_size predicate reaches the part scan; the
+    decorrelated min-join stays equi (no cartesian); nation broadcasts."""
+    plan = _plan(e.q_min_cost_supplier(spark, SF))
+    assert "LessThanOrEqual(p_size,10)" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_top_acctbal_anti_join_and_pushed_date(spark):
+    """Q22 shape: NOT EXISTS compiles to an anti join, the order-date
+    filter is pushed to the orders scan, and the scalar threshold is a
+    broadcast nested loop of ONE row — the only non-equi join allowed."""
+    plan = _plan(e.q_top_acctbal_no_orders(spark, SF))
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pagerank_reuses_src_partitioning(spark):
     """The per-iteration join must hash on src (edge side pre-partitioned
     and cached) — no cartesian, no broadcast of the big rank side."""
