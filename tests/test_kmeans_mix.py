@@ -1,11 +1,20 @@
 """Distributed deterministic k-means + budget-driven corpus mixing."""
 
+import hashlib
+
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from gdp_etl_spark.operators.kmeans import kmeans_fixed
 from gdp_etl_spark.operators.sampling import mix_to_budget
 from tests.conftest import rows
+
+_SET = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 
 
 def _planted(spark, n_per=20):
@@ -82,6 +91,72 @@ def test_mix_to_budget_rates_and_determinism(spark):
         df.repartition(5), "doc_id", "lang", "toks", 5000, {"en": 1, "de": 1}
     )
     assert rows(out) == rows(out2)
+
+
+@_SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10**6),               # doc_id
+            st.sampled_from(["a", "b", "c"]),    # domain
+            st.integers(1, 500),                 # tokens
+        ),
+        min_size=1, max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 10**5),                       # budget
+)
+def test_mix_matches_independent_python_model(spark, docs, budget):
+    """The exact sample equals an independent pure-Python replay of the
+    recipe (hashlib md5 + integer arithmetic) — full determinism, not
+    just statistical shape."""
+    weights = {"a": 3, "b": 2, "c": 1}
+    avail = {}
+    for _, d, t in docs:
+        avail[d] = avail.get(d, 0) + t
+    expect = set()
+    for doc_id, d, t in docs:
+        rate = min(
+            1_000_000, budget * weights[d] * 1_000_000 // (6 * avail[d])
+        )
+        h = int(
+            hashlib.md5(f"{doc_id}:mix".encode()).hexdigest()[:8], 16
+        )
+        if h % 1_000_000 < rate:
+            expect.add(doc_id)
+    df = spark.createDataFrame(docs, "doc_id long, dom string, toks long")
+    got = {
+        r["doc_id"]
+        for r in mix_to_budget(df, "doc_id", "dom", "toks", budget, weights)
+        .select("doc_id").collect()
+    }
+    assert got == expect
+
+
+@_SET
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1.0, 1.0, allow_nan=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=1, max_size=40,
+    ),
+    st.integers(1, 5),
+)
+def test_kmeans_invariants_random(spark, vecs, k):
+    """Over random inputs: every row assigned exactly once, cluster ids
+    in [0, min(k, n)), dist2 >= 0, and the result is partitioning-
+    independent."""
+    data = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(data, "id long, vec array<float>")
+    out = rows(kmeans_fixed(df, "id", "vec", k=k, n_iter=1))
+    assert len(out) == len(vecs)
+    assert {t[0] for t in out} == set(range(len(vecs)))
+    keff = min(k, len(vecs))
+    assert all(0 <= t[1] < keff and t[2] >= 0 for t in out)
+    out2 = rows(kmeans_fixed(df.repartition(3), "id", "vec", k=k, n_iter=1))
+    assert out == out2
 
 
 def test_mix_to_budget_unlisted_domain_dropped_and_bad_weights(spark):
