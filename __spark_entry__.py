@@ -2461,6 +2461,30 @@ def q_trade_volume(spark, sf_dir):
     )
 
 
+def q_orc_roundtrip(spark, sf_dir):
+    """Second columnar format end-to-end: customers written as
+    hive-partitioned ORC (partitioned by market segment), read back
+    with a segment filter — the scan must prune to ONE partition
+    directory (plan-tested) — then aggregated per nation.  Shows the
+    engine's source/sink surface is format-agnostic: parquet, CSV,
+    JSONL and ORC share the same declarative scan path, so pushdown,
+    pruning and codegen all apply unchanged."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/cust_orc"
+    c = _t(spark, sf_dir, "customer")
+    (
+        c.select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite")
+        .partitionBy("c_mktsegment")
+        .orc(path)
+    )
+    back = spark.read.orc(path).filter(F.col("c_mktsegment") == "BUILDING")
+    return back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal", "total_bal")
+    )
+
+
 def q_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape: for each part in a size class, the supplier(s)
     offering the minimal unit price — the correlated-scalar-subquery
@@ -2658,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_header": q_binary_header,
         "min_cost_supplier": q_min_cost_supplier,
         "top_acctbal_no_orders": q_top_acctbal_no_orders,
+        "orc_roundtrip": q_orc_roundtrip,
         "inverted_index": q_inverted_index,
         "hash_split": q_hash_split,
         "top_bigrams": q_top_bigrams,
@@ -3105,6 +3130,15 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN lang = 'en' THEN 429496729
                          WHEN lang = 'de' THEN 4294967296
                          ELSE 2147483648 END
+        """,
+        # the ORC write/read is Spark-side plumbing; the oracle checks
+        # the data contract (same rows as filtering the source table)
+        "orc_roundtrip": """
+            SELECT c_nationkey, COUNT(*) AS n_cust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                     AS total_bal
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+            GROUP BY c_nationkey
         """,
         # Q2 shape: the correlated scalar subquery, decorrelated the
         # same way on both engines (group-wise min + equi-join back)

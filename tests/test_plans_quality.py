@@ -310,6 +310,14 @@ def test_top_acctbal_anti_join_and_pushed_date(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_orc_roundtrip_prunes_partition_directory(spark):
+    """The segment filter must become a partition filter on the ORC
+    scan (one directory read), not a post-scan predicate."""
+    plan = _plan(e.q_orc_roundtrip(spark, SF))
+    assert "PartitionFilters: [isnotnull(c_mktsegment" in plan
+    assert "= BUILDING" in plan
+
+
 def test_pagerank_reuses_src_partitioning(spark):
     """The per-iteration join must hash on src (edge side pre-partitioned
     and cached) — no cartesian, no broadcast of the big rank side."""
