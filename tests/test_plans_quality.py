@@ -310,6 +310,38 @@ def test_top_acctbal_anti_join_and_pushed_date(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """At 100-TB scale a selective dim predicate propagates to the fact
+    side as an injected runtime bloom filter (Spark's runtime-filter
+    rule, on by default in the session factory).  Locally the fact scan
+    is below the 10 GB application-side threshold, so lower it to the
+    test scale and assert the `might_contain(bloom_filter_agg(...))`
+    semi-filter lands above the fact scan when broadcast is off — the
+    exact mechanism that prunes shuffled fact rows on a real cluster."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        sel = o.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = _optimized(j)
+        assert "might_contain" in opt
+        assert "bloom_filter_agg" in opt
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_orc_roundtrip_prunes_partition_directory(spark):
     """The segment filter must become a partition filter on the ORC
     scan (one directory read), not a post-scan predicate."""
