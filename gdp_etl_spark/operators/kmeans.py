@@ -80,8 +80,10 @@ def kmeans_fixed(
 
     ``offset`` must make every quantized element non-negative (embedding
     values in [-offset, ∞) — unit-ish embeddings with the default 1.0).
-    Empty clusters keep their previous centroid.  ``k`` is capped at the
-    row count.  Assignment plans as pure map work (literal centroids);
+    Vectors must be non-NULL with a uniform dimension (NULL rows are
+    dropped up front: a NULL distance would order differently under
+    Spark's NULLS FIRST vs the oracle's NULLS LAST).  Empty clusters
+    keep their previous centroid.  ``k`` is capped at the row count.  Assignment plans as pure map work (literal centroids);
     each iteration's update is ONE k-row shuffle + a k·d driver collect.
     """
     dim = None
@@ -89,11 +91,15 @@ def kmeans_fixed(
     h = F.md5(
         F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
     )
-    qdf = df.select(
-        F.col(id_col).alias("__id"),
-        _quantize(F.col(vec_col), scale, offset).alias("__q"),
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("__h"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    qdf = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            _quantize(F.col(vec_col), scale, offset).alias("__q"),
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("__h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     try:
         seeds = (
             qdf.orderBy("__h", "__id").limit(k).select("__q").collect()
