@@ -814,6 +814,22 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-space decontamination (decontam.semantic_decontaminate):
+    corpus vectors near-identical to any benchmark vector, via
+    deterministic Rademacher buckets + broadcast benchmark + exact
+    fixed-point cosine — the semantic sibling of the shingle-hash
+    ``decontaminate``; the oracle replays buckets and similarities."""
+    from gdp_etl_spark.operators.decontam import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= 50),
+        emb.filter(F.col("vec_id") < 50),
+        "embedding", "vec_id", threshold=0.3, num_bits=4, dim=64,
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     """Exact brute-force top-k cosine neighbours for 5 query vectors —
     the correctness baseline for ANN."""
@@ -2683,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "top_acctbal_no_orders": q_top_acctbal_no_orders,
         "orc_roundtrip": q_orc_roundtrip,
+        "semantic_decontam": q_semantic_decontam,
         "inverted_index": q_inverted_index,
         "hash_split": q_hash_split,
         "top_bigrams": q_top_bigrams,
@@ -3130,6 +3147,19 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN lang = 'en' THEN 429496729
                          WHEN lang = 'de' THEN 4294967296
                          ELSE 2147483648 END
+        """,
+        "semantic_decontam": f"""
+            WITH d AS (SELECT vec_id, embedding,
+                       {_rademacher_bucket_sql(4, 64, 'sd:0')} AS bkt
+                       FROM embeddings WHERE vec_id >= 50),
+            b AS (SELECT vec_id, embedding,
+                  {_rademacher_bucket_sql(4, 64, 'sd:0')} AS bkt
+                  FROM embeddings WHERE vec_id < 50)
+            SELECT d.vec_id, COUNT(*) AS n_hits,
+                   MAX({_cos_sql('d.embedding', 'b.embedding')}) AS max_sim
+            FROM d JOIN b ON d.bkt = b.bkt
+            WHERE {_cos_sql('d.embedding', 'b.embedding')} >= 0.3
+            GROUP BY d.vec_id
         """,
         # the ORC write/read is Spark-side plumbing; the oracle checks
         # the data contract (same rows as filtering the source table)

@@ -59,3 +59,63 @@ def decontaminate(
         .drop("__n")
         .withColumn("is_contaminated", F.col("n_overlap") >= F.lit(min_overlap))
     )
+
+
+def semantic_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    num_bits: int = 4,
+    dim: int | None = None,
+    seed: str = "sd",
+) -> DataFrame:
+    """Embedding-space decontamination: corpus rows whose vector is
+    near-identical (cosine ≥ ``threshold``) to any benchmark vector —
+    catches paraphrased / reformatted eval leakage that exact shingle
+    overlap (:func:`decontaminate`) misses.
+
+    Returns the *flagged* corpus rows only: ``(id_col, n_hits bigint,
+    max_sim double)`` — callers anti-join on ``id_col`` to drop them.
+
+    Scale shape: both sides get deterministic Rademacher LSH buckets
+    (one table — decontamination wants high recall on NEAR-IDENTICAL
+    vectors, whose bucket-collision probability approaches 1); the
+    candidate join is bucket-equi against the *broadcast* benchmark
+    (eval suites are bounded by construction, like the shingle-hash
+    broadcast in :func:`decontaminate`), so the corpus never shuffles
+    and never sees an all-pairs plan.  The fixed-point cosine re-rank
+    (``cosine_exact``) makes every surviving pair — and therefore the
+    flag set — engine-exact, so a SQL oracle replays buckets AND
+    similarities bit-for-bit.
+    """
+    from ..functions.vectors import cosine_exact
+    from .similarity import rademacher_lsh_buckets
+
+    def bucketed(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            rademacher_lsh_buckets(
+                df, vec_col, num_bits=num_bits, num_tables=1,
+                dim=dim, seed=seed, out_col="__b",
+            )
+            .select(
+                F.col(id_col).alias(f"{alias}_id"),
+                F.col(vec_col).alias(f"{alias}_vec"),
+                F.col("__b")[0].alias("__bkt"),
+            )
+        )
+
+    d = bucketed(docs, "d")
+    b = bucketed(benchmark, "b")
+    sim = cosine_exact(F.col("d_vec"), F.col("b_vec"))
+    return (
+        d.join(F.broadcast(b), "__bkt")
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= F.lit(threshold))
+        .groupBy(F.col("d_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max("__sim").alias("max_sim"),
+        )
+    )

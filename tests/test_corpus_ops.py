@@ -54,6 +54,31 @@ def test_decontaminate_min_overlap_threshold(spark):
     assert rows(out, "n_overlap", "is_contaminated") == [(1, False)]
 
 
+def test_semantic_decontaminate_flags_near_identical_vectors(spark):
+    from gdp_etl_spark.operators.decontam import semantic_decontaminate
+
+    bench_vec = [0.5, -0.3, 0.8, 0.1]
+    near = [x + 0.001 for x in bench_vec]      # cosine ~ 1
+    far = [-x for x in bench_vec]              # cosine = -1
+    docs = spark.createDataFrame(
+        [(10, near), (11, far)], "vec_id bigint, embedding array<float>"
+    )
+    bench = spark.createDataFrame(
+        [(1, bench_vec)], "vec_id bigint, embedding array<float>"
+    )
+    out = semantic_decontaminate(
+        docs, bench, "embedding", "vec_id", threshold=0.95, dim=4
+    )
+    got = rows(out, "vec_id", "n_hits")
+    assert got == [(10, 1)]                    # near flagged, far clean
+    # deterministic across partitionings
+    out2 = semantic_decontaminate(
+        docs.repartition(3), bench, "embedding", "vec_id",
+        threshold=0.95, dim=4,
+    )
+    assert rows(out) == rows(out2)
+
+
 # ---------------------------------------------------------------------------
 # repetition metrics
 # ---------------------------------------------------------------------------
