@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "table_checksum",       # orderless content checksum scan
     "kmeans_assign",        # distributed fixed-point Lloyd's k-means
     "corpus_mix",           # budget-driven domain mixing sample
+    "min_cost_supplier",    # Q2 shape: decorrelated group-min join-back
+    "semantic_decontam",    # embedding decontam: bucket join + exact cosine
 ]
 
 
