@@ -14,7 +14,7 @@ batch ones.
 
 from .dedup import dedup_within_watermark, enrich_with_static
 from .join import attribute_purchases, attribute_purchases_outer
-from .stateful import running_user_stats
+from .stateful import event_type_counts, running_user_stats
 from .windows import (
     session_window_stats,
     stream_events,
@@ -27,6 +27,7 @@ __all__ = [
     "attribute_purchases_outer",
     "dedup_within_watermark",
     "enrich_with_static",
+    "event_type_counts",
     "running_user_stats",
     "session_window_stats",
     "stream_events",

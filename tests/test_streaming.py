@@ -98,6 +98,75 @@ def test_stateful_running_stats_matches_batch(spark):
         assert final[k][1] == pytest.approx(batch[k][1], rel=1e-9)
 
 
+def test_transform_with_state_counts_match_batch(spark):
+    """transformWithStateInPandas (Spark 4 arbitrary stateful API,
+    MapState per user): after replaying the backlog, the latest emitted
+    count per (user, event_type) must equal the batch groupBy count.
+    Needs protobuf (the API's state-server protocol) + RocksDB state
+    store — skipped where the env lacks them."""
+    import tempfile
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState needs protobuf"
+    )
+    from gdp_etl_spark.streaming import event_type_counts
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = stream_events(spark, SF_DIR).select("user_id", "event_type")
+        q = (
+            event_type_counts(ev)
+            .writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.table("t_tws")
+        # counts are monotone per key: the final value is the max emitted
+        final = {
+            (r["user_id"], r["event_type"]): r["mx"]
+            for r in out.groupBy("user_id", "event_type")
+            .agg(F.max("n").alias("mx"))
+            .collect()
+        }
+        batch = {
+            (r["user_id"], r["event_type"]): r["n"]
+            for r in _batch_events(spark)
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert final == batch
+    finally:
+        spark.conf.set(key, saved)
+
+
+def test_transform_with_state_gate_message_without_protobuf(spark):
+    """Where protobuf is absent the operator must fail fast at plan
+    construction with an actionable message, not crash a streaming
+    worker mid-query."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present — gate does not fire")
+    except ImportError:
+        pass
+    from gdp_etl_spark.streaming import event_type_counts
+
+    ev = stream_events(spark, SF_DIR).select("user_id", "event_type")
+    with pytest.raises(ImportError, match="protobuf"):
+        event_type_counts(ev)
+
+
 def test_stream_dedup_drops_redelivered_batch(spark, tmp_path):
     """At-least-once replay: the same events file delivered twice must
     come out once per event_id."""
