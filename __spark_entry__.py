@@ -2564,6 +2564,320 @@ def q_top_acctbal_no_orders(spark, sf_dir):
     )
 
 
+def q_regional_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue by nation for orders where the customer
+    and the line's supplier sit in the SAME nation of one region — the
+    5-way star with a cross-fact FK-equality constraint.  Spark-first:
+    the region→nation dim prunes first and broadcasts; the three
+    fact-fact joins shuffle on their natural keys; the
+    ``c_nationkey = s_nationkey`` residual rides the customer join, so
+    no extra exchange.  Date band pushes to the orders scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(
+            c,
+            (o.o_custkey == c.c_custkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(nr), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(rev, "revenue"))
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's STANDARD-part
+    revenue per order year — the conditional-numerator ratio over an
+    n-way join.  Both numerator and denominator accumulate as exact
+    decimals inside ONE aggregation (no second pass), then a single
+    IEEE division.  Dims (part filter, nation, region) broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    cust_nat = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    supp_nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cust_nat), c.c_nationkey == F.col("cn_key"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_nat), s.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev.alias("rev"),
+            F.col("supp_nation"),
+        )
+    )
+    target = F.when(F.col("supp_nation") == "NATION_6", F.col("rev"))
+    return (
+        base.groupBy("o_year")
+        .agg(dsum(target, "nation_rev"), dsum("rev", "total_rev"))
+        .select(
+            "o_year",
+            "nation_rev",
+            "total_rev",
+            (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
+        )
+    )
+
+
+def q_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit (revenue minus retail cost of the parts
+    moved) by supplier nation × order year for 'red' parts.  The part
+    filter broadcasts under the fact joins; profit is a per-row
+    expression summed exactly; two shuffles (orderkey, then the group).
+    No partsupp table at this scale model — ``p_retailprice`` plays the
+    supplycost role, same topology."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    profit = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(profit, "profit"))
+    )
+
+
+def q_order_count_dist(spark, sf_dir):
+    """TPC-H Q13 shape: the distribution of orders-per-customer
+    INCLUDING zero-order customers — left outer join + two stacked
+    aggregations (count per customer, then customers per count).  The
+    second group-by is tiny (≤ distinct counts) and map-side combines;
+    the first shuffles once on custkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q_promo_ratio(spark, sf_dir):
+    """TPC-H Q14 shape: PROMO-part revenue share for one month — the
+    conditional-numerator / unconditional-denominator scalar ratio.
+    One broadcast of the 2k-row part dim, one exact-decimal agg, one
+    IEEE division at the end."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(dsum(promo, "promo_rev"), dsum(rev, "total_rev"))
+        .select(
+            "promo_rev",
+            "total_rev",
+            (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with maximal quarterly revenue
+    — agg → global-max scalar → equality join back (the view +
+    subquery topology, decorrelated the way Catalyst would).  The max
+    is a 1-row broadcast; ties all survive, deterministically."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(dsum(rev, "total_rev"))
+    mx = per_supp.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        per_supp.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — the
+    correlated per-part AVG subquery, decorrelated into a grouped avg
+    + join back (both engines compute the identical plan shape).  The
+    threshold avg is decimal-exact; the final sum divides once."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    offers = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = offers.groupBy("p_partkey").agg(davg("l_quantity", "avg_qty"))
+    return (
+        offers.join(avg_qty, "p_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(dsum("l_extendedprice", "total_price"))
+        .select((F.col("total_price") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+def q_big_order_customers(spark, sf_dir):
+    """TPC-H Q18 shape: customers with orders whose total quantity
+    exceeds a threshold — HAVING-sum filter on the fact, then join the
+    survivors (tiny) back to orders + customer, top-100 by totalprice.
+    The heavy agg happens BEFORE any join; the join input is the
+    filtered survivor set, so the plan stays bottom-heavy."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    return (
+        o.join(big, o.o_orderkey == F.col("l_orderkey"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides (brand × size × quantity bands) — the classic test
+    that the optimizer pushes the common partkey equi-key out of the
+    disjunction (hash join + residual filter, NOT a cartesian).
+    test_plans_quality asserts the no-cartesian plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    b = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.filter(b).agg(
+        dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+def q_late_orders(spark, sf_dir):
+    """TPC-H Q4 shape: orders with at least ONE late line (shipped >60
+    days after ordering), counted per priority — the EXISTS semi-join
+    with a cross-table correlated predicate.  Spark's left-semi join
+    carries the inequality as a join residual; each order counts once
+    no matter how many lines were late."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the ONLY supplier with
+    returned ('R') lines on a multi-supplier order — the
+    EXISTS + NOT-EXISTS double self-join topology.  Three scans of
+    lineitem (base R-lines, any-other-supplier semi, other-supplier-R
+    anti), all equi-keyed on orderkey so they co-partition; no
+    cartesian anywhere.  l_returnflag='R' stands in for the reference
+    benchmark's receipt-after-commit lateness (no commit/receipt dates
+    in this schema) — identical join topology."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def q_rolling_corr(spark, sf_dir):
     """Trailing-30-day correlation between daily revenue and daily
     order count per priority — windowed fixed-point sufficient sums
@@ -2698,6 +3012,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_header": q_binary_header,
         "min_cost_supplier": q_min_cost_supplier,
         "top_acctbal_no_orders": q_top_acctbal_no_orders,
+        # -- TPC-H join/agg topology sweep (Q4/5/8/9/13/14/15/17/18/19/21
+        #    shapes adapted to this schema) --------------------------------
+        "regional_volume": q_regional_volume,
+        "market_share": q_market_share,
+        "nation_profit": q_nation_profit,
+        "order_count_dist": q_order_count_dist,
+        "promo_ratio": q_promo_ratio,
+        "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "big_order_customers": q_big_order_customers,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "late_orders": q_late_orders,
+        "waiting_supplier": q_waiting_supplier,
         "orc_roundtrip": q_orc_roundtrip,
         "semantic_decontam": q_semantic_decontam,
         "inverted_index": q_inverted_index,
@@ -3207,6 +3534,177 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        # Q5 shape: 5-way star + same-nation residual
+        "regional_volume": f"""
+            SELECT n_name,
+                   {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+            FROM lineitem, orders, customer, supplier, nation, region
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        # Q8 shape: conditional-numerator market-share ratio per year
+        "market_share": f"""
+            WITH base AS (
+              SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                     l_extendedprice * (1.0 - l_discount) AS rev,
+                     sn.n_name AS supp_nation
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region ON cn.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+            )
+            SELECT o_year,
+                   {_dsum_sql("CASE WHEN supp_nation = 'NATION_6' THEN rev END")}
+                     AS nation_rev,
+                   {_dsum_sql('rev')} AS total_rev,
+                   {_dsum_sql("CASE WHEN supp_nation = 'NATION_6' THEN rev END")}
+                     / {_dsum_sql('rev')} AS mkt_share
+            FROM base GROUP BY o_year
+        """,
+        # Q9 shape: profit by supplier nation x order year
+        "nation_profit": f"""
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                   {_dsum_sql(
+                       'l_extendedprice * (1.0 - l_discount)'
+                       ' - p_retailprice * l_quantity'
+                   )} AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        # Q13 shape: orders-per-customer distribution incl. zero
+        "order_count_dist": """
+            WITH per_cust AS (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN (
+                SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'
+              ) o ON c_custkey = o.o_custkey
+              GROUP BY c_custkey
+            )
+            SELECT c_count, COUNT(*) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        # Q14 shape: promo revenue share for one ship month
+        "promo_ratio": f"""
+            SELECT {_dsum_sql(
+                "CASE WHEN p_type = 'PROMO'"
+                ' THEN l_extendedprice * (1.0 - l_discount) END'
+            )} AS promo_rev,
+                   {_dsum_sql('l_extendedprice * (1.0 - l_discount)')}
+                     AS total_rev,
+                   100.0 * {_dsum_sql(
+                       "CASE WHEN p_type = 'PROMO'"
+                       ' THEN l_extendedprice * (1.0 - l_discount) END'
+                   )} / {_dsum_sql('l_extendedprice * (1.0 - l_discount)')}
+                     AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        # Q15 shape: supplier(s) at the quarterly revenue max
+        "top_supplier": f"""
+            WITH per_supp AS (
+              SELECT l_suppkey,
+                     {_dsum_sql('l_extendedprice * (1.0 - l_discount)')}
+                       AS total_rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_rev
+            FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT MAX(total_rev) FROM per_supp)
+        """,
+        # Q17 shape: decorrelated per-part AVG threshold
+        "small_qty_revenue": """
+            WITH offers AS (
+              SELECT p_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#12'
+            ),
+            avg_qty AS (
+              SELECT p_partkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                       / COUNT(l_quantity) AS avg_qty
+              FROM offers GROUP BY p_partkey
+            )
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                     / 7.0 AS avg_yearly
+            FROM offers JOIN avg_qty USING (p_partkey)
+            WHERE l_quantity < 0.5 * avg_qty
+        """,
+        # Q18 shape: HAVING-sum survivors joined back, top-100
+        "big_order_customers": f"""
+            WITH big AS (
+              SELECT l_orderkey, {_dsum_sql('l_quantity')} AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING {_dsum_sql('l_quantity')} > 250.0
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, sum_qty
+            FROM orders JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+            LIMIT 100
+        """,
+        # Q19 shape: OR-of-ANDs residual over the partkey equi-join
+        "disjunctive_revenue": f"""
+            SELECT {_dsum_sql('l_extendedprice * (1.0 - l_discount)')}
+                     AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        # Q4 shape: EXISTS with a cross-table lateness predicate
+        "late_orders": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate
+                                               + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        # Q21 shape: EXISTS + NOT EXISTS double self-join on the fact
+        "waiting_supplier": """
+            WITH l1 AS (
+              SELECT DISTINCT l_orderkey, l_suppkey
+              FROM lineitem WHERE l_returnflag = 'R'
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s_name
         """,
         # full unrolled replay of the fixed-point Lloyd iterations:
         # hash-seeded centroids (c0), two assignment+update passes

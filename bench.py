@@ -92,6 +92,12 @@ BENCH_QUERIES = [
     "kmeans_assign",        # distributed fixed-point Lloyd's k-means
     "corpus_mix",           # budget-driven domain mixing sample
     "min_cost_supplier",    # Q2 shape: decorrelated group-min join-back
+    "regional_volume",      # Q5 shape: 5-way star + same-nation residual
+    "nation_profit",        # Q9 shape: profit rollup over 5 tables
+    "order_count_dist",     # Q13 shape: left join + stacked aggs
+    "big_order_customers",  # Q18 shape: HAVING-sum survivors + top-k
+    "disjunctive_revenue",  # Q19 shape: OR-of-ANDs join residual
+    "waiting_supplier",     # Q21 shape: double self semi/anti join
     "semantic_decontam",    # embedding decontam: bucket join + exact cosine
 ]
 

@@ -383,3 +383,52 @@ def test_rolling_corr_single_window_partitioned_on_group(spark):
     assert opt.count("Window ") == 1
     plan = _plan(e.q_rolling_corr(spark, SF))
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_tpch_sweep_no_cartesian_anywhere(spark):
+    """Every query in the TPC-H topology sweep compiles to equi-joins:
+    the disjunctive Q19 predicate must yield a hash join + residual
+    (partkey factored out of the OR), and the Q21 self-semi/anti pair
+    must stay keyed on orderkey — a cartesian in any of these is a
+    100-TB outage, not a slowdown."""
+    for q in (
+        "regional_volume", "market_share", "nation_profit",
+        "order_count_dist", "promo_ratio", "top_supplier",
+        "small_qty_revenue", "big_order_customers",
+        "disjunctive_revenue", "late_orders", "waiting_supplier",
+    ):
+        plan = _plan(e.queries()[q](spark, SF))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_regional_volume_pushes_date_broadcasts_dims(spark):
+    plan = _plan(e.q_regional_volume(spark, SF))
+    assert "GreaterThanOrEqual(o_orderdate" in plan   # band on the scan
+    assert "BroadcastHashJoin" in plan                # region→nation dim
+    assert "r_name" not in plan.split("FileScan parquet")[0]  # pruned out
+
+
+def test_big_order_customers_aggregates_below_join(spark):
+    """Q18's heavy sum(qty) HAVING filter must run BEFORE the joins —
+    the survivor set (not the raw fact) is the join input — and the
+    final top-100 must compile to TakeOrderedAndProject."""
+    opt = _optimized(e.q_big_order_customers(spark, SF))
+    agg_pos = opt.find("Aggregate")
+    join_pos = opt.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    assert agg_pos > join_pos  # optimized plan prints top-down: joins above the agg
+    plan = _plan(e.q_big_order_customers(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_late_orders_is_semi_join(spark):
+    plan = _plan(e.q_late_orders(spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_waiting_supplier_semi_and_anti(spark):
+    plan = _plan(e.q_waiting_supplier(spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
