@@ -2878,6 +2878,55 @@ def q_waiting_supplier(spark, sf_dir):
     )
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch frequency estimation (sketches.count_min_sketch):
+    one scan of orders folds customer-key frequencies into a fixed
+    4×1024-counter sketch, then the 20 exactly-heaviest customers are
+    point-queried against it.  Output carries the estimate next to the
+    exact count, so the driver hash pins BOTH the md5 bucketing and the
+    min-over-rows readout (the oracle rebuilds the identical sketch in
+    SQL).  At 100 TB the sketch is the only path: state is 4096 cells
+    regardless of key cardinality, partials combine map-side, and two
+    sketches merge by addition."""
+    from gdp_etl_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    o = _t(spark, sf_dir, "orders")
+    sk = count_min_sketch(o, "o_custkey", depth=4, width=1024)
+    top = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "o_custkey")
+        .limit(20)
+    )
+    return (
+        cms_estimate(sk, top.select("o_custkey"), "o_custkey", depth=4, width=1024)
+        .join(top, "o_custkey")
+        .select("o_custkey", "exact_count", "est_count")
+    )
+
+
+def q_triangle_count(spark, sf_dir):
+    """Per-vertex triangle counts (graph.triangle_count) over the
+    bulk-part co-occurrence graph: parts appearing on the same order
+    with quantity ≥ 45 are linked; triangles mark cohesive co-purchase
+    cliques.  Degree-ordered orientation bounds wedge fan-out at O(√m)
+    per vertex — the skew-proof formulation — and the oracle recounts
+    with the id-ordered SQL equivalent (per-vertex counts are
+    orientation-independent)."""
+    from gdp_etl_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        a.join(b, (F.col("l_orderkey") == F.col("ok_b")) & (F.col("pa") < F.col("pb")))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
 def q_rolling_corr(spark, sf_dir):
     """Trailing-30-day correlation between daily revenue and daily
     order count per priority — windowed fixed-point sufficient sums
@@ -3025,6 +3074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "late_orders": q_late_orders,
         "waiting_supplier": q_waiting_supplier,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "triangle_count": q_triangle_count,
         "orc_roundtrip": q_orc_roundtrip,
         "semantic_decontam": q_semantic_decontam,
         "inverted_index": q_inverted_index,
@@ -3688,6 +3739,64 @@ def oracle_sql() -> dict[str, str]:
                             AND l.l_shipdate > o.o_orderdate
                                                + INTERVAL 60 DAY)
             GROUP BY o_orderpriority
+        """,
+        # count-min sketch rebuilt cell-for-cell: same md5 bucketing,
+        # same min-over-rows readout — full hash equality on estimates
+        "cms_heavy_hitters": """
+            WITH seeds AS (SELECT unnest([0,1,2,3]) AS sk_row),
+            cells AS (
+              SELECT sk_row,
+                     CAST(CAST(concat('0x', substring(md5(concat_ws(chr(31),
+                            CAST(sk_row AS VARCHAR),
+                            CAST(o_custkey AS VARCHAR))), 1, 15)) AS BIGINT)
+                          % 1024 AS INT) AS sk_bucket,
+                     COUNT(*) AS sk_count
+              FROM orders, seeds
+              GROUP BY 1, 2
+            ),
+            top AS (
+              SELECT o_custkey, COUNT(*) AS exact_count
+              FROM orders GROUP BY o_custkey
+              ORDER BY exact_count DESC, o_custkey LIMIT 20
+            ),
+            probes AS (
+              SELECT o_custkey, exact_count, sk_row,
+                     CAST(CAST(concat('0x', substring(md5(concat_ws(chr(31),
+                            CAST(sk_row AS VARCHAR),
+                            CAST(o_custkey AS VARCHAR))), 1, 15)) AS BIGINT)
+                          % 1024 AS INT) AS sk_bucket
+              FROM top, seeds
+            )
+            SELECT p.o_custkey, p.exact_count,
+                   CAST(MIN(coalesce(c.sk_count, 0)) AS BIGINT) AS est_count
+            FROM probes p LEFT JOIN cells c USING (sk_row, sk_bucket)
+            GROUP BY 1, 2
+        """,
+        # id-ordered triangle recount (per-vertex counts are
+        # orientation-independent, so this mirrors the degree-ordered
+        # engine exactly)
+        "triangle_count": """
+            WITH e AS (
+              SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS va,
+                              greatest(a.l_partkey, b.l_partkey) AS vb
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+            ),
+            tri AS (
+              SELECT e1.va AS x, e1.vb AS y, e2.vb AS z
+              FROM e e1
+              JOIN e e2 ON e2.va = e1.vb
+              JOIN e e3 ON e3.va = e1.va AND e3.vb = e2.vb
+            ),
+            corners AS (
+              SELECT x AS vertex FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            )
+            SELECT vertex, COUNT(*) AS n_triangles
+            FROM corners GROUP BY vertex
         """,
         # Q21 shape: EXISTS + NOT EXISTS double self-join on the fact
         "waiting_supplier": """

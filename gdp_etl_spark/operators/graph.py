@@ -222,3 +222,75 @@ def _pagerank_quantized(
     return ranks.select(
         "node", "rank_q", (F.col("rank_q") / F.lit(float(scale))).alias("rank")
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact per-vertex triangle counts via degree-ordered edge
+    orientation — the join-based algorithm that survives skew.
+
+    A naive triangle join (edges³ on shared endpoints) explodes on hub
+    nodes: a degree-d vertex generates d² wedge candidates.  Orienting
+    every undirected edge from its lower-(degree, id) endpoint to the
+    higher one makes the oriented out-degree O(√m) regardless of how
+    skewed the raw degrees are [Cohen 2009, "Graph Twiddling in a
+    MapReduce World"], so wedge generation is bounded by m^1.5 total
+    and no single key dominates a shuffle.  The orientation order is a
+    DAG, so each triangle is generated exactly once (at its smallest
+    endpoint) and closed by one semi-equi-join against the oriented
+    edge set — three shuffles total, no cartesian anywhere.
+
+    Per-vertex counts are orientation-independent (each triangle
+    credits all three corners), so a plain id-ordered SQL replay is a
+    valid oracle even though the engine orders by degree.
+
+    Input may contain duplicates, self-loops, or both directions of an
+    edge; all are canonicalized away.  Output: ``(vertex, n_triangles)``
+    for every vertex that closes at least one triangle.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge toward the larger (deg, id) endpoint
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    )
+    # wedges at u: pairs of out-neighbours (v1 < v2 dedupes the pair)
+    o1 = oriented.select(F.col("u"), F.col("w").alias("v1"))
+    o2 = oriented.select(F.col("u"), F.col("w").alias("v2"))
+    wedges = o1.join(o2, "u").filter(F.col("v1") < F.col("v2"))
+    # close the wedge: the third edge appears in EITHER orientation
+    close = oriented.select(
+        F.least("u", "w").alias("v1"), F.greatest("u", "w").alias("v2")
+    )
+    triangles = wedges.join(close, ["v1", "v2"], "left_semi")
+    corners = (
+        triangles.select(F.col("u").alias("vertex"))
+        .unionAll(triangles.select(F.col("v1").alias("vertex")))
+        .unionAll(triangles.select(F.col("v2").alias("vertex")))
+    )
+    return corners.groupBy("vertex").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

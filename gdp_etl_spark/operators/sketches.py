@@ -38,6 +38,106 @@ def group_cardinality_sketch(
     )
 
 
+def _cms_hash(key, row: int, width: int):
+    """Row-``row`` CMS bucket of ``key``: first 60 bits of
+    md5(row || 0x1f || key) mod width.  md5 + base-16 parse is the
+    repo's portable-hash recipe (profile.table_checksum) — DuckDB
+    replays it bit-for-bit, so the whole sketch is oracle-checkable."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.lit(str(row)), key.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return (h % F.lit(width)).cast("int")
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a count-min sketch of ``key_col`` frequencies: a
+    ``depth × width`` table of bucket counts, ONE scan of the input.
+
+    The sketch is the fixed-size answer to "how often does each of a
+    100-TB column's values occur" when the distinct-key space itself is
+    too large to group on: state is ``depth*width`` counters total (not
+    per key), partials combine map-side, and the merge of two sketches
+    is element-wise addition — the same table unioned and re-summed.
+    Estimates (:func:`cms_estimate`) are upper bounds that overshoot by
+    at most ``2m/width`` with probability ``1 - 2^-depth``.
+
+    Implementation is pure JVM expressions: each row explodes into
+    ``depth`` (row, bucket) pairs via a literal seed array, then one
+    map-side-combined ``groupBy``.  No UDF, no second scan, and the
+    deterministic md5 bucketing lets DuckDB rebuild the identical
+    sketch for the correctness oracle.
+    """
+    key = F.col(key_col)
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("sk_row"),
+                        _cms_hash(key, i, width).alias("sk_bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+        w.alias("__w"),
+    )
+    return pairs.groupBy(
+        F.col("rb.sk_row").alias("sk_row"),
+        F.col("rb.sk_bucket").alias("sk_bucket"),
+    ).agg(F.sum("__w").cast("long").alias("sk_count"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the CMS for every row of ``keys``: recompute the
+    ``depth`` bucket coordinates, join the (tiny, broadcast) sketch
+    table, take the min over rows.  Missing buckets read as 0.  The
+    ``depth``/``width`` must match the build call."""
+    key = F.col(key_col)
+    probes = keys.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("sk_row"),
+                        _cms_hash(key, i, width).alias("sk_bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, "rb.sk_row", "rb.sk_bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["sk_row", "sk_bucket"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("sk_count"), F.lit(0)))
+            .cast("long")
+            .alias("est_count")
+        )
+    )
+
+
 def group_quantile_sketch(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -190,3 +190,47 @@ def test_pagerank_quantized_rejects_odd_damping(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="percent"):
         pagerank(edges, damping=0.8567, quantize_scale=10**12)
+
+
+class TestTriangleCount:
+    def test_known_graph(self, spark):
+        from gdp_etl_spark.operators.graph import triangle_count
+
+        # K4 on {1,2,3,4} (4 triangles, each vertex in 3) plus a
+        # pendant 4-5 (no triangle) plus noise: dup edge, reversed
+        # edge, self-loop
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (2, 1), (3, 1), (3, 3)],
+            "src long, dst long",
+        )
+        out = {r["vertex"]: r["n_triangles"]
+               for r in triangle_count(edges).collect()}
+        assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_triangle_free_bipartite(self, spark):
+        from gdp_etl_spark.operators.graph import triangle_count
+
+        edges = spark.createDataFrame(
+            [(i, 100 + j) for i in range(5) for j in range(5)],
+            "src long, dst long",
+        )
+        assert triangle_count(edges).count() == 0
+
+    def test_matches_bruteforce_on_random_graph(self, spark):
+        import itertools
+        import random
+
+        from gdp_etl_spark.operators.graph import triangle_count
+
+        rng = random.Random(7)
+        und = {tuple(sorted(rng.sample(range(30), 2))) for _ in range(150)}
+        expected = {}
+        for x, y, z in itertools.combinations(sorted({v for e in und for v in e}), 3):
+            if (x, y) in und and (y, z) in und and (x, z) in und:
+                for v in (x, y, z):
+                    expected[v] = expected.get(v, 0) + 1
+        edges = spark.createDataFrame(sorted(und), "src long, dst long")
+        got = {r["vertex"]: r["n_triangles"]
+               for r in triangle_count(edges).collect()}
+        assert got == expected

@@ -390,3 +390,60 @@ def test_array_agg_raw_array_variant(spark):
         1: (["purchase", "view"], 2, True),
         2: (["click"], 1, False),
     }
+
+
+class TestCountMinSketch:
+    def test_estimate_upper_bounds_and_tightness(self, spark):
+        from gdp_etl_spark.operators.sketches import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        rows = [(f"k{i % 37}",) for i in range(2000)] + [("hot",)] * 500
+        df = spark.createDataFrame(rows, "k string")
+        sk = count_min_sketch(df, "k", depth=4, width=256)
+        # sketch is bounded state: at most depth*width cells, each row
+        # of the sketch sums to the full stream length
+        assert sk.count() <= 4 * 256
+        from pyspark.sql import functions as F
+        per_row = sk.groupBy("sk_row").agg(F.sum("sk_count").alias("s"))
+        assert {r["s"] for r in per_row.collect()} == {2500}
+        exact = df.groupBy("k").count()
+        est = cms_estimate(sk, exact.select("k"), "k", depth=4, width=256)
+        joined = est.join(exact, "k").collect()
+        assert len(joined) == 38
+        for r in joined:
+            assert r["est_count"] >= r["count"]          # never undershoots
+            assert r["est_count"] <= r["count"] + 2500 * 2 // 256  # CM bound
+        hot = [r for r in joined if r["k"] == "hot"][0]
+        assert hot["est_count"] >= 500
+
+    def test_missing_key_reads_zero_or_collision(self, spark):
+        from gdp_etl_spark.operators.sketches import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        df = spark.createDataFrame([("a",), ("b",)], "k string")
+        sk = count_min_sketch(df, "k", depth=4, width=1024)
+        probe = spark.createDataFrame([("zzz",)], "k string")
+        [r] = cms_estimate(sk, probe, "k", depth=4, width=1024).collect()
+        assert 0 <= r["est_count"] <= 2
+
+    def test_weighted_build(self, spark):
+        from gdp_etl_spark.operators.sketches import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 10), ("a", 5), ("b", 1)], "k string, w int"
+        )
+        sk = count_min_sketch(df, "k", depth=4, width=1024, weight_col="w")
+        est = {
+            r["k"]: r["est_count"]
+            for r in cms_estimate(
+                sk, df.select("k").distinct(), "k", depth=4, width=1024
+            ).collect()
+        }
+        assert est["a"] >= 15 and est["b"] >= 1

@@ -432,3 +432,20 @@ def test_waiting_supplier_semi_and_anti(spark):
     plan = _plan(e.q_waiting_supplier(spark, SF))
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_cms_sketch_single_scan_broadcast_probe(spark):
+    """The CMS build must be ONE scan of orders (explode + map-side
+    combined agg — no self-join), and the probe side must broadcast
+    the 4096-cell sketch, never shuffle the probes against it."""
+    plan = _plan(e.q_cms_heavy_hitters(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_all_equi_joins(spark):
+    """Degree-oriented triangle counting is three equi-joins; any
+    cartesian/BNLJ here means the orientation failed to key a join."""
+    plan = _plan(e.q_triangle_count(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
