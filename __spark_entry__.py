@@ -2927,6 +2927,53 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(edges)
 
 
+def q_row_ids(spark, sf_dir):
+    """Dense global row IDs over orders by (orderdate, orderkey) —
+    ids.assign_row_ids: range-repartition + per-partition row_number +
+    broadcast prefix-sum offsets, NO single-partition window anywhere
+    on the data path (the trap ``row_number() OVER (ORDER BY …)``
+    falls into at scale).  The composite order is unique, so every ID
+    is bit-deterministic across runs, partition counts, and engines;
+    the oracle is the plain global row_number."""
+    from gdp_etl_spark.operators.ids import assign_row_ids
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return assign_row_ids(
+        o, ["o_orderdate", "o_orderkey"], id_col="row_id", num_partitions=16
+    )
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join (rangejoin.interval_overlap_join):
+    per-customer 14-day activity windows of URGENT orders overlapped
+    against windows of 5-LOW orders — banded equi-join on (customer,
+    epoch-day bucket), each overlapping pair emitted exactly once from
+    the bucket holding max(lo) (predicate dedup, no distinct, no
+    cartesian)."""
+    from gdp_etl_spark.operators.rangejoin import interval_overlap_join
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey",
+        F.col("o_orderkey").alias("u_orderkey"),
+        day.alias("u_lo"),
+        (day + 14).alias("u_hi"),
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("o_custkey"),
+        F.col("o_orderkey").alias("l_orderkey"),
+        day.alias("l_lo"),
+        (day + 14).alias("l_hi"),
+    )
+    return interval_overlap_join(
+        urgent, low, "u_lo", "u_hi", "l_lo", "l_hi",
+        band_width=16, keys=("o_custkey",),
+    ).select("o_custkey", "u_orderkey", "l_orderkey", "u_lo", "l_lo")
+
+
 def q_rolling_corr(spark, sf_dir):
     """Trailing-30-day correlation between daily revenue and daily
     order count per priority — windowed fixed-point sufficient sums
@@ -3076,6 +3123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_supplier": q_waiting_supplier,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "triangle_count": q_triangle_count,
+        "row_ids": q_row_ids,
+        "interval_overlap": q_interval_overlap,
         "orc_roundtrip": q_orc_roundtrip,
         "semantic_decontam": q_semantic_decontam,
         "inverted_index": q_inverted_index,
@@ -3797,6 +3846,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vertex, COUNT(*) AS n_triangles
             FROM corners GROUP BY vertex
+        """,
+        # dense global ordinals: the oracle IS the naive global
+        # row_number the distributed prefix-sum must reproduce exactly
+        "row_ids": """
+            SELECT o_orderkey, o_orderdate, o_totalprice,
+                   CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+                        AS BIGINT) - 1 AS row_id
+            FROM orders
+        """,
+        # half-open interval overlap, per-customer
+        "interval_overlap": """
+            WITH urgent AS (
+              SELECT o_custkey, o_orderkey AS u_orderkey,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS u_lo,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) + 14 AS u_hi
+              FROM orders WHERE o_orderpriority = '1-URGENT'
+            ),
+            low AS (
+              SELECT o_custkey, o_orderkey AS l_orderkey,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS l_lo,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) + 14 AS l_hi
+              FROM orders WHERE o_orderpriority = '5-LOW'
+            )
+            SELECT u.o_custkey, u.u_orderkey, l.l_orderkey,
+                   CAST(u.u_lo AS INT) AS u_lo, CAST(l.l_lo AS INT) AS l_lo
+            FROM urgent u JOIN low l
+              ON u.o_custkey = l.o_custkey
+             AND u.u_lo < l.l_hi AND l.l_lo < u.u_hi
         """,
         # Q21 shape: EXISTS + NOT EXISTS double self-join on the fact
         "waiting_supplier": """

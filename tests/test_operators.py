@@ -447,3 +447,108 @@ class TestCountMinSketch:
             ).collect()
         }
         assert est["a"] >= 15 and est["b"] >= 1
+
+
+class TestAssignRowIds:
+    def test_matches_global_row_number(self, spark):
+        from pyspark.sql import Window
+        from gdp_etl_spark.operators.ids import assign_row_ids
+
+        df = spark.range(0, 1000).select(
+            (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("payload")
+        )
+        out = assign_row_ids(df, ["k"], num_partitions=7)
+        expected = df.withColumn(
+            "row_id",
+            F.row_number().over(Window.orderBy("k")).cast("long") - 1,
+        )
+        assert sorted(r["row_id"] for r in out.collect()) == list(range(1000))
+        got = {r["k"]: r["row_id"] for r in out.collect()}
+        want = {r["k"]: r["row_id"] for r in expected.collect()}
+        assert got == want
+
+    def test_partition_count_invariant_and_start(self, spark):
+        from gdp_etl_spark.operators.ids import assign_row_ids
+
+        df = spark.range(0, 500).select(F.col("id").alias("k"))
+        a = {r["k"]: r["row_id"]
+             for r in assign_row_ids(df, ["k"], num_partitions=3).collect()}
+        b = {r["k"]: r["row_id"]
+             for r in assign_row_ids(df, ["k"], num_partitions=17).collect()}
+        assert a == b
+        c = assign_row_ids(df, ["k"], start=100, num_partitions=5)
+        assert c.agg(F.min("row_id"), F.max("row_id")).collect()[0][:] == (100, 599)
+
+    def test_no_single_partition_exchange_on_data_path(self, spark):
+        """The whole point: the data-side plan must use range
+        partitioning + per-partition windows, never Exchange
+        SinglePartition on the big frame (the offsets frame is
+        #partitions rows — driver-scale)."""
+        from gdp_etl_spark.operators.ids import assign_row_ids
+
+        df = spark.range(0, 1000).select(F.col("id").alias("k"))
+        plan = assign_row_ids(df, ["k"], num_partitions=8)._jdf.queryExecution().executedPlan().toString()
+        # the row_number window on the DATA path is partitioned by the
+        # range-partition id — never a global (empty-spec) window
+        assert "windowspecdefinition(__pid" in plan
+
+
+class TestIntervalOverlapJoin:
+    def test_known_pairs_half_open(self, spark):
+        from gdp_etl_spark.operators.rangejoin import interval_overlap_join
+
+        left = spark.createDataFrame(
+            [("a", 0, 5), ("b", 10, 20), ("c", 100, 200)],
+            "lid string, lo long, hi long",
+        )
+        right = spark.createDataFrame(
+            [("x", 5, 10), ("y", 4, 6), ("z", 15, 300)],
+            "rid string, rlo long, rhi long",
+        )
+        out = interval_overlap_join(
+            left, right, "lo", "hi", "rlo", "rhi", band_width=7
+        )
+        pairs = {(r["lid"], r["rid"]) for r in out.collect()}
+        # [0,5) vs [5,10) touch but do NOT overlap (half-open)
+        assert pairs == {("a", "y"), ("b", "z"), ("c", "z")}
+        # emitted exactly once each, even though c×z share ~15 bands
+        assert out.count() == 3
+
+    def test_keys_separate_groups(self, spark):
+        from gdp_etl_spark.operators.rangejoin import interval_overlap_join
+
+        left = spark.createDataFrame(
+            [(1, 0, 10), (2, 0, 10)], "g int, lo long, hi long"
+        )
+        right = spark.createDataFrame(
+            [(1, 5, 15), (2, 50, 60)], "g int, rlo long, rhi long"
+        )
+        out = interval_overlap_join(
+            left, right, "lo", "hi", "rlo", "rhi", band_width=8, keys=("g",)
+        )
+        assert [r["g"] for r in out.collect()] == [1]
+
+    def test_matches_bruteforce(self, spark):
+        import random
+
+        from gdp_etl_spark.operators.rangejoin import interval_overlap_join
+
+        rng = random.Random(11)
+        L = [(i, rng.randrange(0, 500), 0) for i in range(60)]
+        L = [(i, lo, lo + rng.randrange(1, 80)) for i, lo, _ in L]
+        R = [(j, rng.randrange(0, 500), 0) for j in range(60)]
+        R = [(j, lo, lo + rng.randrange(1, 80)) for j, lo, _ in R]
+        expected = {
+            (i, j)
+            for i, llo, lhi in L
+            for j, rlo, rhi in R
+            if llo < rhi and rlo < lhi
+        }
+        ldf = spark.createDataFrame(L, "lid long, lo long, hi long")
+        rdf = spark.createDataFrame(R, "rid long, rlo long, rhi long")
+        out = interval_overlap_join(
+            ldf, rdf, "lo", "hi", "rlo", "rhi", band_width=32
+        )
+        got = [(r["lid"], r["rid"]) for r in out.collect()]
+        assert len(got) == len(set(got)) == len(expected)
+        assert set(got) == expected
