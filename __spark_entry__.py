@@ -1270,6 +1270,43 @@ def q_csv_trimmed(spark, sf_dir):
     )
 
 
+def q_fixed_width(spark, sf_dir):
+    """Fixed-width feed ingestion (sources.read_fixed_width): a
+    mainframe-style columnar layout with a 1-line banner, blank-padded
+    slices, and '--' NA markers — parsed entirely by JVM substring/trim
+    expressions in one text scan.  Fixture written to tmp inside the
+    query (same pattern as csv_trimmed); oracle is inline VALUES."""
+    import os
+    import tempfile
+
+    from gdp_etl_spark.sources import read_fixed_width
+
+    content = (
+        "NATIONAL ACCOUNTS ANNUAL EXPORT\n"
+        "ALB 2020    100.50 A\n"
+        "AND 2021      --   B\n"
+        "AUT 2022   2000.25   \n"
+        "BEL 2020     33.10 A\n"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), "gdp_etl_spark_fw_fixture.dat"
+    )
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(content)
+    return read_fixed_width(
+        spark,
+        path,
+        [
+            ("code", 1, 4, "string"),
+            ("year", 5, 4, "int"),
+            ("gdp", 9, 10, "double"),
+            ("flag", 19, 2, "string"),
+        ],
+        na_values=("--",),
+        skip_rows=1,
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal decode plumbing: payload → fixed-dim feature vector
     via Arrow-batched mapInPandas.  The registered output explodes the
@@ -3076,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
         "csv_trimmed": q_csv_trimmed,
+        "fixed_width": q_fixed_width,
         "scalar_share": q_scalar_share,
         "base_broadcast": q_base_broadcast,
         "rolling_window": q_rolling_window,
@@ -4136,6 +4174,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (2020, 100.5, NULL),
                          (2021, 110.25, 1.02),
                          (2022, NULL, 1.05)) t(period, gdp, deflator)
+        """,
+        "fixed_width": """
+            SELECT CAST(code AS VARCHAR) AS code,
+                   CAST(year AS INT) AS year,
+                   CAST(gdp AS DOUBLE) AS gdp,
+                   CAST(flag AS VARCHAR) AS flag
+            FROM (VALUES ('ALB', 2020, 100.5, 'A'),
+                         ('AND', 2021, NULL, 'B'),
+                         ('AUT', 2022, 2000.25, NULL),
+                         ('BEL', 2020, 33.1, 'A')) t(code, year, gdp, flag)
         """,
         "token_stats": f"""
             SELECT doc_id,

@@ -195,6 +195,42 @@ def read_jsonl(
     return spark.read.text(path).select(parsed.alias("__r")).select("__r.*")
 
 
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    fields: list[tuple[str, int, int, str]],
+    na_values: tuple[str, ...] = (),
+    skip_rows: int = 0,
+) -> DataFrame:
+    """Fixed-width (columnar punch-card / mainframe export) reader —
+    the third classic feed format next to CSV and Excel in statistical
+    ETL.  ``fields`` is ``(name, start_1_based, width, spark_type)``;
+    values are substring-sliced, trimmed, NA-mapped, and cast — all
+    JVM-side expressions in one whole-stage-codegen text scan (no
+    Python, no per-line UDF; at 100 TB the parse is as cheap as the
+    read).  ``skip_rows`` drops a preamble by global line ordinal (one
+    zipWithIndex pass — same contract as read_csv_trimmed; preamble
+    feeds are small single files by construction)."""
+    if skip_rows:
+        rdd = (
+            spark.sparkContext.textFile(path)
+            .zipWithIndex()
+            .filter(lambda x: x[1] >= skip_rows)
+            .map(lambda x: (x[0],))
+        )
+        lines = spark.createDataFrame(rdd, "value string")
+    else:
+        lines = spark.read.text(path)
+    cols = []
+    for name, start, width, typ in fields:
+        raw = F.trim(F.substring(F.col("value"), start, width))
+        for na in na_values:
+            raw = F.when(raw == na, None).otherwise(raw)
+        raw = F.when(raw == "", None).otherwise(raw)
+        cols.append(raw.cast(typ).alias(name))
+    return lines.select(*cols)
+
+
 def _parse_ddl(spark: SparkSession, ddl: str) -> StructType:
     from pyspark.sql.types import _parse_datatype_string
 

@@ -122,3 +122,42 @@ def test_read_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
     schema = StructType([StructField("doc_id", LongType())])
     read_jsonl(spark, str(p), schema)
     assert [f.name for f in schema.fields] == ["doc_id"]
+
+
+class TestFixedWidth:
+    FIELDS = [
+        ("code", 1, 4, "string"),
+        ("year", 5, 4, "int"),
+        ("gdp", 9, 10, "double"),
+        ("flag", 19, 2, "string"),
+    ]
+
+    def test_parses_slices_trims_and_nulls(self, spark, tmp_path):
+        from gdp_etl_spark.sources import read_fixed_width
+
+        p = tmp_path / "fw.dat"
+        p.write_text(
+            "ALB 2020    100.50 A\n"
+            "AND 2021      --   B\n"
+            "AUT 2022   2000.25   \n"
+        )
+        rows = {
+            r["code"]: r
+            for r in read_fixed_width(
+                spark, str(p), self.FIELDS, na_values=("--",)
+            ).collect()
+        }
+        assert rows["ALB"]["year"] == 2020 and rows["ALB"]["gdp"] == 100.5
+        assert rows["AND"]["gdp"] is None          # NA marker
+        assert rows["AUT"]["flag"] is None         # blank -> NULL
+        assert rows["ALB"]["flag"] == "A"          # trimmed
+
+    def test_skip_rows(self, spark, tmp_path):
+        from gdp_etl_spark.sources import read_fixed_width
+
+        p = tmp_path / "fw2.dat"
+        p.write_text(
+            "TITLE LINE\n====\nALB 2020    100.50 A\n"
+        )
+        out = read_fixed_width(spark, str(p), self.FIELDS, skip_rows=2)
+        assert out.count() == 1 and out.collect()[0]["code"] == "ALB"
