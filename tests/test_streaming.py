@@ -413,3 +413,48 @@ def test_outer_stream_join_emits_null_after_watermark_passes(spark, tmp_path):
         assert {r["click_id"] for r in unmatched} == {3}
     finally:
         q.stop()
+
+
+class TestIncrementalFileIngest:
+    def test_resume_processes_only_new_files(self, spark, tmp_path):
+        """The checkpoint is the state: run 1 lands batch A, run 2 (new
+        files dropped in between) lands ONLY batch B — no dup of A —
+        and an idle run 3 lands nothing."""
+        from pyspark.sql import functions as F
+
+        from gdp_etl_spark.streaming.ingest import incremental_file_ingest
+
+        src = tmp_path / "src"
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        schema = "k long, v string"
+
+        def land(name, lo, hi):
+            spark.range(lo, hi).select(
+                F.col("id").alias("k"),
+                F.concat(F.lit("v"), F.col("id")).alias("v"),
+            ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+        land("batch_a", 0, 100)
+        incremental_file_ingest(
+            spark, str(src / "*"), schema, ckpt, out,
+            transform=lambda df: df.withColumn("vv", F.upper("v")),
+        )
+        first = spark.read.parquet(out)
+        assert first.count() == 100
+        assert first.filter(F.col("vv") != F.upper("v")).count() == 0
+
+        land("batch_b", 100, 150)
+        incremental_file_ingest(
+            spark, str(src / "*"), schema, ckpt, out,
+            transform=lambda df: df.withColumn("vv", F.upper("v")),
+        )
+        second = spark.read.parquet(out)
+        assert second.count() == 150                     # A not re-landed
+        assert second.select("k").distinct().count() == 150
+
+        incremental_file_ingest(
+            spark, str(src / "*"), schema, ckpt, out,
+            transform=lambda df: df.withColumn("vv", F.upper("v")),
+        )
+        assert spark.read.parquet(out).count() == 150    # idle run: no-op
