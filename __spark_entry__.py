@@ -3011,6 +3011,22 @@ def q_interval_overlap(spark, sf_dir):
     ).select("o_custkey", "u_orderkey", "l_orderkey", "u_lo", "l_lo")
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style corpus-LM quality scoring (text.trigram_lm_scores):
+    an add-one-smoothed character-trigram model is fit on the corpus
+    itself (top-4096 trigrams), then every document scores its mean
+    trigram log-probability — the standard perplexity cut for
+    filtering encoding garbage / wrong-language text.  Each distinct
+    trigram's log-prob quantizes once to a bigint (floor(ln·1e9)), so
+    per-doc sums are exact integer adds: bit-identical across runs and
+    engines, full-hash oracle."""
+    from gdp_etl_spark.functions.text import trigram_lm_scores
+
+    return trigram_lm_scores(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", vocab=4096
+    )
+
+
 def q_rolling_corr(spark, sf_dir):
     """Trailing-30-day correlation between daily revenue and daily
     order count per priority — windowed fixed-point sufficient sums
@@ -3162,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "triangle_count": q_triangle_count,
         "row_ids": q_row_ids,
+        "lm_score": q_lm_score,
         "interval_overlap": q_interval_overlap,
         "orc_roundtrip": q_orc_roundtrip,
         "semantic_decontam": q_semantic_decontam,
@@ -3884,6 +3901,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vertex, COUNT(*) AS n_triangles
             FROM corners GROUP BY vertex
+        """,
+        # corpus trigram LM rebuilt end-to-end: same normalization,
+        # same top-4096 vocabulary (count desc, trigram tie-break),
+        # same floor(ln * 1e9) quantization, exact integer sums
+        "lm_score": """
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))
+                       AS nt
+              FROM documents
+            ),
+            tri AS (
+              SELECT doc_id, unnest(
+                       CASE WHEN length(nt) >= 3
+                            THEN list_transform(range(1, length(nt) - 1),
+                                                i -> substr(nt, CAST(i AS INT), 3))
+                            ELSE [] END) AS tri
+              FROM norm
+            ),
+            counts AS (SELECT tri, COUNT(*) AS c FROM tri GROUP BY tri),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t_total FROM counts),
+            model AS (
+              SELECT tri,
+                     CAST(floor(ln(CAST(c + 1 AS DOUBLE)
+                                   / CAST(t_total + 4097 AS DOUBLE))
+                                * 1000000000) AS BIGINT) AS logp_q
+              FROM counts, tot
+              ORDER BY c DESC, tri LIMIT 4096
+            ),
+            unseen AS (
+              SELECT CAST(floor(ln(1.0 / CAST(t_total + 4097 AS DOUBLE))
+                                * 1000000000) AS BIGINT) AS unseen_q
+              FROM tot
+            ),
+            scored AS (
+              SELECT t.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_tri,
+                     CAST(SUM(coalesce(m.logp_q, u.unseen_q)) AS BIGINT)
+                       AS sum_logp_q
+              FROM tri t LEFT JOIN model m USING (tri), unseen u
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_tri, 0) AS n_tri,
+                   s.sum_logp_q,
+                   CASE WHEN coalesce(s.n_tri, 0) > 0
+                        THEN (CAST(s.sum_logp_q AS DOUBLE) / 1000000000)
+                             / CAST(s.n_tri AS DOUBLE) END AS avg_logp
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         # dense global ordinals: the oracle IS the naive global
         # row_number the distributed prefix-sum must reproduce exactly

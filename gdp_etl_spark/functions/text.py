@@ -13,7 +13,7 @@ heuristic with deterministic tie-break), and document fingerprinting
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: BPE-ish tokenizer: letter runs, digit runs, or single non-space symbols.
@@ -342,3 +342,124 @@ def pseudonymize(key: Column, salt: str) -> Column:
     return F.when(
         key.isNull(), F.lit(None).cast("string")
     ).otherwise(F.sha2(F.concat_ws(":", F.lit(salt), key.cast("string")), 256))
+
+
+def char_trigrams(text: Column) -> Column:
+    """All overlapping character trigrams of the normalized text (array;
+    empty for texts shorter than 3 chars).  HOF ``transform`` over an
+    index sequence — one pass, JVM-side, no explode until the caller
+    asks."""
+    norm = _norm_text(text)
+    n = F.length(norm)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: norm.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def trigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: int = 4096,
+    quantize: int = 10**9,
+) -> DataFrame:
+    """Per-document character-trigram language-model score — the CCNet
+    / Gopher-style perplexity filter for corpus curation, built from
+    the corpus itself (no external model file).
+
+    Model: add-one-smoothed unigram distribution over the ``vocab``
+    most frequent trigrams (ties broken lexicographically); any other
+    trigram scores as unseen, ``1 / (T + vocab + 1)``.  Score: mean
+    log-probability of the document's trigrams — low = unnatural
+    character statistics (boilerplate, encoding garbage, wrong
+    language), the standard cut for quality filtering.
+
+    Scale shape: ONE explode, immediately collapsed to per-(doc,
+    trigram) occurrence counts (the natural-text trigram distribution
+    is heavy-tailed, so this cuts the working set several-fold) and
+    persisted — the model pass and the scoring pass both read it
+    instead of re-deriving the explode.  Model + totals broadcast back;
+    the corpus shuffles nothing but trigram keys.  100-TB-safe.
+
+    Determinism: each distinct trigram's log-prob is quantized ONCE as
+    ``floor(ln(p) · quantize)`` (bigint); per-doc sums are exact integer
+    adds, so scores are bit-identical across runs, partitionings, and
+    engines (same recipe as drift_psi / the fixed-point OLS family).
+
+    Output: ``(id_col, n_tri, sum_logp_q, avg_logp)`` — docs with no
+    trigrams (< 3 chars) report NULL ``avg_logp``.
+    """
+    doc_tri = (
+        docs.select(
+            F.col(id_col),
+            F.explode_outer(char_trigrams(F.col(text_col))).alias("tri"),
+        )
+        .groupBy(id_col, "tri")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    counts = (
+        doc_tri.filter(F.col("tri").isNotNull())
+        .groupBy("tri")
+        .agg(F.sum("n").alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").cast("long").alias("t_total"),
+    )
+    model = (
+        counts.orderBy(F.col("c").desc(), "tri")
+        .limit(vocab)
+        .join(F.broadcast(totals))
+        .select(
+            "tri",
+            F.floor(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("t_total") + vocab + 1).cast("double")
+                )
+                * quantize
+            )
+            .cast("long")
+            .alias("logp_q"),
+        )
+    )
+    unseen = totals.select(
+        F.floor(
+            F.log(F.lit(1.0) / (F.col("t_total") + vocab + 1).cast("double"))
+            * quantize
+        )
+        .cast("long")
+        .alias("unseen_q")
+    )
+    scored = (
+        doc_tri.join(F.broadcast(model), "tri", "left")
+        .join(F.broadcast(unseen))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("tri").isNotNull(), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_tri"),
+            F.sum(
+                F.when(
+                    F.col("tri").isNotNull(),
+                    F.col("n") * F.coalesce(F.col("logp_q"), F.col("unseen_q")),
+                )
+            )
+            .cast("long")
+            .alias("sum_logp_q"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tri",
+        "sum_logp_q",
+        F.when(
+            F.col("n_tri") > 0,
+            (F.col("sum_logp_q").cast("double") / quantize)
+            / F.col("n_tri").cast("double"),
+        ).alias("avg_logp"),
+    )

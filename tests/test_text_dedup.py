@@ -280,3 +280,38 @@ def test_dedup_clusters_all_singleton_corpus(spark):
         for r in dedup_clusters(docs, pairs, "doc_id").collect()
     }
     assert out == {i: (i, True) for i in range(5)}
+
+
+class TestTrigramLM:
+    def test_model_and_scores_small_corpus(self, spark):
+        import math
+
+        from gdp_etl_spark.functions.text import trigram_lm_scores
+
+        docs = spark.createDataFrame(
+            [(1, "abcabc"), (2, "abc"), (3, "zq"), (4, None)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in trigram_lm_scores(docs, vocab=8).collect()}
+        # corpus trigrams: doc1 -> abc,bca,cab,abc ; doc2 -> abc
+        # counts: abc=3, bca=1, cab=1 ; T=5, V=8 -> denom 14
+        denom = 5 + 8 + 1
+        q = 10**9
+        lp = lambda c: math.floor(math.log((c + 1) / denom) * q)
+        assert out[1]["n_tri"] == 4
+        assert out[1]["sum_logp_q"] == 2 * lp(3) + lp(1) + lp(1)
+        assert out[2]["n_tri"] == 1 and out[2]["sum_logp_q"] == lp(3)
+        # doc3 is 2 chars, doc4 NULL: no trigrams -> NULL score
+        assert out[3]["n_tri"] == 0 and out[3]["avg_logp"] is None
+        assert out[4]["n_tri"] == 0 and out[4]["avg_logp"] is None
+        # natural text scores above garbage on a real-ish corpus
+        assert out[1]["avg_logp"] > lp(0) / q
+
+    def test_garbage_scores_below_natural(self, spark):
+        from gdp_etl_spark.functions.text import trigram_lm_scores
+
+        natural = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+        garbage = [(100, "xq zv jk qx wz kj vq zx")]
+        docs = spark.createDataFrame(natural + garbage, "doc_id long, text string")
+        out = {r["doc_id"]: r["avg_logp"] for r in trigram_lm_scores(docs).collect()}
+        assert out[100] < out[0]
