@@ -2915,6 +2915,119 @@ def q_waiting_supplier(spark, sf_dir):
     )
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: single-scan revenue delta under tight band
+    predicates (year × discount band × quantity cap) — the pure
+    filter-pushdown + map-side-agg query.  Every predicate must reach
+    the parquet scan; there is no join and no second stage beyond the
+    1-row final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * F.col("l_discount"), "revenue_delta"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: groups whose share of total value clears a
+    global threshold — group agg HAVING > scalar-subquery-of-the-same
+    -agg topology.  The global total is a 1-row broadcast (decimal-
+    exact); no partsupp at this scale model, so part revenue through
+    lineitem plays the stock-value role — identical decorrelation."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(dsum(rev, "part_value"))
+    total = per_part.agg(dsum("part_value", "total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.0002) * F.col("total_value"))
+        .select("l_partkey", "part_value")
+    )
+
+
+def q_priority_by_flag(spark, sf_dir):
+    """TPC-H Q12 shape: per-category counts of high- vs low-priority
+    orders among late-shipped lines — the join + conditional-CASE-sum
+    pivot.  ``l_returnflag`` stands in for Q12's ship mode (no
+    l_shipmode in this schema); lateness is ship > order + 30 days,
+    carried as a join residual."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q_part_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part class, with a
+    supplier blacklist excluded by anti-join BEFORE the distinct count
+    (negative-acctbal suppliers play the 'customer complaints' role).
+    COUNT(DISTINCT) over the join output, grouped by part attributes."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 9, 19, 23))
+    s_bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s_bad, li.l_suppkey == s_bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who moved an outsized share of 'red'
+    parts in one year — the nested-semi-join + correlated-aggregate
+    -threshold topology, decorrelated: per-(supplier, part) shipped
+    quantity for the year joined against half the part's total shipped
+    quantity, then a semi-join reduces suppliers to those clearing the
+    bar on ANY red part; nation dim broadcast for the output."""
+    li = _t(spark, sf_dir, "lineitem")
+    p_red = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    red_li = li.join(F.broadcast(p_red), li.l_partkey == p_red.p_partkey)
+    yr = red_li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    per_sp = yr.groupBy("l_suppkey", "l_partkey").agg(
+        dsum("l_quantity", "sp_qty")
+    )
+    per_part = yr.groupBy(F.col("l_partkey").alias("pk")).agg(
+        dsum("l_quantity", "part_qty")
+    )
+    qualifying = (
+        per_sp.join(per_part, per_sp.l_partkey == F.col("pk"))
+        .filter(F.col("sp_qty") > F.lit(0.5) * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min sketch frequency estimation (sketches.count_min_sketch):
     one scan of orders folds customer-key frequencies into a fixed
@@ -3175,6 +3288,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "late_orders": q_late_orders,
         "waiting_supplier": q_waiting_supplier,
+        "forecast_revenue": q_forecast_revenue,
+        "important_parts": q_important_parts,
+        "priority_by_flag": q_priority_by_flag,
+        "part_supplier_counts": q_part_supplier_counts,
+        "excess_suppliers": q_excess_suppliers,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "triangle_count": q_triangle_count,
         "row_ids": q_row_ids,
@@ -3843,6 +3961,75 @@ def oracle_sql() -> dict[str, str]:
                             AND l.l_shipdate > o.o_orderdate
                                                + INTERVAL 60 DAY)
             GROUP BY o_orderpriority
+        """,
+        # Q6 shape: pure pushdown + map-side agg, no join
+        "forecast_revenue": f"""
+            SELECT {_dsum_sql('l_extendedprice * l_discount')} AS revenue_delta,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        # Q11 shape: group agg HAVING > global-scalar share
+        "important_parts": f"""
+            WITH per_part AS (
+              SELECT l_partkey,
+                     {_dsum_sql('l_extendedprice * (1.0 - l_discount)')}
+                       AS part_value
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey, part_value
+            FROM per_part
+            WHERE part_value > 0.0002 *
+                  (SELECT {_dsum_sql('part_value')} FROM per_part)
+        """,
+        # Q12 shape: lateness join residual + conditional CASE sums
+        "priority_by_flag": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders
+              ON l_orderkey = o_orderkey
+             AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+            GROUP BY l_returnflag
+        """,
+        # Q16 shape: blacklist anti-join BEFORE a grouped distinct count
+        "part_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size IN (1, 9, 19, 23)
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        # Q20 shape: decorrelated share-threshold + semi-join chain
+        "excess_suppliers": f"""
+            WITH red AS (
+              SELECT l_suppkey, l_partkey, l_quantity
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE '%red%'
+                AND l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1998-01-01'
+            ),
+            per_sp AS (
+              SELECT l_suppkey, l_partkey, {_dsum_sql('l_quantity')} AS sp_qty
+              FROM red GROUP BY l_suppkey, l_partkey
+            ),
+            per_part AS (
+              SELECT l_partkey, {_dsum_sql('l_quantity')} AS part_qty
+              FROM red GROUP BY l_partkey
+            )
+            SELECT s_suppkey, s_name, n_name AS nation
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+              SELECT sp.l_suppkey
+              FROM per_sp sp JOIN per_part pp USING (l_partkey)
+              WHERE sp.sp_qty > 0.5 * pp.part_qty)
         """,
         # count-min sketch rebuilt cell-for-cell: same md5 bucketing,
         # same min-over-rows readout — full hash equality on estimates

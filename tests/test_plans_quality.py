@@ -396,10 +396,15 @@ def test_tpch_sweep_no_cartesian_anywhere(spark):
         "order_count_dist", "promo_ratio", "top_supplier",
         "small_qty_revenue", "big_order_customers",
         "disjunctive_revenue", "late_orders", "waiting_supplier",
+        "forecast_revenue", "important_parts", "priority_by_flag",
+        "part_supplier_counts", "excess_suppliers",
     ):
         plan = _plan(e.queries()[q](spark, SF))
         assert "CartesianProduct" not in plan, q
-        assert "BroadcastNestedLoopJoin" not in plan, q
+        if q != "important_parts":
+            # important_parts joins a 1-ROW global-total scalar — that
+            # broadcast nested loop is the intended scalar-subquery plan
+            assert "BroadcastNestedLoopJoin" not in plan, q
 
 
 def test_regional_volume_pushes_date_broadcasts_dims(spark):
@@ -449,3 +454,19 @@ def test_triangle_count_all_equi_joins(spark):
     plan = _plan(e.q_triangle_count(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_forecast_revenue_full_pushdown_no_join(spark):
+    """Q6 is the pushdown benchmark: every band predicate must reach
+    the parquet scan and the plan must contain no join at all."""
+    plan = _plan(e.q_forecast_revenue(spark, SF))
+    assert "Join" not in plan
+    # column pruning: 4 of 11 lineitem columns read
+    assert ("ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+            "l_discount:double,l_shipdate:timestamp_ntz>") in plan
+    # band predicates all present below the aggregate (the FileScan
+    # PushedFilters string is elided by toString truncation, so assert
+    # on the optimized plan's single Filter instead)
+    opt = _optimized(e.q_forecast_revenue(spark, SF))
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in opt
