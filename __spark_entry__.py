@@ -2943,14 +2943,25 @@ def q_important_parts(spark, sf_dir):
     global threshold — group agg HAVING > scalar-subquery-of-the-same
     -agg topology.  The global total is a 1-row broadcast (decimal-
     exact); no partsupp at this scale model, so part revenue through
-    lineitem plays the stock-value role — identical decorrelation."""
+    lineitem plays the stock-value role — identical decorrelation.
+    The threshold is MEAN-relative (1.5x the average part value), not
+    a fixed fraction of the total: a fixed fraction silently selects
+    everything at small part counts and nothing at large ones (the
+    classic Q11 scale trap), while a mean multiple tracks the heavy
+    tail at every SF."""
     li = _t(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     per_part = li.groupBy("l_partkey").agg(dsum(rev, "part_value"))
-    total = per_part.agg(dsum("part_value", "total_value"))
+    total = per_part.agg(
+        dsum("part_value", "total_value"),
+        F.count(F.lit(1)).cast("double").alias("n_parts"),
+    )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("part_value") > F.lit(0.0002) * F.col("total_value"))
+        .filter(
+            F.col("part_value")
+            > F.lit(1.5) * (F.col("total_value") / F.col("n_parts"))
+        )
         .select("l_partkey", "part_value")
     )
 
@@ -3982,8 +3993,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_partkey, part_value
             FROM per_part
-            WHERE part_value > 0.0002 *
-                  (SELECT {_dsum_sql('part_value')} FROM per_part)
+            WHERE part_value > 1.5 *
+                  ((SELECT {_dsum_sql('part_value')} FROM per_part)
+                   / (SELECT CAST(COUNT(*) AS DOUBLE) FROM per_part))
         """,
         # Q12 shape: lateness join residual + conditional CASE sums
         "priority_by_flag": """
