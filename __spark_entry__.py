@@ -3039,6 +3039,18 @@ def q_excess_suppliers(spark, sf_dir):
     )
 
 
+def q_sample_per_group(spark, sf_dir):
+    """Balanced stratified downsampling (sampling.sample_per_group):
+    exactly min(5, |group|) documents per (lang, source) stratum,
+    drawn by content-hash rank so the draw is deterministic across
+    runs/engines and uncorrelated with ingestion order — the per-group
+    -quota complement to rate sampling.  One window shuffle."""
+    from gdp_etl_spark.operators.sampling import sample_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sample_per_group(d, ["lang", "source"], "doc_id", 5)
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min sketch frequency estimation (sketches.count_min_sketch):
     one scan of orders folds customer-key frequencies into a fixed
@@ -3304,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_by_flag": q_priority_by_flag,
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
+        "sample_per_group": q_sample_per_group,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "triangle_count": q_triangle_count,
         "row_ids": q_row_ids,
@@ -4042,6 +4055,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT sp.l_suppkey
               FROM per_sp sp JOIN per_part pp USING (l_partkey)
               WHERE sp.sp_qty > 0.5 * pp.part_qty)
+        """,
+        # same md5-bucket rank replayed: hash_sample's portable recipe
+        "sample_per_group": """
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY CAST(concat('0x', substring(md5(
+                                  concat_ws(':', CAST(doc_id AS VARCHAR),
+                                            'pg')), 1, 8)) AS BIGINT),
+                                doc_id) AS rk
+              FROM documents) t
+            WHERE rk <= 5
         """,
         # count-min sketch rebuilt cell-for-cell: same md5 bucketing,
         # same min-over-rows readout — full hash equality on estimates

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: md5-prefix bucket space: first 8 hex chars → uniform 32-bit int
@@ -180,4 +180,32 @@ def weighted_sample(
         .orderBy(F.col("__score").desc(), F.col(key_col))
         .limit(k)
         .drop("__score")
+    )
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols,
+    key_col: str,
+    k: int,
+    seed: str = "pg",
+) -> DataFrame:
+    """Exactly ``min(k, group size)`` rows per group, deterministically:
+    rows rank by their content-hash bucket (the same md5 recipe as
+    hash_sample, so draws are stable across runs/engines and
+    uncorrelated with the data's natural order), ties broken by key.
+
+    The per-group-quota complement to ``hash_sample`` (global rate) and
+    ``weighted_sample`` (global top-k by weight): balanced stratified
+    downsampling — "at most k docs per (source, lang)" — where a rate
+    sample would keep group skew.  One window shuffle on the group key;
+    no global sort, no driver state.
+    """
+    w = Window.partitionBy(*list(group_cols)).orderBy(
+        _hash_bucket(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )

@@ -552,3 +552,22 @@ class TestIntervalOverlapJoin:
         got = [(r["lid"], r["rid"]) for r in out.collect()]
         assert len(got) == len(set(got)) == len(expected)
         assert set(got) == expected
+
+
+class TestSamplePerGroup:
+    def test_exact_quota_and_determinism(self, spark):
+        from gdp_etl_spark.operators.sampling import sample_per_group
+
+        df = spark.createDataFrame(
+            [(g, i) for g in ("a", "b") for i in range(50)] + [("tiny", 0)],
+            "g string, k long",
+        )
+        out = sample_per_group(df, ["g"], "k", 10)
+        sizes = {r["g"]: r["n"] for r in
+                 out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert sizes == {"a": 10, "b": 10, "tiny": 1}
+        again = sample_per_group(df, ["g"], "k", 10)
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+        # a different seed draws a different sample
+        other = sample_per_group(df, ["g"], "k", 10, seed="other")
+        assert sorted(map(tuple, out.collect())) != sorted(map(tuple, other.collect()))
