@@ -3039,6 +3039,58 @@ def q_excess_suppliers(spark, sf_dir):
     )
 
 
+def q_cogroup_reconcile(spark, sf_dir):
+    """Two-frame grouped pandas processing (cogroup.applyInPandas):
+    per-order reconciliation of the header total against exact
+    integer-cents line revenue.  Spark co-shuffles orders and lineitem
+    on the order key and hands each key's frame PAIR to one Arrow
+    batch — the escape hatch for cross-frame per-key logic; chosen
+    here with a relational equivalent so the DuckDB oracle verifies
+    the cogroup path value-for-value (integer arithmetic inside the
+    pandas fn makes the sums order-independent).  Scoped to one order
+    month: cogroup invokes the Python fn once per key, so its unit of
+    work must be per-key-substantial — scoping keeps the demo honest
+    about where this API belongs (hundreds of heavy keys, not millions
+    of 4-row ones; the relational form handles those, see the oracle)."""
+    from gdp_etl_spark.operators.cogroup import reconcile_orders_lines
+
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    return reconcile_orders_lines(o, li)
+
+
+def q_python_datasource(spark, sf_dir):
+    """Custom Python DataSource (sources_pyds.TickFeedDataSource, the
+    Spark 4 ``pyspark.sql.datasource`` API): a partition-parallel
+    synthetic tick feed read through the planner like any file source
+    (8 declared splits, executor-side iterators), aggregated per
+    symbol.  The feed is a pure function of the row index, so the
+    oracle regenerates every row from ``generate_series`` — end-to-end
+    value equality, not a smoke check."""
+    from gdp_etl_spark.sources_pyds import TickFeedDataSource
+
+    spark.dataSource.register(TickFeedDataSource)
+    df = (
+        spark.read.format("tick_feed")
+        .option("rows", 10000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        dsum("price", "price_sum"),
+        F.sum(F.when(F.col("side") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_buys"),
+    )
+
+
 def q_sample_per_group(spark, sf_dir):
     """Balanced stratified downsampling (sampling.sample_per_group):
     exactly min(5, |group|) documents per (lang, source) stratum,
@@ -3316,6 +3368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_by_flag": q_priority_by_flag,
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
+        "python_datasource": q_python_datasource,
+        "cogroup_reconcile": q_cogroup_reconcile,
         "sample_per_group": q_sample_per_group,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "triangle_count": q_triangle_count,
@@ -4055,6 +4109,50 @@ def oracle_sql() -> dict[str, str]:
               SELECT sp.l_suppkey
               FROM per_sp sp JOIN per_part pp USING (l_partkey)
               WHERE sp.sp_qty > 0.5 * pp.part_qty)
+        """,
+        # relational replay of the cogroup path: exact integer cents
+        "cogroup_reconcile": """
+            WITH om AS (
+              SELECT * FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+                AND o_orderdate <  TIMESTAMP '1997-04-01'
+            ),
+            lt AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100.0)
+                                            AS BIGINT))) AS BIGINT) AS micro,
+                     COUNT(*) AS n_lines
+              FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM om)
+              GROUP BY l_orderkey
+            )
+            SELECT coalesce(o.o_orderkey, lt.l_orderkey) AS orderkey,
+                   o.o_totalprice AS header_total,
+                   CAST(lt.micro AS DOUBLE) / 10000.0 AS line_total,
+                   CAST(coalesce(lt.n_lines, 0) AS BIGINT) AS n_lines,
+                   CASE WHEN o.o_totalprice IS NOT NULL
+                             AND lt.micro IS NOT NULL
+                        THEN o.o_totalprice
+                             - CAST(lt.micro AS DOUBLE) / 10000.0 END AS delta
+            FROM om o FULL JOIN lt ON o.o_orderkey = lt.l_orderkey
+        """,
+        # the tick feed regenerated row-for-row from generate_series
+        "python_datasource": f"""
+            WITH feed AS (
+              SELECT i AS tick_id,
+                     'SYM' || CAST(i % 23 AS VARCHAR) AS symbol,
+                     CAST((i * 2654435761) % 100000 AS DOUBLE) / 100.0
+                       AS price,
+                     CASE WHEN (i * 40503) % 7 < 4 THEN 'B' ELSE 'S' END
+                       AS side
+              FROM (SELECT unnest(generate_series(0, 9999)) AS i)
+            )
+            SELECT symbol, COUNT(*) AS n_ticks,
+                   {_dsum_sql('price')} AS price_sum,
+                   CAST(SUM(CASE WHEN side = 'B' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_buys
+            FROM feed GROUP BY symbol
         """,
         # same md5-bucket rank replayed: hash_sample's portable recipe
         "sample_per_group": """

@@ -571,3 +571,53 @@ class TestSamplePerGroup:
         # a different seed draws a different sample
         other = sample_per_group(df, ["g"], "k", 10, seed="other")
         assert sorted(map(tuple, out.collect())) != sorted(map(tuple, other.collect()))
+
+
+class TestCogroupReconcile:
+    def test_parity_with_relational_form_and_outer_semantics(self, spark):
+        from gdp_etl_spark.operators.cogroup import reconcile_orders_lines
+
+        orders = spark.createDataFrame(
+            [(1, 100.0), (2, 50.0), (3, 7.0)],  # 3 has no lines
+            "o_orderkey long, o_totalprice double",
+        )
+        lines = spark.createDataFrame(
+            [(1, 60.0, 0.0), (1, 50.0, 0.2), (2, 50.0, 0.0),
+             (9, 1.0, 0.0)],                    # 9 has no header
+            "l_orderkey long, l_extendedprice double, l_discount double",
+        )
+        out = {r["orderkey"]: r for r in
+               reconcile_orders_lines(orders, lines).collect()}
+        assert abs(out[1]["line_total"] - 100.0) < 1e-9
+        assert abs(out[1]["delta"]) < 1e-9
+        assert out[2]["n_lines"] == 1
+        assert out[3]["line_total"] is None and out[3]["n_lines"] == 0
+        assert out[9]["header_total"] is None and out[9]["delta"] is None
+        # parity with the relational form on a real table slice
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        cg = reconcile_orders_lines(o, li)
+        rel = (
+            o.join(
+                li.groupBy("l_orderkey").agg(
+                    F.sum(
+                        F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+                    ).alias("r_line_total"),
+                    F.count(F.lit(1)).alias("r_n_lines"),
+                ),
+                o.o_orderkey == F.col("l_orderkey"),
+                "full",
+            )
+            .select(
+                F.coalesce("o_orderkey", "l_orderkey").alias("r_key"),
+                "r_line_total",
+                F.coalesce("r_n_lines", F.lit(0)).alias("r_n_lines"),
+            )
+        )
+        assert cg.count() == rel.count()
+        # float sums differ only by accumulation order across engines
+        mism = cg.join(rel, cg.orderkey == rel.r_key).filter(
+            (F.abs(F.col("line_total") - F.col("r_line_total")) > 1e-6)
+            | (F.col("n_lines") != F.col("r_n_lines"))
+        )
+        assert mism.count() == 0

@@ -161,3 +161,28 @@ class TestFixedWidth:
         )
         out = read_fixed_width(spark, str(p), self.FIELDS, skip_rows=2)
         assert out.count() == 1 and out.collect()[0]["code"] == "ALB"
+
+
+class TestPythonDataSource:
+    def test_partition_parallel_and_deterministic(self, spark):
+        from gdp_etl_spark.sources_pyds import TickFeedDataSource
+
+        spark.dataSource.register(TickFeedDataSource)
+        df = (
+            spark.read.format("tick_feed")
+            .option("rows", 1000)
+            .option("partitions", 8)
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 8
+        assert df.count() == 1000
+        # values are a pure function of tick_id: independent of split count
+        df1 = (
+            spark.read.format("tick_feed")
+            .option("rows", 1000)
+            .option("partitions", 3)
+            .load()
+        )
+        assert sorted(map(tuple, df.collect())) == sorted(map(tuple, df1.collect()))
+        row = df.filter("tick_id = 7").collect()[0]
+        assert row["symbol"] == "SYM7" and row["side"] in ("B", "S")
