@@ -546,12 +546,15 @@ class TestIntervalOverlapJoin:
         }
         ldf = spark.createDataFrame(L, "lid long, lo long, hi long")
         rdf = spark.createDataFrame(R, "rid long, rlo long, rhi long")
-        out = interval_overlap_join(
-            ldf, rdf, "lo", "hi", "rlo", "rhi", band_width=32
-        )
-        got = [(r["lid"], r["rid"]) for r in out.collect()]
-        assert len(got) == len(set(got)) == len(expected)
-        assert set(got) == expected
+        # emit-once dedup must hold whatever the band width: narrower
+        # than, comparable to, and wider than every interval
+        for width in (7, 32, 200, 1000):
+            out = interval_overlap_join(
+                ldf, rdf, "lo", "hi", "rlo", "rhi", band_width=width
+            )
+            got = [(r["lid"], r["rid"]) for r in out.collect()]
+            assert len(got) == len(set(got)) == len(expected), width
+            assert set(got) == expected, width
 
 
 class TestSamplePerGroup:
