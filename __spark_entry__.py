@@ -4249,13 +4249,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT tri,
                      CAST(floor(ln(CAST(c + 1 AS DOUBLE)
                                    / CAST(t_total + 4097 AS DOUBLE))
-                                * 1000000000) AS BIGINT) AS logp_q
+                                * 1000000) AS BIGINT) AS logp_q
               FROM counts, tot
               ORDER BY c DESC, tri LIMIT 4096
             ),
             unseen AS (
               SELECT CAST(floor(ln(1.0 / CAST(t_total + 4097 AS DOUBLE))
-                                * 1000000000) AS BIGINT) AS unseen_q
+                                * 1000000) AS BIGINT) AS unseen_q
               FROM tot
             ),
             scored AS (
@@ -4270,7 +4270,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.n_tri, 0) AS n_tri,
                    s.sum_logp_q,
                    CASE WHEN coalesce(s.n_tri, 0) > 0
-                        THEN (CAST(s.sum_logp_q AS DOUBLE) / 1000000000)
+                        THEN (CAST(s.sum_logp_q AS DOUBLE) / 1000000)
                              / CAST(s.n_tri AS DOUBLE) END AS avg_logp
             FROM documents d LEFT JOIN scored s USING (doc_id)
         """,

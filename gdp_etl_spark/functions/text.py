@@ -344,28 +344,12 @@ def pseudonymize(key: Column, salt: str) -> Column:
     ).otherwise(F.sha2(F.concat_ws(":", F.lit(salt), key.cast("string")), 256))
 
 
-def char_trigrams(text: Column) -> Column:
-    """All overlapping character trigrams of the normalized text (array;
-    empty for texts shorter than 3 chars).  HOF ``transform`` over an
-    index sequence — one pass, JVM-side, no explode until the caller
-    asks."""
-    norm = _norm_text(text)
-    n = F.length(norm)
-    return F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: norm.substr(i, F.lit(3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def trigram_lm_scores(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     vocab: int = 4096,
-    quantize: int = 10**9,
+    quantize: int = 10**6,
 ) -> DataFrame:
     """Per-document character-trigram language-model score — the CCNet
     / Gopher-style perplexity filter for corpus curation, built from
@@ -387,8 +371,14 @@ def trigram_lm_scores(
 
     Determinism: each distinct trigram's log-prob is quantized ONCE as
     ``floor(ln(p) · quantize)`` (bigint); per-doc sums are exact integer
-    adds, so scores are bit-identical across runs, partitionings, and
-    engines (same recipe as drift_psi / the fixed-point OLS family).
+    adds, so scores are bit-identical across runs and partitionings.
+    Cross-engine, the recipe additionally assumes both engines' ``ln``
+    agree on the ≤ vocab+1 distinct inputs; a 1-ulp ``ln`` discrepancy
+    only flips a floor when ``ln(p)·quantize`` lands within ~1e-8 of an
+    integer, so the default 1e6 scale keeps the per-corpus flip
+    probability < ~1e-4 while still resolving scores to 1e-6 nats
+    (1e-6 granularity is far below any quality-cut threshold's
+    sensitivity).
 
     Output: ``(id_col, n_tri, sum_logp_q, avg_logp)`` — docs with no
     trigrams (< 3 chars) report NULL ``avg_logp``.
@@ -453,6 +443,11 @@ def trigram_lm_scores(
             .alias("sum_logp_q"),
         )
     )
+    # hand back a bounded result: scores are one row per doc —
+    # materialize them and release the explode-sized per-(doc, trigram)
+    # cache instead of pinning it for the application lifetime
+    scored = scored.localCheckpoint(eager=True)
+    doc_tri.unpersist()
     return scored.select(
         id_col,
         "n_tri",

@@ -17,8 +17,6 @@ verify the cogroup path end-to-end rather than trusting it.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,12 +35,19 @@ def reconcile_orders_lines(
     import pandas as pd
 
     def _reconcile(o_pdf: "pd.DataFrame", l_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # dirty-input guards: a NULL join key cogroups as NaN, and NaN
+        # survives neither int() nor astype('int64') — ledger
+        # reconciliation exists to SURFACE bad rows, not crash on them
         if len(o_pdf):
-            k = int(o_pdf[key].iloc[0])
-            total = float(o_pdf["o_totalprice"].iloc[0])
+            k0 = o_pdf[key].iloc[0]
+            t0 = o_pdf["o_totalprice"].iloc[0]
+            k = int(k0) if pd.notna(k0) else None
+            total = float(t0) if pd.notna(t0) else None
         else:
-            k = int(l_pdf[line_key].iloc[0])
+            k0 = l_pdf[line_key].iloc[0]
+            k = int(k0) if pd.notna(k0) else None
             total = None
+        l_pdf = l_pdf.dropna(subset=["l_extendedprice", "l_discount"])
         if len(l_pdf):
             # integer micro-unit accumulation: price and discount are
             # 2-decimal quantities, so round(x*100) recovers the exact

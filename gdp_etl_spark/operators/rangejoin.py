@@ -110,8 +110,11 @@ def interval_overlap_join(
     cond = [lt["__band"] == rt["__band"]] + [
         lt[k] == rt[k] for k in keys
     ]
-    overlap = (F.col(l_lo) < F.col(r_hi)) & (F.col(r_lo) < F.col(l_hi))
-    first_band = F.floor(F.greatest(F.col(l_lo), F.col(r_lo)) / w)
+    # frame-qualified references: the bound columns may share names
+    # across the two sides ("lo"/"hi" on both is the natural call) —
+    # unqualified F.col would be ambiguous after the join
+    overlap = (lt[l_lo] < rt[r_hi]) & (rt[r_lo] < lt[l_hi])
+    first_band = F.floor(F.greatest(lt[l_lo], rt[r_lo]) / w)
     out = (
         lt.join(rt, cond)
         .filter(overlap & (lt["__band"] == first_band))

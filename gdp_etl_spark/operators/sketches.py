@@ -81,6 +81,11 @@ def count_min_sketch(
     """
     key = F.col(key_col)
     w = F.lit(1) if weight_col is None else F.col(weight_col)
+    # NULL keys are excluded: concat_ws silently DROPS null args, so a
+    # NULL key would hash identically to the bare row seed and pile all
+    # NULL rows onto one bucket per row, inflating any colliding real
+    # key's estimate
+    df = df.filter(key.isNotNull())
     pairs = df.select(
         F.explode(
             F.array(
@@ -111,8 +116,10 @@ def cms_estimate(
     """Point-query the CMS for every row of ``keys``: recompute the
     ``depth`` bucket coordinates, join the (tiny, broadcast) sketch
     table, take the min over rows.  Missing buckets read as 0.  The
-    ``depth``/``width`` must match the build call."""
+    ``depth``/``width`` must match the build call.  NULL probe keys are
+    dropped (the sketch never counted them — see count_min_sketch)."""
     key = F.col(key_col)
+    keys = keys.filter(key.isNotNull())
     probes = keys.select(
         key,
         F.explode(

@@ -63,6 +63,18 @@ def read_csv_trimmed(
     remainder with the normal CSV reader.  Feed files with preambles are
     single-header small files by construction; for bulk data use
     headerless parquet/CSV directories instead."""
+    rdd = _trimmed_lines_rdd(spark, path, skip_rows, skip_footer)
+    reader = spark.read.schema(schema).option("header", str(header).lower())
+    for marker in na_values:
+        reader = reader.option("nullValue", marker)
+    return reader.csv(rdd)
+
+
+def _trimmed_lines_rdd(spark, path, skip_rows=0, skip_footer=0):
+    """Line RDD of ``path`` with ``skip_rows`` leading and
+    ``skip_footer`` trailing lines removed — the single shared
+    zipWithIndex line-ordering contract for every preamble/footer
+    reader (CSV, fixed-width)."""
     rdd = spark.sparkContext.textFile(path)
     if skip_rows or skip_footer:
         n = rdd.count()
@@ -72,10 +84,7 @@ def read_csv_trimmed(
             .filter(lambda x: lo <= x[1] < hi)
             .map(lambda x: x[0])
         )
-    reader = spark.read.schema(schema).option("header", str(header).lower())
-    for marker in na_values:
-        reader = reader.option("nullValue", marker)
-    return reader.csv(rdd)
+    return rdd
 
 
 def trim_footer_by_predicate(df: DataFrame, valid_predicate) -> DataFrame:
@@ -208,16 +217,11 @@ def read_fixed_width(
     values are substring-sliced, trimmed, NA-mapped, and cast — all
     JVM-side expressions in one whole-stage-codegen text scan (no
     Python, no per-line UDF; at 100 TB the parse is as cheap as the
-    read).  ``skip_rows`` drops a preamble by global line ordinal (one
-    zipWithIndex pass — same contract as read_csv_trimmed; preamble
-    feeds are small single files by construction)."""
+    read).  ``skip_rows`` drops a preamble by global line ordinal
+    (shared _trimmed_lines_rdd contract; preamble feeds are small
+    single files by construction)."""
     if skip_rows:
-        rdd = (
-            spark.sparkContext.textFile(path)
-            .zipWithIndex()
-            .filter(lambda x: x[1] >= skip_rows)
-            .map(lambda x: (x[0],))
-        )
+        rdd = _trimmed_lines_rdd(spark, path, skip_rows).map(lambda v: (v,))
         lines = spark.createDataFrame(rdd, "value string")
     else:
         lines = spark.read.text(path)

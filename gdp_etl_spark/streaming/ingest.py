@@ -57,4 +57,14 @@ def incremental_file_ingest(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # backlog not drained within the budget: stop the query so the
+        # next scheduled run can take the checkpoint lock, and fail
+        # loudly — silently returning would break the "backlog drained
+        # on return" contract and race the next invocation
+        q.stop()
+        raise TimeoutError(
+            f"incremental_file_ingest: backlog not drained within "
+            f"{timeout_sec}s (processed micro-batches are committed; "
+            f"re-run to continue from the checkpoint)"
+        )

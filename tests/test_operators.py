@@ -624,3 +624,19 @@ class TestCogroupReconcile:
             | (F.col("n_lines") != F.col("r_n_lines"))
         )
         assert mism.count() == 0
+
+
+def test_interval_overlap_same_named_bounds(spark):
+    """The natural call: both sides use conventional lo/hi names — must
+    analyze (frame-qualified predicates), not throw AMBIGUOUS_REFERENCE."""
+    from gdp_etl_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [("a", 0, 10)], "lid string, lo long, hi long"
+    )
+    right = spark.createDataFrame(
+        [("x", 5, 15), ("y", 20, 30)], "rid string, lo long, hi long"
+    )
+    out = interval_overlap_join(left, right, "lo", "hi", "lo", "hi", 8)
+    got = [(r["lid"], r["rid"]) for r in out.select("lid", "rid").collect()]
+    assert got == [("a", "x")]

@@ -296,7 +296,7 @@ class TestTrigramLM:
         # corpus trigrams: doc1 -> abc,bca,cab,abc ; doc2 -> abc
         # counts: abc=3, bca=1, cab=1 ; T=5, V=8 -> denom 14
         denom = 5 + 8 + 1
-        q = 10**9
+        q = 10**6
         lp = lambda c: math.floor(math.log((c + 1) / denom) * q)
         assert out[1]["n_tri"] == 4
         assert out[1]["sum_logp_q"] == 2 * lp(3) + lp(1) + lp(1)
