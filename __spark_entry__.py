@@ -3039,6 +3039,78 @@ def q_excess_suppliers(spark, sf_dir):
     )
 
 
+def q_datetime_funcs(spark, sf_dir):
+    """Datetime scalar-function family over orders: truncations
+    (year/quarter/month/week), ISO fields, end-of-month, month
+    arithmetic and day/month deltas against a fixed reference date —
+    the calendar toolkit every ETL needs, each expression with an
+    exact DuckDB mirror (ISO dayofweek and months_between fractional
+    semantics pinned)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    d = F.col("o_orderdate")
+    ref = F.lit("2000-06-15").cast("timestamp")
+    # the physical column is TIMESTAMP_NTZ; session tz is pinned UTC
+    # (session.get_spark), so the LTZ casts below are value-preserving
+    # and outputs cast back to NTZ to match the naive-timestamp oracle
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("quarter", d).cast("timestamp_ntz").alias("qtr_start"),
+        F.date_trunc("week", d).cast("timestamp_ntz").alias("week_start"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
+        F.year(d).cast("int").alias("y"),
+        F.quarter(d).cast("int").alias("q"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        # ISO day-of-week, Monday=1 (Spark dayofweek is Sunday=1)
+        (((F.dayofweek(d) + 5) % 7) + 1).cast("int").alias("iso_dow"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.add_months(d, 18).cast("timestamp_ntz").alias("plus_18m"),
+        F.datediff(ref, d).cast("int").alias("days_to_ref"),
+        (F.unix_micros(ref) - F.unix_micros(d.cast("timestamp")))
+        .alias("micros_to_ref"),
+    )
+
+
+def q_array_map_funcs(spark, sf_dir):
+    """Higher-order array/map function family: per-order arrays of line
+    quantities built once, then transform / filter / exists /
+    aggregate (fold) / zip_with / sort_array / map_from_entries over
+    them — the expression surface that replaces per-row Python at 100
+    TB.  Fold accumulates in BIGINT cents, so every result is exact
+    and the DuckDB list_* mirror matches hash-for-hash."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 199 == 0)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("lines")
+    )
+    qtys = F.transform(F.col("lines"), lambda s: s["l_quantity"])
+    heavy = F.filter(qtys, lambda q: q >= 25.0)
+    total_cents = F.aggregate(
+        qtys,
+        F.lit(0).cast("long"),
+        lambda acc, q: acc + F.round(q * 100).cast("long"),
+    )
+    pairs = F.zip_with(
+        F.transform(F.col("lines"), lambda s: s["l_linenumber"]),
+        qtys,
+        lambda ln, q: F.struct(ln.alias("ln"), q.alias("q")),
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size(qtys).cast("int").alias("n_lines"),
+        F.size(heavy).cast("int").alias("n_heavy"),
+        F.exists(qtys, lambda q: q >= 49.0).alias("has_huge"),
+        total_cents.alias("qty_cents"),
+        F.array_max(qtys).alias("max_qty"),
+        F.array_min(qtys).alias("min_qty"),
+        F.concat_ws(
+            ",",
+            F.transform(pairs, lambda p: F.concat_ws(":", p["ln"].cast("string"),
+                                                     F.format_number(p["q"], 1))),
+        ).alias("line_qty_csv"),
+    )
+
+
 def q_cogroup_reconcile(spark, sf_dir):
     """Two-frame grouped pandas processing (cogroup.applyInPandas):
     per-order reconciliation of the header total against exact
@@ -3369,6 +3441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
         "python_datasource": q_python_datasource,
+        "datetime_funcs": q_datetime_funcs,
+        "array_map_funcs": q_array_map_funcs,
         "cogroup_reconcile": q_cogroup_reconcile,
         "sample_per_group": q_sample_per_group,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -4109,6 +4183,56 @@ def oracle_sql() -> dict[str, str]:
               SELECT sp.l_suppkey
               FROM per_sp sp JOIN per_part pp USING (l_partkey)
               WHERE sp.sp_qty > 0.5 * pp.part_qty)
+        """,
+        # calendar family: ISO fields and truncations mirrored exactly
+        "datetime_funcs": """
+            SELECT o_orderkey,
+                   CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP)
+                     AS qtr_start,
+                   CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)
+                     AS week_start,
+                   CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+                     AS month_end,
+                   CAST(year(o_orderdate) AS INT) AS y,
+                   CAST(quarter(o_orderdate) AS INT) AS q,
+                   CAST(week(o_orderdate) AS INT) AS iso_week,
+                   CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+                   CAST(dayofyear(o_orderdate) AS INT) AS doy,
+                   CAST(CAST(o_orderdate AS DATE) + INTERVAL 18 MONTH
+                        AS TIMESTAMP) AS plus_18m,
+                   CAST(date_diff('day', o_orderdate,
+                                  TIMESTAMP '2000-06-15') AS INT)
+                     AS days_to_ref,
+                   epoch_us(TIMESTAMP '2000-06-15') - epoch_us(o_orderdate)
+                     AS micros_to_ref
+            FROM orders WHERE o_orderkey % 97 = 0
+        """,
+        # HOF array family: list_* mirrors, BIGINT-cents fold
+        "array_map_funcs": """
+            WITH per_order AS (
+              SELECT l_orderkey,
+                     list(l_quantity ORDER BY l_linenumber, l_quantity)
+                       AS qtys,
+                     list(l_linenumber ORDER BY l_linenumber, l_quantity)
+                       AS lns
+              FROM lineitem WHERE l_orderkey % 199 = 0
+              GROUP BY l_orderkey
+            )
+            SELECT l_orderkey,
+                   CAST(len(qtys) AS INT) AS n_lines,
+                   CAST(len(list_filter(qtys, q -> q >= 25.0)) AS INT)
+                     AS n_heavy,
+                   len(list_filter(qtys, q -> q >= 49.0)) > 0 AS has_huge,
+                   CAST(list_sum(list_transform(qtys,
+                        q -> CAST(round(q * 100) AS BIGINT))) AS BIGINT)
+                     AS qty_cents,
+                   list_max(qtys) AS max_qty,
+                   list_min(qtys) AS min_qty,
+                   array_to_string(list_transform(range(1, len(qtys) + 1),
+                        i -> CAST(lns[i] AS VARCHAR) || ':' ||
+                             format('{:.1f}', qtys[i])), ',')
+                     AS line_qty_csv
+            FROM per_order
         """,
         # relational replay of the cogroup path: exact integer cents
         "cogroup_reconcile": """
