@@ -3039,6 +3039,18 @@ def q_excess_suppliers(spark, sf_dir):
     )
 
 
+def q_benford(spark, sf_dir):
+    """Benford first-digit screen (profile.benford_digits) over order
+    totals: observed leading-digit shares vs log10(1+1/d) with χ²
+    contributions.  Digit extraction rides the exact integer-cents
+    string path (no log10 bucketing on doubles), and the Benford
+    expectations are baked as identical double literals into BOTH
+    engines, so the whole 9-row result is bit-exact."""
+    from gdp_etl_spark.operators.profile import benford_digits
+
+    return benford_digits(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 def q_datetime_funcs(spark, sf_dir):
     """Datetime scalar-function family over orders: truncations
     (year/quarter/month/week), ISO fields, end-of-month, month
@@ -3443,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
         "python_datasource": q_python_datasource,
+        "benford": q_benford,
         "datetime_funcs": q_datetime_funcs,
         "array_map_funcs": q_array_map_funcs,
         "cogroup_reconcile": q_cogroup_reconcile,
@@ -4183,6 +4196,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT sp.l_suppkey
               FROM per_sp sp JOIN per_part pp USING (l_partkey)
               WHERE sp.sp_qty > 0.5 * pp.part_qty)
+        """,
+        # Benford screen: identical expectation literals both engines,
+        # digit from the exact cents string
+        "benford": """
+            WITH exp_p AS (
+              SELECT * FROM (VALUES (1, CAST(0.3010299956639812 AS DOUBLE)), (2, CAST(0.17609125905568124 AS DOUBLE)), (3, CAST(0.12493873660829992 AS DOUBLE)), (4, CAST(0.09691001300805642 AS DOUBLE)), (5, CAST(0.07918124604762482 AS DOUBLE)), (6, CAST(0.06694678963061322 AS DOUBLE)), (7, CAST(0.05799194697768673 AS DOUBLE)), (8, CAST(0.05115252244738129 AS DOUBLE)), (9, CAST(0.04575749056067514 AS DOUBLE)))
+                t(digit, benford_p)
+            ),
+            counted AS (
+              SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+                         AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                     COUNT(*) AS n
+              FROM orders WHERE o_totalprice > 0
+              GROUP BY 1
+            ),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counted)
+            SELECT c.digit, c.n,
+                   CAST(c.n AS DOUBLE) / t.n_total AS share,
+                   e.benford_p,
+                   (c.n - t.n_total * e.benford_p)
+                     * (c.n - t.n_total * e.benford_p)
+                     / (t.n_total * e.benford_p) AS chi2_contrib
+            FROM counted c, tot t JOIN exp_p e ON c.digit = e.digit
         """,
         # calendar family: ISO fields and truncations mirrored exactly
         "datetime_funcs": """

@@ -321,3 +321,48 @@ def table_checksum(df: DataFrame, cols: Sequence[str] | None = None) -> DataFram
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(h).cast("string").alias("checksum"),
     )
+
+
+def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic screen for fabricated or truncated numeric feeds (amounts,
+    populations, trade volumes follow log-uniform leading digits;
+    invented numbers don't).
+
+    The digit is extracted on the exact integer path: 2-decimal money
+    doubles recover their integer cents via ``round(x*100)`` (exact —
+    the double is within 1e-9 of the integer), and the leading digit is
+    the first character of the cents' decimal string — no log10 on
+    doubles, so the bucketing is bit-deterministic on any engine.
+    Output: one row per digit 1-9 with observed count, observed share,
+    Benford expectation ``log10(1+1/d)``, and the χ² contribution —
+    one map-side-combined scan, 9-row result.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counted = (
+        df.filter(F.col(value_col) > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counted.agg(F.sum("n").cast("long").alias("n_total"))
+    import math
+
+    expected = F.element_at(
+        F.array(*[F.lit(math.log10(1 + 1 / d)) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    return (
+        counted.join(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.col("n").cast("double") / F.col("n_total")).alias("share"),
+            expected.alias("benford_p"),
+            (
+                (F.col("n") - F.col("n_total") * expected)
+                * (F.col("n") - F.col("n_total") * expected)
+                / (F.col("n_total") * expected)
+            ).alias("chi2_contrib"),
+        )
+    )

@@ -640,3 +640,20 @@ def test_interval_overlap_same_named_bounds(spark):
     out = interval_overlap_join(left, right, "lo", "hi", "lo", "hi", 8)
     got = [(r["lid"], r["rid"]) for r in out.select("lid", "rid").collect()]
     assert got == [("a", "x")]
+
+
+def test_benford_digits(spark):
+    import math
+
+    from gdp_etl_spark.operators.profile import benford_digits
+
+    df = spark.createDataFrame(
+        [(1.0,), (19.99,), (150.0,), (2.5,), (999.0,), (-5.0,), (0.0,)],
+        "v double",
+    )
+    out = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+    # -5 and 0 excluded; digits: 1.00->1, 19.99->1, 150.0->1, 2.5->2, 999->9
+    assert out[1]["n"] == 3 and out[2]["n"] == 1 and out[9]["n"] == 1
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-12
+    assert abs(out[1]["benford_p"] - math.log10(2)) < 1e-15
+    assert out[1]["chi2_contrib"] >= 0.0
