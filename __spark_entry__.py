@@ -3039,6 +3039,75 @@ def q_excess_suppliers(spark, sf_dir):
     )
 
 
+def q_record_linkage(spark, sf_dir):
+    """Probabilistic record linkage (linkage.block_candidates +
+    fellegi_sunter_score): customer linked against a deterministically
+    dirtied copy of itself — md5-parity case flips, segment NULL-outs,
+    ±0.03 balance jitter — blocked on (nation, name prefix), scored by
+    per-field log-odds in integer millis.  Output keeps the match /
+    possible tier.  Every perturbation and weight replays exactly in
+    the oracle, so pair classes hash-match bit-for-bit."""
+    from gdp_etl_spark.operators.linkage import (
+        FieldRule,
+        block_candidates,
+        fellegi_sunter_score,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    h = F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10).cast("long")
+    right = c.select(
+        F.col("c_custkey").alias("r_custkey"),
+        F.when(h % 3 == 0, F.upper("c_name")).otherwise(F.col("c_name")).alias("r_name"),
+        F.col("c_nationkey").alias("r_nationkey"),
+        (F.col("c_acctbal") + ((h % 7) - F.lit(3)) * F.lit(0.01)).alias("r_acctbal"),
+        F.when(h % 5 == 0, F.lit(None).cast("string")).otherwise(F.col("c_mktsegment")).alias("r_mktsegment"),
+    )
+    left = c.select(
+        F.col("c_custkey").alias("l_custkey"),
+        F.col("c_name").alias("l_name"),
+        F.col("c_nationkey").alias("l_nationkey"),
+        F.col("c_acctbal").alias("l_acctbal"),
+        F.col("c_mktsegment").alias("l_mktsegment"),
+    )
+    cands = block_candidates(
+        left,
+        right,
+        [
+            (F.col("l_nationkey"), F.col("r_nationkey")),
+            (
+                F.substring(F.lower("l_name"), 1, 10),
+                F.substring(F.lower("r_name"), 1, 10),
+            ),
+        ],
+    )
+    rules = [
+        FieldRule("name", F.lower("l_name") == F.lower("r_name"), 6000, 3000),
+        FieldRule(
+            "seg",
+            F.when(
+                F.col("l_mktsegment").isNull() | F.col("r_mktsegment").isNull(),
+                F.lit(None).cast("boolean"),
+            ).otherwise(F.col("l_mktsegment") == F.col("r_mktsegment")),
+            1000,
+            500,
+        ),
+        FieldRule(
+            "bal",
+            F.abs(F.col("l_acctbal") - F.col("r_acctbal")) <= 0.035,
+            2000,
+            1000,
+        ),
+    ]
+    return (
+        fellegi_sunter_score(cands, rules, upper_millis=7000, lower_millis=1000)
+        .filter(F.col("score_millis") >= 1000)
+        .select(
+            "l_custkey", "r_custkey", "name_agree", "seg_agree", "bal_agree",
+            "score_millis", "link_class",
+        )
+    )
+
+
 def q_benford(spark, sf_dir):
     """Benford first-digit screen (profile.benford_digits) over order
     totals: observed leading-digit shares vs log10(1+1/d) with χ²
@@ -3455,6 +3524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
         "python_datasource": q_python_datasource,
+        "record_linkage": q_record_linkage,
         "benford": q_benford,
         "datetime_funcs": q_datetime_funcs,
         "array_map_funcs": q_array_map_funcs,
@@ -4196,6 +4266,76 @@ def oracle_sql() -> dict[str, str]:
               SELECT sp.l_suppkey
               FROM per_sp sp JOIN per_part pp USING (l_partkey)
               WHERE sp.sp_qty > 0.5 * pp.part_qty)
+        """,
+        # Fellegi-Sunter replayed: same md5 dirt, same millis weights
+        "record_linkage": """
+            WITH h AS (
+              SELECT c_custkey,
+                     CAST(CAST(concat('0x', substring(md5(
+                          CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                       AS BIGINT) AS hv
+              FROM customer
+            ),
+            r AS (
+              SELECT c.c_custkey AS r_custkey,
+                     CASE WHEN h.hv % 3 = 0 THEN upper(c_name)
+                          ELSE c_name END AS r_name,
+                     c_nationkey AS r_nationkey,
+                     c_acctbal + ((h.hv % 7) - 3) * 0.01 AS r_acctbal,
+                     CASE WHEN h.hv % 5 = 0 THEN NULL
+                          ELSE c_mktsegment END AS r_mktsegment
+              FROM customer c JOIN h USING (c_custkey)
+            ),
+            cands AS (
+              SELECT l.c_custkey AS l_custkey, l.c_name AS l_name,
+                     l.c_acctbal AS l_acctbal,
+                     l.c_mktsegment AS l_mktsegment,
+                     r.*
+              FROM customer l JOIN r
+                ON l.c_nationkey = r.r_nationkey
+               AND substring(lower(l.c_name), 1, 10)
+                   = substring(lower(r.r_name), 1, 10)
+            ),
+            scored AS (
+              SELECT l_custkey, r_custkey,
+                     lower(l_name) = lower(r_name) AS name_agree,
+                     CASE WHEN l_mktsegment IS NULL OR r_mktsegment IS NULL
+                          THEN NULL
+                          ELSE l_mktsegment = r_mktsegment END AS seg_agree,
+                     abs(l_acctbal - r_acctbal) <= 0.035 AS bal_agree
+              FROM cands
+            )
+            SELECT l_custkey, r_custkey, name_agree, seg_agree, bal_agree,
+                   CAST(
+                     (CASE WHEN name_agree IS NULL THEN 0
+                           WHEN name_agree THEN 6000 ELSE -3000 END)
+                   + (CASE WHEN seg_agree IS NULL THEN 0
+                           WHEN seg_agree THEN 1000 ELSE -500 END)
+                   + (CASE WHEN bal_agree IS NULL THEN 0
+                           WHEN bal_agree THEN 2000 ELSE -1000 END)
+                     AS BIGINT) AS score_millis,
+                   CASE WHEN (CASE WHEN name_agree IS NULL THEN 0
+                                   WHEN name_agree THEN 6000 ELSE -3000 END)
+                           + (CASE WHEN seg_agree IS NULL THEN 0
+                                   WHEN seg_agree THEN 1000 ELSE -500 END)
+                           + (CASE WHEN bal_agree IS NULL THEN 0
+                                   WHEN bal_agree THEN 2000 ELSE -1000 END)
+                             >= 7000 THEN 'match'
+                        WHEN (CASE WHEN name_agree IS NULL THEN 0
+                                   WHEN name_agree THEN 6000 ELSE -3000 END)
+                           + (CASE WHEN seg_agree IS NULL THEN 0
+                                   WHEN seg_agree THEN 1000 ELSE -500 END)
+                           + (CASE WHEN bal_agree IS NULL THEN 0
+                                   WHEN bal_agree THEN 2000 ELSE -1000 END)
+                             >= 1000 THEN 'possible'
+                        ELSE 'non_match' END AS link_class
+            FROM scored
+            WHERE (CASE WHEN name_agree IS NULL THEN 0
+                        WHEN name_agree THEN 6000 ELSE -3000 END)
+                + (CASE WHEN seg_agree IS NULL THEN 0
+                        WHEN seg_agree THEN 1000 ELSE -500 END)
+                + (CASE WHEN bal_agree IS NULL THEN 0
+                        WHEN bal_agree THEN 2000 ELSE -1000 END) >= 1000
         """,
         # Benford screen: identical expectation literals both engines,
         # digit from the exact cents string

@@ -657,3 +657,59 @@ def test_benford_digits(spark):
     assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-12
     assert abs(out[1]["benford_p"] - math.log10(2)) < 1e-15
     assert out[1]["chi2_contrib"] >= 0.0
+
+
+class TestRecordLinkage:
+    def test_scoring_and_classes(self, spark):
+        from gdp_etl_spark.operators.linkage import (
+            FieldRule,
+            block_candidates,
+            fellegi_sunter_score,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "alice smith", "NY", 100.0),
+             (2, "bob jones", "NY", 50.0),
+             (3, "carol king", "CA", 70.0)],
+            "lid long, lname string, lstate string, lbal double",
+        )
+        right = spark.createDataFrame(
+            [(11, "ALICE SMITH", "NY", 100.01),   # match (case-insensitive)
+             (12, "bobby jones", "NY", 50.0),     # name off, bal on -> possible
+             (13, "dave hall", "CA", 1.0)],       # nothing agrees
+            "rid long, rname string, rstate string, rbal double",
+        )
+        cands = block_candidates(
+            left, right, [(F.col("lstate"), F.col("rstate"))]
+        )
+        rules = [
+            FieldRule("name", F.lower("lname") == F.lower("rname"), 4000, 2000),
+            FieldRule("bal", F.abs(F.col("lbal") - F.col("rbal")) <= 0.05, 2000, 1000),
+        ]
+        out = fellegi_sunter_score(cands, rules, upper_millis=5000,
+                                   lower_millis=500)
+        got = {(r["lid"], r["rid"]): (r["score_millis"], r["link_class"])
+               for r in out.collect()}
+        assert got[(1, 11)] == (6000, "match")
+        assert got[(2, 12)] == (0, "non_match")       # -2000 + 2000
+        assert got[(1, 12)] == (-3000, "non_match")
+        assert got[(3, 13)] == (-3000, "non_match")
+        # blocking: cross-state pairs never generated
+        assert (1, 13) not in got
+
+    def test_null_field_contributes_nothing(self, spark):
+        from gdp_etl_spark.operators.linkage import (
+            FieldRule,
+            fellegi_sunter_score,
+        )
+
+        cands = spark.createDataFrame(
+            [(1, None, "x", "x")], "id long, a string, l string, r string"
+        )
+        rules = [
+            FieldRule("a", F.col("a") == "y", 9000, 9000),   # NULL verdict
+            FieldRule("lr", F.col("l") == F.col("r"), 1000, 1000),
+        ]
+        [row] = fellegi_sunter_score(cands, rules, 10_000, 500).collect()
+        assert row["score_millis"] == 1000 and row["a_agree"] is None
+        assert row["link_class"] == "possible"

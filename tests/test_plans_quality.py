@@ -470,3 +470,11 @@ def test_forecast_revenue_full_pushdown_no_join(spark):
     opt = _optimized(e.q_forecast_revenue(spark, SF))
     for frag in ("l_shipdate", "l_discount", "l_quantity"):
         assert frag in opt
+
+
+def test_record_linkage_blocked_equi_join(spark):
+    """Candidate generation must ride the blocking equi-keys — a
+    cartesian over customers is the classic linkage blow-up."""
+    plan = _plan(e.q_record_linkage(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
