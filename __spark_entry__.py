@@ -3039,6 +3039,20 @@ def q_excess_suppliers(spark, sf_dir):
     )
 
 
+def q_corr_matrix(spark, sf_dir):
+    """One-pass pairwise Pearson matrix (regression.corr_matrix) over
+    four lineitem measures — all 14 sufficient sums accumulate in a
+    single map-side-combined aggregation instead of 6 separate corr()
+    passes.  Fixed-point recipe end to end; all 6 pairs bit-exact vs
+    the oracle's identical closed forms."""
+    from gdp_etl_spark.operators.regression import corr_matrix
+
+    return corr_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def q_record_linkage(spark, sf_dir):
     """Probabilistic record linkage (linkage.block_candidates +
     fellegi_sunter_score): customer linked against a deterministically
@@ -3524,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
         "python_datasource": q_python_datasource,
+        "corr_matrix": q_corr_matrix,
         "record_linkage": q_record_linkage,
         "benford": q_benford,
         "datetime_funcs": q_datetime_funcs,
@@ -4266,6 +4281,46 @@ def oracle_sql() -> dict[str, str]:
               SELECT sp.l_suppkey
               FROM per_sp sp JOIN per_part pp USING (l_partkey)
               WHERE sp.sp_qty > 0.5 * pp.part_qty)
+        """,
+        # 14 sufficient sums, one aggregation, identical closed forms
+        "corr_matrix": """
+            WITH q AS (
+              SELECT CAST(floor(l_quantity * 1000000.0) AS DECIMAL(19,0)) AS q0,
+                     CAST(floor(l_extendedprice * 1000000.0) AS DECIMAL(19,0)) AS q1,
+                     CAST(floor(l_discount * 1000000.0) AS DECIMAL(19,0)) AS q2,
+                     CAST(floor(l_tax * 1000000.0) AS DECIMAL(19,0)) AS q3
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+            ),
+            summed AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     (CAST((sum(q0) - sum(q0) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q0) % 4294967296 AS DOUBLE)) / 1e6 AS s0,
+                     (CAST((sum(q0 * q0) - sum(q0 * q0) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q0 * q0) % 4294967296 AS DOUBLE)) / 1e12 AS s00,
+                     (CAST((sum(q1) - sum(q1) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q1) % 4294967296 AS DOUBLE)) / 1e6 AS s1,
+                     (CAST((sum(q1 * q1) - sum(q1 * q1) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q1 * q1) % 4294967296 AS DOUBLE)) / 1e12 AS s11,
+                     (CAST((sum(q2) - sum(q2) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q2) % 4294967296 AS DOUBLE)) / 1e6 AS s2,
+                     (CAST((sum(q2 * q2) - sum(q2 * q2) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q2 * q2) % 4294967296 AS DOUBLE)) / 1e12 AS s22,
+                     (CAST((sum(q3) - sum(q3) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q3) % 4294967296 AS DOUBLE)) / 1e6 AS s3,
+                     (CAST((sum(q3 * q3) - sum(q3 * q3) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q3 * q3) % 4294967296 AS DOUBLE)) / 1e12 AS s33,
+                     (CAST((sum(q0 * q1) - sum(q0 * q1) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q0 * q1) % 4294967296 AS DOUBLE)) / 1e12 AS s01,
+                     (CAST((sum(q0 * q2) - sum(q0 * q2) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q0 * q2) % 4294967296 AS DOUBLE)) / 1e12 AS s02,
+                     (CAST((sum(q0 * q3) - sum(q0 * q3) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q0 * q3) % 4294967296 AS DOUBLE)) / 1e12 AS s03,
+                     (CAST((sum(q1 * q2) - sum(q1 * q2) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q1 * q2) % 4294967296 AS DOUBLE)) / 1e12 AS s12,
+                     (CAST((sum(q1 * q3) - sum(q1 * q3) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q1 * q3) % 4294967296 AS DOUBLE)) / 1e12 AS s13,
+                     (CAST((sum(q2 * q3) - sum(q2 * q3) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q2 * q3) % 4294967296 AS DOUBLE)) / 1e12 AS s23
+              FROM q
+            )
+            SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, CAST(n AS BIGINT) AS n, CASE WHEN n >= 2 AND (n * s00 - s0 * s0) > 0 AND (n * s11 - s1 * s1) > 0 THEN (n * s01 - s0 * s1) / sqrt((n * s00 - s0 * s0) * (n * s11 - s1 * s1)) END AS corr FROM summed
+            UNION ALL
+            SELECT 'l_quantity' AS col_x, 'l_discount' AS col_y, CAST(n AS BIGINT) AS n, CASE WHEN n >= 2 AND (n * s00 - s0 * s0) > 0 AND (n * s22 - s2 * s2) > 0 THEN (n * s02 - s0 * s2) / sqrt((n * s00 - s0 * s0) * (n * s22 - s2 * s2)) END AS corr FROM summed
+            UNION ALL
+            SELECT 'l_quantity' AS col_x, 'l_tax' AS col_y, CAST(n AS BIGINT) AS n, CASE WHEN n >= 2 AND (n * s00 - s0 * s0) > 0 AND (n * s33 - s3 * s3) > 0 THEN (n * s03 - s0 * s3) / sqrt((n * s00 - s0 * s0) * (n * s33 - s3 * s3)) END AS corr FROM summed
+            UNION ALL
+            SELECT 'l_extendedprice' AS col_x, 'l_discount' AS col_y, CAST(n AS BIGINT) AS n, CASE WHEN n >= 2 AND (n * s11 - s1 * s1) > 0 AND (n * s22 - s2 * s2) > 0 THEN (n * s12 - s1 * s2) / sqrt((n * s11 - s1 * s1) * (n * s22 - s2 * s2)) END AS corr FROM summed
+            UNION ALL
+            SELECT 'l_extendedprice' AS col_x, 'l_tax' AS col_y, CAST(n AS BIGINT) AS n, CASE WHEN n >= 2 AND (n * s11 - s1 * s1) > 0 AND (n * s33 - s3 * s3) > 0 THEN (n * s13 - s1 * s3) / sqrt((n * s11 - s1 * s1) * (n * s33 - s3 * s3)) END AS corr FROM summed
+            UNION ALL
+            SELECT 'l_discount' AS col_x, 'l_tax' AS col_y, CAST(n AS BIGINT) AS n, CASE WHEN n >= 2 AND (n * s22 - s2 * s2) > 0 AND (n * s33 - s3 * s3) > 0 THEN (n * s23 - s2 * s3) / sqrt((n * s22 - s2 * s2) * (n * s33 - s3 * s3)) END AS corr FROM summed
         """,
         # Fellegi-Sunter replayed: same md5 dirt, same millis weights
         "record_linkage": """

@@ -226,3 +226,66 @@ def rolling_corr(
         n.cast("long").alias("n_window"),
         corr.alias("corr"),
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """All pairwise Pearson correlations of ``cols`` in ONE aggregation
+    — the one-scan answer to "how do my k metrics co-move" that at 100
+    TB replaces k·(k−1)/2 separate ``corr()`` jobs (each a full pass)
+    with a single map-side-combined pass accumulating the
+    O(k²) sufficient sums together.
+
+    Same determinism recipe as the rest of this module: per-row 1e6
+    quantization, exact decimal sums, hi/lo-split conversion, one
+    closed-form binary64 expression per pair.  Rows with ANY of the k
+    columns NULL are excluded entirely (listwise deletion), so every
+    pair shares one consistent n.  Output: one row per unordered pair
+    ``(col_x, col_y, n, corr)``, NULL corr for degenerate variance.
+    """
+    cols = list(cols)
+    mask = None
+    for c in cols:
+        nn = F.col(c).isNotNull()
+        mask = nn if mask is None else (mask & nn)
+    d = df.filter(mask)
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    for i, c in enumerate(cols):
+        qc = _q(F.col(c))
+        aggs.append(F.sum(qc).alias(f"__s{i}"))
+        aggs.append(F.sum(qc * qc).alias(f"__s{i}{i}"))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(
+                F.sum(_q(F.col(cols[i])) * _q(F.col(cols[j]))).alias(f"__s{i}{j}")
+            )
+    summed = d.agg(*aggs)
+
+    pair_rows = []
+    n = F.col("__n")
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            sx = _dec2dbl(f"__s{i}", _Q)
+            sy = _dec2dbl(f"__s{j}", _Q)
+            sxx = _dec2dbl(f"__s{i}{i}", _Q * _Q)
+            syy = _dec2dbl(f"__s{j}{j}", _Q * _Q)
+            sxy = _dec2dbl(f"__s{i}{j}", _Q * _Q)
+            det_x = n * sxx - sx * sx
+            det_y = n * syy - sy * sy
+            corr = F.when(
+                (n >= 2) & (det_x > 0) & (det_y > 0),
+                (n * sxy - sx * sy) / F.sqrt(det_x * det_y),
+            )
+            pair_rows.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_x"),
+                    F.lit(cols[j]).alias("col_y"),
+                    n.cast("long").alias("n"),
+                    corr.alias("corr"),
+                )
+            )
+    return summed.select(
+        F.explode(F.array(*pair_rows)).alias("p")
+    ).select("p.*")

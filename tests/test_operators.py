@@ -713,3 +713,26 @@ class TestRecordLinkage:
         [row] = fellegi_sunter_score(cands, rules, 10_000, 500).collect()
         assert row["score_millis"] == 1000 and row["a_agree"] is None
         assert row["link_class"] == "possible"
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from gdp_etl_spark.operators.regression import corr_matrix
+
+    rng = np.random.RandomState(3)
+    a = rng.rand(500).round(4)
+    b = (2 * a + rng.rand(500) * 0.1).round(4)   # strongly correlated
+    c = rng.rand(500).round(4)                    # independent
+    rows = [(float(a[i]), float(b[i]), float(c[i])) for i in range(500)]
+    rows.append((None, 1.0, 1.0))                 # listwise-deleted
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    out = {(r["col_x"], r["col_y"]): r for r in
+           corr_matrix(df, ["a", "b", "c"]).collect()}
+    assert len(out) == 3 and all(r["n"] == 500 for r in out.values())
+    for (x, y), r in out.items():
+        arr = {"a": a, "b": b, "c": c}
+        expect = float(np.corrcoef(arr[x], arr[y])[0, 1])
+        assert abs(r["corr"] - expect) < 1e-5, (x, y)
+    assert out[("a", "b")]["corr"] > 0.95
+    assert abs(out[("a", "c")]["corr"]) < 0.2
