@@ -3039,6 +3039,32 @@ def q_excess_suppliers(spark, sf_dir):
     )
 
 
+def q_schema_evolution(spark, sf_dir):
+    """Schema-evolution read: two parquet batches written with DRIFTED
+    schemas (batch 2 adds a column) land in one directory;
+    ``mergeSchema`` reconciles them into a single frame with NULLs for
+    the pre-drift rows — the ingestion posture for any long-lived feed
+    (a fixed schema read would silently drop the new column; schema
+    inference would cost an extra full pass at scale).  Fixture
+    written to tmp inside the query; oracle is inline VALUES."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "gdp_etl_spark_evo")
+    shutil.rmtree(base, ignore_errors=True)
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, v double"
+    ).coalesce(1).write.parquet(os.path.join(base, "b=1"))
+    spark.createDataFrame(
+        [(3, 30.0, "x"), (4, 40.0, "y")], "id long, v double, tag string"
+    ).coalesce(1).write.parquet(os.path.join(base, "b=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "*")
+    )
+    return merged.select("id", "v", "tag").orderBy("id")
+
+
 def q_corr_matrix(spark, sf_dir):
     """One-pass pairwise Pearson matrix (regression.corr_matrix) over
     four lineitem measures — all 14 sufficient sums accumulate in a
@@ -3538,6 +3564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
         "python_datasource": q_python_datasource,
+        "schema_evolution": q_schema_evolution,
         "corr_matrix": q_corr_matrix,
         "record_linkage": q_record_linkage,
         "benford": q_benford,
@@ -4281,6 +4308,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT sp.l_suppkey
               FROM per_sp sp JOIN per_part pp USING (l_partkey)
               WHERE sp.sp_qty > 0.5 * pp.part_qty)
+        """,
+        # drifted-schema merge: NULL tag for pre-drift rows
+        "schema_evolution": """
+            SELECT CAST(id AS BIGINT) AS id, CAST(v AS DOUBLE) AS v,
+                   CAST(tag AS VARCHAR) AS tag
+            FROM (VALUES (1, 10.0, NULL), (2, 20.0, NULL),
+                         (3, 30.0, 'x'), (4, 40.0, 'y')) t(id, v, tag)
         """,
         # 14 sufficient sums, one aggregation, identical closed forms
         "corr_matrix": """

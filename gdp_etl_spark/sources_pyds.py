@@ -61,3 +61,54 @@ class TickFeedDataSource(DataSource):
 
     def reader(self, schema):
         return TickFeedReader(self.options)
+
+    def streamReader(self, schema):
+        return TickFeedStreamReader(self.options)
+
+
+try:  # DataSourceStreamReader: pyspark >= 4 (same module)
+    from pyspark.sql.datasource import DataSourceStreamReader
+except ImportError:  # pragma: no cover - env-dependent
+    DataSourceStreamReader = object
+
+
+class TickFeedStreamReader(DataSourceStreamReader):
+    """Offset-tracked STREAMING reader for the same tick feed: each
+    micro-batch advances the offset by ``rows_per_batch`` until
+    ``rows`` is exhausted.  Spark checkpoints the JSON offset, calls
+    ``partitions(start, end)`` per batch, and replays splits
+    executor-side exactly like the batch reader — so the stream is
+    resumable and each row is produced exactly once across restarts.
+    Rows are the identical pure function of the global index, which is
+    what makes stream==batch parity testable."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.per_batch = int(options.get("rowsPerBatch", 300))
+        self.n_parts = int(options.get("partitions", 4))
+        self._current = 0
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def latestOffset(self):
+        self._current = min(self._current + self.per_batch, self.n_rows)
+        return {"offset": self._current}
+
+    def partitions(self, start, end):
+        lo, hi = start["offset"], end["offset"]
+        per = max(1, -(-(hi - lo) // self.n_parts))
+        return [
+            _TickPartition(i, lo + i * per, min(lo + (i + 1) * per, hi))
+            for i in range(self.n_parts)
+            if lo + i * per < hi
+        ]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            price = ((i * 2654435761) % 100_000) / 100.0
+            side = "B" if (i * 40503) % 7 < 4 else "S"
+            yield (i, f"SYM{i % 23}", price, side)
+
+    def commit(self, end):
+        pass

@@ -458,3 +458,42 @@ class TestIncrementalFileIngest:
             transform=lambda df: df.withColumn("vv", F.upper("v")),
         )
         assert spark.read.parquet(out).count() == 150    # idle run: no-op
+
+
+class TestPythonStreamingDataSource:
+    def test_stream_equals_batch_and_batches_are_bounded(self, spark, tmp_path):
+        """The Spark 4 Python DataSourceStreamReader: offset-tracked
+        micro-batches over the tick feed must reproduce EXACTLY the
+        batch read (rows are a pure function of the index), across
+        multiple bounded micro-batches."""
+        from gdp_etl_spark.sources_pyds import TickFeedDataSource
+
+        spark.dataSource.register(TickFeedDataSource)
+        stream = (
+            spark.readStream.format("tick_feed")
+            .option("rows", 900)
+            .option("rowsPerBatch", 250)   # -> 4 micro-batches
+            .option("partitions", 3)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("tick_stream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.table("tick_stream")
+        batch = (
+            spark.read.format("tick_feed").option("rows", 900).load()
+        )
+        assert got.count() == 900
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+        # progress log shows multiple bounded batches, not one big one
+        assert len(q.recentProgress) >= 3
