@@ -71,3 +71,57 @@ def run_incremental_merge(
     if sink.snapshot is None:
         raise RuntimeError("stream produced no micro-batches")
     return sink.snapshot
+
+
+def run_incremental_rollup(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    agg_exprs,
+    log_dir: str,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Streaming materialized-view maintenance for ADDITIVE aggregates
+    (counts/sums): per micro-batch, aggregate the batch and OVERWRITE
+    its partial result into ``log_dir/batch_id=<n>/``; the view is the
+    re-aggregation of the log.
+
+    Why a partial-agg LOG instead of merging into one snapshot:
+    overwrite-per-batch-directory makes redelivery idempotent for free
+    (foreachBatch may re-run a batch after a crash — an additive merge
+    would double-count it; rewriting the same directory converges), the
+    per-batch write is tiny (group-cardinality rows), and reads stay
+    one cheap re-aggregation until a compaction folds old batches.
+    This is exactly the recipe a table format's MERGE would hide; the
+    log keeps it engine-native and restart-safe.
+
+    Returns the converged view (one row per key group).  ``agg_exprs``
+    is a list of ALREADY-ALIASED additive aggregate Columns applied
+    identically to each batch and to the final re-aggregation via
+    ``sum(<alias>)`` — so each must be a plain count or sum.
+    """
+    import os
+
+    keys = list(keys)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy(*keys).agg(*agg_exprs)
+        part.write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"batch_id={batch_id}")
+        )
+
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_rollup_")
+    q = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("incremental rollup: backlog not drained")
+    spark = stream_df.sparkSession
+    log = spark.read.parquet(os.path.join(log_dir, "*"))
+    value_cols = [c for c in log.columns if c not in keys]
+    return log.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in value_cols]
+    )

@@ -497,3 +497,49 @@ class TestPythonStreamingDataSource:
         )
         # progress log shows multiple bounded batches, not one big one
         assert len(q.recentProgress) >= 3
+
+
+class TestIncrementalRollup:
+    def test_view_equals_batch_and_redelivery_is_idempotent(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from gdp_etl_spark.streaming.sink import run_incremental_rollup
+
+        src = tmp_path / "src"
+        for b in range(3):
+            spark.range(b * 100, (b + 1) * 100).select(
+                (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+            ).coalesce(1).write.parquet(str(src / f"f{b}"))
+        stream = (
+            spark.readStream.schema("k long, v long")
+            .option("maxFilesPerTrigger", 1)     # 3 micro-batches
+            .parquet(str(src / "*"))
+        )
+        log_dir = str(tmp_path / "log")
+        view = run_incremental_rollup(
+            stream, ["k"],
+            [F.count(F.lit(1)).alias("n"), F.sum("v").alias("v_sum")],
+            log_dir,
+        )
+        batch = (
+            spark.read.parquet(str(src / "*"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("v_sum"))
+        )
+        assert sorted(map(tuple, view.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+        # redelivery: re-writing batch 1's partial (same directory) must
+        # not change the view — overwrite-per-batch is the idempotency
+        import os
+        path1 = os.path.join(log_dir, "batch_id=1")
+        part = spark.read.parquet(path1)
+        rows, schema = part.collect(), part.schema   # materialize BEFORE overwrite
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(path1)
+        log = spark.read.parquet(os.path.join(log_dir, "*"))
+        again = log.groupBy("k").agg(
+            F.sum("n").alias("n"), F.sum("v_sum").alias("v_sum")
+        )
+        assert sorted(map(tuple, again.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
