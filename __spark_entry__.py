@@ -3039,6 +3039,38 @@ def q_excess_suppliers(spark, sf_dir):
     )
 
 
+def q_seasonal_anomalies(spark, sf_dir):
+    """Seasonal-naive anomaly monitor (timeseries.
+    seasonal_residual_anomalies): daily event counts per type,
+    densified onto each type's full day grid (zero-filled — lag-7
+    must align on calendar days, not observed rows), residuals vs the
+    same weekday last week, robust median/MAD flags with the exact
+    MAD=0 fallback.  Integer counts + exact interpolated medians keep
+    every flag engine-reproducible."""
+    from gdp_etl_spark.operators.timeseries import seasonal_residual_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("__lo", "__hi")).alias("day"),
+    )
+    dense = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    return seasonal_residual_anomalies(
+        dense, ["event_type"], "day", "n", season_lag=7
+    )
+
+
 def q_schema_evolution(spark, sf_dir):
     """Schema-evolution read: two parquet batches written with DRIFTED
     schemas (batch 2 adds a column) land in one directory;
@@ -3564,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
         "python_datasource": q_python_datasource,
+        "seasonal_anomalies": q_seasonal_anomalies,
         "schema_evolution": q_schema_evolution,
         "corr_matrix": q_corr_matrix,
         "record_linkage": q_record_linkage,
@@ -4308,6 +4341,57 @@ def oracle_sql() -> dict[str, str]:
               SELECT sp.l_suppkey
               FROM per_sp sp JOIN per_part pp USING (l_partkey)
               WHERE sp.sp_qty > 0.5 * pp.part_qty)
+        """,
+        # seasonal-naive residuals + robust flags, grid-densified
+        "seasonal_anomalies": """
+            WITH daily AS (
+              SELECT event_type,
+                     date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            bounds AS (
+              SELECT event_type, min(day) AS lo, max(day) AS hi
+              FROM daily GROUP BY 1
+            ),
+            grid AS (
+              SELECT event_type, unnest(generate_series(lo, hi)) AS day
+              FROM bounds
+            ),
+            dense AS (
+              SELECT g.event_type, CAST(g.day AS INT) AS day,
+                     CAST(coalesce(d.n, 0) AS BIGINT) AS n
+              FROM grid g LEFT JOIN daily d
+                ON g.event_type = d.event_type AND g.day = d.day
+            ),
+            r AS (
+              SELECT event_type, day, n,
+                     lag(n, 7) OVER (PARTITION BY event_type ORDER BY day)
+                       AS expected,
+                     n - lag(n, 7) OVER (PARTITION BY event_type
+                                         ORDER BY day) AS residual
+              FROM dense
+            ),
+            stats AS (
+              SELECT event_type,
+                     quantile_cont(residual, 0.5) AS med
+              FROM r WHERE residual IS NOT NULL GROUP BY 1
+            ),
+            mstats AS (
+              SELECT r.event_type, any_value(s.med) AS med,
+                     quantile_cont(abs(r.residual - s.med), 0.5) AS mad
+              FROM r JOIN stats s USING (event_type)
+              WHERE r.residual IS NOT NULL
+              GROUP BY r.event_type
+            )
+            SELECT r.event_type, r.day, r.n, r.expected, r.residual,
+                   CASE WHEN r.residual IS NOT NULL AND m.mad <> 0
+                        THEN abs(0.6745 * (r.residual - m.med) / m.mad) > 3.5
+                        WHEN r.residual IS NOT NULL AND m.mad = 0
+                        THEN r.residual <> m.med
+                        ELSE FALSE END AS is_anomaly
+            FROM r LEFT JOIN mstats m USING (event_type)
         """,
         # drifted-schema merge: NULL tag for pre-drift rows
         "schema_evolution": """

@@ -200,3 +200,74 @@ def scd2_intervals(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def seasonal_residual_anomalies(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    bucket_col: str,
+    value_col: str,
+    season_lag: int = 7,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Seasonal-naive anomaly flags for a regular per-bucket series:
+    expected = value ``season_lag`` buckets back (same weekday last
+    week for daily data), residual = value − expected, and a bucket is
+    anomalous when its modified z-score ``0.6745·|r − median(r)| /
+    MAD(r)`` (computed per group over all residuals) exceeds
+    ``threshold``.
+
+    The robust location/scale makes the monitor itself immune to the
+    anomalies it is hunting — the mean/stddev version lets one big
+    spike inflate the fence and mask the next spike.  Two window
+    passes + one tiny per-group stats broadcast; exact interpolated
+    medians over integer-count residuals keep every flag
+    engine-reproducible (same recipe as outliers.mad_outliers).  When
+    MAD degenerates to 0 (over half the residuals identical — the
+    perfectly periodic baseline), any residual differing from the
+    median is flagged.  Buckets with no seasonal predecessor emit NULL
+    residual and are never flagged.
+    """
+    group_cols = list(group_cols)
+    w = Window.partitionBy(*group_cols).orderBy(bucket_col)
+    r = (
+        df.withColumn("expected", F.lag(value_col, season_lag).over(w))
+        .withColumn(
+            "residual", F.col(value_col) - F.col("expected")
+        )
+    )
+    med = r.filter(F.col("residual").isNotNull()).groupBy(*group_cols).agg(
+        F.percentile(F.col("residual"), F.lit(0.5)).alias("__med")
+    )
+    mad = (
+        r.join(F.broadcast(med), group_cols)
+        .filter(F.col("residual").isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.first("__med").alias("__med"),
+            F.percentile(
+                F.abs(F.col("residual") - F.col("__med")), F.lit(0.5)
+            ).alias("__mad"),
+        )
+    )
+    z = F.lit(0.6745) * (F.col("residual") - F.col("__med")) / F.col("__mad")
+    return (
+        r.join(F.broadcast(mad), group_cols, "left")
+        .select(
+            *group_cols,
+            F.col(bucket_col),
+            F.col(value_col),
+            "expected",
+            "residual",
+            F.when(
+                F.col("residual").isNotNull() & (F.col("__mad") != 0),
+                F.abs(z) > threshold,
+            ).when(
+                # MAD = 0: over half the residuals are identical (a
+                # perfectly periodic baseline) — ANY departure from
+                # that majority value is anomalous
+                F.col("residual").isNotNull() & (F.col("__mad") == 0),
+                ~F.col("residual").eqNullSafe(F.col("__med")),
+            ).otherwise(F.lit(False)).alias("is_anomaly"),
+        )
+    )

@@ -172,3 +172,26 @@ def test_scd2_duplicate_key_ts_ties_are_deterministic(spark):
             (1, "C", _ts(3), None, True),
         ]
     )
+
+
+class TestSeasonalAnomalies:
+    def test_flags_spike_not_baseline(self, spark):
+        from gdp_etl_spark.operators.timeseries import (
+            seasonal_residual_anomalies,
+        )
+
+        # 4 weeks of perfectly weekly-periodic counts + one big spike
+        rows = []
+        for day in range(28):
+            base = 100 + (day % 7) * 10
+            rows.append(("a", day, base + (500 if day == 20 else 0)))
+        df = spark.createDataFrame(rows, "g string, day int, n long")
+        out = {r["day"]: r for r in
+               seasonal_residual_anomalies(df, ["g"], "day", "n").collect()}
+        assert all(out[d]["residual"] is None for d in range(7))   # no lag-7
+        flagged = [d for d in range(28) if out[d]["is_anomaly"]]
+        # the spike day AND its seasonal echo (day 27 compares against
+        # the spiked day 20) are the anomalous residuals
+        assert flagged == [20, 27]
+        assert out[20]["expected"] == 160 and out[20]["residual"] == 500
+        assert not out[13]["is_anomaly"]
