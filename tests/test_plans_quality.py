@@ -478,3 +478,11 @@ def test_record_linkage_blocked_equi_join(spark):
     plan = _plan(e.q_record_linkage(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round3_tail_queries_no_cartesian(spark):
+    for q in ("corr_matrix", "seasonal_anomalies", "sample_per_group",
+              "benford", "datetime_funcs", "array_map_funcs",
+              "schema_evolution"):
+        plan = _plan(e.queries()[q](spark, SF))
+        assert "CartesianProduct" not in plan, q
