@@ -3083,7 +3083,10 @@ def q_schema_evolution(spark, sf_dir):
     import shutil
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), "gdp_etl_spark_evo")
+    # fresh dir per invocation: a fixed shared path would race a
+    # concurrent bench/pytest process between its rmtree and the lazy
+    # read's file listing
+    base = tempfile.mkdtemp(prefix="gdp_etl_spark_evo_")
     shutil.rmtree(base, ignore_errors=True)
     spark.createDataFrame(
         [(1, 10.0), (2, 20.0)], "id long, v double"
@@ -3146,9 +3149,12 @@ def q_record_linkage(spark, sf_dir):
         right,
         [
             (F.col("l_nationkey"), F.col("r_nationkey")),
+            # trailing name digits: the DISCRIMINATING part of the name
+            # (a leading prefix is constant across the synthetic names,
+            # which would degenerate blocking to nation-only quadratic)
             (
-                F.substring(F.lower("l_name"), 1, 10),
-                F.substring(F.lower("r_name"), 1, 10),
+                F.substring(F.lower("l_name"), -4, 4),
+                F.substring(F.lower("r_name"), -4, 4),
             ),
         ],
     )
@@ -4412,20 +4418,20 @@ def oracle_sql() -> dict[str, str]:
             ),
             summed AS (
               SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-                     (CAST((sum(q0) - sum(q0) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q0) % 4294967296 AS DOUBLE)) / 1e6 AS s0,
-                     (CAST((sum(q0 * q0) - sum(q0 * q0) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q0 * q0) % 4294967296 AS DOUBLE)) / 1e12 AS s00,
-                     (CAST((sum(q1) - sum(q1) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q1) % 4294967296 AS DOUBLE)) / 1e6 AS s1,
-                     (CAST((sum(q1 * q1) - sum(q1 * q1) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q1 * q1) % 4294967296 AS DOUBLE)) / 1e12 AS s11,
-                     (CAST((sum(q2) - sum(q2) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q2) % 4294967296 AS DOUBLE)) / 1e6 AS s2,
-                     (CAST((sum(q2 * q2) - sum(q2 * q2) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q2 * q2) % 4294967296 AS DOUBLE)) / 1e12 AS s22,
-                     (CAST((sum(q3) - sum(q3) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q3) % 4294967296 AS DOUBLE)) / 1e6 AS s3,
-                     (CAST((sum(q3 * q3) - sum(q3 * q3) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q3 * q3) % 4294967296 AS DOUBLE)) / 1e12 AS s33,
-                     (CAST((sum(q0 * q1) - sum(q0 * q1) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q0 * q1) % 4294967296 AS DOUBLE)) / 1e12 AS s01,
-                     (CAST((sum(q0 * q2) - sum(q0 * q2) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q0 * q2) % 4294967296 AS DOUBLE)) / 1e12 AS s02,
-                     (CAST((sum(q0 * q3) - sum(q0 * q3) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q0 * q3) % 4294967296 AS DOUBLE)) / 1e12 AS s03,
-                     (CAST((sum(q1 * q2) - sum(q1 * q2) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q1 * q2) % 4294967296 AS DOUBLE)) / 1e12 AS s12,
-                     (CAST((sum(q1 * q3) - sum(q1 * q3) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q1 * q3) % 4294967296 AS DOUBLE)) / 1e12 AS s13,
-                     (CAST((sum(q2 * q3) - sum(q2 * q3) % 4294967296) / 4294967296 AS DOUBLE) * 4294967296.0 + CAST(sum(q2 * q3) % 4294967296 AS DOUBLE)) / 1e12 AS s23
+                     CAST(CASE WHEN sum(q0) < 0 THEN -1.0 ELSE 1.0 END * ((CAST((abs(sum(q0)) - (abs(sum(q0)) % 18446744073709551616)) AS DOUBLE) + CAST(((abs(sum(q0)) % 18446744073709551616) - (abs(sum(q0)) % 4294967296)) AS DOUBLE)) + CAST((abs(sum(q0)) % 4294967296) AS DOUBLE)) AS DOUBLE) / 1e6 AS s0,
+                     CAST(CASE WHEN sum(q0 * q0) < 0 THEN -1.0 ELSE 1.0 END * ((CAST((abs(sum(q0 * q0)) - (abs(sum(q0 * q0)) % 18446744073709551616)) AS DOUBLE) + CAST(((abs(sum(q0 * q0)) % 18446744073709551616) - (abs(sum(q0 * q0)) % 4294967296)) AS DOUBLE)) + CAST((abs(sum(q0 * q0)) % 4294967296) AS DOUBLE)) AS DOUBLE) / 1e12 AS s00,
+                     CAST(CASE WHEN sum(q1) < 0 THEN -1.0 ELSE 1.0 END * ((CAST((abs(sum(q1)) - (abs(sum(q1)) % 18446744073709551616)) AS DOUBLE) + CAST(((abs(sum(q1)) % 18446744073709551616) - (abs(sum(q1)) % 4294967296)) AS DOUBLE)) + CAST((abs(sum(q1)) % 4294967296) AS DOUBLE)) AS DOUBLE) / 1e6 AS s1,
+                     CAST(CASE WHEN sum(q1 * q1) < 0 THEN -1.0 ELSE 1.0 END * ((CAST((abs(sum(q1 * q1)) - (abs(sum(q1 * q1)) % 18446744073709551616)) AS DOUBLE) + CAST(((abs(sum(q1 * q1)) % 18446744073709551616) - (abs(sum(q1 * q1)) % 4294967296)) AS DOUBLE)) + CAST((abs(sum(q1 * q1)) % 4294967296) AS DOUBLE)) AS DOUBLE) / 1e12 AS s11,
+                     CAST(CASE WHEN sum(q2) < 0 THEN -1.0 ELSE 1.0 END * ((CAST((abs(sum(q2)) - (abs(sum(q2)) % 18446744073709551616)) AS DOUBLE) + CAST(((abs(sum(q2)) % 18446744073709551616) - (abs(sum(q2)) % 4294967296)) AS DOUBLE)) + CAST((abs(sum(q2)) % 4294967296) AS DOUBLE)) AS DOUBLE) / 1e6 AS s2,
+                     CAST(CASE WHEN sum(q2 * q2) < 0 THEN -1.0 ELSE 1.0 END * ((CAST((abs(sum(q2 * q2)) - (abs(sum(q2 * q2)) % 18446744073709551616)) AS DOUBLE) + CAST(((abs(sum(q2 * q2)) % 18446744073709551616) - (abs(sum(q2 * q2)) % 4294967296)) AS DOUBLE)) + CAST((abs(sum(q2 * q2)) % 4294967296) AS DOUBLE)) AS DOUBLE) / 1e12 AS s22,
+                     CAST(CASE WHEN sum(q3) < 0 THEN -1.0 ELSE 1.0 END * ((CAST((abs(sum(q3)) - (abs(sum(q3)) % 18446744073709551616)) AS DOUBLE) + CAST(((abs(sum(q3)) % 18446744073709551616) - (abs(sum(q3)) % 4294967296)) AS DOUBLE)) + CAST((abs(sum(q3)) % 4294967296) AS DOUBLE)) AS DOUBLE) / 1e6 AS s3,
+                     CAST(CASE WHEN sum(q3 * q3) < 0 THEN -1.0 ELSE 1.0 END * ((CAST((abs(sum(q3 * q3)) - (abs(sum(q3 * q3)) % 18446744073709551616)) AS DOUBLE) + CAST(((abs(sum(q3 * q3)) % 18446744073709551616) - (abs(sum(q3 * q3)) % 4294967296)) AS DOUBLE)) + CAST((abs(sum(q3 * q3)) % 4294967296) AS DOUBLE)) AS DOUBLE) / 1e12 AS s33,
+                     CAST(CASE WHEN sum(q0 * q1) < 0 THEN -1.0 ELSE 1.0 END * ((CAST((abs(sum(q0 * q1)) - (abs(sum(q0 * q1)) % 18446744073709551616)) AS DOUBLE) + CAST(((abs(sum(q0 * q1)) % 18446744073709551616) - (abs(sum(q0 * q1)) % 4294967296)) AS DOUBLE)) + CAST((abs(sum(q0 * q1)) % 4294967296) AS DOUBLE)) AS DOUBLE) / 1e12 AS s01,
+                     CAST(CASE WHEN sum(q0 * q2) < 0 THEN -1.0 ELSE 1.0 END * ((CAST((abs(sum(q0 * q2)) - (abs(sum(q0 * q2)) % 18446744073709551616)) AS DOUBLE) + CAST(((abs(sum(q0 * q2)) % 18446744073709551616) - (abs(sum(q0 * q2)) % 4294967296)) AS DOUBLE)) + CAST((abs(sum(q0 * q2)) % 4294967296) AS DOUBLE)) AS DOUBLE) / 1e12 AS s02,
+                     CAST(CASE WHEN sum(q0 * q3) < 0 THEN -1.0 ELSE 1.0 END * ((CAST((abs(sum(q0 * q3)) - (abs(sum(q0 * q3)) % 18446744073709551616)) AS DOUBLE) + CAST(((abs(sum(q0 * q3)) % 18446744073709551616) - (abs(sum(q0 * q3)) % 4294967296)) AS DOUBLE)) + CAST((abs(sum(q0 * q3)) % 4294967296) AS DOUBLE)) AS DOUBLE) / 1e12 AS s03,
+                     CAST(CASE WHEN sum(q1 * q2) < 0 THEN -1.0 ELSE 1.0 END * ((CAST((abs(sum(q1 * q2)) - (abs(sum(q1 * q2)) % 18446744073709551616)) AS DOUBLE) + CAST(((abs(sum(q1 * q2)) % 18446744073709551616) - (abs(sum(q1 * q2)) % 4294967296)) AS DOUBLE)) + CAST((abs(sum(q1 * q2)) % 4294967296) AS DOUBLE)) AS DOUBLE) / 1e12 AS s12,
+                     CAST(CASE WHEN sum(q1 * q3) < 0 THEN -1.0 ELSE 1.0 END * ((CAST((abs(sum(q1 * q3)) - (abs(sum(q1 * q3)) % 18446744073709551616)) AS DOUBLE) + CAST(((abs(sum(q1 * q3)) % 18446744073709551616) - (abs(sum(q1 * q3)) % 4294967296)) AS DOUBLE)) + CAST((abs(sum(q1 * q3)) % 4294967296) AS DOUBLE)) AS DOUBLE) / 1e12 AS s13,
+                     CAST(CASE WHEN sum(q2 * q3) < 0 THEN -1.0 ELSE 1.0 END * ((CAST((abs(sum(q2 * q3)) - (abs(sum(q2 * q3)) % 18446744073709551616)) AS DOUBLE) + CAST(((abs(sum(q2 * q3)) % 18446744073709551616) - (abs(sum(q2 * q3)) % 4294967296)) AS DOUBLE)) + CAST((abs(sum(q2 * q3)) % 4294967296) AS DOUBLE)) AS DOUBLE) / 1e12 AS s23
               FROM q
             )
             SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, CAST(n AS BIGINT) AS n, CASE WHEN n >= 2 AND (n * s00 - s0 * s0) > 0 AND (n * s11 - s1 * s1) > 0 THEN (n * s01 - s0 * s1) / sqrt((n * s00 - s0 * s0) * (n * s11 - s1 * s1)) END AS corr FROM summed
@@ -4466,8 +4472,7 @@ def oracle_sql() -> dict[str, str]:
                      r.*
               FROM customer l JOIN r
                 ON l.c_nationkey = r.r_nationkey
-               AND substring(lower(l.c_name), 1, 10)
-                   = substring(lower(r.r_name), 1, 10)
+               AND right(lower(l.c_name), 4) = right(lower(r.r_name), 4)
             ),
             scored AS (
               SELECT l_custkey, r_custkey,
@@ -4521,7 +4526,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
                          AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
                      COUNT(*) AS n
-              FROM orders WHERE o_totalprice > 0
+              FROM orders
+              WHERE CAST(round(o_totalprice * 100.0) AS BIGINT) >= 1
               GROUP BY 1
             ),
             tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counted)

@@ -46,12 +46,15 @@ def block_candidates(
     normalized name token + region).  Returns the joined pair frame;
     callers pick block keys tight enough that within-block fan-out is
     bounded (the blocking-key cardinality is the scale lever)."""
-    lt, rt = left, right
+    if not block_cols:
+        # a None condition would silently compile to the full cross
+        # product — the exact blow-up blocking exists to prevent
+        raise ValueError("block_candidates requires at least one blocking key")
     cond = None
     for lcol, rcol in block_cols:
         c = lcol == rcol
         cond = c if cond is None else (cond & c)
-    return lt.join(rt, cond)
+    return left.join(right, cond)
 
 
 def fellegi_sunter_score(

@@ -340,8 +340,11 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
     """
     cents = F.round(F.col(value_col) * 100).cast("long")
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    # admit by CENTS >= 1, not value > 0: a value in (0, 0.005) rounds
+    # to 0 cents, whose "leading digit" 0 would crash the 1-indexed
+    # expectation lookup — no significant digit at cent resolution
     counted = (
-        df.filter(F.col(value_col) > 0)
+        df.filter(cents >= 1)
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).alias("n"))
     )

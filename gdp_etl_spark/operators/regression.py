@@ -228,6 +228,29 @@ def rolling_corr(
     )
 
 
+def _dec2dbl_wide(name: str, scale: float) -> Column:
+    """Decimal column → double, sign-safe and exact-split up to 2⁹⁶:
+    the three base-2³² limb MULTIPLES ``a−a%2⁶⁴``, ``a%2⁶⁴−a%2³²`` and
+    ``a%2³²`` are each exactly double-representable (≤ 32 significant
+    bits at a power-of-two offset), so their casts are rounding-free on
+    any engine and the two fixed-order adds are single correctly-
+    rounded IEEE ops — deterministic cross-engine where
+    :func:`_dec2dbl`'s 2-limb split would overflow its 2⁸⁵ bound
+    (whole-table squared sums).  No division: DuckDB's ``//`` performs
+    true decimal division, and decimal division scale rules differ
+    between engines — the subtraction-of-moduli form avoids the
+    operator entirely."""
+    B = 4294967296
+    B2 = B * B
+    a = f"abs({name})"
+    return F.expr(
+        f"CAST(CASE WHEN {name} < 0 THEN -1.0 ELSE 1.0 END * "
+        f"((CAST(({a} - ({a} % {B2})) AS DOUBLE) + "
+        f"CAST((({a} % {B2}) - ({a} % {B})) AS DOUBLE)) + "
+        f"CAST(({a} % {B}) AS DOUBLE)) AS DOUBLE)"
+    ) / F.lit(scale)
+
+
 def corr_matrix(
     df: DataFrame,
     cols: Sequence[str],
@@ -267,11 +290,13 @@ def corr_matrix(
     n = F.col("__n")
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
-            sx = _dec2dbl(f"__s{i}", _Q)
-            sy = _dec2dbl(f"__s{j}", _Q)
-            sxx = _dec2dbl(f"__s{i}{i}", _Q * _Q)
-            syy = _dec2dbl(f"__s{j}{j}", _Q * _Q)
-            sxy = _dec2dbl(f"__s{i}{j}", _Q * _Q)
+            # wide (3-limb) conversion: whole-table squared sums exceed
+            # _dec2dbl's 2^85 exactness bound long before 100 TB
+            sx = _dec2dbl_wide(f"__s{i}", _Q)
+            sy = _dec2dbl_wide(f"__s{j}", _Q)
+            sxx = _dec2dbl_wide(f"__s{i}{i}", _Q * _Q)
+            syy = _dec2dbl_wide(f"__s{j}{j}", _Q * _Q)
+            sxy = _dec2dbl_wide(f"__s{i}{j}", _Q * _Q)
             det_x = n * sxx - sx * sx
             det_y = n * syy - sy * sy
             corr = F.when(

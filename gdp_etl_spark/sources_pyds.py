@@ -75,12 +75,20 @@ except ImportError:  # pragma: no cover - env-dependent
 class TickFeedStreamReader(DataSourceStreamReader):
     """Offset-tracked STREAMING reader for the same tick feed: each
     micro-batch advances the offset by ``rows_per_batch`` until
-    ``rows`` is exhausted.  Spark checkpoints the JSON offset, calls
-    ``partitions(start, end)`` per batch, and replays splits
-    executor-side exactly like the batch reader — so the stream is
-    resumable and each row is produced exactly once across restarts.
-    Rows are the identical pure function of the global index, which is
-    what makes stream==batch parity testable."""
+    ``rows`` is exhausted.  Spark checkpoints the JSON offset and calls
+    ``partitions(start, end)`` per batch; splits replay executor-side
+    exactly like the batch reader.
+
+    Restart safety: a fresh reader instance starts with ``_current=0``
+    while the CHECKPOINT may already be far ahead — so ``_current`` is
+    re-synced to every offset the engine hands back (``partitions``
+    start/end during replay, ``commit`` after a batch).  ``latestOffset``
+    therefore never regresses below the checkpointed position and a
+    restarted query resumes without re-emitting; ``partitions`` also
+    returns no splits for an empty/inverted range, so a stale
+    pre-sync ``latestOffset`` can never produce data.  Rows are a pure
+    function of the global index, which is what makes stream==batch
+    parity (and the restart test) exact."""
 
     def __init__(self, options):
         self.n_rows = int(options.get("rows", 1000))
@@ -97,6 +105,10 @@ class TickFeedStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["offset"], end["offset"]
+        # re-sync after restart: the engine's offsets are authoritative
+        self._current = max(self._current, lo, hi)
+        if hi <= lo:
+            return []
         per = max(1, -(-(hi - lo) // self.n_parts))
         return [
             _TickPartition(i, lo + i * per, min(lo + (i + 1) * per, hi))
@@ -111,4 +123,4 @@ class TickFeedStreamReader(DataSourceStreamReader):
             yield (i, f"SYM{i % 23}", price, side)
 
     def commit(self, end):
-        pass
+        self._current = max(self._current, end["offset"])

@@ -98,6 +98,13 @@ def run_incremental_rollup(
     is a list of ALREADY-ALIASED additive aggregate Columns applied
     identically to each batch and to the final re-aggregation via
     ``sum(<alias>)`` — so each must be a plain count or sum.
+
+    The streaming checkpoint lives INSIDE ``log_dir`` (``_checkpoint``)
+    — the log and the offsets that cut it are one unit.  A fresh
+    checkpoint against an existing log would re-cut batches under the
+    same ids differently and leave stale higher-numbered partials to
+    double-count; pinning the checkpoint to the log makes every re-run
+    resume (and overwrite) the same batch sequence.
     """
     import os
 
@@ -109,7 +116,7 @@ def run_incremental_rollup(
             os.path.join(log_dir, f"batch_id={batch_id}")
         )
 
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_rollup_")
+    checkpoint = os.path.join(log_dir, "_checkpoint")
     q = (
         stream_df.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint)
@@ -120,7 +127,15 @@ def run_incremental_rollup(
         q.stop()
         raise TimeoutError("incremental rollup: backlog not drained")
     spark = stream_df.sparkSession
-    log = spark.read.parquet(os.path.join(log_dir, "*"))
+    batch_dirs = [
+        d for d in (os.listdir(log_dir) if os.path.isdir(log_dir) else [])
+        if d.startswith("batch_id=")
+    ]
+    if not batch_dirs:
+        raise RuntimeError("stream produced no micro-batches")
+    log = spark.read.parquet(
+        *[os.path.join(log_dir, d) for d in batch_dirs]
+    )
     value_cols = [c for c in log.columns if c not in keys]
     return log.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in value_cols]

@@ -736,3 +736,23 @@ def test_corr_matrix_matches_numpy(spark):
         assert abs(r["corr"] - expect) < 1e-5, (x, y)
     assert out[("a", "b")]["corr"] > 0.95
     assert abs(out[("a", "c")]["corr"]) < 0.2
+
+
+def test_corr_matrix_large_magnitude_exceeds_two_limb_bound(spark):
+    """Squared sums beyond _dec2dbl's 2^85 bound: 100k rows of ~1e7
+    values give Σq² ≈ 1e31 — the wide 3-limb path must still match
+    NumPy (and stay finite), where the 2-limb cast would be
+    engine-divergent."""
+    import numpy as np
+
+    from gdp_etl_spark.operators.regression import corr_matrix
+
+    rng = np.random.RandomState(5)
+    a = (rng.rand(100_000) * 1e7).round(2)
+    b = (a * 3.0 + rng.rand(100_000) * 1e6).round(2)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, b)], "a double, b double"
+    )
+    [row] = corr_matrix(df, ["a", "b"]).collect()
+    expect = float(np.corrcoef(a, b)[0, 1])
+    assert abs(row["corr"] - expect) < 1e-6

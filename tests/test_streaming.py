@@ -536,10 +536,45 @@ class TestIncrementalRollup:
         part = spark.read.parquet(path1)
         rows, schema = part.collect(), part.schema   # materialize BEFORE overwrite
         spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(path1)
-        log = spark.read.parquet(os.path.join(log_dir, "*"))
+        batch_dirs = [os.path.join(log_dir, d) for d in os.listdir(log_dir)
+                      if d.startswith("batch_id=")]
+        log = spark.read.parquet(*batch_dirs)
         again = log.groupBy("k").agg(
             F.sum("n").alias("n"), F.sum("v_sum").alias("v_sum")
         )
         assert sorted(map(tuple, again.collect())) == sorted(
             map(tuple, batch.collect())
         )
+
+
+def test_python_stream_source_resumes_from_checkpoint(spark, tmp_path):
+    """Restart safety: a NEW reader instance (fresh _current=0) against
+    an existing checkpoint must resume at the committed offset, not
+    re-emit from 0 — offsets re-sync from the engine's partitions()/
+    commit() calls."""
+    from gdp_etl_spark.sources_pyds import TickFeedDataSource
+
+    spark.dataSource.register(TickFeedDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run(rows):
+        q = (
+            spark.readStream.format("tick_feed")
+            .option("rows", rows).option("rowsPerBatch", 200)
+            .option("partitions", 3).load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(400)                     # first run: rows 0..399
+    assert spark.read.parquet(out).count() == 400
+    run(900)                     # restart, feed grew: must add ONLY 400..899
+    ids = sorted(r["tick_id"] for r in spark.read.parquet(out).collect())
+    assert ids == list(range(900))   # no gaps, NO duplicates
