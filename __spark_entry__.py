@@ -3039,6 +3039,26 @@ def q_excess_suppliers(spark, sf_dir):
     )
 
 
+def q_prefix_jaccard(spark, sf_dir):
+    """PPJoin-style prefix-filtered set-similarity self-join
+    (dedup.prefix_filter_jaccard_pairs) at Jaccard ≥ 0.8 over the
+    documents' word sets: candidates share a token within each other's
+    rarest-token prefix (provably lossless; brute-force parity
+    unit-tested), then exact integer set verification.  The adaptive
+    alternative to bucket-blocked Jaccard — prefix tokens are each
+    doc's rarest, so fan-out stays bounded even under a shared head
+    vocabulary.  Runs over a deterministic 30% hash sample: the synthetic
+    corpus is built of ~250-doc vocabulary-sharing clusters, so the
+    TRUE pair set is quadratic in cluster size (3M pairs at sf0.1) —
+    sampling bounds the demo's pair volume ~9x while the lossless
+    parity of the filter itself stays brute-force unit-tested."""
+    from gdp_etl_spark.operators.dedup import prefix_filter_jaccard_pairs
+    from gdp_etl_spark.operators.sampling import hash_sample
+
+    d = hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.3, seed="pj")
+    return prefix_filter_jaccard_pairs(d, "text", "doc_id", threshold=0.8)
+
+
 def q_seasonal_anomalies(spark, sf_dir):
     """Seasonal-naive anomaly monitor (timeseries.
     seasonal_residual_anomalies): daily event counts per type,
@@ -3602,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
         "python_datasource": q_python_datasource,
+        "prefix_jaccard": q_prefix_jaccard,
         "seasonal_anomalies": q_seasonal_anomalies,
         "schema_evolution": q_schema_evolution,
         "corr_matrix": q_corr_matrix,
@@ -4347,6 +4368,64 @@ def oracle_sql() -> dict[str, str]:
               SELECT sp.l_suppkey
               FROM per_sp sp JOIN per_part pp USING (l_partkey)
               WHERE sp.sp_qty > 0.5 * pp.part_qty)
+        """,
+        # prefix filter replayed: same global rank, exact prefix len,
+        # integer-millis verification
+        "prefix_jaccard": """
+            WITH sampled AS (
+              SELECT * FROM documents
+              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || ':' || 'pj'), 1, 8)) AS BIGINT) < 1288490188
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)),
+                                                      '\s+')) AS tk
+              FROM sampled
+              WHERE len(list_distinct(string_split_regex(lower(trim(text)),
+                                                         '\s+'))) > 0
+            ),
+            tok_rows AS (
+              SELECT t.doc_id, u.tok
+              FROM toks t, unnest(t.tk) AS u(tok)
+            ),
+            freq AS (SELECT tok, COUNT(*) AS tf FROM tok_rows GROUP BY tok),
+            ranked AS (
+              SELECT tok, row_number() OVER (ORDER BY tf, tok) AS rk
+              FROM freq
+            ),
+            ordered AS (
+              SELECT tr.doc_id, list(tr.tok ORDER BY r.rk) AS ord
+              FROM tok_rows tr JOIN ranked r USING (tok)
+              GROUP BY tr.doc_id
+            ),
+            pref AS (
+              SELECT doc_id,
+                     unnest(list_slice(ord, 1,
+                       CAST(len(ord)
+                            - floor((800 * len(ord) + 999) / 1000)
+                            + 1 AS INT))) AS tok
+              FROM ordered
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM pref a JOIN pref b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+            ),
+            v AS (
+              SELECT id_a, id_b,
+                     CAST(len(list_filter(ta.tk,
+                          x -> list_contains(tb.tk, x))) AS BIGINT) AS i,
+                     CAST(len(ta.tk) AS BIGINT) + CAST(len(tb.tk) AS BIGINT)
+                       - CAST(len(list_filter(ta.tk,
+                          x -> list_contains(tb.tk, x))) AS BIGINT) AS u
+              FROM cands
+              JOIN toks ta ON id_a = ta.doc_id
+              JOIN toks tb ON id_b = tb.doc_id
+            )
+            SELECT id_a, id_b, i AS n_common,
+                   CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+            FROM v WHERE i * 1000 >= 800 * u
         """,
         # seasonal-naive residuals + robust flags, grid-densified
         "seasonal_anomalies": """

@@ -423,3 +423,106 @@ def fuzzy_levenshtein_pairs(
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Set-similarity self-join by PREFIX FILTERING (PPJoin family,
+    Chaudhuri et al. / Xiao et al.): the candidate generator whose
+    fan-out adapts to token rarity instead of a fixed blocking key.
+
+    Order every document's distinct token set by GLOBAL frequency
+    (rarest first, lexicographic tie-break); two sets with Jaccard ≥ t
+    must share a token within each other's first ``n − ⌈t·n⌉ + 1``
+    tokens — so only those prefix tokens are exploded, and candidates
+    equi-join on them.  Prefix tokens are by construction each
+    document's RAREST, so per-token fan-out is small even when the
+    corpus shares a huge head vocabulary — the precise weakness of
+    attribute- or bucket-blocked Jaccard (``ngram_jaccard_pairs``).
+    Survivors verify with exact integer set arithmetic
+    (``|A∩B|·10³ ≥ ⌈t·10³⌉·|A∪B|`` — no float boundary).
+
+    One shuffle for the global token counts, one for the candidate
+    join, one distinct over candidate ids; verification joins the
+    (persisted) token sets back by id.  Scale-safe at any corpus size
+    whose per-document token count is bounded.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+        ).alias("__toks"),
+    ).filter(F.size("__toks") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+
+    freq = (
+        toks.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # dense global rank, rarest first; (tf, tok) total order makes the
+    # per-doc sort deterministic on any engine
+    from pyspark.sql import Window
+
+    rank_w = Window.orderBy("tf", "tok")
+    ranked = freq.select(
+        "tok", F.row_number().over(rank_w).cast("long").alias("rk")
+    )
+    # per-doc tokens ordered by rank; prefix length n - ceil(t*n) + 1
+    by_rank = (
+        toks.select(F.col(id_col), F.explode("__toks").alias("tok"))
+        .join(ranked, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "tok"))),
+                lambda s: s["tok"],
+            ).alias("__ordered")
+        )
+    )
+    # EXACT prefix length: float ceil(t*n) can overshoot the rational
+    # ceiling (0.8*5 = 4.0000000000000002 -> 5), silently shrinking the
+    # prefix and making the filter LOSSY; integer millis arithmetic
+    # ((t_mill*n + 999) div 1000) is the exact ceiling
+    t_mill = int(-(-threshold * 1000 // 1))  # ceil(t*1000)
+    n = F.size("__ordered")
+    prefix_len = (
+        n
+        - F.floor((F.lit(t_mill) * n + 999) / F.lit(1000)).cast("int")
+        + 1
+    )
+    prefixes = by_rank.select(
+        F.col(id_col), F.explode(F.slice("__ordered", 1, prefix_len)).alias("tok")
+    )
+    a = prefixes.select(F.col(id_col).alias("id_a"), "tok")
+    b = prefixes.select(F.col(id_col).alias("id_b"), "tok")
+    cands = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = toks.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta"))
+    tb = toks.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb"))
+    inter = F.size(F.array_intersect("__ta", "__tb")).cast("long")
+    union = (
+        F.size("__ta").cast("long") + F.size("__tb").cast("long") - inter
+    )
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("__i", inter)
+        .withColumn("__u", union)
+        .filter(F.col("__i") * 1000 >= F.lit(t_mill) * F.col("__u"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__i").alias("n_common"),
+            (F.col("__i").cast("double") / F.col("__u").cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -315,3 +315,43 @@ class TestTrigramLM:
         docs = spark.createDataFrame(natural + garbage, "doc_id long, text string")
         out = {r["doc_id"]: r["avg_logp"] for r in trigram_lm_scores(docs).collect()}
         assert out[100] < out[0]
+
+
+class TestPrefixFilterJaccard:
+    def test_matches_bruteforce(self, spark):
+        """Prefix filtering must find EXACTLY the pairs a brute-force
+        all-pairs Jaccard finds — the filter is lossless by theorem."""
+        import itertools
+        import random
+
+        from gdp_etl_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+        rng = random.Random(13)
+        vocab = [f"w{i}" for i in range(60)]
+        docs = []
+        for i in range(40):
+            base = rng.sample(vocab, rng.randrange(4, 12))
+            docs.append((i, " ".join(base)))
+            if rng.random() < 0.4:   # planted near-dup: drop one token
+                docs.append((100 + i, " ".join(base[:-1] or base)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        t = 0.6
+        sets = {i: set(s.split()) for i, s in docs}
+        expected = {
+            (x, y)
+            for x, y in itertools.combinations(sorted(sets), 2)
+            if len(sets[x] & sets[y]) / len(sets[x] | sets[y]) >= t
+        }
+        got = {(r["id_a"], r["id_b"]) for r in
+               prefix_filter_jaccard_pairs(df, "text", "doc_id", t).collect()}
+        assert got == expected and len(expected) > 5
+
+    def test_exact_duplicates_and_empty_docs(self, spark):
+        from gdp_etl_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "c b a"), (3, ""), (4, None), (5, "x")],
+            "doc_id long, text string",
+        )
+        out = prefix_filter_jaccard_pairs(df, "text", "doc_id", 0.9).collect()
+        assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]
