@@ -3039,6 +3039,20 @@ def q_excess_suppliers(spark, sf_dir):
     )
 
 
+def q_column_entropy(spark, sf_dir):
+    """Per-column entropy/balance profile (profile.column_entropy) over
+    four orders columns: Shannon entropy in fixed-point nats + NDV per
+    column, NULLs profiled as a category.  The -p ln p contributions
+    quantize at floor(1e9) before the cross-category sum, so the frame
+    is bit-exact cross-engine."""
+    from gdp_etl_spark.operators.profile import column_entropy
+
+    return column_entropy(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"],
+    )
+
+
 def q_prefix_jaccard(spark, sf_dir):
     """PPJoin-style prefix-filtered set-similarity self-join
     (dedup.prefix_filter_jaccard_pairs) at Jaccard ≥ 0.8 over the
@@ -3622,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
         "python_datasource": q_python_datasource,
+        "column_entropy": q_column_entropy,
         "prefix_jaccard": q_prefix_jaccard,
         "seasonal_anomalies": q_seasonal_anomalies,
         "schema_evolution": q_schema_evolution,
@@ -4368,6 +4383,56 @@ def oracle_sql() -> dict[str, str]:
               SELECT sp.l_suppkey
               FROM per_sp sp JOIN per_part pp USING (l_partkey)
               WHERE sp.sp_qty > 0.5 * pp.part_qty)
+        """,
+        # per-column value histograms, fixed-point -p ln p sums
+        "column_entropy": """
+            SELECT 'o_orderstatus' AS "column", n_distinct, entropy FROM (
+              WITH counted AS (
+                SELECT CAST(o_orderstatus AS VARCHAR) AS v, COUNT(*) AS n
+                FROM orders GROUP BY 1
+              ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counted)
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     CAST(SUM(CAST(floor(-((CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+                          * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)))
+                          * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9
+                       AS entropy
+              FROM counted, tot)
+            UNION ALL
+            SELECT 'o_orderpriority' AS "column", n_distinct, entropy FROM (
+              WITH counted AS (
+                SELECT CAST(o_orderpriority AS VARCHAR) AS v, COUNT(*) AS n
+                FROM orders GROUP BY 1
+              ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counted)
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     CAST(SUM(CAST(floor(-((CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+                          * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)))
+                          * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9
+                       AS entropy
+              FROM counted, tot)
+            UNION ALL
+            SELECT 'o_custkey' AS "column", n_distinct, entropy FROM (
+              WITH counted AS (
+                SELECT CAST(o_custkey AS VARCHAR) AS v, COUNT(*) AS n
+                FROM orders GROUP BY 1
+              ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counted)
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     CAST(SUM(CAST(floor(-((CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+                          * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)))
+                          * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9
+                       AS entropy
+              FROM counted, tot)
+            UNION ALL
+            SELECT 'o_orderkey' AS "column", n_distinct, entropy FROM (
+              WITH counted AS (
+                SELECT CAST(o_orderkey AS VARCHAR) AS v, COUNT(*) AS n
+                FROM orders GROUP BY 1
+              ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counted)
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     CAST(SUM(CAST(floor(-((CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+                          * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)))
+                          * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9
+                       AS entropy
+              FROM counted, tot)
         """,
         # prefix filter replayed: same global rank, exact prefix len,
         # integer-millis verification

@@ -756,3 +756,19 @@ def test_corr_matrix_large_magnitude_exceeds_two_limb_bound(spark):
     [row] = corr_matrix(df, ["a", "b"]).collect()
     expect = float(np.corrcoef(a, b)[0, 1])
     assert abs(row["corr"] - expect) < 1e-6
+
+
+def test_column_entropy(spark):
+    import math
+
+    from gdp_etl_spark.operators.profile import column_entropy
+
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, None), ("b", 3, None), ("b", 4, None)],
+        "cat string, uniq int, const string",
+    )
+    out = {r["column"]: r for r in
+           column_entropy(df, ["cat", "uniq", "const"]).collect()}
+    assert abs(out["cat"]["entropy"] - math.log(2)) < 1e-8
+    assert abs(out["uniq"]["entropy"] - math.log(4)) < 1e-8
+    assert out["const"]["entropy"] == 0.0 and out["const"]["n_distinct"] == 1
