@@ -377,41 +377,47 @@ def column_entropy(df: DataFrame, cols) -> DataFrame:
     and NDV: entropy 0 = constant column, ln(k) = perfectly uniform
     over k values.
 
-    One scan per column's value histogram (each a map-side-combined
-    count), unioned into a (column, n_distinct, entropy) frame.  NULLs
-    count as a category of their own (profiling cares that they exist).
-    The per-category contribution ``−p·ln p`` is a fixed-order IEEE
-    expression over exact integer counts, and the cross-category sum
-    runs in floor(·1e9) fixed point — deterministic across engines,
-    partitionings, and runs (ln determinism per the drift_psi
-    precedent).
+    ONE scan for all k columns: each row stacks into k (column, value)
+    pairs (a JVM explode — column-count fan-out, not data-dependent),
+    one map-side-combined count per (column, value), then a tiny
+    per-column rollup.  k separate histogram scans would read the
+    table k times at 100 TB.  NULLs count as a category of their own
+    (profiling cares that they exist).  The per-category contribution
+    ``−p·ln p`` is a fixed-order IEEE expression over exact integer
+    counts, and the cross-category sum runs in floor(·1e9) fixed point
+    — deterministic across engines, partitionings, and runs (ln
+    determinism per the drift_psi precedent).
     """
-    outs = []
-    for c in cols:
-        counted = df.groupBy(
-            F.col(c).cast("string").alias("__v")
-        ).agg(F.count(F.lit(1)).alias("__n"))
-        tot = counted.agg(F.sum("__n").cast("long").alias("__t"))
-        contrib_q = F.floor(
-            -(
-                (F.col("__n").cast("double") / F.col("__t").cast("double"))
-                * F.log(
-                    F.col("__n").cast("double") / F.col("__t").cast("double")
-                )
+    cols = list(cols)
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("__v"),
+                    )
+                    for c in cols
+                ]
             )
-            * F.lit(1000000000.0)
-        ).cast("long")
-        outs.append(
-            counted.join(F.broadcast(tot))
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_distinct"),
-                (F.sum(contrib_q).cast("double") / F.lit(1e9)).alias("entropy"),
-            )
-            .select(
-                F.lit(c).alias("column"), "n_distinct", "entropy"
-            )
+        ).alias("cv")
+    ).select("cv.column", "cv.__v")
+    counted = stacked.groupBy("column", "__v").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    tot = counted.groupBy("column").agg(F.sum("__n").cast("long").alias("__t"))
+    contrib_q = F.floor(
+        -(
+            (F.col("__n").cast("double") / F.col("__t").cast("double"))
+            * F.log(F.col("__n").cast("double") / F.col("__t").cast("double"))
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        * F.lit(1000000000.0)
+    ).cast("long")
+    return (
+        counted.join(F.broadcast(tot), "column")
+        .groupBy("column")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            (F.sum(contrib_q).cast("double") / F.lit(1e9)).alias("entropy"),
+        )
+    )
