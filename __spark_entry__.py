@@ -270,6 +270,27 @@ def _sql_list(vals) -> str:
     return "[" + ", ".join(f"'{v}'" for v in vals) + "]"
 
 
+#: column_entropy oracle: ONE histogram/entropy template instantiated
+#: per profiled column — a single place to keep in sync with
+#: profile.column_entropy's quantization
+_COLUMN_ENTROPY_TMPL = """            SELECT '{col}' AS "column", n_distinct, entropy FROM (
+              WITH counted AS (
+                SELECT CAST({col} AS VARCHAR) AS v, COUNT(*) AS n
+                FROM orders GROUP BY 1
+              ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counted)
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     CAST(SUM(CAST(floor(-((CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+                          * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)))
+                          * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9
+                       AS entropy
+              FROM counted, tot)"""
+
+_COLUMN_ENTROPY_SQL = "\n            UNION ALL\n".join(
+    _COLUMN_ENTROPY_TMPL.format(col=c)
+    for c in ("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey")
+)
+
+
 # ===========================================================================
 # flagship (entry) — revenue by region/year with a ship-date band filter
 # ===========================================================================
@@ -4385,56 +4406,9 @@ def oracle_sql() -> dict[str, str]:
               WHERE sp.sp_qty > 0.5 * pp.part_qty)
         """,
         # per-column value histograms, fixed-point -p ln p sums
-        "column_entropy": """
-            SELECT 'o_orderstatus' AS "column", n_distinct, entropy FROM (
-              WITH counted AS (
-                SELECT CAST(o_orderstatus AS VARCHAR) AS v, COUNT(*) AS n
-                FROM orders GROUP BY 1
-              ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counted)
-              SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
-                     CAST(SUM(CAST(floor(-((CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
-                          * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)))
-                          * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9
-                       AS entropy
-              FROM counted, tot)
-            UNION ALL
-            SELECT 'o_orderpriority' AS "column", n_distinct, entropy FROM (
-              WITH counted AS (
-                SELECT CAST(o_orderpriority AS VARCHAR) AS v, COUNT(*) AS n
-                FROM orders GROUP BY 1
-              ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counted)
-              SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
-                     CAST(SUM(CAST(floor(-((CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
-                          * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)))
-                          * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9
-                       AS entropy
-              FROM counted, tot)
-            UNION ALL
-            SELECT 'o_custkey' AS "column", n_distinct, entropy FROM (
-              WITH counted AS (
-                SELECT CAST(o_custkey AS VARCHAR) AS v, COUNT(*) AS n
-                FROM orders GROUP BY 1
-              ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counted)
-              SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
-                     CAST(SUM(CAST(floor(-((CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
-                          * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)))
-                          * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9
-                       AS entropy
-              FROM counted, tot)
-            UNION ALL
-            SELECT 'o_orderkey' AS "column", n_distinct, entropy FROM (
-              WITH counted AS (
-                SELECT CAST(o_orderkey AS VARCHAR) AS v, COUNT(*) AS n
-                FROM orders GROUP BY 1
-              ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counted)
-              SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
-                     CAST(SUM(CAST(floor(-((CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
-                          * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)))
-                          * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9
-                       AS entropy
-              FROM counted, tot)
-        """,
-        # prefix filter replayed: same global rank, exact prefix len,
+        "column_entropy": _COLUMN_ENTROPY_SQL,
+        # prefix filter replayed: same rarest-first order, exact prefix
+        # len, integer-millis verification
         # integer-millis verification
         "prefix_jaccard": """
             WITH sampled AS (
@@ -4444,24 +4418,20 @@ def oracle_sql() -> dict[str, str]:
             ),
             toks AS (
               SELECT doc_id,
-                     list_distinct(string_split_regex(lower(trim(text)),
-                                                      '\s+')) AS tk
+                     list_filter(list_distinct(string_split_regex(
+                         lower(trim(text)), '\s+')), x -> x <> '') AS tk
               FROM sampled
-              WHERE len(list_distinct(string_split_regex(lower(trim(text)),
-                                                         '\s+'))) > 0
+              WHERE len(list_filter(list_distinct(string_split_regex(
+                         lower(trim(text)), '\s+')), x -> x <> '')) > 0
             ),
             tok_rows AS (
               SELECT t.doc_id, u.tok
               FROM toks t, unnest(t.tk) AS u(tok)
             ),
             freq AS (SELECT tok, COUNT(*) AS tf FROM tok_rows GROUP BY tok),
-            ranked AS (
-              SELECT tok, row_number() OVER (ORDER BY tf, tok) AS rk
-              FROM freq
-            ),
             ordered AS (
-              SELECT tr.doc_id, list(tr.tok ORDER BY r.rk) AS ord
-              FROM tok_rows tr JOIN ranked r USING (tok)
+              SELECT tr.doc_id, list(tr.tok ORDER BY f.tf, tr.tok) AS ord
+              FROM tok_rows tr JOIN freq f USING (tok)
               GROUP BY tr.doc_id
             ),
             pref AS (

@@ -444,17 +444,26 @@ def prefix_filter_jaccard_pairs(
     corpus shares a huge head vocabulary — the precise weakness of
     attribute- or bucket-blocked Jaccard (``ngram_jaccard_pairs``).
     Survivors verify with exact integer set arithmetic
-    (``|A∩B|·10³ ≥ ⌈t·10³⌉·|A∪B|`` — no float boundary).
+    (``|A∩B|·10³ ≥ ⌈t·10³⌉·|A∪B|`` — no float boundary).  The
+    effective threshold is therefore ``ceil(t·1000)/1000``: a pair
+    whose Jaccard exactly equals a non-milli-representable ``t``
+    (e.g. 2/3) compares against the next millis step.
 
     One shuffle for the global token counts, one for the candidate
     join, one distinct over candidate ids; verification joins the
     (persisted) token sets back by id.  Scale-safe at any corpus size
     whose per-document token count is bounded.
     """
+    # array_remove drops the "" token that split() yields for empty or
+    # whitespace-only text — otherwise every blank doc carries the set
+    # {""}, and N blank docs pair quadratically at jaccard 1.0
     toks = df.select(
         F.col(id_col),
-        F.array_distinct(
-            F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+        F.array_remove(
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+            ),
+            "",
         ).alias("__toks"),
     ).filter(F.size("__toks") > 0).persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -463,22 +472,18 @@ def prefix_filter_jaccard_pairs(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # dense global rank, rarest first; (tf, tok) total order makes the
-    # per-doc sort deterministic on any engine
-    from pyspark.sql import Window
-
-    rank_w = Window.orderBy("tf", "tok")
-    ranked = freq.select(
-        "tok", F.row_number().over(rank_w).cast("long").alias("rk")
-    )
-    # per-doc tokens ordered by rank; prefix length n - ceil(t*n) + 1
+    # per-doc tokens sorted by (global tf, tok) — the rarest-first
+    # total order DIRECTLY, no materialized global rank: a dense
+    # row_number rank would funnel the whole vocabulary through one
+    # unpartitioned window task, and any monotone bijection of
+    # (tf, tok) yields the identical prefix anyway
     by_rank = (
         toks.select(F.col(id_col), F.explode("__toks").alias("tok"))
-        .join(ranked, "tok")
+        .join(freq, "tok")
         .groupBy(id_col)
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("rk", "tok"))),
+                F.array_sort(F.collect_list(F.struct("tf", "tok"))),
                 lambda s: s["tok"],
             ).alias("__ordered")
         )
@@ -495,13 +500,24 @@ def prefix_filter_jaccard_pairs(
         + 1
     )
     prefixes = by_rank.select(
-        F.col(id_col), F.explode(F.slice("__ordered", 1, prefix_len)).alias("tok")
+        F.col(id_col),
+        F.size("__ordered").alias("__nt"),
+        F.explode(F.slice("__ordered", 1, prefix_len)).alias("tok"),
     )
-    a = prefixes.select(F.col(id_col).alias("id_a"), "tok")
-    b = prefixes.select(F.col(id_col).alias("id_b"), "tok")
+    a = prefixes.select(F.col(id_col).alias("id_a"), F.col("__nt").alias("__na"), "tok")
+    b = prefixes.select(F.col(id_col).alias("id_b"), F.col("__nt").alias("__nb"), "tok")
+    # length prune before the verify join: J <= min/max of the set
+    # sizes, so a pair failing 1000*min >= t_mill*max can never verify
+    # (same exact-integer filter as ngram_jaccard_pairs)
     cands = (
         a.join(b, "tok")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("__na", "__nb") * 1000
+                >= F.lit(t_mill) * F.greatest("__na", "__nb")
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )
