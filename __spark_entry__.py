@@ -837,17 +837,20 @@ def q_embedding_near_dup(spark, sf_dir):
 
 def q_semantic_decontam(spark, sf_dir):
     """Embedding-space decontamination (decontam.semantic_decontaminate):
-    corpus vectors near-identical to any benchmark vector, via
-    deterministic Rademacher buckets + broadcast benchmark + exact
-    fixed-point cosine — the semantic sibling of the shingle-hash
-    ``decontaminate``; the oracle replays buckets and similarities."""
+    corpus vectors near-identical to any benchmark vector, via 4
+    independent Rademacher LSH tables (union of candidates, per-pair
+    dedup — recall ≈0.95 at cosine 0.9 vs ≈0.54 for one table) +
+    broadcast benchmark + exact fixed-point cosine — the semantic
+    sibling of the shingle-hash ``decontaminate``; the oracle replays
+    all four tables' buckets and the similarities."""
     from gdp_etl_spark.operators.decontam import semantic_decontaminate
 
     emb = _t(spark, sf_dir, "embeddings")
     return semantic_decontaminate(
         emb.filter(F.col("vec_id") >= 50),
         emb.filter(F.col("vec_id") < 50),
-        "embedding", "vec_id", threshold=0.3, num_bits=4, dim=64,
+        "embedding", "vec_id", threshold=0.3, num_bits=4, num_tables=4,
+        dim=64,
     )
 
 
@@ -1013,11 +1016,20 @@ def q_bm25_topk(spark, sf_dir):
 
 def q_inverted_index(spark, sf_dir):
     """Inverted index: term → df + sorted distinct posting list (one
-    distinct + one term-keyed shuffle)."""
+    distinct + one term-keyed shuffle).  The registered output
+    serializes the posting list to CSV — the driver's pandas
+    canonicalizer cannot hash list cells (raw-array form stays covered
+    in tests/test_retrieval.py)."""
     from gdp_etl_spark.operators.retrieval import inverted_index
 
     d = _t(spark, sf_dir, "documents")
-    return inverted_index(d).select("term", "df", "postings")
+    return inverted_index(d).select(
+        "term",
+        "df",
+        F.concat_ws(
+            ",", F.transform("postings", lambda x: x.cast("string"))
+        ).alias("postings_csv"),
+    )
 
 
 def q_pii_redact(spark, sf_dir):
@@ -1280,8 +1292,10 @@ def q_csv_trimmed(spark, sf_dir):
         "contact: stats@example.org\n"
         "generated by feed exporter\n"
     )
+    # mkdtemp per invocation — same concurrent-reader race guard as
+    # q_fixed_width / q_schema_evolution
     path = os.path.join(
-        tempfile.gettempdir(), "gdp_etl_spark_trim_fixture.csv"
+        tempfile.mkdtemp(prefix="trim_fixture_"), "gdp_etl_spark_trim_fixture.csv"
     )
     with open(path, "w", encoding="utf-8") as f:
         f.write(content)
@@ -1309,8 +1323,11 @@ def q_fixed_width(spark, sf_dir):
         "AUT 2022   2000.25   \n"
         "BEL 2020     33.10 A\n"
     )
+    # fresh dir per invocation: a fixed shared path + truncating open()
+    # lets a concurrent bench/pytest read a half-written file (the race
+    # q_schema_evolution's mkdtemp already guards against)
     path = os.path.join(
-        tempfile.gettempdir(), "gdp_etl_spark_fw_fixture.dat"
+        tempfile.mkdtemp(prefix="fw_fixture_"), "gdp_etl_spark_fw_fixture.dat"
     )
     with open(path, "w", encoding="utf-8") as f:
         f.write(content)
@@ -1984,20 +2001,44 @@ def q_pack_sequences(spark, sf_dir):
 def q_embed_transform(spark, sf_dir):
     """Embedding transforms: unit-norm (fixed-point divisor), symmetric
     int8 quantization, and a 4-dim signed random projection — all
-    engine-deterministic by the dot_fixed recipe."""
+    engine-deterministic by the dot_fixed recipe.
+
+    The registered output serializes every array to a canonical scalar
+    (fixed-point CSV) because the driver's pandas canonicalizer cannot
+    hash list cells (the round-2 ``array_agg`` and round-3
+    ``embed_transform`` failures were exactly this).  The doubles are
+    bit-identical across engines by construction, so ``floor(x*1e9)``
+    is the same BIGINT on both sides; raw-array outputs stay covered by
+    tests/test_similarity_multimodal.py."""
     from gdp_etl_spark.functions.vectors import (
         l2_normalize,
         quantize_int8,
         random_projection,
     )
 
+    def fp_csv(arr):
+        return F.when(
+            arr.isNotNull(),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    arr,
+                    lambda x: F.floor(x * F.lit(1e9)).cast("long").cast("string"),
+                ),
+            ),
+        )
+
     e = _t(spark, sf_dir, "embeddings")
     a = F.col("embedding")
+    q8 = quantize_int8(a)
     return e.select(
         "vec_id",
-        l2_normalize(a).alias("unit"),
-        quantize_int8(a).alias("q8"),
-        random_projection(a, 4).alias("proj"),
+        fp_csv(l2_normalize(a)).alias("unit_fp"),
+        F.when(
+            q8.isNotNull(),
+            F.concat_ws(",", F.transform(q8, lambda x: x.cast("string"))),
+        ).alias("q8_csv"),
+        fp_csv(random_projection(a, 4)).alias("proj_fp"),
     )
 
 
@@ -4123,16 +4164,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_decontam": f"""
             WITH d AS (SELECT vec_id, embedding,
-                       {_rademacher_bucket_sql(4, 64, 'sd:0')} AS bkt
+                       {", ".join(f"{_rademacher_bucket_sql(4, 64, f'sd:{t}')} AS b{t}" for t in range(4))}
                        FROM embeddings WHERE vec_id >= 50),
             b AS (SELECT vec_id, embedding,
-                  {_rademacher_bucket_sql(4, 64, 'sd:0')} AS bkt
-                  FROM embeddings WHERE vec_id < 50)
-            SELECT d.vec_id, COUNT(*) AS n_hits,
-                   MAX({_cos_sql('d.embedding', 'b.embedding')}) AS max_sim
-            FROM d JOIN b ON d.bkt = b.bkt
-            WHERE {_cos_sql('d.embedding', 'b.embedding')} >= 0.3
-            GROUP BY d.vec_id
+                  {", ".join(f"{_rademacher_bucket_sql(4, 64, f'sd:{t}')} AS b{t}" for t in range(4))}
+                  FROM embeddings WHERE vec_id < 50),
+            -- OR-join = union of the 4 tables' candidates with per-pair
+            -- dedup built in (each (d,b) pair emitted at most once)
+            p AS (
+              SELECT d.vec_id AS d_id,
+                     {_cos_sql('d.embedding', 'b.embedding')} AS sim
+              FROM d JOIN b
+                ON (d.b0 = b.b0 OR d.b1 = b.b1 OR d.b2 = b.b2
+                    OR d.b3 = b.b3))
+            SELECT d_id AS vec_id, COUNT(*) AS n_hits, MAX(sim) AS max_sim
+            FROM p WHERE sim >= 0.3 GROUP BY d_id
         """,
         # the ORC write/read is Spark-side plumbing; the oracle checks
         # the data contract (same rows as filtering the source table)
@@ -4637,11 +4683,14 @@ def oracle_sql() -> dict[str, str]:
                 t(digit, benford_p)
             ),
             counted AS (
-              SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
-                         AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+              -- abs(): Benford reads the first significant digit of
+              -- |value| (mirrors profile.benford_digits; a no-op on
+              -- this all-positive feed)
+              SELECT CAST(substring(CAST(abs(CAST(round(o_totalprice * 100)
+                         AS BIGINT)) AS VARCHAR), 1, 1) AS INT) AS digit,
                      COUNT(*) AS n
               FROM orders
-              WHERE CAST(round(o_totalprice * 100.0) AS BIGINT) >= 1
+              WHERE abs(CAST(round(o_totalprice * 100.0) AS BIGINT)) >= 1
               GROUP BY 1
             ),
             tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counted)
@@ -5001,16 +5050,19 @@ def oracle_sql() -> dict[str, str]:
         # bit-for-bit the mix_to_budget recipe
         "corpus_mix": """
             WITH avail AS (
-              SELECT lang, SUM(n_chars) AS av FROM documents GROUP BY lang
+              -- CAST: DuckDB SUM(int) is HUGEINT, which would infect
+              -- rate_ppm and break the driver's int64 hash (r3 red)
+              SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS av
+              FROM documents GROUP BY lang
             ),
             w(lang, wt) AS (
               VALUES ('en', 4), ('de', 2), ('fr', 2), ('es', 1), ('zh', 1)
             ),
             rates AS (
               SELECT a.lang,
-                     LEAST(CAST(1000000 AS BIGINT),
+                     CAST(LEAST(CAST(1000000 AS BIGINT),
                            (CAST(60000 AS BIGINT) * w.wt * 1000000)
-                             // (10 * a.av)) AS rate_ppm
+                             // (10 * a.av)) AS BIGINT) AS rate_ppm
               FROM avail a JOIN w USING (lang)
             )
             SELECT d.doc_id, d.lang, d.n_chars, r.rate_ppm
@@ -5248,7 +5300,8 @@ def oracle_sql() -> dict[str, str]:
                 WHERE term <> ''
             )
             SELECT term, CAST(count(*) AS INT) AS df,
-                   list(doc_id ORDER BY doc_id) AS postings
+                   array_to_string(list(doc_id ORDER BY doc_id), ',')
+                     AS postings_csv
             FROM pairs GROUP BY term
         """,
         "pii_redact": r"""
@@ -5721,13 +5774,21 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings)
             SELECT vec_id,
                    CASE WHEN n2 <= 0 THEN NULL
-                        ELSE list_transform(embedding,
-                               x -> CAST(x AS DOUBLE) / sqrt(n2)) END AS unit,
+                        ELSE array_to_string(list_transform(embedding,
+                               x -> CAST(CAST(floor(
+                                      (CAST(x AS DOUBLE) / sqrt(n2)) * 1e9)
+                                    AS BIGINT) AS VARCHAR)), ',')
+                   END AS unit_fp,
                    CASE WHEN mx <= 0 THEN NULL
-                        ELSE list_transform(embedding,
-                               x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
-                                          + 0.5) AS INT)) END AS q8,
-                   [{", ".join(_rproj_sql(j) for j in range(4))}] AS proj
+                        ELSE array_to_string(list_transform(embedding,
+                               x -> CAST(CAST(floor(CAST(x AS DOUBLE)
+                                          * (127.0 / mx) + 0.5)
+                                    AS INT) AS VARCHAR)), ',')
+                   END AS q8_csv,
+                   array_to_string([{", ".join(
+                       f"CAST(CAST(floor(({_rproj_sql(j)}) * 1e9)"
+                       f" AS BIGINT) AS VARCHAR)" for j in range(4)
+                   )}], ',') AS proj_fp
             FROM b
         """,
         "heavy_hitters": f"""
@@ -6384,6 +6445,13 @@ def oracle_sql() -> dict[str, str]:
             FROM j, t
         """,
         "dq_checks": """
+            -- outer CASTs pin BIGINT: DuckDB sum(BIGINT) is HUGEINT
+            -- (int128), which the driver's pandas canonicalizer hashes
+            -- differently from int64 (r3 hash_match=false was this)
+            SELECT rule, kind,
+                   CAST(n_violations AS BIGINT) AS n_violations,
+                   CAST(n_checked AS BIGINT) AS n_checked
+            FROM (
             SELECT 'not_null_o_custkey' AS rule, 'not_null' AS kind,
                    count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_violations,
                    count(*) AS n_checked
@@ -6411,6 +6479,7 @@ def oracle_sql() -> dict[str, str]:
                                       WHERE c.c_custkey = o.o_custkey)),
                    count(*)
             FROM orders
+            ) t
         """,
         # simhash_pairs, lsh_topk, pagerank: approximate / iterative /
         # non-SQL-expressible → intentionally omitted (driver records

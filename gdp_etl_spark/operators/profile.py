@@ -338,11 +338,15 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
     Benford expectation ``log10(1+1/d)``, and the χ² contribution —
     one map-side-combined scan, 9-row result.
     """
-    cents = F.round(F.col(value_col) * 100).cast("long")
+    # Benford evaluates the first significant digit of |value| — a
+    # refunds/credits feed (all-negative amounts) must profile like its
+    # positive mirror, not come back empty
+    cents = F.abs(F.round(F.col(value_col) * 100).cast("long"))
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
-    # admit by CENTS >= 1, not value > 0: a value in (0, 0.005) rounds
-    # to 0 cents, whose "leading digit" 0 would crash the 1-indexed
-    # expectation lookup — no significant digit at cent resolution
+    # admit by |CENTS| >= 1, not value > 0: a value in (-0.005, 0.005)
+    # rounds to 0 cents, whose "leading digit" 0 would crash the
+    # 1-indexed expectation lookup — no significant digit at cent
+    # resolution
     counted = (
         df.filter(cents >= 1)
         .groupBy(digit.alias("digit"))

@@ -114,9 +114,15 @@ def mix_to_budget(
     ``rate_ppm = min(1e6, budget*w*1e6 // (W*available))`` — and a row is
     kept iff ``md5-bucket(key, seed) % 1e6 < rate_ppm``.  Every quantity
     is integer, so any engine with md5 reproduces the exact sample (the
-    DuckDB oracle replays it bit-for-bit).  At extreme scale
-    (``budget * w * 1e6`` past int64) the same formula runs in
-    DECIMAL(38,0) / int128; the testdata scales stay well inside int64.
+    DuckDB oracle replays it bit-for-bit).
+
+    Overflow guard: with ANSI off, ``budget * w * 1_000_000`` past int64
+    would WRAP silently (negative rate → the whole domain dropped), so
+    the numerator bound is checked driver-side from ``budget`` and
+    ``max(w)`` and raises ``ValueError`` before any job runs.  A
+    multi-trillion-token budget should divide the weights' common factor
+    out (rates only depend on ``w/W``) or pre-scale ``budget`` and
+    ``tokens_col`` to kilotokens — both keep the recipe inside int64.
 
     Scale shape: one tiny per-domain aggregate (|domains| rows) joined
     back — AQE broadcasts it, the corpus never shuffles; the keep
@@ -126,6 +132,14 @@ def mix_to_budget(
     total_w = sum(weights.values())
     if total_w <= 0:
         raise ValueError("weights must sum to a positive integer")
+    max_num = int(budget) * max(weights.values()) * 1_000_000
+    if max_num > (1 << 63) - 1:
+        raise ValueError(
+            f"budget*max(weight)*1e6 = {max_num} exceeds int64; the "
+            f"ppm rate arithmetic would wrap silently (ANSI off) and "
+            f"drop domains.  Divide the weights by their gcd or express "
+            f"budget/tokens_col in kilotokens."
+        )
     wmap = F.create_map(
         *[F.lit(x) for kv in weights.items() for x in kv]
     )

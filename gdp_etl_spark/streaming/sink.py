@@ -106,17 +106,15 @@ def run_incremental_rollup(
     double-count; pinning the checkpoint to the log makes every re-run
     resume (and overwrite) the same batch sequence.
     """
-    import os
-
     keys = list(keys)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         part = batch_df.groupBy(*keys).agg(*agg_exprs)
         part.write.mode("overwrite").parquet(
-            os.path.join(log_dir, f"batch_id={batch_id}")
+            f"{log_dir}/batch_id={batch_id}"
         )
 
-    checkpoint = os.path.join(log_dir, "_checkpoint")
+    checkpoint = f"{log_dir}/_checkpoint"
     q = (
         stream_df.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint)
@@ -127,15 +125,25 @@ def run_incremental_rollup(
         q.stop()
         raise TimeoutError("incremental rollup: backlog not drained")
     spark = stream_df.sparkSession
-    batch_dirs = [
-        d for d in (os.listdir(log_dir) if os.path.isdir(log_dir) else [])
-        if d.startswith("batch_id=")
-    ]
+    # discover batch partials through the Hadoop FileSystem API, not
+    # os.listdir: log_dir is a Spark path (HDFS/S3A/file:) that need
+    # not exist on the driver's local filesystem
+    jvm = spark.sparkContext._jvm
+    root = jvm.org.apache.hadoop.fs.Path(log_dir)
+    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    batch_dirs = (
+        [
+            st.getPath().toString()
+            for st in fs.listStatus(root)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("batch_id=")
+        ]
+        if fs.exists(root)
+        else []
+    )
     if not batch_dirs:
         raise RuntimeError("stream produced no micro-batches")
-    log = spark.read.parquet(
-        *[os.path.join(log_dir, d) for d in batch_dirs]
-    )
+    log = spark.read.parquet(*batch_dirs)
     value_cols = [c for c in log.columns if c not in keys]
     return log.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in value_cols]

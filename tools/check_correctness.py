@@ -37,6 +37,57 @@ def norm_cell(v):
     return v
 
 
+def driver_hazards(name, spark_rows, sdf_dtypes, oracle_rows, oracle_typecodes):
+    """Lint for the two classes of driver-harness failure that pass the
+    local value comparison but break the driver's pandas canonicalizer
+    (seen in rounds 2/3):
+
+    * unhashable cells — any array/map/struct column crashes
+      ``pd.unique`` with ``TypeError: unhashable type: 'list'``
+      (r2 ``array_agg``, r3 ``embed_transform``);
+    * cross-engine integer-width drift — DuckDB ``SUM(BIGINT)`` is
+      HUGEINT (int128), which pandas widens to object/float while the
+      Spark side stays int64, so the value hashes diverge even when the
+      numbers are equal (r3 ``dq_checks``/``corpus_mix``).
+
+    Returns warning strings; a clean driver window needs zero."""
+    import decimal
+
+    warns = []
+    probe = spark_rows[0] if spark_rows else ()
+    for i, cell in enumerate(probe):
+        if isinstance(cell, (list, tuple, dict, set, bytearray)):
+            warns.append(
+                f"driver-hazard: spark col #{i} holds {type(cell).__name__} "
+                f"cells (unhashable for the driver canonicalizer) — "
+                f"serialize (concat_ws/to_json) in the registered query"
+            )
+    for col, tc in oracle_typecodes:
+        if tc in ("HUGEINT", "UHUGEINT"):
+            warns.append(
+                f"driver-hazard: oracle col {col!r} is {tc} (int128) — "
+                f"CAST(... AS BIGINT) in the oracle SQL"
+            )
+        if tc.startswith("DECIMAL"):
+            warns.append(
+                f"driver-hazard: oracle col {col!r} is {tc} — pandas "
+                f"renders Decimal objects; CAST to DOUBLE/BIGINT"
+            )
+    oprobe = oracle_rows[0] if oracle_rows else ()
+    for i, cell in enumerate(oprobe):
+        if isinstance(cell, (list, tuple, dict, set, bytearray)):
+            warns.append(
+                f"driver-hazard: oracle col #{i} holds "
+                f"{type(cell).__name__} cells — serialize in the SQL"
+            )
+        if isinstance(cell, decimal.Decimal):
+            warns.append(
+                f"driver-hazard: oracle col #{i} holds Decimal cells — "
+                f"CAST to DOUBLE/BIGINT in the oracle SQL"
+            )
+    return warns
+
+
 def sort_key(row):
     return tuple((x is None, str(type(x)), str(x)) for x in row)
 
@@ -97,7 +148,7 @@ def main():
         )
 
     spark = get_spark("check", master="local[8]", shuffle_partitions=8)
-    n_pass = n_fail = n_rows_only = n_vacuous = 0
+    n_pass = n_fail = n_rows_only = n_vacuous = n_hazard = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -116,6 +167,12 @@ def main():
             n_rows_only += 1
             continue
         try:
+            # DESCRIBE gives real logical types (DB-API description is
+            # just 'NUMBER'), which is what the HUGEINT lint needs
+            oracle_typecodes = [
+                (r[0], str(r[1]))
+                for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            ]
             cur = con.execute(oracles[name])
             oracle_cols = [d[0] for d in cur.description]
             oracle_rows = cur.fetchall()
@@ -123,6 +180,12 @@ def main():
             print(f"FAIL  {name}: ORACLE ERROR {type(ex).__name__}: {ex}")
             n_fail += 1
             continue
+        hazards = driver_hazards(
+            name, spark_rows, sdf.dtypes, oracle_rows, oracle_typecodes
+        )
+        for h in hazards:
+            print(f"WARN  {name}: {h}")
+        n_hazard += bool(hazards)
         issues = compare(name, spark_rows, spark_cols, oracle_rows, oracle_cols)
         if issues:
             print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
@@ -143,7 +206,7 @@ def main():
             n_vacuous += not spark_rows
     print(
         f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only, "
-        f"{n_vacuous} vacuous =="
+        f"{n_vacuous} vacuous, {n_hazard} driver-hazard =="
     )
     spark.stop()
     return 1 if n_fail else 0
