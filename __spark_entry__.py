@@ -2371,6 +2371,80 @@ def q_ab_test(spark, sf_dir):
     )
 
 
+def q_build_fact(spark, sf_dir):
+    """§3.1 extraction composition end-to-end (plans.gdp.build_fact =
+    get_unsd_gdp_data → get_taiwan_gdp_data, ``gpd_etl_pipeline.R:
+    51-147,561-562``): wide UNSD workbooks (indicator filter → melt →
+    inner measure join → NA-keeping variable melt → zero-pad) unioned
+    with the Taiwan NSO chain (FX from the principal feed, the W2
+    2015 rebase factor, A3 base-year-FX constant prices, per-year-FX
+    current prices).  Fixtures are inline literals (the sandbox has no
+    network/Excel); the oracle replays every stage from the same
+    VALUES, so the melt/join/rebase arithmetic is hash-checked."""
+    from gdp_etl_spark.plans.gdp import build_fact
+
+    constant_wide = spark.createDataFrame(
+        [
+            (4, "Afghanistan", "Gross Domestic Product (GDP)",
+             18.0, 19.5, 20.25, 21.0),
+            (76, "Brazil", "Gross Domestic Product (GDP)",
+             2400.0, 2450.0, None, 2500.0),
+            (76, "Brazil", "Imports of goods and services",
+             1.0, 1.0, 1.0, 1.0),
+            (840, "USA", "Gross Domestic Product (GDP)",
+             16000.0, 16500.0, 17000.0, 17500.0),
+        ],
+        "CountryID int, Country string, IndicatorName string, "
+        "`2013` double, `2014` double, `2015` double, `2016` double",
+    )
+    current_wide = spark.createDataFrame(
+        [
+            (4, "Afghanistan", "Gross Domestic Product (GDP)",
+             20.0, 20.5, 20.25, 22.0),
+            (76, "Brazil", "Gross Domestic Product (GDP)",
+             2452.0, 2472.0, 2490.0, None),
+            (250, "France", "Gross Domestic Product (GDP)",
+             2800.0, 2850.0, 2900.0, 2950.0),
+            (840, "USA", "Gross Domestic Product (GDP)",
+             16800.0, 17400.0, 18000.0, 18600.0),
+        ],
+        "CountryID int, Country string, IndicatorName string, "
+        "`2013` double, `2014` double, `2015` double, `2016` double",
+    )
+    principal = spark.createDataFrame(
+        [
+            (1979, 35000.0, 1000.0),
+            (1980, 36300.0, 1100.0),
+            (2013, 480000.0, 15000.0),
+            (2014, 495000.0, 16000.0),
+            (2015, 512000.0, 16000.0),
+            (2016, 500000.0, 16129.0),
+        ],
+        "Period int, GDP_NTD_Current double, GDP_USD_Current double",
+    )
+    pre81 = spark.createDataFrame(
+        [
+            (1979, "6.GDP", 30000.0, 90000.0),
+            (1980, "6.GDP", 33000.0, 95000.0),
+            (1980, "7. Imports", 1.0, 1.0),
+        ],
+        "Period int, Expenditure string, Current_NTD double, "
+        "Chained_NTD double",
+    )
+    post81 = spark.createDataFrame(
+        [
+            (2013, "8. GDP", 460000.0, 470000.0),
+            (2014, "8. GDP", 475000.0, 480000.0),
+            (2015, "8. GDP", 490000.0, 500000.0),
+            (2016, "8. GDP", 505000.0, None),
+            (2015, "7. Imports", 2.0, 2.0),
+        ],
+        "Period int, Expenditure string, Current_NTD double, "
+        "Chained_NTD double",
+    )
+    return build_fact(constant_wide, current_wide, principal, pre81, post81)
+
+
 def q_usis_export(spark, sf_dir):
     """S7: the reference's 15-column USIS upload layout (reference
     ``gpd_etl_pipeline.R:525-558``) over a GDP-shaped fact synthesized
@@ -3621,6 +3695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- driver correctness window (first 50) --------------------------
         "flagship_revenue": q_flagship_revenue,
         "usis_export": q_usis_export,
+        "build_fact": q_build_fact,
         "qa_discrepancies": q_qa_discrepancies,
         "qa_top_log_ratio": q_qa_top_log_ratio,
         "qa_added_years": q_qa_added_years,
@@ -6276,6 +6351,124 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM orders
             GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "build_fact": """
+            WITH cw(cid, country, ind, y2013, y2014, y2015, y2016) AS (
+              VALUES (4, 'Afghanistan', 'Gross Domestic Product (GDP)',
+                      18.0, 19.5, 20.25, 21.0),
+                     (76, 'Brazil', 'Gross Domestic Product (GDP)',
+                      2400.0, 2450.0, NULL, 2500.0),
+                     (76, 'Brazil', 'Imports of goods and services',
+                      1.0, 1.0, 1.0, 1.0),
+                     (840, 'USA', 'Gross Domestic Product (GDP)',
+                      16000.0, 16500.0, 17000.0, 17500.0)
+            ),
+            uw(cid, country, ind, y2013, y2014, y2015, y2016) AS (
+              VALUES (4, 'Afghanistan', 'Gross Domestic Product (GDP)',
+                      20.0, 20.5, 20.25, 22.0),
+                     (76, 'Brazil', 'Gross Domestic Product (GDP)',
+                      2452.0, 2472.0, 2490.0, NULL),
+                     (250, 'France', 'Gross Domestic Product (GDP)',
+                      2800.0, 2850.0, 2900.0, 2950.0),
+                     (840, 'USA', 'Gross Domestic Product (GDP)',
+                      16800.0, 17400.0, 18000.0, 18600.0)
+            ),
+            -- melt keeps NULL cells (R pivot_longer default); every
+            -- value literal casts to DOUBLE (DuckDB parses 18.0 as
+            -- DECIMAL otherwise)
+            cc AS (
+              SELECT cid, y, v FROM (
+                SELECT cid, 2013 AS y, CAST(y2013 AS DOUBLE) AS v FROM cw
+                 WHERE ind = 'Gross Domestic Product (GDP)'
+                UNION ALL
+                SELECT cid, 2014, CAST(y2014 AS DOUBLE) FROM cw
+                 WHERE ind = 'Gross Domestic Product (GDP)'
+                UNION ALL
+                SELECT cid, 2015, CAST(y2015 AS DOUBLE) FROM cw
+                 WHERE ind = 'Gross Domestic Product (GDP)'
+                UNION ALL
+                SELECT cid, 2016, CAST(y2016 AS DOUBLE) FROM cw
+                 WHERE ind = 'Gross Domestic Product (GDP)')
+            ),
+            uc AS (
+              SELECT cid, y, v FROM (
+                SELECT cid, 2013 AS y, CAST(y2013 AS DOUBLE) AS v FROM uw
+                 WHERE ind = 'Gross Domestic Product (GDP)'
+                UNION ALL
+                SELECT cid, 2014, CAST(y2014 AS DOUBLE) FROM uw
+                 WHERE ind = 'Gross Domestic Product (GDP)'
+                UNION ALL
+                SELECT cid, 2015, CAST(y2015 AS DOUBLE) FROM uw
+                 WHERE ind = 'Gross Domestic Product (GDP)'
+                UNION ALL
+                SELECT cid, 2016, CAST(y2016 AS DOUBLE) FROM uw
+                 WHERE ind = 'Gross Domestic Product (GDP)')
+            ),
+            j AS (
+              SELECT cc.cid, cc.y, cc.v AS vconst, uc.v AS vcurr
+              FROM cc JOIN uc ON cc.cid = uc.cid AND cc.y = uc.y
+            ),
+            unsd AS (
+              SELECT lpad(CAST(cid AS VARCHAR), 3, '0') AS Economy_Code,
+                     CAST(y AS INT) AS Year,
+                     'GDP_at_constant_prices_2015' AS Variable,
+                     vconst AS Value
+              FROM j
+              UNION ALL
+              SELECT lpad(CAST(cid AS VARCHAR), 3, '0'),
+                     CAST(y AS INT), 'GDP_at_current_prices', vcurr
+              FROM j
+            ),
+            pr(period, ntd, usd) AS (
+              VALUES (1979, 35000.0, 1000.0), (1980, 36300.0, 1100.0),
+                     (2013, 480000.0, 15000.0), (2014, 495000.0, 16000.0),
+                     (2015, 512000.0, 16000.0), (2016, 500000.0, 16129.0)
+            ),
+            fxr AS (SELECT period,
+                           CAST(ntd AS DOUBLE) / CAST(usd AS DOUBLE) AS fx
+                    FROM pr),
+            pre(period, exp, curr, chained) AS (
+              VALUES (1979, '6.GDP', 30000.0, 90000.0),
+                     (1980, '6.GDP', 33000.0, 95000.0),
+                     (1980, '7. Imports', 1.0, 1.0)
+            ),
+            post(period, exp, curr, chained) AS (
+              VALUES (2013, '8. GDP', 460000.0, 470000.0),
+                     (2014, '8. GDP', 475000.0, 480000.0),
+                     (2015, '8. GDP', 490000.0, 500000.0),
+                     (2016, '8. GDP', 505000.0, NULL),
+                     (2015, '7. Imports', 2.0, 2.0)
+            ),
+            rb AS (SELECT CAST(curr AS DOUBLE) / CAST(chained AS DOUBLE)
+                            AS rebase
+                   FROM post WHERE period = 2015 AND exp = '8. GDP'),
+            bfx AS (SELECT fx AS fx_base FROM fxr WHERE period = 2015),
+            nso AS (
+              SELECT n.period, CAST(n.chained AS DOUBLE) AS chained,
+                     CAST(n.curr AS DOUBLE) AS curr, f.fx
+              FROM (SELECT * FROM pre UNION ALL SELECT * FROM post) n
+              LEFT JOIN fxr f ON n.period = f.period
+              WHERE n.exp IN ('6.GDP', '8. GDP')
+            ),
+            -- operand order mirrors the Spark plan exactly:
+            -- ((chained*1e6)/fx_base)*rebase, (curr*1e6)/fx
+            tw0 AS (
+              SELECT period,
+                     chained * 1e6 / bfx.fx_base * rb.rebase AS c2015,
+                     curr * 1e6 / fx AS ccurr
+              FROM nso, bfx, rb
+            ),
+            tw AS (
+              SELECT '158' AS Economy_Code, CAST(period AS INT) AS Year,
+                     'GDP_at_constant_prices_2015' AS Variable,
+                     c2015 AS Value
+              FROM tw0
+              UNION ALL
+              SELECT '158', CAST(period AS INT),
+                     'GDP_at_current_prices', ccurr
+              FROM tw0
+            )
+            SELECT * FROM unsd UNION ALL SELECT * FROM tw
         """,
         "usis_export": f"""
             WITH rev AS (

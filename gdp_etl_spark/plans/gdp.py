@@ -106,6 +106,15 @@ COMMENT_RULES: list[tuple[str, tuple[int, int] | None, str, str]] = [
 GROWTH_CODE_ALIASES = {"842": "840", "926": "826", "757": "756",
                        "251": "250", "579": "578"}
 
+#: economies whose deflator is CPI-derived because the USIS deflator
+#: feed lacks them (``gpd_etl_pipeline.R:225-228``)
+MISSING_DEFLATOR_ECONOMIES = (
+    "004", "060", "092", "136", "184",
+    "192", "232", "258", "275", "304",
+    "500", "531", "534", "540", "660",
+    "760", "796",
+)
+
 #: Variable -> USIS measure codes (``gpd_etl_pipeline.R:534-538``)
 MEASURE_CODES = {CURRENT: "0100", CONSTANT: "0940"}
 
@@ -120,6 +129,224 @@ def melt_wide_gdp(wide: DataFrame, id_cols: list[str], value_name: str) -> DataF
     year_cols = [c for c in wide.columns if c not in id_cols]
     long = wide.unpivot(id_cols, year_cols, "Year", value_name)
     return long.withColumn("Year", F.col("Year").cast("int"))
+
+
+def get_unsd_gdp_data(
+    constant_wide: DataFrame,
+    current_wide: DataFrame,
+    country_col: str = "CountryID",
+    indicator_col: str = "IndicatorName",
+    indicator: str = "Gross Domestic Product (GDP)",
+) -> DataFrame:
+    """The reference's first named extraction stage
+    (``gpd_etl_pipeline.R:51-88``): two wide UNSD AMA workbooks (one
+    year column per year) → the canonical long fact.
+
+    Per source: keep the GDP indicator rows, melt year columns; then
+    INNER join the two measures on (country, year) — a year present in
+    only one workbook is dropped, exactly the reference's
+    ``inner_join`` at ``:69`` — melt the two measures into
+    ``Variable``/``Value`` rows (NA values are KEPT, matching
+    ``pivot_longer``'s default; downstream ``sum_na_zero`` depends on
+    seeing them), and zero-pad the numeric country id to the 3-char
+    ``Economy_Code``.
+
+    The frames are injected, not fetched: the network/Excel read is
+    ``sources.read_excel``/``read_usis_csv``'s job, so this stage —
+    and its tests/oracle — run identically on any engine and sandbox.
+
+    Scale shape: melt is a JVM expression fan-out (no shuffle); the
+    measure join keys on (country, year) — one co-partitioned shuffle
+    of two already-skinny frames; everything after is map work.
+    """
+
+    def one(wide: DataFrame, value_name: str) -> DataFrame:
+        id_cols = list(wide.columns[:3])
+        kept = wide.filter(F.col(indicator_col) == indicator)
+        return melt_wide_gdp(kept, id_cols, value_name).select(
+            F.col(country_col).alias("__cid"), "Year", value_name
+        )
+
+    joined = one(constant_wide, CONSTANT).join(
+        one(current_wide, CURRENT), ["__cid", "Year"], "inner"
+    )
+    return (
+        joined.unpivot(
+            ["__cid", "Year"], [CONSTANT, CURRENT], "Variable", "Value"
+        )
+        .select(
+            F.lpad(F.col("__cid").cast("string"), 3, "0").alias("Economy_Code"),
+            F.col("Year").cast("int").alias("Year"),
+            "Variable",
+            "Value",
+        )
+    )
+
+
+def get_taiwan_gdp_data(
+    fact: DataFrame,
+    principal: DataFrame,
+    expend_pre81: DataFrame,
+    expend_post81: DataFrame,
+    base_year: int = 2015,
+) -> DataFrame:
+    """The reference's Taiwan NSO stage (``gpd_etl_pipeline.R:90-147``):
+    three feeds (already read/trimmed — ``sources.read_csv_trimmed``
+    handles the preamble/footer/``--`` contract) → economy ``158`` rows
+    appended to ``fact``.
+
+    Expected canonical columns (renames of the NSO headers):
+
+    * ``principal``: ``Period int, GDP_NTD_Current double,
+      GDP_USD_Current double`` (the reference's ``GDP (Million
+      N.T.$,at Current Prices)`` / ``(Million U.S.$ ...)``);
+    * ``expend_pre81`` / ``expend_post81``: ``Period int, Expenditure
+      string, Current_NTD double, Chained_NTD double`` (``At Current
+      Prices`` / ``Chained (2021) Dollars``).
+
+    Semantics pinned from the reference:
+
+    * the W2 **rebase factor** — the post-81 feed's ``8. GDP`` row at
+      ``base_year``: ``Current_NTD / Chained_NTD`` (``:121-124``) —
+      rebases the chained-2021 series to 2015 prices, so Taiwan's 2015
+      constant-price value equals its 2015 current-price value;
+    * the A3 **base-year FX scalar**: constant prices convert at the
+      ``base_year`` exchange rate for ALL years (``:135``), current
+      prices at each year's own rate (``:137``);
+    * the exchange rate itself is NT$/US$ from the principal feed
+      (``:133``); GDP unit is million NT$ → ``* 1e6``.
+
+    Scale shape: the three NSO feeds are one-row-per-year minutiae —
+    every derived scalar (rebase factor, base FX) is a 1-row broadcast
+    cross join (never ``.first()``/collect: the plan stays lazy and
+    cluster-side), and the per-year FX join broadcasts.  The union with
+    the planet-scale ``fact`` is by-name and shuffle-free.
+    """
+    fx = principal.select(
+        "Period",
+        (F.col("GDP_NTD_Current") / F.col("GDP_USD_Current")).alias("__fx"),
+    )
+    base_fx = fx.filter(F.col("Period") == base_year).select(
+        F.col("__fx").alias("__fx_base")
+    )
+    rebase = (
+        expend_post81.filter(
+            (F.col("Period") == base_year) & (F.col("Expenditure") == "8. GDP")
+        )
+        .select(
+            (F.col("Current_NTD") / F.col("Chained_NTD")).alias("__rebase")
+        )
+    )
+    nso = (
+        expend_pre81.unionByName(expend_post81)
+        # the pre-81 feed labels GDP "6.GDP" (sic, no space), post-81
+        # "8. GDP" (``:130``)
+        .filter(F.col("Expenditure").isin("6.GDP", "8. GDP"))
+        .join(F.broadcast(fx), "Period", "left")
+        .crossJoin(F.broadcast(base_fx))
+        .crossJoin(F.broadcast(rebase))
+    )
+    taiwan = (
+        nso.select(
+            F.col("Period"),
+            (
+                F.col("Chained_NTD") * F.lit(1e6) / F.col("__fx_base")
+                * F.col("__rebase")
+            ).alias(CONSTANT),
+            (F.col("Current_NTD") * F.lit(1e6) / F.col("__fx")).alias(CURRENT),
+        )
+        .unpivot(["Period"], [CONSTANT, CURRENT], "Variable", "Value")
+        .select(
+            F.lit("158").alias("Economy_Code"),
+            F.col("Period").cast("int").alias("Year"),
+            "Variable",
+            "Value",
+        )
+    )
+    return fact.unionByName(taiwan)
+
+
+def get_gdp_deflators(
+    cpi: DataFrame,
+    gdp_deflators: DataFrame,
+    exchange_rates: DataFrame,
+    missing_economies: tuple[str, ...] = MISSING_DEFLATOR_ECONOMIES,
+    target_year: int = 2024,
+    base_year: int = 2015,
+) -> DataFrame:
+    """The reference's deflator stage (``gpd_etl_pipeline.R:223-273``):
+    three USIS feeds (``Country_Code, Country_Label, Year, Value``) →
+    ``(Country_Code, Year, Deflator_USD)``.
+
+    * CPI branch (``:231-244``): for the economies missing from the
+      deflator feed, rebase CPI to ``base_year`` = 100 (W1 guard: the
+      base value applies only when exactly ONE base-year row exists per
+      economy) and keep the ``target_year`` row;
+    * deflator branch (``:248-265``): national-currency deflator / FX
+      (S2×2 left join), rebased to ``base_year`` the same way — USD
+      deflator for every year;
+    * union + ``na.omit`` (``:267-271``): any row with a NULL (no FX,
+      no base-year value, NA input) drops.
+
+    Scale shape: both rebases are ONE window shuffle per branch
+    (``base_value_broadcast``); the FX join co-partitions on
+    (country, year).
+    """
+    from ..operators.windows import base_value_broadcast
+
+    c = (
+        cpi.select("Country_Code", "Country_Label", "Year", "Value")
+        .filter(F.col("Country_Code").isin(*missing_economies))
+    )
+    c = base_value_broadcast(
+        c, ["Country_Label"], "Year", "Value", base_year, "__v_base"
+    )
+    cpi_out = (
+        c.withColumn(
+            "Deflator_USD",
+            F.lit(100.0) * F.col("Value") / F.col("__v_base"),
+        )
+        .filter(F.col("Year") == target_year)
+        .select("Country_Code", "Year", "Deflator_USD")
+    )
+    fx = exchange_rates.select(
+        "Country_Code", "Year", F.col("Value").alias("__fx")
+    )
+    d = (
+        gdp_deflators.select("Country_Code", "Country_Label", "Year", "Value")
+        .join(fx, ["Country_Code", "Year"], "left")
+        .withColumn("Deflator_exg", F.col("Value") / F.col("__fx"))
+    )
+    d = base_value_broadcast(
+        d, ["Country_Label"], "Year", "Deflator_exg", base_year, "__d_base"
+    )
+    defl_out = d.withColumn(
+        "Deflator_USD",
+        F.lit(100.0) * F.col("Deflator_exg") / F.col("__d_base"),
+    ).select("Country_Code", "Year", "Deflator_USD")
+    return cpi_out.unionByName(defl_out).dropna()
+
+
+def build_fact(
+    unsd_constant_wide: DataFrame,
+    unsd_current_wide: DataFrame,
+    taiwan_principal: DataFrame,
+    taiwan_expend_pre81: DataFrame,
+    taiwan_expend_post81: DataFrame,
+    base_year: int = 2015,
+) -> DataFrame:
+    """§3.1 end-to-end extraction composition: the canonical fact the
+    reference assembles before any transform —
+    ``get_unsd_gdp_data() |> get_taiwan_gdp_data()``
+    (``gpd_etl_pipeline.R:561-562``).  Feed the result to
+    :func:`run_pipeline`."""
+    return get_taiwan_gdp_data(
+        get_unsd_gdp_data(unsd_constant_wide, unsd_current_wide),
+        taiwan_principal,
+        taiwan_expend_pre81,
+        taiwan_expend_post81,
+        base_year=base_year,
+    )
 
 
 def remap_dissolved_economies(df: DataFrame) -> DataFrame:

@@ -261,3 +261,115 @@ def test_run_pipeline_end_to_end(spark, fact, dims, tmp_path):
         generic, "Economy_Code", "Year", "Variable", "Value"
     )
     assert usis.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# §3.1 extraction composition (build_fact / get_* stages)
+# ---------------------------------------------------------------------------
+
+def _taiwan_feeds(spark):
+    principal = spark.createDataFrame(
+        [(2014, 495000.0, 16000.0), (2015, 512000.0, 16000.0),
+         (2016, 500000.0, 16129.0)],
+        "Period int, GDP_NTD_Current double, GDP_USD_Current double",
+    )
+    post81 = spark.createDataFrame(
+        [(2014, "8. GDP", 475000.0, 480000.0),
+         (2015, "8. GDP", 490000.0, 500000.0),
+         (2016, "8. GDP", 505000.0, 510000.0),
+         (2015, "7. Imports", 2.0, 2.0)],
+        "Period int, Expenditure string, Current_NTD double, Chained_NTD double",
+    )
+    pre81 = spark.createDataFrame(
+        [], "Period int, Expenditure string, Current_NTD double, Chained_NTD double"
+    )
+    return principal, pre81, post81
+
+
+def test_taiwan_2015_rebase_factor_semantics(spark):
+    """The W2 rebase pins Taiwan's base-year identity: rebasing the
+    chained-2021 series by (Current/Chained)@2015 and converting at the
+    2015 FX makes constant-2015 == current exactly AT 2015
+    (gpd_etl_pipeline.R:121-136)."""
+    from gdp_etl_spark.plans.gdp import CONSTANT, CURRENT, get_taiwan_gdp_data
+
+    principal, pre81, post81 = _taiwan_feeds(spark)
+    empty_fact = spark.createDataFrame(
+        [], "Economy_Code string, Year int, Variable string, Value double"
+    )
+    out = get_taiwan_gdp_data(empty_fact, principal, pre81, post81)
+    got = {(r["Year"], r["Variable"]): r["Value"] for r in out.collect()}
+    fx_2015 = 512000.0 / 16000.0                       # 32.0
+    rebase = 490000.0 / 500000.0                       # 0.98
+    # at 2015: chained*rebase == current, so the two variables coincide
+    assert got[(2015, CONSTANT)] == pytest.approx(got[(2015, CURRENT)], rel=1e-12)
+    assert got[(2015, CURRENT)] == pytest.approx(490000.0 * 1e6 / fx_2015)
+    # off-base year: constant uses the 2015 FX for every year,
+    # current uses that year's own FX
+    assert got[(2014, CONSTANT)] == pytest.approx(480000.0 * 1e6 / fx_2015 * rebase)
+    assert got[(2014, CURRENT)] == pytest.approx(475000.0 * 1e6 / (495000.0 / 16000.0))
+    # non-GDP expenditure rows never leak through
+    assert len(got) == 6
+
+
+def test_get_unsd_gdp_data_inner_join_and_na(spark):
+    from gdp_etl_spark.plans.gdp import CONSTANT, CURRENT, get_unsd_gdp_data
+
+    wide_schema = (
+        "CountryID int, Country string, IndicatorName string, "
+        "`2015` double, `2016` double"
+    )
+    const = spark.createDataFrame(
+        [(4, "Afghanistan", "Gross Domestic Product (GDP)", None, 21.0),
+         (4, "Afghanistan", "Imports of goods and services", 5.0, 5.0),
+         (840, "USA", "Gross Domestic Product (GDP)", 17000.0, 17500.0)],
+        wide_schema,
+    )
+    curr = spark.createDataFrame(
+        [(4, "Afghanistan", "Gross Domestic Product (GDP)", 20.25, 22.0)],
+        wide_schema,
+    )
+    out = get_unsd_gdp_data(const, curr)
+    got = rows(out, "Economy_Code", "Year", "Variable", "Value")
+    # USA dropped by the inner measure join; NA constant value KEPT;
+    # codes zero-padded
+    assert got == [
+        ("004", 2015, CONSTANT, None),
+        ("004", 2015, CURRENT, 20.25),
+        ("004", 2016, CONSTANT, 21.0),
+        ("004", 2016, CURRENT, 22.0),
+    ]
+
+
+def test_get_gdp_deflators_union_guard_naomit(spark):
+    from gdp_etl_spark.plans.gdp import get_gdp_deflators
+
+    feed = "Country_Code string, Country_Label string, Year int, Value double"
+    cpi = spark.createDataFrame(
+        [("004", "Afghanistan", 2015, 80.0),
+         ("004", "Afghanistan", 2024, 120.0),
+         # not in MISSING_DEFLATOR_ECONOMIES -> excluded from CPI branch
+         ("076", "Brazil", 2015, 90.0), ("076", "Brazil", 2024, 99.0),
+         # duplicate base-year rows -> W1 guard -> NULL -> na.omit drops
+         ("192", "Cuba", 2015, 50.0), ("192", "Cuba", 2015, 51.0),
+         ("192", "Cuba", 2024, 60.0)],
+        feed,
+    )
+    defl = spark.createDataFrame(
+        [("076", "Brazil", 2015, 100.0), ("076", "Brazil", 2024, 140.0),
+         # no FX row -> NULL Deflator_exg -> na.omit drops
+         ("276", "Germany", 2015, 101.0)],
+        feed,
+    )
+    fx = spark.createDataFrame(
+        [("076", "Brazil", 2015, 2.0), ("076", "Brazil", 2024, 2.5)], feed
+    )
+    out = get_gdp_deflators(cpi, defl, fx)
+    got = rows(out, "Country_Code", "Year", "Deflator_USD")
+    # CPI branch: 100*120/80 at 2024 only; deflator branch rebased to
+    # (100/2.0)=50 at 2015 -> 2015: 100, 2024: 100*(140/2.5)/50 = 112
+    assert got == [
+        ("004", 2024, 150.0),
+        ("076", 2015, 100.0),
+        ("076", 2024, 112.0),
+    ]
