@@ -3683,19 +3683,102 @@ def q_table_checksum(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
-    verifies the FIRST 50 keys each round, so the window below is
-    curated to carry maximum signal — the reference-parity flagships
-    (USIS export, the 5 QA discrepancy reports, the curation DAG), the
-    SQL/merge/SCD2/as-of surface, the TPC-H-shaped analytics, and every
-    query whose implementation changed this round.  The remainder
-    (driver-verified green in round 2, or scheduled for the round-4
-    window rotation) keeps its full oracle coverage under
-    ``tools/check_correctness.py``."""
+    verifies the FIRST 50 keys each round.  The round-4 window is a
+    ROTATION onto queries that have never had a driver CORRECTNESS row
+    (71 of 164 after rounds 1-3), plus the four round-2/3 driver
+    mismatches whose contracts were fixed this round (embed_transform,
+    dq_checks, corpus_mix, array_agg) and the new build_fact
+    composition.  Everything rotated out stays registered below with
+    identical local oracle coverage (``tools/check_correctness.py``);
+    the remaining never-driver-checked queries are grouped right after
+    the window for the round-5 rotation."""
     return {
         # -- driver correctness window (first 50) --------------------------
+        # round-2/3 driver-contract mismatches, re-checked after fixes
+        "embed_transform": q_embed_transform,
+        "dq_checks": q_dq_checks,
+        "corpus_mix": q_corpus_mix,
+        "array_agg": q_array_agg,
+        # new this round: §3.1 extraction composition
+        "build_fact": q_build_fact,
+        # TPC-H topology sweep (Q2-Q22 shapes) — never driver-checked
+        "min_cost_supplier": q_min_cost_supplier,
+        "top_acctbal_no_orders": q_top_acctbal_no_orders,
+        "regional_volume": q_regional_volume,
+        "market_share": q_market_share,
+        "nation_profit": q_nation_profit,
+        "order_count_dist": q_order_count_dist,
+        "promo_ratio": q_promo_ratio,
+        "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "big_order_customers": q_big_order_customers,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "late_orders": q_late_orders,
+        "waiting_supplier": q_waiting_supplier,
+        "forecast_revenue": q_forecast_revenue,
+        "important_parts": q_important_parts,
+        "priority_by_flag": q_priority_by_flag,
+        "part_supplier_counts": q_part_supplier_counts,
+        "excess_suppliers": q_excess_suppliers,
+        # graph / linkage / profile flagships — never driver-checked
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "record_linkage": q_record_linkage,
+        "prefix_jaccard": q_prefix_jaccard,
+        "semantic_decontam": q_semantic_decontam,
+        "corr_matrix": q_corr_matrix,
+        "column_entropy": q_column_entropy,
+        "benford": q_benford,
+        "row_ids": q_row_ids,
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "drift_psi": q_drift_psi,
+        "outlier_fences": q_outlier_fences,
+        "mad_outliers": q_mad_outliers,
+        "linear_trend": q_linear_trend,
+        # array/multimodal/cogroup surface (hazards fixed this round)
+        "array_map_funcs": q_array_map_funcs,
+        "inverted_index": q_inverted_index,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "binary_header": q_binary_header,
+        "cogroup_reconcile": q_cogroup_reconcile,
+        "pseudonymize": q_pseudonymize,
+        "events_sliding": q_events_sliding,
+        "interval_overlap": q_interval_overlap,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "python_datasource": q_python_datasource,
+        "schema_evolution": q_schema_evolution,
+        # -- end of driver window (50) --------------------------------------
+        # never driver-checked yet: round-5 rotation candidates
+        "sketch_bounds": q_sketch_bounds,
+        "heavy_hitters": q_heavy_hitters,
+        "top_bigrams": q_top_bigrams,
+        "value_windows": q_value_windows,
+        "hash_split": q_hash_split,
+        "weighted_sample": q_weighted_sample,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "histogram": q_histogram,
+        "calendar_dim": q_calendar_dim,
+        "pareto_share": q_pareto_share,
+        "range_frame": q_range_frame,
+        "ab_test": q_ab_test,
+        "category_drift": q_category_drift,
+        "equidepth": q_equidepth,
+        "udtf_matches": q_udtf_matches,
+        "semi_anti_join": q_semi_anti_join,
+        "json_extract": q_json_extract,
+        "string_funcs": q_string_funcs,
+        "conditional_agg": q_conditional_agg,
+        "group_stats": q_group_stats,
+        "rank_windows": q_rank_windows,
+        "datetime_funcs": q_datetime_funcs,
+        "sample_per_group": q_sample_per_group,
+        "orc_roundtrip": q_orc_roundtrip,
+        "content_hash": q_content_hash,
+        # -- driver-green in round 3 (CORRECTNESS_r03.json) -----------------
         "flagship_revenue": q_flagship_revenue,
         "usis_export": q_usis_export,
-        "build_fact": q_build_fact,
         "qa_discrepancies": q_qa_discrepancies,
         "qa_top_log_ratio": q_qa_top_log_ratio,
         "qa_added_years": q_qa_added_years,
@@ -3735,91 +3818,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
-        "embed_transform": q_embed_transform,
         "repetition_stats": q_repetition_stats,
         "bm25_topk": q_bm25_topk,
         "pii_redact": q_pii_redact,
         "profile_table": q_profile_table,
-        "dq_checks": q_dq_checks,
-        "corpus_mix": q_corpus_mix,
-        # round-3 flagships promoted into the driver's 50-entry window
-        # (array_agg / binary_header rotated below it — driver-green in
-        # r02, still oracle-covered)
         "lm_score": q_lm_score,
         "cms_heavy_hitters": q_cms_heavy_hitters,
-        "min_cost_supplier": q_min_cost_supplier,
-        "top_acctbal_no_orders": q_top_acctbal_no_orders,
-        "array_agg": q_array_agg,
-        "binary_header": q_binary_header,
-        "pseudonymize": q_pseudonymize,
-        "events_sliding": q_events_sliding,
         "rolling_window": q_rolling_window,
-        # -- TPC-H join/agg topology sweep (Q4/5/8/9/13/14/15/17/18/19/21
-        #    shapes adapted to this schema) --------------------------------
-        "regional_volume": q_regional_volume,
-        "market_share": q_market_share,
-        "nation_profit": q_nation_profit,
-        "order_count_dist": q_order_count_dist,
-        "promo_ratio": q_promo_ratio,
-        "top_supplier": q_top_supplier,
-        "small_qty_revenue": q_small_qty_revenue,
-        "big_order_customers": q_big_order_customers,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "late_orders": q_late_orders,
-        "waiting_supplier": q_waiting_supplier,
-        "forecast_revenue": q_forecast_revenue,
-        "important_parts": q_important_parts,
-        "priority_by_flag": q_priority_by_flag,
-        "part_supplier_counts": q_part_supplier_counts,
-        "excess_suppliers": q_excess_suppliers,
-        "python_datasource": q_python_datasource,
-        "column_entropy": q_column_entropy,
-        "prefix_jaccard": q_prefix_jaccard,
-        "seasonal_anomalies": q_seasonal_anomalies,
-        "schema_evolution": q_schema_evolution,
-        "corr_matrix": q_corr_matrix,
-        "record_linkage": q_record_linkage,
-        "benford": q_benford,
-        "datetime_funcs": q_datetime_funcs,
-        "array_map_funcs": q_array_map_funcs,
-        "cogroup_reconcile": q_cogroup_reconcile,
-        "sample_per_group": q_sample_per_group,
-        "triangle_count": q_triangle_count,
-        "row_ids": q_row_ids,
-        "interval_overlap": q_interval_overlap,
-        "orc_roundtrip": q_orc_roundtrip,
-        "semantic_decontam": q_semantic_decontam,
-        "inverted_index": q_inverted_index,
-        "hash_split": q_hash_split,
-        "top_bigrams": q_top_bigrams,
-        "value_windows": q_value_windows,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "heavy_hitters": q_heavy_hitters,
-        "outlier_fences": q_outlier_fences,
-        "weighted_sample": q_weighted_sample,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "histogram": q_histogram,
-        "mad_outliers": q_mad_outliers,
-        "linear_trend": q_linear_trend,
-        "drift_psi": q_drift_psi,
-        "calendar_dim": q_calendar_dim,
-        "pareto_share": q_pareto_share,
-        "range_frame": q_range_frame,
-        "ab_test": q_ab_test,
-        "category_drift": q_category_drift,
-        "equidepth": q_equidepth,
-        "udtf_matches": q_udtf_matches,
-        "semi_anti_join": q_semi_anti_join,
-        "json_extract": q_json_extract,
-        "string_funcs": q_string_funcs,
-        "conditional_agg": q_conditional_agg,
-        "group_stats": q_group_stats,
-        "rank_windows": q_rank_windows,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "pagerank": q_pagerank,
-        "sketch_bounds": q_sketch_bounds,
         # -- driver-green in round 2 (CORRECTNESS_r02.json) -----------------
         "projection": q_projection,
         "neg_projection": q_neg_projection,
@@ -3861,7 +3866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_lang": q_quality_lang,
         "fingerprint": q_fingerprint,
-        "content_hash": q_content_hash,
         # -- rows-only by design --------------------------------------------
         # ivf_topk: approximate pruning path; its machinery is fully
         # checked by ivf_recall (exhaustive-probe == exact oracle).
