@@ -286,17 +286,37 @@ def corr_matrix(
             )
     summed = d.agg(*aggs)
 
+    # wide (3-limb) conversion: whole-table squared sums exceed
+    # _dec2dbl's 2^85 exactness bound long before 100 TB.  The
+    # conversions live in their OWN projection, not inlined into the
+    # pair structs: each converted sum feeds several pairs, so inlining
+    # replicates the limb splits ~k times and the generated
+    # doConsume method for the explode blows the JVM's 64 KB limit at
+    # k=4 (codegen falls back to interpreted — correct but slow and
+    # noisy).  Multi-referenced non-cheap aliases also stop Catalyst's
+    # CollapseProject from undoing the split.
+    conv = [F.col("__n")]
+    for i in range(len(cols)):
+        conv.append(_dec2dbl_wide(f"__s{i}", _Q).alias(f"__sd{i}"))
+        conv.append(
+            _dec2dbl_wide(f"__s{i}{i}", _Q * _Q).alias(f"__sd{i}{i}")
+        )
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            conv.append(
+                _dec2dbl_wide(f"__s{i}{j}", _Q * _Q).alias(f"__sd{i}{j}")
+            )
+    converted = summed.select(*conv)
+
     pair_rows = []
     n = F.col("__n")
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
-            # wide (3-limb) conversion: whole-table squared sums exceed
-            # _dec2dbl's 2^85 exactness bound long before 100 TB
-            sx = _dec2dbl_wide(f"__s{i}", _Q)
-            sy = _dec2dbl_wide(f"__s{j}", _Q)
-            sxx = _dec2dbl_wide(f"__s{i}{i}", _Q * _Q)
-            syy = _dec2dbl_wide(f"__s{j}{j}", _Q * _Q)
-            sxy = _dec2dbl_wide(f"__s{i}{j}", _Q * _Q)
+            sx = F.col(f"__sd{i}")
+            sy = F.col(f"__sd{j}")
+            sxx = F.col(f"__sd{i}{i}")
+            syy = F.col(f"__sd{j}{j}")
+            sxy = F.col(f"__sd{i}{j}")
             det_x = n * sxx - sx * sx
             det_y = n * syy - sy * sy
             corr = F.when(
@@ -311,6 +331,6 @@ def corr_matrix(
                     corr.alias("corr"),
                 )
             )
-    return summed.select(
+    return converted.select(
         F.explode(F.array(*pair_rows)).alias("p")
     ).select("p.*")
