@@ -2445,6 +2445,68 @@ def q_build_fact(spark, sf_dir):
     return build_fact(constant_wide, current_wide, principal, pre81, post81)
 
 
+def q_http_csv_scan(spark, sf_dir):
+    """S2 end-to-end: the reference's HTTP CSV feed path
+    (``read_usis``, ``gpd_etl_pipeline.R:41-49``) through the REAL
+    default fetcher — a ``file://`` URL exercises the full
+    urllib-fetch → temp-file → skip/footer/NA-trimmed CSV scan chain
+    with zero injection (the sandbox has no network; file:// is the
+    same urlopen code path).  Oracle is the inline expected rows."""
+    import os
+    import tempfile
+
+    from gdp_etl_spark.sources import read_http_csv
+
+    content = (
+        "USIS feed export (banner)\n"
+        "Country_Code,Year,Value\n"
+        "004,2015,80.5\n"
+        "004,2016,--\n"
+        "076,2015,91.25\n"
+        "rows: 3 (footer)\n"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="usis_http_"), "feed.csv")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(content)
+    return read_http_csv(
+        spark,
+        f"file://{path}",
+        "Country_Code string, Year int, Value double",
+        skip_rows=1,
+        skip_footer=1,
+        na_values=("--",),
+    )
+
+
+def q_excel_scan(spark, sf_dir):
+    """S4 end-to-end: UNSD AMA workbook ingestion (``read_excel``,
+    ``gpd_etl_pipeline.R:53-63``) — a SpreadsheetML fixture written by
+    the stdlib writer, read back through ``read_excel`` (pandas+
+    openpyxl when installed, the pure-stdlib ECMA-376 parser
+    otherwise), banner row skipped, typed via explicit schema.  Oracle
+    is the inline expected rows."""
+    import os
+    import tempfile
+
+    from gdp_etl_spark.sources import read_excel, write_minimal_xlsx
+
+    path = os.path.join(tempfile.mkdtemp(prefix="unsd_xlsx_"), "ama.xlsx")
+    write_minimal_xlsx(
+        path,
+        [
+            ["UNSD AMA export", None, None],            # banner (skipped)
+            ["CountryID", "Country", "2015"],           # header
+            [4.0, "Afghanistan", 20.25],
+            [76.0, "Brazil", 2490.0],
+            [840.0, "USA", 18000.0],
+        ],
+    )
+    return read_excel(
+        spark, path, skip_rows=1,
+        schema="CountryID double, Country string, `2015` double",
+    )
+
+
 def q_usis_export(spark, sf_dir):
     """S7: the reference's 15-column USIS upload layout (reference
     ``gpd_etl_pipeline.R:525-558``) over a GDP-shaped fact synthesized
@@ -3699,8 +3761,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_checks": q_dq_checks,
         "corpus_mix": q_corpus_mix,
         "array_agg": q_array_agg,
-        # new this round: §3.1 extraction composition
+        # new this round: §3.1 extraction composition + the S2/S4
+        # ingestion chains run end-to-end (file:// fetch, stdlib xlsx)
         "build_fact": q_build_fact,
+        "http_csv_scan": q_http_csv_scan,
+        "excel_scan": q_excel_scan,
         # TPC-H topology sweep (Q2-Q22 shapes) — never driver-checked
         "min_cost_supplier": q_min_cost_supplier,
         "top_acctbal_no_orders": q_top_acctbal_no_orders,
@@ -3731,9 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "row_ids": q_row_ids,
         "seasonal_anomalies": q_seasonal_anomalies,
-        "drift_psi": q_drift_psi,
         "outlier_fences": q_outlier_fences,
-        "mad_outliers": q_mad_outliers,
         "linear_trend": q_linear_trend,
         # array/multimodal/cogroup surface (hazards fixed this round)
         "array_map_funcs": q_array_map_funcs,
@@ -3751,6 +3814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         # -- end of driver window (50) --------------------------------------
         # never driver-checked yet: round-5 rotation candidates
+        "drift_psi": q_drift_psi,
+        "mad_outliers": q_mad_outliers,
         "sketch_bounds": q_sketch_bounds,
         "heavy_hitters": q_heavy_hitters,
         "top_bigrams": q_top_bigrams,
@@ -6355,6 +6420,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM orders
             GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "http_csv_scan": """
+            SELECT Country_Code, CAST(Year AS INT) AS Year,
+                   CAST(Value AS DOUBLE) AS Value
+            FROM (VALUES ('004', 2015, 80.5),
+                         ('004', 2016, NULL),
+                         ('076', 2015, 91.25))
+                 t(Country_Code, Year, Value)
+        """,
+        "excel_scan": """
+            SELECT CAST(CountryID AS DOUBLE) AS CountryID, Country,
+                   CAST(v2015 AS DOUBLE) AS "2015"
+            FROM (VALUES (4, 'Afghanistan', 20.25),
+                         (76, 'Brazil', 2490.0),
+                         (840, 'USA', 18000.0))
+                 t(CountryID, Country, v2015)
         """,
         "build_fact": """
             WITH cw(cid, country, ind, y2013, y2014, y2015, y2016) AS (

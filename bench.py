@@ -30,8 +30,16 @@ from gdp_etl_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-#: headline set: every family that matters at scale, nothing quadratic.
-BENCH_QUERIES = [
+#: queries to EXCLUDE from the bench.  Empty by design since round 4:
+#: the bench enumerates every registered query (registration order), so
+#: a new operator cannot ship without a benchmark row and a regression
+#: in any family is catchable round-over-round.  Add a name here only
+#: with a written reason (e.g. a deliberately quadratic demo).
+BENCH_EXCLUDE: frozenset[str] = frozenset()
+
+#: pre-round-4 curated headline set, kept for subset comparisons
+#: against BENCH_r01-r03 (BASELINE.md reads this list).
+HEADLINE_QUERIES = [
     "flagship_revenue",     # multi-join star + agg
     "compute_project",      # scan-heavy projection math
     "filter_band",          # pushed-down band predicate
@@ -143,6 +151,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _warmup(spark)
     queries = entry_mod.queries()
+    BENCH_QUERIES = [n for n in queries if n not in BENCH_EXCLUDE]
     # round-robin over repeats (not query-by-query back-to-back) so a
     # transient host-load spike lands on different queries per pass and
     # the median sees it at most once per query

@@ -134,34 +134,203 @@ def usis_url(series: str, source: str, measure: str) -> str:
     )
 
 
+#: SpreadsheetML main namespace (ECMA-376 / ISO 29500 part 1)
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _xlsx_col_index(cell_ref: str) -> int:
+    """'A1' → 0, 'B3' → 1, 'AA7' → 26 (base-26 letters prefix)."""
+    idx = 0
+    for ch in cell_ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _read_xlsx_stdlib(data: bytes, skip_rows: int):
+    """Pure-stdlib xlsx parser (zipfile + ElementTree over ECMA-376
+    SpreadsheetML) for simple dense workbooks — the UNSD AMA feed shape:
+    first worksheet, a banner to skip, a header row, typed cells
+    (numeric / shared string / inline string).  Exists so S4 ingestion
+    runs END-TO-END without openpyxl; anything fancier (formulas, date
+    styles, multiple sheets) should go through pandas+openpyxl."""
+    import re
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    import pandas as pd
+
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        for si in root.findall(f"{_XLSX_NS}si"):
+            shared.append(
+                "".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t"))
+            )
+    sheets = sorted(
+        n for n in zf.namelist()
+        if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+    )
+    if not sheets:
+        raise ValueError("workbook has no worksheets")
+    root = ET.fromstring(zf.read(sheets[0]))
+    raw_rows: list[dict[int, object]] = []
+    for row in root.iter(f"{_XLSX_NS}row"):
+        cells: dict[int, object] = {}
+        for c in row.findall(f"{_XLSX_NS}c"):
+            col = _xlsx_col_index(c.get("r", "A"))
+            kind = c.get("t", "n")
+            if kind == "inlineStr":
+                val: object = "".join(
+                    t.text or "" for t in c.iter(f"{_XLSX_NS}t")
+                )
+            else:
+                v = c.find(f"{_XLSX_NS}v")
+                if v is None or v.text is None:
+                    val = None
+                elif kind == "s":
+                    val = shared[int(v.text)]
+                elif kind == "str":
+                    val = v.text
+                else:
+                    val = float(v.text)
+            cells[col] = val
+        raw_rows.append(cells)
+    width = max((max(r) + 1 for r in raw_rows if r), default=0)
+    matrix = [[r.get(i) for i in range(width)] for r in raw_rows]
+    matrix = matrix[skip_rows:]
+    if not matrix:
+        raise ValueError("workbook empty after skip_rows")
+    header = [str(h) for h in matrix[0]]
+    return pd.DataFrame(matrix[1:], columns=header)
+
+
+def write_minimal_xlsx(path: str, rows: Sequence[Sequence[object]]) -> None:
+    """Minimal SpreadsheetML writer (one sheet, inline strings, numeric
+    cells) — enough to build round-trip fixtures for
+    :func:`read_excel` without openpyxl.  Numbers are written as
+    numeric cells, everything else as inline strings, ``None`` as an
+    empty cell."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def cell_ref(r: int, c: int) -> str:
+        letters = ""
+        c += 1
+        while c:
+            c, rem = divmod(c - 1, 26)
+            letters = chr(ord("A") + rem) + letters
+        return f"{letters}{r + 1}"
+
+    body = []
+    for ri, row in enumerate(rows):
+        cells = []
+        for ci, val in enumerate(row):
+            ref = cell_ref(ri, ci)
+            if val is None:
+                continue
+            if isinstance(val, (int, float)) and not isinstance(val, bool):
+                cells.append(f'<c r="{ref}"><v>{val!r}</v></c>')
+            else:
+                cells.append(
+                    f'<c r="{ref}" t="inlineStr"><is><t>'
+                    f"{escape(str(val))}</t></is></c>"
+                )
+        body.append(f'<row r="{ri + 1}">{"".join(cells)}</row>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        + "".join(body) + "</sheetData></worksheet>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/'
+        '2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        'worksheet+xml"/></Types>'
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("_rels/.rels", root_rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
 def read_excel(
     spark: SparkSession,
     path_or_bytes: str | bytes,
     skip_rows: int = 0,
     schema: StructType | str | None = None,
 ) -> DataFrame:
-    """S4: Excel → driver-side pandas parse → ``createDataFrame``
-    (reference UNSD AMA files, ``gpd_etl_pipeline.R:53-63,284``).  These
-    files are ≤ a few MB; for anything larger, pre-convert to parquet.
+    """S4: Excel → driver-side parse → ``createDataFrame`` (reference
+    UNSD AMA files, ``gpd_etl_pipeline.R:53-63,284``).  These files are
+    ≤ a few MB; for anything larger, pre-convert to parquet.
 
-    Requires an Excel engine (openpyxl); raises a clear error when the
-    environment lacks one — tests then feed the pipeline stage functions
-    directly with fixture DataFrames."""
+    Parse path: pandas+openpyxl when the engine is installed (full
+    format coverage); otherwise the pure-stdlib SpreadsheetML parser
+    (:func:`_read_xlsx_stdlib` — dense simple workbooks, exactly the
+    UNSD feed shape), so S4 ingestion works end-to-end in environments
+    without openpyxl."""
     import pandas as pd
 
+    data = (
+        path_or_bytes
+        if isinstance(path_or_bytes, bytes)
+        else open(path_or_bytes, "rb").read()
+    )
+    import zipfile
+
     try:
-        if isinstance(path_or_bytes, bytes):
-            pdf = pd.read_excel(io.BytesIO(path_or_bytes), skiprows=skip_rows)
-        else:
-            pdf = pd.read_excel(path_or_bytes, skiprows=skip_rows)
-    except (ImportError, ValueError) as exc:
-        # pandas raises ImportError for a missing engine on a valid
-        # workbook, ValueError when it can't even sniff the format
-        raise NotImplementedError(
-            "Excel ingestion needs openpyxl (not installed in this "
-            f"environment) and a valid workbook; underlying error: {exc}. "
-            "Convert the workbook to CSV and use read_csv, or pass a "
-            "fixture DataFrame to the pipeline stage directly"
+        pdf = pd.read_excel(io.BytesIO(data), skiprows=skip_rows)
+    except ImportError:
+        # no Excel engine installed — fall back to the stdlib parser
+        try:
+            pdf = _read_xlsx_stdlib(data, skip_rows)
+        except zipfile.BadZipFile as exc:
+            raise ValueError(
+                f"not a readable Excel workbook: {exc}. Convert to CSV "
+                f"and use read_csv, or pass a fixture DataFrame directly"
+            ) from exc
+    except ValueError as exc:
+        # pandas can't even sniff the format: not a workbook
+        raise ValueError(
+            f"not a readable Excel workbook: {exc}. Convert to CSV and "
+            f"use read_csv, or pass a fixture DataFrame directly"
         ) from exc
     if schema is not None:
         return spark.createDataFrame(pdf, schema=schema)

@@ -81,14 +81,53 @@ def test_usis_url_shape():
     assert url.endswith("$format=csv")
 
 
-def test_read_excel_gated_when_engine_missing(spark):
-    """openpyxl is not in this container: the Excel reader must fail
-    with a clear NotImplementedError, not a raw ImportError."""
+def test_read_excel_rejects_garbage_with_clear_error(spark):
+    """A non-workbook must fail with a clear ValueError (from either
+    the pandas sniffer or the stdlib fallback), never a raw
+    BadZipFile/ImportError."""
     from gdp_etl_spark.sources import read_excel
 
-    with pytest.raises((NotImplementedError, ImportError)) as exc:
+    with pytest.raises(ValueError) as exc:
         read_excel(spark, b"not-really-xlsx", skip_rows=2)
-    assert "openpyxl" in str(exc.value) or "excel" in str(exc.value).lower()
+    assert "workbook" in str(exc.value).lower()
+
+
+def test_read_excel_stdlib_roundtrip(spark, tmp_path):
+    """S4 end-to-end without openpyxl: the stdlib SpreadsheetML writer
+    + parser round-trip a banner-skipped typed sheet, including an
+    empty (None) cell and a shared/inline string column."""
+    from gdp_etl_spark.sources import read_excel, write_minimal_xlsx
+
+    path = str(tmp_path / "fixture.xlsx")
+    write_minimal_xlsx(
+        path,
+        [
+            ["banner", None],
+            ["Code", "Value"],
+            ["004", 1.5],
+            ["076", None],        # empty cell -> NULL
+            ["158", 2.25],
+        ],
+    )
+    df = read_excel(spark, path, skip_rows=1,
+                    schema="Code string, Value double")
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [("004", 1.5), ("076", None), ("158", 2.25)]
+
+
+def test_read_http_csv_file_url_default_fetcher(spark, tmp_path):
+    """S2 with the REAL default fetcher: file:// goes through the same
+    urlopen path as https://, so the whole fetch -> temp -> trimmed
+    scan chain runs without injection."""
+    from gdp_etl_spark.sources import read_http_csv
+
+    p = tmp_path / "feed.csv"
+    p.write_text("banner\na,b\n1,x\n2,y\nfooter\n")
+    df = read_http_csv(
+        spark, f"file://{p}", "a int, b string",
+        skip_rows=1, skip_footer=1,
+    )
+    assert sorted(tuple(r) for r in df.collect()) == [(1, "x"), (2, "y")]
 
 
 def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
