@@ -167,3 +167,15 @@ def test_mix_to_budget_unlisted_domain_dropped_and_bad_weights(spark):
     assert {r["lang"] for r in out.collect()} <= {"en"}
     with pytest.raises(ValueError):
         mix_to_budget(df, "doc_id", "lang", "toks", 100, {})
+
+
+def test_mix_to_budget_overflow_guard(spark):
+    """budget*max(w)*1e6 past int64 would WRAP under ANSI-off and
+    silently drop domains — must raise driver-side before any job."""
+    df = spark.createDataFrame([(1, "en", 100)], "doc_id long, lang string, toks long")
+    with pytest.raises(ValueError, match="int64"):
+        mix_to_budget(df, "doc_id", "lang", "toks",
+                      10**13, {"en": 1000, "de": 1})
+    # at the boundary the guard stays quiet (2^63-1 // 1e6 // 1000)
+    mix_to_budget(df, "doc_id", "lang", "toks",
+                  9_223_372_036, {"en": 1000, "de": 1})

@@ -652,11 +652,19 @@ def test_benford_digits(spark):
         "v double",
     )
     out = {r["digit"]: r for r in benford_digits(df, "v").collect()}
-    # -5 and 0 excluded; digits: 1.00->1, 19.99->1, 150.0->1, 2.5->2, 999->9
+    # 0 excluded (no significant digit at cent resolution); -5 counts
+    # via |value| (Benford reads the first significant digit of the
+    # magnitude — an all-refunds feed must not profile empty);
+    # digits: 1.00->1, 19.99->1, 150.0->1, 2.5->2, 999->9, -5->5
     assert out[1]["n"] == 3 and out[2]["n"] == 1 and out[9]["n"] == 1
+    assert out[5]["n"] == 1
     assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-12
     assert abs(out[1]["benford_p"] - math.log10(2)) < 1e-15
     assert out[1]["chi2_contrib"] >= 0.0
+    # all-negative feed profiles exactly like its positive mirror
+    neg = spark.createDataFrame([(-1.0,), (-19.99,), (-2.5,)], "v double")
+    got = {r["digit"]: r["n"] for r in benford_digits(neg, "v").collect()}
+    assert got == {1: 2, 2: 1}
 
 
 class TestRecordLinkage:
