@@ -2030,15 +2030,25 @@ def q_embed_transform(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     a = F.col("embedding")
-    q8 = quantize_int8(a)
-    return e.select(
+    # compute the three (expensive) arrays ONCE in their own projection
+    # — fp_csv references its argument twice (null test + transform),
+    # which would otherwise inline and evaluate each fold per reference
+    arrays = e.select(
         "vec_id",
-        fp_csv(l2_normalize(a)).alias("unit_fp"),
+        l2_normalize(a).alias("__unit"),
+        quantize_int8(a).alias("__q8"),
+        random_projection(a, 4).alias("__proj"),
+    )
+    return arrays.select(
+        "vec_id",
+        fp_csv(F.col("__unit")).alias("unit_fp"),
         F.when(
-            q8.isNotNull(),
-            F.concat_ws(",", F.transform(q8, lambda x: x.cast("string"))),
+            F.col("__q8").isNotNull(),
+            F.concat_ws(
+                ",", F.transform(F.col("__q8"), lambda x: x.cast("string"))
+            ),
         ).alias("q8_csv"),
-        fp_csv(random_projection(a, 4)).alias("proj_fp"),
+        fp_csv(F.col("__proj")).alias("proj_fp"),
     )
 
 

@@ -157,19 +157,32 @@ def main() -> None:
     # the median sees it at most once per query
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     bench_t0 = time.time()
-    done = 0
+    passes = 0
     for _ in range(repeat):
         for name in BENCH_QUERIES:
+            # mid-pass budget guard: once the wall-clock budget is
+            # spent, only queries still missing their FIRST sample run
+            # (pass 1 always completes, so every query gets a number;
+            # repeat passes degrade gracefully instead of blowing the
+            # driver's per-round bench window)
+            if time.time() - bench_t0 > _BUDGET_SEC and samples[name]:
+                continue
             fn = queries[name]
             t0 = time.time()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.time() - t0)
-        done += 1
+        passes += 1
         if time.time() - bench_t0 > _BUDGET_SEC:
             break
-    repeat = done
+    repeat = passes
     def median(xs: list[float]) -> float:
+        # warm median: the first sample carries one-time codegen compile
+        # + persist materialization (corpus_curate: 18.7 s cold vs ~7 s
+        # warm) — with an even sample count it would skew the median by
+        # up to 2x, so drop it whenever warm samples exist
+        if len(xs) >= 2:
+            xs = xs[1:]
         s = sorted(xs)
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2

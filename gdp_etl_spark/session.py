@@ -58,6 +58,16 @@ def get_spark(
         # --- sane local-mode memory behaviour ------------------------------
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _default_shuffle()))
         .config("spark.driver.maxResultSize", "2g")
+        # local mode runs driver+executors in ONE JVM whose heap defaults
+        # to 1g — measured GCLocker allocation stalls (and one outright
+        # bench abort) under broadcast exchanges at sf0.1/local[32].
+        # 8g is still tiny next to the 128 GiB host; on a real cluster
+        # the submitter's --driver-memory/--executor-memory win because
+        # this only applies when the builder launches the JVM.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         # keep UI off in tests/bench (startup cost, port clashes)
         .config("spark.ui.enabled", "false")
     )
