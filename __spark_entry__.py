@@ -79,6 +79,7 @@ from gdp_etl_spark.operators.windows import (
     group_extrema,
     rebase_index,
 )
+from gdp_etl_spark.session import local_df
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2393,7 +2394,8 @@ def q_build_fact(spark, sf_dir):
     VALUES, so the melt/join/rebase arithmetic is hash-checked."""
     from gdp_etl_spark.plans.gdp import build_fact
 
-    constant_wide = spark.createDataFrame(
+    constant_wide = local_df(
+        spark,
         [
             (4, "Afghanistan", "Gross Domestic Product (GDP)",
              18.0, 19.5, 20.25, 21.0),
@@ -2407,7 +2409,8 @@ def q_build_fact(spark, sf_dir):
         "CountryID int, Country string, IndicatorName string, "
         "`2013` double, `2014` double, `2015` double, `2016` double",
     )
-    current_wide = spark.createDataFrame(
+    current_wide = local_df(
+        spark,
         [
             (4, "Afghanistan", "Gross Domestic Product (GDP)",
              20.0, 20.5, 20.25, 22.0),
@@ -2421,7 +2424,8 @@ def q_build_fact(spark, sf_dir):
         "CountryID int, Country string, IndicatorName string, "
         "`2013` double, `2014` double, `2015` double, `2016` double",
     )
-    principal = spark.createDataFrame(
+    principal = local_df(
+        spark,
         [
             (1979, 35000.0, 1000.0),
             (1980, 36300.0, 1100.0),
@@ -2432,7 +2436,8 @@ def q_build_fact(spark, sf_dir):
         ],
         "Period int, GDP_NTD_Current double, GDP_USD_Current double",
     )
-    pre81 = spark.createDataFrame(
+    pre81 = local_df(
+        spark,
         [
             (1979, "6.GDP", 30000.0, 90000.0),
             (1980, "6.GDP", 33000.0, 95000.0),
@@ -2441,7 +2446,8 @@ def q_build_fact(spark, sf_dir):
         "Period int, Expenditure string, Current_NTD double, "
         "Chained_NTD double",
     )
-    post81 = spark.createDataFrame(
+    post81 = local_df(
+        spark,
         [
             (2013, "8. GDP", 460000.0, 470000.0),
             (2014, "8. GDP", 475000.0, 480000.0),
@@ -3330,10 +3336,12 @@ def q_schema_evolution(spark, sf_dir):
     # read's file listing
     base = tempfile.mkdtemp(prefix="gdp_etl_spark_evo_")
     shutil.rmtree(base, ignore_errors=True)
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(1, 10.0), (2, 20.0)], "id long, v double"
     ).coalesce(1).write.parquet(os.path.join(base, "b=1"))
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(3, 30.0, "x"), (4, 40.0, "y")], "id long, v double, tag string"
     ).coalesce(1).write.parquet(os.path.join(base, "b=2"))
     merged = spark.read.option("mergeSchema", "true").parquet(

@@ -102,7 +102,9 @@ def local_df(spark: SparkSession, rows, schema):
 
         names = None
         if isinstance(schema, str):
-            names = [f.split()[0] for f in schema.split(",")]
+            # strip DDL backtick-quoting: "`2013` double" names the
+            # column 2013, not `2013`
+            names = [f.split()[0].strip("`") for f in schema.split(",")]
         else:  # StructType
             names = list(schema.names)
         pdf = pd.DataFrame(list(rows), columns=names)
