@@ -188,6 +188,13 @@ def main() -> None:
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
     timings = {name: round(median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
+    # queries whose budget-cut sampling left only the COLD run: their
+    # "median" carries one-time codegen/persist cost (up to 2x high) —
+    # name them so round-over-round comparison can exclude them instead
+    # of reading spurious regressions
+    cold_only = sorted(
+        name for name, ts in samples.items() if len(ts) == 1
+    )
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     out = {
@@ -199,6 +206,8 @@ def main() -> None:
     }
     if repeat > 1:
         out["repeat"] = repeat
+        if cold_only:
+            out["cold_only"] = cold_only
     print(json.dumps(out))
     spark.stop()
 

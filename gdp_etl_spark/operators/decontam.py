@@ -122,15 +122,16 @@ def semantic_decontaminate(
     sim = cosine_exact(F.col("d_vec"), F.col("b_vec"))
     return (
         d.join(F.broadcast(b), ["__tbl", "__bkt"])
-        # a pair colliding in several tables must count once: dedup on
-        # (doc, benchmark) BEFORE aggregating (sim is deterministic per
-        # pair, so dropping duplicates cannot change max_sim)
-        .dropDuplicates(["d_id", "b_id"])
         .withColumn("__sim", sim)
         .filter(F.col("__sim") >= F.lit(threshold))
+        # a pair colliding in several tables must count once:
+        # count_distinct(b_id) folds the per-pair dedup INTO the one
+        # per-doc aggregation (a separate dropDuplicates would add a
+        # second full shuffle of the candidate set; max_sim is safe
+        # because sim is deterministic per pair)
         .groupBy(F.col("d_id").alias(id_col))
         .agg(
-            F.count(F.lit(1)).alias("n_hits"),
+            F.count_distinct(F.col("b_id")).alias("n_hits"),
             F.max("__sim").alias("max_sim"),
         )
     )

@@ -226,15 +226,38 @@ def get_taiwan_gdp_data(
         "Period",
         (F.col("GDP_NTD_Current") / F.col("GDP_USD_Current")).alias("__fx"),
     )
-    base_fx = fx.filter(F.col("Period") == base_year).select(
-        F.col("__fx").alias("__fx_base")
+    # Guarded 1-row scalars: a bare filter->crossJoin would silently
+    # ANNIHILATE every Taiwan row when the base-year row is missing and
+    # silently DUPLICATE the series when two base rows exist.  The
+    # reference errors in both cases (a 0- or 2-length vector inside
+    # mutate); aggregating to exactly one row and raise_error-ing on a
+    # bad count reproduces that, lazily and executor-side.
+    base_fx = fx.filter(F.col("Period") == base_year).agg(
+        F.count(F.lit(1)).alias("__n_fx"),
+        F.max("__fx").alias("__fx_base"),
     )
     rebase = (
         expend_post81.filter(
             (F.col("Period") == base_year) & (F.col("Expenditure") == "8. GDP")
         )
-        .select(
-            (F.col("Current_NTD") / F.col("Chained_NTD")).alias("__rebase")
+        .agg(
+            F.count(F.lit(1)).alias("__n_rb"),
+            F.max(
+                F.col("Current_NTD") / F.col("Chained_NTD")
+            ).alias("__rebase"),
+        )
+    )
+    guard = F.when(
+        (F.col("__n_fx") == 1) & (F.col("__n_rb") == 1), F.lit(1)
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "get_taiwan_gdp_data: need exactly one base-year row, "
+                "got %s FX rows and %s '8. GDP' rows for year "
+                f"{base_year}",
+                F.col("__n_fx").cast("string"),
+                F.col("__n_rb").cast("string"),
+            )
         )
     )
     nso = (
@@ -245,6 +268,10 @@ def get_taiwan_gdp_data(
         .join(F.broadcast(fx), "Period", "left")
         .crossJoin(F.broadcast(base_fx))
         .crossJoin(F.broadcast(rebase))
+        # a FILTER (not an unused projection, which column pruning
+        # would silently eliminate) forces the guard to evaluate
+        .filter(guard == F.lit(1))
+        .drop("__n_fx", "__n_rb")
     )
     taiwan = (
         nso.select(

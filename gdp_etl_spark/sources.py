@@ -176,11 +176,22 @@ def _read_xlsx_stdlib(data: bytes, skip_rows: int):
     if not sheets:
         raise ValueError("workbook has no worksheets")
     root = ET.fromstring(zf.read(sheets[0]))
-    raw_rows: list[dict[int, object]] = []
+    # honor the r (reference) attributes: sheetData omits blank rows
+    # and cells entirely (Excel and openpyxl both do), so PHYSICAL
+    # element order is not row order — a skipped blank banner line
+    # would shift skip_rows onto a data row.  Per ECMA-376 an omitted
+    # r means "next after the previous one".
+    rows_by_idx: dict[int, dict[int, object]] = {}
+    prev_row = 0
     for row in root.iter(f"{_XLSX_NS}row"):
-        cells: dict[int, object] = {}
+        ridx = int(row.get("r", prev_row + 1)) - 1
+        prev_row = ridx + 1
+        cells = rows_by_idx.setdefault(ridx, {})
+        prev_col = -1
         for c in row.findall(f"{_XLSX_NS}c"):
-            col = _xlsx_col_index(c.get("r", "A"))
+            ref = c.get("r")
+            col = _xlsx_col_index(ref) if ref else prev_col + 1
+            prev_col = col
             kind = c.get("t", "n")
             if kind == "inlineStr":
                 val: object = "".join(
@@ -197,9 +208,16 @@ def _read_xlsx_stdlib(data: bytes, skip_rows: int):
                 else:
                     val = float(v.text)
             cells[col] = val
-        raw_rows.append(cells)
-    width = max((max(r) + 1 for r in raw_rows if r), default=0)
-    matrix = [[r.get(i) for i in range(width)] for r in raw_rows]
+    if not rows_by_idx:
+        raise ValueError("workbook empty after skip_rows")
+    n_rows = max(rows_by_idx) + 1
+    width = max(
+        (max(r) + 1 for r in rows_by_idx.values() if r), default=0
+    )
+    matrix = [
+        [rows_by_idx.get(ri, {}).get(ci) for ci in range(width)]
+        for ri in range(n_rows)
+    ]
     matrix = matrix[skip_rows:]
     if not matrix:
         raise ValueError("workbook empty after skip_rows")
@@ -308,11 +326,11 @@ def read_excel(
     without openpyxl."""
     import pandas as pd
 
-    data = (
-        path_or_bytes
-        if isinstance(path_or_bytes, bytes)
-        else open(path_or_bytes, "rb").read()
-    )
+    if isinstance(path_or_bytes, bytes):
+        data = path_or_bytes
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
     import zipfile
 
     try:

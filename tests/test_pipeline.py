@@ -373,3 +373,32 @@ def test_get_gdp_deflators_union_guard_naomit(spark):
         ("076", 2015, 100.0),
         ("076", 2024, 112.0),
     ]
+
+
+def test_taiwan_base_year_guard(spark):
+    """A missing or duplicated base-year row must FAIL LOUDLY (the
+    reference errors on a 0- or 2-length vector inside mutate) — a bare
+    filter->crossJoin would silently drop or double the whole series."""
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+    from gdp_etl_spark.plans.gdp import get_taiwan_gdp_data
+
+    principal, pre81, post81 = _taiwan_feeds(spark)
+    empty_fact = spark.createDataFrame(
+        [], "Economy_Code string, Year int, Variable string, Value double"
+    )
+    # no base-year row at 2020
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception),
+                       match="exactly one base-year row"):
+        get_taiwan_gdp_data(
+            empty_fact, principal, pre81, post81, base_year=2020
+        ).collect()
+    # duplicate '8. GDP' base rows
+    dup = post81.unionByName(post81.filter(
+        (post81["Period"] == 2015) & (post81["Expenditure"] == "8. GDP")
+    ))
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception),
+                       match="exactly one base-year row"):
+        get_taiwan_gdp_data(
+            empty_fact, principal, pre81, dup
+        ).collect()

@@ -225,3 +225,44 @@ class TestPythonDataSource:
         assert sorted(map(tuple, df.collect())) == sorted(map(tuple, df1.collect()))
         row = df.filter("tick_id = 7").collect()[0]
         assert row["symbol"] == "SYM7" and row["side"] in ("B", "S")
+
+
+def test_read_excel_stdlib_sparse_rows(spark, tmp_path):
+    """sheetData may OMIT blank rows/cells entirely (Excel does for
+    blank banner lines) — the parser must place rows by their r
+    attribute, not physical element order, or skip_rows consumes a
+    data row as the header."""
+    import zipfile
+
+    from gdp_etl_spark.sources import read_excel, write_minimal_xlsx
+
+    # build a normal workbook, then rewrite sheet1 with the banner row
+    # (r=1) omitted: header at r=2, data at r=3-4
+    path = str(tmp_path / "sparse.xlsx")
+    write_minimal_xlsx(path, [["ignored"], ["ignored"], ["ignored"]])
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        '<row r="2">'
+        '<c r="A2" t="inlineStr"><is><t>Code</t></is></c>'
+        '<c r="B2" t="inlineStr"><is><t>Value</t></is></c></row>'
+        '<row r="3">'
+        '<c r="A3" t="inlineStr"><is><t>004</t></is></c>'
+        '<c r="B3"><v>1.5</v></c></row>'
+        '<row r="4">'
+        '<c r="A4" t="inlineStr"><is><t>076</t></is></c>'
+        '<c r="B4"><v>2.25</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    rewritten = str(tmp_path / "sparse2.xlsx")
+    with zipfile.ZipFile(path) as zin, \
+            zipfile.ZipFile(rewritten, "w") as zout:
+        for item in zin.namelist():
+            data = sheet.encode() if item == "xl/worksheets/sheet1.xml" \
+                else zin.read(item)
+            zout.writestr(item, data)
+    df = read_excel(spark, rewritten, skip_rows=1,
+                    schema="Code string, Value double")
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [("004", 1.5), ("076", 2.25)]

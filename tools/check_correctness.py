@@ -54,6 +54,16 @@ def driver_hazards(name, spark_rows, sdf_dtypes, oracle_rows, oracle_typecodes):
     import decimal
 
     warns = []
+    # schema-based, not row-based: an empty/NULL-first-row result would
+    # hide an array column from a cell probe, yet the driver still
+    # crashes on the real (non-empty) run
+    for col, dtype in sdf_dtypes:
+        if dtype.startswith(("array<", "map<", "struct<")):
+            warns.append(
+                f"driver-hazard: spark col {col!r} is {dtype} "
+                f"(unhashable for the driver canonicalizer) — "
+                f"serialize (concat_ws/to_json) in the registered query"
+            )
     probe = spark_rows[0] if spark_rows else ()
     for i, cell in enumerate(probe):
         if isinstance(cell, (list, tuple, dict, set, bytearray)):
