@@ -1122,6 +1122,33 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(target, source, keys=["o_orderkey"])
 
 
+def q_cdc_apply(spark, sf_dir):
+    """CDC change-log application (operators.cdc.apply_changes): an
+    out-of-order insert/update/delete event log — synthesized from
+    orders (status P→delete, else upsert; o_orderkey as the sequence)
+    — compacted to the latest event per customer in one partitioned
+    window, then folded into the customer snapshot in one
+    co-partitioned full-outer join.  Deletes drop, upserts win
+    (including explicit NULLs), untouched snapshot rows carry over."""
+    from gdp_etl_spark.operators.cdc import apply_changes
+
+    snap = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    o = _t(spark, sf_dir, "orders")
+    changes = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderstatus") == "P", F.lit("delete"))
+        .when(F.col("o_orderstatus") == "O", F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("o_totalprice").cast("double").alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+    )
+    return apply_changes(snap, changes, ["c_custkey"], "seq")
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     """Edit-distance near-dup pairs: length-band blocked equi-join (±1
     band expansion, never all-pairs), length-difference prefilter, then
@@ -3832,6 +3859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         # -- end of driver window (50) --------------------------------------
         # never driver-checked yet: round-5 rotation candidates
+        "cdc_apply": q_cdc_apply,
         "drift_psi": q_drift_psi,
         "mad_outliers": q_mad_outliers,
         "sketch_bounds": q_sketch_bounds,
@@ -6438,6 +6466,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM orders
             GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "cdc_apply": """
+            WITH ch AS (
+              SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+                     CASE o_orderstatus WHEN 'P' THEN 'delete'
+                                        WHEN 'O' THEN 'insert'
+                                        ELSE 'update' END AS op,
+                     CAST(o_totalprice AS DOUBLE) AS c_acctbal,
+                     o_orderpriority AS c_mktsegment
+              FROM orders
+            ),
+            latest AS (
+              SELECT * FROM ch
+              QUALIFY row_number() OVER (
+                PARTITION BY c_custkey
+                ORDER BY seq DESC,
+                         CASE WHEN op = 'delete' THEN 1 ELSE 0 END DESC
+              ) = 1
+            ),
+            j AS (
+              SELECT coalesce(c.c_custkey, s.c_custkey) AS c_custkey,
+                     CASE WHEN c.c_custkey IS NOT NULL
+                          THEN c.c_acctbal ELSE s.c_acctbal END
+                       AS c_acctbal,
+                     CASE WHEN c.c_custkey IS NOT NULL
+                          THEN c.c_mktsegment ELSE s.c_mktsegment END
+                       AS c_mktsegment,
+                     c.op AS op
+              FROM customer s FULL OUTER JOIN latest c
+                ON s.c_custkey = c.c_custkey
+            )
+            SELECT c_custkey, c_acctbal, c_mktsegment
+            FROM j WHERE op IS NULL OR op <> 'delete'
         """,
         "http_csv_scan": """
             SELECT Country_Code, CAST(Year AS INT) AS Year,

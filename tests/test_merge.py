@@ -1,5 +1,7 @@
 """Snapshot merge (upsert) semantics."""
 
+import pytest
+
 from gdp_etl_spark.operators.merge import merge_upsert
 
 
@@ -30,3 +32,74 @@ def test_merge_source_null_wins(spark):
     source = spark.createDataFrame([(1, None)], "k long, v double")
     r = merge_upsert(target, source, keys=["k"]).collect()[0]
     assert r["v"] is None and r["change"] == "update"
+
+
+# ---------------------------------------------------------------------------
+# CDC change-log application (operators.cdc)
+# ---------------------------------------------------------------------------
+
+def _cdc(spark):
+    from gdp_etl_spark.operators.cdc import apply_changes, latest_changes
+    return apply_changes, latest_changes
+
+
+def test_cdc_latest_changes_out_of_order(spark):
+    _, latest_changes = _cdc(spark)
+    log = spark.createDataFrame(
+        [(1, 3, "update", 30.0), (1, 1, "insert", 10.0),
+         (1, 2, "update", 20.0), (2, 5, "insert", 50.0)],
+        "k long, seq long, op string, v double",
+    )
+    got = sorted(
+        tuple(r) for r in latest_changes(log, ["k"], "seq").collect()
+    )
+    assert got == [(1, 3, "update", 30.0), (2, 5, "insert", 50.0)]
+    # same result under any partitioning
+    got2 = sorted(
+        tuple(r)
+        for r in latest_changes(log.repartition(4), ["k"], "seq").collect()
+    )
+    assert got == got2
+
+
+def test_cdc_delete_beats_update_on_equal_seq(spark):
+    _, latest_changes = _cdc(spark)
+    log = spark.createDataFrame(
+        [(1, 7, "update", 1.0), (1, 7, "delete", None)],
+        "k long, seq long, op string, v double",
+    )
+    [(op,)] = latest_changes(log, ["k"], "seq").select("op").collect()
+    assert op == "delete"
+
+
+def test_cdc_apply_changes_semantics(spark):
+    apply_changes, _ = _cdc(spark)
+    snap = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "k long, v double, tag string",
+    )
+    log = spark.createDataFrame(
+        [
+            (2, 1, "delete", None, None),          # drop key 2
+            (3, 1, "update", None, "c2"),          # explicit NULL wins
+            (4, 1, "insert", 40.0, "d"),           # brand-new key
+            (4, 2, "update", 44.0, "d2"),          # superseded by seq 2
+        ],
+        "k long, seq long, op string, v double, tag string",
+    )
+    got = sorted(tuple(r) for r in apply_changes(snap, log, ["k"], "seq").collect())
+    assert got == [
+        (1, 10.0, "a"),        # untouched carries over
+        (3, None, "c2"),       # NULL update won
+        (4, 44.0, "d2"),       # latest insert+update compacted
+    ]
+
+
+def test_cdc_unknown_op_raises(spark):
+    apply_changes, _ = _cdc(spark)
+    snap = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    log = spark.createDataFrame(
+        [(1, 1, "upsert", 11.0)], "k long, seq long, op string, v double"
+    )
+    with pytest.raises(Exception, match="unknown op"):
+        apply_changes(snap, log, ["k"], "seq").collect()

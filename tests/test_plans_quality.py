@@ -486,3 +486,29 @@ def test_round3_tail_queries_no_cartesian(spark):
               "schema_evolution"):
         plan = _plan(e.queries()[q](spark, SF))
         assert "CartesianProduct" not in plan, q
+
+
+def test_cdc_apply_reuses_window_partitioning(spark):
+    """apply_changes claims ONE hash partitioning serves both the
+    compaction window and the merge join: exactly two exchanges total
+    (one per input side), no third between window and join, and the
+    corr_matrix-class codegen split stays in place (no cartesian)."""
+    df = e.queries()["cdc_apply"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_corr_matrix_limb_split_survives_optimizer(spark):
+    """corr_matrix's decimal->double limb conversions must stay in
+    their own projection: if CollapseProject re-inlines them into the
+    pair structs, the explode's generated method exceeds the JVM 64 KB
+    limit and whole-stage codegen silently falls back to interpreted.
+    The __sd aliases existing in the optimized plan is the signal."""
+    from gdp_etl_spark.operators.regression import corr_matrix
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount",
+                          "l_tax"])
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__sd01" in opt
