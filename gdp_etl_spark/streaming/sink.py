@@ -148,3 +148,87 @@ def run_incremental_rollup(
     return log.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in value_cols]
     )
+
+
+def _list_subdirs(spark, root_dir: str, prefix: str) -> list[str]:
+    """Directory names under ``root_dir`` starting with ``prefix``, via
+    the Hadoop FileSystem API (works on HDFS/S3A/file:, unlike
+    os.listdir)."""
+    jvm = spark.sparkContext._jvm
+    root = jvm.org.apache.hadoop.fs.Path(root_dir)
+    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    ]
+
+
+def run_cdc_apply(
+    stream_changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    snapshot_dir: str,
+    initial_snapshot: DataFrame,
+    op_col: str = "op",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Streaming CDC: drain a change-event backlog (``availableNow``)
+    into VERSIONED on-disk snapshots — per micro-batch,
+    ``operators.cdc.apply_changes`` folds the batch into the previous
+    version and writes ``snapshot_dir/v=<batch_id>``.
+
+    Why versioned directories instead of one mutable snapshot path:
+
+    * a parquet path cannot be overwritten by a frame that reads from
+      it (read-modify-write fails mid-job) — version N reads N-1 and
+      writes N, never touching its own input;
+    * redelivery is idempotent: re-running batch N re-reads the still-
+      present N-1 and overwrites the same ``v=N`` (apply_changes is
+      idempotent for an identical batch);
+    * consumers get snapshot isolation for free — readers of version
+      N-1 are unaffected while N materializes.
+
+    The streaming checkpoint lives INSIDE ``snapshot_dir`` — versions
+    and the offsets that cut them are one unit (same coupling rationale
+    as :func:`run_incremental_rollup`).  Old versions accumulate;
+    retention (dropping ``v < latest - k``) is the caller's policy.
+
+    Returns the latest snapshot as a DataFrame.  ``initial_snapshot``
+    bootstraps ``v=-1`` once (skipped when it already exists, so
+    resumed runs keep their history).
+    """
+    keys = list(keys)
+    spark = stream_changes.sparkSession
+
+    def _versions() -> list[int]:
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in _list_subdirs(spark, snapshot_dir, "v=")
+        )
+
+    if -1 not in _versions():
+        initial_snapshot.write.mode("overwrite").parquet(
+            f"{snapshot_dir}/v=-1"
+        )
+
+    from ..operators.cdc import apply_changes
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        prev = max(v for v in _versions() if v < batch_id)
+        snap = spark.read.parquet(f"{snapshot_dir}/v={prev}")
+        nxt = apply_changes(snap, batch_df, keys, seq_col, op_col)
+        nxt.write.mode("overwrite").parquet(f"{snapshot_dir}/v={batch_id}")
+
+    q = (
+        stream_changes.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{snapshot_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("cdc apply: backlog not drained")
+    return spark.read.parquet(f"{snapshot_dir}/v={max(_versions())}")

@@ -578,3 +578,49 @@ def test_python_stream_source_resumes_from_checkpoint(spark, tmp_path):
     run(900)                     # restart, feed grew: must add ONLY 400..899
     ids = sorted(r["tick_id"] for r in spark.read.parquet(out).collect())
     assert ids == list(range(900))   # no gaps, NO duplicates
+
+
+def test_run_cdc_apply_versioned_snapshots(spark, tmp_path):
+    """Streaming CDC: two change files -> two micro-batches
+    (maxFilesPerTrigger=1) applied as versioned snapshots; a resumed
+    run (same checkpoint) applies ONLY the new backlog on top."""
+    from gdp_etl_spark.streaming.sink import run_cdc_apply
+
+    src = str(tmp_path / "changes")
+    snap_dir = str(tmp_path / "snap")
+    schema = "k long, seq long, op string, v double"
+    initial = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+
+    spark.createDataFrame(
+        [(1, 1, "update", 11.0), (3, 2, "insert", 30.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(2, 3, "delete", None)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_cdc_apply(stream, ["k"], "seq", snap_dir, initial)
+    got = sorted((r["k"], r["v"]) for r in out.collect())
+    assert got == [(1, 11.0), (3, 30.0)]          # 2 deleted, 1 updated, 3 inserted
+
+    # resume: one more change file, same checkpoint -> only the new
+    # batch applies, on top of the latest existing version
+    spark.createDataFrame(
+        [(3, 4, "update", 33.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out2 = run_cdc_apply(stream2, ["k"], "seq", snap_dir, initial)
+    got2 = sorted((r["k"], r["v"]) for r in out2.collect())
+    assert got2 == [(1, 11.0), (3, 33.0)]
+    # version history is on disk: v=-1 bootstrap plus one per batch
+    import os
+    versions = sorted(d for d in os.listdir(snap_dir) if d.startswith("v="))
+    assert "v=-1" in versions and len(versions) >= 3
