@@ -1149,6 +1149,26 @@ def q_cdc_apply(spark, sf_dir):
     return apply_changes(snap, changes, ["c_custkey"], "seq")
 
 
+def q_length_batches(spark, sf_dir):
+    """Pad-efficiency batching (packing.length_bucketed_batches):
+    geometric length buckets (growth 1.25 → ≤20% intra-bucket padding
+    waste) then per-(lang, bucket) deterministic chop into batches of
+    floor(budget / bucket_cap) rows — the document-preserving sibling
+    of pack_sequences for SFT/eval workloads."""
+    from gdp_etl_spark.functions.text import token_count_ws
+    from gdp_etl_spark.operators.packing import length_bucketed_batches
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count_ws(F.col("text")).cast("int").alias("n_tok")
+    )
+    return length_bucketed_batches(
+        d, "n_tok", 2048, ["lang"], ["doc_id"]
+    ).select(
+        "doc_id", "lang", "n_tok", "length_bucket", "bucket_cap",
+        "batch_id", "batch_slot",
+    )
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     """Edit-distance near-dup pairs: length-band blocked equi-join (±1
     band expansion, never all-pairs), length-difference prefilter, then
@@ -3860,6 +3880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- end of driver window (50) --------------------------------------
         # never driver-checked yet: round-5 rotation candidates
         "cdc_apply": q_cdc_apply,
+        "length_batches": q_length_batches,
         "drift_psi": q_drift_psi,
         "mad_outliers": q_mad_outliers,
         "sketch_bounds": q_sketch_bounds,
@@ -5939,6 +5960,40 @@ def oracle_sql() -> dict[str, str]:
                               (x, i) -> i = 1 OR x <> ({_TOKS_RAW})[i - 1]))
                         AS INT) AS n_collapsed
             FROM documents
+        """,
+        "length_batches": f"""
+            WITH d AS (
+              SELECT doc_id, lang, CAST(len({_TOKS_RAW}) AS INT) AS n_tok
+              FROM documents),
+            b AS (
+              SELECT *,
+                     CASE WHEN n_tok <= 1 THEN 0
+                          ELSE CAST(ceil(ln(CAST(n_tok AS DOUBLE))
+                               / ln(CAST(1.25 AS DOUBLE))) AS INT)
+                     END AS length_bucket
+              FROM d),
+            c AS (
+              SELECT *,
+                     CAST(least(CAST(2048 AS BIGINT),
+                          CAST(ceil(power(CAST(1.25 AS DOUBLE),
+                               length_bucket)) AS BIGINT)) AS INT)
+                       AS bucket_cap
+              FROM b),
+            r AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY lang, length_bucket
+                       ORDER BY doc_id) - 1 AS rn,
+                     -- floor(): DuckDB CAST(double AS BIGINT) ROUNDS
+                     -- where Spark truncates
+                     CAST(floor(CAST(2048 AS DOUBLE) / bucket_cap)
+                          AS BIGINT) AS rpb
+              FROM c)
+            SELECT doc_id, lang, n_tok, length_bucket, bucket_cap,
+                   CAST(floor(CAST(rn AS DOUBLE) / rpb) AS BIGINT)
+                     AS batch_id,
+                   CAST(rn % rpb AS BIGINT) AS batch_slot
+            FROM r
         """,
         "pack_sequences": f"""
             WITH d AS (

@@ -46,3 +46,84 @@ def pack_sequences(
     return df.withColumn(
         "seq_id", F.floor(start / F.lit(float(budget)))
     ).withColumn("seq_offset", start % F.lit(budget))
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    token_col: str,
+    batch_token_budget: int,
+    shard_cols: Sequence[str],
+    order_cols: Sequence[str],
+    bucket_growth: float = 1.25,
+) -> DataFrame:
+    """Pad-efficiency batching: group documents of SIMILAR length into
+    batches whose padded cost (``batch_rows × bucket_max_len``) fits a
+    token budget — the standard alternative to concat-packing when
+    documents must stay intact (SFT, eval, reward-model scoring), where
+    batching by arrival order wastes up to ~50% of compute as padding.
+
+    Buckets are geometric: bucket ``b`` holds lengths in
+    ``(g^(b-1), g^b]`` with ``g = bucket_growth``, so padding waste
+    within a bucket is bounded by ``1 − 1/g`` (20% at the default 1.25)
+    plus at most ONE token of integer-ceiling slack on the cap —
+    material only for very short documents (cap 8 for a 6-token doc),
+    negligible at training lengths.  Within each
+    (shard, bucket), rows order deterministically and chop into batches
+    of ``floor(budget / bucket_cap)`` rows — a row_number window per
+    (shard, bucket), the same shape as :func:`pack_sequences`.
+
+    Output: ``length_bucket`` (int), ``bucket_cap`` (int, the padded
+    length), ``batch_id`` (bigint, per shard+bucket), ``batch_slot``
+    (position inside the batch).  Documents longer than the budget
+    raise at runtime (they can never batch; truncate or split first).
+
+    Scale shape: one window shuffle on (shard, bucket) — no global
+    sort; bucket arithmetic is pure map work.  Deterministic across
+    partitionings by the same argument as pack_sequences.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty (deterministic order)")
+    if bucket_growth <= 1.0:
+        raise ValueError("bucket_growth must be > 1")
+    n = F.col(token_col).cast("double")
+    guard = F.when(
+        F.col(token_col) > batch_token_budget,
+        F.raise_error(
+            F.format_string(
+                f"length_bucketed_batches: document of %s tokens exceeds "
+                f"the batch budget {batch_token_budget}; truncate or "
+                f"split first",
+                F.col(token_col).cast("string"),
+            )
+        ),
+    ).otherwise(F.lit(1))
+    # bucket 0: empty docs; bucket b>=1: lengths in (g^(b-1), g^b]
+    import math
+
+    lg = math.log(bucket_growth)
+    bucket = F.when(n <= 1, F.lit(0)).otherwise(
+        F.ceil(F.log(n) / F.lit(lg)).cast("int")
+    )
+    with_bucket = (
+        df.filter(guard == F.lit(1))
+        .withColumn("length_bucket", bucket)
+        .withColumn(
+            "bucket_cap",
+            F.least(
+                F.lit(batch_token_budget),
+                F.ceil(
+                    F.pow(F.lit(bucket_growth), F.col("length_bucket"))
+                ).cast("int"),
+            ),
+        )
+    )
+    rows_per_batch = (
+        F.lit(batch_token_budget) / F.col("bucket_cap")
+    ).cast("bigint")
+    w = Window.partitionBy(
+        *[F.col(c) for c in shard_cols], F.col("length_bucket")
+    ).orderBy(*[F.col(c) for c in order_cols])
+    rn = F.row_number().over(w) - 1
+    return with_bucket.withColumn(
+        "batch_id", F.floor(rn / rows_per_batch)
+    ).withColumn("batch_slot", rn % rows_per_batch)

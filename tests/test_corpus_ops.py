@@ -285,3 +285,49 @@ def test_curate_corpus_invariants(spark):
     # packing offsets stay inside the budget and splits are exhaustive
     assert all(0 <= r[5] < 128 for r in a)
     assert {r[2] for r in a} <= {"train", "val", "test"}
+
+
+def test_length_bucketed_batches(spark):
+    from gdp_etl_spark.operators.packing import length_bucketed_batches
+
+    df = spark.createDataFrame(
+        [(i, "en", n) for i, n in enumerate([5, 6, 6, 100, 101, 1, 0])],
+        "doc_id long, lang string, n_tok int",
+    )
+    out = length_bucketed_batches(df, "n_tok", 128, ["lang"], ["doc_id"])
+    rows_ = {r["doc_id"]: r for r in out.collect()}
+    # padding bound: every doc's padded cost uses its bucket cap, and
+    # cap/n_tok <= growth for non-degenerate docs
+    for r in rows_.values():
+        if r["n_tok"] > 1:
+            assert r["n_tok"] <= r["bucket_cap"] <= 128
+            # geometric bound + <=1 token of integer-ceiling slack
+            assert r["bucket_cap"] <= 1.25 * r["n_tok"] + 1
+    # batch capacity: rows per batch x cap <= budget
+    from collections import Counter
+    per_batch = Counter(
+        (r["lang"], r["length_bucket"], r["batch_id"]) for r in rows_.values()
+    )
+    for (lang, b, bid), cnt in per_batch.items():
+        cap = next(r["bucket_cap"] for r in rows_.values()
+                   if r["length_bucket"] == b)
+        assert cnt * cap <= 128
+    # zero/one-token docs land in bucket 0
+    assert rows_[5]["length_bucket"] == 0 and rows_[6]["length_bucket"] == 0
+    # deterministic across partitionings
+    out2 = length_bucketed_batches(
+        df.repartition(3), "n_tok", 128, ["lang"], ["doc_id"]
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_length_bucketed_batches_overlong_doc_raises(spark):
+    import pytest as _pytest
+
+    from gdp_etl_spark.operators.packing import length_bucketed_batches
+
+    df = spark.createDataFrame(
+        [(1, "en", 9999)], "doc_id long, lang string, n_tok int"
+    )
+    with _pytest.raises(Exception, match="exceeds the batch budget"):
+        length_bucketed_batches(df, "n_tok", 128, ["lang"], ["doc_id"]).collect()
