@@ -22,6 +22,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def presence_merge(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+):
+    """The full-outer presence-gated merge skeleton shared by
+    :func:`merge_upsert` and ``operators.cdc.apply_changes``: join on
+    the keys, expose presence flags, and build the standard output
+    columns — coalesced keys plus presence-gated values (a source row
+    that sets a value to NULL must WIN; coalesce would resurrect the
+    old value).
+
+    Returns ``(joined, t_present, s_present, key_select, value_select)``
+    so callers layer their own semantics (change audit, delete filter)
+    on top without re-implementing the NULL logic."""
+    t, s = target.alias("t"), source.alias("s")
+    cond = reduce(
+        lambda a, b: a & b, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
+    )
+    j = t.join(s, cond, "full_outer")
+    t_present = F.col(f"t.{keys[0]}").isNotNull()
+    s_present = F.col(f"s.{keys[0]}").isNotNull()
+    key_select = [
+        F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in keys
+    ]
+    value_select = [
+        F.when(s_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in value_cols
+    ]
+    return j, t_present, s_present, key_select, value_select
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
@@ -39,13 +72,9 @@ def merge_upsert(
     """
     if value_cols is None:
         value_cols = [c for c in target.columns if c not in keys]
-    t, s = target.alias("t"), source.alias("s")
-    cond = reduce(
-        lambda a, b: a & b, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
+    j, t_present, s_present, key_select, value_select = presence_merge(
+        target, source, keys, value_cols
     )
-    j = t.join(s, cond, "full_outer")
-    t_present = F.col(f"t.{keys[0]}").isNotNull()
-    s_present = F.col(f"s.{keys[0]}").isNotNull()
     differs = reduce(
         lambda a, b: a | b,
         [~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}")) for c in value_cols],
@@ -56,15 +85,4 @@ def merge_upsert(
         .when(differs, F.lit("update"))
         .otherwise(F.lit("unchanged"))
     )
-    return j.select(
-        *[F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in keys],
-        # presence-gated, NOT coalesce: a source row that sets a value to
-        # NULL must win (coalesce would resurrect the old value)
-        *[
-            F.when(s_present, F.col(f"s.{c}"))
-            .otherwise(F.col(f"t.{c}"))
-            .alias(c)
-            for c in value_cols
-        ],
-        change.alias("change"),
-    )
+    return j.select(*key_select, *value_select, change.alias("change"))

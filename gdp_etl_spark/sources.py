@@ -211,6 +211,16 @@ def _read_xlsx_stdlib(data: bytes, skip_rows: int):
     if not rows_by_idx:
         raise ValueError("workbook empty after skip_rows")
     n_rows = max(rows_by_idx) + 1
+    # bound the gap fill: a single stray touched cell at r=1048576 (a
+    # common Excel artifact) would otherwise materialize a million
+    # None-rows.  Dense simple workbooks are this parser's declared
+    # scope; anything else goes through pandas+openpyxl.
+    if n_rows > 100_000:
+        raise ValueError(
+            f"stdlib xlsx parser: row reference {n_rows} exceeds the "
+            f"dense-workbook bound (100000); install openpyxl or "
+            f"convert to CSV"
+        )
     width = max(
         (max(r) + 1 for r in rows_by_idx.values() if r), default=0
     )

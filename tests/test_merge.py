@@ -95,11 +95,43 @@ def test_cdc_apply_changes_semantics(spark):
     ]
 
 
-def test_cdc_unknown_op_raises(spark):
+def test_cdc_malformed_events_raise(spark):
+    """Unknown op, NULL op (three-valued-logic trap: NULL fails isin
+    with NULL, not false), and NULL key must ALL raise — including when
+    the bad event is superseded by a later one (validation runs before
+    compaction, so a producer bug surfaces instead of being silently
+    discarded)."""
     apply_changes, _ = _cdc(spark)
     snap = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    schema = "k long, seq long, op string, v double"
+    for bad_log in (
+        [(1, 1, "upsert", 11.0)],                       # unknown op
+        [(1, 1, None, 11.0)],                           # NULL op
+        [(None, 1, "insert", 11.0)],                    # NULL key
+        [(1, 1, "upsert", 11.0), (1, 2, "update", 12.0)],  # superseded bad
+    ):
+        log = spark.createDataFrame(bad_log, schema)
+        with pytest.raises(Exception, match="malformed change event"):
+            apply_changes(snap, log, ["k"], "seq").collect()
+
+
+def test_cdc_equal_seq_same_op_deterministic(spark):
+    """Two non-delete events sharing (key, seq) must resolve to the
+    SAME survivor under any partitioning (content-hash tie-break) —
+    the redelivery-idempotence contract of the streaming sink."""
+    _, latest_changes = _cdc(spark)
     log = spark.createDataFrame(
-        [(1, 1, "upsert", 11.0)], "k long, seq long, op string, v double"
+        [(1, 7, "update", 10.0), (1, 7, "update", 20.0)],
+        "k long, seq long, op string, v double",
     )
-    with pytest.raises(Exception, match="unknown op"):
-        apply_changes(snap, log, ["k"], "seq").collect()
+    first = sorted(
+        tuple(r) for r in latest_changes(log, ["k"], "seq").collect()
+    )
+    for nparts in (1, 3, 5):
+        again = sorted(
+            tuple(r)
+            for r in latest_changes(
+                log.repartition(nparts), ["k"], "seq"
+            ).collect()
+        )
+        assert again == first

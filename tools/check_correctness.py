@@ -64,13 +64,15 @@ def driver_hazards(name, spark_rows, sdf_dtypes, oracle_rows, oracle_typecodes):
                 f"(unhashable for the driver canonicalizer) — "
                 f"serialize (concat_ws/to_json) in the registered query"
             )
+    # the dtype check above covers array/map/struct; the row probe only
+    # backstops what schemas can't show (binary arrives as bytearray)
     probe = spark_rows[0] if spark_rows else ()
     for i, cell in enumerate(probe):
-        if isinstance(cell, (list, tuple, dict, set, bytearray)):
+        if isinstance(cell, (bytearray, set)):
             warns.append(
                 f"driver-hazard: spark col #{i} holds {type(cell).__name__} "
                 f"cells (unhashable for the driver canonicalizer) — "
-                f"serialize (concat_ws/to_json) in the registered query"
+                f"serialize (hex/concat_ws) in the registered query"
             )
     for col, tc in oracle_typecodes:
         if tc in ("HUGEINT", "UHUGEINT"):
