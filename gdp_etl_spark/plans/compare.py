@@ -89,3 +89,22 @@ def release_diff(
     # carry the old release's label for report grouping (A4)
     old_labels = old_coded.select("Economy_Code", "Economy_Label").distinct()
     return diff.join(F.broadcast(old_labels), "Economy_Code", "left")
+
+
+def export_comparison_pdf(diff: DataFrame, path: str, **kwargs) -> int:
+    """S8 (``gdp_compare_with_old_data.R:54-90``): render the
+    :func:`release_diff` frame to the per-economy comparison PDF via
+    the dependency-free writer (``io_pdf.write_comparison_pdf``),
+    wiring this plan's column names.  Returns economies plotted."""
+    from ..io_pdf import write_comparison_pdf
+
+    return write_comparison_pdf(
+        diff,
+        path,
+        label_col="Economy_Label",
+        year_col="Year",
+        variable_col="Variable",
+        old_col="Value_old",
+        new_col="Value_new",
+        **kwargs,
+    )

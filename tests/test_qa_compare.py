@@ -99,3 +99,16 @@ def test_deflator_check_extrema_and_na_out(spark):
     # only the max-|diff| row per economy survives; 2024 was NA'd out
     assert len(out) == 1
     assert out[0]["Year"] == 2021 and out[0]["Diff"] == pytest.approx(45.0)
+
+
+def test_export_comparison_pdf_end_to_end(spark, diff, tmp_path):
+    """S8 through the plan wrapper: the release_diff frame renders to a
+    structurally valid per-economy PDF with the plan's column names."""
+    from gdp_etl_spark.plans.compare import export_comparison_pdf
+
+    path = str(tmp_path / "GDP_comparison.pdf")
+    n = export_comparison_pdf(diff, path)
+    assert n >= 2                                   # Afghanistan + Taiwan
+    data = open(path, "rb").read()
+    assert data.startswith(b"%PDF-1.4")
+    assert b"(Afghanistan) Tj" in data

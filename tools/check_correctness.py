@@ -74,6 +74,20 @@ def driver_hazards(name, spark_rows, sdf_dtypes, oracle_rows, oracle_typecodes):
                 f"cells (unhashable for the driver canonicalizer) — "
                 f"serialize (hex/concat_ws) in the registered query"
             )
+    # NaN/Inf: NaN != NaN breaks value comparison even when both
+    # engines agree cell-for-cell — scan every row (cheap: results are
+    # already collected)
+    n_nan = sum(
+        1
+        for r in spark_rows
+        for v in r
+        if isinstance(v, float) and (math.isnan(v) or math.isinf(v))
+    )
+    if n_nan:
+        warns.append(
+            f"driver-hazard: {n_nan} NaN/Inf double cells — guard with "
+            f"nanvl/NULLIF so the driver hash compares NULLs instead"
+        )
     for col, tc in oracle_typecodes:
         if tc in ("HUGEINT", "UHUGEINT"):
             warns.append(
