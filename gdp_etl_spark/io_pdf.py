@@ -38,6 +38,14 @@ _NEW_RGB = (0x00 / 255, 0x9E / 255, 0xDB / 255)
 _PAGE_W, _PAGE_H = 612, 792          # US Letter, like ggsave 8x12in
 _CHARTS_PER_PAGE = 3
 
+#: (PDF dash operator, legend name) per variable index, cycled
+_DASHES = (
+    ("[] 0 d", "solid"),
+    ("[4 3] 0 d", "dashed"),
+    ("[1 2] 0 d", "dotted"),
+    ("[6 2 1 2] 0 d", "dash-dot"),
+)
+
 
 def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
@@ -54,7 +62,7 @@ class _PdfWriter:
         self.objects.append(body)
         return len(self.objects)
 
-    def render(self, page_ids: list[int], pages_obj_id: int) -> bytes:
+    def render(self, catalog_id: int) -> bytes:
         out = bytearray(b"%PDF-1.4\n")
         offsets = [0] * (len(self.objects) + 1)
         for i, body in enumerate(self.objects, start=1):
@@ -67,7 +75,7 @@ class _PdfWriter:
         for i in range(1, n):
             out += f"{offsets[i]:010d} 00000 n \n".encode()
         out += (
-            f"trailer\n<< /Size {n} /Root 1 0 R >>\n"
+            f"trailer\n<< /Size {n} /Root {catalog_id} 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n"
         ).encode()
         return bytes(out)
@@ -114,8 +122,10 @@ def _chart_stream(
     variables = sorted({v for (_, v) in series})
     for (release, variable), points in sorted(series.items()):
         rgb = _OLD_RGB if release == "old" else _NEW_RGB
-        # linetype dimension: second variable dashes (ggplot aes(linetype))
-        dash = "[] 0 d" if variables.index(variable) == 0 else "[4 3] 0 d"
+        # linetype dimension (ggplot aes(linetype=Variable)): a distinct
+        # dash per variable index, cycling for >len(_DASHES) variables
+        vi = variables.index(variable)
+        dash = _DASHES[vi % len(_DASHES)][0]
         clean = [(x, y) for x, y in sorted(points) if y is not None]
         if len(clean) < 2:
             continue
@@ -126,11 +136,15 @@ def _chart_stream(
             f"{rgb[0]:.3f} {rgb[1]:.3f} {rgb[2]:.3f} RG 1.2 w {dash} "
             f"{path} S"
         )
-    # legend line (bottom, like guide_legend(position="bottom"))
+    # legend line (bottom, like guide_legend(position="bottom")):
+    # name every variable with its actual linetype
+    legend_vars = "; ".join(
+        f"{_DASHES[i % len(_DASHES)][1]} = {_esc(v[:32])}"
+        for i, v in enumerate(variables)
+    )
     ops.append(
         f"BT /F1 7 Tf {x0:.1f} {y0 - 18:.1f} Td "
-        f"(old = orange, new = blue; dashed = {_esc(variables[-1][:40])})"
-        f" Tj ET"
+        f"(old = orange, new = blue; {legend_vars}) Tj ET"
     )
     return "\n".join(ops)
 
@@ -151,11 +165,25 @@ def write_comparison_pdf(
 
     ``max_economies`` bounds the driver-side collect — the report is a
     per-economy artifact (~300 economies × ~55 years × 2 variables in
-    the reference), far below data scale; exceeding the bound raises
-    instead of silently building an enormous PDF.
+    the reference), far below data scale.  The bound is checked with a
+    distinct-count BEFORE collecting any rows, so a mistakenly
+    un-aggregated frame raises instead of OOMing the driver.  Rows with
+    a NULL label or NULL year carry no plottable point and are skipped
+    (release_diff coalesces new-economy labels from the code, so
+    'added economy' charts are NOT lost — see
+    ``plans.compare.export_comparison_pdf``).
     """
+    from pyspark.sql import functions as F
+
+    n_labels = diff.select(label_col).distinct().count()
+    if n_labels > max_economies:
+        raise ValueError(
+            f"{n_labels} economies exceeds max_economies="
+            f"{max_economies}; filter the diff or raise the bound"
+        )
     rows = (
         diff.select(label_col, year_col, variable_col, old_col, new_col)
+        .filter(F.col(label_col).isNotNull() & F.col(year_col).isNotNull())
         .collect()
     )
     by_economy: dict[str, dict[tuple[str, str], list]] = defaultdict(
@@ -163,8 +191,6 @@ def write_comparison_pdf(
     )
     for r in rows:
         label = r[label_col]
-        if label is None:
-            continue
         year = r[year_col]
         var = str(r[variable_col])
         if r[old_col] is not None:
@@ -174,17 +200,13 @@ def write_comparison_pdf(
     economies = sorted(by_economy)
     if not economies:
         raise ValueError("diff produced no economies to plot")
-    if len(economies) > max_economies:
-        raise ValueError(
-            f"{len(economies)} economies exceeds max_economies="
-            f"{max_economies}; filter the diff or raise the bound"
-        )
 
     pdf = _PdfWriter()
     catalog_id = pdf.add(b"")          # patched below (needs Pages id)
     pages_id = pdf.add(b"")            # patched below (needs kid ids)
     font_id = pdf.add(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>"
     )
     page_ids: list[int] = []
     margin, gap = 50, 40
@@ -223,5 +245,5 @@ def write_comparison_pdf(
         f"<< /Type /Catalog /Pages {pages_id} 0 R >>".encode()
     )
     with open(path, "wb") as f:
-        f.write(pdf.render(page_ids, pages_id))
+        f.write(pdf.render(catalog_id))
     return len(economies)

@@ -95,11 +95,19 @@ def export_comparison_pdf(diff: DataFrame, path: str, **kwargs) -> int:
     """S8 (``gdp_compare_with_old_data.R:54-90``): render the
     :func:`release_diff` frame to the per-economy comparison PDF via
     the dependency-free writer (``io_pdf.write_comparison_pdf``),
-    wiring this plan's column names.  Returns economies plotted."""
+    wiring this plan's column names.  Returns economies plotted.
+
+    Economies present only in the NEW release have no old-side label
+    (``release_diff`` left-joins labels from the old release) — the
+    'added economy' case is exactly what this report must surface, so
+    the label coalesces to the economy code instead of dropping."""
     from ..io_pdf import write_comparison_pdf
 
     return write_comparison_pdf(
-        diff,
+        diff.withColumn(
+            "Economy_Label",
+            F.coalesce(F.col("Economy_Label"), F.col("Economy_Code")),
+        ),
         path,
         label_col="Economy_Label",
         year_col="Year",

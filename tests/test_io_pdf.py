@@ -76,3 +76,58 @@ def test_pdf_bounds(spark, tmp_path):
         write_comparison_pdf(
             _diff_frame(spark, 5), str(tmp_path / "cap.pdf"),
             max_economies=3)
+
+
+def test_pdf_null_year_rows_skipped(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("X", 2010, "v", 1.0, 1.0), ("X", None, "v", 2.0, 2.0),
+         ("X", 2011, "v", 3.0, 3.0)],
+        "Economy_Label string, Year int, Variable string, "
+        "value_old double, value_new double",
+    )
+    path = str(tmp_path / "nully.pdf")
+    assert write_comparison_pdf(df, path) == 1   # no TypeError, row skipped
+
+
+def test_pdf_bound_checked_before_collect(spark, tmp_path):
+    """The max_economies guard must fire from a distinct-count, before
+    any row collect (an un-aggregated frame would OOM the driver
+    otherwise)."""
+    df = _diff_frame(spark, 5)
+    with pytest.raises(ValueError, match="max_economies"):
+        write_comparison_pdf(df, str(tmp_path / "x.pdf"), max_economies=3)
+
+
+def test_pdf_added_economy_labeled_by_code(spark, tmp_path):
+    """An economy only in the new release (NULL old-side label) must
+    still get a chart, labeled by its code, through the plan wrapper."""
+    from gdp_etl_spark.plans.compare import export_comparison_pdf
+
+    df = spark.createDataFrame(
+        [("900", None, 2020, "v", None, 7.0),
+         ("900", None, 2021, "v", None, 8.0),
+         ("004", "Afghanistan", 2020, "v", 1.0, 1.0),
+         ("004", "Afghanistan", 2021, "v", 2.0, 2.0)],
+        "Economy_Code string, Economy_Label string, Year int, "
+        "Variable string, Value_old double, Value_new double",
+    )
+    path = str(tmp_path / "added.pdf")
+    assert export_comparison_pdf(df, path) == 2
+    data = open(path, "rb").read()
+    assert b"(900) Tj" in data
+
+
+def test_pdf_three_variables_distinct_linetypes(spark, tmp_path):
+    rows = []
+    for var, base in (("a", 1.0), ("b", 10.0), ("c", 100.0)):
+        for y in (2010, 2011, 2012):
+            rows.append(("X", y, var, base + y - 2010, base * 1.1))
+    df = spark.createDataFrame(
+        rows, "Economy_Label string, Year int, Variable string, "
+              "value_old double, value_new double")
+    path = str(tmp_path / "tri.pdf")
+    write_comparison_pdf(df, path)
+    data = open(path, "rb").read()
+    assert b"[4 3] 0 d" in data and b"[1 2] 0 d" in data
+    assert b"solid = a" in data and b"dashed = b" in data \
+        and b"dotted = c" in data
