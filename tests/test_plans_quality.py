@@ -512,3 +512,50 @@ def test_corr_matrix_limb_split_survives_optimizer(spark):
                           "l_tax"])
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "__sd01" in opt
+
+
+#: queries whose plans legitimately contain a nested-loop join: every
+#: one is a 1-row scalar broadcast (base-year value, rebase factor,
+#: global threshold, centroid/model state) — bounded by construction.
+#: Anything NOT in this list growing a BNLJ/cartesian is a regression.
+_SCALAR_BNLJ_OK = {
+    "scalar_share", "base_broadcast", "build_fact", "corr_matrix",
+    "top_acctbal_no_orders", "market_share", "promo_ratio",
+    "drift_psi", "category_drift", "ab_test", "linear_trend",
+    "table_checksum", "heavy_hitters", "pareto_share", "histogram",
+    "equidepth", "mad_outliers", "outlier_fences", "lm_score",
+    "corpus_mix", "benford", "column_entropy", "seasonal_anomalies",
+    "repetition_stats", "profile_table", "kmeans_assign", "ivf_topk",
+    "ivf_recall", "dedup_clusters", "corpus_clean", "corpus_curate",
+    "decontaminate", "semantic_decontam", "bm25_topk", "sketch_stats",
+    "sketch_bounds", "cms_heavy_hitters", "weighted_sample",
+    "forecast_revenue", "small_qty_revenue", "excess_suppliers",
+    "important_parts", "waiting_supplier", "record_linkage",
+    # dq_checks: the FK rule crossJoins two 1-row aggregates
+    # (orphan count x total count) — scalar x scalar
+    "dq_checks",
+    # ann_topk: the exact brute-force ANN baseline broadcasts the
+    # BOUNDED query-vector set against the corpus by definition; the
+    # scale paths are lsh_topk / ivf_topk
+    "ann_topk",
+}
+
+
+def test_every_registered_query_plan_is_scale_safe(spark):
+    """The global backstop behind the per-query guards: NO registered
+    query may plan a CartesianProduct, and a BroadcastNestedLoopJoin
+    is allowed only for the named 1-row scalar broadcasts.  Runs on
+    sf0.001 so plan construction (some queries execute driver-side
+    model steps while building) stays cheap."""
+    failures = []
+    for name, fn in e.queries().items():
+        try:
+            plan = _plan(fn(spark, SF))
+        except Exception as ex:
+            failures.append(f"{name}: plan build failed: {ex}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _SCALAR_BNLJ_OK:
+            failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not failures, "\n".join(failures)
