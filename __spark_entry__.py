@@ -3810,75 +3810,18 @@ def q_table_checksum(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
-    verifies the FIRST 50 keys each round.  The round-4 window is a
-    ROTATION onto queries that have never had a driver CORRECTNESS row
-    (71 of 164 after rounds 1-3), plus the four round-2/3 driver
-    mismatches whose contracts were fixed this round (embed_transform,
-    dq_checks, corpus_mix, array_agg) and the new build_fact
-    composition.  Everything rotated out stays registered below with
-    identical local oracle coverage (``tools/check_correctness.py``);
-    the remaining never-driver-checked queries are grouped right after
-    the window for the round-5 rotation."""
+    verifies the FIRST 50 keys each round.  The round-5 window finishes
+    the rotation: the 30 queries that have never had a driver
+    CORRECTNESS row (29 oracle-checked + ``sketch_stats`` rows-only by
+    design) now lead, and the remaining slots re-check the LONGEST-
+    unchecked entries (driver-green in round 2, untouched since).
+    After this window every registered query has at least one driver
+    CORRECTNESS row across rounds 2-5.  Everything rotated out stays
+    registered below with identical local oracle coverage
+    (``tools/check_correctness.py``)."""
     return {
         # -- driver correctness window (first 50) --------------------------
-        # round-2/3 driver-contract mismatches, re-checked after fixes
-        "embed_transform": q_embed_transform,
-        "dq_checks": q_dq_checks,
-        "corpus_mix": q_corpus_mix,
-        "array_agg": q_array_agg,
-        # new this round: §3.1 extraction composition + the S2/S4
-        # ingestion chains run end-to-end (file:// fetch, stdlib xlsx)
-        "build_fact": q_build_fact,
-        "http_csv_scan": q_http_csv_scan,
-        "excel_scan": q_excel_scan,
-        # TPC-H topology sweep (Q2-Q22 shapes) — never driver-checked
-        "min_cost_supplier": q_min_cost_supplier,
-        "top_acctbal_no_orders": q_top_acctbal_no_orders,
-        "regional_volume": q_regional_volume,
-        "market_share": q_market_share,
-        "nation_profit": q_nation_profit,
-        "order_count_dist": q_order_count_dist,
-        "promo_ratio": q_promo_ratio,
-        "top_supplier": q_top_supplier,
-        "small_qty_revenue": q_small_qty_revenue,
-        "big_order_customers": q_big_order_customers,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "late_orders": q_late_orders,
-        "waiting_supplier": q_waiting_supplier,
-        "forecast_revenue": q_forecast_revenue,
-        "important_parts": q_important_parts,
-        "priority_by_flag": q_priority_by_flag,
-        "part_supplier_counts": q_part_supplier_counts,
-        "excess_suppliers": q_excess_suppliers,
-        # graph / linkage / profile flagships — never driver-checked
-        "pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        "record_linkage": q_record_linkage,
-        "prefix_jaccard": q_prefix_jaccard,
-        "semantic_decontam": q_semantic_decontam,
-        "corr_matrix": q_corr_matrix,
-        "column_entropy": q_column_entropy,
-        "benford": q_benford,
-        "row_ids": q_row_ids,
-        "seasonal_anomalies": q_seasonal_anomalies,
-        "outlier_fences": q_outlier_fences,
-        "linear_trend": q_linear_trend,
-        # array/multimodal/cogroup surface (hazards fixed this round)
-        "array_map_funcs": q_array_map_funcs,
-        "inverted_index": q_inverted_index,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "binary_header": q_binary_header,
-        "cogroup_reconcile": q_cogroup_reconcile,
-        "pseudonymize": q_pseudonymize,
-        "events_sliding": q_events_sliding,
-        "interval_overlap": q_interval_overlap,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "python_datasource": q_python_datasource,
-        "schema_evolution": q_schema_evolution,
-        # -- end of driver window (50) --------------------------------------
-        # never driver-checked yet: round-5 rotation candidates
+        # never driver-checked before this round (29 + sketch_stats)
         "cdc_apply": q_cdc_apply,
         "length_batches": q_length_batches,
         "drift_psi": q_drift_psi,
@@ -3908,6 +3851,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": q_sample_per_group,
         "orc_roundtrip": q_orc_roundtrip,
         "content_hash": q_content_hash,
+        # rows-only by design: engine-specific approximate values; its
+        # error guarantees are oracle-checked by sketch_bounds above
+        "sketch_stats": q_sketch_stats,
+        # longest-unchecked re-checks (driver-green round 2)
+        "projection": q_projection,
+        "neg_projection": q_neg_projection,
+        "compute_project": q_compute_project,
+        "filter_in": q_filter_in,
+        "filter_band": q_filter_band,
+        "filter_strlen": q_filter_strlen,
+        "filter_compound": q_filter_compound,
+        "drop_na": q_drop_na,
+        "distinct_values": q_distinct_values,
+        "join_composite": q_join_composite,
+        "left_join_sum_zero": q_left_join_sum_zero,
+        "join_suffix": q_join_suffix,
+        "join_label": q_join_label,
+        "diff_classify": q_diff_classify,
+        "closure_leaves": q_closure_leaves,
+        "rollup_hierarchy": q_rollup_hierarchy,
+        "group_first": q_group_first,
+        "gaps_islands": q_gaps_islands,
+        "group_extrema": q_group_extrema,
+        "topk_orders": q_topk_orders,
+        # -- end of driver window (50) --------------------------------------
+        # -- driver-green in round 4 (CORRECTNESS_r04.json) -----------------
+        "embed_transform": q_embed_transform,
+        "dq_checks": q_dq_checks,
+        "corpus_mix": q_corpus_mix,
+        "array_agg": q_array_agg,
+        "build_fact": q_build_fact,
+        "http_csv_scan": q_http_csv_scan,
+        "excel_scan": q_excel_scan,
+        "min_cost_supplier": q_min_cost_supplier,
+        "top_acctbal_no_orders": q_top_acctbal_no_orders,
+        "regional_volume": q_regional_volume,
+        "market_share": q_market_share,
+        "nation_profit": q_nation_profit,
+        "order_count_dist": q_order_count_dist,
+        "promo_ratio": q_promo_ratio,
+        "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "big_order_customers": q_big_order_customers,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "late_orders": q_late_orders,
+        "waiting_supplier": q_waiting_supplier,
+        "forecast_revenue": q_forecast_revenue,
+        "important_parts": q_important_parts,
+        "priority_by_flag": q_priority_by_flag,
+        "part_supplier_counts": q_part_supplier_counts,
+        "excess_suppliers": q_excess_suppliers,
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "record_linkage": q_record_linkage,
+        "prefix_jaccard": q_prefix_jaccard,
+        "semantic_decontam": q_semantic_decontam,
+        "corr_matrix": q_corr_matrix,
+        "column_entropy": q_column_entropy,
+        "benford": q_benford,
+        "row_ids": q_row_ids,
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "outlier_fences": q_outlier_fences,
+        "linear_trend": q_linear_trend,
+        "array_map_funcs": q_array_map_funcs,
+        "inverted_index": q_inverted_index,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "binary_header": q_binary_header,
+        "cogroup_reconcile": q_cogroup_reconcile,
+        "pseudonymize": q_pseudonymize,
+        "events_sliding": q_events_sliding,
+        "interval_overlap": q_interval_overlap,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "python_datasource": q_python_datasource,
+        "schema_evolution": q_schema_evolution,
         # -- driver-green in round 3 (CORRECTNESS_r03.json) -----------------
         "flagship_revenue": q_flagship_revenue,
         "usis_export": q_usis_export,
@@ -3958,26 +3977,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "rolling_window": q_rolling_window,
         # -- driver-green in round 2 (CORRECTNESS_r02.json) -----------------
-        "projection": q_projection,
-        "neg_projection": q_neg_projection,
-        "compute_project": q_compute_project,
-        "filter_in": q_filter_in,
-        "filter_band": q_filter_band,
-        "filter_strlen": q_filter_strlen,
-        "filter_compound": q_filter_compound,
-        "drop_na": q_drop_na,
-        "distinct_values": q_distinct_values,
-        "join_composite": q_join_composite,
-        "left_join_sum_zero": q_left_join_sum_zero,
-        "join_suffix": q_join_suffix,
-        "join_label": q_join_label,
-        "diff_classify": q_diff_classify,
-        "closure_leaves": q_closure_leaves,
-        "rollup_hierarchy": q_rollup_hierarchy,
-        "group_first": q_group_first,
-        "gaps_islands": q_gaps_islands,
-        "group_extrema": q_group_extrema,
-        "topk_orders": q_topk_orders,
         "union_by_name": q_union_by_name,
         "conditional_overwrite": q_conditional_overwrite,
         "recode_values": q_recode_values,
@@ -4001,10 +4000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rows-only by design --------------------------------------------
         # ivf_topk: approximate pruning path; its machinery is fully
         # checked by ivf_recall (exhaustive-probe == exact oracle).
-        # sketch_stats: engine-specific approximate values; its error
-        # guarantees are oracle-checked by sketch_bounds.
         "ivf_topk": q_ivf_topk,
-        "sketch_stats": q_sketch_stats,
     }
 
 
@@ -6532,12 +6528,18 @@ def oracle_sql() -> dict[str, str]:
                      o_orderpriority AS c_mktsegment
               FROM orders
             ),
+            -- o_orderkey is globally unique (TPC-H), so (key, seq) never
+            -- ties and the xxhash64 content tie-break latest_changes
+            -- adds after (seq, op-rank) is unreachable on this fixture;
+            -- the trailing ORDER BY columns below only pin DuckDB's own
+            -- determinism, they do not model the hash ordering
             latest AS (
               SELECT * FROM ch
               QUALIFY row_number() OVER (
                 PARTITION BY c_custkey
                 ORDER BY seq DESC,
-                         CASE WHEN op = 'delete' THEN 1 ELSE 0 END DESC
+                         CASE WHEN op = 'delete' THEN 1 ELSE 0 END DESC,
+                         c_acctbal, c_mktsegment
               ) = 1
             ),
             j AS (

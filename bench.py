@@ -3,9 +3,11 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Each query is forced end-to-end with the ``noop`` sink (full computation
-of every output column, no driver collect overhead).  Prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+of every output column, no driver collect overhead).  Prints the full
+per-query JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} followed by a compact headline
+summary line (total, query count, top-10 slowest) so a tail-truncated
+capture of stdout still carries the round's headline numbers.
 
 ``--repeat N`` (or SPARK_GRAFT_REPEAT=N) runs every query N times and
 reports the per-query MEDIAN: BASELINE.md documents up to 2.5× host-load
@@ -209,6 +211,24 @@ def main() -> None:
         if cold_only:
             out["cold_only"] = cold_only
     print(json.dumps(out))
+    # The driver's BENCH artifact keeps only the TAIL of stdout, and the
+    # full per-query line above is >3 KB at 169 queries — so the
+    # headline numbers are repeated in a compact (<500 byte) summary
+    # printed LAST, guaranteed to land inside any tail window.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    summary = {
+        "metric": "total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "repeat": repeat,
+        "n_queries": len(timings),
+        "cold_only_n": len(cold_only),
+        "top10_slowest": slowest,
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -175,17 +175,19 @@ def write_comparison_pdf(
     """
     from pyspark.sql import functions as F
 
-    n_labels = diff.select(label_col).distinct().count()
+    # guard and collect must see the SAME frame: counting before the
+    # NULL-label filter would let unplottable NULL-label rows trip the
+    # bound for a report that actually fits
+    plottable = diff.select(
+        label_col, year_col, variable_col, old_col, new_col
+    ).filter(F.col(label_col).isNotNull() & F.col(year_col).isNotNull())
+    n_labels = plottable.select(label_col).distinct().count()
     if n_labels > max_economies:
         raise ValueError(
             f"{n_labels} economies exceeds max_economies="
             f"{max_economies}; filter the diff or raise the bound"
         )
-    rows = (
-        diff.select(label_col, year_col, variable_col, old_col, new_col)
-        .filter(F.col(label_col).isNotNull() & F.col(year_col).isNotNull())
-        .collect()
-    )
+    rows = plottable.collect()
     by_economy: dict[str, dict[tuple[str, str], list]] = defaultdict(
         lambda: defaultdict(list)
     )

@@ -278,11 +278,11 @@ def corr_matrix(
     for i, c in enumerate(cols):
         qc = _q(F.col(c))
         aggs.append(F.sum(qc).alias(f"__s{i}"))
-        aggs.append(F.sum(qc * qc).alias(f"__s{i}{i}"))
+        aggs.append(F.sum(qc * qc).alias(f"__s{i}_{i}"))
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
             aggs.append(
-                F.sum(_q(F.col(cols[i])) * _q(F.col(cols[j]))).alias(f"__s{i}{j}")
+                F.sum(_q(F.col(cols[i])) * _q(F.col(cols[j]))).alias(f"__s{i}_{j}")
             )
     summed = d.agg(*aggs)
 
@@ -299,12 +299,12 @@ def corr_matrix(
     for i in range(len(cols)):
         conv.append(_dec2dbl_wide(f"__s{i}", _Q).alias(f"__sd{i}"))
         conv.append(
-            _dec2dbl_wide(f"__s{i}{i}", _Q * _Q).alias(f"__sd{i}{i}")
+            _dec2dbl_wide(f"__s{i}_{i}", _Q * _Q).alias(f"__sd{i}_{i}")
         )
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
             conv.append(
-                _dec2dbl_wide(f"__s{i}{j}", _Q * _Q).alias(f"__sd{i}{j}")
+                _dec2dbl_wide(f"__s{i}_{j}", _Q * _Q).alias(f"__sd{i}_{j}")
             )
     converted = summed.select(*conv)
 
@@ -314,9 +314,9 @@ def corr_matrix(
         for j in range(i + 1, len(cols)):
             sx = F.col(f"__sd{i}")
             sy = F.col(f"__sd{j}")
-            sxx = F.col(f"__sd{i}{i}")
-            syy = F.col(f"__sd{j}{j}")
-            sxy = F.col(f"__sd{i}{j}")
+            sxx = F.col(f"__sd{i}_{i}")
+            syy = F.col(f"__sd{j}_{j}")
+            sxy = F.col(f"__sd{i}_{j}")
             det_x = n * sxx - sx * sx
             det_y = n * syy - sy * sy
             corr = F.when(

@@ -39,10 +39,13 @@ def read_csv(
         .option("header", str(header).lower())
         .option("mode", "PERMISSIVE")
     )
-    # Spark CSV accepts one nullValue; normalize extra markers via emptyValue
-    for marker in na_values:
-        reader = reader.option("nullValue", marker)
-    return reader.csv(path)
+    # Spark CSV accepts ONE nullValue option; the first marker goes
+    # there and the rest are mapped post-read (string columns need the
+    # explicit rewrite; non-string columns already parse any unmapped
+    # marker to NULL under PERMISSIVE).
+    if na_values:
+        reader = reader.option("nullValue", na_values[0])
+    return _map_extra_na_markers(reader.csv(path), na_values[1:])
 
 
 def read_csv_trimmed(
@@ -65,9 +68,30 @@ def read_csv_trimmed(
     headerless parquet/CSV directories instead."""
     rdd = _trimmed_lines_rdd(spark, path, skip_rows, skip_footer)
     reader = spark.read.schema(schema).option("header", str(header).lower())
-    for marker in na_values:
-        reader = reader.option("nullValue", marker)
-    return reader.csv(rdd)
+    if na_values:
+        reader = reader.option("nullValue", na_values[0])
+    return _map_extra_na_markers(reader.csv(rdd), na_values[1:])
+
+
+def _map_extra_na_markers(df: DataFrame, markers: Sequence[str]) -> DataFrame:
+    """Map NA markers beyond the one Spark's CSV ``nullValue`` option
+    accepts: string columns get an explicit ``value IN markers -> NULL``
+    rewrite (one JVM projection, no extra scan); non-string columns need
+    nothing — an unmapped marker fails the PERMISSIVE cast and is
+    already NULL."""
+    if not markers:
+        return df
+    marks = list(markers)
+    return df.select(
+        *[
+            F.when(F.col(f.name).isin(marks), None)
+            .otherwise(F.col(f.name))
+            .alias(f.name)
+            if f.dataType.typeName() == "string"
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
 
 
 def _trimmed_lines_rdd(spark, path, skip_rows=0, skip_footer=0):
@@ -231,7 +255,16 @@ def _read_xlsx_stdlib(data: bytes, skip_rows: int):
     matrix = matrix[skip_rows:]
     if not matrix:
         raise ValueError("workbook empty after skip_rows")
-    header = [str(h) for h in matrix[0]]
+
+    def header_str(h: object) -> str:
+        # numeric cells parse as float, so a year header reads 2015.0 —
+        # format int-valued floats without the trailing '.0' to match
+        # what pandas+openpyxl produces for the same workbook
+        if isinstance(h, float) and h.is_integer():
+            return str(int(h))
+        return str(h)
+
+    header = [header_str(h) for h in matrix[0]]
     return pd.DataFrame(matrix[1:], columns=header)
 
 

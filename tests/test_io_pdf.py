@@ -131,3 +131,18 @@ def test_pdf_three_variables_distinct_linetypes(spark, tmp_path):
     assert b"[4 3] 0 d" in data and b"[1 2] 0 d" in data
     assert b"solid = a" in data and b"dashed = b" in data \
         and b"dotted = c" in data
+
+
+def test_pdf_null_labels_do_not_trip_economy_bound(spark, tmp_path):
+    """NULL-label rows are dropped before plotting, so they must not
+    count toward max_economies either (guard counts the same frame it
+    collects)."""
+    rows = [("E1", 2010, "v", 1.0, 1.0), ("E1", 2011, "v", 2.0, 2.0),
+            ("E2", 2010, "v", 3.0, 3.0), ("E2", 2011, "v", 4.0, 4.0),
+            (None, 2010, "v", 9.0, 9.0)]
+    df = spark.createDataFrame(
+        rows, "Economy_Label string, Year int, Variable string, "
+              "value_old double, value_new double")
+    # 2 plottable economies + 1 NULL label: bound of 2 must pass
+    assert write_comparison_pdf(
+        df, str(tmp_path / "nl.pdf"), max_economies=2) == 2

@@ -780,3 +780,26 @@ def test_column_entropy(spark):
     assert abs(out["cat"]["entropy"] - math.log(2)) < 1e-8
     assert abs(out["uniq"]["entropy"] - math.log(4)) < 1e-8
     assert out["const"]["entropy"] == 0.0 and out["const"]["n_distinct"] == 1
+
+
+def test_corr_matrix_13_columns_no_alias_collision(spark):
+    """≥13 columns: the positional alias layers need a separator
+    ('__sd1_2' pair vs '__sd12' single) or aliases collide into an
+    ambiguous-reference failure."""
+    import numpy as np
+
+    from gdp_etl_spark.operators.regression import corr_matrix
+
+    rng = np.random.RandomState(7)
+    k, n = 13, 60
+    data = rng.rand(n, k).round(4)
+    cols = [f"c{i}" for i in range(k)]
+    df = spark.createDataFrame(
+        [tuple(float(v) for v in row) for row in data],
+        ", ".join(f"{c} double" for c in cols),
+    )
+    out = {(r["col_x"], r["col_y"]): r["corr"]
+           for r in corr_matrix(df, cols).collect()}
+    assert len(out) == k * (k - 1) // 2
+    expect = float(np.corrcoef(data[:, 1], data[:, 2])[0, 1])
+    assert abs(out[("c1", "c2")] - expect) < 1e-5

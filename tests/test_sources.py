@@ -266,3 +266,46 @@ def test_read_excel_stdlib_sparse_rows(spark, tmp_path):
                     schema="Code string, Value double")
     got = sorted(tuple(r) for r in df.collect())
     assert got == [("004", 1.5), ("076", 2.25)]
+
+
+def test_read_csv_multiple_na_markers(spark, tmp_path):
+    """Every marker in na_values must map to NULL — including in string
+    columns, which Spark's single nullValue option can't cover alone
+    (sources._map_extra_na_markers)."""
+    p = tmp_path / "multi_na.csv"
+    p.write_text("Code,Note,Value\nA,--,1.5\nB,n/a,--\nC,ok,n/a\nD,--,2.0\n")
+    df = read_csv(
+        spark, str(p), "Code string, Note string, Value double",
+        na_values=["--", "n/a"],
+    )
+    assert rows(df) == [
+        ("A", None, 1.5),
+        ("B", None, None),
+        ("C", "ok", None),
+        ("D", None, 2.0),
+    ]
+
+
+def test_read_csv_trimmed_multiple_na_markers(spark, tmp_path):
+    p = tmp_path / "multi_na_trim.csv"
+    p.write_text("banner\nPeriod,Note,Value\n1970,--,1.0\n1971,n/a,n/a\n")
+    df = read_csv_trimmed(
+        spark, str(p), "Period int, Note string, Value double",
+        skip_rows=1, na_values=["--", "n/a"],
+    )
+    assert rows(df) == [(1970, None, 1.0), (1971, None, None)]
+
+
+def test_read_excel_stdlib_integer_float_headers(spark, tmp_path):
+    """Numeric year headers parse as floats in the stdlib path; the
+    column names must come out '2015', not '2015.0', matching what
+    pandas+openpyxl produces for the same workbook."""
+    from gdp_etl_spark.sources import _read_xlsx_stdlib, write_minimal_xlsx
+
+    p = tmp_path / "years.xlsx"
+    write_minimal_xlsx(
+        str(p),
+        [["CountryID", 2015, 2016.5], [4, 20.25, 21.0]],
+    )
+    pdf = _read_xlsx_stdlib(p.read_bytes(), 0)
+    assert list(pdf.columns) == ["CountryID", "2015", "2016.5"]
