@@ -195,6 +195,11 @@ def write_comparison_pdf(
         label = r[label_col]
         year = r[year_col]
         var = str(r[variable_col])
+        by_economy[label]  # register even if every value is NULL: the
+        # reference renders an all-NA economy as an empty titled chart
+        # (R's plot loop iterates every old label,
+        # ``gdp_compare_with_old_data.R:88``), and page-count parity
+        # with its published PDF depends on it
         if r[old_col] is not None:
             by_economy[label][("old", var)].append((year, float(r[old_col])))
         if r[new_col] is not None:

@@ -91,6 +91,118 @@ def release_diff(
     return diff.join(F.broadcast(old_labels), "Economy_Code", "left")
 
 
+#: the three code-keyed label-dimension patches the reference applies
+#: before recovering codes on the old release
+#: (``gdp_compare_with_old_data.R:24-26``)
+REFERENCE_LABEL_DIM_PATCHES: dict[str, str] = {
+    "498": "Republic of Moldova",
+    "410": "Republic of Korea",
+    "890": "Yugoslavia, Soc. Fed. Rep. of",
+}
+
+#: old-release wide column -> canonical Variable name
+#: (``gdp_compare_with_old_data.R:33-36``)
+OLD_RELEASE_MEASURES: dict[str, str] = {
+    "US_at_constant_prices_2015_Value": "GDP_at_constant_prices_2015",
+    "US_at_current_prices_Value": "GDP_at_current_prices",
+}
+
+
+def patch_label_dim(
+    labels: DataFrame, patches: dict[str, str] | None = None
+) -> DataFrame:
+    """C1 on the label dimension itself: the reference rewrites three
+    labels BY CODE before the code-recovery join, so the old release's
+    (renamed) labels match (``gdp_compare_with_old_data.R:24-26``)."""
+    rules = [
+        (F.col("Code") == code, label)
+        for code, label in (patches or REFERENCE_LABEL_DIM_PATCHES).items()
+    ]
+    return labels.withColumn(
+        "Label", conditional_overwrite(F.col("Label"), rules)
+    )
+
+
+def comparison_with_old_release(
+    new: DataFrame,
+    old_wide: DataFrame,
+    labels: DataFrame,
+    label_patches: dict[str, str] | None = None,
+    measure_cols: dict[str, str] | None = None,
+    keep_old_label: bool = False,
+) -> DataFrame:
+    """The reference's full §3.2 comparison chain
+    (``gdp_compare_with_old_data.R:20-51``), golden-output-exact:
+
+    1. patch the label dimension by code (:func:`patch_label_dim`);
+    2. recover codes on the old wide release via a broadcast label join
+       (old labels are unique per label in the real data; NULL labels
+       match nothing, unlike dplyr's default NA-matches-NA — no real
+       row exercises the difference);
+    3. melt the two wide measure columns to (Variable, Value), KEEPING
+       NULL values exactly like ``pivot_longer``'s default;
+    4. full-outer join against the new release on (Code, Year,
+       Variable) and take the NEW side's label and comments.
+
+    Output columns (``Value_old``/``Value_new`` stand in for the golden
+    CSV's ``Value.old``/``Value.new`` — dots in column names break
+    column-name-keyed consumers): ``Code, Economy_Label, Year,
+    Variable, Value_old, Value_new, CommentEN, CommentFR``.  On the
+    reference's real inputs this reproduces
+    ``output/gdp_comparison.csv`` row-for-row
+    (``tests/test_golden_reference.py``).
+
+    ``keep_old_label=True`` appends ``Economy_Label_old`` (the old
+    release's label) — the reference's per-economy comparison PDF
+    groups charts by it (``gdp_compare_with_old_data.R:57,88``)."""
+    lab = patch_label_dim(labels, label_patches).select("Code", "Label")
+    measures = measure_cols or OLD_RELEASE_MEASURES
+    old_coded = old_wide.join(
+        F.broadcast(lab), old_wide["Economy_Label"] == lab["Label"], "left"
+    ).select(
+        "Code",
+        F.col("Economy_Label").alias("Economy_Label_old"),
+        "Year",
+        *[F.col(c).alias(var) for c, var in measures.items()],
+    )
+    old_long = old_coded.unpivot(
+        ["Code", "Economy_Label_old", "Year"],
+        list(measures.values()),
+        "Variable",
+        "Value",
+    ).select(
+        "Code",
+        "Economy_Label_old",
+        "Year",
+        "Variable",
+        F.col("Value").alias("Value_old"),
+    )
+    new_keyed = new.select(
+        F.col("Economy_Code").alias("Code"),
+        "Economy_Label",
+        "Year",
+        "Variable",
+        F.col("Value").alias("Value_new"),
+        "CommentEN",
+        "CommentFR",
+    )
+    out_cols = [
+        "Code",
+        "Economy_Label",
+        "Year",
+        "Variable",
+        "Value_old",
+        "Value_new",
+        "CommentEN",
+        "CommentFR",
+    ]
+    if keep_old_label:
+        out_cols.append("Economy_Label_old")
+    return old_long.join(
+        new_keyed, ["Code", "Year", "Variable"], "full"
+    ).select(*out_cols)
+
+
 def export_comparison_pdf(diff: DataFrame, path: str, **kwargs) -> int:
     """S8 (``gdp_compare_with_old_data.R:54-90``): render the
     :func:`release_diff` frame to the per-economy comparison PDF via

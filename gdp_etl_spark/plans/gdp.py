@@ -487,8 +487,20 @@ def compute_aggregates(df: DataFrame, economy_groups: DataFrame) -> DataFrame:
     over membership, sum per (group, Year, Variable), union back onto
     the fact.  "World" gets code ``0000`` (reference ``:404-407``).
 
-    ``economy_groups``: edge list with ``Parent_Code, Parent_Label,
-    Child_Code`` (extra columns ignored)."""
+    ``economy_groups``: either the reference's full 10-column hierarchy
+    contract (``Parent_*``/``Child_*`` with ``Child_IsTarget``) — routed
+    through :func:`operators.hierarchy.reference_rollup`, whose
+    replace-and-filter semantics reproduce the published group rows
+    bit-exactly on the real ``Dim_Countries_Hierarchy_All.csv`` — or a
+    plain edge list with ``Parent_Code, Parent_Label, Child_Code``,
+    expanded by the generic leaf closure."""
+    if "Child_IsTarget" in economy_groups.columns:
+        from ..operators.hierarchy import reference_rollup
+
+        groupgdp = reference_rollup(df, economy_groups)
+        return df.unionByName(groupgdp, allowMissingColumns=False).orderBy(
+            "Economy_Code", "Year", "Variable"
+        )
     edges = economy_groups.select(
         F.col("Parent_Code").alias("parent"), F.col("Child_Code").alias("child")
     )

@@ -1,0 +1,356 @@
+"""Golden replay against the reference's REAL inputs and published
+outputs (``/root/reference/data`` + ``/root/reference/output``).
+
+These are the strongest correctness statements in the repo: the same
+physical files the reference's R pipeline consumed and produced, pushed
+through the Spark rebuild.
+
+Ground truth established here (each pinned by a test):
+
+* hierarchy rollup — all 8,052 published GROUP rows re-derive
+  BIT-EXACTLY from the published individual rows + the real 2,194-edge
+  hierarchy (values are integer-valued doubles ≪ 2^53, so re-summation
+  is exact in any order);
+* §3.2 comparison — ``gdp_comparison.csv`` reproduces row-for-row
+  except a 64-row slice at (2024, current prices) where the reference's
+  own two artifacts disagree with EACH OTHER (``gdp_comparison.csv``
+  was generated from an earlier ``gdp_update.csv`` revision: e.g. code
+  004 has no 2024 estimate in the golden comparison but has one in the
+  published update; the 2024-missing economies in the golden comparison
+  are exactly the CPI-deflator list ``MISSING_DEFLATOR_ECONOMIES``).
+  The test proves every delta is explained by that input skew;
+* USIS export — all 22,046 rows of ``gdp_update_usis.csv`` reproduce
+  exactly, all 15 columns including the injected RefDate;
+* growth xlsx — the stdlib ECMA-376 parser's read of the real
+  ``GDP growth rates.xlsx`` metamorphically explains the published
+  2024 constant-price estimates: pub₂₀₂₄ ≈ pub₂₀₂₃·(1+g/100) within
+  the double-rounding envelope for 210 economies, zero failures.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdp_etl_spark.plans import golden, qa
+from gdp_etl_spark.plans.gdp import (
+    GROWTH_CODE_ALIASES,
+    MISSING_DEFLATOR_ECONOMIES,
+    export_usis_layout,
+)
+
+REF = golden.REFERENCE_DIR
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "output")),
+    reason="reference checkout with published outputs not available",
+)
+
+def _skew():
+    """The (2024, current-prices) slice where the reference's own two
+    published artifacts disagree (module docstring).  Built lazily —
+    Column construction needs an active session."""
+    return (F.col("Year") == 2024) & (
+        F.col("Variable") == "GDP_at_current_prices"
+    )
+
+
+@pytest.fixture(scope="module")
+def update(spark):
+    return golden.load_gdp_update(spark).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def gold_cmp(spark):
+    return golden.load_gdp_comparison(spark).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def recomputed_cmp(spark):
+    return golden.golden_comparison(spark).localCheckpoint()
+
+
+# ---------------------------------------------------------------------------
+# hierarchy rollup (J7 + J8 + A1 + A2 + C1 on real data)
+# ---------------------------------------------------------------------------
+
+def test_rollup_reproduces_published_group_rows_bit_exactly(spark, update):
+    rec = golden.golden_group_rollup(spark)
+    _, pub = golden.split_update(update)
+    pub = pub.select("Economy_Code", "Economy_Label", "Year", "Variable", "Value")
+    assert pub.count() == 8052
+    j = rec.alias("r").join(
+        pub.alias("p"), ["Economy_Code", "Year", "Variable"], "full"
+    )
+    bad = j.filter(
+        F.col("r.Value").isNull()
+        | F.col("p.Value").isNull()
+        | (F.col("r.Value") != F.col("p.Value"))      # exact, not tol
+        | (F.col("r.Economy_Label") != F.col("p.Economy_Label"))
+    )
+    assert bad.count() == 0
+    assert rec.count() == 8052
+
+
+def test_real_hierarchy_expansion_keeps_reference_quirk_rows(spark):
+    """The R recursion's final-pass quirk keeps 18 non-target children
+    (7 under World, 5 under Developing economies, 6 under Other
+    territories) — dropping them breaks bit-exactness of the World
+    aggregates, so pin the exact surviving set."""
+    from gdp_etl_spark.operators.hierarchy import expand_hierarchy
+
+    exp = expand_hierarchy(golden.load_hierarchy(spark))
+    nt = exp.filter(F.col("Child_IsTarget") != "True")
+    got = {
+        (r["Parent_Label"], r["Child_Code"]) for r in nt.collect()
+    }
+    assert len(got) == 18
+    by_parent = {}
+    for p, _ in got:
+        by_parent[p] = by_parent.get(p, 0) + 1
+    assert by_parent == {
+        "World": 7, "Developing economies": 5, "Other territories": 6
+    }
+
+
+def test_real_hierarchy_distributed_loop_matches_driver_path(spark):
+    """Same expansion through the distributed broadcast-join loop
+    (driver_threshold=0) — first real multi-level closure input for
+    that path."""
+    from gdp_etl_spark.operators.hierarchy import expand_hierarchy
+
+    h = golden.load_hierarchy(spark)
+    fast = expand_hierarchy(h)
+    dist = expand_hierarchy(h, driver_threshold=0)
+    assert fast.count() == dist.count() == 3474
+    assert fast.exceptAll(dist).count() == 0
+    assert dist.exceptAll(fast).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# §3.2 release comparison (S1 + J5 + J6 + R2 + C1 on real data)
+# ---------------------------------------------------------------------------
+
+def test_comparison_row_counts(gold_cmp, recomputed_cmp):
+    assert gold_cmp.count() == 32912
+    assert recomputed_cmp.count() == 32912
+
+
+def test_comparison_exact_outside_artifact_skew(gold_cmp, recomputed_cmp):
+    mine, gold = recomputed_cmp.filter(~_skew()), gold_cmp.filter(~_skew())
+    assert mine.count() == gold.count() == 32612
+    assert mine.exceptAll(gold).count() == 0
+    assert gold.exceptAll(mine).count() == 0
+
+
+def test_comparison_skew_slice_fully_explained_by_input_skew(
+    spark, update, gold_cmp, recomputed_cmp
+):
+    """Every (2024, current) delta must trace to the documented
+    disagreement between the reference's own artifacts: golden
+    Value_new ≠ the published update's Value for the same key.  The
+    old-release side must agree everywhere (it is a shared input)."""
+    mine, gold = recomputed_cmp.filter(_skew()), gold_cmp.filter(_skew())
+    deltas = mine.exceptAll(gold)
+    assert deltas.count() == 64
+    upd = update.select(
+        F.col("Economy_Code").alias("Code"), "Year", "Variable",
+        F.col("Value").alias("__upd"),
+    )
+    joined = gold.join(upd, ["Code", "Year", "Variable"], "left")
+    inconsistent = joined.filter(
+        ~F.col("Value_new").eqNullSafe(F.col("__upd"))
+    )
+    assert inconsistent.count() == 64          # the input skew itself
+    # value_old (shared input) agrees on every skew-slice key
+    j = mine.select("Code", "Value_old").alias("r").join(
+        gold.select("Code", "Value_old").alias("g"), "Code"
+    )
+    assert (
+        j.filter(~F.col("r.Value_old").eqNullSafe(F.col("g.Value_old"))).count()
+        == 0
+    )
+    # and the individual economies whose 2024 estimate the golden
+    # comparison LACKS but the later update revision HAS are (but for
+    # two swaps) the CPI-deflator list: the earlier revision still
+    # carried 438/492 there, and 531/534 joined the list afterwards —
+    # pin the observed ground truth and its overlap
+    filled_in = {
+        r["Code"]
+        for r in inconsistent.filter(
+            F.col("Value_new").isNull()
+            & F.col("__upd").isNotNull()
+            & (F.length("Code") == 3)
+        ).collect()
+    }
+    assert filled_in == {
+        "004", "060", "092", "136", "184", "192", "232", "258", "275",
+        "304", "438", "492", "500", "540", "660", "760", "796",
+    }
+    assert len(filled_in & set(MISSING_DEFLATOR_ECONOMIES)) == 15
+
+
+# ---------------------------------------------------------------------------
+# USIS export (S7 + C3 + C6 + F5 on real data)
+# ---------------------------------------------------------------------------
+
+def test_usis_export_reproduces_published_file_exactly(spark, update):
+    mine = export_usis_layout(update, run_date="2025-08-29")
+    gold = (
+        spark.read.schema(
+            "Series string, Country string, Year int, Period string, "
+            "NAComponent string, Measure string, Source string, "
+            "DataSource string, Value double, DataStatus string, "
+            "DataConfidentiality string, CommentEN string, CommentFR string, "
+            "CommentConfidentiality string, RefDate string"
+        )
+        .option("header", "true")
+        .option("nullValue", "NA")
+        .csv(os.path.join(REF, "output", "gdp_update_usis.csv"))
+    )
+    assert mine.count() == gold.count() == 22046
+    assert mine.exceptAll(gold).count() == 0
+    assert gold.exceptAll(mine).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# growth xlsx through the stdlib ECMA-376 parser (S4 + C3 + J4)
+# ---------------------------------------------------------------------------
+
+def test_growth_xlsx_parses_with_real_shape(spark):
+    from gdp_etl_spark.sources import read_excel
+
+    df = read_excel(
+        spark, os.path.join(REF, "data", "GDP growth rates.xlsx")
+    )
+    assert df.count() == 212
+    cols = df.columns
+    assert cols[0] == "UNCTcc" and cols[1] == "Country/Region"
+    assert cols[2:] == [str(y) for y in range(1990, 2025)]
+
+
+def test_growth_xlsx_metamorphically_explains_published_2024(spark, update):
+    """pub₂₀₂₄(constant) = pub₂₀₂₃(constant)·(1+g/100) within the
+    double-rounding envelope (both published values are rounded to
+    integers, so ≤ ~1.1 absolute; tol=2 = the reference's own QA
+    tolerance).  This anchors the stdlib xlsx parse AND the
+    GROWTH_CODE_ALIASES recode to the golden output with no engine in
+    common."""
+    from gdp_etl_spark.functions.expressions import recode
+    from gdp_etl_spark.sources import read_excel
+
+    growth = (
+        read_excel(spark, os.path.join(REF, "data", "GDP growth rates.xlsx"))
+        .select(
+            recode(F.col("UNCTcc"), GROWTH_CODE_ALIASES).alias("Economy_Code"),
+            F.col("2024").cast("double").alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    const = update.filter(
+        (F.col("Variable") == "GDP_at_constant_prices_2015")
+        & (F.length("Economy_Code") == 3)
+    )
+    wide = (
+        const.filter(F.col("Year").isin(2023, 2024))
+        .groupBy("Economy_Code")
+        .pivot("Year", [2023, 2024])
+        .agg(F.first("Value"))
+    )
+    checked = (
+        growth.join(wide, "Economy_Code")
+        .filter(F.col("2023").isNotNull() & F.col("2024").isNotNull())
+        .withColumn(
+            "est", F.col("2023") * (F.lit(1.0) + F.col("g") / F.lit(100.0))
+        )
+    )
+    n = checked.count()
+    assert n >= 205                       # 210 on the current files
+    assert checked.filter(F.abs(F.col("est") - F.col("2024")) > 2).count() == 0
+    # the five alias recodes all resolve to economies in the update
+    recoded = {r["Economy_Code"] for r in checked.collect()}
+    assert set(GROWTH_CODE_ALIASES.values()) <= recoded
+
+
+# ---------------------------------------------------------------------------
+# QA chapters 04-07 over the real diff
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def real_diff(gold_cmp):
+    return gold_cmp.withColumnRenamed("Code", "Economy_Code")
+
+
+def test_qa_discrepancies_before_last_year_real(real_diff):
+    rows = {
+        (r["Economy_Code"], r["Variable"]): r["Years"]
+        for r in qa.discrepancies_before_last_year(real_diff, 2024).collect()
+    }
+    assert len(rows) == 7
+    # Taiwan was re-based/re-sourced -> full-range discrepancy
+    assert rows[("158", "GDP_at_constant_prices_2015")] == "1970-2023"
+    assert rows[("158", "GDP_at_current_prices")] == "1970-2023"
+    # dissolved-economy remaps shifted these historical windows
+    assert rows[("960", "GDP_at_current_prices")] == "1999-2002"
+    assert rows[("736", "GDP_at_constant_prices_2015")] == "2008-2009"
+
+
+def test_qa_top_discrepancies_last_year_real(real_diff):
+    top = qa.top_discrepancies_last_year(real_diff, 2024).collect()
+    assert len(top) == 19
+    assert [r["Economy_Code"] for r in top[:3]] == ["795", "434", "104"]
+    assert all(r["Variable"] == "GDP_at_current_prices" for r in top[:3])
+    assert top[0]["log_ratio"] == pytest.approx(0.40532, abs=1e-4)
+
+
+def test_qa_missing_and_added_real(real_diff):
+    missing = qa.missing_values(real_diff).collect()
+    added = qa.added_values(real_diff).collect()
+    assert len(missing) == 21
+    assert len(added) == 6
+    # 2024-missing rows are the earlier revision's CPI-deflator
+    # economies (the skew test pins the exact set: 15 still on the
+    # current MISSING_DEFLATOR_ECONOMIES list + the since-replaced
+    # 438/492)
+    miss_2024 = {
+        r["Economy_Code"] for r in missing if r["Years"] == "2024"
+    }
+    assert miss_2024 <= set(MISSING_DEFLATOR_ECONOMIES) | {"438", "492"}
+
+
+# ---------------------------------------------------------------------------
+# S8: comparison PDF, structural parity with the reference's artifact
+# ---------------------------------------------------------------------------
+
+def test_pdf_structural_parity_with_reference(spark, recomputed_cmp, tmp_path):
+    """Same economies (grouped by the OLD release's label, like the
+    reference's plot loop), 3 charts per page → the page count must
+    equal the reference's published GDP_comparison_groups.pdf."""
+    from gdp_etl_spark.io_pdf import write_comparison_pdf
+
+    with open(os.path.join(REF, "output", "GDP_comparison_groups.pdf"), "rb") as f:
+        ref_pdf = f.read()
+    m = re.search(rb"/Type\s*/Pages[^>]*?/Count\s+(\d+)", ref_pdf)
+    ref_pages = int(m.group(1))
+    assert ref_pages == 88
+
+    diff = golden.golden_comparison(spark, keep_old_label=True)
+    out = str(tmp_path / "golden_cmp.pdf")
+    n = write_comparison_pdf(
+        diff,
+        out,
+        label_col="Economy_Label_old",
+        year_col="Year",
+        variable_col="Variable",
+        old_col="Value_old",
+        new_col="Value_new",
+    )
+    import math
+
+    assert math.ceil(n / 3) == ref_pages
+    with open(out, "rb") as f:
+        mine = f.read()
+    mm = re.search(rb"/Type\s*/Pages[^>]*?/Count\s+(\d+)", mine)
+    assert int(mm.group(1)) == ref_pages

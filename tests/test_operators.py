@@ -803,3 +803,109 @@ def test_corr_matrix_13_columns_no_alias_collision(spark):
     assert len(out) == k * (k - 1) // 2
     expect = float(np.corrcoef(data[:, 1], data[:, 2])[0, 1])
     assert abs(out[("c1", "c2")] - expect) < 1e-5
+
+
+class TestExpandHierarchyReference:
+    """Reference-exact hierarchy expansion (operators.hierarchy):
+    target-leaf filter, the 'Other territories' exemption, and the
+    final-pass quirk that keeps non-target leaves reached in the last
+    executed pass (``gpd_etl_pipeline.R:347-388``)."""
+
+    SCHEMA = (
+        "Parent_Code string, Parent_Label string, Parent_ValidFrom string, "
+        "Parent_ValidTo string, Parent_IsTarget string, "
+        "Child_Code string, Child_Label string, Child_ValidFrom string, "
+        "Child_ValidTo string, Child_IsTarget string"
+    )
+
+    def _edge(self, p, pl, c, cl, target):
+        return (p, pl, "1940", "2102", "False", c, cl, "1940", "2102", target)
+
+    def _expand(self, spark, rows, **kw):
+        from gdp_etl_spark.operators.hierarchy import expand_hierarchy
+        from gdp_etl_spark.session import local_df
+
+        return expand_hierarchy(local_df(spark, rows, self.SCHEMA), **kw)
+
+    def test_drops_nontarget_leaf_when_other_rows_expand_deeper(self, spark):
+        # G's children: leaf "x" (non-target) and group "H" whose chain
+        # needs TWO more passes (H -> I -> t2).  Pass 1 expands H->I and
+        # x stays unexpanded; pass 2's filter drops x (non-target,
+        # unexpanded, parent not exempt) while I -> t2 resolves.
+        rows = [
+            self._edge("G", "Group", "x", "NES", "False"),
+            self._edge("G", "Group", "H", "Sub", "False"),
+            self._edge("H", "Sub", "I", "SubSub", "False"),
+            self._edge("I", "SubSub", "t2", "Leaf2", "True"),
+        ]
+        got = {(r["Parent_Code"], r["Child_Code"])
+               for r in self._expand(spark, rows).collect()}
+        assert got == {("G", "t2"), ("H", "t2"), ("I", "t2")}
+
+    def test_final_pass_quirk_keeps_nontarget_leaf(self, spark):
+        # "u" (non-target) is reached by expanding G -> H in the FINAL
+        # executed pass; the recursion then terminates before any
+        # filter can drop it — the reference's World/Developing rows
+        # depend on this exact behavior.
+        rows = [
+            self._edge("G", "Group", "H", "Sub", "False"),
+            self._edge("H", "Sub", "u", "NES", "False"),
+            self._edge("H", "Sub", "t", "Leaf", "True"),
+        ]
+        got = {(r["Parent_Code"], r["Child_Code"], r["Child_IsTarget"])
+               for r in self._expand(spark, rows).collect()}
+        assert ("G", "u", "False") in got
+        assert ("G", "t", "True") in got
+        # H's own non-target child "u" was present from pass 0 and
+        # unexpanded, so the pass-1 filter dropped it for H
+        assert ("H", "u", "False") not in got
+        assert ("H", "t", "True") in got
+
+    def test_other_territories_exemption(self, spark):
+        rows = [
+            self._edge("G", "Group", "H", "Other territories", "False"),
+            self._edge("H", "Other territories", "n1", "NES", "False"),
+            self._edge("H", "Other territories", "t1", "Leaf", "True"),
+            self._edge("G", "Group", "t9", "Leaf9", "True"),
+        ]
+        # H's label is NOT 'Other territories' in the (G, ...) rows —
+        # the exemption keys on the PARENT label of the row itself
+        got = {(r["Parent_Code"], r["Child_Code"])
+               for r in self._expand(spark, rows).collect()}
+        assert ("H", "n1") in got          # exempt parent keeps NES child
+        assert ("H", "t1") in got
+        assert ("G", "t1") in got and ("G", "t9") in got
+
+    def test_distributed_loop_matches_driver_path(self, spark):
+        rows = [
+            self._edge("G", "Group", "H", "Sub", "False"),
+            self._edge("H", "Sub", "u", "NES", "False"),
+            self._edge("H", "Sub", "t", "Leaf", "True"),
+            self._edge("G", "Group", "x", "NES2", "False"),
+            self._edge("W", "Other territories", "n1", "NES3", "False"),
+        ]
+        fast = self._expand(spark, rows)
+        dist = self._expand(spark, rows, driver_threshold=0)
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, dist.collect())
+        )
+
+    def test_cycle_raises(self, spark):
+        rows = [
+            self._edge("A", "La", "B", "Lb", "False"),
+            self._edge("B", "Lb", "A", "La", "False"),
+        ]
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="converge|cycle|recursion"):
+            self._expand(spark, rows).collect()
+
+    def test_missing_contract_columns_rejected(self, spark):
+        import pytest as _pytest
+
+        from gdp_etl_spark.operators.hierarchy import expand_hierarchy
+        from gdp_etl_spark.session import local_df
+
+        df = local_df(spark, [("a", "b")], "Parent_Code string, Child_Code string")
+        with _pytest.raises(ValueError, match="missing columns"):
+            expand_hierarchy(df)
