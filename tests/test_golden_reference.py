@@ -354,3 +354,66 @@ def test_pdf_structural_parity_with_reference(spark, recomputed_cmp, tmp_path):
         mine = f.read()
     mm = re.search(rb"/Type\s*/Pages[^>]*?/Count\s+(\d+)", mine)
     assert int(mm.group(1)) == ref_pages
+
+
+# ---------------------------------------------------------------------------
+# valid-range filter (J4 + F2) against the real Dim_Countries
+# ---------------------------------------------------------------------------
+
+def test_valid_range_filter_idempotent_on_published_rows(spark, update):
+    """The reference applied delete_data_out_of_valid_range before
+    publishing (``gpd_etl_pipeline.R:325-334``), so re-applying it with
+    the real Dim_Countries (IsTarget only, like the reference's load at
+    ``:27-28``) must keep every published individual row — a real-data
+    idempotence pin for the band-join filter."""
+    from gdp_etl_spark.plans.gdp import filter_valid_range
+    from gdp_etl_spark.sources import read_csv
+
+    dim = read_csv(
+        spark,
+        os.path.join(REF, "data", "Dim_Countries.csv"),
+        "Code string, Label string, ValidFrom int, ValidTo int, IsTarget string",
+    ).filter(F.col("IsTarget") == "True")
+    ind, _ = golden.split_update(update)
+    assert ind.count() == 22046
+    assert filter_valid_range(ind, dim).count() == 22046
+
+
+# ---------------------------------------------------------------------------
+# USIS feed ingestion (S1/S2 shape) against the real exchange-rate feed
+# ---------------------------------------------------------------------------
+
+def test_real_usis_exchange_rate_feed_parses_clean(spark):
+    """``data/exchange_rates.csv`` is a real USIS OData CSV export (the
+    19-column layout ``read_usis`` feeds return,
+    ``gpd_etl_pipeline.R:41-49,248``) — parse it with an explicit
+    schema and pin the feed invariants get_gdp_deflators relies on:
+    unique (country, year) keys, strictly positive rates, US ≡ 1.0."""
+    from gdp_etl_spark.sources import read_csv
+
+    fx = read_csv(
+        spark,
+        os.path.join(REF, "data", "exchange_rates.csv"),
+        "Year int, Period_Code string, Period_Label string, "
+        "Country_Code string, Country_Label string, Country_ValidFrom int, "
+        "Country_ValidTo int, Country_IsTarget string, Value double, "
+        "DataSource_Code string, DataSource_Label string, "
+        "DataStatus_Code string, DataStatus_Label string, "
+        "DataConfidentiality_Code string, DataConfidentiality_Label string, "
+        "Comment_English string, Comment_French string, "
+        "Comment_Confidentiality_Code string, Comment_Confidentiality_Label string",
+        na_values=("NA",),
+    )
+    assert fx.count() == 11740
+    lo, hi = fx.agg(F.min("Year"), F.max("Year")).first()
+    assert (lo, hi) == (1970, 2024)
+    assert fx.select("Country_Code").distinct().count() == 239
+    assert fx.filter(F.col("Value").isNull() | (F.col("Value") <= 0)).count() == 0
+    assert (
+        fx.groupBy("Country_Code", "Year").count().filter("count > 1").count()
+        == 0
+    )
+    us = fx.filter(
+        (F.col("Country_Code") == "840") & (F.col("Year") == 2024)
+    ).first()
+    assert us["Value"] == 1.0

@@ -511,7 +511,7 @@ def test_corr_matrix_limb_split_survives_optimizer(spark):
     df = corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount",
                           "l_tax"])
     opt = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "__sd01" in opt
+    assert "__sd0_1" in opt
 
 
 #: queries whose plans legitimately contain a nested-loop join: every
