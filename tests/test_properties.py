@@ -205,3 +205,51 @@ def test_histogram_conserves_mass_and_brackets_bounds(spark, xs):
     lo, hi = min(xs), max(xs)
     assert out[0]["lo"] == pytest.approx(lo)
     assert out[-1]["hi"] == pytest.approx(hi, rel=1e-12, abs=1e-9)
+
+
+_HIER_SCHEMA = (
+    "Parent_Code string, Parent_Label string, Parent_ValidFrom string, "
+    "Parent_ValidTo string, Parent_IsTarget string, "
+    "Child_Code string, Child_Label string, Child_ValidFrom string, "
+    "Child_ValidTo string, Child_IsTarget string"
+)
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),        # parent index
+            st.integers(1, 9),        # child offset (acyclic: child > parent)
+            st.booleans(),            # child IsTarget
+            st.booleans(),            # parent label is 'Other territories'
+        ),
+        min_size=1, max_size=10,
+    )
+)
+def test_expand_hierarchy_paths_agree(spark, raw_edges):
+    """The driver-side Python mirror and the distributed broadcast-join
+    loop implement ONE semantics (the reference's replace-and-filter
+    recursion, final-pass quirk included): their outputs must be equal
+    as multisets on arbitrary acyclic hierarchies with mixed target
+    flags and exemption labels."""
+    from gdp_etl_spark.operators.hierarchy import expand_hierarchy
+    from gdp_etl_spark.session import local_df
+
+    edges = []
+    for p, off, target, other in raw_edges:
+        c = p + off                  # strictly increasing -> acyclic
+        label = "Other territories" if other else f"L{p}"
+        edges.append(
+            (f"N{p}", label, "1940", "2102", "False",
+             f"N{c}", f"L{c}", "1940", "2102", str(target))
+        )
+    df = local_df(spark, edges, _HIER_SCHEMA)
+    fast = sorted(map(tuple, expand_hierarchy(df).collect()))
+    dist = sorted(
+        map(tuple, expand_hierarchy(df, driver_threshold=0).collect())
+    )
+    assert fast == dist
