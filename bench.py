@@ -39,6 +39,19 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #: with a written reason (e.g. a deliberately quadratic demo).
 BENCH_EXCLUDE: frozenset[str] = frozenset()
 
+
+def _env_excluded() -> frozenset[str]:
+    """Queries whose INPUTS are host-gated: the golden_* replays read
+    the reference checkout's real files and are skipped (like their
+    pytest module) on hosts without it."""
+    from gdp_etl_spark.plans.golden import reference_available
+
+    if reference_available():
+        return frozenset()
+    return frozenset(
+        n for n in entry_mod.queries() if n.startswith("golden_")
+    )
+
 #: pre-round-4 curated headline set, kept for subset comparisons
 #: against BENCH_r01-r03 (BASELINE.md reads this list).
 HEADLINE_QUERIES = [
@@ -153,7 +166,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _warmup(spark)
     queries = entry_mod.queries()
-    BENCH_QUERIES = [n for n in queries if n not in BENCH_EXCLUDE]
+    excluded = BENCH_EXCLUDE | _env_excluded()
+    BENCH_QUERIES = [n for n in queries if n not in excluded]
     # round-robin over repeats (not query-by-query back-to-back) so a
     # transient host-load spike lands on different queries per pass and
     # the median sees it at most once per query
@@ -212,7 +226,7 @@ def main() -> None:
             out["cold_only"] = cold_only
     print(json.dumps(out))
     # The driver's BENCH artifact keeps only the TAIL of stdout, and the
-    # full per-query line above is >3 KB at 169 queries — so the
+    # full per-query line above is >3 KB at 170+ queries — so the
     # headline numbers are repeated in a compact (<500 byte) summary
     # printed LAST, guaranteed to land inside any tail window.
     slowest = dict(

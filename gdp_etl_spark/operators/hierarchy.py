@@ -147,11 +147,17 @@ def expand_hierarchy(
     cur = src.localCheckpoint(eager=True)
     for _ in range(max_iterations):
         # rename before the self-semi-join: Spark's ambiguous-self-join
-        # check (rightly) rejects cur⋈cur on same-named lineage
+        # check (rightly) rejects cur⋈cur on same-named lineage.
+        # eqNullSafe, not ==: R's %in% and dplyr's default
+        # na_matches="na" treat NA as matching NA (a blank cell in the
+        # CSV), and the driver-side dict-lookup mirror does too — a
+        # null-rejecting join would silently diverge between paths.
         parents = cur.select(F.col("Parent_Code").alias("__pp")).distinct()
         expandable = (
             cur.join(
-                parents, cur["Child_Code"] == parents["__pp"], "left_semi"
+                parents,
+                cur["Child_Code"].eqNullSafe(parents["__pp"]),
+                "left_semi",
             )
             .limit(1)
             .count()
@@ -163,7 +169,7 @@ def expand_hierarchy(
             *[F.col(f).alias(f"__new_{f}") for f in CHILD_FIELDS],
         )
         joined = cur.join(
-            F.broadcast(rhs), cur["Child_Code"] == F.col("__k"), "left"
+            F.broadcast(rhs), cur["Child_Code"].eqNullSafe(F.col("__k")), "left"
         )
         keep = (
             (F.coalesce(F.col("__new_Child_IsTarget"),
@@ -201,7 +207,9 @@ def reference_rollup(
     out over resolved membership, sum per (parent, *group_keys*) with R
     ``na.rm=TRUE`` semantics (all-NA → 0), drop parents that matched no
     fact row (the reference's ``filter(!is.na(Year))`` after its left
-    join ≡ inner join here), and give "World" code ``world_code``
+    join ≡ inner join here, plus an explicit NULL drop on the FIRST
+    group key, which plays the reference's Year), and give "World"
+    code ``world_code``
     (the reference re-pads it because base-R ``read.csv`` +
     ``as.character`` strips Parent_Code's leading zeros, ``:404-407``).
 
@@ -216,9 +224,15 @@ def reference_rollup(
     fanned = fact.join(
         F.broadcast(pairs), fact[code_col] == pairs["Child_Code"], "inner"
     )
+    # the reference's filter(!is.na(Year)) (:410) does double duty: it
+    # drops parents its left join matched to nothing (our inner join
+    # covers that) AND fact rows whose own Year is NULL — replicate the
+    # second half so a NULL-Year fact row cannot mint a NULL-Year group
+    first_key = group_keys[0]
     return (
         fanned.groupBy("Parent_Code", "Parent_Label", *group_keys)
         .agg(sum_na_zero(value_col).alias(value_col))
+        .filter(F.col(first_key).isNotNull())
         .select(
             F.when(F.col("Parent_Label") == "World", F.lit(world_code))
             .otherwise(F.col("Parent_Code"))

@@ -41,6 +41,13 @@ from .compare import comparison_with_old_release
 #: default location of the reference checkout (read-only)
 REFERENCE_DIR = os.environ.get("SPARK_GRAFT_REFERENCE_DIR", "/root/reference")
 
+
+def reference_available(ref_dir: str = None) -> bool:
+    """Whether the reference checkout (with its published ``output/``)
+    exists on this host — the golden queries/tests/bench rows are
+    env-gated on it, the same way tests skip optional dependencies."""
+    return os.path.isdir(os.path.join(ref_dir or REFERENCE_DIR, "output"))
+
 GDP_UPDATE_SCHEMA = (
     "Economy_Code string, Economy_Label string, Year int, "
     "Variable string, Value double, CommentEN string, CommentFR string"

@@ -82,13 +82,20 @@ def _map_extra_na_markers(df: DataFrame, markers: Sequence[str]) -> DataFrame:
     if not markers:
         return df
     marks = list(markers)
+
+    def ref(name: str) -> F.Column:
+        # backtick-quote: a bare F.col()/df[] parses dots as struct
+        # access and would break on dotted column names (e.g. the
+        # golden comparison schema's `Value.old`)
+        return F.col("`" + name.replace("`", "``") + "`")
+
     return df.select(
         *[
-            F.when(F.col(f.name).isin(marks), None)
-            .otherwise(F.col(f.name))
+            F.when(ref(f.name).isin(marks), None)
+            .otherwise(ref(f.name))
             .alias(f.name)
             if f.dataType.typeName() == "string"
-            else F.col(f.name)
+            else ref(f.name)
             for f in df.schema.fields
         ]
     )

@@ -909,3 +909,30 @@ class TestExpandHierarchyReference:
         df = local_df(spark, [("a", "b")], "Parent_Code string, Child_Code string")
         with _pytest.raises(ValueError, match="missing columns"):
             expand_hierarchy(df)
+
+
+def test_expand_hierarchy_null_codes_paths_agree(spark):
+    """NULL codes (blank CSV cells): R's %in% and dplyr's default
+    na_matches='na' treat NA as matching NA, the driver-side mirror
+    does too (dict lookup), and the distributed loop must as well
+    (eqNullSafe, not null-rejecting ==)."""
+    from gdp_etl_spark.operators.hierarchy import expand_hierarchy
+    from gdp_etl_spark.session import local_df
+
+    schema = TestExpandHierarchyReference.SCHEMA
+    rows = [
+        ("A", "La", "1940", "2102", "False",
+         None, "Lnull", "1940", "2102", "False"),
+        (None, "Lnullp", "1940", "2102", "False",
+         "t", "Lt", "1940", "2102", "True"),
+    ]
+    from collections import Counter
+
+    df = local_df(spark, rows, schema)
+    fast = Counter(map(tuple, expand_hierarchy(df).collect()))
+    dist = Counter(
+        map(tuple, expand_hierarchy(df, driver_threshold=0).collect())
+    )
+    assert fast == dist
+    # the NULL child expanded through the NULL parent to the target
+    assert any(r[0] == "A" and r[5] == "t" for r in fast)

@@ -309,3 +309,16 @@ def test_read_excel_stdlib_integer_float_headers(spark, tmp_path):
     )
     pdf = _read_xlsx_stdlib(p.read_bytes(), 0)
     assert list(pdf.columns) == ["CountryID", "2015", "2016.5"]
+
+
+def test_multiple_na_markers_with_dotted_column_names(spark, tmp_path):
+    """Extra-marker mapping must address columns positionally
+    (df[name]), not via F.col, which would parse a dotted name like
+    `Value.old` as struct access and fail analysis."""
+    p = tmp_path / "dotted.csv"
+    p.write_text("Code,Value.old\nA,--\nB,ok\nC,n/a\n")
+    df = read_csv(
+        spark, str(p), "Code string, `Value.old` string",
+        na_values=["--", "n/a"],
+    )
+    assert rows(df) == [("A", None), ("B", "ok"), ("C", None)]

@@ -173,10 +173,19 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
+    from gdp_etl_spark.plans.golden import reference_available
+
     spark = get_spark("check", master="local[8]", shuffle_partitions=8)
     n_pass = n_fail = n_rows_only = n_vacuous = n_hazard = 0
+    n_env_skip = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name.startswith("golden_") and not reference_available():
+            # env-gated like tests/test_golden_reference.py: the inputs
+            # are the reference checkout's real files
+            print(f"skip  {name}: reference checkout not available")
+            n_env_skip += 1
             continue
         t0 = time.time()
         try:
@@ -230,9 +239,10 @@ def main():
             )
             n_pass += 1
             n_vacuous += not spark_rows
+    env = f", {n_env_skip} env-skip" if n_env_skip else ""
     print(
         f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only, "
-        f"{n_vacuous} vacuous, {n_hazard} driver-hazard =="
+        f"{n_vacuous} vacuous, {n_hazard} driver-hazard{env} =="
     )
     spark.stop()
     return 1 if n_fail else 0
