@@ -499,11 +499,15 @@ def prefix_filter_jaccard_pairs(
         - F.floor((F.lit(t_mill) * n + 999) / F.lit(1000)).cast("int")
         + 1
     )
+    # persist barrier: the prefix frame feeds BOTH sides of the
+    # candidate self-join, and the a/b alias difference defeats
+    # Spark's ReusedExchange (measured: 0 reuses, the explode→freq-
+    # join→groupBy→sort chain ran twice, ~25% of the query's wall)
     prefixes = by_rank.select(
         F.col(id_col),
         F.size("__ordered").alias("__nt"),
         F.explode(F.slice("__ordered", 1, prefix_len)).alias("tok"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = prefixes.select(F.col(id_col).alias("id_a"), F.col("__nt").alias("__na"), "tok")
     b = prefixes.select(F.col(id_col).alias("id_b"), F.col("__nt").alias("__nb"), "tok")
     # length prune before the verify join: J <= min/max of the set
