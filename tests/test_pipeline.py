@@ -402,3 +402,57 @@ def test_taiwan_base_year_guard(spark):
         get_taiwan_gdp_data(
             empty_fact, principal, pre81, dup
         ).collect()
+
+
+def test_compute_aggregates_routes_full_hierarchy_contract(spark, dims):
+    """A 10-column reference-contract hierarchy routes through the
+    reference-exact expansion (operators.hierarchy): non-target leaf
+    children drop unless expanded in the final pass or exempted, unlike
+    the plain edge-list closure which keeps every leaf."""
+    from gdp_etl_spark.session import local_df
+
+    _, labels, _ = dims
+    hier = local_df(
+        spark,
+        [
+            # World -> Asia (group, expandable) and World -> 834 (target)
+            ("0000", "World", "1940", "2102", "False",
+             "2000", "Asia", "1940", "2102", "False"),
+            ("0000", "World", "1940", "2102", "False",
+             "834", "U.R. of Tanzania", "1940", "2102", "True"),
+            # Asia -> 004 (target) and Asia -> 2000u (non-target NES:
+            # present from pass 0, unexpandable -> the filter drops it
+            # for Asia while World->Asia is still being expanded)
+            ("2000", "Asia", "1940", "2102", "False",
+             "004", "Afghanistan", "1940", "2102", "True"),
+            ("2000", "Asia", "1940", "2102", "False",
+             "2000u", "Asia n.e.s.", "1940", "2102", "False"),
+        ],
+        "Parent_Code string, Parent_Label string, Parent_ValidFrom string, "
+        "Parent_ValidTo string, Parent_IsTarget string, "
+        "Child_Code string, Child_Label string, Child_ValidFrom string, "
+        "Child_ValidTo string, Child_IsTarget string",
+    )
+    fact = add_labels(
+        spark.createDataFrame(
+            [
+                ("004", 2023, CONSTANT, 10.0),
+                ("834", 2023, CONSTANT, 5.0),
+                ("2000u", 2023, CONSTANT, 100.0),   # NES carries data
+            ],
+            FACT_SCHEMA,
+        ),
+        labels,
+    )
+    out = compute_aggregates(fact, hier)
+    got = {
+        (r["Economy_Code"], r["Economy_Label"]): r["Value"]
+        for r in out.filter(
+            F.col("Economy_Label").isin("World", "Asia")
+        ).collect()
+    }
+    # Asia: only the target leaf 004 — the pass-1 filter dropped 2000u
+    assert got[("2000", "Asia")] == 10.0
+    # World: Asia expanded in the FINAL pass, so its n.e.s. child
+    # survives the recursion-termination quirk: 004 + 2000u + 834
+    assert got[("0000", "World")] == 115.0
