@@ -785,6 +785,38 @@ def q_exact_dedup(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Sub-document exact dedup (dedup.paragraph_exact_dedup — the
+    keep-first-occurrence repeated-passage removal of Lee et al. 2022):
+    documents are composed into 5-paragraph super-documents (group of
+    doc_id div 5, paragraphs joined in doc_id order), then every later
+    occurrence of a repeated paragraph — the corpus's exact-duplicate
+    texts, crossing super-document boundaries — drops, and documents
+    reassemble in original order.  One posexplode, ONE window shuffle
+    on md5(paragraph) (16-byte keys), one reassembly groupBy; no
+    self-join, cost O(paragraphs) not O(pairs)."""
+    from gdp_etl_spark.operators.dedup import paragraph_exact_dedup
+
+    grouped = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(
+            F.floor(F.col("doc_id") / 5).cast("long").alias("gid")
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                "\n\n",
+            ).alias("text")
+        )
+    )
+    return paragraph_exact_dedup(grouped, "text", "gid")
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
     Oracle = exact all-pairs Jaccard: at threshold 0.8 with 8 bands × 2
@@ -3930,6 +3962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hierarchy": q_rollup_hierarchy,
         "group_first": q_group_first,
         # -- end of driver window (50) --------------------------------------
+        # new in round 5, never driver-checked: round-6 window candidate
+        "paragraph_dedup": q_paragraph_dedup,
         # r2-green re-checks displaced by the golden replays
         "gaps_islands": q_gaps_islands,
         "group_extrema": q_group_extrema,
@@ -4201,6 +4235,37 @@ def oracle_sql() -> dict[str, str]:
                                     'CommentEN':'VARCHAR','CommentFR':'VARCHAR',
                                     'CommentConfidentiality':'VARCHAR',
                                     'RefDate':'VARCHAR'}})
+        """,
+        "paragraph_dedup": """
+            WITH g AS (
+              SELECT CAST(floor(doc_id / 5) AS BIGINT) AS gid,
+                     string_agg(text, chr(10)||chr(10) ORDER BY doc_id)
+                       AS text
+              FROM documents GROUP BY 1
+            ),
+            p AS (
+              SELECT gid,
+                     unnest(string_split(text, chr(10)||chr(10))) AS para,
+                     unnest(range(1, len(string_split(text,
+                       chr(10)||chr(10))) + 1)) AS pos
+              FROM g
+            ),
+            r AS (
+              SELECT gid, pos, para,
+                     CASE WHEN length(trim(para)) >= 1
+                          THEN row_number() OVER (
+                            PARTITION BY md5(trim(para))
+                            ORDER BY gid, pos)
+                          ELSE 1 END AS rn
+              FROM p
+            )
+            SELECT gid,
+                   coalesce(string_agg(para, chr(10)||chr(10)
+                     ORDER BY pos) FILTER (WHERE rn = 1), '') AS text,
+                   CAST(count(*) AS BIGINT) AS n_paragraphs,
+                   CAST(count(*) FILTER (WHERE rn <> 1) AS BIGINT)
+                     AS n_removed
+            FROM r GROUP BY gid
         """,
         "flagship_revenue": _FLAGSHIP_SQL,
         "projection": "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",

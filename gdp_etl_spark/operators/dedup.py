@@ -546,3 +546,91 @@ def prefix_filter_jaccard_pairs(
             ),
         )
     )
+
+
+def paragraph_exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_chars: int = 1,
+    boundary: str = "\n\n",
+) -> DataFrame:
+    """Exact SUB-document (paragraph-level) deduplication — the
+    keep-first-occurrence repeated-passage removal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), the
+    stage web-corpus pipelines run between exact whole-doc dedup and
+    fuzzy near-dup: boilerplate headers, license blocks and quoted
+    passages repeat across documents that are NOT near-duplicates as
+    wholes, so whole-doc operators never see them.
+
+    Semantics (all deterministic):
+
+    * split ``text_col`` on ``boundary``; paragraphs keep their
+      within-document position;
+    * a paragraph OCCURRENCE survives iff it is the globally FIRST
+      occurrence of its trimmed text, ordered by (``id_col``,
+      position) — every later copy, in any document, drops;
+    * paragraphs shorter than ``min_chars`` after trimming are never
+      treated as duplicates (blank/tiny separators carry no signal and
+      would otherwise chain-collapse across the corpus);
+    * documents reassemble in original paragraph order with
+      ``boundary``; a document whose every paragraph was removed
+      yields an empty string.
+
+    Returns ``(id_col, text_col (deduped), n_paragraphs, n_removed)``.
+
+    Scale shape: one posexplode (map-side fan-out), ONE window shuffle
+    keyed on md5(paragraph) — 16-byte keys regardless of paragraph
+    size, same discipline as :func:`exact_dedup` — and one groupBy to
+    reassemble, keyed on the doc id.  No self-join anywhere: global
+    first-occurrence is a rank-1 window, so cost is O(paragraphs), not
+    O(pairs).  Paragraph-hash skew (a boilerplate line repeated 10⁹×)
+    is bounded by the same AQE skew-split that covers every window in
+    the repo; the min_chars guard removes the worst offenders (empty
+    strings) structurally.
+    """
+    # split() takes a Java regex but array_join() a literal — \Q...\E
+    # quotes the boundary so both sides agree for any separator string
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + boundary + "\\E")
+        ).alias("__pos", "__para"),
+    ).withColumn("__trimmed", F.trim("__para"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("__trimmed")).orderBy(
+        F.col(id_col), F.col("__pos")
+    )
+    eligible = F.length("__trimmed") >= min_chars
+    ranked = paras.withColumn(
+        "__rank",
+        F.when(eligible, F.row_number().over(w)).otherwise(F.lit(1)),
+    )
+    kept = F.col("__rank") == 1
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                kept,
+                                F.struct(
+                                    F.col("__pos"), F.col("__para")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["__para"],
+                ),
+                boundary,
+            ).alias(text_col),
+            F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+            F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias(
+                "n_removed"
+            ),
+        )
+        .select(id_col, text_col, "n_paragraphs", "n_removed")
+    )

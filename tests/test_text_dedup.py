@@ -355,3 +355,62 @@ class TestPrefixFilterJaccard:
         )
         out = prefix_filter_jaccard_pairs(df, "text", "doc_id", 0.9).collect()
         assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]
+
+
+class TestParagraphExactDedup:
+    """Sub-document keep-first-occurrence dedup (Lee et al. 2022
+    semantics: repeated passages drop everywhere but their globally
+    first occurrence, ordered by (id, position))."""
+
+    def _run(self, spark, rows, **kw):
+        from gdp_etl_spark.operators.dedup import paragraph_exact_dedup
+
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        return {
+            r["doc_id"]: (r["text"], r["n_paragraphs"], r["n_removed"])
+            for r in paragraph_exact_dedup(df, "text", "doc_id", **kw).collect()
+        }
+
+    def test_keep_first_occurrence_across_documents(self, spark):
+        got = self._run(spark, [
+            (1, "HEADER\n\nunique one\n\nshared"),
+            (2, "HEADER\n\nshared\n\nunique two"),
+            (3, "HEADER"),
+        ])
+        assert got[1] == ("HEADER\n\nunique one\n\nshared", 3, 0)
+        assert got[2] == ("unique two", 3, 2)
+        assert got[3] == ("", 1, 1)
+
+    def test_within_document_repeats_drop(self, spark):
+        got = self._run(spark, [(1, "a b c\n\nx\n\na b c")])
+        assert got[1] == ("a b c\n\nx", 3, 1)
+
+    def test_min_chars_guard_exempts_tiny_paragraphs(self, spark):
+        got = self._run(
+            spark,
+            [(1, "ab\n\nlong paragraph"), (2, "ab\n\nother")],
+            min_chars=3,
+        )
+        # "ab" is below the bar in BOTH docs: never deduped
+        assert got[1] == ("ab\n\nlong paragraph", 2, 0)
+        assert got[2] == ("ab\n\nother", 2, 0)
+
+    def test_trim_insensitive_matching_preserves_original_text(self, spark):
+        got = self._run(spark, [(1, "  para  \n\nx"), (2, "para")])
+        # doc 2's trimmed copy matches doc 1's padded first occurrence
+        assert got[1] == ("  para  \n\nx", 2, 0)
+        assert got[2] == ("", 1, 1)
+
+    def test_regex_metachar_boundary_is_literal(self, spark):
+        got = self._run(
+            spark,
+            [(1, "alpha|+|beta"), (2, "beta|+|gamma")],
+            boundary="|+|",
+        )
+        assert got[1] == ("alpha|+|beta", 2, 0)
+        assert got[2] == ("gamma", 2, 1)
+
+    def test_empty_document_survives(self, spark):
+        got = self._run(spark, [(1, ""), (2, "")])
+        assert got[1] == ("", 1, 0)
+        assert got[2] == ("", 1, 0)
