@@ -817,6 +817,20 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_exact_dedup(grouped, "text", "gid")
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window chunking (packing.chunk_documents): every document
+    maps to overlapping 32-token windows at stride 16 — the RAG /
+    embedding-indexing chunk shape.  Map-only: tokenize once, build the
+    finished chunk structs in one projection, explode; zero shuffles,
+    zero Python, and downstream embedding/indexing stages inherit the
+    scan's partitioning unchanged."""
+    from gdp_etl_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", size=32, stride=16
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
     Oracle = exact all-pairs Jaccard: at threshold 0.8 with 8 bands × 2
@@ -3962,8 +3976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hierarchy": q_rollup_hierarchy,
         "group_first": q_group_first,
         # -- end of driver window (50) --------------------------------------
-        # new in round 5, never driver-checked: round-6 window candidate
+        # new in round 5, never driver-checked: round-6 window candidates
         "paragraph_dedup": q_paragraph_dedup,
+        "doc_chunks": q_doc_chunks,
         # r2-green re-checks displaced by the golden replays
         "gaps_islands": q_gaps_islands,
         "group_extrema": q_group_extrema,
@@ -4266,6 +4281,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE rn <> 1) AS BIGINT)
                      AS n_removed
             FROM r GROUP BY gid
+        """,
+        "doc_chunks": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR length(trim(text)) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS t
+              FROM documents
+            ),
+            sized AS (
+              SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0
+            ),
+            starts AS (
+              SELECT doc_id, t, n,
+                     unnest(range(0, CAST(ceil(n / 16.0) AS BIGINT))) AS i
+              FROM sized
+            )
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_id,
+                   array_to_string(t[i*16 + 1 : i*16 + 32], ' ')
+                     AS chunk_text,
+                   CAST(least(32, n - i*16) AS INT) AS chunk_tokens
+            FROM starts
+            WHERE least(32, n - i*16) >= 1
         """,
         "flagship_revenue": _FLAGSHIP_SQL,
         "projection": "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",

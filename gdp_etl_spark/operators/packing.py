@@ -127,3 +127,64 @@ def length_bucketed_batches(
     return with_bucket.withColumn(
         "batch_id", F.floor(rn / rows_per_batch)
     ).withColumn("batch_slot", rn % rows_per_batch)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    size: int,
+    stride: int | None = None,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Sliding-window chunking: one row per (document, chunk), where
+    chunk ``i`` covers whitespace tokens ``[i*stride, i*stride + size)``
+    of the document.  ``stride < size`` gives overlapping chunks (the
+    RAG / embedding-indexing shape); ``stride == size`` (the default)
+    gives disjoint chunks.  Unlike :func:`pack_sequences` (which
+    concatenates ACROSS documents), chunking is strictly per-document.
+
+    Output: ``id_col``, ``chunk_id`` (0-based int), ``chunk_text``
+    (tokens re-joined with single spaces), ``chunk_tokens`` (int).
+    Chunk starts are every multiple of ``stride`` in ``[0, n_tokens)``,
+    so trailing chunks may be shorter than ``size``; chunks with fewer
+    than ``min_tokens`` tokens are dropped (empty/NULL docs therefore
+    produce no rows).
+
+    Scale shape: map-only — tokenize, per-row ``sequence`` of starts,
+    ``posexplode``, per-chunk ``slice`` + ``array_join``.  Zero
+    shuffles, zero Python; the ~size/stride row fan-out happens inside
+    one whole-stage-codegen pipeline, and downstream consumers
+    (embedding, indexing) inherit the input's partitioning."""
+    if size <= 0:
+        raise ValueError("size must be positive")
+    stride = size if stride is None else stride
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    if min_tokens < 1:
+        raise ValueError("min_tokens must be >= 1")
+    from gdp_etl_spark.functions.text import ws_tokens
+
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    # Build the finished chunk structs in ONE projection expression and
+    # explode the result, so the tokenize runs once per document (codegen
+    # subexpression elimination applies within a single Project) instead
+    # of being re-inlined into Generate + Filter + Project separately.
+    chunks = F.filter(
+        F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.array_join(F.slice(toks, s + 1, size), " ").alias("chunk_text"),
+                F.least(F.lit(size), n - s).cast("int").alias("chunk_tokens"),
+            ),
+        ),
+        lambda c: c["chunk_tokens"] >= F.lit(min_tokens),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("__c")).select(
+        id_col, "__c.*"
+    )

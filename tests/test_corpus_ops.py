@@ -331,3 +331,65 @@ def test_length_bucketed_batches_overlong_doc_raises(spark):
     )
     with _pytest.raises(Exception, match="exceeds the batch budget"):
         length_bucketed_batches(df, "n_tok", 128, ["lang"], ["doc_id"]).collect()
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_overlapping_windows(spark):
+    from gdp_etl_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, ""), (4, None), (5, "  lone  ")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["chunk_tokens"])
+        for r in chunk_documents(df, "text", "doc_id", size=4, stride=2).collect()
+    }
+    assert got == {
+        (1, 0): ("a b c d", 4),
+        (1, 1): ("c d e f", 4),
+        (1, 2): ("e f g", 3),
+        (1, 3): ("g", 1),
+        (2, 0): ("x y", 2),
+        (5, 0): ("lone", 1),  # whitespace-padded doc trims to one token
+    }  # empty / NULL docs produce no chunks
+
+
+def test_chunk_documents_disjoint_default_and_min_tokens(spark):
+    from gdp_etl_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id bigint, text string"
+    )
+    disjoint = chunk_documents(df, "text", "doc_id", size=3)
+    assert [(r["chunk_id"], r["chunk_text"]) for r in
+            disjoint.orderBy("chunk_id").collect()] == [
+        (0, "a b c"), (1, "d e f"), (2, "g")
+    ]
+    pruned = chunk_documents(df, "text", "doc_id", size=4, stride=2,
+                             min_tokens=2)
+    assert [r["chunk_id"] for r in pruned.orderBy("chunk_id").collect()] == [0, 1, 2]
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    from gdp_etl_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    plan = chunk_documents(df, "text", "doc_id", size=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: chunking must not shuffle
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from gdp_etl_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", size=4, stride=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", size=4, min_tokens=0)
