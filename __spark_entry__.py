@@ -831,6 +831,82 @@ def q_doc_chunks(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware exact dedup (dedup.exact_dedup_keep_best): the
+    corpus is mirrored (same text, shifted ids — the re-crawl /
+    multi-source shape) and each copy carries a deterministic quality
+    score; the survivor per text is the highest-quality copy, ties on
+    ascending id.  ONE shuffle keyed on md5(text) — rank and copy
+    count share a single window partitioning, no join back."""
+    from gdp_etl_spark.operators.dedup import exact_dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mirrored = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + F.lit(100000)).cast("long").alias("doc_id"),
+            "text",
+        )
+    )
+    scored = mirrored.withColumn(
+        "quality",
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(997)).cast(
+            "long"
+        ),
+    )
+    return exact_dedup_keep_best(scored, "text", "doc_id", "quality")
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """Corpus-frequency boilerplate removal (dedup.boilerplate_line_filter
+    — the CCNet/RefinedWeb line-dedup stage): 5-document pages share an
+    injected site banner and a per-language footer; any trimmed line
+    occurring in MORE than 2 distinct pages (banner: all 100, footers:
+    ~20 each) is removed EVERYWHERE — unlike paragraph_dedup's
+    keep-first — and pages reassemble in original line order.  One
+    posexplode + ONE window shuffle (dense_rank + max over the same
+    md5(line) partitioning, blank lines salted out) + one reassembly
+    groupBy; cost O(lines), never O(pairs)."""
+    from gdp_etl_spark.operators.dedup import boilerplate_line_filter
+
+    pages = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.floor(F.col("doc_id") / 5).cast("long").alias("gid"))
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.lit("== SITE BANNER: accept cookies =="),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "text"))
+                        ),
+                        lambda s: s["text"],
+                    ),
+                    "\n",
+                ),
+                F.concat(F.lit("lang: "), F.min("lang")),
+            ).alias("text")
+        )
+    )
+    return boilerplate_line_filter(
+        pages, "text", "gid", max_doc_freq=2, line_sep="\n"
+    )
+
+
+def q_dup_ngram_profile(spark, sf_dir):
+    """Per-document duplicated-8-gram fraction
+    (dedup.duplicated_ngram_profile — the Gopher/RefinedWeb
+    repetition-across-the-corpus quality signal): share of each
+    document's distinct 8-token shingles that occur in any other
+    document.  One explode + ONE count window on md5(shingle) (NULLs
+    salted per-doc) + one groupBy; O(total shingles), no pairs."""
+    from gdp_etl_spark.operators.dedup import duplicated_ngram_profile
+
+    return duplicated_ngram_profile(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=8
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
     Oracle = exact all-pairs Jaccard: at threshold 0.8 with 8 bands × 2
@@ -3979,6 +4055,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5, never driver-checked: round-6 window candidates
         "paragraph_dedup": q_paragraph_dedup,
         "doc_chunks": q_doc_chunks,
+        "dedup_keep_best": q_dedup_keep_best,
+        "boilerplate_lines": q_boilerplate_lines,
+        "dup_ngram_profile": q_dup_ngram_profile,
         # r2-green re-checks displaced by the golden replays
         "gaps_islands": q_gaps_islands,
         "group_extrema": q_group_extrema,
@@ -4306,6 +4385,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(32, n - i*16) AS INT) AS chunk_tokens
             FROM starts
             WHERE least(32, n - i*16) >= 1
+        """,
+        "dedup_keep_best": """
+            WITH m AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents
+            ),
+            s AS (
+              SELECT doc_id, text,
+                     CAST((doc_id * 2654435761) % 997 AS BIGINT) AS quality
+              FROM m
+            )
+            SELECT doc_id, text, quality,
+                   CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                     AS dup_count
+            FROM s
+            QUALIFY row_number() OVER (
+              PARTITION BY md5(text)
+              ORDER BY quality DESC, doc_id) = 1
+        """,
+        "boilerplate_lines": """
+            WITH g AS (
+              SELECT CAST(floor(doc_id / 5) AS BIGINT) AS gid,
+                     '== SITE BANNER: accept cookies ==' || chr(10) ||
+                     string_agg(text, chr(10) ORDER BY doc_id) || chr(10)
+                     || 'lang: ' || min(lang) AS text
+              FROM documents GROUP BY 1
+            ),
+            p AS (
+              SELECT gid,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(1, len(string_split(text, chr(10)))
+                       + 1)) AS pos
+              FROM g
+            ),
+            f AS (
+              SELECT gid, pos, line,
+                     length(trim(line)) >= 1
+                       AND count(DISTINCT gid) OVER (
+                             PARTITION BY md5(trim(line))) > 2
+                       AS dropped
+              FROM p
+            )
+            SELECT gid,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                     FILTER (WHERE NOT dropped), '') AS text,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE dropped) AS BIGINT)
+                     AS n_removed
+            FROM f GROUP BY gid
+        """,
+        "dup_ngram_profile": f"""
+            WITH sh AS (SELECT doc_id, {sh8} AS sh FROM documents),
+            e AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            w AS (
+              SELECT doc_id, g,
+                     count(*) OVER (PARTITION BY g) AS freq
+              FROM e
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_shingles,
+                     CAST(count(*) FILTER (WHERE freq > 1) AS BIGINT)
+                       AS n_dup
+              FROM w GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup,
+                   CASE WHEN coalesce(a.n_shingles, 0) > 0
+                        THEN CAST(a.n_dup AS DOUBLE)
+                             / CAST(a.n_shingles AS DOUBLE)
+                        ELSE 0.0 END AS dup_frac
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "flagship_revenue": _FLAGSHIP_SQL,
         "projection": "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",

@@ -634,3 +634,195 @@ def paragraph_exact_dedup(
         )
         .select(id_col, text_col, "n_paragraphs", "n_removed")
     )
+
+
+def exact_dedup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Exact dedup that keeps the HIGHEST-QUALITY copy of each text
+    rather than the first: when the same document arrives from several
+    sources (mirrors, re-crawls, pre/post-boilerplate variants keyed by
+    normalized text), pretraining pipelines keep the copy with the best
+    quality signal, not the lowest id.  Ties break on ascending
+    ``id_col`` so the result is deterministic.
+
+    Returns every surviving row (all original columns) plus
+    ``dup_count`` (how many copies the survivor represents).
+
+    Scale shape: same discipline as :func:`exact_dedup` — ONE shuffle
+    keyed on md5(text) (16-byte keys regardless of document size); the
+    rank and the copy count share one window partitioning, so Catalyst
+    plans a single sort+window, no join back.
+    """
+    from pyspark.sql import Window
+
+    # Materialize the hash as ONE column: partitioning both windows by
+    # the same attribute (not two copies of the md5 expression) lets
+    # ENSURE_REQUIREMENTS elide the second exchange — otherwise Catalyst
+    # re-shuffles the full data between the rank and the count.
+    part = Window.partitionBy("__h")
+    w = part.orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__h", F.md5(F.col(text_col)))
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(part))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__h")
+    )
+
+
+def boilerplate_line_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_doc_freq: int = 2,
+    line_sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet / RefinedWeb
+    line-dedup stage): a trimmed line that occurs in MORE than
+    ``max_doc_freq`` distinct documents is boilerplate (cookie banners,
+    nav menus, license footers) and EVERY occurrence is removed —
+    unlike :func:`paragraph_exact_dedup`, which keeps the first.
+    Documents reassemble in original line order; lines shorter than
+    ``min_chars`` after trimming carry no signal and always survive.
+
+    Returns ``(id_col, text_col (filtered), n_lines, n_removed)``.
+
+    Scale shape: one posexplode, then the global distinct-document
+    frequency per line comes from TWO window functions over the SAME
+    partitioning (``dense_rank`` over (md5(line)) ordered by doc id,
+    then ``max`` of it over the partition) — one sort, one shuffle, no
+    frequency-table join back.  Keys are 16-byte md5s; the mega-skewed
+    partitions (a banner repeated 10⁹×) are exactly the lines being
+    dropped, and AQE skew-split bounds them like every window in the
+    repo.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + line_sep + "\\E")
+        ).alias("__pos", "__line"),
+    ).withColumn("__trimmed", F.trim("__line"))
+    eligible = F.length("__trimmed") >= min_chars
+    # Ineligible (blank/tiny) lines would all collapse into the md5("")
+    # partition — the one guaranteed-mega partition in any web corpus —
+    # so they get a per-occurrence salted key instead: their doc_freq
+    # comes out 1, which is irrelevant because `eligible` gates the
+    # drop flag, and the window shuffle stays uniform.  The key is
+    # materialized as ONE column so both windows share one attribute
+    # and ENSURE_REQUIREMENTS plans a single exchange.
+    lines = lines.withColumn(
+        "__key",
+        F.when(eligible, F.md5("__trimmed")).otherwise(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col(id_col).cast("string"),
+                    F.col("__pos").cast("string"),
+                )
+            )
+        ),
+    )
+    part = Window.partitionBy("__key")
+    # distinct-doc count without countDistinct-over-window (unsupported):
+    # dense_rank over doc id within the line partition, then its max.
+    doc_freq = F.max(
+        F.dense_rank().over(part.orderBy(F.col(id_col)))
+    ).over(part)
+    flagged = lines.withColumn(
+        "__drop", eligible & (doc_freq > max_doc_freq)
+    )
+    kept = ~F.col("__drop")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                kept,
+                                F.struct(F.col("__pos"), F.col("__line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                line_sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias(
+                "n_removed"
+            ),
+        )
+        .select(id_col, text_col, "n_lines", "n_removed")
+    )
+
+
+def duplicated_ngram_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the Gopher/RefinedWeb
+    repetition-across-the-corpus signal: for each document, the share
+    of its DISTINCT n-token shingles that also occur in at least one
+    OTHER document.  Filtering on this catches templated spam and
+    near-mirror content that whole-document hashing misses, without
+    generating candidate pairs at all.
+
+    Returns ``(id_col, n_shingles, n_dup, dup_frac)``; documents with
+    no shingles (NULL/empty text) report 0/0/0.0.
+
+    Scale shape: shingles are DISTINCT per document (so the global
+    occurrence count per shingle IS its distinct-document frequency —
+    a plain count(*) window, no dense_rank needed), keys are md5s, and
+    the whole operator is one explode + ONE window shuffle + one
+    groupBy.  Cost is O(total shingles), never O(pairs).
+    """
+    from pyspark.sql import Window
+
+    sh = df.select(
+        F.col(id_col),
+        F.explode_outer(shingles(F.col(text_col), n)).alias("__sh"),
+    )
+    # NULL shingles (empty docs kept alive by explode_outer) get a
+    # per-document salted key so they don't all shuffle into the
+    # md5(NULL) partition; their freq value is never read.
+    freq = F.count(
+        F.when(F.col("__sh").isNotNull(), F.lit(1))
+    ).over(
+        Window.partitionBy(
+            F.coalesce(
+                F.md5("__sh"), F.md5(F.col(id_col).cast("string"))
+            )
+        )
+    )
+    per = sh.withColumn(
+        "__dup", F.col("__sh").isNotNull() & (freq > 1)
+    )
+    n_sh = F.sum(
+        F.when(F.col("__sh").isNotNull(), 1).otherwise(0)
+    ).cast("long")
+    n_dup = F.sum(F.when(F.col("__dup"), 1).otherwise(0)).cast("long")
+    return (
+        per.groupBy(id_col)
+        .agg(n_sh.alias("n_shingles"), n_dup.alias("n_dup"))
+        .select(
+            id_col,
+            "n_shingles",
+            "n_dup",
+            F.when(F.col("n_shingles") > 0,
+                   F.col("n_dup").cast("double")
+                   / F.col("n_shingles").cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

@@ -414,3 +414,157 @@ class TestParagraphExactDedup:
         got = self._run(spark, [(1, ""), (2, "")])
         assert got[1] == ("", 1, 0)
         assert got[2] == ("", 1, 0)
+
+
+class TestExactDedupKeepBest:
+    """Quality-aware exact dedup: the survivor per text is the
+    highest-quality copy (ties ascending id), with the copy count."""
+
+    def _run(self, spark, rows):
+        from gdp_etl_spark.operators.dedup import exact_dedup_keep_best
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, quality double"
+        )
+        return {
+            r["doc_id"]: (r["text"], r["quality"], r["dup_count"])
+            for r in exact_dedup_keep_best(
+                df, "text", "doc_id", "quality"
+            ).collect()
+        }
+
+    def test_highest_quality_copy_survives(self, spark):
+        got = self._run(spark, [
+            (1, "same", 0.2),
+            (2, "same", 0.9),
+            (3, "same", 0.5),
+            (4, "other", 0.1),
+        ])
+        assert set(got) == {2, 4}
+        assert got[2] == ("same", 0.9, 3)
+        assert got[4] == ("other", 0.1, 1)
+
+    def test_quality_tie_breaks_on_ascending_id(self, spark):
+        got = self._run(spark, [(7, "t", 1.0), (3, "t", 1.0)])
+        assert set(got) == {3}
+
+    def test_all_columns_pass_through(self, spark):
+        from gdp_etl_spark.operators.dedup import exact_dedup_keep_best
+
+        df = spark.createDataFrame(
+            [(1, "x", 0.5, "web")],
+            "doc_id long, text string, quality double, source string",
+        )
+        out = exact_dedup_keep_best(df, "text", "doc_id", "quality")
+        assert set(out.columns) == {
+            "doc_id", "text", "quality", "source", "dup_count"
+        }
+
+
+class TestBoilerplateLineFilter:
+    """CCNet-style corpus-frequency line removal: a line in more than
+    max_doc_freq distinct documents drops EVERYWHERE (no first-keeper),
+    documents reassemble in order."""
+
+    def _run(self, spark, rows, **kw):
+        from gdp_etl_spark.operators.dedup import boilerplate_line_filter
+
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        return {
+            r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+            for r in boilerplate_line_filter(
+                df, "text", "doc_id", **kw
+            ).collect()
+        }
+
+    def test_frequent_line_drops_everywhere(self, spark):
+        got = self._run(spark, [
+            (1, "BANNER\nbody one"),
+            (2, "BANNER\nbody two"),
+            (3, "BANNER\nbody three"),
+        ], max_doc_freq=2)
+        # 3 distinct docs > 2: every occurrence drops, incl. the first
+        assert got[1] == ("body one", 2, 1)
+        assert got[2] == ("body two", 2, 1)
+        assert got[3] == ("body three", 2, 1)
+
+    def test_at_threshold_survives(self, spark):
+        got = self._run(spark, [
+            (1, "shared\na"),
+            (2, "shared\nb"),
+        ], max_doc_freq=2)
+        # 2 distinct docs is NOT more than 2: kept in both
+        assert got[1] == ("shared\na", 2, 0)
+        assert got[2] == ("shared\nb", 2, 0)
+
+    def test_within_doc_repeats_count_one_document(self, spark):
+        got = self._run(spark, [
+            (1, "dup\ndup\ndup"),
+            (2, "dup"),
+        ], max_doc_freq=2)
+        # "dup" occurs in only 2 DISTINCT docs: all occurrences kept
+        assert got[1] == ("dup\ndup\ndup", 3, 0)
+        assert got[2] == ("dup", 1, 0)
+
+    def test_trim_matching_and_blank_lines_exempt(self, spark):
+        got = self._run(spark, [
+            (1, " nav \nx\n"),
+            (2, "nav\ny\n"),
+            (3, "nav\nz"),
+        ], max_doc_freq=2)
+        # "nav" matches trim-insensitively across 3 docs -> dropped;
+        # the trailing empty lines are below min_chars -> kept verbatim
+        assert got[1] == ("x\n", 3, 1)
+        assert got[2] == ("y\n", 3, 1)
+        assert got[3] == ("z", 2, 1)
+
+    def test_document_of_only_boilerplate_goes_empty(self, spark):
+        got = self._run(spark, [
+            (1, "menu"), (2, "menu"), (3, "menu"), (4, "menu\nreal"),
+        ], max_doc_freq=2)
+        assert got[1] == ("", 1, 1)
+        assert got[4] == ("real", 2, 1)
+
+
+class TestDuplicatedNgramProfile:
+    """Per-document duplicated-shingle fraction (corpus repetition
+    signal): distinct n-grams shared with any other document."""
+
+    def _run(self, spark, rows, n=2):
+        from gdp_etl_spark.operators.dedup import duplicated_ngram_profile
+
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        return {
+            r["doc_id"]: (r["n_shingles"], r["n_dup"], r["dup_frac"])
+            for r in duplicated_ngram_profile(
+                df, "text", "doc_id", n=n
+            ).collect()
+        }
+
+    def test_shared_grams_counted_both_sides(self, spark):
+        got = self._run(spark, [
+            (1, "a b c d"),   # grams: "a b","b c","c d"
+            (2, "b c d e"),   # grams: "b c","c d","d e"
+            (3, "x y"),       # gram: "x y"
+        ])
+        assert got[1] == (3, 2, 2 / 3)
+        assert got[2] == (3, 2, 2 / 3)
+        assert got[3] == (1, 0, 0.0)
+
+    def test_within_doc_repetition_is_not_corpus_duplication(self, spark):
+        # distinct shingles per doc: a doc repeating its own gram does
+        # not make that gram corpus-duplicated
+        got = self._run(spark, [(1, "a b a b"), (2, "z z")])
+        assert got[1][1] == 0 and got[2][1] == 0
+
+    def test_empty_and_null_docs_report_zero(self, spark):
+        got = self._run(spark, [(1, ""), (2, None), (3, "k l")])
+        assert got[1] == (0, 0, 0.0)
+        assert got[2] == (0, 0, 0.0)
+        assert got[3] == (1, 0, 0.0)
+
+    def test_short_doc_whole_text_shingle(self, spark):
+        # docs shorter than n tokens contribute the whole text once
+        got = self._run(spark, [(1, "hello"), (2, "hello")], n=8)
+        assert got[1] == (1, 1, 1.0)
+        assert got[2] == (1, 1, 1.0)
