@@ -135,6 +135,16 @@ def _ngrams_raw_sql(n: int) -> str:
     )
 
 
+def _zinterleave_sql(qx: str, qy: str, bits: int = 16) -> str:
+    """Mirror of operators.layout._interleave: Morton bit-interleave of
+    two quantized bigints (x bits at even positions, y at odd)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({qx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({qy} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
 def _dot_sql(a: str, b: str, dim: int = 64) -> str:
     """Mirror of functions.vectors.dot_fixed (fixed-point bigint sum)."""
     return (
@@ -905,6 +915,45 @@ def q_dup_ngram_profile(spark, sf_dir):
     return duplicated_ngram_profile(
         _t(spark, sf_dir, "documents"), "text", "doc_id", n=8
     )
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Top-k token vocabulary with corpus-coverage statistics
+    (profile.vocab_top_coverage — the tokenizer/vocab-sizing stage):
+    the 200 most frequent lowered whitespace tokens, each with count,
+    rank, share and cumulative coverage.  One explode + one groupBy
+    shuffle + TakeOrderedAndProject; the cum-sum window runs over the
+    200 selected rows only, and the grand total is a 1-row driver
+    scalar (base-broadcast pattern)."""
+    from gdp_etl_spark.operators.profile import vocab_top_coverage
+
+    return vocab_top_coverage(
+        _t(spark, sf_dir, "documents"), "text", k=200
+    )
+
+
+def q_zorder_stats(spark, sf_dir):
+    """Z-order (Morton) layout keys + per-bucket min/max envelopes
+    (layout.zorder_bucket_stats): orders are quantized on
+    (o_custkey, order epoch-day), bit-interleaved into a 32-bit zval,
+    and each of 64 contiguous zval ranges — what a layout write would
+    put in one file — reports its row count and min/max envelope in
+    BOTH dimensions: the statistics a 100-TB scan prunes on.  Driver
+    scalar min/max (4 values) + map-only shift/mask codegen + ONE
+    aggregation shuffle on the bucket id."""
+    from gdp_etl_spark.operators.layout import zorder_bucket_stats
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("dayno"),
+    )
+    return zorder_bucket_stats(o, "o_custkey", "dayno", bits=16, n_buckets=64)
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -4058,6 +4107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "boilerplate_lines": q_boilerplate_lines,
         "dup_ngram_profile": q_dup_ngram_profile,
+        "vocab_coverage": q_vocab_coverage,
+        "zorder_stats": q_zorder_stats,
         # r2-green re-checks displaced by the golden replays
         "gaps_islands": q_gaps_islands,
         "group_extrema": q_group_extrema,
@@ -4459,6 +4510,55 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(a.n_shingles AS DOUBLE)
                         ELSE 0.0 END AS dup_frac
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "vocab_coverage": f"""
+            WITH tok AS (
+              SELECT unnest({_TOKS_LOW}) AS token FROM documents
+            ),
+            c AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS cnt
+              FROM tok WHERE token <> '' GROUP BY token
+            ),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM c),
+            top AS (
+              SELECT token, cnt,
+                     CAST(row_number() OVER (
+                       ORDER BY cnt DESC, token) AS INT) AS rank
+              FROM c ORDER BY cnt DESC, token LIMIT 200
+            )
+            SELECT token, cnt, rank,
+                   CAST(cnt AS DOUBLE) / t AS share,
+                   CAST(sum(cnt) OVER (ORDER BY rank) AS DOUBLE) / t
+                     AS cum_share
+            FROM top, tot
+        """,
+        "zorder_stats": f"""
+            WITH src AS (
+              SELECT o_orderkey, o_custkey,
+                     CAST(datediff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS dayno
+              FROM orders
+            ),
+            mm AS (
+              SELECT min(o_custkey) AS lox, max(o_custkey) AS hix,
+                     min(dayno) AS loy, max(dayno) AS hiy
+              FROM src
+            ),
+            q AS (
+              SELECT s.*,
+                     ((o_custkey - lox) * 65535)
+                       // greatest(hix - lox, 1) AS qx,
+                     ((dayno - loy) * 65535)
+                       // greatest(hiy - loy, 1) AS qy
+              FROM src s, mm
+            ),
+            z AS (SELECT *, {_zinterleave_sql('qx', 'qy', 16)} AS zval
+                  FROM q)
+            SELECT CAST((zval * 64) // 4294967296 AS INT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(o_custkey) AS min_x, max(o_custkey) AS max_x,
+                   min(dayno) AS min_y, max(dayno) AS max_y
+            FROM z GROUP BY 1
         """,
         "flagship_revenue": _FLAGSHIP_SQL,
         "projection": "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",

@@ -425,3 +425,47 @@ def column_entropy(df: DataFrame, cols) -> DataFrame:
             (F.sum(contrib_q).cast("double") / F.lit(1e9)).alias("entropy"),
         )
     )
+
+
+def vocab_top_coverage(
+    df: DataFrame, text_col: str, k: int = 1000
+) -> DataFrame:
+    """Token-vocabulary construction with coverage statistics — the
+    corpus stage behind every tokenizer/vocab decision: the ``k`` most
+    frequent whitespace tokens (lowered), each with its corpus count,
+    rank, share of all token occurrences, and the cumulative share
+    ("a 1k-entry vocab covers X% of the corpus").
+
+    Returns ``(token, cnt, rank, share, cum_share)``, ``k`` rows,
+    ordered by (cnt desc, token) so ranks are deterministic under ties.
+
+    Scale shape: one explode + ONE groupBy shuffle on the token, then a
+    TakeOrderedAndProject top-k; the grand total is a driver scalar
+    from a 1-row aggregate (the documented base-broadcast pattern,
+    dimension-free), and the rank/cum-sum window runs over the k
+    already-selected rows only — single-partition by construction and
+    bounded by ``k``, never by the vocabulary.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import ws_tokens
+
+    counts = (
+        df.select(
+            F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt")).first()[0] or 0
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    denom = F.lit(float(total)) if total else F.lit(1.0)
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .withColumn("share", F.col("cnt").cast("double") / denom)
+        .withColumn(
+            "cum_share", F.sum("cnt").over(cum).cast("double") / denom
+        )
+    )

@@ -393,3 +393,45 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(df, "text", "doc_id", size=4, stride=0)
     with pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", size=4, min_tokens=0)
+
+
+class TestVocabTopCoverage:
+    """Token-vocabulary construction with corpus-coverage statistics."""
+
+    def _run(self, spark, texts, k=10):
+        from gdp_etl_spark.operators.profile import vocab_top_coverage
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        return vocab_top_coverage(df, "text", k=k).collect()
+
+    def test_counts_ranks_and_coverage(self, spark):
+        rows = self._run(spark, ["a a b", "a b c"])
+        # corpus: a x3, b x2, c x1 (6 occurrences)
+        assert [(r["token"], r["cnt"], r["rank"]) for r in rows] == [
+            ("a", 3, 1), ("b", 2, 2), ("c", 1, 3),
+        ]
+        assert rows[0]["share"] == 3 / 6
+        assert [r["cum_share"] for r in rows] == [3 / 6, 5 / 6, 6 / 6]
+
+    def test_ties_rank_alphabetically(self, spark):
+        rows = self._run(spark, ["z q z q"])
+        assert [(r["token"], r["rank"]) for r in rows] == [("q", 1), ("z", 2)]
+
+    def test_k_truncates_but_shares_use_full_total(self, spark):
+        rows = self._run(spark, ["a a a b b c"], k=1)
+        assert len(rows) == 1
+        assert rows[0]["token"] == "a"
+        # share is against ALL 6 occurrences, not the top-k subset
+        assert rows[0]["share"] == 3 / 6 and rows[0]["cum_share"] == 3 / 6
+
+    def test_blank_and_null_docs_contribute_nothing(self, spark):
+        rows = self._run(spark, ["", "   ", None, "only token token"])
+        assert [(r["token"], r["cnt"]) for r in rows] == [
+            ("token", 2), ("only", 1),
+        ]
+
+    def test_lowercasing_merges_case_variants(self, spark):
+        rows = self._run(spark, ["The the THE"])
+        assert [(r["token"], r["cnt"]) for r in rows] == [("the", 3)]

@@ -135,3 +135,66 @@ def test_zorder_key_property_random(spark):
            for r in df.select("x", "y", zorder_key("x", "y").alias("z")).collect()}
     for (x, y) in pts:
         assert got[(x, y)] == morton(x, y)
+
+
+class TestZorderOperator:
+    """End-to-end Z-order operator (operators/layout.py): observed-range
+    quantization + interleave + per-bucket min/max envelope stats."""
+
+    def _grid(self, spark, n=64):
+        return spark.range(n * n).select(
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+        )
+
+    def test_quantization_hits_full_code_range(self, spark):
+        from gdp_etl_spark.operators.layout import zorder_keys
+
+        df = self._grid(spark, 64)
+        out = zorder_keys(df, "x", "y", bits=6)
+        r = out.agg(F.min("zval"), F.max("zval")).first()
+        # min maps to code 0 in both dims, max to 63 -> full 12-bit span
+        assert r[0] == 0 and r[1] == (1 << 12) - 1
+
+    def test_constant_column_degenerates_safely(self, spark):
+        from gdp_etl_spark.operators.layout import zorder_keys
+
+        df = spark.range(100).select(
+            F.lit(7).alias("x"), F.col("id").alias("y")
+        )
+        vals = zorder_keys(df, "x", "y", bits=8)
+        assert vals.filter(F.col("zval") < 0).count() == 0
+        # x contributes nothing; zval is y's bits at odd positions only
+        assert vals.agg(F.min("zval")).first()[0] == 0
+
+    def test_bucket_envelopes_are_narrow_in_both_dims(self, spark):
+        from gdp_etl_spark.operators.layout import zorder_bucket_stats
+
+        df = self._grid(spark, 64)
+        stats = zorder_bucket_stats(df, "x", "y", bits=6, n_buckets=16)
+        rows = stats.collect()
+        assert len(rows) == 16
+        assert sum(r["n_rows"] for r in rows) == 64 * 64
+        for r in rows:
+            # a single-column sort would leave the second dimension's
+            # envelope at the FULL range (63); Z-order bounds both
+            assert r["max_x"] - r["min_x"] <= 31
+            assert r["max_y"] - r["min_y"] <= 31
+
+    def test_operator_matches_raw_helper_on_prequantized_input(self, spark):
+        from gdp_etl_spark.io import zorder_key
+        from gdp_etl_spark.operators.layout import zorder_keys
+
+        # inputs already spanning [0, 2^bits): quantization is identity
+        df = self._grid(spark, 16)
+        got = {
+            (r["x"], r["y"]): r["zval"]
+            for r in zorder_keys(df, "x", "y", bits=4).collect()
+        }
+        want = {
+            (r["x"], r["y"]): r["z"]
+            for r in df.select(
+                "x", "y", zorder_key("x", "y", bits=4).alias("z")
+            ).collect()
+        }
+        assert got == want
