@@ -866,6 +866,39 @@ def q_dedup_keep_best(spark, sf_dir):
     return exact_dedup_keep_best(scored, "text", "doc_id", "quality")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental ingestion dedup (dedup.incremental_exact_dedup — the
+    daily-crawl production shape of exact_dedup): the corpus is 60% of
+    the documents table; the batch is the other 40% (each text arriving
+    twice — the mirror/re-crawl shape) plus a full re-crawl of the
+    corpus itself.  Survivors are exactly the new texts (lowest id,
+    batch_dup_count=2); every corpus re-crawl is anti-joined away
+    against the 16-byte md5 index.  ONE window shuffle on the batch,
+    hash-only shuffle on the corpus side — document bodies never move
+    for the membership test."""
+    from gdp_etl_spark.operators.dedup import incremental_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) < 3)
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) >= 3)
+
+    def shifted(d, k):
+        return d.select(
+            (F.col("doc_id") + F.lit(k)).cast("long").alias("doc_id"),
+            "text", "lang", "source",
+        )
+
+    batch = new.unionByName(shifted(new, 400000)).unionByName(
+        shifted(corpus, 200000)
+    )
+    out = incremental_exact_dedup(batch, corpus, "text", "doc_id")
+    return out.select(
+        "doc_id", "text", "lang", "source", "batch_dup_count"
+    )
+
+
 def q_boilerplate_lines(spark, sf_dir):
     """Corpus-frequency boilerplate removal (dedup.boilerplate_line_filter
     — the CCNet/RefinedWeb line-dedup stage): 5-document pages share an
@@ -4109,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_profile": q_dup_ngram_profile,
         "vocab_coverage": q_vocab_coverage,
         "zorder_stats": q_zorder_stats,
+        "incremental_dedup": q_incremental_dedup,
         # r2-green re-checks displaced by the golden replays
         "gaps_islands": q_gaps_islands,
         "group_extrema": q_group_extrema,
@@ -4559,6 +4593,35 @@ def oracle_sql() -> dict[str, str]:
                    min(o_custkey) AS min_x, max(o_custkey) AS max_x,
                    min(dayno) AS min_y, max(dayno) AS max_y
             FROM z GROUP BY 1
+        """,
+        "incremental_dedup": """
+            WITH corpus AS (
+              SELECT doc_id, text, lang, source FROM documents
+              WHERE doc_id % 5 < 3
+            ),
+            newdocs AS (
+              SELECT doc_id, text, lang, source FROM documents
+              WHERE doc_id % 5 >= 3
+            ),
+            batch AS (
+              SELECT * FROM newdocs
+              UNION ALL
+              SELECT doc_id + 400000, text, lang, source FROM newdocs
+              UNION ALL
+              SELECT doc_id + 200000, text, lang, source FROM corpus
+            ),
+            surv AS (
+              SELECT *,
+                     CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                       AS batch_dup_count
+              FROM batch
+              QUALIFY row_number() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id) = 1
+            )
+            SELECT doc_id, text, lang, source, batch_dup_count
+            FROM surv s
+            WHERE NOT EXISTS (
+              SELECT 1 FROM corpus c WHERE md5(c.text) = md5(s.text))
         """,
         "flagship_revenue": _FLAGSHIP_SQL,
         "projection": "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",

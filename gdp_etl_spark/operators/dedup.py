@@ -826,3 +826,47 @@ def duplicated_ngram_profile(
             .alias("dup_frac"),
         )
     )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Incremental ingestion dedup: admit only batch documents whose
+    text has never been seen — neither earlier in the batch itself nor
+    anywhere in the existing corpus.  This is the daily-crawl shape
+    (the production counterpart of the one-shot :func:`exact_dedup`):
+    the corpus is the accumulated store, the batch is today's feed, and
+    re-crawled or mirrored pages must not re-enter.
+
+    Within-batch copies keep the lowest ``id_col``; survivors carry
+    ``batch_dup_count`` (copies seen inside the batch, re-crawls of
+    corpus documents included — the count is evidence for crawl-rate
+    tuning even when the text itself is rejected).
+
+    Scale shape: the corpus side is pruned to a 16-byte md5 INDEX before
+    anything moves — ``select md5(text)`` pushes column pruning into the
+    parquet scan, the distinct partial-aggregates map-side, and the
+    anti-join shuffles hashes, never the 100-TB of document bodies.  In
+    production the distinct-hash index is persisted once (bucketed by
+    hash), so each daily batch anti-joins against it with no corpus
+    rescan and no shuffle on the index side; the batch side is ONE
+    window shuffle on md5(text), the same single-exchange discipline as
+    :func:`exact_dedup_keep_best` (rank and copy count share the
+    partitioning).
+    """
+    from pyspark.sql import Window
+
+    part = Window.partitionBy("__h")
+    w = part.orderBy(F.col(id_col).asc())
+    survivors = (
+        batch.withColumn("__h", F.md5(F.col(text_col)))
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("batch_dup_count", F.count(F.lit(1)).over(part))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    index = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    return survivors.join(index, "__h", "left_anti").drop("__h")

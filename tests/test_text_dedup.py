@@ -568,3 +568,74 @@ class TestDuplicatedNgramProfile:
         got = self._run(spark, [(1, "hello"), (2, "hello")], n=8)
         assert got[1] == (1, 1, 1.0)
         assert got[2] == (1, 1, 1.0)
+
+
+class TestIncrementalExactDedup:
+    """Daily-ingest dedup: batch survivors are texts unseen both within
+    the batch (keep lowest id) and in the existing corpus (md5-index
+    anti-join)."""
+
+    def _run(self, spark, batch_rows, corpus_rows):
+        from gdp_etl_spark.operators.dedup import incremental_exact_dedup
+
+        schema = "doc_id long, text string"
+        batch = spark.createDataFrame(batch_rows, schema)
+        corpus = spark.createDataFrame(corpus_rows, schema)
+        return {
+            r["doc_id"]: (r["text"], r["batch_dup_count"])
+            for r in incremental_exact_dedup(
+                batch, corpus, "text", "doc_id"
+            ).collect()
+        }
+
+    def test_corpus_recrawl_rejected_new_text_admitted(self, spark):
+        got = self._run(
+            spark,
+            [(10, "seen before"), (11, "brand new")],
+            [(1, "seen before")],
+        )
+        assert got == {11: ("brand new", 1)}
+
+    def test_within_batch_copies_keep_lowest_id_with_count(self, spark):
+        got = self._run(
+            spark,
+            [(5, "dup"), (2, "dup"), (9, "dup"), (7, "solo")],
+            [(1, "elsewhere")],
+        )
+        assert got == {2: ("dup", 3), 7: ("solo", 1)}
+
+    def test_rejected_recrawl_does_not_shadow_new_duplicate(self, spark):
+        # a text both re-crawled AND duplicated in the batch is still
+        # rejected — corpus membership wins over within-batch survival
+        got = self._run(
+            spark,
+            [(4, "old"), (6, "old"), (8, "new")],
+            [(1, "old")],
+        )
+        assert got == {8: ("new", 1)}
+
+    def test_empty_corpus_degenerates_to_exact_dedup(self, spark):
+        from gdp_etl_spark.operators.dedup import incremental_exact_dedup
+
+        schema = "doc_id long, text string"
+        batch = spark.createDataFrame([(3, "a"), (1, "a"), (2, "b")], schema)
+        corpus = spark.createDataFrame([], schema)
+        got = {
+            r["doc_id"]: r["batch_dup_count"]
+            for r in incremental_exact_dedup(
+                batch, corpus, "text", "doc_id"
+            ).collect()
+        }
+        assert got == {1: 2, 2: 1}
+
+    def test_all_batch_columns_pass_through(self, spark):
+        from gdp_etl_spark.operators.dedup import incremental_exact_dedup
+
+        batch = spark.createDataFrame(
+            [(1, "x", "web")], "doc_id long, text string, source string"
+        )
+        corpus = spark.createDataFrame([(9, "y")], "doc_id long, text string")
+        out = incremental_exact_dedup(batch, corpus, "text", "doc_id")
+        assert set(out.columns) == {
+            "doc_id", "text", "source", "batch_dup_count"
+        }
