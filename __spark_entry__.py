@@ -899,6 +899,31 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
+def q_shard_assign(spark, sf_dir):
+    """Deterministic training-shard layout (layout.shard_assignment):
+    shard id and within-shard position are pure functions of
+    (doc_id, seed) — reproducible data ordering and resumable epoch
+    offsets.  Map-only assignment (one md5 feeds both shard id and
+    order key) + ONE n_shards-partition window — the same shuffle the
+    layout write performs anyway."""
+    from gdp_etl_spark.operators.layout import shard_assignment
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shard_assignment(docs, "doc_id", n_shards=16, seed="42")
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Per-shard manifest (layout.shard_manifest): docs / tokens /
+    chars per shard for trainer epoch budgeting plus an
+    order-independent content checksum (sum of 32-bit text-hash
+    prefixes).  Map-only hashing + ONE groupBy into 16 groups — no
+    window, no sort; output is n_shards rows at any corpus size."""
+    from gdp_etl_spark.operators.layout import shard_manifest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return shard_manifest(docs, "doc_id", "text", n_shards=16, seed="42")
+
+
 def q_boilerplate_lines(spark, sf_dir):
     """Corpus-frequency boilerplate removal (dedup.boilerplate_line_filter
     — the CCNet/RefinedWeb line-dedup stage): 5-document pages share an
@@ -4143,6 +4168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "zorder_stats": q_zorder_stats,
         "incremental_dedup": q_incremental_dedup,
+        "shard_assign": q_shard_assign,
+        "shard_manifest": q_shard_manifest,
         # r2-green re-checks displaced by the golden replays
         "gaps_islands": q_gaps_islands,
         "group_extrema": q_group_extrema,
@@ -4622,6 +4649,35 @@ def oracle_sql() -> dict[str, str]:
             FROM surv s
             WHERE NOT EXISTS (
               SELECT 1 FROM corpus c WHERE md5(c.text) = md5(s.text))
+        """,
+        "shard_assign": """
+            WITH h AS (
+              SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR) || ':' || '42') AS hh
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, hh,
+                     CAST(CAST('0x' || substr(hh, 1, 8) AS BIGINT) % 16
+                          AS INT) AS shard_id
+              FROM h
+            )
+            SELECT doc_id, shard_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY shard_id ORDER BY hh, doc_id) AS BIGINT)
+                     AS shard_pos
+            FROM s
+        """,
+        "shard_manifest": f"""
+            SELECT CAST(CAST('0x' || substr(
+                     md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 8)
+                     AS BIGINT) % 16 AS INT) AS shard_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_TOKS_RAW})) AS BIGINT) AS n_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+                        AS BIGINT) AS content_checksum
+            FROM documents GROUP BY 1
         """,
         "flagship_revenue": _FLAGSHIP_SQL,
         "projection": "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",

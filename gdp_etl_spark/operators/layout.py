@@ -24,7 +24,7 @@ and reproducible by the SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -109,5 +109,104 @@ def zorder_bucket_stats(
             F.max(col_x).alias("max_x"),
             F.min(col_y).alias("min_y"),
             F.max(col_y).alias("max_y"),
+        )
+    )
+
+
+def shard_assignment(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic training-shard layout: every row gets a
+    ``shard_id`` in ``[0, n_shards)`` and a ``shard_pos`` ordinal inside
+    its shard, both pure functions of ``(id_col, seed)`` — the layout a
+    trainer needs for reproducible data ordering, resumable epoch
+    offsets, and leak-free re-sharding (the same document always lands
+    in the same shard for a given seed, across runs, engines and
+    cluster sizes — ``df.repartition`` is none of those).
+
+    Within-shard order is the md5 of the id, i.e. a deterministic
+    global shuffle: adjacent corpus documents (same crawl, same site)
+    scatter across positions, which is what training-batch
+    decorrelation wants, yet the order replays bit-identically.
+
+    Scale shape: assignment is a map-only projection (one md5, shard id
+    and order key both derived from it — one hash computation, not
+    two).  The ordinal is ONE window shuffle with exactly ``n_shards``
+    partitions — the same shuffle a layout write
+    (``repartition(n_shards).sortWithinPartitions``) performs anyway,
+    so materializing positions is free at write time; spill-safety
+    comes from choosing n_shards so a shard fits an executor (the
+    knob the caller owns either way).
+
+    If true positions are not needed (manifests only), use
+    :func:`shard_manifest`, which skips the window entirely.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+    )
+    keyed = df.withColumn("__h", h).withColumn(
+        "shard_id",
+        F.pmod(
+            F.conv(F.substring("__h", 1, 8), 16, 10).cast("bigint"),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("__h", id_col)
+    return (
+        keyed.withColumn(
+            "shard_pos", F.row_number().over(w).cast("long")
+        )
+        .drop("__h")
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int,
+    seed: str = "42",
+) -> DataFrame:
+    """Per-shard manifest for a :func:`shard_assignment` layout: row
+    count, token / character totals (trainer epoch budgeting) and an
+    order-independent content checksum (sum of 32-bit text-hash
+    prefixes — verifies a re-built shard carries exactly the same
+    documents without comparing bodies).
+
+    Scale shape: map-only hashing + ONE groupBy into ``n_shards``
+    groups (partial aggregation map-side; no window, no sort — the
+    manifest does not need positions).  Output is n_shards rows —
+    driver-safe at any corpus size.
+    """
+    from ..functions.text import ws_tokens
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+    )
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_shards),
+    ).cast("int")
+    text_hash = F.conv(
+        F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        df.withColumn("shard_id", shard)
+        .withColumn("__th", text_hash)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(ws_tokens(F.col(text_col))))
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(F.length(F.col(text_col))).cast("long").alias("n_chars"),
+            F.sum("__th").cast("long").alias("content_checksum"),
         )
     )

@@ -198,3 +198,87 @@ class TestZorderOperator:
             ).collect()
         }
         assert got == want
+
+
+class TestShardLayout:
+    """Deterministic shard assignment + manifest: pure functions of
+    (id, seed), positions dense per shard, manifest totals reconcile."""
+
+    def _docs(self, spark, n=200):
+        return spark.range(0, n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+        )
+
+    def test_assignment_deterministic_and_partition_independent(self, spark):
+        from gdp_etl_spark.operators.layout import shard_assignment
+
+        docs = self._docs(spark)
+        a = shard_assignment(docs, "doc_id", 8).collect()
+        b = shard_assignment(docs.repartition(13), "doc_id", 8).collect()
+        key = lambda rows: sorted((r.doc_id, r.shard_id, r.shard_pos)
+                                  for r in rows)
+        assert key(a) == key(b)
+
+    def test_positions_dense_from_one(self, spark):
+        from gdp_etl_spark.operators.layout import shard_assignment
+
+        out = shard_assignment(self._docs(spark), "doc_id", 4).collect()
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r.shard_id, []).append(r.shard_pos)
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+    def test_seed_changes_layout(self, spark):
+        from gdp_etl_spark.operators.layout import shard_assignment
+
+        docs = self._docs(spark)
+        a = {r.doc_id: r.shard_id
+             for r in shard_assignment(docs, "doc_id", 8, seed="a").collect()}
+        b = {r.doc_id: r.shard_id
+             for r in shard_assignment(docs, "doc_id", 8, seed="b").collect()}
+        assert a != b  # 200 docs, 8 shards: collision of all is ~impossible
+
+    def test_manifest_reconciles_with_assignment(self, spark):
+        from gdp_etl_spark.operators.layout import (
+            shard_assignment, shard_manifest,
+        )
+
+        docs = self._docs(spark)
+        man = {r.shard_id: r for r in
+               shard_manifest(docs, "doc_id", "text", 8).collect()}
+        got = shard_assignment(docs, "doc_id", 8).groupBy("shard_id").count()
+        for r in got.collect():
+            assert man[r.shard_id].n_docs == r["count"]
+        assert sum(r.n_docs for r in man.values()) == 200
+        assert sum(r.n_tokens for r in man.values()) == 400  # "doc <i>" = 2
+        assert all(r.content_checksum > 0 for r in man.values())
+
+    def test_manifest_checksum_detects_content_change(self, spark):
+        from gdp_etl_spark.operators.layout import shard_manifest
+
+        docs = self._docs(spark)
+        tampered = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") == 7, F.lit("doc 7 TAMPERED"))
+            .otherwise(F.col("text")),
+        )
+        a = {r.shard_id: r.content_checksum for r in
+             shard_manifest(docs, "doc_id", "text", 8).collect()}
+        b = {r.shard_id: r.content_checksum for r in
+             shard_manifest(tampered, "doc_id", "text", 8).collect()}
+        assert sum(1 for k in a if a[k] != b.get(k)) == 1
+
+    def test_invalid_shard_count_raises(self, spark):
+        import pytest as _pytest
+
+        from gdp_etl_spark.operators.layout import (
+            shard_assignment, shard_manifest,
+        )
+
+        docs = self._docs(spark, 5)
+        with _pytest.raises(ValueError):
+            shard_assignment(docs, "doc_id", 0)
+        with _pytest.raises(ValueError):
+            shard_manifest(docs, "doc_id", "text", -1)
