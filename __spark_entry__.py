@@ -924,6 +924,21 @@ def q_shard_manifest(spark, sf_dir):
     return shard_manifest(docs, "doc_id", "text", n_shards=16, seed="42")
 
 
+def q_blocklist_filter(spark, sf_dir):
+    """Blocklist document flagging (text.blocklist_flag — the
+    C4/RefinedWeb bad-words stage): token-set equality matching (no
+    Scunthorpe substring false-positives), evidence columns kept so the
+    drop decision is auditable and re-tunable.  Pure map-only JVM
+    codegen — array_intersect against a plan literal, zero shuffle,
+    zero UDF."""
+    from gdp_etl_spark.functions.text import blocklist_flag
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return blocklist_flag(
+        docs, "text", ("slow", "stream", "vector"), max_matches=1
+    ).select("doc_id", "matched_terms", "n_matched", "flagged")
+
+
 def q_boilerplate_lines(spark, sf_dir):
     """Corpus-frequency boilerplate removal (dedup.boilerplate_line_filter
     — the CCNet/RefinedWeb line-dedup stage): 5-document pages share an
@@ -4170,6 +4185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "shard_assign": q_shard_assign,
         "shard_manifest": q_shard_manifest,
+        "blocklist_filter": q_blocklist_filter,
         # r2-green re-checks displaced by the golden replays
         "gaps_islands": q_gaps_islands,
         "group_extrema": q_group_extrema,
@@ -4678,6 +4694,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
                         AS BIGINT) AS content_checksum
             FROM documents GROUP BY 1
+        """,
+        "blocklist_filter": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_sort(list_intersect(
+                       list_distinct(
+                         string_split_regex(lower(trim(text)), '\s+')),
+                       ['slow', 'stream', 'vector'])) AS m
+              FROM documents
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(m, ','), '') AS matched_terms,
+                   CAST(len(m) AS INT) AS n_matched,
+                   len(m) > 1 AS flagged
+            FROM t
         """,
         "flagship_revenue": _FLAGSHIP_SQL,
         "projection": "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",

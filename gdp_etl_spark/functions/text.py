@@ -13,6 +13,8 @@ heuristic with deterministic tie-break), and document fingerprinting
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -457,4 +459,60 @@ def trigram_lm_scores(
             (F.col("sum_logp_q").cast("double") / quantize)
             / F.col("n_tri").cast("double"),
         ).alias("avg_logp"),
+    )
+
+
+def blocklist_matches(text: Column, blocklist: Sequence[str]) -> Column:
+    """Sorted distinct blocklist terms present in the document's
+    lowered whitespace-token set — the C4/RefinedWeb "bad words" stage
+    as a pure per-row expression.
+
+    Token-set matching (not substring) keeps the classic blocklist
+    false-positive family out by construction (the "Scunthorpe
+    problem": an innocent word containing a blocked string never
+    matches a token equality).  Case-insensitive via lowering; the
+    blocklist itself must arrive lowercase (raises otherwise, rather
+    than silently never matching).
+
+    Scale shape: ``array_intersect`` against a literal array — map-only
+    JVM codegen, zero shuffle, zero UDF, no broadcast needed below a
+    few thousand terms (a literal in the plan); past that, switch to a
+    broadcast join on exploded tokens.  Mirrors to DuckDB as
+    ``list_sort(list_intersect(list_distinct(tokens), [...]))``.
+    """
+    terms = list(blocklist)
+    if not terms:
+        raise ValueError("blocklist must be non-empty")
+    bad = [t for t in terms if t != t.lower() or not t or t.strip() != t]
+    if bad:
+        raise ValueError(
+            f"blocklist terms must be lowercase and trimmed: {bad!r}"
+        )
+    toks = F.array_distinct(ws_tokens(F.lower(text)))
+    return F.array_sort(
+        F.array_intersect(toks, F.array(*[F.lit(t) for t in terms]))
+    )
+
+
+def blocklist_flag(
+    df: DataFrame,
+    text_col: str,
+    blocklist: Sequence[str],
+    max_matches: int = 0,
+) -> DataFrame:
+    """Flag (not drop) documents whose token set hits the blocklist:
+    appends ``matched_terms`` (sorted CSV — canonical, hashable),
+    ``n_matched`` and ``flagged`` (over ``max_matches`` distinct
+    terms).  Pipelines keep the evidence columns so the drop decision
+    is auditable and re-tunable without re-scanning the corpus.
+
+    Map-only — see :func:`blocklist_matches` for the scale story.
+    """
+    m = blocklist_matches(F.col(text_col), blocklist)
+    return (
+        df.withColumn("__m", m)
+        .withColumn("matched_terms", F.concat_ws(",", F.col("__m")))
+        .withColumn("n_matched", F.size("__m").cast("int"))
+        .withColumn("flagged", F.col("n_matched") > F.lit(max_matches))
+        .drop("__m")
     )

@@ -639,3 +639,61 @@ class TestIncrementalExactDedup:
         assert set(out.columns) == {
             "doc_id", "text", "source", "batch_dup_count"
         }
+
+
+class TestBlocklistFlag:
+    """C4-style bad-words stage: token-set equality matching with
+    auditable evidence columns, map-only."""
+
+    def _run(self, spark, texts, terms, max_matches=0):
+        from gdp_etl_spark.functions.text import blocklist_flag
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        return {
+            r["doc_id"]: (r["matched_terms"], r["n_matched"], r["flagged"])
+            for r in blocklist_flag(df, "text", terms, max_matches).collect()
+        }
+
+    def test_matches_sorted_distinct_case_insensitive(self, spark):
+        got = self._run(
+            spark,
+            ["Zebra apple zebra APPLE", "clean words only"],
+            ("zebra", "apple", "mango"),
+        )
+        assert got[0] == ("apple,zebra", 2, True)
+        assert got[1] == ("", 0, False)
+
+    def test_token_equality_not_substring(self, spark):
+        # the Scunthorpe guarantee: a blocked string INSIDE a longer
+        # token must not match
+        got = self._run(spark, ["scunthorpe hospital"], ("thor", "hospital"))
+        assert got[0] == ("hospital", 1, True)
+
+    def test_max_matches_threshold(self, spark):
+        got = self._run(spark, ["a b c", "a b"], ("a", "b", "c"),
+                        max_matches=2)
+        assert got[0][2] is True and got[1][2] is False
+
+    def test_null_and_blank_text_safe(self, spark):
+        from gdp_etl_spark.functions.text import blocklist_flag
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "   ")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: (r["matched_terms"], r["n_matched"], r["flagged"])
+               for r in blocklist_flag(df, "text", ("bad",)).collect()}
+        assert got == {1: ("", 0, False), 2: ("", 0, False)}
+
+    def test_rejects_bad_blocklists(self, spark):
+        import pytest as _pytest
+
+        from gdp_etl_spark.functions.text import blocklist_matches
+
+        with _pytest.raises(ValueError):
+            blocklist_matches(F.lit("x"), [])
+        with _pytest.raises(ValueError):
+            blocklist_matches(F.lit("x"), ["UPPER"])
+        with _pytest.raises(ValueError):
+            blocklist_matches(F.lit("x"), [" padded "])
