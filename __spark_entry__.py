@@ -939,6 +939,31 @@ def q_blocklist_filter(spark, sf_dir):
     ).select("doc_id", "matched_terms", "n_matched", "flagged")
 
 
+def q_norm_dedup(spark, sf_dir):
+    """Normalized exact dedup (text.normalize_for_dedup — the CCNet
+    hash-normalization stage): the corpus is mirrored with case flips
+    and punctuation decoration; dedup keyed on the canonical form
+    (lower → accent fold → digits→0 → strip punct → collapse ws)
+    collapses every pair that raw exact hashing would miss.  Map-only
+    normalization + the same single md5-window shuffle as
+    exact_dedup."""
+    from gdp_etl_spark.functions.text import normalize_for_dedup
+    from gdp_etl_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mirror = docs.select(
+        (F.col("doc_id") + F.lit(100000)).cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("** "), F.upper("text"), F.lit(" ... ")
+        ).alias("text"),
+    )
+    both = docs.unionByName(mirror)
+    normed = both.select(
+        "doc_id", normalize_for_dedup(F.col("text")).alias("norm")
+    )
+    return exact_dedup(normed, "norm", "doc_id")
+
+
 def q_boilerplate_lines(spark, sf_dir):
     """Corpus-frequency boilerplate removal (dedup.boilerplate_line_filter
     — the CCNet/RefinedWeb line-dedup stage): 5-document pages share an
@@ -4186,6 +4211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "shard_manifest": q_shard_manifest,
         "blocklist_filter": q_blocklist_filter,
+        "norm_dedup": q_norm_dedup,
         # r2-green re-checks displaced by the golden replays
         "gaps_islands": q_gaps_islands,
         "group_extrema": q_group_extrema,
@@ -4709,6 +4735,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(m) AS INT) AS n_matched,
                    len(m) > 1 AS flagged
             FROM t
+        """,
+        "norm_dedup": r"""
+            WITH m AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, '** ' || upper(text) || ' ... '
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(regexp_replace(
+                       translate(lower(coalesce(text, '')),
+                         'áàâäãåéèêëíìîïóòôöõúùûüçñýÿ',
+                         'aaaaaaeeeeiiiiooooouuuucnyy'),
+                       '[0-9]', '0', 'g'),
+                       '[^\p{L}\p{N}\s]', '', 'g'),
+                       '\s+', ' ', 'g')) AS norm
+              FROM m
+            )
+            SELECT min(doc_id) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS dup_count
+            FROM n GROUP BY md5(norm)
         """,
         "flagship_revenue": _FLAGSHIP_SQL,
         "projection": "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",

@@ -516,3 +516,31 @@ def blocklist_flag(
         .withColumn("flagged", F.col("n_matched") > F.lit(max_matches))
         .drop("__m")
     )
+
+
+#: latin-1 accent fold table for dedup normalization (lowercase side
+#: only — normalization lowers first).
+_ACCENT_FROM = "áàâäãåéèêëíìîïóòôöõúùûüçñýÿ"
+_ACCENT_TO = "aaaaaaeeeeiiiiooooouuuucnyy"
+
+
+def normalize_for_dedup(text: Column) -> Column:
+    """The CCNet-style hash normalization (Wenzek et al. 2019 §4.1
+    applies it before paragraph hashing): lowercase, fold latin-1
+    accents, map every digit run's characters to ``0``, strip all other
+    punctuation/symbols, collapse whitespace.  Dedup keyed on this
+    catches re-encodes, case variants, counter-stamped mirrors
+    ("page 17 of 348") and punctuation-style edits that exact hashing
+    misses, while staying far cheaper and more predictable than
+    MinHash (it is still EXACT grouping, just on a canonical form).
+
+    Map-only expression chain (lower → translate → two regexp_replace →
+    trim); mirrors to DuckDB operator-for-operator (RE2 and Java regex
+    agree on ``\\p{L}/\\p{N}/\\s`` for this subset).
+    """
+    t = F.lower(F.coalesce(text, F.lit("")))
+    t = F.translate(t, _ACCENT_FROM, _ACCENT_TO)
+    t = F.regexp_replace(t, "[0-9]", "0")
+    t = F.regexp_replace(t, "[^\\p{L}\\p{N}\\s]", "")
+    t = F.regexp_replace(t, "\\s+", " ")
+    return F.trim(t)

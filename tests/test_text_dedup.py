@@ -697,3 +697,49 @@ class TestBlocklistFlag:
             blocklist_matches(F.lit("x"), ["UPPER"])
         with _pytest.raises(ValueError):
             blocklist_matches(F.lit("x"), [" padded "])
+
+
+class TestNormalizeForDedup:
+    """CCNet-style hash normalization: canonical form is invariant to
+    case, accents, digit values, punctuation and whitespace style."""
+
+    def _norm(self, spark, texts):
+        from gdp_etl_spark.functions.text import normalize_for_dedup
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "i long, text string"
+        )
+        out = df.select("i", normalize_for_dedup(F.col("text")).alias("n"))
+        return [r["n"] for r in out.orderBy("i").collect()]
+
+    def test_case_punct_whitespace_invariant(self, spark):
+        a, b = self._norm(spark, [
+            "Hello,   World! (draft)",
+            "hello world draft",
+        ])
+        assert a == b == "hello world draft"
+
+    def test_accents_fold(self, spark):
+        a, b = self._norm(spark, ["café Señor Où", "cafe senor ou"])
+        assert a == b == "cafe senor ou"
+
+    def test_digit_runs_canonicalize_same_length_only(self, spark):
+        a, b, c = self._norm(spark, [
+            "page 17 of 348", "page 99 of 120", "page 5 of 348",
+        ])
+        assert a == b == "page 00 of 000"
+        assert c == "page 0 of 000"  # different digit COUNT stays distinct
+
+    def test_null_and_symbol_only_normalize_to_empty(self, spark):
+        a, b = self._norm(spark, [None, "?!... ***"])
+        assert a == b == ""
+
+    def test_idempotent(self, spark):
+        from gdp_etl_spark.functions.text import normalize_for_dedup
+
+        df = spark.createDataFrame(
+            [(1, "MiXeD,  café 42!")], "i long, text string"
+        )
+        once = df.select(normalize_for_dedup(F.col("text")).alias("n"))
+        twice = once.select(normalize_for_dedup(F.col("n")).alias("n"))
+        assert once.first()["n"] == twice.first()["n"]
