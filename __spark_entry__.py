@@ -964,6 +964,18 @@ def q_norm_dedup(spark, sf_dir):
     return exact_dedup(normed, "norm", "doc_id")
 
 
+def q_source_report(spark, sf_dir):
+    """Per-source corpus health report (plans.corpus.source_report):
+    volume, exact-dup rate, fixed-point mean quality, language-mix
+    entropy — the dashboard mixture-weight tuning reads.  ONE corpus
+    pass feeding two bounded aggs assembled by a broadcast join; all
+    statistics cross-engine deterministic (floor 1e9 fixed point over
+    exact counts)."""
+    from gdp_etl_spark.plans.corpus import source_report
+
+    return source_report(_t(spark, sf_dir, "documents"))
+
+
 def q_boilerplate_lines(spark, sf_dir):
     """Corpus-frequency boilerplate removal (dedup.boilerplate_line_filter
     — the CCNet/RefinedWeb line-dedup stage): 5-document pages share an
@@ -4212,6 +4224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "blocklist_filter": q_blocklist_filter,
         "norm_dedup": q_norm_dedup,
+        "source_report": q_source_report,
         # r2-green re-checks displaced by the golden replays
         "gaps_islands": q_gaps_islands,
         "group_extrema": q_group_extrema,
@@ -4757,6 +4770,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id,
                    CAST(count(*) AS BIGINT) AS dup_count
             FROM n GROUP BY md5(norm)
+        """,
+        "source_report": f"""
+            WITH per AS (
+              SELECT source, lang, md5(text) AS h,
+                     CAST(len({_TOKS_RAW}) AS BIGINT) AS tok,
+                     CAST(floor(({quality}) * 1e9) AS BIGINT) AS q
+              FROM documents
+            ),
+            base AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+                     CAST(sum(tok) AS BIGINT) AS n_tokens,
+                     CAST(sum(q) AS BIGINT) AS qsum
+              FROM per GROUP BY 1
+            ),
+            lc AS (
+              SELECT source, lang, count(*) AS n FROM per GROUP BY 1, 2
+            ),
+            ent AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_langs,
+                     CAST(sum(CAST(floor(
+                       -((CAST(n AS DOUBLE) / t)
+                         * ln(CAST(n AS DOUBLE) / t)) * 1e9)
+                       AS BIGINT)) AS BIGINT) AS csum
+              FROM (SELECT source, lang, n,
+                           CAST(sum(n) OVER (PARTITION BY source)
+                                AS DOUBLE) AS t
+                    FROM lc)
+              GROUP BY 1
+            )
+            SELECT b.source, n_docs, n_distinct_texts,
+                   CAST(1 AS DOUBLE)
+                     - CAST(n_distinct_texts AS DOUBLE)
+                     / CAST(n_docs AS DOUBLE) AS dup_rate,
+                   n_tokens,
+                   CAST(qsum AS DOUBLE) / 1e9 / CAST(n_docs AS DOUBLE)
+                     AS mean_quality,
+                   n_langs,
+                   CAST(csum AS DOUBLE) / 1e9 AS lang_entropy
+            FROM base b JOIN ent e USING (source)
         """,
         "flagship_revenue": _FLAGSHIP_SQL,
         "projection": "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",

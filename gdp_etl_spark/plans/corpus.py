@@ -142,3 +142,80 @@ def curate_corpus(
         d.select(id_col, lang_col, "n_tok", "split"),
         "n_tok", budget, ["split", lang_col], [id_col],
     ).select(id_col, lang_col, "split", "n_tok", "seq_id", "seq_offset")
+
+
+def source_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus health report — the dashboard a curation run
+    reads before choosing mixture weights: volume (docs / tokens),
+    exact-duplicate rate, mean quality score, and language balance
+    (Shannon entropy over the language mix plus the language count).
+
+    One row per source; every statistic is cross-engine deterministic:
+    counts are exact, the mean quality runs in floor(·1e9) fixed point
+    (the drift_psi/column_entropy precedent), and the entropy
+    contributions are fixed-order IEEE expressions over exact counts.
+
+    Scale shape: ONE pass over the corpus feeding two bounded
+    aggregations — a per-source agg (count-distinct md5 expands to the
+    standard two-phase plan on 16-byte keys) and a (source, lang)
+    count rolled up to per-source entropy; both outputs are
+    source-count-sized, and the final assembly is a broadcast join of
+    two tiny frames.  No windows, no self-joins, nothing driver-sized.
+    """
+    from ..functions.text import ws_tokens
+
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.md5(F.col(text_col)).alias("__h"),
+        F.size(ws_tokens(F.col(text_col))).alias("__tok"),
+        F.floor(quality_score(F.col(text_col)) * F.lit(1e9))
+        .cast("long")
+        .alias("__q"),
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("__h").cast("long").alias("n_distinct_texts"),
+        F.sum("__tok").cast("long").alias("n_tokens"),
+        F.sum("__q").cast("long").alias("__qsum"),
+    )
+    lang_counts = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    tot = Window.partitionBy("source")
+    p = F.col("__n").cast("double") / F.sum("__n").over(tot).cast("double")
+    contrib = F.floor(-(p * F.log(p)) * F.lit(1e9)).cast("long")
+    ent = (
+        lang_counts.withColumn("__c", contrib)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            (F.sum("__c").cast("double") / F.lit(1e9)).alias("lang_entropy"),
+        )
+    )
+    return (
+        base.join(F.broadcast(ent), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct_texts",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct_texts").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+            "n_tokens",
+            (
+                F.col("__qsum").cast("double")
+                / F.lit(1e9)
+                / F.col("n_docs").cast("double")
+            ).alias("mean_quality"),
+            "n_langs",
+            "lang_entropy",
+        )
+    )

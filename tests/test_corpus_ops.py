@@ -435,3 +435,53 @@ class TestVocabTopCoverage:
     def test_lowercasing_merges_case_variants(self, spark):
         rows = self._run(spark, ["The the THE"])
         assert [(r["token"], r["cnt"]) for r in rows] == [("the", 3)]
+
+
+class TestSourceReport:
+    """Per-source health dashboard: exact counts, dup rate, fixed-point
+    mean quality, language entropy."""
+
+    def _docs(self, spark):
+        rows = [
+            # src a: 3 docs, one exact dup pair, two langs
+            (1, "the quick brown fox jumps over the lazy dog", "en", "a"),
+            (2, "the quick brown fox jumps over the lazy dog", "en", "a"),
+            (3, "der hund und die katze sind nicht da heute", "de", "a"),
+            # src b: 2 docs, unique, one lang
+            (4, "a completely different document about spark", "en", "b"),
+            (5, "and another one that is also unique here", "en", "b"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+
+    def test_counts_dup_rate_and_langs(self, spark):
+        from gdp_etl_spark.plans.corpus import source_report
+
+        got = {r["source"]: r for r in source_report(self._docs(spark)).collect()}
+        a, b = got["a"], got["b"]
+        assert (a["n_docs"], a["n_distinct_texts"], a["n_langs"]) == (3, 2, 2)
+        assert abs(a["dup_rate"] - (1 - 2 / 3)) < 1e-12
+        assert (b["n_docs"], b["n_distinct_texts"], b["n_langs"]) == (2, 2, 1)
+        assert b["dup_rate"] == 0.0
+        assert b["lang_entropy"] == 0.0  # single language -> zero entropy
+        import math
+        expect = -(2/3) * math.log(2/3) - (1/3) * math.log(1/3)
+        assert abs(a["lang_entropy"] - expect) < 1e-6  # 1e9 quantization
+
+    def test_token_totals_and_quality_bounds(self, spark):
+        from gdp_etl_spark.plans.corpus import source_report
+
+        got = {r["source"]: r for r in source_report(self._docs(spark)).collect()}
+        assert got["a"]["n_tokens"] == 9 + 9 + 9
+        assert got["b"]["n_tokens"] == 6 + 8
+        for r in got.values():
+            assert 0.0 <= r["mean_quality"] <= 1.0
+
+    def test_partition_count_invariant(self, spark):
+        from gdp_etl_spark.plans.corpus import source_report
+
+        docs = self._docs(spark)
+        a = sorted(map(tuple, source_report(docs).collect()))
+        b = sorted(map(tuple, source_report(docs.repartition(7)).collect()))
+        assert a == b
