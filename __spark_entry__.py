@@ -976,6 +976,30 @@ def q_source_report(spark, sf_dir):
     return source_report(_t(spark, sf_dir, "documents"))
 
 
+def q_mean_pool(spark, sf_dir):
+    """Per-label embedding mean-pooling (similarity.
+    mean_pool_embeddings): fixed-point int64 component sums inside one
+    Arrow-batched applyInPandas group shuffle — vectors travel packed
+    (the posexplode alternative pays dim× the shuffle bytes).  The
+    centroid serializes to fixed-point CSV because raw array outputs
+    are not driver-canonicalizer-safe."""
+    from gdp_etl_spark.operators.similarity import mean_pool_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pooled = mean_pool_embeddings(emb, "label", "embedding")
+    return pooled.select(
+        "label",
+        "n_vecs",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "centroid",
+                lambda x: F.floor(x * F.lit(1000000.0)).cast("long"),
+            ),
+        ).alias("centroid_csv"),
+    )
+
+
 def q_boilerplate_lines(spark, sf_dir):
     """Corpus-frequency boilerplate removal (dedup.boilerplate_line_filter
     — the CCNet/RefinedWeb line-dedup stage): 5-document pages share an
@@ -4225,6 +4249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "norm_dedup": q_norm_dedup,
         "source_report": q_source_report,
+        "mean_pool": q_mean_pool,
         # r2-green re-checks displaced by the golden replays
         "gaps_islands": q_gaps_islands,
         "group_extrema": q_group_extrema,
@@ -4812,6 +4837,28 @@ def oracle_sql() -> dict[str, str]:
                    n_langs,
                    CAST(csum AS DOUBLE) / 1e9 AS lang_entropy
             FROM base b JOIN ent e USING (source)
+        """,
+        "mean_pool": """
+            WITH e AS (
+              SELECT label,
+                     unnest(range(1, len(embedding) + 1)) AS pos,
+                     unnest(embedding) AS v
+              FROM embeddings
+            ),
+            s AS (
+              SELECT label, pos,
+                     CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e6)
+                                   AS BIGINT)) AS BIGINT) AS sq,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY 1, 2
+            )
+            SELECT label,
+                   min(n) AS n_vecs,
+                   string_agg(
+                     CAST(CAST(floor(((CAST(sq AS DOUBLE) / 1e6) / n) * 1e6)
+                               AS BIGINT) AS VARCHAR),
+                     ',' ORDER BY pos) AS centroid_csv
+            FROM s GROUP BY label
         """,
         "flagship_revenue": _FLAGSHIP_SQL,
         "projection": "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",

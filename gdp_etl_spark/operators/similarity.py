@@ -415,3 +415,80 @@ def expected_bucket_collision_prob(cos_sim: float, num_bits: int) -> float:
     (1 − θ/π)^num_bits — the tuning identity for (num_bits, num_tables)."""
     theta = math.acos(max(-1.0, min(1.0, cos_sim)))
     return (1.0 - theta / math.pi) ** num_bits
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Element-wise mean of embedding vectors per group — the pooling
+    step that turns chunk embeddings into a document embedding, or a
+    cluster's members into a refreshed centroid.
+
+    Exactness: every component is quantized to ``floor(x·scale)``
+    int64 BEFORE summing, so per-group sums are exact integers —
+    bit-stable across partitionings, runs and engines (the repo's
+    standard fixed-point signature move); the mean is then two
+    correctly-rounded double operations in a fixed order.
+
+    Returns ``(group_col, n_vecs, centroid array<double>)``.
+
+    Scale shape: ONE group shuffle via ``applyInPandas`` with packed
+    Arrow vector batches — the pure-SQL alternative (posexplode →
+    groupBy (group, pos)) inflates rows ×dim (64–4096) before its
+    shuffle, paying dim× the shuffle bytes for the same result.
+    Python cost is one vectorized numpy reduction per group, never
+    per row.  Groups must fit an executor (they are documents'
+    chunks or cluster members — thousands, not corpus-sized); ragged
+    or NULL vectors raise inside the group fn: pooling over
+    inconsistent dimensions is a data bug, not a soft case.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType as _Arr,
+        DoubleType as _Dbl,
+        LongType as _Lng,
+        StructField as _Fld,
+        StructType as _Sct,
+    )
+
+    gfield = df.schema[group_col]
+    out_schema = _Sct(
+        [
+            _Fld(group_col, gfield.dataType),
+            _Fld("n_vecs", _Lng()),
+            _Fld("centroid", _Arr(_Dbl())),
+        ]
+    )
+
+    def pool(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = pdf[vec_col].tolist()
+        if any(v is None for v in vecs):
+            raise ValueError(
+                f"NULL {vec_col!r} in group {pdf[group_col].iloc[0]!r}"
+            )
+        try:
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vecs]
+            )
+        except ValueError as exc:  # ragged dims
+            raise ValueError(
+                f"inconsistent {vec_col!r} dimensions in group "
+                f"{pdf[group_col].iloc[0]!r}: {exc}"
+            ) from None
+        q = np.floor(mat * scale).astype(np.int64)
+        n = len(vecs)
+        centroid = (q.sum(axis=0).astype(np.float64) / scale) / n
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n_vecs": [n],
+                "centroid": [centroid.tolist()],
+            }
+        )
+
+    return df.select(group_col, vec_col).groupBy(group_col).applyInPandas(
+        pool, schema=out_schema
+    )

@@ -272,3 +272,66 @@ def test_rademacher_buckets_deterministic_and_bounded(spark):
     signs = rademacher_signs(4, 8, "s")
     assert signs == rademacher_signs(4, 8, "s")
     assert all(s in (-1, 1) for row in signs for s in row)
+
+
+class TestMeanPoolEmbeddings:
+    """Fixed-point grouped mean pooling: exact int64 sums, packed Arrow
+    transfer, hard errors on ragged/NULL vectors."""
+
+    def test_known_means_and_counts(self, spark):
+        from gdp_etl_spark.operators.similarity import mean_pool_embeddings
+
+        df = spark.createDataFrame(
+            [
+                ("a", [1.0, 2.0]),
+                ("a", [3.0, 6.0]),
+                ("b", [10.0, -10.0]),
+            ],
+            "label string, embedding array<double>",
+        )
+        got = {r["label"]: r for r in
+               mean_pool_embeddings(df, "label", "embedding").collect()}
+        assert got["a"]["n_vecs"] == 2 and got["b"]["n_vecs"] == 1
+        assert got["a"]["centroid"] == [2.0, 4.0]
+        assert got["b"]["centroid"] == [10.0, -10.0]
+
+    def test_partitioning_invariant_bit_exact(self, spark):
+        from gdp_etl_spark.operators.similarity import mean_pool_embeddings
+
+        import random
+        rng = random.Random(7)
+        rows = [("g%d" % (i % 3), [rng.uniform(-1, 1) for _ in range(16)])
+                for i in range(90)]
+        df = spark.createDataFrame(
+            rows, "label string, embedding array<double>"
+        )
+        a = {r["label"]: r["centroid"] for r in
+             mean_pool_embeddings(df, "label", "embedding").collect()}
+        b = {r["label"]: r["centroid"] for r in
+             mean_pool_embeddings(
+                 df.repartition(11), "label", "embedding").collect()}
+        assert a == b  # bit-exact, not approx: int64 sums inside
+
+    def test_ragged_dimensions_raise(self, spark):
+        import pytest as _pytest
+
+        from gdp_etl_spark.operators.similarity import mean_pool_embeddings
+
+        df = spark.createDataFrame(
+            [("a", [1.0, 2.0]), ("a", [1.0, 2.0, 3.0])],
+            "label string, embedding array<double>",
+        )
+        with _pytest.raises(Exception, match="inconsistent|dimensions"):
+            mean_pool_embeddings(df, "label", "embedding").collect()
+
+    def test_null_vector_raises(self, spark):
+        import pytest as _pytest
+
+        from gdp_etl_spark.operators.similarity import mean_pool_embeddings
+
+        df = spark.createDataFrame(
+            [("a", [1.0]), ("a", None)],
+            "label string, embedding array<double>",
+        )
+        with _pytest.raises(Exception, match="NULL"):
+            mean_pool_embeddings(df, "label", "embedding").collect()
