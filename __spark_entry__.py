@@ -5429,7 +5429,7 @@ def oracle_sql() -> dict[str, str]:
         # prefix filter replayed: same rarest-first order, exact prefix
         # len, integer-millis verification
         # integer-millis verification
-        "prefix_jaccard": """
+        "prefix_jaccard": r"""
             WITH sampled AS (
               SELECT * FROM documents
               WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
@@ -5843,7 +5843,7 @@ def oracle_sql() -> dict[str, str]:
         # corpus trigram LM rebuilt end-to-end: same normalization,
         # same top-4096 vocabulary (count desc, trigram tie-break),
         # same floor(ln * 1e9) quantization, exact integer sums
-        "lm_score": """
+        "lm_score": r"""
             WITH norm AS (
               SELECT doc_id,
                      lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))

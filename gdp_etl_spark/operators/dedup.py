@@ -531,7 +531,7 @@ def prefix_filter_jaccard_pairs(
     union = (
         F.size("__ta").cast("long") + F.size("__tb").cast("long") - inter
     )
-    return (
+    result = (
         cands.join(ta, "id_a")
         .join(tb, "id_b")
         .withColumn("__i", inter)
@@ -546,6 +546,16 @@ def prefix_filter_jaccard_pairs(
             ),
         )
     )
+    # Materialize the (output-sized: verified pairs only) result
+    # eagerly so both intermediate caches — which are INPUT-sized and
+    # would otherwise pin exploded-prefix data in executor memory for
+    # the session lifetime — can be released before returning.
+    try:
+        result = result.localCheckpoint(eager=True)
+    finally:
+        prefixes.unpersist()
+        toks.unpersist()
+    return result
 
 
 def paragraph_exact_dedup(
@@ -590,11 +600,17 @@ def paragraph_exact_dedup(
     strings) structurally.
     """
     # split() takes a Java regex but array_join() a literal — \Q...\E
-    # quotes the boundary so both sides agree for any separator string
+    # quotes the boundary so both sides agree for any separator string.
+    # NULL text coalesces to '' so the document survives as an
+    # empty-string row (split(NULL) is NULL and posexplode would drop
+    # the row entirely, breaking the documented contract).
     paras = df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.col(text_col), "\\Q" + boundary + "\\E")
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                "\\Q" + boundary + "\\E",
+            )
         ).alias("__pos", "__para"),
     ).withColumn("__trimmed", F.trim("__para"))
     from pyspark.sql import Window
@@ -703,10 +719,17 @@ def boilerplate_line_filter(
     """
     from pyspark.sql import Window
 
+    # NULL text coalesces to '' so the document survives as an
+    # empty-string row instead of vanishing (split(NULL) yields NULL
+    # and posexplode produces no rows) — same contract as
+    # paragraph_exact_dedup and duplicated_ngram_profile.
     lines = df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.col(text_col), "\\Q" + line_sep + "\\E")
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                "\\Q" + line_sep + "\\E",
+            )
         ).alias("__pos", "__line"),
     ).withColumn("__trimmed", F.trim("__line"))
     eligible = F.length("__trimmed") >= min_chars

@@ -56,6 +56,11 @@ def zorder_keys(
         F.min(col_y).cast("long"),
         F.max(col_y).cast("long"),
     ).first()
+    if lo_x is None or hi_x is None or lo_y is None or hi_y is None:
+        raise ValueError(
+            "cannot Z-order an empty frame or all-NULL key columns: "
+            f"min/max of ({col_x}, {col_y}) came back NULL"
+        )
     span_x = max(1, hi_x - lo_x)
     span_y = max(1, hi_y - lo_y)
     top = (1 << bits) - 1

@@ -457,8 +457,24 @@ def vocab_top_coverage(
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    total = counts.agg(F.sum("cnt")).first()[0] or 0
-    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+    # The explode+groupBy feeds BOTH the grand-total scalar and the
+    # top-k; persist so it runs once (without it the full token
+    # aggregation executes twice — once per action).
+    counts = counts.persist()
+    try:
+        total = counts.agg(F.sum("cnt")).first()[0] or 0
+    except Exception:
+        counts.unpersist()
+        raise
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(k)
+        # localCheckpoint materializes the k rows eagerly so the cached
+        # token counts can be released before returning — the caller
+        # gets a bounded (≤k-row) frame with no dangling persist.
+        .localCheckpoint(eager=True)
+    )
+    counts.unpersist()
     w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     denom = F.lit(float(total)) if total else F.lit(1.0)

@@ -402,6 +402,24 @@ def read_excel(
         ) from exc
     if schema is not None:
         return spark.createDataFrame(pdf, schema=schema)
+    # Blank-string cells in otherwise-numeric columns (empty formula
+    # results) read as '' from SpreadsheetML but as NaN through
+    # pandas+openpyxl; align on NaN so the column is cleanly float64
+    # and Arrow conversion succeeds (mixed ''/float object columns trip
+    # Spark's slow non-Arrow fallback with a warning).
+    for col in pdf.columns:
+        s = pdf[col]
+        if s.dtype != object:
+            continue
+        blank = s.map(lambda v: isinstance(v, str) and v.strip() == "")
+        if not blank.any():
+            continue
+        rest = s[~blank].dropna()
+        if len(rest) and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in rest
+        ):
+            pdf[col] = s.mask(blank, None).astype("float64")
     return spark.createDataFrame(pdf)
 
 

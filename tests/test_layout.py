@@ -167,6 +167,22 @@ class TestZorderOperator:
         # x contributes nothing; zval is y's bits at odd positions only
         assert vals.agg(F.min("zval")).first()[0] == 0
 
+    def test_empty_or_all_null_input_raises_clear_error(self, spark):
+        import pytest
+
+        from gdp_etl_spark.operators.layout import zorder_keys
+
+        empty = spark.range(0).select(
+            F.col("id").alias("x"), F.col("id").alias("y")
+        )
+        with pytest.raises(ValueError, match="Z-order"):
+            zorder_keys(empty, "x", "y")
+        all_null = spark.range(5).select(
+            F.lit(None).cast("long").alias("x"), F.col("id").alias("y")
+        )
+        with pytest.raises(ValueError, match="Z-order"):
+            zorder_keys(all_null, "x", "y")
+
     def test_bucket_envelopes_are_narrow_in_both_dims(self, spark):
         from gdp_etl_spark.operators.layout import zorder_bucket_stats
 

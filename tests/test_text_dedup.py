@@ -415,6 +415,13 @@ class TestParagraphExactDedup:
         assert got[1] == ("", 1, 0)
         assert got[2] == ("", 1, 0)
 
+    def test_null_text_document_survives_as_empty(self, spark):
+        # split(NULL) is NULL and posexplode would drop the row; the
+        # documented contract is that the doc survives as ""
+        got = self._run(spark, [(1, None), (2, "real\n\npara")])
+        assert got[1] == ("", 1, 0)
+        assert got[2] == ("real\n\npara", 2, 0)
+
 
 class TestExactDedupKeepBest:
     """Quality-aware exact dedup: the survivor per text is the
@@ -524,6 +531,11 @@ class TestBoilerplateLineFilter:
         ], max_doc_freq=2)
         assert got[1] == ("", 1, 1)
         assert got[4] == ("real", 2, 1)
+
+    def test_null_text_document_survives_as_empty(self, spark):
+        got = self._run(spark, [(1, None), (2, "a\nb")], max_doc_freq=1)
+        assert got[1] == ("", 1, 0)
+        assert got[2] == ("a\nb", 2, 0)
 
 
 class TestDuplicatedNgramProfile:
