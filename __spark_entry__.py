@@ -1000,6 +1000,125 @@ def q_mean_pool(spark, sf_dir):
     )
 
 
+def q_index_dedup(spark, sf_dir):
+    """Materialized dedup-index cycle (dedup.write_dedup_index +
+    dedup_against_index — the persisted production shape promised by
+    incremental_exact_dedup's docstring): the even-id half of the
+    documents table is written ONCE as a bucketed, bucket-sorted
+    md5(text) index table; today's batch (the odd half, plus a
+    re-crawl of every %10==0 corpus doc and a second copy of every
+    %10==5 batch doc) then anti-joins against it.  The plan is the
+    point (pinned in tests/test_plans_quality.py): the index side has
+    NO Exchange and NO Sort — bucket files stream straight into the
+    SortMergeJoin LeftAnti — so a daily 100-TB-corpus membership test
+    moves only the batch.  Survivors: the 250 odd docs (re-crawls
+    anti-joined away, in-batch copies collapsed onto the lowest id
+    with batch_dup_count=2 for the %10==5 texts)."""
+    import shutil
+
+    from gdp_etl_spark.operators.dedup import (
+        dedup_against_index,
+        write_dedup_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    table = "dedup_md5_index"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a crashed earlier run can leave the managed location behind with
+    # no catalog entry; saveAsTable then refuses the name
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    shutil.rmtree(
+        os.path.join(wh.removeprefix("file:"), table), ignore_errors=True
+    )
+    write_dedup_index(corpus, "text", table, n_buckets=8)
+
+    def shifted(d, k):
+        return d.select(
+            (F.col("doc_id") + F.lit(k)).cast("long").alias("doc_id"),
+            "text", "lang", "source",
+        )
+
+    batch = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+        .unionByName(
+            shifted(docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0), 10000)
+        )
+        .unionByName(
+            shifted(docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 5), 20000)
+        )
+    )
+    out = dedup_against_index(spark, batch, "text", "doc_id", table)
+    return out.select("doc_id", "lang", "source", "batch_dup_count")
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-canonicalization dedup (text.canonical_url — the
+    CommonCrawl-pipeline stage run BEFORE text dedup): four crawl
+    variants of each resource URL (www + utm tracking param; uppercase
+    scheme/host + explicit :443 + trailing slash; a fragment; and a
+    genuinely different query ?b=2&a=1) normalize so the first three
+    collapse to one canonical form and the real-query variant stays
+    distinct; dedup then keeps the lowest doc_id per canonical URL with
+    its dup_count.  The canonicalizer is a pure map-only expression
+    chain (regexp extract/replace + sorted filtered query params, zero
+    UDF, zero shuffle); the dedup is the standard single-window
+    keep-first.  The oracle derives the expected canonical form from
+    FIRST PRINCIPLES (the variant construction), not by replaying the
+    regexes — an independent check of the normalization."""
+    from pyspark.sql import Window
+
+    from gdp_etl_spark.functions.text import canonical_url
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    # 25 is coprime with the 4-cycle of variants, so every resource
+    # appears in ALL FOUR crawl variants (doc_id%40 would lock each
+    # resource to one variant and the collapse would never fire)
+    r = F.pmod(F.col("doc_id"), F.lit(25)).cast("string")
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://www.example.com/p/"), r,
+            F.lit("?utm_source=feed")))
+        .when(v == 1, F.concat(
+            F.lit("HTTPS://EXAMPLE.COM:443/p/"), r, F.lit("/")))
+        .when(v == 2, F.concat(
+            F.lit("https://example.com/p/"), r, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(
+            F.lit("https://example.com/p/"), r, F.lit("#section")))
+    )
+    canon = docs.select(
+        "doc_id", url.alias("url")
+    ).withColumn("canonical", canonical_url(F.col("url")))
+    part = Window.partitionBy("canonical")
+    w = part.orderBy(F.col("doc_id").asc())
+    return (
+        canon.withColumn("__rk", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(part))
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", "url", "canonical", "dup_count")
+    )
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup at token-window granularity
+    (dedup.token_window_dedup — the Lee et al. 50-token criterion
+    approximated without suffix arrays, here at 20 tokens so the
+    synthetic docs yield multiple windows): consecutive 20-token
+    windows dedup globally keep-first-occurrence, catching verbatim
+    passages copied across documents that whole-doc and
+    paragraph-boundary dedup both miss.  Same O(tokens) shape as
+    paragraph_dedup: map-side sequence+slice fan-out, ONE window
+    shuffle on md5(window), one reassembly groupBy — no self-join, no
+    pairs."""
+    from gdp_etl_spark.operators.dedup import token_window_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_window_dedup(docs, "text", "doc_id", window_tokens=20)
+
+
 def q_boilerplate_lines(spark, sf_dir):
     """Corpus-frequency boilerplate removal (dedup.boilerplate_line_filter
     — the CCNet/RefinedWeb line-dedup stage): 5-document pages share an
@@ -4164,26 +4283,95 @@ def q_golden_usis_export(spark, sf_dir):
     return export_usis_layout(load_gdp_update(spark), run_date="2025-08-29")
 
 
+def q_golden_comments(spark, sf_dir):
+    """REAL-DATA golden parity (C1×8, bilingual): strip the published
+    ``CommentEN``/``CommentFR`` from ``output/gdp_update.csv`` and
+    re-derive both columns from (Economy_Code, Year) alone via the 8
+    successor-economy provenance rules (plans.gdp.add_comments,
+    ``gpd_etl_pipeline.R:415-518``); the oracle reads the published
+    file verbatim.  A hash match is bit-exact reproduction of the last
+    recomputable slice of the real deliverable — all 30,098 rows, all
+    7 columns, both languages."""
+    from gdp_etl_spark.plans.golden import golden_comments
+
+    return golden_comments(spark)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
-    verifies the FIRST 50 keys each round.  The round-5 window: the 3
-    NEW real-data golden replays (whose oracles are the reference's own
-    published output files) lead, then the 30 queries that have never
-    had a driver CORRECTNESS row (29 oracle-checked + ``sketch_stats``
-    rows-only by design), then 17 re-checks of the LONGEST-unchecked
-    entries (driver-green in round 2, untouched since).  After this
-    window every registered query has at least one driver CORRECTNESS
-    row across rounds 2-5.  Everything rotated out stays registered
-    below with identical local oracle coverage
-    (``tools/check_correctness.py``)."""
+    verifies the FIRST 50 keys each round.  The round-6 window: the 4
+    NEW round-6 queries lead (golden_comments — the last recomputable
+    real-data replay — plus the materialized dedup index, URL
+    canonicalization dedup, and token-window exact-substring dedup),
+    then the 14 round-5 additions that landed after the r5 ledger
+    closed and have never had a driver CORRECTNESS row, then the 32
+    LONGEST-unchecked re-checks (23 driver-green in round 2, 9 in
+    round 3).  Everything rotated out stays registered below with
+    identical local oracle coverage (``tools/check_correctness.py``)."""
     return {
         # -- driver correctness window (first 50) --------------------------
-        # REAL-DATA golden replays (new round 5): the reference's own
-        # inputs in, its published outputs as the oracle
+        # NEW round 6: real-data golden comment replay + three new
+        # curation operators
+        "golden_comments": q_golden_comments,
+        "index_dedup": q_index_dedup,
+        "url_dedup": q_url_dedup,
+        "substring_dedup": q_substring_dedup,
+        # round-5 additions, never driver-checked (landed post-r5-close)
+        "paragraph_dedup": q_paragraph_dedup,
+        "doc_chunks": q_doc_chunks,
+        "dedup_keep_best": q_dedup_keep_best,
+        "boilerplate_lines": q_boilerplate_lines,
+        "dup_ngram_profile": q_dup_ngram_profile,
+        "vocab_coverage": q_vocab_coverage,
+        "zorder_stats": q_zorder_stats,
+        "incremental_dedup": q_incremental_dedup,
+        "shard_assign": q_shard_assign,
+        "shard_manifest": q_shard_manifest,
+        "blocklist_filter": q_blocklist_filter,
+        "norm_dedup": q_norm_dedup,
+        "source_report": q_source_report,
+        "mean_pool": q_mean_pool,
+        # longest-unchecked re-checks (driver-green round 2)
+        "gaps_islands": q_gaps_islands,
+        "group_extrema": q_group_extrema,
+        "topk_orders": q_topk_orders,
+        "union_by_name": q_union_by_name,
+        "conditional_overwrite": q_conditional_overwrite,
+        "recode_values": q_recode_values,
+        "pad_codes": q_pad_codes,
+        "ref_date_stamp": q_ref_date_stamp,
+        "csv_roundtrip": q_csv_roundtrip,
+        "salted_join": q_salted_join,
+        "bankers_round": q_bankers_round,
+        "interpolate": q_interpolate,
+        "sci_format": q_sci_format,
+        "pivot_wide": q_pivot_wide,
+        "unpivot_long": q_unpivot_long,
+        "exact_dedup": q_exact_dedup,
+        "hash_sample": q_hash_sample,
+        "dedup_clusters": q_dedup_clusters,
+        "minhash_lsh": q_minhash_lsh,
+        "ann_topk": q_ann_topk,
+        "token_stats": q_token_stats,
+        "quality_lang": q_quality_lang,
+        "fingerprint": q_fingerprint,
+        # longest-unchecked re-checks (driver-green round 3)
+        "flagship_revenue": q_flagship_revenue,
+        "usis_export": q_usis_export,
+        "qa_discrepancies": q_qa_discrepancies,
+        "qa_top_log_ratio": q_qa_top_log_ratio,
+        "qa_added_years": q_qa_added_years,
+        "qa_missing_years": q_qa_missing_years,
+        "qa_deflator_check": q_qa_deflator_check,
+        "corpus_clean": q_corpus_clean,
+        "corpus_curate": q_corpus_curate,
+        # -- end of driver window (50) --------------------------------------
+        # rotated out of the window — every entry below is driver-green
+        # in some round (2-5) and stays locally oracle-checked
+        # (tools/check_correctness.py); golden replays first
         "golden_rollup": q_golden_rollup,
         "golden_release_diff": q_golden_release_diff,
         "golden_usis_export": q_golden_usis_export,
-        # never driver-checked before this round (29 + sketch_stats)
         "cdc_apply": q_cdc_apply,
         "length_batches": q_length_batches,
         "drift_psi": q_drift_psi,
@@ -4213,10 +4401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": q_sample_per_group,
         "orc_roundtrip": q_orc_roundtrip,
         "content_hash": q_content_hash,
-        # rows-only by design: engine-specific approximate values; its
-        # error guarantees are oracle-checked by sketch_bounds above
         "sketch_stats": q_sketch_stats,
-        # longest-unchecked re-checks (driver-green round 2)
         "projection": q_projection,
         "neg_projection": q_neg_projection,
         "compute_project": q_compute_project,
@@ -4234,27 +4419,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closure_leaves": q_closure_leaves,
         "rollup_hierarchy": q_rollup_hierarchy,
         "group_first": q_group_first,
-        # -- end of driver window (50) --------------------------------------
-        # new in round 5, never driver-checked: round-6 window candidates
-        "paragraph_dedup": q_paragraph_dedup,
-        "doc_chunks": q_doc_chunks,
-        "dedup_keep_best": q_dedup_keep_best,
-        "boilerplate_lines": q_boilerplate_lines,
-        "dup_ngram_profile": q_dup_ngram_profile,
-        "vocab_coverage": q_vocab_coverage,
-        "zorder_stats": q_zorder_stats,
-        "incremental_dedup": q_incremental_dedup,
-        "shard_assign": q_shard_assign,
-        "shard_manifest": q_shard_manifest,
-        "blocklist_filter": q_blocklist_filter,
-        "norm_dedup": q_norm_dedup,
-        "source_report": q_source_report,
-        "mean_pool": q_mean_pool,
-        # r2-green re-checks displaced by the golden replays
-        "gaps_islands": q_gaps_islands,
-        "group_extrema": q_group_extrema,
-        "topk_orders": q_topk_orders,
-        # -- driver-green in round 4 (CORRECTNESS_r04.json) -----------------
         "embed_transform": q_embed_transform,
         "dq_checks": q_dq_checks,
         "corpus_mix": q_corpus_mix,
@@ -4305,16 +4469,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "python_datasource": q_python_datasource,
         "schema_evolution": q_schema_evolution,
-        # -- driver-green in round 3 (CORRECTNESS_r03.json) -----------------
-        "flagship_revenue": q_flagship_revenue,
-        "usis_export": q_usis_export,
-        "qa_discrepancies": q_qa_discrepancies,
-        "qa_top_log_ratio": q_qa_top_log_ratio,
-        "qa_added_years": q_qa_added_years,
-        "qa_missing_years": q_qa_missing_years,
-        "qa_deflator_check": q_qa_deflator_check,
-        "corpus_clean": q_corpus_clean,
-        "corpus_curate": q_corpus_curate,
         "sql_api": q_sql_api,
         "sql_api_q3": q_sql_api_q3,
         "merge_upsert": q_merge_upsert,
@@ -4354,30 +4508,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "rolling_window": q_rolling_window,
-        # -- driver-green in round 2 (CORRECTNESS_r02.json) -----------------
-        "union_by_name": q_union_by_name,
-        "conditional_overwrite": q_conditional_overwrite,
-        "recode_values": q_recode_values,
-        "pad_codes": q_pad_codes,
-        "ref_date_stamp": q_ref_date_stamp,
-        "csv_roundtrip": q_csv_roundtrip,
-        "salted_join": q_salted_join,
-        "bankers_round": q_bankers_round,
-        "interpolate": q_interpolate,
-        "sci_format": q_sci_format,
-        "pivot_wide": q_pivot_wide,
-        "unpivot_long": q_unpivot_long,
-        "exact_dedup": q_exact_dedup,
-        "hash_sample": q_hash_sample,
-        "dedup_clusters": q_dedup_clusters,
-        "minhash_lsh": q_minhash_lsh,
-        "ann_topk": q_ann_topk,
-        "token_stats": q_token_stats,
-        "quality_lang": q_quality_lang,
-        "fingerprint": q_fingerprint,
-        # -- rows-only by design --------------------------------------------
-        # ivf_topk: approximate pruning path; its machinery is fully
-        # checked by ivf_recall (exhaustive-probe == exact oracle).
         "ivf_topk": q_ivf_topk,
     }
 
@@ -4490,6 +4620,20 @@ def oracle_sql() -> dict[str, str]:
                                     'Value':'DOUBLE','CommentEN':'VARCHAR',
                                     'CommentFR':'VARCHAR'}})
             WHERE length(Economy_Code) = 4
+        """,
+        # published update verbatim: the Spark side recomputes both
+        # comment columns from (Economy_Code, Year) and must agree on
+        # every row
+        "golden_comments": f"""
+            SELECT Economy_Code, Economy_Label, Year, Variable, Value,
+                   CommentEN, CommentFR
+            FROM read_csv('{_GOLDEN_DIR}/output/gdp_update.csv',
+                          header=true, nullstr='NA',
+                          columns={{'Economy_Code':'VARCHAR',
+                                    'Economy_Label':'VARCHAR',
+                                    'Year':'INTEGER','Variable':'VARCHAR',
+                                    'Value':'DOUBLE','CommentEN':'VARCHAR',
+                                    'CommentFR':'VARCHAR'}})
         """,
         "golden_release_diff": f"""
             SELECT Code, Economy_Label, Year, Variable,
@@ -4729,6 +4873,101 @@ def oracle_sql() -> dict[str, str]:
             FROM surv s
             WHERE NOT EXISTS (
               SELECT 1 FROM corpus c WHERE md5(c.text) = md5(s.text))
+        """,
+        # same admission semantics as incremental_dedup, exercised
+        # through the PERSISTED bucketed index; text equality stands in
+        # for md5 equality (injective for dedup purposes on both sides)
+        "index_dedup": """
+            WITH corpus AS (
+              SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
+            ),
+            batch AS (
+              SELECT doc_id, text, lang, source FROM documents
+              WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 10000, text, lang, source FROM documents
+              WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 20000, text, lang, source FROM documents
+              WHERE doc_id % 10 = 5
+            ),
+            surv AS (
+              SELECT *,
+                     CAST(count(*) OVER (PARTITION BY text) AS BIGINT)
+                       AS batch_dup_count
+              FROM batch
+              QUALIFY row_number() OVER (
+                PARTITION BY text ORDER BY doc_id) = 1
+            )
+            SELECT doc_id, lang, source, batch_dup_count
+            FROM surv s
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = s.text)
+        """,
+        # first-principles expected canonical form (the variant
+        # construction is known), NOT a regex replay — an independent
+        # check of the Spark-side normalizer
+        "url_dedup": """
+            WITH urls AS (
+              SELECT doc_id,
+                     CAST(doc_id % 25 AS VARCHAR) AS r,
+                     doc_id % 4 AS v
+              FROM documents
+            ),
+            built AS (
+              SELECT doc_id,
+                     CASE v
+                       WHEN 0 THEN 'https://www.example.com/p/' || r
+                                   || '?utm_source=feed'
+                       WHEN 1 THEN 'HTTPS://EXAMPLE.COM:443/p/' || r || '/'
+                       WHEN 2 THEN 'https://example.com/p/' || r || '?b=2&a=1'
+                       ELSE 'https://example.com/p/' || r || '#section'
+                     END AS url,
+                     'https://example.com/p/' || r
+                       || CASE WHEN v = 2 THEN '?a=1&b=2' ELSE '' END
+                       AS canonical
+              FROM urls
+            )
+            SELECT doc_id, url, canonical,
+                   CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT)
+                     AS dup_count
+            FROM built
+            QUALIFY row_number() OVER (
+              PARTITION BY canonical ORDER BY doc_id) = 1
+        """,
+        # windows of 20 whitespace tokens, global first occurrence by
+        # (doc_id, position), token-granularity rebuild
+        "substring_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(coalesce(text, ''),
+                                                    '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(tk[(i*20+1):((i+1)*20)], ' ') AS win
+              FROM toks, unnest(
+                CASE WHEN len(tk) = 0 THEN [0]
+                     ELSE range(0, CAST(ceil(len(tk) / 20.0) AS INT))
+                END) AS u(i)
+            ),
+            ranked AS (
+              SELECT doc_id, pos, win,
+                     CASE WHEN length(win) > 0
+                          THEN row_number() OVER (
+                            PARTITION BY win ORDER BY doc_id, pos)
+                          ELSE 1 END AS rk
+              FROM wins
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN rk = 1 THEN win END, ' '
+                                       ORDER BY pos), '') AS text,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_removed
+            FROM ranked
+            GROUP BY doc_id
         """,
         "shard_assign": """
             WITH h AS (

@@ -544,3 +544,70 @@ def normalize_for_dedup(text: Column) -> Column:
     t = F.regexp_replace(t, "[^\\p{L}\\p{N}\\s]", "")
     t = F.regexp_replace(t, "\\s+", " ")
     return F.trim(t)
+
+
+#: query parameters that identify a CLICK, not a RESOURCE — the
+#: standard tracking families CommonCrawl-style canonicalizers strip
+#: (utm_* campaign tags, Google/Facebook click ids, Mailchimp ids,
+#: bare referrer tags).  Anchored; a param matches with or without a
+#: value.
+_TRACKING_PARAM_RE = (
+    "^(utm_[A-Za-z_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src)"
+    "(=.*)?$"
+)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL for deduplication — the CommonCrawl-pipeline
+    normalization run BEFORE text dedup so trivially-different links to
+    the same resource collapse:
+
+    * scheme and host lowercase; ``www.`` prefix and explicit default
+      ports (``:80``, ``:443``) dropped;
+    * fragment (``#...``) dropped — never sent to the server;
+    * tracking query params removed (``utm_*``, ``gclid``, ``fbclid``,
+      ``msclkid``, ``mc_cid``/``mc_eid``, ``ref``/``ref_src``),
+      remaining params SORTED (param order is not resource identity);
+      an emptied query drops its ``?``;
+    * trailing slashes collapsed off the path; an empty path becomes
+      ``/``.
+
+    Values without a ``scheme://`` prefix pass through trimmed and
+    unchanged (not a URL — don't guess).  Pure expression chain
+    (regexp extract/replace + array filter/sort over the split query):
+    map-only, whole-stage-codegen, zero shuffle, and every step is
+    replayable in ANSI SQL for the oracle.
+    """
+    u = F.trim(url)
+    has_scheme = u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    nofrag = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
+    )
+    host = F.regexp_replace(host, "^www\\.", "")
+    host = F.regexp_replace(host, ":(80|443)$", "")
+    rest = F.regexp_extract(
+        nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1
+    )
+    path = F.regexp_extract(rest, "^([^?]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, "\\?(.*)$", 1)
+    kept_params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    query_c = F.array_join(kept_params, "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query_c == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), query_c)
+        ),
+    )
+    return F.when(has_scheme, rebuilt).otherwise(u)

@@ -893,3 +893,203 @@ def incremental_exact_dedup(
     )
     index = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
     return survivors.join(index, "__h", "left_anti").drop("__h")
+
+
+def write_dedup_index(
+    corpus: DataFrame,
+    text_col: str,
+    index_table: str,
+    n_buckets: int = 32,
+) -> None:
+    """Materialize the production dedup index promised by
+    :func:`incremental_exact_dedup`: the corpus's distinct
+    ``md5(text)`` set persisted as a BUCKETED, bucket-sorted table so
+    every subsequent daily batch anti-joins against it with ZERO
+    shuffle (and zero sort) on the index side — the index is read
+    bucket-for-bucket in place, only the (small) batch moves.
+
+    The index holds 16-byte hashes, never document bodies: at 100 TB
+    of corpus it is ~32 bytes/doc of storage and the nightly ingest
+    never rescans the corpus.  NULL-text documents hash to NULL and
+    are excluded — a NULL key can never equi-match an anti-join probe,
+    so storing it would be dead weight.
+
+    Buckets are metastore metadata, not directory layout, so the index
+    is addressed as a saveAsTable name (same contract as
+    :func:`gdp_etl_spark.io.write_bucketed_table`).
+    """
+    from ..io import write_bucketed_table
+
+    index = (
+        corpus.select(F.md5(F.col(text_col)).alias("text_md5"))
+        .filter(F.col("text_md5").isNotNull())
+        .distinct()
+    )
+    write_bucketed_table(
+        index, index_table, ["text_md5"], num_buckets=n_buckets,
+        sort_by=["text_md5"],
+    )
+
+
+def dedup_against_index(
+    spark,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_table: str,
+) -> DataFrame:
+    """Admit the batch documents whose text is new — not seen earlier
+    in the batch (keep lowest ``id_col``, count copies in
+    ``batch_dup_count``) and not present in the persisted index
+    written by :func:`write_dedup_index`.  Same admission semantics as
+    :func:`incremental_exact_dedup`; the difference is the plan: the
+    corpus side is the bucketed hash index, so the anti-join plans a
+    SortMergeJoin whose index side has NO Exchange and NO Sort
+    (``tests/test_plans_quality.py`` pins this) — the only shuffle is
+    the batch's own md5 window.
+    """
+    from pyspark.sql import Window
+
+    part = Window.partitionBy("__h")
+    w = part.orderBy(F.col(id_col).asc())
+    survivors = (
+        batch.withColumn("__h", F.md5(F.col(text_col)))
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("batch_dup_count", F.count(F.lit(1)).over(part))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    index = spark.table(index_table)
+    return (
+        survivors.join(
+            index, survivors["__h"] == index["text_md5"], "left_anti"
+        )
+        .drop("__h")
+    )
+
+
+def append_to_dedup_index(
+    admitted: DataFrame, text_col: str, index_table: str
+) -> None:
+    """Fold a batch's admitted documents into the persisted index —
+    the write half of the nightly cycle.  Appends the batch's distinct
+    hashes with the table's bucket spec preserved (Spark validates the
+    bucketing on append), so the index stays shuffle-free to probe.
+
+    Hashes already present in the index are NOT re-deduplicated
+    across files — an anti-join only tests existence, so duplicate
+    index entries are semantically harmless; they cost bytes, and a
+    periodic :func:`write_dedup_index` rewrite (or compaction) reclaims
+    them.  In the intended cycle the input is the OUTPUT of
+    :func:`dedup_against_index`, which is already corpus-disjoint and
+    batch-distinct, so no duplicates arise at all.
+    """
+    spark = admitted.sparkSession
+    # Spark rejects an append whose bucketing differs from the table's;
+    # read the spec from the catalog so callers can't desynchronize it.
+    meta = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE EXTENDED {index_table}").collect()
+    }
+    n_buckets = int(meta["Num Buckets"])
+    (
+        admitted.select(F.md5(F.col(text_col)).alias("text_md5"))
+        .filter(F.col("text_md5").isNotNull())
+        .distinct()
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, "text_md5")
+        .sortBy("text_md5")
+        .saveAsTable(index_table)
+    )
+
+
+def token_window_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 50,
+) -> DataFrame:
+    """Exact-substring dedup at fixed TOKEN-WINDOW granularity — the
+    Lee et al. 2022 50-token exact-substring criterion approximated
+    without suffix arrays: documents split into consecutive
+    ``window_tokens``-token windows (whitespace tokenization), and a
+    window OCCURRENCE survives iff it is the globally first occurrence
+    of its text, ordered by (``id_col``, position).  Catches long
+    passages copied VERBATIM across documents (licence blocks, quoted
+    articles, mirrored sections) that paragraph boundaries miss —
+    complementary to :func:`paragraph_exact_dedup`, which needs the
+    copy to be boundary-aligned.  Alignment caveat (the approximation):
+    a duplicated passage is only caught where both copies start at the
+    same offset modulo the window — window-granular, not
+    character-granular, recall; precision is exact.
+
+    Documents rebuild from surviving windows in order, single-space
+    joined (token-granularity rebuild: original whitespace inside
+    windows is not preserved).  A fully-removed or NULL/empty document
+    yields an empty string.  Returns ``(id_col, text_col,
+    n_windows, n_removed)``.
+
+    Scale shape: identical to :func:`paragraph_exact_dedup` — one
+    map-side fan-out (sequence+slice, no self-join), ONE window shuffle
+    on md5(window) (16-byte keys), one groupBy on the doc id to
+    reassemble.  O(tokens), not O(pairs); skew on a mega-duplicated
+    window is AQE-split like every window in the repo.
+    """
+    from pyspark.sql import Window
+
+    w = int(window_tokens)
+    if w < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+    n_win = F.greatest(F.ceil(F.size("__toks") / F.lit(w)), F.lit(1))
+    wins = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), (n_win - 1).cast("int")),
+                    lambda i: F.array_join(
+                        F.slice("__toks", i * w + 1, w), " "
+                    ),
+                )
+            ).alias("__pos", "__win"),
+        )
+    )
+    eligible = F.length("__win") > 0
+    rank_w = Window.partitionBy(F.md5("__win")).orderBy(
+        F.col(id_col), F.col("__pos")
+    )
+    ranked = wins.withColumn(
+        "__rank",
+        F.when(eligible, F.row_number().over(rank_w)).otherwise(F.lit(1)),
+    )
+    kept = F.col("__rank") == 1
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                kept,
+                                F.struct(F.col("__pos"), F.col("__win")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__win"],
+                ),
+                " ",
+            ).alias(text_col),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias(
+                "n_removed"
+            ),
+        )
+        .select(id_col, text_col, "n_windows", "n_removed")
+    )

@@ -176,6 +176,23 @@ def split_update(update: DataFrame) -> tuple[DataFrame, DataFrame]:
     return update.filter(is_ind), update.filter(~is_ind)
 
 
+def golden_comments(
+    spark: SparkSession, ref_dir: str = REFERENCE_DIR
+) -> DataFrame:
+    """Recompute the published ``CommentEN``/``CommentFR`` columns from
+    scratch — C1×8 (bilingual successor-economy provenance rules,
+    ``gpd_etl_pipeline.R:415-518``) on real data: strip both comment
+    columns from the published update and re-derive them from
+    (Economy_Code, Year) alone.  Must equal the published file
+    bit-for-bit on all rows and all 7 columns."""
+    from .gdp import add_comments
+
+    update = load_gdp_update(spark, ref_dir)
+    return add_comments(
+        update.drop("CommentEN", "CommentFR")
+    ).select(*update.columns)
+
+
 def golden_group_rollup(
     spark: SparkSession, ref_dir: str = REFERENCE_DIR
 ) -> DataFrame:

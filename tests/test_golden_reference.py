@@ -216,6 +216,28 @@ def test_usis_export_reproduces_published_file_exactly(spark, update):
 
 
 # ---------------------------------------------------------------------------
+# comment rules (C1 ×8 ×2 langs on real data)
+# ---------------------------------------------------------------------------
+
+def test_comments_reproduce_published(spark, update):
+    """Strip ``CommentEN``/``CommentFR`` from the published update and
+    re-derive both columns from (Economy_Code, Year) alone via the 8
+    bilingual successor-economy rules (``gpd_etl_pipeline.R:415-518``):
+    bit-equality on all 30,098 rows, both languages — the last
+    recomputable slice of the real output."""
+    mine = golden.golden_comments(spark)
+    assert mine.count() == update.count() == 30098
+    assert mine.exceptAll(update).count() == 0
+    assert update.exceptAll(mine).count() == 0
+    # non-vacuity: the rules actually fire (176 commented rows: 110
+    # Tanzania + 24 Pacific Is. + 18+14 Serbia&Montenegro + 4
+    # Czechoslovakia + 2 each Sudan/Yugoslavia/USSR), bilingually
+    n_en = mine.filter(F.col("CommentEN").isNotNull()).count()
+    n_fr = mine.filter(F.col("CommentFR").isNotNull()).count()
+    assert n_en == n_fr == 176
+
+
+# ---------------------------------------------------------------------------
 # growth xlsx through the stdlib ECMA-376 parser (S4 + C3 + J4)
 # ---------------------------------------------------------------------------
 

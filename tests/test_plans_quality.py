@@ -563,3 +563,47 @@ def test_every_registered_query_plan_is_scale_safe(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in _SCALAR_BNLJ_OK:
             failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
     assert not failures, "\n".join(failures)
+
+
+def test_dedup_index_antijoin_is_shuffle_free_on_index_side(spark, tmp_path):
+    """The materialized dedup index's defining property: the persisted
+    bucketed+sorted md5 index streams straight into the SortMergeJoin
+    LeftAnti — NO Exchange and NO Sort on the index side; the only
+    shuffle in the whole admission plan is the batch's own window+join
+    redistribution.  At 100-TB corpus scale this is the difference
+    between re-shuffling the index nightly and never touching it."""
+    import shutil
+
+    from gdp_etl_spark.operators.dedup import (
+        dedup_against_index,
+        write_dedup_index,
+    )
+
+    table = "t_idx_plan"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    corpus = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_dedup_index(corpus, "text", table, n_buckets=4)
+        batch = corpus.limit(50)
+        out = dedup_against_index(spark, batch, "text", "doc_id", table)
+        plan = _plan(out)
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        # the index scan reads bucket files in place
+        assert "Bucketed: true" in plan
+        # exactly ONE hash exchange in the entire plan — the batch being
+        # redistributed into the index's bucketing; the index side has none
+        assert plan.count("Exchange hashpartitioning") == 1
+        # and the single exchange is NOT over the index table's scan:
+        # the subtree below the index FileScan contains no Exchange
+        idx_branch = plan[plan.index("FileScan parquet"):]
+        assert "Exchange" not in idx_branch.splitlines()[0]
+        # correctness of the admission itself is covered by
+        # tests/test_text_dedup.py::TestDedupIndex
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -755,3 +755,214 @@ class TestNormalizeForDedup:
         once = df.select(normalize_for_dedup(F.col("text")).alias("n"))
         twice = once.select(normalize_for_dedup(F.col("n")).alias("n"))
         assert once.first()["n"] == twice.first()["n"]
+
+
+class TestTokenWindowDedup:
+    """Exact-substring dedup at fixed token-window granularity (the
+    Lee et al. 50-token criterion approximated): later occurrences of
+    a window drop globally; documents rebuild token-joined."""
+
+    def _run(self, spark, rows, w=3):
+        from gdp_etl_spark.operators.dedup import token_window_dedup
+
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        return {
+            r["doc_id"]: (r["text"], r["n_windows"], r["n_removed"])
+            for r in token_window_dedup(df, "text", "doc_id", w).collect()
+        }
+
+    def test_cross_document_window_drops_keep_first(self, spark):
+        got = self._run(spark, [
+            (1, "a b c d e f"),
+            (2, "d e f x y z"),   # "d e f" is doc1's second window
+            (3, "a b c"),         # duplicates doc1's first window
+        ])
+        assert got[1] == ("a b c d e f", 2, 0)
+        assert got[2] == ("x y z", 2, 1)
+        assert got[3] == ("", 1, 1)
+
+    def test_within_document_repeat_drops(self, spark):
+        got = self._run(spark, [(1, "a b c x y z a b c")])
+        assert got[1] == ("a b c x y z", 3, 1)
+
+    def test_alignment_caveat_shifted_copy_not_caught(self, spark):
+        # the documented approximation: a copy offset by a non-multiple
+        # of the window is NOT detected (window-granular recall)
+        got = self._run(spark, [(1, "a b c d e f"), (2, "b c d e f g")])
+        assert got[2] == ("b c d e f g", 2, 0)
+
+    def test_null_and_empty_documents_survive_as_empty(self, spark):
+        got = self._run(spark, [(1, None), (2, ""), (3, "   ")])
+        assert got[1] == ("", 1, 0)
+        assert got[2] == ("", 1, 0)
+        assert got[3] == ("", 1, 0)
+        # the empty windows did NOT dedup against each other
+        assert all(v[2] == 0 for v in got.values())
+
+    def test_whitespace_runs_collapse_in_rebuild(self, spark):
+        got = self._run(spark, [(1, "a  b\tc\nd")])
+        assert got[1] == ("a b c d", 2, 0)
+
+    def test_ragged_tail_window(self, spark):
+        got = self._run(spark, [(1, "a b c d"), (2, "d")])
+        # doc1: ["a b c", "d"]; doc2's sole window "d" duplicates it
+        assert got[1] == ("a b c d", 2, 0)
+        assert got[2] == ("", 1, 1)
+
+    def test_invalid_window_raises(self, spark):
+        import pytest
+
+        from gdp_etl_spark.operators.dedup import token_window_dedup
+
+        df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+        with pytest.raises(ValueError, match="window_tokens"):
+            token_window_dedup(df, "text", "doc_id", 0)
+
+
+class TestCanonicalUrl:
+    """CommonCrawl-style URL normalization (functions.text.canonical_url):
+    scheme/host case, www, default ports, fragments, tracking params,
+    param order, trailing slashes."""
+
+    def _run(self, spark, urls):
+        from gdp_etl_spark.functions.text import canonical_url
+
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "i int, u string"
+        )
+        rows = df.select("i", canonical_url(F.col("u")).alias("c")).collect()
+        return [r["c"] for r in sorted(rows, key=lambda r: r["i"])]
+
+    def test_variants_of_same_resource_collapse(self, spark):
+        got = self._run(spark, [
+            "https://www.example.com/p/7?utm_source=feed",
+            "HTTPS://EXAMPLE.COM:443/p/7/",
+            "https://example.com/p/7#section",
+            "http://example.com:80/p/7",
+        ])
+        assert got[0] == got[1] == got[2] == "https://example.com/p/7"
+        assert got[3] == "http://example.com/p/7"  # scheme differs: kept
+
+    def test_real_params_kept_and_sorted(self, spark):
+        got = self._run(spark, [
+            "https://example.com/s?b=2&a=1",
+            "https://example.com/s?a=1&b=2&utm_campaign=x&fbclid=123",
+        ])
+        assert got[0] == got[1] == "https://example.com/s?a=1&b=2"
+
+    def test_empty_path_becomes_slash(self, spark):
+        got = self._run(spark, ["https://Example.com", "https://example.com/"])
+        assert got[0] == got[1] == "https://example.com/"
+
+    def test_non_url_passes_through_trimmed(self, spark):
+        got = self._run(spark, ["  not a url ", "mailto:x@example.com"])
+        assert got[0] == "not a url"
+        # no '://': not canonicalized, just trimmed
+        assert got[1] == "mailto:x@example.com"
+
+    def test_tracking_only_query_drops_question_mark(self, spark):
+        got = self._run(spark, ["https://example.com/a?utm_medium=email"])
+        assert got[0] == "https://example.com/a"
+
+    def test_ref_param_dropped_but_prefix_not(self, spark):
+        got = self._run(spark, [
+            "https://example.com/a?ref=home",
+            "https://example.com/a?refresh=1",
+        ])
+        assert got[0] == "https://example.com/a"
+        assert got[1] == "https://example.com/a?refresh=1"
+
+
+class TestDedupIndex:
+    """Materialized dedup index (write_dedup_index /
+    dedup_against_index / append_to_dedup_index): the persisted
+    production cycle of incremental_exact_dedup."""
+
+    def test_full_nightly_cycle(self, spark, tmp_path):
+        import shutil
+
+        from gdp_etl_spark.operators.dedup import (
+            append_to_dedup_index,
+            dedup_against_index,
+            write_dedup_index,
+        )
+
+        table = "t_dedup_idx_test"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+
+        corpus = spark.createDataFrame(
+            [(1, "seen one"), (2, "seen two"), (3, None)],
+            "doc_id int, text string",
+        )
+        write_dedup_index(corpus, "text", table, n_buckets=4)
+        # NULL text is excluded from the index
+        assert spark.table(table).count() == 2
+
+        batch = spark.createDataFrame(
+            [(10, "seen one"),          # corpus re-crawl: rejected
+             (11, "fresh"), (12, "fresh"),  # in-batch dup: keep 11, count 2
+             (13, None),                # NULL never matches: admitted
+             (14, "also new")],
+            "doc_id int, text string",
+        )
+        adm = dedup_against_index(spark, batch, "text", "doc_id", table)
+        got = {r["doc_id"]: r["batch_dup_count"] for r in adm.collect()}
+        assert got == {11: 2, 13: 1, 14: 1}
+
+        # fold day 1's admissions in; day 2 must reject them
+        append_to_dedup_index(
+            adm.filter(F.col("text").isNotNull()), "text", table
+        )
+        day2 = spark.createDataFrame(
+            [(20, "fresh"), (21, "brand new")], "doc_id int, text string"
+        )
+        got2 = {
+            r["doc_id"]
+            for r in dedup_against_index(
+                spark, day2, "text", "doc_id", table
+            ).collect()
+        }
+        assert got2 == {21}
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def test_matches_incremental_exact_dedup(self, spark):
+        """The persisted path must admit EXACTLY what the in-memory
+        incremental_exact_dedup admits on the same corpus/batch."""
+        import shutil
+
+        from gdp_etl_spark.operators.dedup import (
+            dedup_against_index,
+            incremental_exact_dedup,
+            write_dedup_index,
+        )
+
+        table = "t_dedup_idx_parity"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+
+        corpus = spark.createDataFrame(
+            [(i, f"doc {i % 7}") for i in range(20)],
+            "doc_id int, text string",
+        )
+        batch = spark.createDataFrame(
+            [(100 + i, f"doc {i % 11}") for i in range(30)],
+            "doc_id int, text string",
+        )
+        write_dedup_index(corpus, "text", table, n_buckets=4)
+        via_index = {
+            (r["doc_id"], r["batch_dup_count"])
+            for r in dedup_against_index(
+                spark, batch, "text", "doc_id", table
+            ).collect()
+        }
+        via_memory = {
+            (r["doc_id"], r["batch_dup_count"])
+            for r in incremental_exact_dedup(
+                batch, corpus, "text", "doc_id"
+            ).collect()
+        }
+        assert via_index == via_memory and len(via_index) > 0
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
