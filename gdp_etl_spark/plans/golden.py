@@ -129,6 +129,32 @@ def load_hierarchy(spark: SparkSession, ref_dir: str = REFERENCE_DIR) -> DataFra
     )
 
 
+EXCHANGE_RATES_SCHEMA = (
+    "Year int, Period_Code string, Period_Label string, "
+    "Country_Code string, Country_Label string, Country_ValidFrom int, "
+    "Country_ValidTo int, Country_IsTarget string, Value double, "
+    "DataSource_Code string, DataSource_Label string, "
+    "DataStatus_Code string, DataStatus_Label string, "
+    "DataConfidentiality_Code string, DataConfidentiality_Label string, "
+    "Comment_English string, Comment_French string, "
+    "Comment_Confidentiality_Code string, Comment_Confidentiality_Label string"
+)
+
+
+def load_exchange_rates(
+    spark: SparkSession, ref_dir: str = REFERENCE_DIR
+) -> DataFrame:
+    """The real USIS exchange-rate feed (``data/exchange_rates.csv``,
+    11,740 rows, 239 economies × up to 55 years) — the 19-column
+    layout ``read_usis`` returns (``08-deflators.Rmd:11-18``)."""
+    return read_csv(
+        spark,
+        os.path.join(ref_dir, "data", "exchange_rates.csv"),
+        EXCHANGE_RATES_SCHEMA,
+        na_values=("NA",),
+    )
+
+
 def load_gdp_comparison(
     spark: SparkSession, ref_dir: str = REFERENCE_DIR
 ) -> DataFrame:

@@ -24,7 +24,16 @@ Ground truth established here (each pinned by a test):
 * growth xlsx — the stdlib ECMA-376 parser's read of the real
   ``GDP growth rates.xlsx`` metamorphically explains the published
   2024 constant-price estimates: pub₂₀₂₄ ≈ pub₂₀₂₃·(1+g/100) within
-  the double-rounding envelope for 210 economies, zero failures.
+  the double-rounding envelope for 210 economies, zero failures;
+* comment rules — both published ``CommentEN``/``CommentFR`` columns
+  re-derive bit-exactly from (Economy_Code, Year) for all 30,098 rows
+  (176 commented, 8 bilingual rules);
+* deflator QA — the ch. 08 chain runs end-to-end on the real 11,740-row
+  FX feed: the W1 base-2015 rebase round-trips the reconstructed
+  national-currency deflator exactly (10,716 economy-years), the
+  published series is verifiably base-2015 (implied 2015 deflator
+  ≡ 100 for all 212 economies), FX covers 224/225 economies (the miss
+  is dissolved Panama 590), and the cross-check flags zero rows.
 """
 
 from __future__ import annotations
@@ -411,21 +420,7 @@ def test_real_usis_exchange_rate_feed_parses_clean(spark):
     ``gpd_etl_pipeline.R:41-49,248``) — parse it with an explicit
     schema and pin the feed invariants get_gdp_deflators relies on:
     unique (country, year) keys, strictly positive rates, US ≡ 1.0."""
-    from gdp_etl_spark.sources import read_csv
-
-    fx = read_csv(
-        spark,
-        os.path.join(REF, "data", "exchange_rates.csv"),
-        "Year int, Period_Code string, Period_Label string, "
-        "Country_Code string, Country_Label string, Country_ValidFrom int, "
-        "Country_ValidTo int, Country_IsTarget string, Value double, "
-        "DataSource_Code string, DataSource_Label string, "
-        "DataStatus_Code string, DataStatus_Label string, "
-        "DataConfidentiality_Code string, DataConfidentiality_Label string, "
-        "Comment_English string, Comment_French string, "
-        "Comment_Confidentiality_Code string, Comment_Confidentiality_Label string",
-        na_values=("NA",),
-    )
+    fx = golden.load_exchange_rates(spark)
     assert fx.count() == 11740
     lo, hi = fx.agg(F.min("Year"), F.max("Year")).first()
     assert (lo, hi) == (1970, 2024)
@@ -439,3 +434,110 @@ def test_real_usis_exchange_rate_feed_parses_clean(spark):
         (F.col("Country_Code") == "840") & (F.col("Year") == 2024)
     ).first()
     assert us["Value"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# deflator QA (ch. 08) end-to-end on the real FX feed
+# ---------------------------------------------------------------------------
+
+def test_deflator_qa_chain_on_real_fx_feed(spark, update):
+    """``08-deflators.Rmd:10-93`` end-to-end with the real
+    ``exchange_rates.csv`` (11,740 rows) + the published update.  The
+    national-currency deflator feed itself (USIS 5105/0101/6700) is not
+    checked into the reference, so it is RECONSTRUCTED from the
+    published outputs (implied USD deflator × real FX) — which turns
+    the whole chain into a metamorphic round-trip over real data: the
+    deflator stage (J3 FX join + W1 base-2015 rebase,
+    ``gpd_etl_pipeline.R:248-265``) must undo the construction exactly,
+    and the ch. 08 cross-check (R3 pivot + implied deflator + 2024
+    NA-out + W3 extrema) must then report ZERO discrepancies beyond
+    its tol=1.
+
+    Real-data facts pinned along the way: the published update is
+    base-2015 (current ≡ constant at 2015 for all 212 economies with a
+    2015 row, so the implied 2015 deflator is exactly 100); the FX
+    feed covers 224 of the 225 published individual economies (the
+    miss is 590 — Panama excl. Canal Zone, dissolved 1980)."""
+    from gdp_etl_spark.plans.gdp import get_gdp_deflators
+    from gdp_etl_spark.plans.qa import deflator_check
+
+    fx = golden.load_exchange_rates(spark)
+    ind, _ = golden.split_update(update)
+
+    wide = (
+        ind.groupBy("Economy_Code", "Economy_Label", "Year")
+        .pivot(
+            "Variable",
+            ["GDP_at_current_prices", "GDP_at_constant_prices_2015"],
+        )
+        .agg(F.first("Value"))
+    )
+    implied = wide.withColumn(
+        "Deflator_implied",
+        F.lit(100.0)
+        * F.col("GDP_at_current_prices")
+        / F.col("GDP_at_constant_prices_2015"),
+    ).filter(F.col("Deflator_implied").isNotNull())
+    # the published series is base-2015: implied 2015 deflator == 100
+    # EXACTLY (current and constant coincide bit-for-bit at 2015)
+    base_rows = implied.filter(F.col("Year") == 2015)
+    assert base_rows.count() == 212
+    assert base_rows.filter(F.col("Deflator_implied") != 100.0).count() == 0
+
+    # reconstruct the national-currency feed: implied USD × FX
+    national = (
+        implied.join(
+            fx.select("Country_Code", "Year", F.col("Value").alias("__fx")),
+            (F.col("Economy_Code") == F.col("Country_Code"))
+            & (implied["Year"] == fx["Year"]),
+        )
+        .select(
+            "Country_Code",
+            F.col("Economy_Label").alias("Country_Label"),
+            implied["Year"].alias("Year"),
+            (F.col("Deflator_implied") * F.col("__fx")).alias("Value"),
+        )
+    )
+    # FX covers every published economy except dissolved Panama 590
+    covered = {r["Country_Code"] for r in national.select("Country_Code").distinct().collect()}
+    published = {r["Economy_Code"] for r in ind.select("Economy_Code").distinct().collect()}
+    assert published - covered == {"590"}
+
+    empty_cpi = spark.createDataFrame(
+        [], "Country_Code string, Country_Label string, Year int, Value double"
+    )
+    defl = get_gdp_deflators(
+        empty_cpi, national, fx, target_year=2024, base_year=2015
+    ).localCheckpoint()
+
+    # W1 round-trip: the rebase must undo the construction — USD
+    # deflator == implied, 100 at 2015, for every covered economy-year
+    # with a 2015 base (float round-trip x*fx/fx leaves sub-1e-9 dust)
+    rt = defl.join(
+        implied.select(
+            F.col("Economy_Code").alias("Country_Code"), "Year",
+            "Deflator_implied",
+        ),
+        ["Country_Code", "Year"],
+    )
+    # 10,716 economy-years survive the real joins: both GDP variables
+    # published, FX present, and a single-2015-base rebase group (the
+    # W1 guard) — pin the real coverage
+    assert rt.count() == defl.count() == 10716
+    assert rt.filter(
+        F.abs(F.col("Deflator_USD") - F.col("Deflator_implied"))
+        > F.abs(F.col("Deflator_implied")) * 1e-9
+    ).count() == 0
+    assert defl.filter(
+        (F.col("Year") == 2015) & (F.abs(F.col("Deflator_USD") - 100.0) > 1e-9)
+    ).count() == 0
+
+    # ch. 08 cross-check over the real frames: zero rows beyond tol=1,
+    # and the 2024 NA-out means 2024 can never be flagged
+    flagged = deflator_check(
+        ind,
+        defl.withColumnRenamed("Country_Code", "Economy_Code"),
+        last_year=2024,
+        tol=1.0,
+    )
+    assert flagged.count() == 0
