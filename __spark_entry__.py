@@ -4297,16 +4297,54 @@ def q_golden_comments(spark, sf_dir):
     return golden_comments(spark)
 
 
+def q_quality_gate(spark, sf_dir):
+    """Per-source quality percentile gate (profile.
+    per_group_quantile_filter — the RefinedWeb/CCNet per-DOMAIN
+    filter): keep each source's documents at or above its OWN p25
+    quality score, so low-scoring domains are trimmed, not deleted
+    (a global cutoff would drop whole sources wholesale).  ONE
+    bounded groupBy (one row per source) + broadcast threshold join;
+    the p25 position is integer at every tested SF, so the exact
+    interpolated percentile is engine-portable bit-for-bit."""
+    from gdp_etl_spark.functions.text import quality_score
+    from gdp_etl_spark.operators.profile import per_group_quantile_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    return per_group_quantile_filter(
+        docs, "source", "quality", 0.25, keep="above"
+    ).select("doc_id", "source", "quality", "threshold")
+
+
+def q_contamination_frac(spark, sf_dir):
+    """Benchmark overlap FRACTION per document (decontam.
+    contamination_overlap_fraction — the GPT-3/PaLM dirty-document
+    criterion): share of each doc's distinct 8-token shingles found in
+    the benchmark (every 50th doc), dirty at >= 0.5 in integer millis.
+    The benchmark's distinct shingle hashes BROADCAST; the doc side is
+    one explode + distinct + ONE groupBy — bodies never shuffle, cost
+    flat in corpus count (the fraction sibling of `decontaminate`)."""
+    from gdp_etl_spark.operators.decontam import contamination_overlap_fraction
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    return contamination_overlap_fraction(
+        docs, bench, "text", "doc_id", shingle_k=8, frac_threshold=0.5
+    ).select("doc_id", "n_shingles", "n_overlap", "overlap_frac", "is_dirty")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     verifies the FIRST 50 keys each round.  The round-6 window: the 4
     NEW round-6 queries lead (golden_comments — the last recomputable
     real-data replay — plus the materialized dedup index, URL
-    canonicalization dedup, and token-window exact-substring dedup),
-    then the 14 round-5 additions that landed after the r5 ledger
-    closed and have never had a driver CORRECTNESS row, then the 32
-    LONGEST-unchecked re-checks (23 driver-green in round 2, 9 in
-    round 3).  Everything rotated out stays registered below with
+    canonicalization dedup, token-window exact-substring dedup,
+    per-source quality percentile gate, and benchmark-overlap-fraction
+    decontamination), then the 14 round-5 additions that landed after
+    the r5 ledger closed and have never had a driver CORRECTNESS row,
+    then the 30 LONGEST-unchecked re-checks (23 driver-green in round
+    2, 7 in round 3).  Everything rotated out stays registered below with
     identical local oracle coverage (``tools/check_correctness.py``)."""
     return {
         # -- driver correctness window (first 50) --------------------------
@@ -4316,6 +4354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_dedup": q_index_dedup,
         "url_dedup": q_url_dedup,
         "substring_dedup": q_substring_dedup,
+        "quality_gate": q_quality_gate,
+        "contamination_frac": q_contamination_frac,
         # round-5 additions, never driver-checked (landed post-r5-close)
         "paragraph_dedup": q_paragraph_dedup,
         "doc_chunks": q_doc_chunks,
@@ -4363,9 +4403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_added_years": q_qa_added_years,
         "qa_missing_years": q_qa_missing_years,
         "qa_deflator_check": q_qa_deflator_check,
+        # -- end of driver window (50) --------------------------------------
         "corpus_clean": q_corpus_clean,
         "corpus_curate": q_corpus_curate,
-        # -- end of driver window (50) --------------------------------------
         # rotated out of the window — every entry below is driver-green
         # in some round (2-5) and stays locally oracle-checked
         # (tools/check_correctness.py); golden replays first
@@ -4968,6 +5008,45 @@ def oracle_sql() -> dict[str, str]:
                      AS n_removed
             FROM ranked
             GROUP BY doc_id
+        """,
+        # per-source p25 on the replayed quality formula; ties at the
+        # threshold kept; p25 position is integer (25 docs/source at
+        # sf0.01) so quantile_cont == Spark percentile bit-for-bit
+        "quality_gate": f"""
+            WITH q AS (
+              SELECT doc_id, source, {quality} AS quality FROM documents
+            ),
+            thr AS (
+              SELECT source, quantile_cont(quality, 0.25) AS threshold
+              FROM q GROUP BY source
+            )
+            SELECT doc_id, q.source, quality, threshold
+            FROM q JOIN thr USING (source)
+            WHERE quality >= threshold
+        """,
+        # distinct-shingle overlap fraction vs the %50 benchmark;
+        # dirty at integer-millis >= 500/1000
+        "contamination_frac": f"""
+            WITH bs AS (
+              SELECT DISTINCT unnest({sh8}) AS s
+              FROM documents WHERE doc_id % 50 = 0),
+            ds AS (
+              SELECT DISTINCT doc_id, unnest({sh8}) AS s FROM documents),
+            agg AS (
+              SELECT ds.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_shingles,
+                     CAST(count(bs.s) AS BIGINT) AS n_overlap
+              FROM ds LEFT JOIN bs USING (s) GROUP BY ds.doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_shingles, 0) AS n_shingles,
+                   coalesce(a.n_overlap, 0) AS n_overlap,
+                   CASE WHEN coalesce(a.n_shingles, 0) > 0
+                        THEN CAST(a.n_overlap AS DOUBLE)
+                             / CAST(a.n_shingles AS DOUBLE) END AS overlap_frac,
+                   coalesce(a.n_shingles, 0) > 0
+                     AND coalesce(a.n_overlap, 0) * 1000
+                         >= 500 * coalesce(a.n_shingles, 0) AS is_dirty
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "shard_assign": """
             WITH h AS (

@@ -135,3 +135,89 @@ def semantic_decontaminate(
             F.max("__sim").alias("max_sim"),
         )
     )
+
+
+def contamination_overlap_fraction(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 8,
+    frac_threshold: float = 0.5,
+    benchmark_text_col: str | None = None,
+) -> DataFrame:
+    """Per-document benchmark overlap FRACTION — the GPT-3-appendix /
+    PaLM "dirty document" criterion: the share of a document's DISTINCT
+    ``shingle_k``-token shingles that occur anywhere in the benchmark,
+    flagged dirty at ≥ ``frac_threshold``.  Complements
+    :func:`decontaminate` (absolute count): an absolute threshold
+    over-flags long documents that quote one benchmark line, while the
+    fraction scales the evidence by document size — the criterion the
+    published decontamination recipes actually use.
+
+    Returns ``docs`` + ``n_shingles`` (distinct), ``n_overlap``,
+    ``overlap_frac`` (NULL for shingle-less docs — too short to carry
+    evidence), ``is_dirty`` (always false for shingle-less docs).  The
+    threshold compares in integer millis (``n_overlap·1000 ≥
+    ceil(t·1000)·n_shingles``) — no float boundary, same discipline as
+    the Jaccard operators.
+
+    Scale shape: the benchmark reduces to distinct 8-byte xxhash64
+    shingle hashes and BROADCASTS (benchmarks are MBs, corpora are TBs);
+    the doc side is one explode + per-doc distinct + ONE groupBy on the
+    id.  Document bodies never shuffle; cost is O(doc shingles), flat
+    in the corpus count like :func:`decontaminate` (plan-asserted
+    broadcast in tests).
+    """
+    from ..functions.text import shingles
+
+    t_mill = int(-(-frac_threshold * 1000 // 1))  # ceil(t*1000)
+    b_text = benchmark_text_col or text_col
+    bench_hashes = (
+        benchmark.select(
+            F.explode(shingles(F.col(b_text), shingle_k)).alias("__s")
+        )
+        .select(F.xxhash64("__s").alias("__h"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_hashes = (
+        docs.select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),
+        )
+        .select(id_col, F.xxhash64("__s").alias("__h"))
+        .distinct()
+    )
+    agg = (
+        doc_hashes.join(F.broadcast(bench_hashes), "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__ns"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("__no"),
+        )
+    )
+    return (
+        docs.join(agg, id_col, "left")
+        .withColumn("n_shingles", F.coalesce(F.col("__ns"), F.lit(0)).cast("long"))
+        .withColumn("n_overlap", F.coalesce(F.col("__no"), F.lit(0)).cast("long"))
+        .drop("__ns", "__no")
+        .withColumn(
+            "overlap_frac",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_overlap").cast("double")
+                / F.col("n_shingles").cast("double"),
+            ),
+        )
+        .withColumn(
+            "is_dirty",
+            (F.col("n_shingles") > 0)
+            & (
+                F.col("n_overlap") * 1000
+                >= F.lit(t_mill) * F.col("n_shingles")
+            ),
+        )
+    )

@@ -485,3 +485,45 @@ def vocab_top_coverage(
             "cum_share", F.sum("cnt").over(cum).cast("double") / denom
         )
     )
+
+
+def per_group_quantile_filter(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q: float,
+    keep: str = "above",
+) -> DataFrame:
+    """Per-group quantile gate — the RefinedWeb/CCNet per-DOMAIN quality
+    filter: compute the exact interpolated ``q``-quantile of
+    ``value_col`` within each group and keep only the rows on the
+    ``keep`` side of their OWN group's threshold (ties at the threshold
+    are kept).  A global cutoff silently deletes whole domains whose
+    quality distribution sits low (forums vs encyclopedias); the
+    per-group gate trims each domain's tail instead — the documented
+    reason the published web-corpus pipelines filter per source.
+
+    Returns the surviving rows plus their group's ``threshold``.
+
+    Scale shape: ONE groupBy over the group key (bounded output — one
+    row per domain) followed by a BROADCAST join back; the percentile
+    is Spark's exact interpolated aggregate.  For group cardinalities
+    too large to broadcast, swap the threshold join to a plain
+    shuffle join (same semantics); for value streams too hot for an
+    exact percentile state, :func:`group_quantile_sketch` is the
+    approximate sibling.  Quantiles at non-integer rank positions
+    interpolate — engine parity at such positions is within one ulp;
+    the oracle-checked configuration pins integer positions.
+    """
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
+    thr = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), F.lit(q)).alias("threshold")
+    )
+    out = df.join(F.broadcast(thr), group_col)
+    cond = (
+        F.col(value_col) >= F.col("threshold")
+        if keep == "above"
+        else F.col(value_col) <= F.col("threshold")
+    )
+    return out.filter(cond)

@@ -485,3 +485,107 @@ class TestSourceReport:
         a = sorted(map(tuple, source_report(docs).collect()))
         b = sorted(map(tuple, source_report(docs.repartition(7)).collect()))
         assert a == b
+
+
+class TestContaminationOverlapFraction:
+    """GPT-3/PaLM dirty-document criterion: fraction of a doc's distinct
+    shingles found in the benchmark, integer-millis threshold."""
+
+    def _run(self, spark, rows, bench_ids, k=8, t=0.5):
+        from gdp_etl_spark.operators.decontam import (
+            contamination_overlap_fraction,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        bench = df.filter(F.col("doc_id").isin(bench_ids))
+        return {
+            r["doc_id"]: (
+                r["n_shingles"], r["n_overlap"], r["overlap_frac"],
+                r["is_dirty"],
+            )
+            for r in contamination_overlap_fraction(
+                df, bench, "text", "doc_id", shingle_k=k, frac_threshold=t
+            ).collect()
+        }
+
+    def test_fraction_scales_with_doc_size(self, spark):
+        got = self._run(spark, [
+            (1, "a b c d e f g h i j"),                # the benchmark doc
+            (2, "a b c d e f g h i j k l m n o p q"),  # quotes it: 3/10
+            (3, "z y x w v u t s r q"),                # disjoint
+        ], bench_ids=[1])
+        assert got[1] == (3, 3, 1.0, True)      # benchmark ⊆ itself
+        assert got[2] == (10, 3, 0.3, False)    # long doc: diluted
+        assert got[3] == (3, 0, 0.0, False)
+
+    def test_threshold_boundary_is_exact(self, spark):
+        # 1 of 2 shingles = exactly 0.5: >= keeps it dirty, in millis
+        got = self._run(
+            spark,
+            [(1, "a b c d e f g h"), (2, "a b c d e f g h i")],
+            bench_ids=[1], t=0.5,
+        )
+        assert got[2] == (2, 1, 0.5, True)
+        got = self._run(
+            spark,
+            [(1, "a b c d e f g h"), (2, "a b c d e f g h i")],
+            bench_ids=[1], t=0.501,
+        )
+        assert got[2][3] is False
+
+    def test_null_and_empty_docs_never_dirty(self, spark):
+        got = self._run(spark, [(1, "a b c d e f g h"), (2, None), (3, "")],
+                        bench_ids=[1])
+        assert got[2] == (0, 0, None, False)
+        assert got[3] == (0, 0, None, False)
+
+
+class TestPerGroupQuantileFilter:
+    """Per-domain quality gate: each group keeps rows at/above its OWN
+    exact interpolated quantile."""
+
+    def _df(self, spark):
+        rows = [("a", float(v)) for v in range(1, 9)] + [
+            ("b", float(v)) for v in (100, 200, 300, 400)
+        ]
+        return spark.createDataFrame(rows, "g string, v double")
+
+    def test_each_group_uses_its_own_threshold(self, spark):
+        from gdp_etl_spark.operators.profile import per_group_quantile_filter
+
+        kept = per_group_quantile_filter(self._df(spark), "g", "v", 0.25)
+        rows = sorted((r["g"], r["v"], r["threshold"]) for r in kept.collect())
+        # a: p25 of 1..8 = 2.75 -> 3..8 survive; b: p25 = 175 -> 200..400
+        assert [r for r in rows if r[0] == "a"] == [
+            ("a", float(v), 2.75) for v in range(3, 9)
+        ]
+        assert [r[1] for r in rows if r[0] == "b"] == [200.0, 300.0, 400.0]
+
+    def test_keep_below_and_tie_inclusion(self, spark):
+        from gdp_etl_spark.operators.profile import per_group_quantile_filter
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 3.0), ("a", 100.0)],
+            "g string, v double",
+        )
+        # p50 of [1,2,2,3,100] = 2.0; ties at the threshold are kept
+        up = per_group_quantile_filter(df, "g", "v", 0.5, keep="above")
+        assert sorted(r["v"] for r in up.collect()) == [2.0, 2.0, 3.0, 100.0]
+        down = per_group_quantile_filter(df, "g", "v", 0.5, keep="below")
+        assert sorted(r["v"] for r in down.collect()) == [1.0, 2.0, 2.0]
+
+    def test_invalid_keep_raises(self, spark):
+        from gdp_etl_spark.operators.profile import per_group_quantile_filter
+
+        with pytest.raises(ValueError, match="keep"):
+            per_group_quantile_filter(self._df(spark), "g", "v", 0.5, "up")
+
+    def test_broadcast_threshold_join(self, spark):
+        """The threshold side (one row per group) must broadcast — the
+        gate adds no data-scale shuffle beyond the percentile agg."""
+        from gdp_etl_spark.operators.profile import per_group_quantile_filter
+
+        plan = per_group_quantile_filter(
+            self._df(spark), "g", "v", 0.25
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
