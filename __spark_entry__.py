@@ -4334,17 +4334,35 @@ def q_contamination_frac(spark, sf_dir):
     ).select("doc_id", "n_shingles", "n_overlap", "overlap_frac", "is_dirty")
 
 
+def q_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split (text.lm_perplexity_buckets): each
+    LANGUAGE gets equal-size perplexity terciles over the corpus-LM
+    score, so per-language distributions define quality (a global cut
+    would tail-flag low-resource languages wholesale).  ntile's
+    even-split definition is engine-shared, so buckets replay exactly
+    in the oracle — no interpolated-threshold parity risk.  One
+    vocabulary-bounded LM fit (flat at 10x, SCALE.md) + ONE
+    language-partitioned window."""
+    from gdp_etl_spark.functions.text import lm_perplexity_buckets
+
+    return lm_perplexity_buckets(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", "lang",
+        n_buckets=3, vocab=4096,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     verifies the FIRST 50 keys each round.  The round-6 window: the 4
     NEW round-6 queries lead (golden_comments — the last recomputable
     real-data replay — plus the materialized dedup index, URL
     canonicalization dedup, token-window exact-substring dedup,
-    per-source quality percentile gate, and benchmark-overlap-fraction
-    decontamination), then the 14 round-5 additions that landed after
-    the r5 ledger closed and have never had a driver CORRECTNESS row,
-    then the 30 LONGEST-unchecked re-checks (23 driver-green in round
-    2, 7 in round 3).  Everything rotated out stays registered below with
+    per-source quality percentile gate, benchmark-overlap-fraction
+    decontamination, and CCNet per-language perplexity terciles), then
+    the 14 round-5 additions that landed after the r5 ledger closed
+    and have never had a driver CORRECTNESS row, then the 29
+    LONGEST-unchecked re-checks (23 driver-green in round 2, 6 in
+    round 3).  Everything rotated out stays registered below with
     identical local oracle coverage (``tools/check_correctness.py``)."""
     return {
         # -- driver correctness window (first 50) --------------------------
@@ -4356,6 +4374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "quality_gate": q_quality_gate,
         "contamination_frac": q_contamination_frac,
+        "lm_buckets": q_lm_buckets,
         # round-5 additions, never driver-checked (landed post-r5-close)
         "paragraph_dedup": q_paragraph_dedup,
         "doc_chunks": q_doc_chunks,
@@ -4402,8 +4421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_top_log_ratio": q_qa_top_log_ratio,
         "qa_added_years": q_qa_added_years,
         "qa_missing_years": q_qa_missing_years,
-        "qa_deflator_check": q_qa_deflator_check,
         # -- end of driver window (50) --------------------------------------
+        "qa_deflator_check": q_qa_deflator_check,
         "corpus_clean": q_corpus_clean,
         "corpus_curate": q_corpus_curate,
         # rotated out of the window — every entry below is driver-green
@@ -6206,6 +6225,69 @@ def oracle_sql() -> dict[str, str]:
                         THEN (CAST(s.sum_logp_q AS DOUBLE) / 1000000)
                              / CAST(s.n_tri AS DOUBLE) END AS avg_logp
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # lm_score's scoring replayed, then per-language ntile(3) with
+        # the same (avg_logp DESC, doc_id) tie-broken order
+        "lm_buckets": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))
+                       AS nt
+              FROM documents
+            ),
+            tri AS (
+              SELECT doc_id, unnest(
+                       CASE WHEN length(nt) >= 3
+                            THEN list_transform(range(1, length(nt) - 1),
+                                                i -> substr(nt, CAST(i AS INT), 3))
+                            ELSE [] END) AS tri
+              FROM norm
+            ),
+            counts AS (SELECT tri, COUNT(*) AS c FROM tri GROUP BY tri),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t_total FROM counts),
+            model AS (
+              SELECT tri,
+                     CAST(floor(ln(CAST(c + 1 AS DOUBLE)
+                                   / CAST(t_total + 4097 AS DOUBLE))
+                                * 1000000) AS BIGINT) AS logp_q
+              FROM counts, tot
+              ORDER BY c DESC, tri LIMIT 4096
+            ),
+            unseen AS (
+              SELECT CAST(floor(ln(1.0 / CAST(t_total + 4097 AS DOUBLE))
+                                * 1000000) AS BIGINT) AS unseen_q
+              FROM tot
+            ),
+            scored AS (
+              SELECT t.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_tri,
+                     CAST(SUM(coalesce(m.logp_q, u.unseen_q)) AS BIGINT)
+                       AS sum_logp_q
+              FROM tri t LEFT JOIN model m USING (tri), unseen u
+              GROUP BY t.doc_id
+            ),
+            avg AS (
+              SELECT d.doc_id, d.lang,
+                     CASE WHEN coalesce(s.n_tri, 0) > 0
+                          THEN (CAST(s.sum_logp_q AS DOUBLE) / 1000000)
+                               / CAST(s.n_tri AS DOUBLE) END AS avg_logp
+              FROM documents d LEFT JOIN scored s USING (doc_id)
+            ),
+            bucketed AS (
+              SELECT doc_id, lang, avg_logp,
+                     CAST(ntile(3) OVER (PARTITION BY lang
+                                         ORDER BY avg_logp DESC, doc_id)
+                          AS INT) AS bucket
+              FROM avg WHERE avg_logp IS NOT NULL
+            )
+            SELECT doc_id, lang, avg_logp, bucket,
+                   CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket_label
+            FROM bucketed
+            UNION ALL
+            SELECT doc_id, lang, avg_logp, CAST(NULL AS INT) AS bucket,
+                   'unscored' AS bucket_label
+            FROM avg WHERE avg_logp IS NULL
         """,
         # dense global ordinals: the oracle IS the naive global
         # row_number the distributed prefix-sum must reproduce exactly

@@ -611,3 +611,69 @@ def canonical_url(url: Column) -> Column:
         ),
     )
     return F.when(has_scheme, rebuilt).otherwise(u)
+
+
+def lm_perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    vocab: int = 4096,
+) -> "DataFrame":
+    """CCNet's signature head/middle/tail split: per-LANGUAGE equal-size
+    perplexity buckets over the corpus-LM score
+    (:func:`trigram_lm_scores`), so each language's own distribution
+    defines "good" — a global perplexity cut would label every
+    low-resource language "tail" wholesale, which is exactly the bias
+    the per-language split exists to avoid.
+
+    Bucket 1 is the head (best mean trigram log-prob); ties break on
+    ascending ``id_col`` so buckets are deterministic.  ``ntile``'s
+    even-split definition (earlier buckets take the remainder) is
+    shared by every SQL engine, so the result is oracle-replayable —
+    unlike interpolated quantile thresholds at non-integer positions.
+    Documents the model cannot score (< 3 chars, NULL text) get bucket
+    NULL / label ``'unscored'`` instead of polluting the tail.
+
+    Returns ``(id_col, lang_col, avg_logp, bucket,
+    bucket_label)`` — labels head/middle/tail when ``n_buckets=3``,
+    else ``'b<k>'``.
+
+    Scale shape: the LM fit is the vocabulary-bounded aggregation of
+    :func:`trigram_lm_scores` (measured flat at 10×, SCALE.md); the
+    split adds ONE window shuffle partitioned by language.  A single
+    language dominating the corpus is the window's skew case — at
+    100 TB, split that language's ntile by hash-salted sub-partitions
+    and merge rank ranges, or gate on a per-language row cap upstream.
+    """
+    from pyspark.sql import Window
+
+    scores = trigram_lm_scores(docs, text_col, id_col, vocab=vocab)
+    joined = docs.select(id_col, lang_col).join(scores, id_col)
+    scored = joined.filter(F.col("avg_logp").isNotNull())
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_logp").desc(), F.col(id_col).asc()
+    )
+    if n_buckets == 3:
+        label = (
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+        )
+    else:
+        label = F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    bucketed = (
+        scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .withColumn("bucket_label", label)
+    )
+    unscored = joined.filter(F.col("avg_logp").isNull()).select(
+        id_col,
+        lang_col,
+        "avg_logp",
+        F.lit(None).cast("int").alias("bucket"),
+        F.lit("unscored").alias("bucket_label"),
+    )
+    return bucketed.select(
+        id_col, lang_col, "avg_logp", "bucket", "bucket_label"
+    ).unionByName(unscored)

@@ -966,3 +966,60 @@ class TestDedupIndex:
         }
         assert via_index == via_memory and len(via_index) > 0
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+class TestLmPerplexityBuckets:
+    """CCNet head/middle/tail: per-language ntile over the corpus-LM
+    score; unscoreable docs isolated as 'unscored'."""
+
+    def _run(self, spark, rows, n_buckets=3):
+        from gdp_etl_spark.functions.text import lm_perplexity_buckets
+
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        return {
+            r["doc_id"]: (r["lang"], r["bucket"], r["bucket_label"])
+            for r in lm_perplexity_buckets(
+                df, "text", "doc_id", "lang", n_buckets=n_buckets
+            ).collect()
+        }
+
+    def _corpus(self):
+        natural = [
+            (i, "the quick brown fox jumps over the lazy dog", "en")
+            for i in range(6)
+        ]
+        garbage = [(100 + i, "xq zv jk qx wz kj vq zx", "en") for i in range(3)]
+        other = [(200 + i, "der hund ist hier und dort", "de") for i in range(3)]
+        return natural + garbage + other
+
+    def test_buckets_partition_per_language(self, spark):
+        got = self._run(spark, self._corpus())
+        en = [k for k, v in got.items() if v[0] == "en"]
+        # 9 en docs -> terciles of 3; garbage docs (unnatural trigrams)
+        # must all land in the tail
+        from collections import Counter
+        c = Counter(got[k][2] for k in en)
+        assert c == {"head": 3, "middle": 3, "tail": 3}
+        assert all(got[k][2] == "tail" for k in (100, 101, 102))
+        # de has its own split: 3 docs, one per bucket, even though every
+        # de score would sit mid-range on the global scale
+        de = sorted(got[k][1] for k in got if got[k][0] == "de")
+        assert de == [1, 2, 3]
+
+    def test_unscoreable_docs_are_isolated_not_tail(self, spark):
+        got = self._run(spark, self._corpus() + [
+            (300, None, "en"), (301, "ab", "en"),
+        ])
+        assert got[300] == ("en", None, "unscored")
+        assert got[301] == ("en", None, "unscored")
+        # and they did not perturb the scored split
+        from collections import Counter
+        c = Counter(v[2] for k, v in got.items() if v[0] == "en" and v[1])
+        assert c == {"head": 3, "middle": 3, "tail": 3}
+
+    def test_remainder_goes_to_earlier_buckets(self, spark):
+        rows = [(i, "the quick brown fox jumps over it", "en") for i in range(4)]
+        got = self._run(spark, rows)
+        # ntile(3) over 4 rows: sizes 2,1,1 (standard even-split)
+        from collections import Counter
+        assert Counter(v[1] for v in got.values()) == {1: 2, 2: 1, 3: 1}
