@@ -959,6 +959,14 @@ def dedup_against_index(
         .filter(F.col("__rk") == 1)
         .drop("__rk")
     )
+    # Drop any cached file listing for the index before probing: a
+    # concurrent append (e.g. the previous micro-batch of a streaming
+    # ingest, which runs in a CLONED session whose cache invalidation
+    # does not reach this session) would otherwise be invisible and
+    # just-ingested texts would silently re-admit (observed live).
+    # Cost is one re-list of the index directory per probe — nightly
+    # noise next to the anti-join itself.
+    spark.catalog.refreshTable(index_table)
     index = spark.table(index_table)
     return (
         survivors.join(
@@ -1002,6 +1010,12 @@ def append_to_dedup_index(
         .sortBy("text_md5")
         .saveAsTable(index_table)
     )
+    # Invalidate the catalog's cached file listing for the table: under
+    # a streaming foreachBatch the append runs in the stream's CLONED
+    # session and the outer session's relation cache keeps serving the
+    # pre-append file set — subsequent dedup_against_index reads would
+    # silently re-admit just-appended texts (observed live).
+    spark.catalog.refreshTable(index_table)
 
 
 def token_window_dedup(

@@ -68,3 +68,91 @@ def incremental_file_ingest(
             f"{timeout_sec}s (processed micro-batches are committed; "
             f"re-run to continue from the checkpoint)"
         )
+
+
+def _batch_committed(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` holds a COMPLETED parquet write (Spark's
+    ``_SUCCESS`` marker) — a crash mid-write leaves files without the
+    marker, which must read as 'absent' so the re-run rewrites them."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+    return p.getFileSystem(conf).exists(p)
+
+
+def run_dedup_ingest(
+    stream_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_table: str,
+    out_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Streaming corpus ingestion with EXACTLY-ONCE admission built
+    from AT-LEAST-ONCE delivery — the composition the materialized
+    dedup index exists for: per micro-batch, admit only never-seen
+    texts (:func:`~gdp_etl_spark.operators.dedup.dedup_against_index`:
+    within-batch keep-first + zero-shuffle anti-join against the
+    bucketed index), land them in ``out_dir/batch=<id>``, then fold
+    their hashes into the index
+    (:func:`~gdp_etl_spark.operators.dedup.append_to_dedup_index`).
+
+    foreachBatch re-runs a batch after any crash; every crash window
+    converges because the two writes are ordered docs-FIRST and the
+    re-run branches on the batch directory's ``_SUCCESS`` marker:
+
+    * crash before/mid doc-write — no marker: the re-run recomputes the
+      same admissions (the index has no new hashes yet) and rewrites
+      the directory (``overwrite`` clears partial files);
+    * crash after the doc-write, before/mid the hash append — marker
+      present: the re-run NEVER rewrites the directory (a re-computed
+      admission set could be a subset if some hashes landed — rewriting
+      would lose docs); it re-appends ALL of the directory's hashes
+      instead.  Duplicate index entries are harmless by the index's
+      contract (anti-join tests existence), so "re-append everything"
+      is the idempotent completion;
+    * crash after both, before the offset commit — same branch:
+      directory kept, hashes re-appended, converged.
+
+    An admission-empty batch writes nothing (no marker) and re-runs to
+    the same nothing.  The streaming checkpoint lives INSIDE
+    ``out_dir`` (``_checkpoint``) — the landed batches and the offsets
+    that cut them are one unit, same coupling rationale as
+    ``run_incremental_rollup``.
+    """
+    from ..operators.dedup import append_to_dedup_index, dedup_against_index
+
+    spark = stream_docs.sparkSession
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # everything runs on the MICRO-BATCH's session (the stream's
+        # clone): it is the session that executes the plans, so probe,
+        # append and cache invalidation all see one catalog — mixing in
+        # the outer session leaves its relation cache serving stale
+        # pre-append file listings intermittently (observed flaky)
+        bspark = batch_df.sparkSession
+        path = f"{out_dir}/batch={batch_id}"
+        if _batch_committed(bspark, path):
+            # redelivery after a completed doc-write: complete the hash
+            # append from the landed docs; never touch the directory
+            append_to_dedup_index(
+                bspark.read.parquet(path), text_col, index_table
+            )
+            return
+        admitted = dedup_against_index(
+            bspark, batch_df, text_col, id_col, index_table
+        ).localCheckpoint(eager=True)
+        if admitted.isEmpty():
+            return
+        admitted.write.mode("overwrite").parquet(path)
+        append_to_dedup_index(admitted, text_col, index_table)
+
+    q = (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("dedup ingest did not drain the backlog")
