@@ -4351,6 +4351,49 @@ def q_lm_buckets(spark, sf_dir):
     )
 
 
+def q_minhash_index(spark, sf_dir):
+    """Materialized NEAR-dup index (dedup.write_minhash_index +
+    near_dup_against_index — the MinHash-LSH sibling of index_dedup):
+    the even-id half of the documents table is persisted ONCE as two
+    bucketed tables (band memberships + shingle-hash sets); today's
+    batch (the odd half plus a lightly-edited mirror of every %10==0
+    corpus doc) is then screened bucket-in-place — banded candidates
+    against the band table, exact-Jaccard verification against the
+    sets table, neither with an index-side shuffle (plan-pinned).
+    Threshold 0.8 with 8 bands x 2 rows: P[candidate miss] < 1e-7 per
+    true pair, so the exact brute-force oracle is exhaustive."""
+    import shutil
+
+    from gdp_etl_spark.operators.dedup import (
+        near_dup_against_index,
+        write_minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    table = "minhash_band_index"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (table, f"{table}_sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    write_minhash_index(
+        corpus, "text", "doc_id", table, num_perm=16, bands=8, n_buckets=8
+    )
+    mirror = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+        (F.col("doc_id") + F.lit(10000)).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" slightly changed mirror")).alias(
+            "text"
+        ),
+    )
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1).unionByName(
+        mirror
+    )
+    return near_dup_against_index(
+        spark, batch, "text", "doc_id", table,
+        num_perm=16, bands=8, jaccard_threshold=0.8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     verifies the FIRST 50 keys each round.  The round-6 window: the 4
@@ -4358,11 +4401,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     real-data replay — plus the materialized dedup index, URL
     canonicalization dedup, token-window exact-substring dedup,
     per-source quality percentile gate, benchmark-overlap-fraction
-    decontamination, and CCNet per-language perplexity terciles), then
-    the 14 round-5 additions that landed after the r5 ledger closed
-    and have never had a driver CORRECTNESS row, then the 29
-    LONGEST-unchecked re-checks (23 driver-green in round 2, 6 in
-    round 3).  Everything rotated out stays registered below with
+    decontamination, CCNet per-language perplexity terciles, and the
+    materialized MinHash near-dup index), then the 14 round-5
+    additions that landed after the r5 ledger closed and have never
+    had a driver CORRECTNESS row, then the 28 LONGEST-unchecked
+    re-checks (23 driver-green in round 2, 5 in round 3).  Everything rotated out stays registered below with
     identical local oracle coverage (``tools/check_correctness.py``)."""
     return {
         # -- driver correctness window (first 50) --------------------------
@@ -4375,6 +4418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": q_quality_gate,
         "contamination_frac": q_contamination_frac,
         "lm_buckets": q_lm_buckets,
+        "minhash_index": q_minhash_index,
         # round-5 additions, never driver-checked (landed post-r5-close)
         "paragraph_dedup": q_paragraph_dedup,
         "doc_chunks": q_doc_chunks,
@@ -4420,8 +4464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_discrepancies": q_qa_discrepancies,
         "qa_top_log_ratio": q_qa_top_log_ratio,
         "qa_added_years": q_qa_added_years,
-        "qa_missing_years": q_qa_missing_years,
         # -- end of driver window (50) --------------------------------------
+        "qa_missing_years": q_qa_missing_years,
         "qa_deflator_check": q_qa_deflator_check,
         "corpus_clean": q_corpus_clean,
         "corpus_curate": q_corpus_curate,
@@ -4597,6 +4641,11 @@ from gdp_etl_spark.plans.golden import REFERENCE_DIR as _GOLDEN_DIR
 
 def oracle_sql() -> dict[str, str]:
     sh = _shingles_sql(5)
+    # the minhash_index batch mirrors: same shingling over the
+    # suffix-edited text
+    sh_mirror = sh.replace(
+        "trim(text)", "trim(text || ' slightly changed mirror')"
+    )
     sh8 = _shingles_sql(8)
     g2 = _ngrams_raw_sql(2)
     g3 = _ngrams_raw_sql(3)
@@ -5066,6 +5115,33 @@ def oracle_sql() -> dict[str, str]:
                      AND coalesce(a.n_overlap, 0) * 1000
                          >= 500 * coalesce(a.n_shingles, 0) AS is_dirty
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # exhaustive brute-force near-dup oracle: every (batch, corpus)
+        # pair's exact Jaccard over the same distinct 5-token shingles;
+        # LSH recall at 0.8 with 8 bands x 2 rows is lossless whp
+        "minhash_index": f"""
+            WITH corpus AS (
+              SELECT doc_id AS corpus_id, {sh} AS sh
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            batch AS (
+              SELECT doc_id AS batch_id, {sh} AS sh
+              FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 10000 AS batch_id, {sh_mirror} AS sh
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            scored AS (
+              SELECT batch_id, corpus_id,
+                     len(list_intersect(b.sh, c.sh)) AS i,
+                     len(b.sh) + len(c.sh)
+                       - len(list_intersect(b.sh, c.sh)) AS u
+              FROM batch b JOIN corpus c
+                ON len(b.sh) > 0 AND len(c.sh) > 0
+            )
+            SELECT batch_id, corpus_id,
+                   CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+            FROM scored WHERE i * 1000 >= 800 * u
         """,
         "shard_assign": """
             WITH h AS (

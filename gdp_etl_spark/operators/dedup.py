@@ -1107,3 +1107,204 @@ def token_window_dedup(
         )
         .select(id_col, text_col, "n_windows", "n_removed")
     )
+
+
+def write_minhash_index(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_table: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    n_buckets: int = 32,
+) -> None:
+    """Materialize the NEAR-dup sibling of :func:`write_dedup_index`:
+    the corpus's MinHash-LSH band memberships persisted as a bucketed
+    table, plus its per-document shingle-hash sets as a second
+    bucketed table — so daily batches can be screened for near-
+    duplicates against a 100-TB corpus without ever rescanning or
+    re-shuffling it.
+
+    Two tables, each bucketed on its probe key:
+
+    * ``<index_table>`` — ``(doc_id, band, bucket)``, bucketed by
+      (band, bucket): the candidate-generation side.  A batch's banded
+      signatures equi-join it bucket-in-place;
+    * ``<index_table>_sets`` — ``(doc_id, sh_hashes array<bigint>)``,
+      bucketed by the id: the verification side.  Candidates join it
+      by corpus id, again with no index-side shuffle.  Stored as
+      8-byte xxhash64 shingle hashes, not strings — set intersections
+      (and therefore Jaccard) are preserved, at a fraction of the
+      bytes.
+
+    Same banding math as :func:`minhash_lsh_pairs` (xxhash64-seeded
+    permutations, ``num_perm/bands`` rows per band), so the two paths
+    generate identical candidates for identical parameters.
+    """
+    from ..functions.text import shingles as _shingles
+    from ..io import write_bucketed_table
+
+    rows_per_band = num_perm // bands
+    sh = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        _shingles(F.col(text_col), shingle_k).alias("__sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sets = sh.select(
+            "doc_id",
+            F.transform("__sh", lambda s: F.xxhash64(s)).alias("sh_hashes"),
+        )
+        write_bucketed_table(
+            sets, f"{index_table}_sets", ["doc_id"],
+            num_buckets=n_buckets, sort_by=["doc_id"],
+        )
+        sig = sh.select(
+            "doc_id",
+            _signature_from_shingles(F.col("__sh"), num_perm).alias("__sig"),
+        )
+        banded = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("__sig")[b * rows_per_band + r]
+                                    .cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bb"),
+        ).select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+        write_bucketed_table(
+            banded, index_table, ["band", "bucket"],
+            num_buckets=n_buckets, sort_by=["band", "bucket"],
+        )
+    finally:
+        sh.unpersist()
+
+
+def near_dup_against_index(
+    spark,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_table: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    materialize: bool = True,
+) -> DataFrame:
+    """Screen a batch for near-duplicates of the INDEXED corpus: banded
+    MinHash candidates against the persisted band table (no shuffle on
+    the index side — bucket files stream into the join), then exact
+    Jaccard verification against the persisted shingle-hash sets
+    (again index-side shuffle-free: candidates redistribute into the
+    sets table's id bucketing).  The threshold compares in integer
+    millis, the repo's standard no-float-boundary discipline.
+
+    Returns ``(batch_id, corpus_id, jaccard)`` — one row per verified
+    near-dup pair.  Parameters must match the ones the index was
+    written with (they define the candidate space); recall follows the
+    usual banding curve, precision is exact (every emitted pair is
+    verified).
+
+    Scale shape: the corpus never moves — both index tables are read
+    bucket-in-place; the only shuffles are the batch's own banding
+    fan-out and the candidate redistribution, both sized by the BATCH
+    and its true near-dup fan-in, never the corpus.
+    """
+    from ..functions.text import shingles as _shingles
+
+    t_mill = int(-(-jaccard_threshold * 1000 // 1))
+    rows_per_band = num_perm // bands
+    spark.catalog.refreshTable(index_table)
+    spark.catalog.refreshTable(f"{index_table}_sets")
+
+    bsh = batch.select(
+        F.col(id_col).alias("batch_id"),
+        _shingles(F.col(text_col), shingle_k).alias("__sh"),
+    ).filter(F.size("__sh") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    bsets = bsh.select(
+        "batch_id",
+        F.transform("__sh", lambda s: F.xxhash64(s)).alias("__bh"),
+    )
+    bsig = bsh.select(
+        "batch_id",
+        _signature_from_shingles(F.col("__sh"), num_perm).alias("__sig"),
+    )
+    bbands = bsig.select(
+        "batch_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("__sig")[b * rows_per_band + r]
+                                .cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(
+        "batch_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    idx = spark.table(index_table)
+    cands = (
+        bbands.join(idx, ["band", "bucket"])
+        .select("batch_id", F.col("doc_id").alias("corpus_id"))
+        .distinct()
+    )
+    sets = spark.table(f"{index_table}_sets").select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("sh_hashes").alias("__ch"),
+    )
+    inter = F.size(F.array_intersect("__bh", "__ch")).cast("long")
+    union = F.size("__bh").cast("long") + F.size("__ch").cast("long") - inter
+    result = (
+        cands.join(sets, "corpus_id")
+        .join(bsets, "batch_id")
+        .withColumn("__i", inter)
+        .withColumn("__u", union)
+        .filter(F.col("__i") * 1000 >= F.lit(t_mill) * F.col("__u"))
+        .select(
+            "batch_id",
+            "corpus_id",
+            (F.col("__i").cast("double") / F.col("__u").cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
+    # output-sized eager materialization so the batch shingle cache
+    # releases before returning (same discipline as prefix filtering);
+    # materialize=False returns the lazy plan instead (plan inspection/
+    # tests) and leaves the cache release to the caller's first action
+    if not materialize:
+        return result
+    try:
+        result = result.localCheckpoint(eager=True)
+    finally:
+        bsh.unpersist()
+    return result

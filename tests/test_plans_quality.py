@@ -607,3 +607,50 @@ def test_dedup_index_antijoin_is_shuffle_free_on_index_side(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_minhash_index_probe_is_shuffle_free_on_both_index_sides(spark):
+    """Both persisted tables of the MinHash near-dup index — band
+    memberships and shingle-hash sets — must stream into their joins
+    bucket-in-place: every Exchange in the probe plan repartitions a
+    BATCH-derived frame (banding fan-out, candidate distinct, the
+    redistribution INTO each table's bucketing), never an index scan."""
+    import shutil
+
+    from gdp_etl_spark.operators.dedup import (
+        near_dup_against_index,
+        write_minhash_index,
+    )
+
+    table = "t_mh_plan"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (table, f"{table}_sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    corpus = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_minhash_index(
+            corpus, "text", "doc_id", table, num_perm=16, bands=8, n_buckets=4
+        )
+        batch = corpus.limit(20)
+        plan = _plan(near_dup_against_index(
+            spark, batch, "text", "doc_id", table,
+            num_perm=16, bands=8, materialize=False,
+        ))
+        assert plan.count("Bucketed: true") == 2
+        # no Exchange directly over either bucketed FileScan: the line
+        # sequence "Exchange ... FileScan parquet <table>" never occurs
+        lines = [l.strip() for l in plan.splitlines()]
+        for i, l in enumerate(lines):
+            if "FileScan parquet" in l and table in l:
+                assert not any(
+                    "Exchange" in prev
+                    for prev in lines[max(0, i - 1):i]
+                ), f"Exchange feeds the index scan: {lines[i-1]}"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in (table, f"{table}_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1023,3 +1023,97 @@ class TestLmPerplexityBuckets:
         # ntile(3) over 4 rows: sizes 2,1,1 (standard even-split)
         from collections import Counter
         assert Counter(v[1] for v in got.values()) == {1: 2, 2: 1, 3: 1}
+
+
+class TestMinhashIndex:
+    """Materialized MinHash-LSH near-dup index: banded candidates +
+    exact-Jaccard verify against two persisted bucketed tables."""
+
+    def _clean(self, spark, table):
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in (table, f"{table}_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+    def test_screens_batch_against_corpus(self, spark):
+        from gdp_etl_spark.operators.dedup import (
+            near_dup_against_index,
+            write_minhash_index,
+        )
+
+        table = "t_mh_idx"
+        self._clean(spark, table)
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        corpus = spark.createDataFrame(
+            [(1, base),
+             (2, "completely different content about spark query engines here"),
+             (3, "a third unrelated piece of text with many words in it now")],
+            "doc_id long, text string",
+        )
+        write_minhash_index(
+            corpus, "text", "doc_id", table, num_perm=16, bands=8, n_buckets=4
+        )
+        batch = spark.createDataFrame(
+            [(100, base),                               # exact dup
+             (101, base.replace("today", "tomorrow")),  # near dup
+             (102, "nothing like anything in that corpus whatsoever truly")],
+            "doc_id long, text string",
+        )
+        out = near_dup_against_index(
+            spark, batch, "text", "doc_id", table,
+            num_perm=16, bands=8, jaccard_threshold=0.5,
+        )
+        got = {(r["batch_id"], r["corpus_id"]): r["jaccard"] for r in out.collect()}
+        assert got[(100, 1)] == 1.0
+        assert (101, 1) in got and got[(101, 1)] >= 0.5
+        assert not any(b == 102 for b, _ in got)
+        # no pair against the unrelated corpus docs
+        assert not any(c in (2, 3) for _, c in got)
+        self._clean(spark, table)
+
+    def test_matches_pairwise_minhash_on_same_params(self, spark):
+        """Index-screened pairs must equal minhash_lsh_pairs run over
+        the union corpus, restricted to (batch x corpus) pairs."""
+        from gdp_etl_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            near_dup_against_index,
+            write_minhash_index,
+        )
+
+        table = "t_mh_parity"
+        self._clean(spark, table)
+        import random
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(40)]
+        corpus_rows = [
+            (i, " ".join(rng.sample(vocab, 12))) for i in range(20)
+        ]
+        batch_rows = [
+            (100 + i, corpus_rows[i][1] + (" extra" if i % 2 else ""))
+            for i in range(10)
+        ]
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        write_minhash_index(
+            corpus, "text", "doc_id", table, num_perm=16, bands=8, n_buckets=4
+        )
+        via_index = {
+            (r["batch_id"], r["corpus_id"])
+            for r in near_dup_against_index(
+                spark, batch, "text", "doc_id", table,
+                num_perm=16, bands=8, jaccard_threshold=0.6,
+            ).collect()
+        }
+        union = corpus.unionByName(batch)
+        via_pairs = {
+            (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+            for r in minhash_lsh_pairs(
+                union, "text", "doc_id",
+                num_perm=16, bands=8, jaccard_threshold=0.6,
+            ).collect()
+            if (r["id_a"] >= 100) != (r["id_b"] >= 100)  # cross pairs only
+        }
+        assert via_index == via_pairs and len(via_index) > 0
+        self._clean(spark, table)
