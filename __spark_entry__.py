@@ -4394,6 +4394,28 @@ def q_minhash_index(spark, sf_dir):
     )
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based domain mixing (sampling.temperature_mix — the
+    mBERT/XLM-R p ∝ f^α sampler): per-source token availability raised
+    to α=0.5 defines each source's share of a 20k-token budget
+    (≈40% of the sf0.01 corpus, so rates genuinely bite);
+    deterministic ppm-quantized md5 keep rates reproduce bit-for-bit
+    in the oracle (the one double step, pow(f, 0.5), is sqrt — exact
+    in IEEE-754 on both engines).  One bounded per-domain aggregate +
+    broadcast join back; the corpus never shuffles."""
+    from gdp_etl_spark.functions.text import token_count_ws
+    from gdp_etl_spark.operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        token_count_ws(F.col("text")).alias("n_tokens"),
+    )
+    return temperature_mix(
+        docs, "doc_id", "source", "n_tokens",
+        budget=20_000, alpha=0.5, seed="temp",
+    ).select("doc_id", "source", "n_tokens", "rate_ppm")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     verifies the FIRST 50 keys each round.  The round-6 window: the 4
@@ -4402,10 +4424,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     canonicalization dedup, token-window exact-substring dedup,
     per-source quality percentile gate, benchmark-overlap-fraction
     decontamination, CCNet per-language perplexity terciles, and the
-    materialized MinHash near-dup index), then the 14 round-5
-    additions that landed after the r5 ledger closed and have never
-    had a driver CORRECTNESS row, then the 28 LONGEST-unchecked
-    re-checks (23 driver-green in round 2, 5 in round 3).  Everything rotated out stays registered below with
+    materialized MinHash near-dup index and temperature mixing), then
+    the 14 round-5 additions that landed after the r5 ledger closed
+    and have never had a driver CORRECTNESS row, then the 27
+    LONGEST-unchecked re-checks (23 driver-green in round 2, 4 in
+    round 3).  Everything rotated out stays registered below with
     identical local oracle coverage (``tools/check_correctness.py``)."""
     return {
         # -- driver correctness window (first 50) --------------------------
@@ -4419,6 +4442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_frac": q_contamination_frac,
         "lm_buckets": q_lm_buckets,
         "minhash_index": q_minhash_index,
+        "temperature_mix": q_temperature_mix,
         # round-5 additions, never driver-checked (landed post-r5-close)
         "paragraph_dedup": q_paragraph_dedup,
         "doc_chunks": q_doc_chunks,
@@ -4463,8 +4487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "usis_export": q_usis_export,
         "qa_discrepancies": q_qa_discrepancies,
         "qa_top_log_ratio": q_qa_top_log_ratio,
-        "qa_added_years": q_qa_added_years,
         # -- end of driver window (50) --------------------------------------
+        "qa_added_years": q_qa_added_years,
         "qa_missing_years": q_qa_missing_years,
         "qa_deflator_check": q_qa_deflator_check,
         "corpus_clean": q_corpus_clean,
@@ -5142,6 +5166,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT batch_id, corpus_id,
                    CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
             FROM scored WHERE i * 1000 >= 800 * u
+        """,
+        # availability^0.5 shares, ppm-floored rates, md5 keep —
+        # integer everywhere except sqrt (IEEE-exact both engines)
+        "temperature_mix": r"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     CASE WHEN text IS NULL OR length(trim(text)) = 0
+                          THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ),
+            avail AS (
+              SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS f
+              FROM toks GROUP BY source
+            ),
+            tot AS (SELECT SUM(sqrt(CAST(f AS DOUBLE))) AS t FROM avail),
+            rates AS (
+              SELECT source,
+                     least(1000000, CAST(floor(
+                       20000.0 * sqrt(CAST(f AS DOUBLE)) / t
+                       / CAST(f AS DOUBLE) * 1000000.0) AS BIGINT))
+                       AS rate_ppm
+              FROM avail, tot
+            )
+            SELECT t.doc_id, t.source, CAST(t.n_tokens AS INT) AS n_tokens,
+                   r.rate_ppm
+            FROM toks t JOIN rates r USING (source)
+            WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)
+                        || ':' || 'temp'), 1, 8)) AS BIGINT) % 1000000
+                  < r.rate_ppm
         """,
         "shard_assign": """
             WITH h AS (

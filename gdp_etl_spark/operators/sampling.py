@@ -223,3 +223,68 @@ def sample_per_group(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    tokens_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-based domain mixing — the multilingual-pretraining
+    sampler (mBERT/XLM-R's ``p_d ∝ f_d^α``): domain shares are derived
+    from AVAILABILITY raised to ``alpha`` rather than hand-set weights,
+    so abundant domains are down-weighted and scarce ones up-weighted
+    smoothly.  ``alpha=1`` reproduces natural proportions, ``alpha=0``
+    uniform across domains; 0.3–0.7 is the published range.
+
+    Each domain's token target is ``budget · f_d^α / Σ f^α`` and its
+    deterministic keep rate ``min(1, target_d / f_d)``, quantized to
+    parts-per-million (``floor``) and compared against the same md5
+    bucket as every sampler here — so the sample is reproducible
+    across runs, engines and partitionings.  Portability caveat (the
+    quantized-``ln`` caveat of the LM scorer, transposed): the one
+    non-integer step is ``pow(f_d, α)``; a 1-ulp cross-engine ``pow``
+    discrepancy flips a ppm floor only when the product lands within
+    ~1e-10 of an integer — negligible per corpus, and confined to ±1
+    ppm of sampling rate if it ever fires.
+
+    Returns the sampled rows plus ``rate_ppm``.  Scale shape: one
+    |domains|-row aggregate, a 1-row total broadcast onto it, and a
+    broadcast join back — the corpus itself never shuffles; the keep
+    decision is map-only.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    avail = df.groupBy(domain_col).agg(
+        F.sum(F.col(tokens_col).cast("bigint")).alias("__avail")
+    )
+    powed = avail.withColumn(
+        "__pw", F.pow(F.col("__avail").cast("double"), F.lit(float(alpha)))
+    )
+    total = powed.agg(F.sum("__pw").alias("__tot"))
+    rates = (
+        powed.crossJoin(F.broadcast(total))
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(1_000_000),
+                F.floor(
+                    F.lit(float(budget))
+                    * F.col("__pw")
+                    / F.col("__tot")
+                    / F.col("__avail").cast("double")
+                    * F.lit(1_000_000.0)
+                ).cast("long"),
+            ),
+        )
+        .select(domain_col, "rate_ppm")
+    )
+    bucket = _hash_bucket(F.col(key_col), seed) % F.lit(1_000_000)
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(bucket < F.col("rate_ppm"))
+    )

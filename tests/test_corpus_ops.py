@@ -589,3 +589,59 @@ class TestPerGroupQuantileFilter:
             self._df(spark), "g", "v", 0.25
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestTemperatureMix:
+    """p ∝ f^alpha domain mixing: scarce domains keep a larger share of
+    themselves than abundant ones; deterministic ppm-quantized rates."""
+
+    def _df(self, spark):
+        rows = [(i, "big", 100) for i in range(900)] + [
+            (10_000 + i, "small", 100) for i in range(100)
+        ]
+        return spark.createDataFrame(rows, "k long, dom string, toks int")
+
+    def test_alpha_damps_abundant_domains(self, spark):
+        from gdp_etl_spark.operators.sampling import temperature_mix
+
+        out = temperature_mix(
+            self._df(spark), "k", "dom", "toks", budget=50_000, alpha=0.5
+        )
+        rates = {
+            r["dom"]: r["rate_ppm"]
+            for r in out.select("dom", "rate_ppm").distinct().collect()
+        }
+        # f = 90k vs 10k; shares sqrt(9):sqrt(1) = 3:1 of the 50k budget
+        # -> big keeps 37.5k/90k (41.6%), small 12.5k/10k -> capped 1.0
+        assert rates["small"] == 1_000_000
+        assert abs(rates["big"] - 416_666) <= 1
+        kept = out.groupBy("dom").count().collect()
+        frac = {r["dom"]: r["count"] for r in kept}
+        assert frac["small"] == 100                 # fully kept
+        assert 0.35 * 900 < frac["big"] < 0.48 * 900
+
+    def test_alpha_one_is_natural_proportions(self, spark):
+        from gdp_etl_spark.operators.sampling import temperature_mix
+
+        out = temperature_mix(
+            self._df(spark), "k", "dom", "toks", budget=50_000, alpha=1.0
+        )
+        rates = {
+            r["dom"]: r["rate_ppm"]
+            for r in out.select("dom", "rate_ppm").distinct().collect()
+        }
+        # alpha=1: every domain keeps the same budget/total fraction
+        assert rates["big"] == rates["small"] == 500_000
+
+    def test_deterministic_and_invalid_alpha(self, spark):
+        import pytest
+
+        from gdp_etl_spark.operators.sampling import temperature_mix
+
+        a = {r["k"] for r in temperature_mix(
+            self._df(spark), "k", "dom", "toks", 30_000, 0.5).collect()}
+        b = {r["k"] for r in temperature_mix(
+            self._df(spark), "k", "dom", "toks", 30_000, 0.5).collect()}
+        assert a == b and len(a) > 0
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_mix(self._df(spark), "k", "dom", "toks", 1000, 1.5)
