@@ -4416,6 +4416,23 @@ def q_temperature_mix(spark, sf_dir):
     ).select("doc_id", "source", "n_tokens", "rate_ppm")
 
 
+def q_curation_audit(spark, sf_dir):
+    """Curation provenance audit (plans.corpus.curation_audit): for
+    EVERY document, the first curate_corpus stage that removed it —
+    quality → repetition → decontaminated → exact_dup → near_dup →
+    kept — the table that explains corpus shrinkage and keeps drop
+    rules tunable against evidence.  Same predicates, same admission
+    order, and same plan shapes as the curate DAG it audits (map-work
+    flags, one broadcast shingle semi-join, one md5 window, banded LSH
+    on final survivors only), plus a union of bounded removed-id
+    frames joined back."""
+    from gdp_etl_spark.plans.corpus import curation_audit
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    return curation_audit(docs, bench)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     verifies the FIRST 50 keys each round.  The round-6 window: the 4
@@ -4424,11 +4441,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     canonicalization dedup, token-window exact-substring dedup,
     per-source quality percentile gate, benchmark-overlap-fraction
     decontamination, CCNet per-language perplexity terciles, and the
-    materialized MinHash near-dup index and temperature mixing), then
-    the 14 round-5 additions that landed after the r5 ledger closed
-    and have never had a driver CORRECTNESS row, then the 27
-    LONGEST-unchecked re-checks (23 driver-green in round 2, 4 in
-    round 3).  Everything rotated out stays registered below with
+    materialized MinHash near-dup index, temperature mixing, and the
+    curation provenance audit), then the 14 round-5 additions that
+    landed after the r5 ledger closed and have never had a driver
+    CORRECTNESS row, then the 26 LONGEST-unchecked re-checks (23
+    driver-green in round 2, 3 in round 3).  Everything rotated out stays registered below with
     identical local oracle coverage (``tools/check_correctness.py``)."""
     return {
         # -- driver correctness window (first 50) --------------------------
@@ -4443,6 +4460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_buckets": q_lm_buckets,
         "minhash_index": q_minhash_index,
         "temperature_mix": q_temperature_mix,
+        "curation_audit": q_curation_audit,
         # round-5 additions, never driver-checked (landed post-r5-close)
         "paragraph_dedup": q_paragraph_dedup,
         "doc_chunks": q_doc_chunks,
@@ -4486,8 +4504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_revenue": q_flagship_revenue,
         "usis_export": q_usis_export,
         "qa_discrepancies": q_qa_discrepancies,
-        "qa_top_log_ratio": q_qa_top_log_ratio,
         # -- end of driver window (50) --------------------------------------
+        "qa_top_log_ratio": q_qa_top_log_ratio,
         "qa_added_years": q_qa_added_years,
         "qa_missing_years": q_qa_missing_years,
         "qa_deflator_check": q_qa_deflator_check,
@@ -7413,6 +7431,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(start / 128.0) AS BIGINT) AS seq_id,
                    CAST(start % 128 AS BIGINT) AS seq_offset
             FROM packed
+        """,
+        # the curate CTE chain re-used to emit per-doc verdicts in the
+        # exact admission order instead of the surviving manifest
+        "curation_audit": f"""
+            WITH RECURSIVE
+            base AS (
+              SELECT doc_id, text, {quality} AS q,
+                     CASE WHEN len({g3}) = 0 THEN 0.0
+                          ELSE 1.0 - CAST(len(list_distinct({g3})) AS DOUBLE)
+                               / CAST(len({g3}) AS DOUBLE) END AS d3
+              FROM documents),
+            s1 AS (SELECT * FROM base WHERE q >= 0.8 AND d3 <= 0.6),
+            bs AS (SELECT DISTINCT unnest({sh8}) AS s
+                   FROM documents WHERE doc_id % 50 = 0),
+            contaminated AS (
+              SELECT DISTINCT d.doc_id
+              FROM (SELECT doc_id, unnest({sh8}) AS s FROM s1) d
+              JOIN bs USING (s)),
+            s2 AS (SELECT * FROM s1
+                   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+            ranked AS (
+              SELECT *, row_number()
+                     OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM s2),
+            s3 AS (SELECT * FROM ranked WHERE rn = 1),
+            shx AS (SELECT doc_id, {sh} AS sh FROM s3),
+            p AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jaccard} AS jaccard
+                FROM shx a JOIN shx b ON a.doc_id < b.doc_id
+                 AND len(a.sh) * 5 >= len(b.sh) * 4
+                 AND len(b.sh) * 5 >= len(a.sh) * 4)
+              WHERE jaccard >= 0.8),
+            edges AS (SELECT id_a AS u, id_b AS v FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            walk(node, reach) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, w.reach FROM edges e JOIN walk w ON e.v = w.node),
+            comp AS (SELECT node, min(reach) AS component
+                     FROM walk GROUP BY node)
+            SELECT doc_id, q AS quality,
+                   CASE
+                     WHEN q < 0.8 THEN 'quality'
+                     WHEN d3 > 0.6 THEN 'repetition'
+                     WHEN doc_id IN (SELECT doc_id FROM contaminated)
+                       THEN 'decontaminated'
+                     WHEN doc_id IN (SELECT doc_id FROM ranked WHERE rn > 1)
+                       THEN 'exact_dup'
+                     WHEN doc_id IN (SELECT node FROM comp
+                                     WHERE component <> node)
+                       THEN 'near_dup'
+                     ELSE 'kept'
+                   END AS verdict
+            FROM base
         """,
         "jsonl_roundtrip": "SELECT doc_id, lang, text FROM documents",
         "pseudonymize": """

@@ -219,3 +219,106 @@ def source_report(
             "lang_entropy",
         )
     )
+
+
+def curation_audit(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.8,
+    max_dup3: float = 0.6,
+    decontam_k: int = 8,
+    near_dup_threshold: float = 0.8,
+) -> DataFrame:
+    """Curation provenance — for EVERY input document, the first
+    :func:`curate_corpus` stage that removed it (or ``kept``): the
+    audit table that explains corpus shrinkage stage by stage, keeps
+    the drop rules tunable against evidence, and answers "why is doc X
+    not in the training set" without re-running the pipeline.  Stages
+    in the exact admission order of ``curate_corpus``: ``quality`` →
+    ``repetition`` → ``decontaminated`` → ``exact_dup`` → ``near_dup``
+    → ``kept``; every removal verdict reflects the survivor set of the
+    stages before it (a doc that would ALSO be a near-dup reports the
+    earlier verdict that actually removed it).
+
+    Returns ``(id_col, quality, verdict)``.
+
+    Scale shape: identical to ``curate_corpus`` — the flags are the
+    same predicates that drive its filters (per-row map work, one
+    broadcast shingle semi-join, one md5 window, banded LSH on the
+    final survivors only), plus one union of bounded removed-id frames
+    joined back to the id list.  The survivor chain persists at the
+    same fan-out points; nothing here is heavier than the pipeline
+    being audited.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.text import dup_ngram_ratio
+    from ..operators.cluster import dedup_clusters
+    from ..operators.decontam import decontaminate
+    from ..operators.dedup import minhash_lsh_pairs
+
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        quality_score(t).alias("quality"),
+        dup_ngram_ratio(t, 3).alias("__d3"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    q_fail = F.col("quality") < F.lit(min_quality)
+    r_fail = F.col("__d3") > F.lit(max_dup3)
+    removed_quality = base.filter(q_fail).select(
+        id_col, F.lit("quality").alias("verdict")
+    )
+    removed_rep = base.filter(~q_fail & r_fail).select(
+        id_col, F.lit("repetition").alias("verdict")
+    )
+    s1 = base.filter(~q_fail & ~r_fail)
+    dec = decontaminate(
+        s1, benchmark, text_col, id_col, shingle_k=decontam_k
+    )
+    removed_decon = dec.filter(F.col("is_contaminated")).select(
+        id_col, F.lit("decontaminated").alias("verdict")
+    )
+    s2 = dec.filter(~F.col("is_contaminated")).drop(
+        "n_overlap", "is_contaminated"
+    )
+    w = Window.partitionBy(F.md5(t)).orderBy(id_col)
+    ranked = s2.withColumn("__rn", F.row_number().over(w))
+    removed_exact = ranked.filter(F.col("__rn") > 1).select(
+        id_col, F.lit("exact_dup").alias("verdict")
+    )
+    s3 = ranked.filter(F.col("__rn") == 1).drop("__rn").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = minhash_lsh_pairs(
+        s3, text_col, id_col,
+        num_perm=16, bands=8, jaccard_threshold=near_dup_threshold,
+    )
+    removed_near = (
+        dedup_clusters(s3, pairs, id_col)
+        .filter(~F.col("is_canonical"))
+        .select(id_col, F.lit("near_dup").alias("verdict"))
+    )
+    removed = (
+        removed_quality.unionByName(removed_rep)
+        .unionByName(removed_decon)
+        .unionByName(removed_exact)
+        .unionByName(removed_near)
+    )
+    result = (
+        base.select(id_col, "quality")
+        .join(removed, id_col, "left")
+        .withColumn("verdict", F.coalesce("verdict", F.lit("kept")))
+    )
+    # the audit table is the deliverable (one slim row per doc, the
+    # thing a run writes out anyway): materialize it eagerly so both
+    # intermediate caches release before returning — the prefix-filter
+    # discipline, not the session-lifetime persist
+    try:
+        result = result.localCheckpoint(eager=True)
+    finally:
+        s3.unpersist()
+        base.unpersist()
+    return result

@@ -645,3 +645,74 @@ class TestTemperatureMix:
         assert a == b and len(a) > 0
         with pytest.raises(ValueError, match="alpha"):
             temperature_mix(self._df(spark), "k", "dom", "toks", 1000, 1.5)
+
+
+class TestCurationAudit:
+    """Per-document curation provenance: first-removing stage in the
+    curate_corpus admission order, 'kept' otherwise."""
+
+    def test_each_stage_claims_its_doc(self, spark):
+        from gdp_etl_spark.plans.corpus import curation_audit
+
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "it runs far away to the old green park near the river")
+        near = good.replace("river", "lake")
+        rows = [
+            (1, good),                                   # kept (canonical)
+            (2, "x"),                                    # quality
+            (3, "spam spam spam spam spam spam spam spam"),  # repetition
+            (4, good + " benchmark overlap sentence"),   # near-dup of 1
+            (5, good),                                   # exact dup of 1
+            (6, near),                                   # near dup of 1
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(100, "totally separate benchmark passage that is long "
+                   "enough to form shingles of five tokens")],
+            "doc_id long, text string",
+        )
+        out = curation_audit(docs, bench, min_quality=0.5, max_dup3=0.5)
+        got = {r["doc_id"]: r["verdict"] for r in out.collect()}
+        assert got[1] == "kept"
+        assert got[2] == "quality"
+        assert got[3] == "repetition"
+        assert got[5] == "exact_dup"
+        assert got[6] == "near_dup"
+        assert set(got) == {1, 2, 3, 4, 5, 6}
+
+    def test_decontamination_precedes_dedup(self, spark):
+        from gdp_etl_spark.plans.corpus import curation_audit
+
+        text = ("a perfectly reasonable training document about spark "
+                "query engines running at very large scale in production")
+        docs = spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(9, text)], "doc_id long, text string"
+        )
+        out = curation_audit(docs, bench, min_quality=0.0, max_dup3=1.0)
+        got = {r["doc_id"]: r["verdict"] for r in out.collect()}
+        # both docs overlap the benchmark: decontamination removes them
+        # BEFORE the dedup stages can (order matters)
+        assert got == {1: "decontaminated", 2: "decontaminated"}
+
+    def test_verdict_partition_is_total(self, spark):
+        """Every input doc gets exactly one verdict and the kept set
+        equals curate_corpus's survivor ids on the same inputs."""
+        from gdp_etl_spark.plans.corpus import curate_corpus, curation_audit
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "lang", "text")
+        )
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        audit = curation_audit(docs, bench)
+        assert audit.count() == docs.count()
+        kept = {r["doc_id"] for r in audit.filter(
+            F.col("verdict") == "kept").collect()}
+        survivors = {
+            r["doc_id"]
+            for r in curate_corpus(docs, bench).select("doc_id").collect()
+        }
+        assert kept == survivors and len(kept) > 0
