@@ -4433,6 +4433,20 @@ def q_curation_audit(spark, sf_dir):
     return curation_audit(docs, bench)
 
 
+def q_embedding_gram(spark, sf_dir):
+    """Distributed covariance of the embedding store (similarity.
+    embedding_gram — the one-pass aggregation behind PCA/whitening/
+    subspace drift): per-partition int64 Gram matrices via ONE numpy
+    matmul inside mapInPandas (never a dim²-per-row explode), one tiny
+    positional agg, fixed-order double covariance from exact integers.
+    Bit-stable across partitionings; the oracle replays the quantized
+    outer-product sums exactly.  Shuffle = partitions · dim² rows."""
+    from gdp_etl_spark.operators.similarity import embedding_gram
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_gram(emb, "embedding", dim=64, center=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     verifies the FIRST 50 keys each round.  The round-6 window: the 4
@@ -4441,11 +4455,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     canonicalization dedup, token-window exact-substring dedup,
     per-source quality percentile gate, benchmark-overlap-fraction
     decontamination, CCNet per-language perplexity terciles, and the
-    materialized MinHash near-dup index, temperature mixing, and the
-    curation provenance audit), then the 14 round-5 additions that
-    landed after the r5 ledger closed and have never had a driver
-    CORRECTNESS row, then the 26 LONGEST-unchecked re-checks (23
-    driver-green in round 2, 3 in round 3).  Everything rotated out stays registered below with
+    materialized MinHash near-dup index, temperature mixing, curation
+    provenance audit, and the distributed embedding covariance), then
+    the 14 round-5 additions that landed after the r5 ledger closed
+    and have never had a driver CORRECTNESS row, then the 25
+    LONGEST-unchecked re-checks (23 driver-green in round 2, 2 in
+    round 3).  Everything rotated out stays registered below with
     identical local oracle coverage (``tools/check_correctness.py``)."""
     return {
         # -- driver correctness window (first 50) --------------------------
@@ -4461,6 +4476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index": q_minhash_index,
         "temperature_mix": q_temperature_mix,
         "curation_audit": q_curation_audit,
+        "embedding_gram": q_embedding_gram,
         # round-5 additions, never driver-checked (landed post-r5-close)
         "paragraph_dedup": q_paragraph_dedup,
         "doc_chunks": q_doc_chunks,
@@ -7486,6 +7502,42 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'kept'
                    END AS verdict
             FROM base
+        """,
+        # quantized outer-product sums replayed exactly; same
+        # fixed-order double covariance formula
+        "embedding_gram": """
+            WITH q AS (
+              SELECT list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS qv
+              FROM embeddings
+            ),
+            idx AS (
+              SELECT CAST(t1.i AS INT) AS i, CAST(t2.j AS INT) AS j
+              FROM range(0, 64) t1(i), range(0, 64) t2(j)
+            ),
+            sums AS (
+              SELECT i, j,
+                     CAST(SUM(qv[i + 1] * qv[j + 1]) AS BIGINT) AS sq,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM q, idx GROUP BY i, j
+            ),
+            comp AS (
+              SELECT CAST(t.k AS INT) AS k,
+                     CAST(SUM(qv[CAST(t.k AS INT) + 1]) AS BIGINT) AS ci,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM q, range(0, 64) t(k) GROUP BY t.k
+            )
+            SELECT s.i, s.j, s.n,
+                   CAST(s.sq AS DOUBLE)
+                     / (CAST(s.n AS DOUBLE) * 1000000.0 * 1000000.0)
+                   - (CAST(mi.ci AS DOUBLE)
+                      / (CAST(mi.n AS DOUBLE) * 1000000.0))
+                     * (CAST(mj.ci AS DOUBLE)
+                        / (CAST(mj.n AS DOUBLE) * 1000000.0)) AS cov
+            FROM sums s
+            JOIN comp mi ON mi.k = s.i
+            JOIN comp mj ON mj.k = s.j
         """,
         "jsonl_roundtrip": "SELECT doc_id, lang, text FROM documents",
         "pseudonymize": """

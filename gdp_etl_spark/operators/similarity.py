@@ -492,3 +492,134 @@ def mean_pool_embeddings(
     return df.select(group_col, vec_col).groupBy(group_col).applyInPandas(
         pool, schema=out_schema
     )
+
+
+def embedding_gram(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    scale: int = 10**6,
+    center: bool = True,
+) -> DataFrame:
+    """Distributed covariance / Gram matrix of an embedding column —
+    the one-pass aggregation behind PCA, whitening, and subspace drift
+    checks over a 100-TB embedding store.
+
+    Exactness: components quantize to ``floor(x·scale)`` int64 FIRST
+    (the repo's fixed-point signature move), so the per-partition
+    partial Gram matrices, the component sums, and the row count are
+    all exact integers — bit-stable across runs, partitionings and
+    engines; the final covariance entries are a fixed-order double
+    formula over those integers.  With ``center=True`` entries are
+    ``E[xᵢxⱼ] − E[xᵢ]E[xⱼ]`` (population covariance); otherwise the
+    raw second-moment matrix ``E[xᵢxⱼ]``.
+
+    Returns ``(i, j, n, cov)`` — ``dim²`` rows (both triangles, so a
+    consumer can reshape without symmetrizing).
+
+    Scale shape: ONE ``mapInPandas`` pass computing a per-partition
+    int64 Gram via a single numpy matmul (no dim²-per-row explode —
+    the SQL formulation would shuffle ``dim²·n`` rows; this ships
+    ``dim²`` PER PARTITION), then one tiny positional aggregation;
+    total shuffle is ``partitions · dim²`` rows of three longs.
+    Overflow headroom: |q| ≲ scale for unit-normalized embeddings, so
+    a partition would need ~10⁶ rows × scale² ≈ 10¹⁸ before nearing
+    int64 — repartition upstream for bigger partitions or drop
+    ``scale`` a decade.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        LongType as _Lng,
+        StructField as _Fld,
+        StructType as _Sct,
+    )
+
+    part_schema = _Sct(
+        [
+            _Fld("pos", _Lng()),
+            _Fld("sum_q", _Lng()),
+            _Fld("comp_i", _Lng()),
+            _Fld("n", _Lng()),
+        ]
+    )
+
+    def partial_gram(batches):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        comp = np.zeros(dim, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            vecs = pdf[vec_col].tolist()
+            if not vecs:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            if mat.shape[1] != dim:
+                raise ValueError(
+                    f"expected dim={dim}, got {mat.shape[1]}"
+                )
+            q = np.floor(mat * scale).astype(np.int64)
+            acc += q.T @ q
+            comp += q.sum(axis=0)
+            n += q.shape[0]
+        if n == 0:
+            return
+        flat = acc.reshape(-1)
+        pos = np.arange(dim * dim, dtype=np.int64)
+        # component sums ride along on the diagonal positions (i == j)
+        comp_col = np.zeros(dim * dim, dtype=np.int64)
+        comp_col[pos % (dim + 1) == 0] = comp
+        yield pd.DataFrame(
+            {
+                "pos": pos,
+                "sum_q": flat,
+                "comp_i": comp_col,
+                "n": np.full(dim * dim, n, dtype=np.int64),
+            }
+        )
+
+    partials = df.select(vec_col).mapInPandas(partial_gram, part_schema)
+    agg = partials.groupBy("pos").agg(
+        F.sum("sum_q").alias("sq"),
+        F.sum("comp_i").alias("ci"),
+        F.sum("n").alias("n"),
+    )
+    i = (F.col("pos") / dim).cast("int")
+    j = F.pmod(F.col("pos"), F.lit(dim)).cast("int")
+    # exact integers in, fixed-order double math out:
+    # E[xi xj] = sq / (n·scale²);  E[xi] from the diagonal row of i (a
+    # self-join on two dim²-row frames — broadcast, dimension-sized)
+    out = agg.select(
+        i.alias("i"), j.alias("j"), F.col("sq"), F.col("ci"), F.col("n")
+    )
+    if not center:
+        return out.select(
+            "i",
+            "j",
+            F.col("n"),
+            (
+                F.col("sq").cast("double")
+                / (F.col("n").cast("double") * float(scale) * float(scale))
+            ).alias("cov"),
+        )
+    means = out.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("__k"),
+        (
+            F.col("ci").cast("double")
+            / (F.col("n").cast("double") * float(scale))
+        ).alias("__mean"),
+    )
+    mi = means.select(F.col("__k").alias("i"), F.col("__mean").alias("__mi"))
+    mj = means.select(F.col("__k").alias("j"), F.col("__mean").alias("__mj"))
+    return (
+        out.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            F.col("n"),
+            (
+                F.col("sq").cast("double")
+                / (F.col("n").cast("double") * float(scale) * float(scale))
+                - F.col("__mi") * F.col("__mj")
+            ).alias("cov"),
+        )
+    )

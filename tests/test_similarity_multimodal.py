@@ -335,3 +335,63 @@ class TestMeanPoolEmbeddings:
         )
         with _pytest.raises(Exception, match="NULL"):
             mean_pool_embeddings(df, "label", "embedding").collect()
+
+
+class TestEmbeddingGram:
+    """Distributed fixed-point covariance: exact integer partials,
+    partition-stable, numpy-verifiable."""
+
+    def _data(self, spark, n=200, dim=4):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(n, dim)).round(3)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        return df, vecs
+
+    def test_matches_numpy_reference_exactly(self, spark):
+        import numpy as np
+
+        from gdp_etl_spark.operators.similarity import embedding_gram
+
+        df, vecs = self._data(spark)
+        got = {
+            (r["i"], r["j"]): r["cov"]
+            for r in embedding_gram(df.repartition(7), "embedding", 4).collect()
+        }
+        q = np.floor(vecs * 1e6).astype(np.int64)
+        n = len(vecs)
+        second = (q.T @ q) / (n * 1e12)
+        means = q.sum(axis=0) / (n * 1e6)
+        for i in range(4):
+            for j in range(4):
+                assert got[(i, j)] == second[i, j] - means[i] * means[j]
+
+    def test_bit_stable_across_partitionings(self, spark):
+        from gdp_etl_spark.operators.similarity import embedding_gram
+
+        df, _ = self._data(spark)
+        a = sorted(embedding_gram(df.repartition(2), "embedding", 4).collect())
+        b = sorted(embedding_gram(df.repartition(11), "embedding", 4).collect())
+        assert a == b
+
+    def test_uncentered_is_second_moment_and_dim_mismatch_raises(self, spark):
+        import numpy as np
+        import pytest
+
+        from gdp_etl_spark.operators.similarity import embedding_gram
+
+        df, vecs = self._data(spark)
+        raw = {
+            (r["i"], r["j"]): r["cov"]
+            for r in embedding_gram(
+                df, "embedding", 4, center=False
+            ).collect()
+        }
+        q = np.floor(vecs * 1e6).astype(np.int64)
+        assert raw[(0, 0)] == (q.T @ q)[0, 0] / (len(vecs) * 1e12)
+        with pytest.raises(Exception, match="dim"):
+            embedding_gram(df, "embedding", 5).collect()
