@@ -623,3 +623,71 @@ def embedding_gram(
             ).alias("cov"),
         )
     )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int,
+    out_col: str = "pca",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components —
+    the dimensionality-reduction step before clustering / ANN indexing
+    / visualization of an embedding store.
+
+    The covariance comes from :func:`embedding_gram` (exact fixed-point
+    distributed aggregation); its ``dim²`` rows — dimension-sized, not
+    data-sized — are the ONLY driver materialization, and the
+    eigendecomposition of that ``dim×dim`` symmetric matrix is driver
+    numpy (``eigh``).  Components are sign-canonicalized (largest-|·|
+    coordinate positive) so the projection is reproducible across
+    runs; the component matrix then broadcasts inside an Arrow-batched
+    pandas iterator and the projection is one numpy matmul per batch —
+    map-only, zero shuffle on the corpus.
+
+    Returns the input plus ``out_col`` (``array<double>`` length k).
+    Not oracle-registered: eigenvectors are LAPACK-determined and not
+    portably recomputable in SQL; parity is pinned by tests against
+    numpy instead.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType as _Arr,
+        DoubleType as _Dbl,
+        StructField as _Fld,
+        StructType as _Sct,
+    )
+
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}], got {k}")
+    gram_rows = embedding_gram(df, vec_col, dim, scale=scale).collect()
+    cov = np.zeros((dim, dim))
+    for r in gram_rows:
+        cov[r["i"], r["j"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)       # ascending eigenvalues
+    comps = vecs[:, ::-1][:, :k]           # top-k columns
+    # sign canon: the largest-|coordinate| of each component positive
+    for c in range(k):
+        m = np.argmax(np.abs(comps[:, c]))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    comps_b = comps.copy()
+    fields = [f for f in df.schema.fields]
+    out_schema = _Sct(fields + [_Fld(out_col, _Arr(_Dbl()))])
+    cols = [f.name for f in fields]
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf):
+                mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                proj = mat @ comps_b
+                pdf = pdf.assign(**{out_col: list(map(list, proj))})
+            else:
+                pdf = pdf.assign(**{out_col: []})
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(project, out_schema)

@@ -395,3 +395,64 @@ class TestEmbeddingGram:
         assert raw[(0, 0)] == (q.T @ q)[0, 0] / (len(vecs) * 1e12)
         with pytest.raises(Exception, match="dim"):
             embedding_gram(df, "embedding", 5).collect()
+
+
+class TestPcaProject:
+    def test_recovers_dominant_direction_and_matches_numpy(self, spark):
+        import numpy as np
+
+        from gdp_etl_spark.operators.similarity import pca_project
+
+        rng = np.random.default_rng(5)
+        # variance concentrated along a known direction
+        direction = np.array([3.0, 1.0, 0.0, 0.0]) / np.sqrt(10)
+        base = rng.normal(size=(300, 1)) @ direction[None, :]
+        noise = 0.05 * rng.normal(size=(300, 4))
+        vecs = (base + noise).round(4)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        out = pca_project(df, "embedding", dim=4, k=2)
+        got = {r["vec_id"]: r["pca"] for r in out.collect()}
+        assert all(len(v) == 2 for v in got.values())
+        # first PC aligns with the planted direction
+        q = np.floor(vecs * 1e6).astype(np.int64)
+        n = len(vecs)
+        cov = (q.T @ q) / (n * 1e12)
+        means = q.sum(axis=0) / (n * 1e6)
+        cov = cov - np.outer(means, means)
+        vals, evs = np.linalg.eigh(cov)
+        pc1 = evs[:, -1]
+        if pc1[np.argmax(np.abs(pc1))] < 0:
+            pc1 = -pc1
+        assert abs(abs(pc1 @ direction) - 1.0) < 0.01
+        # projection equals numpy matmul bit-for-bit (same comps, same op)
+        comps = evs[:, ::-1][:, :2]
+        for c in range(2):
+            m = np.argmax(np.abs(comps[:, c]))
+            if comps[m, c] < 0:
+                comps[:, c] = -comps[:, c]
+        proj = vecs @ comps
+        for i in range(0, 300, 37):
+            assert got[i] == proj[i].tolist()
+
+    def test_deterministic_across_partitionings_and_k_guard(self, spark):
+        import numpy as np
+        import pytest
+
+        from gdp_etl_spark.operators.similarity import pca_project
+
+        rng = np.random.default_rng(6)
+        vecs = rng.normal(size=(60, 4)).round(3)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        a = {r["vec_id"]: r["pca"] for r in pca_project(
+            df.repartition(3), "embedding", 4, 2).collect()}
+        b = {r["vec_id"]: r["pca"] for r in pca_project(
+            df.repartition(9), "embedding", 4, 2).collect()}
+        assert a == b
+        with pytest.raises(ValueError, match="k must"):
+            pca_project(df, "embedding", 4, 0)
