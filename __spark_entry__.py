@@ -4449,7 +4449,7 @@ def q_embedding_gram(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
-    verifies the FIRST 50 keys each round.  The round-6 window: the 4
+    verifies the FIRST 50 keys each round.  The round-6 window: the 11
     NEW round-6 queries lead (golden_comments — the last recomputable
     real-data replay — plus the materialized dedup index, URL
     canonicalization dedup, token-window exact-substring dedup,
