@@ -654,3 +654,71 @@ def test_minhash_index_probe_is_shuffle_free_on_both_index_sides(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         for t in (table, f"{table}_sets"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """DPP: joining a partitioned fact to a FILTERED dim must inject a
+    dynamicpruning subquery into the fact scan's partition filters —
+    at 100 TB this is the difference between scanning every partition
+    and scanning only the dim-selected ones, decided at runtime."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    fact_dir = str(tmp_path / "fact")
+    ev.write.partitionBy("event_type").parquet(fact_dir)
+    dim_dir = str(tmp_path / "dim")
+    ev.select("event_type").distinct().withColumn(
+        "flag", (F.length("event_type") % 2).cast("int")
+    ).write.parquet(dim_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("flag") == 1)
+    plan = _plan(fact.join(dim, "event_type"))
+    assert "dynamicpruning" in plan.lower()
+    # and the pruned join still computes correctly
+    kept_types = {r["event_type"] for r in dim.collect()}
+    got = fact.join(dim, "event_type").select("event_type").distinct()
+    assert {r["event_type"] for r in got.collect()} == kept_types
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime bloom-filter join pruning: with a selective build side,
+    Spark must inject a bloom_filter_agg on the build side and apply
+    might_contain on the probe scan — rows that cannot match are
+    dropped BEFORE the shuffle, the runtime analogue of predicate
+    pushdown for join keys.  Thresholds are tuned down because the
+    sf0.001 tables are far below the production defaults."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_totalprice") > 400000
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100GB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+            "0",
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # and the filtered join equals the unfiltered-semantics join
+        n = j.count()
+        assert n == li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey).count()
+        assert n > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        )
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold"
+        )
