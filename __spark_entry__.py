@@ -4447,6 +4447,57 @@ def q_embedding_gram(spark, sf_dir):
     return embedding_gram(emb, "embedding", dim=64, center=True)
 
 
+def q_chunk_embed_pool(spark, sf_dir):
+    """The composed RAG-indexing DAG end-to-end: sliding-window chunking
+    (packing.chunk_documents, map-only, zero shuffle) → per-chunk
+    DETERMINISTIC hash embedding (md5-projection: component k =
+    (md5(chunk:k) mod 2001 − 1000)/1000 — a stand-in for the model
+    call that keeps the whole pipeline engine-replayable, same
+    plumbing: one embedding per chunk, dim 8) → fixed-point mean-pool
+    back to one document vector (similarity.mean_pool_embeddings, one
+    packed-Arrow group shuffle).  The oracle replays chunking,
+    projection and pooling exactly; centroids serialize to fixed-point
+    CSV (canonicalizer-safe).  At 100 TB: the only shuffle in the DAG
+    is the pool's group exchange — chunking and embedding inherit the
+    scan partitioning."""
+    from gdp_etl_spark.operators.packing import chunk_documents
+    from gdp_etl_spark.operators.similarity import mean_pool_embeddings
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, "text", "doc_id", size=32, stride=16)
+    emb = chunks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda k: (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.col("chunk_text"), k.cast("string")
+                            )
+                        ),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("bigint") % 2001 - 1000
+            ).cast("double") / F.lit(1000.0),
+        ).alias("embedding"),
+    )
+    pooled = mean_pool_embeddings(emb, "doc_id", "embedding")
+    return pooled.select(
+        "doc_id",
+        "n_vecs",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "centroid",
+                lambda x: F.floor(x * F.lit(1000000.0)).cast("long"),
+            ),
+        ).alias("centroid_csv"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     verifies the FIRST 50 keys each round.  The round-6 window: the 11
@@ -4456,11 +4507,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     per-source quality percentile gate, benchmark-overlap-fraction
     decontamination, CCNet per-language perplexity terciles, and the
     materialized MinHash near-dup index, temperature mixing, curation
-    provenance audit, and the distributed embedding covariance), then
-    the 14 round-5 additions that landed after the r5 ledger closed
-    and have never had a driver CORRECTNESS row, then the 25
-    LONGEST-unchecked re-checks (23 driver-green in round 2, 2 in
-    round 3).  Everything rotated out stays registered below with
+    provenance audit, the distributed embedding covariance, and the
+    composed chunk→embed→pool RAG-indexing DAG), then the 14 round-5
+    additions that landed after the r5 ledger closed and have never
+    had a driver CORRECTNESS row, then the 24 LONGEST-unchecked
+    re-checks (23 driver-green in round 2, 1 in round 3).  Everything rotated out stays registered below with
     identical local oracle coverage (``tools/check_correctness.py``)."""
     return {
         # -- driver correctness window (first 50) --------------------------
@@ -4477,6 +4528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "curation_audit": q_curation_audit,
         "embedding_gram": q_embedding_gram,
+        "chunk_embed_pool": q_chunk_embed_pool,
         # round-5 additions, never driver-checked (landed post-r5-close)
         "paragraph_dedup": q_paragraph_dedup,
         "doc_chunks": q_doc_chunks,
@@ -4887,6 +4939,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(32, n - i*16) AS INT) AS chunk_tokens
             FROM starts
             WHERE least(32, n - i*16) >= 1
+        """,
+        # chunking + md5-projection + fixed-point pooling replayed
+        # end-to-end
+        "chunk_embed_pool": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR length(trim(text)) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS t
+              FROM documents
+            ),
+            sized AS (
+              SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0
+            ),
+            starts AS (
+              SELECT doc_id, t, n,
+                     unnest(range(0, CAST(ceil(n / 16.0) AS BIGINT))) AS i
+              FROM sized
+            ),
+            chunks AS (
+              SELECT doc_id,
+                     array_to_string(t[i*16 + 1 : i*16 + 32], ' ')
+                       AS chunk_text
+              FROM starts
+              WHERE least(32, n - i*16) >= 1
+            ),
+            emb AS (
+              SELECT doc_id, r.k,
+                     CAST(CAST(('0x' || substr(md5(chunk_text || ':'
+                            || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+                          % 2001 - 1000 AS DOUBLE) / 1000.0 AS v
+              FROM chunks, range(0, 8) r(k)
+            ),
+            s AS (
+              SELECT doc_id, k,
+                     CAST(SUM(CAST(floor(v * 1e6) AS BIGINT)) AS BIGINT)
+                       AS sq,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM emb GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   min(n) AS n_vecs,
+                   string_agg(
+                     CAST(CAST(floor(((CAST(sq AS DOUBLE) / 1e6) / n) * 1e6)
+                               AS BIGINT) AS VARCHAR),
+                     ',' ORDER BY k) AS centroid_csv
+            FROM s GROUP BY doc_id
         """,
         "dedup_keep_best": """
             WITH m AS (
