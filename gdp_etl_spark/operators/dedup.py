@@ -589,15 +589,17 @@ def paragraph_exact_dedup(
 
     Returns ``(id_col, text_col (deduped), n_paragraphs, n_removed)``.
 
-    Scale shape: one posexplode (map-side fan-out), ONE window shuffle
-    keyed on md5(paragraph) — 16-byte keys regardless of paragraph
-    size, same discipline as :func:`exact_dedup` — and one groupBy to
-    reassemble, keyed on the doc id.  No self-join anywhere: global
-    first-occurrence is a rank-1 window, so cost is O(paragraphs), not
-    O(pairs).  Paragraph-hash skew (a boilerplate line repeated 10⁹×)
-    is bounded by the same AQE skew-split that covers every window in
-    the repo; the min_chars guard removes the worst offenders (empty
-    strings) structurally.
+    Scale shape — SKEW-SAFE by construction, not by hope: global
+    first-occurrence is ``min(struct(id, pos))`` per md5(paragraph) —
+    a hash AGGREGATION, so a boilerplate paragraph repeated 10⁹×
+    partial-aggregates map-side down to one row per input partition
+    before anything shuffles (a rank-1 window over the same key would
+    pin all 10⁹ occurrences on a single unsplittable window task —
+    window partitions are NOT AQE-divisible).  The occurrences then
+    join the bounded firsts table back on the same 16-byte key (AQE
+    skew-join splits the hot key), and one groupBy on the doc id
+    reassembles.  No self-join anywhere; cost is O(paragraphs), never
+    O(pairs).
     """
     # split() takes a Java regex but array_join() a literal — \Q...\E
     # quotes the boundary so both sides agree for any separator string.
@@ -613,17 +615,33 @@ def paragraph_exact_dedup(
             )
         ).alias("__pos", "__para"),
     ).withColumn("__trimmed", F.trim("__para"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(F.md5("__trimmed")).orderBy(
-        F.col(id_col), F.col("__pos")
-    )
     eligible = F.length("__trimmed") >= min_chars
-    ranked = paras.withColumn(
-        "__rank",
-        F.when(eligible, F.row_number().over(w)).otherwise(F.lit(1)),
+    firsts = (
+        paras.filter(eligible)
+        .groupBy(F.md5("__trimmed").alias("__h"))
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first")
+        )
     )
-    kept = F.col("__rank") == 1
+    # ineligible (blank/tiny) occurrences get a per-occurrence salted
+    # key: md5('') would funnel every blank paragraph of the corpus
+    # into ONE join partition; the salt spreads them uniformly and
+    # provably misses the firsts table
+    ranked = paras.withColumn(
+        "__h",
+        F.when(eligible, F.md5("__trimmed")).otherwise(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col(id_col).cast("string"),
+                    F.col("__pos").cast("string"),
+                )
+            )
+        ),
+    ).join(firsts, "__h", "left")
+    kept = ~eligible | (
+        F.struct(F.col(id_col), F.col("__pos")) == F.col("__first")
+    )
     return (
         ranked.groupBy(id_col)
         .agg(
@@ -708,17 +726,19 @@ def boilerplate_line_filter(
 
     Returns ``(id_col, text_col (filtered), n_lines, n_removed)``.
 
-    Scale shape: one posexplode, then the global distinct-document
-    frequency per line comes from TWO window functions over the SAME
-    partitioning (``dense_rank`` over (md5(line)) ordered by doc id,
-    then ``max`` of it over the partition) — one sort, one shuffle, no
-    frequency-table join back.  Keys are 16-byte md5s; the mega-skewed
-    partitions (a banner repeated 10⁹×) are exactly the lines being
-    dropped, and AQE skew-split bounds them like every window in the
-    repo.
+    Scale shape — SKEW-SAFE by construction: the per-line distinct-
+    document frequency is a ``count_distinct`` hash AGGREGATION on
+    md5(line), which plans the standard two-phase expand (partial
+    aggregation map-side), so the operator's own target case — a
+    banner repeated in 10⁹ documents, the hottest key imaginable —
+    collapses per input partition before the shuffle.  A window
+    formulation over the same key would pin all 10⁹ occurrences on one
+    unsplittable window task (window partitions are not
+    AQE-divisible).  The occurrences then join the bounded frequency
+    table back on the 16-byte key (AQE skew-join splits the hot keys)
+    and one groupBy on the doc id reassembles.  O(lines), never
+    O(pairs).
     """
-    from pyspark.sql import Window
-
     # NULL text coalesces to '' so the document survives as an
     # empty-string row instead of vanishing (split(NULL) yields NULL
     # and posexplode produces no rows) — same contract as
@@ -733,33 +753,37 @@ def boilerplate_line_filter(
         ).alias("__pos", "__line"),
     ).withColumn("__trimmed", F.trim("__line"))
     eligible = F.length("__trimmed") >= min_chars
-    # Ineligible (blank/tiny) lines would all collapse into the md5("")
-    # partition — the one guaranteed-mega partition in any web corpus —
-    # so they get a per-occurrence salted key instead: their doc_freq
-    # comes out 1, which is irrelevant because `eligible` gates the
-    # drop flag, and the window shuffle stays uniform.  The key is
-    # materialized as ONE column so both windows share one attribute
-    # and ENSURE_REQUIREMENTS plans a single exchange.
-    lines = lines.withColumn(
-        "__key",
-        F.when(eligible, F.md5("__trimmed")).otherwise(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col(id_col).cast("string"),
-                    F.col("__pos").cast("string"),
-                )
-            )
-        ),
+    # Ineligible (blank/tiny) lines are exempt from the frequency test
+    # entirely — they never enter the aggregation, so the md5("")
+    # mega-group of any web corpus is excluded structurally.
+    freq = (
+        lines.filter(eligible)
+        .groupBy(F.md5("__trimmed").alias("__key"))
+        .agg(F.count_distinct(F.col(id_col)).alias("__doc_freq"))
     )
-    part = Window.partitionBy("__key")
-    # distinct-doc count without countDistinct-over-window (unsupported):
-    # dense_rank over doc id within the line partition, then its max.
-    doc_freq = F.max(
-        F.dense_rank().over(part.orderBy(F.col(id_col)))
-    ).over(part)
-    flagged = lines.withColumn(
-        "__drop", eligible & (doc_freq > max_doc_freq)
+    # Ineligible rows still need a join key that is neither NULL (all
+    # NULL keys hash to ONE join partition — the blank-line mega-group
+    # would hot-spot the join) nor shared (same problem): a
+    # per-occurrence salted key spreads them uniformly and provably
+    # misses the frequency table.
+    flagged = (
+        lines.withColumn(
+            "__key",
+            F.when(eligible, F.md5("__trimmed")).otherwise(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col(id_col).cast("string"),
+                        F.col("__pos").cast("string"),
+                    )
+                )
+            ),
+        )
+        .join(freq, "__key", "left")
+        .withColumn(
+            "__drop",
+            eligible & (F.col("__doc_freq") > max_doc_freq),
+        )
     )
     kept = ~F.col("__drop")
     return (
@@ -1045,13 +1069,15 @@ def token_window_dedup(
     n_windows, n_removed)``.
 
     Scale shape: identical to :func:`paragraph_exact_dedup` — one
-    map-side fan-out (sequence+slice, no self-join), ONE window shuffle
-    on md5(window) (16-byte keys), one groupBy on the doc id to
-    reassemble.  O(tokens), not O(pairs); skew on a mega-duplicated
-    window is AQE-split like every window in the repo.
+    map-side fan-out (sequence+slice, no self-join), then the SKEW-SAFE
+    first-occurrence formulation: ``min(struct(id, pos))`` per
+    md5(window) partial-aggregates map-side (a mega-duplicated window
+    collapses to one row per input partition before the shuffle; a
+    rank window over the same key would pin every occurrence on one
+    unsplittable task), occurrences join the bounded firsts back on
+    the 16-byte key (AQE skew-join splits the hot key), one groupBy on
+    the doc id reassembles.  O(tokens), not O(pairs).
     """
-    from pyspark.sql import Window
-
     w = int(window_tokens)
     if w < 1:
         raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
@@ -1075,14 +1101,31 @@ def token_window_dedup(
         )
     )
     eligible = F.length("__win") > 0
-    rank_w = Window.partitionBy(F.md5("__win")).orderBy(
-        F.col(id_col), F.col("__pos")
+    firsts = (
+        wins.filter(eligible)
+        .groupBy(F.md5("__win").alias("__h"))
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first")
+        )
     )
+    # empty windows (tokenless docs) take a per-occurrence salted key:
+    # md5('') would funnel them into one join partition (same rationale
+    # as paragraph_exact_dedup)
     ranked = wins.withColumn(
-        "__rank",
-        F.when(eligible, F.row_number().over(rank_w)).otherwise(F.lit(1)),
+        "__h",
+        F.when(eligible, F.md5("__win")).otherwise(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col(id_col).cast("string"),
+                    F.col("__pos").cast("string"),
+                )
+            )
+        ),
+    ).join(firsts, "__h", "left")
+    kept = ~eligible | (
+        F.struct(F.col(id_col), F.col("__pos")) == F.col("__first")
     )
-    kept = F.col("__rank") == 1
     return (
         ranked.groupBy(id_col)
         .agg(

@@ -722,3 +722,28 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
             "spark.sql.optimizer.runtime.bloomFilter"
             ".applicationSideScanSizeThreshold"
         )
+
+
+def test_text_granular_dedup_plans_have_no_window(spark):
+    """paragraph/token-window/boilerplate dedup must plan hash
+    AGGREGATIONS (+ skew-splittable joins), never a rank/count window
+    keyed on the content hash: window partitions are not
+    AQE-divisible, so a mega-duplicated paragraph/line — the operators'
+    own target case — would pin every occurrence on one task."""
+    from gdp_etl_spark.operators.dedup import (
+        boilerplate_line_filter,
+        paragraph_exact_dedup,
+        token_window_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for frame in (
+        paragraph_exact_dedup(docs, "text", "doc_id"),
+        token_window_dedup(docs, "text", "doc_id", 20),
+        boilerplate_line_filter(docs, "text", "doc_id"),
+    ):
+        plan = _plan(frame)
+        assert "Window" not in plan
+        assert "HashAggregate" in plan
