@@ -691,20 +691,34 @@ def exact_dedup_keep_best(
     rank and the copy count share one window partitioning, so Catalyst
     plans a single sort+window, no join back.
     """
-    from pyspark.sql import Window
-
-    # Materialize the hash as ONE column: partitioning both windows by
-    # the same attribute (not two copies of the md5 expression) lets
-    # ENSURE_REQUIREMENTS elide the second exchange — otherwise Catalyst
-    # re-shuffles the full data between the rank and the count.
-    part = Window.partitionBy("__h")
-    w = part.orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+    # Skew-safe formulation (window partitions are not AQE-divisible;
+    # a text duplicated 10⁹× — think empty or error pages — would pin
+    # one task): the survivor key per hash is min(struct(−quality,
+    # id)) — highest quality first, then lowest id — and it
+    # partial-aggregates map-side together with the copy count; the
+    # rows then join the bounded winners back on the 16-byte key (AQE
+    # skew-split).  ``quality_col`` must be numeric (it is negated for
+    # the lexicographic min).
+    hashed = df.withColumn("__h", F.md5(F.col(text_col)))
+    winners = hashed.groupBy("__h").agg(
+        F.min(
+            F.struct(
+                (-F.col(quality_col).cast("double")).alias("__nq"),
+                F.col(id_col).alias("__id"),
+            )
+        ).alias("__best"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
     return (
-        df.withColumn("__h", F.md5(F.col(text_col)))
-        .withColumn("__rk", F.row_number().over(w))
-        .withColumn("dup_count", F.count(F.lit(1)).over(part))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk", "__h")
+        hashed.join(winners, "__h")
+        .filter(
+            F.struct(
+                (-F.col(quality_col).cast("double")).alias("__nq"),
+                F.col(id_col).alias("__id"),
+            )
+            == F.col("__best")
+        )
+        .drop("__h", "__best")
     )
 
 
@@ -904,19 +918,33 @@ def incremental_exact_dedup(
     :func:`exact_dedup_keep_best` (rank and copy count share the
     partitioning).
     """
-    from pyspark.sql import Window
-
-    part = Window.partitionBy("__h")
-    w = part.orderBy(F.col(id_col).asc())
-    survivors = (
-        batch.withColumn("__h", F.md5(F.col(text_col)))
-        .withColumn("__rk", F.row_number().over(w))
-        .withColumn("batch_dup_count", F.count(F.lit(1)).over(part))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk")
-    )
+    survivors = _batch_keep_first(batch, text_col, id_col)
     index = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
     return survivors.join(index, "__h", "left_anti").drop("__h")
+
+
+def _batch_keep_first(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Within-batch keep-first + copy count, skew-safe: min(id) and
+    count per md5(text) partial-aggregate map-side (a window rank
+    would pin a mega-duplicated batch text on one unsplittable task),
+    then the batch joins the bounded winners back on the 16-byte key
+    (AQE skew-split).  NULL-text rows form one group under a sentinel
+    key (the window formulation grouped them the same way; the
+    sentinel is not hex, so it can never equal a real md5 and the
+    downstream anti-join still always admits the survivor).  Returns
+    the surviving rows with ``__h`` and ``batch_dup_count`` attached."""
+    hashed = batch.withColumn(
+        "__h", F.coalesce(F.md5(F.col(text_col)), F.lit("NULLTEXT"))
+    )
+    winners = hashed.groupBy("__h").agg(
+        F.min(F.col(id_col)).alias("__min_id"),
+        F.count(F.lit(1)).alias("batch_dup_count"),
+    )
+    return (
+        hashed.join(winners, "__h")
+        .filter(F.col(id_col) == F.col("__min_id"))
+        .drop("__min_id")
+    )
 
 
 def write_dedup_index(
@@ -972,17 +1000,7 @@ def dedup_against_index(
     (``tests/test_plans_quality.py`` pins this) — the only shuffle is
     the batch's own md5 window.
     """
-    from pyspark.sql import Window
-
-    part = Window.partitionBy("__h")
-    w = part.orderBy(F.col(id_col).asc())
-    survivors = (
-        batch.withColumn("__h", F.md5(F.col(text_col)))
-        .withColumn("__rk", F.row_number().over(w))
-        .withColumn("batch_dup_count", F.count(F.lit(1)).over(part))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk")
-    )
+    survivors = _batch_keep_first(batch, text_col, id_col)
     # Drop any cached file listing for the index before probing: a
     # concurrent append (e.g. the previous micro-batch of a streaming
     # ingest, which runs in a CLONED session whose cache invalidation
