@@ -1092,12 +1092,17 @@ def q_url_dedup(spark, sf_dir):
     canon = docs.select(
         "doc_id", url.alias("url")
     ).withColumn("canonical", canonical_url(F.col("url")))
-    part = Window.partitionBy("canonical")
-    w = part.orderBy(F.col("doc_id").asc())
+    # keep-first + dup count per canonical URL, skew-safe: a URL
+    # crawled 10⁹× is the realistic hot key; min(id)+count aggregate
+    # map-side and the join back is AQE skew-split (a rank window
+    # would pin the hot canonical on one task)
+    winners = canon.groupBy("canonical").agg(
+        F.min("doc_id").alias("__min_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
     return (
-        canon.withColumn("__rk", F.row_number().over(w))
-        .withColumn("dup_count", F.count(F.lit(1)).over(part))
-        .filter(F.col("__rk") == 1)
+        canon.join(winners, "canonical")
+        .filter(F.col("doc_id") == F.col("__min_id"))
         .select("doc_id", "url", "canonical", "dup_count")
     )
 

@@ -52,12 +52,15 @@ def clean_corpus(
     if langs is not None:
         d = d.filter(F.col("lang_pred").isin(*langs))
     d = d.withColumn("text_clean", redact_pii(F.col("__text")))
-    # keep the lowest doc_id per identical cleaned text: one window
-    # shuffle on a 16-byte hash key, no self-join
-    w = Window.partitionBy(F.md5(F.col("text_clean"))).orderBy("doc_id")
+    # keep the lowest doc_id per identical cleaned text — skew-safe:
+    # min(doc_id) per 16-byte hash partial-aggregates map-side and the
+    # join back is AQE skew-split (a rank window would pin a
+    # mega-duplicated text on one unsplittable task)
+    d = d.withColumn("__h", F.md5(F.col("text_clean")))
+    firsts = d.groupBy("__h").agg(F.min("doc_id").alias("__min_id"))
     d = (
-        d.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        d.join(firsts, "__h")
+        .filter(F.col("doc_id") == F.col("__min_id"))
         .select("doc_id", "lang_pred", "quality", "text_clean")
     )
     if sample_fraction is not None:
@@ -84,7 +87,8 @@ def curate_corpus(
 
     1. quality + repetition filter (per-row map work);
     2. benchmark decontamination (broadcast shingle-hash semi-join);
-    3. exact dedup (window on md5, one 16-byte-key shuffle);
+    3. exact dedup (min-id aggregation on md5 + skew-split join back,
+       16-byte keys);
     4. near-dup removal: MinHash-LSH pairs → connected components →
        canonical survivors;
     5. deterministic leak-free train/val/test split;
@@ -118,10 +122,15 @@ def curate_corpus(
     )
     d = decontaminate(d, benchmark, text_col, id_col, shingle_k=decontam_k)
     d = d.filter(~F.col("is_contaminated")).drop("n_overlap", "is_contaminated")
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
-    d = d.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") == 1
-    ).drop("__rn")
+    # exact dedup, skew-safe: min(id) per md5 aggregates map-side, the
+    # join back is AQE skew-split — no rank window (not AQE-divisible)
+    d = d.withColumn("__h", F.md5(F.col(text_col)))
+    firsts = d.groupBy("__h").agg(F.min(id_col).alias("__min_id"))
+    d = (
+        d.join(firsts, "__h")
+        .filter(F.col(id_col) == F.col("__min_id"))
+        .drop("__h", "__min_id")
+    )
     # fan-out point: the filtered/decontaminated/deduped frame feeds the
     # LSH pair computation AND the cluster join AND the split/pack tail —
     # persist so the expensive upstream (quality HOFs, shingle semi-join,
@@ -284,13 +293,17 @@ def curation_audit(
     s2 = dec.filter(~F.col("is_contaminated")).drop(
         "n_overlap", "is_contaminated"
     )
-    w = Window.partitionBy(F.md5(t)).orderBy(id_col)
-    ranked = s2.withColumn("__rn", F.row_number().over(w))
-    removed_exact = ranked.filter(F.col("__rn") > 1).select(
+    # exact-dup stage, skew-safe (same shape as curate_corpus)
+    hashed = s2.withColumn("__h", F.md5(t))
+    firsts = hashed.groupBy("__h").agg(F.min(id_col).alias("__min_id"))
+    joined = hashed.join(firsts, "__h")
+    removed_exact = joined.filter(F.col(id_col) != F.col("__min_id")).select(
         id_col, F.lit("exact_dup").alias("verdict")
     )
-    s3 = ranked.filter(F.col("__rn") == 1).drop("__rn").persist(
-        StorageLevel.MEMORY_AND_DISK
+    s3 = (
+        joined.filter(F.col(id_col) == F.col("__min_id"))
+        .drop("__h", "__min_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs = minhash_lsh_pairs(
         s3, text_col, id_col,
