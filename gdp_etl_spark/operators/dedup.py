@@ -848,26 +848,32 @@ def duplicated_ngram_profile(
     the whole operator is one explode + ONE window shuffle + one
     groupBy.  Cost is O(total shingles), never O(pairs).
     """
-    from pyspark.sql import Window
 
     sh = df.select(
         F.col(id_col),
         F.explode_outer(shingles(F.col(text_col), n)).alias("__sh"),
     )
-    # NULL shingles (empty docs kept alive by explode_outer) get a
-    # per-document salted key so they don't all shuffle into the
-    # md5(NULL) partition; their freq value is never read.
-    freq = F.count(
-        F.when(F.col("__sh").isNotNull(), F.lit(1))
-    ).over(
-        Window.partitionBy(
-            F.coalesce(
-                F.md5("__sh"), F.md5(F.col(id_col).cast("string"))
-            )
-        )
+    # Skew-safe corpus frequency: count per md5(shingle) partial-
+    # aggregates map-side (a count WINDOW over the same key would pin
+    # a mega-duplicated shingle on one unsplittable task), then the
+    # occurrences join the bounded counts back (AQE skew-split).  NULL
+    # shingles (empty docs kept alive by explode_outer) take a
+    # per-document salted key so they neither funnel one join
+    # partition nor match the frequency table.
+    freq_tbl = (
+        sh.filter(F.col("__sh").isNotNull())
+        .groupBy(F.md5("__sh").alias("__h"))
+        .agg(F.count(F.lit(1)).alias("__freq"))
     )
-    per = sh.withColumn(
-        "__dup", F.col("__sh").isNotNull() & (freq > 1)
+    per = (
+        sh.withColumn(
+            "__h",
+            F.coalesce(F.md5("__sh"), F.md5(F.col(id_col).cast("string"))),
+        )
+        .join(freq_tbl, "__h", "left")
+        .withColumn(
+            "__dup", F.col("__sh").isNotNull() & (F.col("__freq") > 1)
+        )
     )
     n_sh = F.sum(
         F.when(F.col("__sh").isNotNull(), 1).otherwise(0)
