@@ -22,8 +22,9 @@ dedup / similarity), sharing the tokenizer with
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import ws_tokens
 
@@ -95,16 +96,23 @@ def bm25_topk(
     is identical across engines (a decimal-parsing engine like DuckDB
     would round 1.2 differently than IEEE text→double in edge cases).
     """
-    tf = doc_term_freq(docs, text_col, id_col, terms=query_terms)
-    # df as a window count over tf itself: the corpus is scanned/exploded
-    # exactly once (a groupBy-join formulation makes Catalyst re-scan the
-    # whole corpus for the df branch — no subtree reuse).  tf holds only
-    # query-term postings, so the term-keyed window shuffle is tiny.
-    w = Window.partitionBy("term")
+    # persist barrier: the postings feed both the df counts and the
+    # scoring probe — without it Catalyst re-scans/explodes the whole
+    # corpus for the df branch (no subtree reuse across self-joins);
+    # the frame holds query-term postings only, and the bounded top-k
+    # result is materialized below before the cache releases
+    tf = doc_term_freq(docs, text_col, id_col, terms=query_terms).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # df per term via AGGREGATION + broadcast join-back, not a
+    # term-keyed count window: a stop-word query term's postings are
+    # corpus-sized, and a window partition is not AQE-divisible — the
+    # agg partial-counts map-side and the df table is query-vocab-sized
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = corpus_stats(docs, text_col, id_col)
 
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(w))
+        tf.join(F.broadcast(df_tbl), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
@@ -125,7 +133,7 @@ def bm25_topk(
             ),
         )
     )
-    return (
+    result = (
         scored.groupBy("doc_id")
         .agg(
             (
@@ -139,6 +147,13 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(k)
     )
+    # k-bounded eager materialization so the postings cache releases
+    # before returning (the repo's prefix-filter discipline)
+    try:
+        result = result.localCheckpoint(eager=True)
+    finally:
+        tf.unpersist()
+    return result
 
 
 def inverted_index(
