@@ -4503,6 +4503,33 @@ def q_chunk_embed_pool(spark, sf_dir):
     )
 
 
+def q_phash_dedup(spark, sf_dir):
+    """Image near-duplicate detection (multimodal.perceptual_hash +
+    dedup.hamming_pairs): 64-bit block-mean perceptual hashes (aHash —
+    bit i set iff pixel i·64 > Σpixels, pure integer, no float
+    boundary) over binary payloads, paired by the same 4×16-bit
+    pigeonhole used for SimHash.  The batch re-ingests a copy of every
+    %10 payload (the re-uploaded-image shape): copies surface at
+    hamming 0, unrelated payloads never pair (random 64-bit signatures
+    sit at hamming ≈ 32).  The fake decoder's md5-pixel recipe replays
+    bit-for-bit in the oracle; the real Pillow path shares every stage
+    after the decode."""
+    from gdp_etl_spark.operators.multimodal import (
+        attach_payload,
+        image_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.unionByName(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+            (F.col("doc_id") + F.lit(10000)).cast("long").alias("doc_id"),
+            "text",
+        )
+    )
+    p = attach_payload(batch, "text")
+    return image_near_dup_pairs(p, "payload", "doc_id", max_hamming=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     verifies the FIRST 50 keys each round.  The round-6 window: the 11
@@ -4512,11 +4539,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     per-source quality percentile gate, benchmark-overlap-fraction
     decontamination, CCNet per-language perplexity terciles, and the
     materialized MinHash near-dup index, temperature mixing, curation
-    provenance audit, the distributed embedding covariance, and the
-    composed chunk→embed→pool RAG-indexing DAG), then the 14 round-5
-    additions that landed after the r5 ledger closed and have never
-    had a driver CORRECTNESS row, then the 24 LONGEST-unchecked
-    re-checks (23 driver-green in round 2, 1 in round 3).  Everything rotated out stays registered below with
+    provenance audit, the distributed embedding covariance, the composed
+    chunk→embed→pool RAG-indexing DAG, and perceptual-hash image
+    dedup), then the 14 round-5 additions that landed after the r5
+    ledger closed and have never had a driver CORRECTNESS row, then
+    the 23 LONGEST-unchecked re-checks (all driver-green in round
+    2).  Everything rotated out stays registered below with
     identical local oracle coverage (``tools/check_correctness.py``)."""
     return {
         # -- driver correctness window (first 50) --------------------------
@@ -4534,6 +4562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_audit": q_curation_audit,
         "embedding_gram": q_embedding_gram,
         "chunk_embed_pool": q_chunk_embed_pool,
+        "phash_dedup": q_phash_dedup,
         # round-5 additions, never driver-checked (landed post-r5-close)
         "paragraph_dedup": q_paragraph_dedup,
         "doc_chunks": q_doc_chunks,
@@ -6801,6 +6830,46 @@ def oracle_sql() -> dict[str, str]:
                      AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # the fake decoder's md5-pixel recipe + integer aHash bits +
+        # all-pairs hamming (bounded corpus; Spark stays pigeonholed)
+        "phash_dedup": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000 AS doc_id, text FROM documents
+              WHERE doc_id % 10 = 0
+            ),
+            pix AS (
+              SELECT doc_id, g.g * 4 + j.j AS i,
+                     CAST(concat('0x',
+                       substring(md5(text || ':' || CAST(g.g AS VARCHAR)),
+                                 2*(4*j.j+3)+1, 2),
+                       substring(md5(text || ':' || CAST(g.g AS VARCHAR)),
+                                 2*(4*j.j+2)+1, 2),
+                       substring(md5(text || ':' || CAST(g.g AS VARCHAR)),
+                                 2*(4*j.j+1)+1, 2),
+                       substring(md5(text || ':' || CAST(g.g AS VARCHAR)),
+                                 2*(4*j.j+0)+1, 2)) AS BIGINT) AS p
+              FROM base, range(0, 16) g(g), range(0, 4) j(j)
+            ),
+            tot AS (
+              SELECT doc_id, CAST(SUM(p) AS BIGINT) AS s FROM pix
+              GROUP BY doc_id
+            ),
+            sig AS (
+              SELECT pix.doc_id,
+                     CAST(SUM(CASE WHEN pix.p * 64 > t.s THEN
+                       CASE WHEN pix.i = 63
+                            THEN CAST(-9223372036854775808 AS BIGINT)
+                            ELSE CAST(1 AS BIGINT) << CAST(pix.i AS INT)
+                       END ELSE 0 END) AS BIGINT) AS h
+              FROM pix JOIN tot t USING (doc_id) GROUP BY pix.doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.h, b.h)) <= 3
         """,
         "lsh_topk": f"""
             WITH b AS (

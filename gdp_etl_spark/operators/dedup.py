@@ -293,15 +293,26 @@ def simhash_pairs(
     sig = simhash_signatures(df, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    return hamming_pairs(sig, "simhash", id_col, max_hamming)
+
+
+def hamming_pairs(
+    sig: DataFrame, sig_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pigeonhole Hamming near-dup pairing over any 64-bit signature
+    column (SimHash, perceptual image hash, …): split into 4 × 16-bit
+    chunks — any pair within distance 3 agrees on ≥ 1 chunk — generate
+    candidates by chunk equi-join, verify with exact ``bit_count(xor)``.
+    Shuffle keys on 16-bit chunk values, never all-pairs."""
     chunks = sig.select(
         id_col,
-        "simhash",
+        sig_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                        F.shiftrightunsigned(F.col(sig_col), 16 * c)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("chunk"),
                     )
@@ -309,7 +320,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("cc"),
-    ).select(id_col, "simhash", F.col("cc.chunk_idx").alias("chunk_idx"), F.col("cc.chunk").alias("chunk"))
+    ).select(id_col, sig_col, F.col("cc.chunk_idx").alias("chunk_idx"), F.col("cc.chunk").alias("chunk"))
 
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
@@ -322,8 +333,8 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col(f"a.{sig_col}").alias("sig_a"),
+            F.col(f"b.{sig_col}").alias("sig_b"),
         )
         .distinct()
     )

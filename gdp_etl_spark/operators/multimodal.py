@@ -369,3 +369,116 @@ def parse_fixed_header(
         le_int(21, 2).alias("rate_div256"),
         (F.length(hx) / 2).cast("long").alias("total_bytes"),
     )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def perceptual_hash(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    decoder: str = "fake",
+) -> DataFrame:
+    """64-bit block-mean perceptual hash (aHash) per binary payload —
+    the image-dedup signature: decode to an 8×8 intensity grid, set
+    bit i iff pixel i is strictly above the grid mean (integer
+    comparison ``pixel·64 > Σpixels`` — no float boundary), pack two's
+    complement into an int64.  Visually identical images hash equal;
+    small edits flip few bits, so near-dups surface at low Hamming
+    distance via :func:`~gdp_etl_spark.operators.dedup.hamming_pairs`.
+
+    Decoders, same gate as :func:`decode_features`: ``"fake"``
+    (default, always available) derives pixel ``i`` from
+    ``md5(payload + b":<i//4>")`` — 16 md5s of the payload, 4
+    little-endian uint32 pixels each — deterministic and replayed
+    bit-for-bit by the SQL oracle; ``"pillow"`` decodes real image
+    bytes to an 8×8 grayscale resize (optional dependency, raises a
+    clear error when absent).
+
+    One Arrow-batched mapInPandas pass; output is (id, int64) — the
+    cheapest possible shuffle rows for the downstream pairing.
+    """
+    if decoder == "pillow":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "decoder='pillow' needs the optional Pillow dependency, "
+                "which is not installed in this environment; use "
+                "decoder='fake' for codec-free plumbing"
+            ) from exc
+    elif decoder != "fake":
+        raise ValueError(
+            f"decoder={decoder!r}: supported decoders are 'fake' "
+            "(deterministic, always available) and 'pillow' (optional)"
+        )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if decoder == "pillow":
+            import io
+
+            from PIL import Image
+
+        for pdf in batches:
+            out = []
+            for b in pdf[payload_col]:
+                if decoder == "pillow":
+                    img = Image.open(io.BytesIO(bytes(b))).convert("L")
+                    img = img.resize((8, 8))
+                    pix = np.asarray(img, dtype=np.int64).reshape(64)
+                else:
+                    pix = np.empty(64, dtype=np.int64)
+                    raw = bytes(b)
+                    for g in range(16):
+                        digest = hashlib.md5(
+                            raw + b":" + str(g).encode()
+                        ).digest()
+                        for j in range(4):
+                            pix[g * 4 + j] = int.from_bytes(
+                                digest[4 * j : 4 * j + 4], "little"
+                            )
+                total = int(pix.sum())
+                h = 0
+                for i in range(63):
+                    if int(pix[i]) * 64 > total:
+                        h |= 1 << i
+                if int(pix[63]) * 64 > total:
+                    h -= 1 << 63
+                out.append(h)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "phash": out}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        hash_batch, PHASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Image near-duplicate pairs: :func:`perceptual_hash` + the
+    pigeonhole Hamming pairing shared with SimHash
+    (``dedup.hamming_pairs`` — 4 × 16-bit chunk equi-joins, exact
+    bit_count verify, never all-pairs).  The persist barrier keeps the
+    hash UDF from running once per self-join side."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .dedup import hamming_pairs
+
+    sig = perceptual_hash(df, payload_col, id_col, decoder=decoder).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return hamming_pairs(sig, "phash", id_col, max_hamming)

@@ -456,3 +456,74 @@ class TestPcaProject:
         assert a == b
         with pytest.raises(ValueError, match="k must"):
             pca_project(df, "embedding", 4, 0)
+
+
+class TestPerceptualHash:
+    """Block-mean perceptual hash (aHash) + pigeonhole Hamming pairing
+    over binary payloads."""
+
+    def test_identical_payloads_hash_equal_and_pair_at_zero(self, spark):
+        from gdp_etl_spark.operators.multimodal import (
+            attach_payload,
+            image_near_dup_pairs,
+            perceptual_hash,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "image one"), (2, "image two"), (3, "image one")],
+            "doc_id long, text string",
+        )
+        p = attach_payload(docs, "text")
+        h = {r["doc_id"]: r["phash"] for r in
+             perceptual_hash(p, "payload", "doc_id").collect()}
+        assert h[1] == h[3] != h[2]
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+                 image_near_dup_pairs(p, "payload", "doc_id").collect()}
+        assert pairs == {(1, 3): 0}
+
+    def test_matches_python_reference_and_is_integer_exact(self, spark):
+        import hashlib
+
+        from gdp_etl_spark.operators.multimodal import (
+            attach_payload,
+            perceptual_hash,
+        )
+
+        def ref(raw):
+            pix = []
+            for g in range(16):
+                d = hashlib.md5(raw + b":" + str(g).encode()).digest()
+                pix += [int.from_bytes(d[4*j:4*j+4], "little") for j in range(4)]
+            total = sum(pix)
+            h = 0
+            for i in range(63):
+                if pix[i] * 64 > total:
+                    h |= 1 << i
+            if pix[63] * 64 > total:
+                h -= 1 << 63
+            return h
+
+        texts = ["alpha", "beta", "a longer payload with more bytes"]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["phash"] for r in perceptual_hash(
+            attach_payload(docs, "text"), "payload", "doc_id").collect()}
+        for i, t in enumerate(texts):
+            assert got[i] == ref(t.encode())
+
+    def test_pillow_decoder_gated_with_clear_error(self, spark):
+        import pytest
+
+        from gdp_etl_spark.operators.multimodal import perceptual_hash
+
+        docs = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+        try:
+            import PIL  # noqa: F401
+            pytest.skip("Pillow installed: gate not exercised")
+        except ImportError:
+            pass
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            perceptual_hash(docs, "payload", "doc_id", decoder="pillow")
+        with pytest.raises(ValueError, match="decoder"):
+            perceptual_hash(docs, "payload", "doc_id", decoder="webp")
