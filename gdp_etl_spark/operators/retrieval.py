@@ -80,6 +80,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-k documents by BM25 over ``query_terms``.
 
@@ -148,7 +149,11 @@ def bm25_topk(
         .limit(k)
     )
     # k-bounded eager materialization so the postings cache releases
-    # before returning (the repo's prefix-filter discipline)
+    # before returning (the repo's prefix-filter discipline);
+    # materialize=False returns the lazy plan for inspection/tests and
+    # leaves cache release to the caller's first action
+    if not materialize:
+        return result
     try:
         result = result.localCheckpoint(eager=True)
     finally:
