@@ -4530,6 +4530,45 @@ def q_phash_dedup(spark, sf_dir):
     return image_near_dup_pairs(p, "payload", "doc_id", max_hamming=3)
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Corpus release diff (operators.diff reused outside the GDP
+    domain): two corpus snapshots compared by doc_id on a rolling
+    content hash — added (new ingests), missing (retired docs),
+    changed (edited text), unchanged — the release-management audit a
+    training-corpus pipeline publishes with every snapshot.  The old
+    snapshot is the documents table with every %7 doc absent (added
+    in the new release), every %5 text suffix-edited (changed), and 46
+    retired extra docs (missing).  J6 full-outer diff + C2
+    classification on the hash delta; one co-partitioned join, hashes
+    not bodies."""
+    from gdp_etl_spark.functions.text import rolling_content_hash
+    from gdp_etl_spark.operators.diff import classify_diff, full_outer_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.select(
+        "doc_id", rolling_content_hash(F.col("text")).alias("chash")
+    )
+    old_text = F.when(
+        F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+        F.concat(F.col("text"), F.lit(" OLD")),
+    ).otherwise(F.col("text"))
+    old = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) != 0)
+        .select("doc_id", old_text.alias("text"))
+        .unionByName(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(11)) == 0).select(
+                (F.col("doc_id") + F.lit(50000)).cast("long").alias("doc_id"),
+                "text",
+            )
+        )
+        .select("doc_id", rolling_content_hash(F.col("text")).alias("chash"))
+    )
+    d = full_outer_diff(new, old, ["doc_id"], "chash")
+    return classify_diff(d, "chash", tol=0).select(
+        "doc_id", "chash_new", "chash_old", "status"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     verifies the FIRST 50 keys each round.  The round-6 window: the 11
@@ -4540,11 +4579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     decontamination, CCNet per-language perplexity terciles, and the
     materialized MinHash near-dup index, temperature mixing, curation
     provenance audit, the distributed embedding covariance, the composed
-    chunk→embed→pool RAG-indexing DAG, and perceptual-hash image
-    dedup), then the 14 round-5 additions that landed after the r5
-    ledger closed and have never had a driver CORRECTNESS row, then
-    the 23 LONGEST-unchecked re-checks (all driver-green in round
-    2).  Everything rotated out stays registered below with
+    chunk→embed→pool RAG-indexing DAG, perceptual-hash image dedup, and
+    the corpus release diff), then the 14 round-5 additions that
+    landed after the r5 ledger closed and have never had a driver
+    CORRECTNESS row, then the 22 LONGEST-unchecked re-checks (all
+    driver-green in round 2).  Everything rotated out stays registered below with
     identical local oracle coverage (``tools/check_correctness.py``)."""
     return {
         # -- driver correctness window (first 50) --------------------------
@@ -4563,6 +4602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gram": q_embedding_gram,
         "chunk_embed_pool": q_chunk_embed_pool,
         "phash_dedup": q_phash_dedup,
+        "corpus_diff": q_corpus_diff,
         # round-5 additions, never driver-checked (landed post-r5-close)
         "paragraph_dedup": q_paragraph_dedup,
         "doc_chunks": q_doc_chunks,
@@ -6870,6 +6910,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.h, b.h)) <= 3
+        """,
+        # polynomial rolling hashes of both snapshots + the J6/C2
+        # classification replayed
+        "corpus_diff": """
+            WITH ch AS (
+              SELECT doc_id,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(text, ''),
+                                        c -> CAST(ascii(c) AS BIGINT))),
+                       (acc, x) -> (acc * 31 + x) % 2147483647) AS h,
+                     text
+              FROM documents
+            ),
+            new AS (SELECT doc_id, h AS chash FROM ch),
+            old AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN
+                       list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(text || ' OLD', ''),
+                                          c -> CAST(ascii(c) AS BIGINT))),
+                         (acc, x) -> (acc * 31 + x) % 2147483647)
+                     ELSE h END AS chash
+              FROM ch WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 50000 AS doc_id, h AS chash
+              FROM ch WHERE doc_id % 11 = 0
+            )
+            SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+                   n.chash AS chash_new, o.chash AS chash_old,
+                   CASE
+                     WHEN n.chash IS NULL AND o.chash IS NOT NULL
+                       THEN 'missing'
+                     WHEN n.chash IS NOT NULL AND o.chash IS NULL
+                       THEN 'added'
+                     WHEN abs(n.chash - o.chash) > 0 THEN 'changed'
+                     ELSE 'unchanged'
+                   END AS status
+            FROM new n FULL OUTER JOIN old o USING (doc_id)
         """,
         "lsh_topk": f"""
             WITH b AS (
