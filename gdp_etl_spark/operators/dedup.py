@@ -860,37 +860,39 @@ def duplicated_ngram_profile(
     groupBy.  Cost is O(total shingles), never O(pairs).
     """
 
-    sh = df.select(
+    # Project the exploded shingles down to (id, 16-byte hash, realness)
+    # IMMEDIATELY and persist ONCE: both consumers (the frequency agg
+    # and the per-occurrence probe) reuse this frame — without the
+    # barrier the O(tokens·n) shingling would run once per branch, and
+    # hashing early means every downstream shuffle moves 16-byte keys,
+    # never shingle strings.  NULL shingles (empty docs kept alive by
+    # explode_outer) take a per-document salted key so they neither
+    # funnel one partition nor match the frequency table.
+    ex = df.select(
         F.col(id_col),
         F.explode_outer(shingles(F.col(text_col), n)).alias("__sh"),
-    )
-    # Skew-safe corpus frequency: count per md5(shingle) partial-
-    # aggregates map-side (a count WINDOW over the same key would pin
-    # a mega-duplicated shingle on one unsplittable task), then the
-    # occurrences join the bounded counts back (AQE skew-split).  NULL
-    # shingles (empty docs kept alive by explode_outer) take a
-    # per-document salted key so they neither funnel one join
-    # partition nor match the frequency table.
+    ).select(
+        F.col(id_col),
+        F.col("__sh").isNotNull().alias("__real"),
+        F.coalesce(F.md5("__sh"), F.md5(F.col(id_col).cast("string"))).alias(
+            "__h"
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Skew-safe corpus frequency: count per hash partial-aggregates
+    # map-side (a count WINDOW over the same key would pin a
+    # mega-duplicated shingle on one unsplittable task); the
+    # occurrences then join the counts back (AQE skew-split).
     freq_tbl = (
-        sh.filter(F.col("__sh").isNotNull())
-        .groupBy(F.md5("__sh").alias("__h"))
+        ex.filter(F.col("__real"))
+        .groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__freq"))
     )
-    per = (
-        sh.withColumn(
-            "__h",
-            F.coalesce(F.md5("__sh"), F.md5(F.col(id_col).cast("string"))),
-        )
-        .join(freq_tbl, "__h", "left")
-        .withColumn(
-            "__dup", F.col("__sh").isNotNull() & (F.col("__freq") > 1)
-        )
+    per = ex.join(freq_tbl, "__h", "left").withColumn(
+        "__dup", F.col("__real") & (F.col("__freq") > 1)
     )
-    n_sh = F.sum(
-        F.when(F.col("__sh").isNotNull(), 1).otherwise(0)
-    ).cast("long")
+    n_sh = F.sum(F.when(F.col("__real"), 1).otherwise(0)).cast("long")
     n_dup = F.sum(F.when(F.col("__dup"), 1).otherwise(0)).cast("long")
-    return (
+    result = (
         per.groupBy(id_col)
         .agg(n_sh.alias("n_shingles"), n_dup.alias("n_dup"))
         .select(
@@ -904,6 +906,13 @@ def duplicated_ngram_profile(
             .alias("dup_frac"),
         )
     )
+    # per-doc bounded output: materialize eagerly, release the
+    # shingle-hash cache (the prefix-filter discipline)
+    try:
+        result = result.localCheckpoint(eager=True)
+    finally:
+        ex.unpersist()
+    return result
 
 
 def incremental_exact_dedup(
