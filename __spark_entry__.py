@@ -846,8 +846,12 @@ def q_dedup_keep_best(spark, sf_dir):
     corpus is mirrored (same text, shifted ids — the re-crawl /
     multi-source shape) and each copy carries a deterministic quality
     score; the survivor per text is the highest-quality copy, ties on
-    ascending id.  ONE shuffle keyed on md5(text) — rank and copy
-    count share a single window partitioning, no join back."""
+    ascending id.  Shuffles key on md5(text): winners partial-aggregate
+    map-side, join back is AQE-skew-splittable.  The fixture unions in
+    NULL-text and NULL-quality rows so the oracle exercises the NULL
+    branches: NULL texts form ONE dup group (one survivor); a
+    NULL-quality copy loses to any real-quality copy (DESC NULLS
+    LAST)."""
     from gdp_etl_spark.operators.dedup import exact_dedup_keep_best
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -863,7 +867,20 @@ def q_dedup_keep_best(spark, sf_dir):
             "long"
         ),
     )
-    return exact_dedup_keep_best(scored, "text", "doc_id", "quality")
+    nulls = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (CAST(900001 AS BIGINT), CAST(NULL AS STRING), CAST(7 AS BIGINT)),
+          (CAST(900002 AS BIGINT), CAST(NULL AS STRING), CAST(NULL AS BIGINT)),
+          (CAST(900003 AS BIGINT), CAST(NULL AS STRING), CAST(3 AS BIGINT)),
+          (CAST(900004 AS BIGINT), 'null-quality-duel', CAST(NULL AS BIGINT)),
+          (CAST(900005 AS BIGINT), 'null-quality-duel', CAST(5 AS BIGINT))
+        AS t(doc_id, text, quality)
+        """
+    )
+    return exact_dedup_keep_best(
+        scored.unionByName(nulls), "text", "doc_id", "quality"
+    )
 
 
 def q_incremental_dedup(spark, sf_dir):
@@ -5072,6 +5089,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text,
                      CAST((doc_id * 2654435761) % 997 AS BIGINT) AS quality
               FROM m
+              UNION ALL
+              -- NULL-branch fixture rows (mirror the Spark query): NULL
+              -- texts are ONE dup group; NULL quality ranks last
+              SELECT * FROM (VALUES
+                (CAST(900001 AS BIGINT), CAST(NULL AS VARCHAR),
+                 CAST(7 AS BIGINT)),
+                (CAST(900002 AS BIGINT), CAST(NULL AS VARCHAR),
+                 CAST(NULL AS BIGINT)),
+                (CAST(900003 AS BIGINT), CAST(NULL AS VARCHAR),
+                 CAST(3 AS BIGINT)),
+                (CAST(900004 AS BIGINT), 'null-quality-duel',
+                 CAST(NULL AS BIGINT)),
+                (CAST(900005 AS BIGINT), 'null-quality-duel',
+                 CAST(5 AS BIGINT))
+              ) t(doc_id, text, quality)
             )
             SELECT doc_id, text, quality,
                    CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
@@ -5079,7 +5111,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             QUALIFY row_number() OVER (
               PARTITION BY md5(text)
-              ORDER BY quality DESC, doc_id) = 1
+              ORDER BY quality DESC NULLS LAST, doc_id) = 1
         """,
         "boilerplate_lines": """
             WITH g AS (

@@ -697,10 +697,12 @@ def exact_dedup_keep_best(
     Returns every surviving row (all original columns) plus
     ``dup_count`` (how many copies the survivor represents).
 
-    Scale shape: same discipline as :func:`exact_dedup` — ONE shuffle
-    keyed on md5(text) (16-byte keys regardless of document size); the
-    rank and the copy count share one window partitioning, so Catalyst
-    plans a single sort+window, no join back.
+    Scale shape: same discipline as :func:`exact_dedup` — shuffles key
+    on md5(text) (16-byte keys regardless of document size): winners
+    partial-aggregate map-side, then an AQE-skew-splittable join back.
+
+    NULL semantics: NULL texts form ONE duplicate group (one survivor);
+    NULL quality ranks below every real quality (DESC NULLS LAST).
     """
     # Skew-safe formulation (window partitions are not AQE-divisible;
     # a text duplicated 10⁹× — think empty or error pages — would pin
@@ -710,11 +712,28 @@ def exact_dedup_keep_best(
     # rows then join the bounded winners back on the 16-byte key (AQE
     # skew-split).  ``quality_col`` must be numeric (it is negated for
     # the lexicographic min).
-    hashed = df.withColumn("__h", F.md5(F.col(text_col)))
+    #
+    # NULL handling (both matter — NULLs would otherwise change the
+    # answer silently):
+    #   * md5(NULL) is NULL and NULL keys never equi-join, so NULL-text
+    #     rows would vanish at the join back — coalesce the key to a
+    #     sentinel so they form one group (one survivor), matching the
+    #     windowed PARTITION BY md5(text) semantics every SQL engine
+    #     gives NULL partitions.
+    #   * min(struct(...)) sorts a NULL first field FIRST, so a
+    #     NULL-quality copy would beat every real-quality copy —
+    #     coalesce quality to −inf before negating (−(−inf) = +inf
+    #     sorts LAST), i.e. quality DESC NULLS LAST.
+    hashed = df.withColumn(
+        "__h", F.coalesce(F.md5(F.col(text_col)), F.lit("NULLTEXT"))
+    )
+    neg_quality = -F.coalesce(
+        F.col(quality_col).cast("double"), F.lit(float("-inf"))
+    )
     winners = hashed.groupBy("__h").agg(
         F.min(
             F.struct(
-                (-F.col(quality_col).cast("double")).alias("__nq"),
+                neg_quality.alias("__nq"),
                 F.col(id_col).alias("__id"),
             )
         ).alias("__best"),
@@ -724,7 +743,7 @@ def exact_dedup_keep_best(
         hashed.join(winners, "__h")
         .filter(
             F.struct(
-                (-F.col(quality_col).cast("double")).alias("__nq"),
+                neg_quality.alias("__nq"),
                 F.col(id_col).alias("__id"),
             )
             == F.col("__best")

@@ -55,8 +55,13 @@ def clean_corpus(
     # keep the lowest doc_id per identical cleaned text — skew-safe:
     # min(doc_id) per 16-byte hash partial-aggregates map-side and the
     # join back is AQE skew-split (a rank window would pin a
-    # mega-duplicated text on one unsplittable task)
-    d = d.withColumn("__h", F.md5(F.col("text_clean")))
+    # mega-duplicated text on one unsplittable task).  md5(NULL) is
+    # NULL and NULL keys never equi-join, so without the sentinel a
+    # NULL-text doc that passed the quality gate would silently vanish
+    # here; with it, all NULL texts form one dup group (one survivor).
+    d = d.withColumn(
+        "__h", F.coalesce(F.md5(F.col("text_clean")), F.lit("NULLTEXT"))
+    )
     firsts = d.groupBy("__h").agg(F.min("doc_id").alias("__min_id"))
     d = (
         d.join(firsts, "__h")
@@ -123,8 +128,12 @@ def curate_corpus(
     d = decontaminate(d, benchmark, text_col, id_col, shingle_k=decontam_k)
     d = d.filter(~F.col("is_contaminated")).drop("n_overlap", "is_contaminated")
     # exact dedup, skew-safe: min(id) per md5 aggregates map-side, the
-    # join back is AQE skew-split — no rank window (not AQE-divisible)
-    d = d.withColumn("__h", F.md5(F.col(text_col)))
+    # join back is AQE skew-split — no rank window (not AQE-divisible).
+    # Sentinel-coalesce the key: md5(NULL) is NULL and would drop
+    # NULL-text docs at the join; they group as one duplicate instead.
+    d = d.withColumn(
+        "__h", F.coalesce(F.md5(F.col(text_col)), F.lit("NULLTEXT"))
+    )
     firsts = d.groupBy("__h").agg(F.min(id_col).alias("__min_id"))
     d = (
         d.join(firsts, "__h")

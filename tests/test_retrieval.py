@@ -123,3 +123,28 @@ def test_clean_corpus_stages(spark):
     # sampling composes: the 30% sample is a subset of the 100% result
     sampled = clean_corpus(docs, min_quality=0.1, langs=("en",), sample_fraction=0.3)
     assert {r["doc_id"] for r in sampled.collect()} <= set(got)
+
+
+def test_clean_corpus_null_text_not_silently_dropped(spark):
+    """With langs=None a NULL-text doc passes the default gates
+    (quality_score(NULL) = 0.6 via the when/otherwise fallbacks, lang
+    'und'); md5(NULL) is NULL so the bare-key dedup join used to drop
+    every such row silently.  Contract: NULL texts form ONE duplicate
+    group and the lowest-id copy survives."""
+    from gdp_etl_spark.plans.corpus import clean_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the data table is fast and the scan is slow and it is ok"),
+            (7, None),
+            (5, None),
+            (9, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = clean_corpus(docs, min_quality=0.1, langs=None, sample_fraction=None)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc 1 survives on its own text; the three NULL texts dedup to the
+    # lowest id (5) — none vanish, none duplicate
+    assert set(got) == {1, 5}
+    assert got[5]["text_clean"] is None

@@ -467,6 +467,38 @@ class TestExactDedupKeepBest:
             "doc_id", "text", "quality", "source", "dup_count"
         }
 
+    def test_null_text_rows_survive_as_one_group(self, spark):
+        # md5(NULL) is NULL and NULL keys never equi-join — without the
+        # sentinel coalesce every NULL-text row vanished at the join
+        # back.  Contract: NULL texts form ONE dup group, the
+        # highest-quality copy survives.
+        got = self._run(spark, [
+            (1, None, 0.2),
+            (2, None, 0.9),
+            (3, None, 0.5),
+            (4, "real", 0.1),
+        ])
+        assert set(got) == {2, 4}
+        assert got[2] == (None, 0.9, 3)
+        assert got[4] == ("real", 0.1, 1)
+
+    def test_null_quality_ranks_last(self, spark):
+        # min(struct) sorts a NULL first field FIRST — without the -inf
+        # coalesce a NULL-quality copy beat every real-quality copy.
+        # Contract: quality DESC NULLS LAST, so the real copy wins even
+        # when the NULL-quality copy has the lower id.
+        got = self._run(spark, [
+            (1, "duel", None),
+            (2, "duel", 0.5),
+        ])
+        assert set(got) == {2}
+        assert got[2] == ("duel", 0.5, 2)
+
+    def test_all_null_quality_tie_breaks_on_id(self, spark):
+        got = self._run(spark, [(9, "t", None), (4, "t", None)])
+        assert set(got) == {4}
+        assert got[4] == ("t", None, 2)
+
 
 class TestBoilerplateLineFilter:
     """CCNet-style corpus-frequency line removal: a line in more than
