@@ -548,11 +548,15 @@ def normalize_for_dedup(text: Column) -> Column:
 
 #: query parameters that identify a CLICK, not a RESOURCE — the
 #: standard tracking families CommonCrawl-style canonicalizers strip
-#: (utm_* campaign tags, Google/Facebook click ids, Mailchimp ids,
-#: bare referrer tags).  Anchored; a param matches with or without a
-#: value.
+#: (utm_* campaign tags, Google/Facebook click ids, Mailchimp ids).
+#: Anchored; a param matches with or without a value.  Bare ``ref`` /
+#: ``ref_src`` are deliberately NOT in the list: on major hosts the
+#: ``ref`` param is resource-identifying (a GitHub ``?ref=<branch>``
+#: names a different tree), and a canonicalizer that over-merges
+#: causes the DEDUP STAGE TO DELETE a distinct resource — the
+#: unrecoverable direction.  Under-merging only costs a missed dedup.
 _TRACKING_PARAM_RE = (
-    "^(utm_[A-Za-z_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src)"
+    "^(utm_[A-Za-z_]*|gclid|fbclid|msclkid|mc_cid|mc_eid)"
     "(=.*)?$"
 )
 
@@ -562,13 +566,16 @@ def canonical_url(url: Column) -> Column:
     normalization run BEFORE text dedup so trivially-different links to
     the same resource collapse:
 
-    * scheme and host lowercase; ``www.`` prefix and explicit default
-      ports (``:80``, ``:443``) dropped;
+    * scheme and host lowercase; ``www.`` prefix dropped; an explicit
+      default port dropped only when it IS the scheme's default
+      (``:80`` for http, ``:443`` for https — ``http://host:443/x``
+      is a genuinely non-default port and must stay distinct);
     * fragment (``#...``) dropped — never sent to the server;
     * tracking query params removed (``utm_*``, ``gclid``, ``fbclid``,
-      ``msclkid``, ``mc_cid``/``mc_eid``, ``ref``/``ref_src``),
-      remaining params SORTED (param order is not resource identity);
-      an emptied query drops its ``?``;
+      ``msclkid``, ``mc_cid``/``mc_eid`` — NOT bare ``ref``, which is
+      resource-identifying on e.g. GitHub), remaining params SORTED
+      (param order is not resource identity); an emptied query drops
+      its ``?``;
     * trailing slashes collapsed off the path; an empty path becomes
       ``/``.
 
@@ -586,7 +593,13 @@ def canonical_url(url: Column) -> Column:
         F.regexp_extract(nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
     )
     host = F.regexp_replace(host, "^www\\.", "")
-    host = F.regexp_replace(host, ":(80|443)$", "")
+    # strip the port only when it is the SCHEME'S default — :443 on
+    # plain http (or :80 on https) is a real, distinct endpoint
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
     rest = F.regexp_extract(
         nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1
     )

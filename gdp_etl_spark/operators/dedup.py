@@ -285,9 +285,9 @@ def simhash_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs with Hamming(sig_a, sig_b) ≤ max_hamming.  Pigeonhole:
-    split 64 bits into 4 × 16-bit chunks — any pair within distance 3
-    agrees on ≥1 chunk, so candidates come from 4 equi-joins on chunk
-    value (shuffle keyed on 16-bit chunks, never all-pairs)."""
+    split 64 bits into max_hamming + 1 chunks — any pair within distance
+    agrees on ≥1 chunk, so candidates come from chunk equi-joins
+    (shuffle keyed on short chunk values, never all-pairs)."""
     # materialize before the self-join: both sides consume the frame, so
     # without the barrier the Arrow-batched signature UDF runs twice
     sig = simhash_signatures(df, text_col, id_col).persist(
@@ -300,10 +300,36 @@ def hamming_pairs(
     sig: DataFrame, sig_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Pigeonhole Hamming near-dup pairing over any 64-bit signature
-    column (SimHash, perceptual image hash, …): split into 4 × 16-bit
-    chunks — any pair within distance 3 agrees on ≥ 1 chunk — generate
-    candidates by chunk equi-join, verify with exact ``bit_count(xor)``.
-    Shuffle keys on 16-bit chunk values, never all-pairs."""
+    column (SimHash, perceptual image hash, …): split the 64 bits into
+    ``max_hamming + 1`` chunks — at most ``max_hamming`` bits differ,
+    so by pigeonhole any pair within distance agrees on ≥ 1 chunk —
+    generate candidates by chunk equi-join, verify with exact
+    ``bit_count(xor)``.  Shuffle keys on chunk values, never all-pairs.
+
+    The chunk count DERIVES from ``max_hamming`` (the fixed 4×16-bit
+    split guarantees recall only for distance ≤ 3 and silently missed
+    pairs for larger legal thresholds).  Trade-off a caller should
+    know: more chunks = shorter chunks = more candidate collisions, so
+    large ``max_hamming`` degrades toward all-pairs; ≤ ~8 stays sharp
+    on 64-bit signatures."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if max_hamming >= 64:
+        raise ValueError(
+            f"max_hamming={max_hamming} over a 64-bit signature matches "
+            "everything — that is a cross join, not a near-dup screen"
+        )
+    n_chunks = max_hamming + 1
+    base, extra = divmod(64, n_chunks)  # `extra` chunks get base+1 bits
+    widths = [base + 1 if c < extra else base for c in range(n_chunks)]
+    starts = [sum(widths[:c]) for c in range(n_chunks)]
+
+    def _chunk(c: int):
+        shifted = F.shiftrightunsigned(F.col(sig_col), starts[c])
+        if widths[c] >= 64:  # max_hamming=0: one chunk = the whole sig
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << widths[c]) - 1))
+
     chunks = sig.select(
         id_col,
         sig_col,
@@ -312,11 +338,9 @@ def hamming_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_idx"),
-                        F.shiftrightunsigned(F.col(sig_col), 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
+                        _chunk(c).alias("chunk"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("cc"),

@@ -471,7 +471,7 @@ def image_near_dup_pairs(
 ) -> DataFrame:
     """Image near-duplicate pairs: :func:`perceptual_hash` + the
     pigeonhole Hamming pairing shared with SimHash
-    (``dedup.hamming_pairs`` — 4 × 16-bit chunk equi-joins, exact
+    (``dedup.hamming_pairs`` — max_hamming+1 chunk equi-joins, exact
     bit_count verify, never all-pairs).  The persist barrier keeps the
     hash UDF from running once per self-join side."""
     from pyspark.storagelevel import StorageLevel

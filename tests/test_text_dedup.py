@@ -142,6 +142,42 @@ def test_simhash_near_dup_and_distinct(spark):
     assert (1, 4) not in pairs
 
 
+def test_hamming_pairs_recall_beyond_distance_3(spark):
+    """The d=4 spread-bits case the fixed 4×16 split silently missed:
+    two signatures differing at bits 0/16/32/48 disagree on EVERY
+    16-bit chunk, so max_hamming=4 found nothing.  Chunk count must
+    derive from max_hamming (pigeonhole: max_hamming+1 chunks)."""
+    from gdp_etl_spark.operators.dedup import hamming_pairs
+
+    base = 0x0123456789ABCDEF
+    spread4 = base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))
+    sig = spark.createDataFrame(
+        [(1, base), (2, spread4)], "doc_id long, sig long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(sig, "sig", "doc_id", max_hamming=4).collect()
+    }
+    assert got == {(1, 2): 4}
+    # and the pair is correctly EXCLUDED when the threshold is tighter
+    assert hamming_pairs(sig, "sig", "doc_id", max_hamming=3).count() == 0
+
+
+def test_hamming_pairs_parameter_guards(spark):
+    import pytest
+
+    from gdp_etl_spark.operators.dedup import hamming_pairs
+
+    sig = spark.createDataFrame([(1, 5), (2, 5)], "doc_id long, sig long")
+    # max_hamming=0 degenerates to exact-signature pairing (1 chunk)
+    got = hamming_pairs(sig, "sig", "doc_id", max_hamming=0).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 0)]
+    with pytest.raises(ValueError):
+        hamming_pairs(sig, "sig", "doc_id", max_hamming=-1)
+    with pytest.raises(ValueError):
+        hamming_pairs(sig, "sig", "doc_id", max_hamming=64)
+
+
 def test_connected_components_transitivity(spark):
     from gdp_etl_spark.operators.cluster import connected_components
 
@@ -896,13 +932,32 @@ class TestCanonicalUrl:
         got = self._run(spark, ["https://example.com/a?utm_medium=email"])
         assert got[0] == "https://example.com/a"
 
-    def test_ref_param_dropped_but_prefix_not(self, spark):
+    def test_ref_param_kept_as_resource_identifying(self, spark):
+        # a GitHub-style ?ref=<branch> names a DIFFERENT resource;
+        # over-merging before dedup deletes one of them, so bare ref
+        # is deliberately not on the tracking list
         got = self._run(spark, [
-            "https://example.com/a?ref=home",
+            "https://example.com/a?ref=main",
+            "https://example.com/a?ref=dev",
             "https://example.com/a?refresh=1",
         ])
-        assert got[0] == "https://example.com/a"
-        assert got[1] == "https://example.com/a?refresh=1"
+        assert got[0] == "https://example.com/a?ref=main"
+        assert got[1] == "https://example.com/a?ref=dev"
+        assert got[2] == "https://example.com/a?refresh=1"
+
+    def test_port_strip_is_scheme_conditional(self, spark):
+        got = self._run(spark, [
+            "http://example.com:80/x",    # http default: stripped
+            "https://example.com:443/x",  # https default: stripped
+            "http://example.com:443/x",   # NON-default: kept
+            "https://example.com:80/x",   # NON-default: kept
+            "ftp://example.com:80/x",     # unknown scheme: kept
+        ])
+        assert got[0] == "http://example.com/x"
+        assert got[1] == "https://example.com/x"
+        assert got[2] == "http://example.com:443/x"
+        assert got[3] == "https://example.com:80/x"
+        assert got[4] == "ftp://example.com:80/x"
 
 
 class TestDedupIndex:
