@@ -655,19 +655,19 @@ def lm_perplexity_buckets(
 
     Scale shape: the LM fit is the vocabulary-bounded aggregation of
     :func:`trigram_lm_scores` (measured flat at 10×, SCALE.md); the
-    split adds ONE window shuffle partitioned by language.  A single
-    language dominating the corpus is the window's skew case — at
-    100 TB, split that language's ntile by hash-salted sub-partitions
-    and merge rank ranges, or gate on a per-language row cap upstream.
+    split uses :func:`~gdp_etl_spark.operators.ids.grouped_ntile` —
+    the distributed prefix-sum rank over range partitions — NOT an
+    ``ntile`` window partitioned by language: a language-keyed window
+    pins a dominant language (~half a web corpus) on one unsplittable
+    task, while range partitions stay ~equal-size regardless of
+    language skew.  The bucket rule is bit-identical to ``ntile``, so
+    the result (and the oracle) is unchanged.
     """
-    from pyspark.sql import Window
+    from ..operators.ids import grouped_ntile
 
     scores = trigram_lm_scores(docs, text_col, id_col, vocab=vocab)
     joined = docs.select(id_col, lang_col).join(scores, id_col)
     scored = joined.filter(F.col("avg_logp").isNotNull())
-    w = Window.partitionBy(lang_col).orderBy(
-        F.col("avg_logp").desc(), F.col(id_col).asc()
-    )
     if n_buckets == 3:
         label = (
             F.when(F.col("bucket") == 1, "head")
@@ -676,10 +676,12 @@ def lm_perplexity_buckets(
         )
     else:
         label = F.concat(F.lit("b"), F.col("bucket").cast("string"))
-    bucketed = (
-        scored.withColumn("bucket", F.ntile(n_buckets).over(w))
-        .withColumn("bucket_label", label)
-    )
+    bucketed = grouped_ntile(
+        scored,
+        [lang_col],
+        [F.col("avg_logp").desc(), F.col(id_col).asc()],
+        n_buckets,
+    ).withColumn("bucket_label", label)
     unscored = joined.filter(F.col("avg_logp").isNull()).select(
         id_col,
         lang_col,

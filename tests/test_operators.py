@@ -493,6 +493,83 @@ class TestAssignRowIds:
         assert "windowspecdefinition(__pid" in plan
 
 
+class TestGroupedNtile:
+    """Distributed per-group ntile: bit-identical to
+    ntile(b) OVER (PARTITION BY group ORDER BY ...) without the
+    per-group window partition (the dominant-language straggler)."""
+
+    def _fixture(self, spark):
+        # skewed groups: 'big' has 700 rows, 'mid' 250, 'tiny' 2 —
+        # exercises remainder buckets and the n < b edge
+        return spark.range(0, 952).select(
+            F.when(F.col("id") < 700, "big")
+            .when(F.col("id") < 950, "mid")
+            .otherwise("tiny")
+            .alias("g"),
+            (F.col("id") * 37 % 953).alias("score"),
+            F.col("id"),
+        )
+
+    def test_matches_windowed_ntile_exactly(self, spark):
+        from pyspark.sql import Window
+        from gdp_etl_spark.operators.ids import grouped_ntile
+
+        df = self._fixture(spark)
+        order = [F.col("score").desc(), F.col("id").asc()]
+        for b in (3, 4, 7):
+            got = {
+                r["id"]: r["bucket"]
+                for r in grouped_ntile(
+                    df, ["g"], order, b, num_partitions=11
+                ).collect()
+            }
+            want = {
+                r["id"]: r["bucket"]
+                for r in df.withColumn(
+                    "bucket",
+                    F.ntile(b).over(Window.partitionBy("g").orderBy(*order)),
+                ).collect()
+            }
+            assert got == want
+
+    def test_partition_count_invariant(self, spark):
+        from gdp_etl_spark.operators.ids import grouped_ntile
+
+        df = self._fixture(spark)
+        order = [F.col("score").desc(), F.col("id").asc()]
+        a = {r["id"]: r["bucket"]
+             for r in grouped_ntile(df, ["g"], order, 3,
+                                    num_partitions=2).collect()}
+        b = {r["id"]: r["bucket"]
+             for r in grouped_ntile(df, ["g"], order, 3,
+                                    num_partitions=19).collect()}
+        assert a == b
+
+    def test_no_group_keyed_window_on_data_path(self, spark):
+        """The de-skew contract: every data-path window partitions by
+        the range-partition id (splittable), never by the group alone,
+        and no ntile expression survives in the plan."""
+        from gdp_etl_spark.operators.ids import grouped_ntile
+
+        df = self._fixture(spark)
+        plan = (
+            grouped_ntile(
+                df, ["g"], [F.col("score").desc(), "id"], 3,
+                num_partitions=8,
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ntile(" not in plan
+        assert "windowspecdefinition(__pid" in plan
+        # the only group-keyed window is the offsets prefix-sum over
+        # the #partitions × #groups COUNTS frame (statistics-scale) —
+        # its aggregate is sum(__n), never a data-row function
+        for line in plan.splitlines():
+            if ("windowspecdefinition(g#" in line
+                    and "windowspecdefinition(__pid" not in line):
+                assert "sum(__n" in line, line
+
+
 class TestIntervalOverlapJoin:
     def test_known_pairs_half_open(self, spark):
         from gdp_etl_spark.operators.rangejoin import interval_overlap_join
