@@ -4,12 +4,13 @@ index, built purely from DataFrame ops (tokenize → explode → aggregate).
 Scale shape (100-TB corpus, 1000 executors):
 
 * tokenize/explode is per-row map work — no shuffle, whole-stage codegen;
-* the query-term filter is applied to the exploded stream BEFORE the
-  (doc, term) aggregation, so shuffle volume is proportional to matching
-  postings only, not corpus token count;
-* document frequency / corpus stats are query-vocabulary-sized (tiny) and
-  broadcast back — the only full shuffle keys on (doc_id, term), which is
-  high-cardinality and naturally skew-free;
+* BM25 scoring never shuffles document rows at all: per-doc tf for the
+  (small) query vocabulary is computed map-side with array HOFs, the
+  df/corpus stats collapse to ONE broadcast scalar row, and the top-k is
+  TakeOrderedAndProject (k-bounded partial heaps, no sort exchange);
+* where a (doc, term) aggregation IS needed (the inverted index), the
+  term filter lands on the exploded stream BEFORE the shuffle, so volume
+  is matching postings, not corpus token count;
 * scores accumulate through fixed-point bigints (`floor(x·1e12)` sums) so
   results are partitioning-independent and engine-portable (the DuckDB
   oracle mirrors the recipe; see ``vectors.dot_fixed`` for the pattern).
@@ -89,75 +90,102 @@ def bm25_topk(
 
     Per-doc summation goes through ``floor(term_score·1e12)`` bigints so
     the total is independent of term arrival order.  Deterministic
-    tie-break on doc_id.  df/corpus stats are broadcast (query-vocab- and
-    scalar-sized); the only big shuffle is the (doc, term) tf aggregation
-    over pre-filtered postings.
+    tie-break on doc_id.
+
+    Shuffle-free shape: a query's vocabulary is a handful of terms, so
+    per-doc tf for EVERY query term is computed map-side with array
+    higher-order functions in ONE tokenize pass (no explode, no
+    (doc, term) shuffle at all); n_docs/avgdl/per-term df collapse into
+    a single scalar row (partial-aggregated map-side) broadcast back;
+    scoring is then per-row arithmetic and the top-k plans as
+    TakeOrderedAndProject (per-partition k-bounded heaps merged on the
+    driver — no global sort exchange).  The tokenize pass runs once: the
+    narrow per-doc frame (id, dl, k tf ints — no text) is persisted
+    across the stats and scoring consumers and released after the
+    k-bounded result materializes.
+
+    ``materialize=False`` returns the lazy plan for inspection/tests —
+    that path pins NO cache (executing it re-tokenizes once per
+    consumer; fine for plan reads, use the default for real queries).
 
     Default k1/b are binary-exact doubles (1.5, 0.75) so literal parsing
     is identical across engines (a decimal-parsing engine like DuckDB
     would round 1.2 differently than IEEE text→double in edge cases).
     """
-    # persist barrier: the postings feed both the df counts and the
-    # scoring probe — without it Catalyst re-scans/explodes the whole
-    # corpus for the df branch (no subtree reuse across self-joins);
-    # the frame holds query-term postings only, and the bounded top-k
-    # result is materialized below before the cache releases
-    tf = doc_term_freq(docs, text_col, id_col, terms=query_terms).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # df per term via AGGREGATION + broadcast join-back, not a
-    # term-keyed count window: a stop-word query term's postings are
-    # corpus-sized, and a window partition is not AQE-divisible — the
-    # agg partial-counts map-side and the df table is query-vocab-sized
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = corpus_stats(docs, text_col, id_col)
+    # dedup while preserving order ('' can never match a ws_token)
+    terms = [t for t in dict.fromkeys(query_terms) if t != ""]
+    if not terms:
+        raise ValueError("query_terms must contain a non-empty term")
 
-    scored = (
-        tf.join(F.broadcast(df_tbl), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-                + F.lit(1.0)
-            ),
+    def _eq(term: str):
+        # closure factory — a default-arg capture (lambda x, t=term)
+        # would make PySpark build a 2-arg (element, index) HOF lambda
+        return lambda x: x == F.lit(term)
+
+    tok = tokenized(docs, text_col, id_col)
+    per_doc = tok.select(
+        "doc_id",
+        "dl",
+        *[
+            F.size(F.filter(F.col("tokens"), _eq(t))).alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    if materialize:
+        per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE scalar row: corpus stats + per-term document frequencies —
+    # query-vocab-sized, broadcast back (never a term-keyed shuffle:
+    # a stop-word term's postings are corpus-sized)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+
+    def _term_score_fp(i: int):
+        tf_i = F.col(f"__tf_{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"__df_{i}") + F.lit(0.5))
+            / (F.col(f"__df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
         )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-            ),
-        )
+        score = idf * (tf_i * F.lit(k1 + 1.0)) / (tf_i + norm)
+        return F.when(
+            tf_i > 0, F.floor(score * F.lit(_FP)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    n_terms = sum(
+        (F.col(f"__tf_{i}") > 0).cast("int") for i in range(len(terms))
     )
     result = (
-        scored.groupBy("doc_id")
-        .agg(
+        joined.select(
+            "doc_id",
             (
-                F.sum(F.floor(F.col("term_score") * F.lit(_FP)).cast("bigint")).cast(
-                    "double"
-                )
+                sum(_term_score_fp(i) for i in range(len(terms)))
+                .cast("double")
                 / F.lit(_FP)
             ).alias("score"),
-            F.count(F.lit(1)).cast("int").alias("n_terms"),
+            n_terms.cast("int").alias("n_terms"),
         )
+        .filter(F.col("n_terms") > 0)
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(k)
     )
-    # k-bounded eager materialization so the postings cache releases
-    # before returning (the repo's prefix-filter discipline);
-    # materialize=False returns the lazy plan for inspection/tests and
-    # leaves cache release to the caller's first action
     if not materialize:
         return result
+    # k-bounded eager materialization so the per-doc cache releases
+    # before returning (the repo's prefix-filter discipline)
     try:
         result = result.localCheckpoint(eager=True)
     finally:
-        tf.unpersist()
+        per_doc.unpersist()
     return result
 
 

@@ -166,24 +166,27 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert back.count() == ev.filter(F.col("event_type") == one_type).count()
 
 
-def test_bm25_scans_corpus_once_per_pass(spark):
-    """The df computation must not re-scan/re-explode the corpus:
-    exactly two parquet scans total (persisted postings pass +
-    corpus-stats pass) — inspected on the lazy plan, since the
-    registered query materializes its bounded top-k eagerly to release
-    the postings cache."""
+def test_bm25_plan_is_shuffle_free_on_the_data_path(spark):
+    """BM25 scoring must never shuffle document rows: per-doc tf for
+    the query vocabulary is map-side array-HOF work, df/corpus stats
+    collapse to ONE broadcast scalar row, and the top-k plans as
+    TakeOrderedAndProject (k-bounded partial heaps, no sort exchange).
+    The only Exchange allowed is the SinglePartition gather of the
+    scalar stats row's partial aggregates."""
     from gdp_etl_spark.operators.retrieval import bm25_topk
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(bm25_topk(
         docs, ["spark", "join", "fast"], k=10, materialize=False
     ))
-    # both consumers of the postings (df counts + scoring probe) read
-    # the persisted frame, so exactly two InMemoryTableScans appear and
-    # the corpus explode executes once; the parquet scans printed
-    # INSIDE the InMemoryRelation are its stored plan, not re-executions
-    assert plan.count("InMemoryTableScan") == 2
+    assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+    # no explode, no (doc, term) shuffle, no global sort exchange
+    assert "Generate explode" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    # lazy-plan path pins no cache
+    assert "InMemoryTableScan" not in plan
 
 
 def test_sketch_error_bounds(spark):
