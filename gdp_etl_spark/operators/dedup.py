@@ -1097,9 +1097,9 @@ def append_to_dedup_index(
 
     Hashes already present in the index are NOT re-deduplicated
     across files — an anti-join only tests existence, so duplicate
-    index entries are semantically harmless; they cost bytes, and a
-    periodic :func:`write_dedup_index` rewrite (or compaction) reclaims
-    them.  In the intended cycle the input is the OUTPUT of
+    index entries are semantically harmless; they cost bytes and file
+    handles, and a periodic :func:`compact_dedup_index` reclaims both.
+    In the intended cycle the input is the OUTPUT of
     :func:`dedup_against_index`, which is already corpus-disjoint and
     batch-distinct, so no duplicates arise at all.
     """
@@ -1127,6 +1127,58 @@ def append_to_dedup_index(
     # pre-append file set — subsequent dedup_against_index reads would
     # silently re-admit just-appended texts (observed live).
     spark.catalog.refreshTable(index_table)
+
+
+def compact_dedup_index(spark, index_table: str) -> tuple[int, int]:
+    """Periodic maintenance for the nightly dedup index: rewrite the
+    append-accreted table into a distinct, freshly-bucketed copy and
+    swap it in under the same name.  Every :func:`append_to_dedup_index`
+    adds ``n_buckets`` files, so a year of daily batches leaves the
+    probe paying ~365× the file-open cost (and duplicate hashes are
+    possible if a caller ever appends non-admitted rows); compaction
+    restores one file per bucket and a strictly-distinct hash set.
+
+    The rewrite itself leans on the existing bucketing: the source scan
+    is bucket-in-place, so the ``distinct`` plans WITHOUT a data
+    exchange (grouping key == bucket key) and the only shuffle is the
+    writer's own redistribution into the new table's buckets.  The swap
+    is metastore RENAMEs (old → ``__old``, fresh → live, drop
+    ``__old``) — each rename is atomic; a probe can land between them,
+    so run compaction in the nightly cycle's quiet window, not
+    concurrently with ingest.  A failed rewrite never loses the live
+    table (the fresh copy builds under ``__compacting`` first; if the
+    swap-in rename fails the original is restored).
+
+    Returns ``(files_before, files_after)`` for the ops ledger.
+    """
+    spark.catalog.refreshTable(index_table)
+    meta = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE EXTENDED {index_table}").collect()
+    }
+    n_buckets = int(meta["Num Buckets"])
+    files_before = len(spark.table(index_table).inputFiles())
+    tmp, old = f"{index_table}__compacting", f"{index_table}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    (
+        spark.table(index_table)
+        .distinct()
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "text_md5")
+        .sortBy("text_md5")
+        .saveAsTable(tmp)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.sql(f"ALTER TABLE {index_table} RENAME TO {old}")
+    try:
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {index_table}")
+    except Exception:
+        spark.sql(f"ALTER TABLE {old} RENAME TO {index_table}")
+        raise
+    spark.sql(f"DROP TABLE {old}")
+    spark.catalog.refreshTable(index_table)
+    return files_before, len(spark.table(index_table).inputFiles())
 
 
 def token_window_dedup(

@@ -621,6 +621,27 @@ def test_dedup_index_antijoin_is_shuffle_free_on_index_side(spark, tmp_path):
         for i, l in enumerate(lines):
             if "FileScan parquet" in l and "t_idx_plan" in l:
                 assert not any("Exchange" in p for p in lines[max(0, i-1):i])
+        # compaction must preserve the probe plan bit-for-bit in shape:
+        # same bucket spec, still zero index-side Exchange/Sort
+        from gdp_etl_spark.operators.dedup import (
+            append_to_dedup_index,
+            compact_dedup_index,
+        )
+
+        append_to_dedup_index(
+            corpus.limit(200).withColumn(
+                "text", F.concat(F.lit("v2 "), "text")
+            ),
+            "text",
+            table,
+        )
+        before, after = compact_dedup_index(spark, table)
+        assert after == 4 and before > after
+        plan2 = _plan(
+            dedup_against_index(spark, batch, "text", "doc_id", table)
+        )
+        assert "SortMergeJoin" in plan2 and "Bucketed: true" in plan2
+        assert plan2.count("Exchange hashpartitioning") == 3
         # correctness of the admission itself is covered by
         # tests/test_text_dedup.py::TestDedupIndex
     finally:

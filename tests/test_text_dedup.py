@@ -1014,6 +1014,60 @@ class TestDedupIndex:
         assert got2 == {21}
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
+    def test_compaction_shrinks_files_and_preserves_membership(self, spark):
+        """compact_dedup_index: N appends leave N×n_buckets files; the
+        compaction rewrites to one file per bucket, dedups hashes, and
+        the swapped-in table admits EXACTLY what the accreted one did."""
+        import shutil
+
+        from gdp_etl_spark.operators.dedup import (
+            append_to_dedup_index,
+            compact_dedup_index,
+            dedup_against_index,
+            write_dedup_index,
+        )
+
+        table = "t_dedup_idx_compact"
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in (table, f"{table}__compacting", f"{table}__old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+        corpus = spark.createDataFrame(
+            [(i, f"seed {i}") for i in range(8)], "doc_id int, text string"
+        )
+        write_dedup_index(corpus, "text", table, n_buckets=4)
+        for day in range(3):
+            batch = spark.createDataFrame(
+                [(100 * (day + 1) + i, f"day{day} doc {i}") for i in range(6)],
+                "doc_id int, text string",
+            )
+            append_to_dedup_index(batch, "text", table)
+        hashes_before = {r["text_md5"] for r in spark.table(table).collect()}
+
+        files_before, files_after = compact_dedup_index(spark, table)
+        # initial write + 3 appends accrete files (a bucket a write
+        # leaves empty produces no file, so the exact count varies)
+        assert files_before > 4
+        assert files_after == 4           # one file per bucket
+        assert {r["text_md5"] for r in spark.table(table).collect()} == hashes_before
+
+        # the compacted table still ADMITS correctly (seen rejected,
+        # fresh admitted) — the probe-plan shape is pinned separately in
+        # tests/test_plans_quality.py
+        probe = spark.createDataFrame(
+            [(900, "seed 3"), (901, "day1 doc 2"), (902, "never seen")],
+            "doc_id int, text string",
+        )
+        got = {
+            r["doc_id"]
+            for r in dedup_against_index(
+                spark, probe, "text", "doc_id", table
+            ).collect()
+        }
+        assert got == {902}
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
     def test_matches_incremental_exact_dedup(self, spark):
         """The persisted path must admit EXACTLY what the in-memory
         incremental_exact_dedup admits on the same corpus/batch."""
