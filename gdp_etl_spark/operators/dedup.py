@@ -1327,7 +1327,6 @@ def write_minhash_index(
     from ..functions.text import shingles as _shingles
     from ..io import write_bucketed_table
 
-    rows_per_band = num_perm // bands
     sh = corpus.select(
         F.col(id_col).alias("doc_id"),
         _shingles(F.col(text_col), shingle_k).alias("__sh"),
@@ -1345,37 +1344,120 @@ def write_minhash_index(
             "doc_id",
             _signature_from_shingles(F.col("__sh"), num_perm).alias("__sig"),
         )
-        banded = sig.select(
-            "doc_id",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("__sig")[b * rows_per_band + r]
-                                    .cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ])
-            ).alias("bb"),
-        ).select(
-            "doc_id",
-            F.col("bb.band").alias("band"),
-            F.col("bb.bucket").alias("bucket"),
-        )
         write_bucketed_table(
-            banded, index_table, ["band", "bucket"],
-            num_buckets=n_buckets, sort_by=["band", "bucket"],
+            _banded("doc_id", sig, num_perm, bands), index_table,
+            ["band", "bucket"], num_buckets=n_buckets,
+            sort_by=["band", "bucket"],
         )
     finally:
         sh.unpersist()
+
+
+def _banded(id_out: str, sig_frame: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, band, bucket) rows from an (id, __sig) frame — the ONE
+    banding definition shared by the index write, the probe, and the
+    append, so all three generate identical buckets for identical
+    parameters (a drifted copy would silently zero the candidate
+    recall)."""
+    rows_per_band = num_perm // bands
+    return sig_frame.select(
+        id_out,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("__sig")[b * rows_per_band + r]
+                                .cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(
+        id_out,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def append_to_minhash_index(
+    admitted: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_table: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> None:
+    """Fold a batch's admitted documents into BOTH persisted MinHash
+    tables — the write half of a streaming/nightly NEAR-dup admission
+    cycle (the sibling of :func:`append_to_dedup_index`).  Band
+    memberships append to ``<index_table>`` and shingle-hash sets to
+    ``<index_table>_sets``, each with its table's bucket spec read
+    from the catalog so callers can't desynchronize it; both appends
+    re-specify sortBy and end with a catalog refresh (cloned-session
+    streaming gotcha — see :func:`append_to_dedup_index`).
+
+    Parameters must match the ones the index was written with.
+    Re-appending the same documents (crash redelivery) duplicates
+    rows in both tables; that is harmless for ADMISSION — candidate
+    generation distincts and verification tests pair existence — and
+    a duplicated verified pair in the probe's output repeats, which
+    callers using the pairs as a set already tolerate.  A periodic
+    :func:`write_minhash_index` rebuild reclaims the bytes.
+    """
+    spark = admitted.sparkSession
+
+    def _spec(table: str) -> int:
+        meta = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+        }
+        return int(meta["Num Buckets"])
+
+    from ..functions.text import shingles as _shingles
+
+    sh = admitted.select(
+        F.col(id_col).alias("doc_id"),
+        _shingles(F.col(text_col), shingle_k).alias("__sh"),
+    ).filter(F.size("__sh") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        (
+            sh.select(
+                "doc_id",
+                F.transform("__sh", lambda s: F.xxhash64(s)).alias(
+                    "sh_hashes"
+                ),
+            )
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(_spec(f"{index_table}_sets"), "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(f"{index_table}_sets")
+        )
+        sig = sh.select(
+            "doc_id",
+            _signature_from_shingles(F.col("__sh"), num_perm).alias("__sig"),
+        )
+        (
+            _banded("doc_id", sig, num_perm, bands)
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(_spec(index_table), "band", "bucket")
+            .sortBy("band", "bucket")
+            .saveAsTable(index_table)
+        )
+    finally:
+        sh.unpersist()
+    spark.catalog.refreshTable(index_table)
+    spark.catalog.refreshTable(f"{index_table}_sets")
 
 
 def near_dup_against_index(
@@ -1412,14 +1494,18 @@ def near_dup_against_index(
     from ..functions.text import shingles as _shingles
 
     t_mill = int(-(-jaccard_threshold * 1000 // 1))
-    rows_per_band = num_perm // bands
     spark.catalog.refreshTable(index_table)
     spark.catalog.refreshTable(f"{index_table}_sets")
 
     bsh = batch.select(
         F.col(id_col).alias("batch_id"),
         _shingles(F.col(text_col), shingle_k).alias("__sh"),
-    ).filter(F.size("__sh") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    ).filter(F.size("__sh") > 0)
+    if materialize:
+        # the shingle frame feeds the banding path AND the verify join;
+        # the persist pins nothing past this call — the bounded result
+        # materializes below and the cache releases before returning
+        bsh = bsh.persist(StorageLevel.MEMORY_AND_DISK)
     bsets = bsh.select(
         "batch_id",
         F.transform("__sh", lambda s: F.xxhash64(s)).alias("__bh"),
@@ -1428,31 +1514,7 @@ def near_dup_against_index(
         "batch_id",
         _signature_from_shingles(F.col("__sh"), num_perm).alias("__sig"),
     )
-    bbands = bsig.select(
-        "batch_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("__sig")[b * rows_per_band + r]
-                                .cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(
-        "batch_id",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
-    )
+    bbands = _banded("batch_id", bsig, num_perm, bands)
     idx = spark.table(index_table)
     cands = (
         bbands.join(idx, ["band", "bucket"])
@@ -1481,8 +1543,9 @@ def near_dup_against_index(
     )
     # output-sized eager materialization so the batch shingle cache
     # releases before returning (same discipline as prefix filtering);
-    # materialize=False returns the lazy plan instead (plan inspection/
-    # tests) and leaves the cache release to the caller's first action
+    # materialize=False returns the lazy plan for inspection/tests and
+    # pins NO cache at all (executing it re-shingles once per consumer
+    # — fine for plan reads, use the default for real probes)
     if not materialize:
         return result
     try:

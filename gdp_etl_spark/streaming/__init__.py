@@ -13,6 +13,11 @@ batch ones.
 """
 
 from .dedup import dedup_within_watermark, enrich_with_static
+from .ingest import (
+    incremental_file_ingest,
+    run_dedup_ingest,
+    run_near_dup_ingest,
+)
 from .join import attribute_purchases, attribute_purchases_outer
 from .stateful import event_type_counts, running_user_stats
 from .windows import (
@@ -24,6 +29,9 @@ from .windows import (
 
 __all__ = [
     "attribute_purchases",
+    "incremental_file_ingest",
+    "run_dedup_ingest",
+    "run_near_dup_ingest",
     "attribute_purchases_outer",
     "dedup_within_watermark",
     "enrich_with_static",

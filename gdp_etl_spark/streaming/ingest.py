@@ -156,3 +156,113 @@ def run_dedup_ingest(
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise TimeoutError("dedup ingest did not drain the backlog")
+
+
+def run_near_dup_ingest(
+    stream_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    exact_index_table: str,
+    near_index_table: str,
+    out_dir: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    timeout_sec: int = 120,
+) -> None:
+    """Streaming corpus ingestion with BOTH admission screens — the
+    full production gate :func:`run_dedup_ingest` only half-builds:
+    per micro-batch,
+
+    1. exact screen — within-batch keep-first + zero-index-side-shuffle
+       anti-join against the persisted md5 index
+       (:func:`~gdp_etl_spark.operators.dedup.dedup_against_index`);
+    2. near-dup screen — the exact survivors are MinHash-banded against
+       the persisted band table and Jaccard-verified against the
+       persisted shingle-set table
+       (:func:`~gdp_etl_spark.operators.dedup.near_dup_against_index`);
+       any survivor with a verified near-dup in the indexed corpus is
+       rejected;
+    3. the admitted docs land in ``out_dir/batch=<id>`` (docs-FIRST),
+       then fold into ALL THREE index tables (md5 hashes, band
+       memberships, shingle sets) so later batches screen against them.
+
+    Exactly-once from at-least-once redelivery, same ``_SUCCESS``-gated
+    protocol as :func:`run_dedup_ingest`: a re-run of a batch whose
+    directory carries the marker NEVER recomputes or rewrites the
+    admissions (the index state has advanced, so a recompute could
+    yield a subset) — it re-appends every landed doc's entries to all
+    three tables instead.  Duplicate index rows are harmless by both
+    indexes' contracts (the md5 anti-join tests existence; MinHash
+    candidate generation distincts and verification tests pair
+    existence), so "re-append everything" is the idempotent completion
+    for every crash window, in any redelivery order.
+
+    Near-dup admission is inherently ORDER-DEPENDENT across batches
+    (near-dup is not transitive: whichever copy arrives first is
+    admitted and screens the rest) — same arrival-order semantics as
+    the exact screen's cross-batch keep-first.  Within one micro-batch
+    the screen tests against the INDEXED corpus only; two mutual
+    near-dups arriving in the same batch both admit (they are
+    different exact texts).  Parameters must match the ones the
+    MinHash index was written with.
+    """
+    from ..operators.dedup import (
+        append_to_dedup_index,
+        append_to_minhash_index,
+        dedup_against_index,
+        near_dup_against_index,
+    )
+    from pyspark.sql import functions as F
+
+    def _fold_into_indexes(docs: DataFrame) -> None:
+        append_to_dedup_index(docs, text_col, exact_index_table)
+        append_to_minhash_index(
+            docs, text_col, id_col, near_index_table,
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # run everything on the micro-batch's cloned session — one
+        # catalog for probe, append, and cache invalidation (see
+        # run_dedup_ingest)
+        bspark = batch_df.sparkSession
+        path = f"{out_dir}/batch={batch_id}"
+        if _batch_committed(bspark, path):
+            # redelivery after a completed doc-write: complete all
+            # three index appends from the landed docs; never touch
+            # the directory
+            _fold_into_indexes(bspark.read.parquet(path))
+            return
+        fresh = dedup_against_index(
+            bspark, batch_df, text_col, id_col, exact_index_table
+        ).localCheckpoint(eager=True)
+        near = near_dup_against_index(
+            bspark, fresh, text_col, id_col, near_index_table,
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            jaccard_threshold=jaccard_threshold,
+        )
+        rejected = near.select(
+            F.col("batch_id").alias(id_col)
+        ).distinct()
+        admitted = fresh.join(rejected, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        if admitted.isEmpty():
+            return
+        admitted.write.mode("overwrite").parquet(path)
+        # fold from the LANDED files, exactly as the redelivery branch
+        # does — one code path for the index completion, so a crash
+        # replay is byte-identical to the uninterrupted run
+        _fold_into_indexes(bspark.read.parquet(path))
+
+    q = (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("near-dup ingest did not drain the backlog")

@@ -735,3 +735,166 @@ class TestStreamingDedupIngest:
         all_docs = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch=*").collect()}
         assert 51 in all_docs and 50 not in all_docs and 40 in all_docs
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+class TestStreamingNearDupIngest:
+    """run_near_dup_ingest: both admission screens (exact md5 index +
+    MinHash near-dup index) composed into the exactly-once ingest."""
+
+    BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa")
+    OTHER = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen")
+    PARAMS = dict(num_perm=16, bands=8, shingle_k=3)
+
+    def _setup_indexes(self, spark, exact, near):
+        import shutil
+
+        from gdp_etl_spark.operators.dedup import (
+            write_dedup_index,
+            write_minhash_index,
+        )
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in (exact, near, f"{near}_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        corpus = spark.createDataFrame(
+            [(1, self.BASE), (2, "unrelated corpus text about parquet "
+                                 "buckets and sorted merge joins today")],
+            "doc_id long, text string",
+        )
+        write_dedup_index(corpus, "text", exact, n_buckets=4)
+        write_minhash_index(
+            corpus, "text", "doc_id", near, n_buckets=4, **self.PARAMS
+        )
+
+    def _drop(self, spark, exact, near):
+        for t in (exact, near, f"{near}_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def _stream(self, spark, src):
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+
+    def test_both_screens_and_batch_parity(self, spark, tmp_path):
+        from gdp_etl_spark.operators.dedup import (
+            append_to_dedup_index,
+            append_to_minhash_index,
+            dedup_against_index,
+            near_dup_against_index,
+        )
+        from gdp_etl_spark.streaming.ingest import run_near_dup_ingest
+
+        exact, near = "t_nd_exact", "t_nd_near"
+        self._setup_indexes(spark, exact, near)
+        src, out = tmp_path / "src", tmp_path / "out"
+        src.mkdir()
+        files = [
+            [(10, self.BASE),               # exact corpus dup: screen 1
+             (11, self.BASE + " zulu"),     # near-dup of corpus: screen 2
+             (12, self.OTHER)],             # fresh: admitted
+            [(20, self.OTHER + " yankee"),  # near-dup of 12 (admitted in
+                                            # batch 1, now indexed): reject
+             (21, "a genuinely novel document mentioning watermarks "
+                  "checkpoints and exactly once sinks")],  # admitted
+        ]
+        for i, rows_ in enumerate(files):
+            spark.createDataFrame(
+                rows_, "doc_id long, text string"
+            ).write.parquet(str(src / f"f{i}"))
+
+        run_near_dup_ingest(
+            self._stream(spark, src), "text", "doc_id", exact, near,
+            str(out), jaccard_threshold=0.5, **self.PARAMS,
+        )
+        got = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/batch=*").collect()
+        }
+        assert got == {12, 21}
+
+        # batch parity: the same files pushed file-by-file through the
+        # operators directly (fresh indexes) admit the same id set
+        exact2, near2 = "t_nd_exact2", "t_nd_near2"
+        self._setup_indexes(spark, exact2, near2)
+        batch_admitted = set()
+        for rows_ in files:
+            df = spark.createDataFrame(rows_, "doc_id long, text string")
+            fresh = dedup_against_index(
+                spark, df, "text", "doc_id", exact2
+            ).localCheckpoint(eager=True)
+            pairs = near_dup_against_index(
+                spark, fresh, "text", "doc_id", near2,
+                jaccard_threshold=0.5, **self.PARAMS,
+            )
+            adm = fresh.join(
+                pairs.select(F.col("batch_id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            ).localCheckpoint(eager=True)
+            batch_admitted |= {r["doc_id"] for r in adm.collect()}
+            append_to_dedup_index(adm, "text", exact2)
+            append_to_minhash_index(
+                adm, "text", "doc_id", near2, **self.PARAMS
+            )
+        assert batch_admitted == got
+        self._drop(spark, exact, near)
+        self._drop(spark, exact2, near2)
+
+    def test_redelivery_completes_all_three_tables(self, spark, tmp_path):
+        """Crash after the doc-write, before the index appends: the
+        marker-bearing directory is never rewritten and the re-run
+        folds its docs into the md5 index AND both MinHash tables, so
+        later exact/near copies are rejected end-to-end."""
+        from gdp_etl_spark.streaming.ingest import run_near_dup_ingest
+
+        exact, near = "t_nd_exact3", "t_nd_near3"
+        self._setup_indexes(spark, exact, near)
+        src, out = tmp_path / "src", tmp_path / "out"
+        src.mkdir()
+        landed = [(40, self.OTHER), (41, "another brand new document "
+                                         "about broadcast joins and "
+                                         "adaptive query execution")]
+        spark.createDataFrame(
+            landed, "doc_id long, text string"
+        ).write.parquet(str(src / "f1"))
+        # simulate the crash window: docs landed (marker present), NO
+        # index appends happened
+        spark.createDataFrame(
+            landed, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(str(out / "batch=0"))
+
+        run_near_dup_ingest(
+            self._stream(spark, src), "text", "doc_id", exact, near,
+            str(out), jaccard_threshold=0.5, **self.PARAMS,
+        )
+        # directory intact
+        got = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(out / "batch=0")).collect()
+        }
+        assert got == {40, 41}
+        # both screens now see the landed docs: an exact copy AND a
+        # near copy are rejected, a fresh doc admits
+        spark.createDataFrame(
+            [(50, self.OTHER),               # exact copy of 40
+             (51, self.OTHER + " xray"),     # near-dup of 40
+             (52, "completely distinct closing fixture mentioning "
+                  "salting skew and bloom filters")],
+            "doc_id long, text string",
+        ).write.parquet(str(src / "f2"))
+        run_near_dup_ingest(
+            self._stream(spark, src), "text", "doc_id", exact, near,
+            str(out), jaccard_threshold=0.5, **self.PARAMS,
+        )
+        all_ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/batch=*").collect()
+        }
+        assert 52 in all_ids
+        assert 50 not in all_ids and 51 not in all_ids
+        self._drop(spark, exact, near)
