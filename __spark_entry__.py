@@ -4021,7 +4021,7 @@ def q_cogroup_reconcile(spark, sf_dir):
     batch — the escape hatch for cross-frame per-key logic; chosen
     here with a relational equivalent so the DuckDB oracle verifies
     the cogroup path value-for-value (integer arithmetic inside the
-    pandas fn makes the sums order-independent).  Scoped to one order
+    pandas fn makes the sums order-independent).  Scoped to half an order
     month: cogroup invokes the Python fn once per key, so its unit of
     work must be per-key-substantial — scoping keeps the demo honest
     about where this API belongs (hundreds of heavy keys, not millions
@@ -4030,7 +4030,7 @@ def q_cogroup_reconcile(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-03-16").cast("timestamp"))
     )
     li = (
         _t(spark, sf_dir, "lineitem")
@@ -4184,9 +4184,10 @@ def q_lm_score(spark, sf_dir):
     engines, full-hash oracle."""
     from gdp_etl_spark.functions.text import trigram_lm_scores
 
-    return trigram_lm_scores(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", vocab=4096
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0
     )
+    return trigram_lm_scores(docs, "text", "doc_id", vocab=4096)
 
 
 def q_rolling_corr(spark, sf_dir):
@@ -4367,19 +4368,21 @@ def q_lm_buckets(spark, sf_dir):
     language-partitioned window."""
     from gdp_etl_spark.functions.text import lm_perplexity_buckets
 
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0
+    )
     return lm_perplexity_buckets(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", "lang",
-        n_buckets=3, vocab=4096,
+        docs, "text", "doc_id", "lang", n_buckets=3, vocab=4096,
     )
 
 
 def q_minhash_index(spark, sf_dir):
     """Materialized NEAR-dup index (dedup.write_minhash_index +
     near_dup_against_index — the MinHash-LSH sibling of index_dedup):
-    the even-id half of the documents table is persisted ONCE as two
+    the %4==0 quarter of the documents table is persisted ONCE as two
     bucketed tables (band memberships + shingle-hash sets); today's
-    batch (the odd half plus a lightly-edited mirror of every %10==0
-    corpus doc) is then screened bucket-in-place — banded candidates
+    batch (the %4==2 quarter plus a lightly-edited mirror of every
+    %20==0 corpus doc) is then screened bucket-in-place — banded candidates
     against the band table, exact-Jaccard verification against the
     sets table, neither with an index-side shuffle (plan-pinned).
     Threshold 0.8 with 8 bands x 2 rows: P[candidate miss] < 1e-7 per
@@ -4392,7 +4395,7 @@ def q_minhash_index(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 0)
     table = "minhash_band_index"
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for t in (table, f"{table}_sets"):
@@ -4401,13 +4404,13 @@ def q_minhash_index(spark, sf_dir):
     write_minhash_index(
         corpus, "text", "doc_id", table, num_perm=16, bands=8, n_buckets=8
     )
-    mirror = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+    mirror = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0).select(
         (F.col("doc_id") + F.lit(10000)).cast("long").alias("doc_id"),
         F.concat(F.col("text"), F.lit(" slightly changed mirror")).alias(
             "text"
         ),
     )
-    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1).unionByName(
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 2).unionByName(
         mirror
     )
     return near_dup_against_index(
@@ -4450,7 +4453,11 @@ def q_curation_audit(spark, sf_dir):
     frames joined back."""
     from gdp_etl_spark.plans.corpus import curation_audit
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+        .select("doc_id", "text")
+    )
     bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
     return curation_audit(docs, bench)
 
@@ -4472,10 +4479,12 @@ def q_embedding_gram(spark, sf_dir):
 def q_chunk_embed_pool(spark, sf_dir):
     """The composed RAG-indexing DAG end-to-end: sliding-window chunking
     (packing.chunk_documents, map-only, zero shuffle) → per-chunk
-    DETERMINISTIC hash embedding (md5-projection: component k =
-    (md5(chunk:k) mod 2001 − 1000)/1000 — a stand-in for the model
-    call that keeps the whole pipeline engine-replayable, same
-    plumbing: one embedding per chunk, dim 8) → fixed-point mean-pool
+    DETERMINISTIC hash embedding (md5-projection: ONE md5 per chunk,
+    component k = (hex window [3k+1, 3k+8] of md5(chunk) mod 2001 −
+    1000)/1000 — a stand-in for the model call that keeps the whole
+    pipeline engine-replayable, same plumbing: one embedding per
+    chunk, dim 8; the single-digest form is 8× less hashing than a
+    per-component md5(chunk:k) at identical coverage) → fixed-point mean-pool
     back to one document vector (similarity.mean_pool_embeddings, one
     packed-Arrow group shuffle).  The oracle replays chunking,
     projection and pooling exactly; centroids serialize to fixed-point
@@ -4485,21 +4494,24 @@ def q_chunk_embed_pool(spark, sf_dir):
     from gdp_etl_spark.operators.packing import chunk_documents
     from gdp_etl_spark.operators.similarity import mean_pool_embeddings
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+        .select("doc_id", "text")
+    )
     chunks = chunk_documents(docs, "text", "doc_id", size=32, stride=16)
+    # the digest gets its OWN projection: eight components reference it,
+    # and an inlined md5 would re-hash the chunk once per component
     emb = chunks.select(
+        "doc_id", F.md5(F.col("chunk_text")).alias("__h")
+    ).select(
         "doc_id",
         F.transform(
             F.sequence(F.lit(0), F.lit(7)),
             lambda k: (
                 F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                ":", F.col("chunk_text"), k.cast("string")
-                            )
-                        ),
-                        1, 8,
+                    F.col("__h").substr(
+                        k * F.lit(3) + F.lit(1), F.lit(8)
                     ),
                     16, 10,
                 ).cast("bigint") % 2001 - 1000
@@ -4588,42 +4600,97 @@ def q_corpus_diff(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
-    verifies the FIRST 50 keys each round.  The round-6 window: the 11
-    NEW round-6 queries lead (golden_comments — the last recomputable
-    real-data replay — plus the materialized dedup index, URL
-    canonicalization dedup, token-window exact-substring dedup,
-    per-source quality percentile gate, benchmark-overlap-fraction
-    decontamination, CCNet per-language perplexity terciles, and the
-    materialized MinHash near-dup index, temperature mixing, curation
-    provenance audit, the distributed embedding covariance, the composed
-    chunk→embed→pool RAG-indexing DAG, perceptual-hash image dedup, and
-    the corpus release diff), then the 14 round-5 additions that
-    landed after the r5 ledger closed and have never had a driver
-    CORRECTNESS row, then the 22 LONGEST-unchecked re-checks (all
-    driver-green in round 2).  Everything rotated out stays registered below with
-    identical local oracle coverage (``tools/check_correctness.py``)."""
+    verifies the FIRST 50 keys each round, and EXACTLY 50 must precede
+    the end-of-window marker (the r6/r7 windows mis-registered 54 and
+    silently dropped the last four).  The round-8 window: the 13
+    queries whose Spark code, fixture, or oracle CHANGED this round
+    lead (NULL-handling fixes, the grouped-ntile lm_buckets rewrite,
+    the shuffle-free bm25 rewrite, canonical_url / hamming_pairs
+    correctness fixes, bench-slice caps), then the 3 stalest entries
+    (driver-green round 2, twice dropped by the marker bug), then the
+    twice-dropped round-3 re-checks plus the named stale r3/r4 greens
+    (qa_* family, sql_api family, the source scans, build_fact), then
+    22 more round-3 greens — every window entry is either changed or
+    the longest-unchecked of its cohort.  Everything rotated out stays
+    registered below with identical local oracle coverage
+    (``tools/check_correctness.py``)."""
     return {
         # -- driver correctness window (first 50) --------------------------
-        # NEW round 6: real-data golden comment replay + three new
-        # curation operators
+        # CHANGED this round (round 8) — re-verify every query whose
+        # Spark code, fixture, or oracle moved: the NULL-handling fix
+        # (dedup_keep_best + corpus DAGs), the grouped-ntile rewrite
+        # (lm_buckets), the shuffle-free bm25 rewrite, the
+        # canonical_url / hamming_pairs correctness fixes, and the
+        # bench-slice caps (lm_score, minhash_index, curation_audit,
+        # chunk_embed_pool, cogroup_reconcile)
+        "dedup_keep_best": q_dedup_keep_best,
+        "corpus_clean": q_corpus_clean,
+        "corpus_curate": q_corpus_curate,
+        "lm_buckets": q_lm_buckets,
+        "lm_score": q_lm_score,
+        "bm25_topk": q_bm25_topk,
+        "url_dedup": q_url_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "phash_dedup": q_phash_dedup,
+        "minhash_index": q_minhash_index,
+        "curation_audit": q_curation_audit,
+        "chunk_embed_pool": q_chunk_embed_pool,
+        "cogroup_reconcile": q_cogroup_reconcile,
+        # stalest re-checks: driver-green round 2, dropped from the
+        # r6/r7 windows by the off-by-four marker bug
+        "fingerprint": q_fingerprint,
+        "ivf_topk": q_ivf_topk,
+        "rolling_window": q_rolling_window,
+        # twice-dropped round-3 re-checks + named stale r3/r4 greens
+        "flagship_revenue": q_flagship_revenue,
+        "usis_export": q_usis_export,
+        "qa_discrepancies": q_qa_discrepancies,
+        "qa_top_log_ratio": q_qa_top_log_ratio,
+        "qa_added_years": q_qa_added_years,
+        "qa_missing_years": q_qa_missing_years,
+        "qa_deflator_check": q_qa_deflator_check,
+        "sql_api": q_sql_api,
+        "sql_api_q3": q_sql_api_q3,
+        "http_csv_scan": q_http_csv_scan,
+        "excel_scan": q_excel_scan,
+        "build_fact": q_build_fact,
+        # remaining longest-unchecked (driver-green round 3)
+        "asof_join": q_asof_join,
+        "base_broadcast": q_base_broadcast,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "cohort_retention": q_cohort_retention,
+        "csv_trimmed": q_csv_trimmed,
+        "cube": q_cube,
+        "decontaminate": q_decontaminate,
+        "embedding_near_dup": q_embedding_near_dup,
+        "events_sessions": q_events_sessions,
+        "events_tumbling": q_events_tumbling,
+        "fixed_width": q_fixed_width,
+        "funnel": q_funnel,
+        "grouping_sets": q_grouping_sets,
+        "ivf_recall": q_ivf_recall,
+        "kmeans_assign": q_kmeans_assign,
+        "lsh_topk": q_lsh_topk,
+        "merge_upsert": q_merge_upsert,
+        "native_rollup": q_native_rollup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "pack_sequences": q_pack_sequences,
+        "pii_redact": q_pii_redact,
+        "profile_table": q_profile_table,
+        # -- end of driver window (50) --------------------------------------
+        # rotated out of the window — every entry below is driver-green
+        # in some round and stays locally oracle-checked
+        # (tools/check_correctness.py)
         "golden_comments": q_golden_comments,
         "index_dedup": q_index_dedup,
-        "url_dedup": q_url_dedup,
         "substring_dedup": q_substring_dedup,
         "quality_gate": q_quality_gate,
         "contamination_frac": q_contamination_frac,
-        "lm_buckets": q_lm_buckets,
-        "minhash_index": q_minhash_index,
         "temperature_mix": q_temperature_mix,
-        "curation_audit": q_curation_audit,
         "embedding_gram": q_embedding_gram,
-        "chunk_embed_pool": q_chunk_embed_pool,
-        "phash_dedup": q_phash_dedup,
         "corpus_diff": q_corpus_diff,
-        # round-5 additions, never driver-checked (landed post-r5-close)
         "paragraph_dedup": q_paragraph_dedup,
         "doc_chunks": q_doc_chunks,
-        "dedup_keep_best": q_dedup_keep_best,
         "boilerplate_lines": q_boilerplate_lines,
         "dup_ngram_profile": q_dup_ngram_profile,
         "vocab_coverage": q_vocab_coverage,
@@ -4635,7 +4702,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "norm_dedup": q_norm_dedup,
         "source_report": q_source_report,
         "mean_pool": q_mean_pool,
-        # longest-unchecked re-checks (driver-green round 2)
         "gaps_islands": q_gaps_islands,
         "group_extrema": q_group_extrema,
         "topk_orders": q_topk_orders,
@@ -4658,21 +4724,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "token_stats": q_token_stats,
         "quality_lang": q_quality_lang,
-        "fingerprint": q_fingerprint,
-        # longest-unchecked re-checks (driver-green round 3)
-        "flagship_revenue": q_flagship_revenue,
-        "usis_export": q_usis_export,
-        "qa_discrepancies": q_qa_discrepancies,
-        # -- end of driver window (50) --------------------------------------
-        "qa_top_log_ratio": q_qa_top_log_ratio,
-        "qa_added_years": q_qa_added_years,
-        "qa_missing_years": q_qa_missing_years,
-        "qa_deflator_check": q_qa_deflator_check,
-        "corpus_clean": q_corpus_clean,
-        "corpus_curate": q_corpus_curate,
-        # rotated out of the window — every entry below is driver-green
-        # in some round (2-5) and stays locally oracle-checked
-        # (tools/check_correctness.py); golden replays first
         "golden_rollup": q_golden_rollup,
         "golden_release_diff": q_golden_release_diff,
         "golden_usis_export": q_golden_usis_export,
@@ -4727,9 +4778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_checks": q_dq_checks,
         "corpus_mix": q_corpus_mix,
         "array_agg": q_array_agg,
-        "build_fact": q_build_fact,
-        "http_csv_scan": q_http_csv_scan,
-        "excel_scan": q_excel_scan,
         "min_cost_supplier": q_min_cost_supplier,
         "top_acctbal_no_orders": q_top_acctbal_no_orders,
         "regional_volume": q_regional_volume,
@@ -4766,53 +4814,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "binary_header": q_binary_header,
-        "cogroup_reconcile": q_cogroup_reconcile,
         "pseudonymize": q_pseudonymize,
         "events_sliding": q_events_sliding,
         "interval_overlap": q_interval_overlap,
         "fuzzy_pairs": q_fuzzy_pairs,
         "python_datasource": q_python_datasource,
         "schema_evolution": q_schema_evolution,
-        "sql_api": q_sql_api,
-        "sql_api_q3": q_sql_api_q3,
-        "merge_upsert": q_merge_upsert,
-        "asof_join": q_asof_join,
         "scd2": q_scd2,
         "scd2_lookup": q_scd2_lookup,
         "shipping_priority": q_shipping_priority,
         "returned_revenue": q_returned_revenue,
         "table_checksum": q_table_checksum,
-        "kmeans_assign": q_kmeans_assign,
-        "simhash_pairs": q_simhash_pairs,
-        "lsh_topk": q_lsh_topk,
-        "ivf_recall": q_ivf_recall,
-        "embedding_near_dup": q_embedding_near_dup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "csv_trimmed": q_csv_trimmed,
-        "fixed_width": q_fixed_width,
         "scalar_share": q_scalar_share,
-        "base_broadcast": q_base_broadcast,
         "rolling_corr": q_rolling_corr,
         "resample_locf": q_resample_locf,
-        "events_tumbling": q_events_tumbling,
-        "events_sessions": q_events_sessions,
-        "cohort_retention": q_cohort_retention,
-        "funnel": q_funnel,
-        "cube": q_cube,
-        "native_rollup": q_native_rollup,
-        "grouping_sets": q_grouping_sets,
         "trade_volume": q_trade_volume,
         "range_join": q_range_join,
-        "decontaminate": q_decontaminate,
-        "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition_stats,
-        "bm25_topk": q_bm25_topk,
-        "pii_redact": q_pii_redact,
-        "profile_table": q_profile_table,
-        "lm_score": q_lm_score,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "rolling_window": q_rolling_window,
-        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -5040,7 +5058,7 @@ def oracle_sql() -> dict[str, str]:
                           THEN CAST([] AS VARCHAR[])
                           ELSE regexp_split_to_array(trim(text), '\s+')
                      END AS t
-              FROM documents
+              FROM documents WHERE doc_id % 2 = 0
             ),
             sized AS (
               SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0
@@ -5059,8 +5077,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             emb AS (
               SELECT doc_id, r.k,
-                     CAST(CAST(('0x' || substr(md5(chunk_text || ':'
-                            || CAST(r.k AS VARCHAR)), 1, 8)) AS BIGINT)
+                     CAST(CAST(('0x' || substr(md5(chunk_text),
+                            3 * CAST(r.k AS INT) + 1, 8)) AS BIGINT)
                           % 2001 - 1000 AS DOUBLE) / 1000.0 AS v
               FROM chunks, range(0, 8) r(k)
             ),
@@ -5386,14 +5404,14 @@ def oracle_sql() -> dict[str, str]:
         "minhash_index": f"""
             WITH corpus AS (
               SELECT doc_id AS corpus_id, {sh} AS sh
-              FROM documents WHERE doc_id % 2 = 0
+              FROM documents WHERE doc_id % 4 = 0
             ),
             batch AS (
               SELECT doc_id AS batch_id, {sh} AS sh
-              FROM documents WHERE doc_id % 2 = 1
+              FROM documents WHERE doc_id % 4 = 2
               UNION ALL
               SELECT doc_id + 10000 AS batch_id, {sh_mirror} AS sh
-              FROM documents WHERE doc_id % 10 = 0
+              FROM documents WHERE doc_id % 20 = 0
             ),
             scored AS (
               SELECT batch_id, corpus_id,
@@ -6438,7 +6456,7 @@ def oracle_sql() -> dict[str, str]:
             WITH om AS (
               SELECT * FROM orders
               WHERE o_orderdate >= TIMESTAMP '1997-03-01'
-                AND o_orderdate <  TIMESTAMP '1997-04-01'
+                AND o_orderdate <  TIMESTAMP '1997-03-16'
             ),
             lt AS (
               SELECT l_orderkey,
@@ -6552,11 +6570,14 @@ def oracle_sql() -> dict[str, str]:
         # same top-4096 vocabulary (count desc, trigram tie-break),
         # same floor(ln * 1e9) quantization, exact integer sums
         "lm_score": r"""
-            WITH norm AS (
+            WITH docs AS (
+              SELECT * FROM documents WHERE doc_id % 2 = 0
+            ),
+            norm AS (
               SELECT doc_id,
                      lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))
                        AS nt
-              FROM documents
+              FROM docs
             ),
             tri AS (
               SELECT doc_id, unnest(
@@ -6595,16 +6616,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN coalesce(s.n_tri, 0) > 0
                         THEN (CAST(s.sum_logp_q AS DOUBLE) / 1000000)
                              / CAST(s.n_tri AS DOUBLE) END AS avg_logp
-            FROM documents d LEFT JOIN scored s USING (doc_id)
+            FROM docs d LEFT JOIN scored s USING (doc_id)
         """,
         # lm_score's scoring replayed, then per-language ntile(3) with
         # the same (avg_logp DESC, doc_id) tie-broken order
         "lm_buckets": r"""
-            WITH norm AS (
+            WITH docs AS (
+              SELECT * FROM documents WHERE doc_id % 2 = 0
+            ),
+            norm AS (
               SELECT doc_id,
                      lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))
                        AS nt
-              FROM documents
+              FROM docs
             ),
             tri AS (
               SELECT doc_id, unnest(
@@ -6642,7 +6666,7 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN coalesce(s.n_tri, 0) > 0
                           THEN (CAST(s.sum_logp_q AS DOUBLE) / 1000000)
                                / CAST(s.n_tri AS DOUBLE) END AS avg_logp
-              FROM documents d LEFT JOIN scored s USING (doc_id)
+              FROM docs d LEFT JOIN scored s USING (doc_id)
             ),
             bucketed AS (
               SELECT doc_id, lang, avg_logp,
@@ -7743,10 +7767,11 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN len({g3}) = 0 THEN 0.0
                           ELSE 1.0 - CAST(len(list_distinct({g3})) AS DOUBLE)
                                / CAST(len({g3}) AS DOUBLE) END AS d3
-              FROM documents),
+              FROM documents WHERE doc_id % 2 = 0),
             s1 AS (SELECT * FROM base WHERE q >= 0.8 AND d3 <= 0.6),
             bs AS (SELECT DISTINCT unnest({sh8}) AS s
-                   FROM documents WHERE doc_id % 50 = 0),
+                   FROM documents
+                   WHERE doc_id % 2 = 0 AND doc_id % 50 = 0),
             contaminated AS (
               SELECT DISTINCT d.doc_id
               FROM (SELECT doc_id, unnest({sh8}) AS s FROM s1) d

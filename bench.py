@@ -177,11 +177,15 @@ def main() -> None:
     for _ in range(repeat):
         for name in BENCH_QUERIES:
             # mid-pass budget guard: once the wall-clock budget is
-            # spent, only queries still missing their FIRST sample run
-            # (pass 1 always completes, so every query gets a number;
-            # repeat passes degrade gracefully instead of blowing the
-            # driver's per-round bench window)
-            if time.time() - bench_t0 > _BUDGET_SEC and samples[name]:
+            # spent, only queries still missing their first TWO samples
+            # run.  Two samples are the integrity floor, not a luxury:
+            # a cold-only query's number carries one-time codegen +
+            # persist cost (up to 2× high), so a budget that starves
+            # the warm pass silently breaks round-over-round comparison
+            # for exactly the queries registered last — the bug that
+            # left 44/200 cold-only for two rounds.  Passes ≥ 3 degrade
+            # gracefully under the budget as before.
+            if time.time() - bench_t0 > _BUDGET_SEC and len(samples[name]) >= 2:
                 continue
             fn = queries[name]
             t0 = time.time()
@@ -189,7 +193,10 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.time() - t0)
         passes += 1
-        if time.time() - bench_t0 > _BUDGET_SEC:
+        # the warm pass is exempt from the budget (same integrity floor
+        # as the inner guard): never break before pass 2 when the
+        # caller asked for repeats
+        if time.time() - bench_t0 > _BUDGET_SEC and passes >= 2:
             break
     repeat = passes
     def median(xs: list[float]) -> float:

@@ -183,7 +183,10 @@ def source_report(
     standard two-phase plan on 16-byte keys) and a (source, lang)
     count rolled up to per-source entropy; both outputs are
     source-count-sized, and the final assembly is a broadcast join of
-    two tiny frames.  No windows, no self-joins, nothing driver-sized.
+    two tiny frames.  The one window (the per-source total feeding the
+    entropy shares) runs over the (source × lang)-row counts frame —
+    statistics-scale, never the corpus; no data-path windows, no
+    self-joins, nothing driver-sized.
     """
     from ..functions.text import ws_tokens
 
