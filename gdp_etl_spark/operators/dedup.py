@@ -1151,34 +1151,72 @@ def compact_dedup_index(spark, index_table: str) -> tuple[int, int]:
 
     Returns ``(files_before, files_after)`` for the ops ledger.
     """
-    spark.catalog.refreshTable(index_table)
+    return _compact_bucketed_table(spark, index_table, ["text_md5"])
+
+
+def _compact_bucketed_table(
+    spark, table: str, bucket_cols: list[str]
+) -> tuple[int, int]:
+    """Shared compaction cycle for an append-accreted bucketed table:
+    distinct full rows → rewrite under ``__compacting`` with the LIVE
+    table's bucket count (read from the catalog, so callers can't
+    desynchronize it) → metastore-rename swap, original restored if the
+    swap-in fails.  Sort columns = bucket columns, matching every index
+    table this package writes."""
+    spark.catalog.refreshTable(table)
     meta = {
         r["col_name"]: r["data_type"]
-        for r in spark.sql(f"DESCRIBE EXTENDED {index_table}").collect()
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
     }
     n_buckets = int(meta["Num Buckets"])
-    files_before = len(spark.table(index_table).inputFiles())
-    tmp, old = f"{index_table}__compacting", f"{index_table}__old"
+    files_before = len(spark.table(table).inputFiles())
+    tmp, old = f"{table}__compacting", f"{table}__old"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     (
-        spark.table(index_table)
+        spark.table(table)
         .distinct()
         .write.mode("overwrite")
         .format("parquet")
-        .bucketBy(n_buckets, "text_md5")
-        .sortBy("text_md5")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
         .saveAsTable(tmp)
     )
     spark.sql(f"DROP TABLE IF EXISTS {old}")
-    spark.sql(f"ALTER TABLE {index_table} RENAME TO {old}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     try:
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {index_table}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
     except Exception:
-        spark.sql(f"ALTER TABLE {old} RENAME TO {index_table}")
+        spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
         raise
     spark.sql(f"DROP TABLE {old}")
-    spark.catalog.refreshTable(index_table)
-    return files_before, len(spark.table(index_table).inputFiles())
+    spark.catalog.refreshTable(table)
+    return files_before, len(spark.table(table).inputFiles())
+
+
+def compact_minhash_index(
+    spark, index_table: str
+) -> dict[str, tuple[int, int]]:
+    """Compact BOTH persisted MinHash tables — the near-dup sibling of
+    :func:`compact_dedup_index`, needed for the same reason once
+    :func:`append_to_minhash_index` runs per streaming micro-batch or
+    nightly batch: every append adds up to ``n_buckets`` files to the
+    band table AND the sets table, and crash redeliveries leave
+    harmless-but-bytes-costing duplicate rows in each.  Distinct full
+    rows is the correct dedup for both (a redelivered doc's band
+    memberships and shingle-hash set are bit-identical re-derivations).
+
+    Same swap protocol and quiet-window caveat as
+    :func:`compact_dedup_index`.  Returns
+    ``{table: (files_before, files_after), table_sets: (...)}``.
+    """
+    return {
+        index_table: _compact_bucketed_table(
+            spark, index_table, ["band", "bucket"]
+        ),
+        f"{index_table}_sets": _compact_bucketed_table(
+            spark, f"{index_table}_sets", ["doc_id"]
+        ),
+    }
 
 
 def token_window_dedup(

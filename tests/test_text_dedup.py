@@ -1068,6 +1068,71 @@ class TestDedupIndex:
         assert got == {902}
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
+    def test_minhash_compaction_shrinks_both_tables(self, spark):
+        """compact_minhash_index: appends (including a redelivered
+        duplicate append) accrete files and duplicate rows in BOTH
+        tables; compaction restores one file per bucket in each and
+        the probe returns the same pair SET."""
+        import shutil
+
+        from gdp_etl_spark.operators.dedup import (
+            append_to_minhash_index,
+            compact_minhash_index,
+            near_dup_against_index,
+            write_minhash_index,
+        )
+
+        table = "t_mh_idx_compact"
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in (table, f"{table}_sets"):
+            for suffix in ("", "__compacting", "__old"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+                shutil.rmtree(f"{wh}/{t}{suffix}", ignore_errors=True)
+
+        base = ("alpha bravo charlie delta echo foxtrot golf hotel "
+                "india juliet kilo lima")
+        corpus = spark.createDataFrame(
+            [(i, f"{base} doc {i}") for i in range(8)],
+            "doc_id long, text string",
+        )
+        params = dict(num_perm=16, bands=8, shingle_k=3)
+        write_minhash_index(
+            corpus, "text", "doc_id", table, n_buckets=4, **params
+        )
+        day1 = spark.createDataFrame(
+            [(100 + i, f"{base} extra {i}") for i in range(4)],
+            "doc_id long, text string",
+        )
+        append_to_minhash_index(day1, "text", "doc_id", table, **params)
+        # redelivery: the SAME append replays (crash window) — dup rows
+        append_to_minhash_index(day1, "text", "doc_id", table, **params)
+
+        probe = spark.createDataFrame(
+            [(900, f"{base} extra 2 tail")], "doc_id long, text string"
+        )
+
+        def pairs():
+            return {
+                (r["batch_id"], r["corpus_id"])
+                for r in near_dup_against_index(
+                    spark, probe, "text", "doc_id", table,
+                    jaccard_threshold=0.5, **params,
+                ).collect()
+            }
+
+        before_pairs = pairs()
+        assert (900, 102) in before_pairs
+        stats = compact_minhash_index(spark, table)
+        for t, (fb, fa) in stats.items():
+            assert fa == 4, (t, fa)      # one file per bucket
+            assert fb > fa, (t, fb, fa)  # appends had accreted files
+        # duplicate rows collapsed: sets table has one row per doc
+        n_sets = spark.table(f"{table}_sets").count()
+        assert n_sets == 8 + 4
+        assert pairs() == before_pairs
+        for t in (table, f"{table}_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
     def test_matches_incremental_exact_dedup(self, spark):
         """The persisted path must admit EXACTLY what the in-memory
         incremental_exact_dedup admits on the same corpus/batch."""
