@@ -1081,12 +1081,11 @@ def q_url_dedup(spark, sf_dir):
     distinct; dedup then keeps the lowest doc_id per canonical URL with
     its dup_count.  The canonicalizer is a pure map-only expression
     chain (regexp extract/replace + sorted filtered query params, zero
-    UDF, zero shuffle); the dedup is the standard single-window
-    keep-first.  The oracle derives the expected canonical form from
-    FIRST PRINCIPLES (the variant construction), not by replaying the
-    regexes — an independent check of the normalization."""
-    from pyspark.sql import Window
-
+    UDF, zero shuffle); the dedup is the skew-safe min(id)+count
+    aggregation with an AQE-splittable join back.  The oracle derives
+    the expected canonical form from FIRST PRINCIPLES (the variant
+    construction), not by replaying the regexes — an independent check
+    of the normalization."""
     from gdp_etl_spark.functions.text import canonical_url
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
@@ -4364,8 +4363,10 @@ def q_lm_buckets(spark, sf_dir):
     would tail-flag low-resource languages wholesale).  ntile's
     even-split definition is engine-shared, so buckets replay exactly
     in the oracle — no interpolated-threshold parity risk.  One
-    vocabulary-bounded LM fit (flat at 10x, SCALE.md) + ONE
-    language-partitioned window."""
+    vocabulary-bounded LM fit (flat at 10x, SCALE.md); the split is
+    the distributed grouped_ntile (range partitions + prefix-sum
+    rank), NOT a language-keyed window — bit-identical results, no
+    dominant-language straggler."""
     from gdp_etl_spark.functions.text import lm_perplexity_buckets
 
     docs = _t(spark, sf_dir, "documents").filter(
