@@ -4661,6 +4661,60 @@ def q_hamming_d4(spark, sf_dir):
     return hamming_pairs(sig, "sig", "doc_id", max_hamming=4)
 
 
+def q_html_strip(spark, sf_dir):
+    """WET-style markup extraction (text.strip_markup): every document
+    is wrapped in synthetic crawl HTML (head/style, a script whose body
+    must NEVER leak, heading, entity-laden paragraph, comment) and the
+    extractor recovers the prose — script/style drop with content,
+    tags become word boundaries, the five core entities plus &nbsp;
+    decode with &amp; last.  All patterns are RE2-compatible (no
+    backreferences), so the oracle replays the chain
+    operator-for-operator.  Map-only, zero shuffle."""
+    from gdp_etl_spark.functions.text import strip_markup
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><style>p{c:red}</style></head><body>'),
+        F.lit('<script>var id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('";</script><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><p class="main">'),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" &amp; more&nbsp;&#39;end&#39;</p><!-- crawl "),
+        F.col("doc_id").cast("string"),
+        F.lit(" --></body></html>"),
+    )
+    return d.select(
+        "doc_id", strip_markup(html).alias("clean_text")
+    )
+
+
+def q_line_dedup_doc(spark, sf_dir):
+    """Within-document repeated-line removal (text.dedup_lines_in_doc,
+    the RefinedWeb per-doc rule — complementary to the cross-document
+    boilerplate_lines): each doc is rebuilt as banner/text/separator/
+    banner/text, and the dedup keeps the first banner and first text
+    while the single-char separator (formatting) always survives.
+    Pure indexed-HOF expression: map-only, zero shuffle, O(lines²)
+    bounded per document."""
+    from gdp_etl_spark.functions.text import dedup_lines_in_doc
+
+    d = _t(spark, sf_dir, "documents")
+    multi = F.concat_ws(
+        "\n",
+        F.lit("== SITE BANNER =="),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("-"),
+        F.lit("== SITE BANNER =="),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        dedup_lines_in_doc(multi).alias("text"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     verifies the FIRST 50 keys each round, and EXACTLY 50 must precede
@@ -4897,6 +4951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 additions (below the window; local oracle coverage)
         "source_terciles": q_source_terciles,
         "hamming_d4": q_hamming_d4,
+        "html_strip": q_html_strip,
+        "line_dedup_doc": q_line_dedup_doc,
     }
 
 
@@ -8731,5 +8787,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sig, b.sig)) <= 4
+        """,
+        # WET-style extraction replayed operator-for-operator (RE2-safe
+        # patterns; &amp; decodes last so &amp;lt; stays &lt;)
+        "html_strip": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><head><style>p{c:red}</style></head><body>'
+                     || '<script>var id="' || CAST(doc_id AS VARCHAR)
+                     || '";</script><h1>Doc ' || CAST(doc_id AS VARCHAR)
+                     || '</h1><p class="main">' || coalesce(text, '')
+                     || ' &amp; more&nbsp;&#39;end&#39;</p><!-- crawl '
+                     || CAST(doc_id AS VARCHAR) || ' --></body></html>'
+                       AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     replace(replace(replace(replace(replace(replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(t,
+                               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g'),
+                         '<[^>]+>', ' ', 'g'),
+                       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                     '\s+', ' ', 'g')) AS clean_text
+            FROM h
+        """,
+        # indexed list_filter keep-first replay (1-based i; prefix =
+        # lines[1:i-1]); single-char separator always survives
+        "line_dedup_doc": """
+            WITH m AS (
+              SELECT doc_id,
+                     '== SITE BANNER ==' || chr(10) || coalesce(text, '')
+                     || chr(10) || '-' || chr(10) || '== SITE BANNER =='
+                     || chr(10) || coalesce(text, '') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(
+                     list_filter(string_split(t, chr(10)),
+                       (x, i) -> length(trim(x)) < 2
+                              OR list_position(
+                                   string_split(t, chr(10))[1:i-1], x) = 0),
+                     chr(10)) AS text
+            FROM m
         """,
     }

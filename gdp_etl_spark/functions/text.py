@@ -692,3 +692,67 @@ def lm_perplexity_buckets(
     return bucketed.select(
         id_col, lang_col, "avg_logp", "bucket", "bucket_label"
     ).unionByName(unscored)
+
+
+def strip_markup(text: Column) -> Column:
+    """HTML/XML → plain text, the WET-style extraction step run before
+    every text-quality/dedup stage when the corpus arrives as crawled
+    markup: script/style blocks drop WITH their content (code is not
+    prose), comments drop, remaining tags become spaces (so
+    ``a<br>b`` keeps its word boundary), and the five core character
+    entities plus ``&nbsp;`` decode — ``&amp;`` LAST, the standard
+    order that keeps ``&amp;lt;`` from double-decoding into ``<``.
+    Whitespace then squeezes to single spaces and trims; NULL text
+    yields ``''`` (the extraction contract downstream operators
+    expect).
+
+    Deliberately regex-light: every pattern is RE2-compatible (no
+    backreferences — script and style close independently), so the
+    DuckDB oracle replays the chain operator-for-operator.  Map-only
+    expression, whole-stage codegen, zero shuffle; a real pipeline
+    swaps in an Arrow-batched parser (trafilatura-class) behind the
+    same column contract when fidelity beats throughput.
+    """
+    t = F.coalesce(text, F.lit(""))
+    t = F.regexp_replace(t, "(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, "(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, "(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, "<[^>]+>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # last: &amp;lt; must yield &lt;, not <
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, "\\s+", " "))
+
+
+def dedup_lines_in_doc(
+    text: Column, sep: str = "\n", min_chars: int = 2
+) -> Column:
+    """WITHIN-document repeated-line removal (the RefinedWeb per-doc
+    rule, complementing the cross-document
+    :func:`~gdp_etl_spark.operators.dedup.boilerplate_line_filter`):
+    each line survives iff it is the FIRST occurrence of its exact
+    text inside the document; lines shorter than ``min_chars`` after
+    trimming (blank separators, lone punctuation) always survive —
+    they are formatting, not content.  Lines rejoin in original order
+    with ``sep``; NULL text yields ``''``.
+
+    Pure expression (split → indexed ``filter`` with an
+    ``array_position`` prefix test → ``array_join``): map-only, zero
+    shuffle, engine-replayable.  The prefix test is O(lines²) PER
+    DOCUMENT — bounded by document size, which is exactly the budget a
+    map-side rule may spend at 100 TB; documents are never compared to
+    each other here.
+    """
+    lines = F.split(F.coalesce(text, F.lit("")), sep)
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.length(F.trim(x)) < min_chars)
+        | (F.array_position(F.slice(lines, F.lit(1), i), x) == 0),
+    )
+    return F.array_join(kept, sep)

@@ -716,3 +716,79 @@ class TestCurationAudit:
             for r in curate_corpus(docs, bench).select("doc_id").collect()
         }
         assert kept == survivors and len(kept) > 0
+
+
+class TestStripMarkup:
+    """WET-style markup extraction (functions.text.strip_markup):
+    script/style drop WITH content, comments drop, tags become word
+    boundaries, entities decode with &amp; last."""
+
+    def _run(self, spark, vals):
+        from gdp_etl_spark.functions.text import strip_markup
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "i int, t string"
+        )
+        rows = df.select("i", strip_markup(F.col("t")).alias("s")).collect()
+        return [r["s"] for r in sorted(rows, key=lambda r: r["i"])]
+
+    def test_full_document(self, spark):
+        got = self._run(spark, [
+            '<html><head><style>p{c:red}</style></head><body>'
+            '<script>var a="<b>";</script><h1>Title</h1>'
+            '<p class="x">A &amp;lt; B &amp; C&nbsp;&#39;q&#39;</p>'
+            '<!-- crawl note --><p>tail</p></body></html>',
+        ])
+        # &amp;lt; decodes to the LITERAL &lt; (amp last), not to <
+        assert got[0] == "Title A &lt; B & C 'q' tail"
+
+    def test_tags_are_word_boundaries(self, spark):
+        got = self._run(spark, ["a<br>b", "a<b>bold</b>c"])
+        assert got[0] == "a b"
+        assert got[1] == "a bold c"
+
+    def test_null_and_plain_text(self, spark):
+        got = self._run(spark, [None, 'plain &quot;text&quot;'])
+        assert got[0] == ""
+        assert got[1] == 'plain "text"'
+
+    def test_script_content_never_leaks(self, spark):
+        got = self._run(spark, [
+            '<script type="text/javascript">secret()</script>ok'
+            "<style>.x{display:none}</style>",
+        ])
+        assert got[0] == "ok"
+
+
+class TestDedupLinesInDoc:
+    """Within-document repeated-line removal (RefinedWeb per-doc rule):
+    first occurrence survives, trivial lines always survive, order
+    preserved."""
+
+    def _run(self, spark, text, **kw):
+        from gdp_etl_spark.functions.text import dedup_lines_in_doc
+
+        df = spark.createDataFrame([(1, text)], "i int, t string")
+        return df.select(
+            dedup_lines_in_doc(F.col("t"), **kw).alias("s")
+        ).collect()[0]["s"]
+
+    def test_keep_first_preserve_order(self, spark):
+        got = self._run(
+            spark, "HEADER\nbody one\n\nHEADER\nbody two\nbody one\n.\n."
+        )
+        assert got == "HEADER\nbody one\n\nbody two\n.\n."
+
+    def test_trivial_lines_always_survive(self, spark):
+        # blank and single-char lines repeat freely (formatting)
+        got = self._run(spark, "x y\n\n\n-\n-\nx y")
+        assert got == "x y\n\n\n-\n-"
+
+    def test_min_chars_boundary(self, spark):
+        # at min_chars=1 even single-char lines dedup
+        got = self._run(spark, "-\n-\nab\nab", min_chars=1)
+        assert got == "-\nab"
+
+    def test_null_text_yields_empty(self, spark):
+        got = self._run(spark, None)
+        assert got == ""
