@@ -4715,6 +4715,30 @@ def q_line_dedup_doc(spark, sf_dir):
     )
 
 
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined-chunking exact-substring dedup
+    (dedup.cdc_window_dedup — the alignment-robust complement to
+    substring_dedup): the corpus is unioned with a SHIFTED mirror of
+    every %5==0 doc (three tokens prepended), the shape fixed windows
+    structurally miss; chunk boundaries depend on token content alone
+    (md5 low bits), so the mirror's interior chunks are identical to
+    the original's and dedup despite the offset.  Chunking is pure
+    map-side HOF work; then the family's shared skew-safe
+    first-occurrence aggregation."""
+    from gdp_etl_spark.operators.dedup import cdc_window_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0).select(
+        (F.col("doc_id") + F.lit(100000)).cast("long").alias("doc_id"),
+        F.concat(F.lit("shifted mirror prefix "), F.coalesce(
+            F.col("text"), F.lit("")
+        )).alias("text"),
+    )
+    return cdc_window_dedup(
+        docs.unionByName(shifted), "text", "doc_id", boundary_bits=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     verifies the FIRST 50 keys each round, and EXACTLY 50 must precede
@@ -4953,6 +4977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_d4": q_hamming_d4,
         "html_strip": q_html_strip,
         "line_dedup_doc": q_line_dedup_doc,
+        "cdc_dedup": q_cdc_dedup,
     }
 
 
@@ -8836,5 +8861,77 @@ def oracle_sql() -> dict[str, str]:
                                    string_split(t, chr(10))[1:i-1], x) = 0),
                      chr(10)) AS text
             FROM m
+        """,
+        # content-defined chunking replayed: boundary after any token
+        # whose md5-prefix bigint has low 4 bits zero; keep-first per
+        # chunk text ordered by (doc_id, pos); token-granular rebuild
+        "cdc_dedup": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     'shifted mirror prefix ' || coalesce(text, '')
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(coalesce(text, ''),
+                                                    '\s+'),
+                                 x -> x <> '') AS tk
+              FROM corpus
+            ),
+            bounds AS (
+              SELECT doc_id, tk,
+                     list_filter(range(0, len(tk)),
+                       i -> CAST(('0x' || substr(
+                                    md5(tk[CAST(i + 1 AS INT)]), 1, 8))
+                                 AS BIGINT) % 16 = 0) AS closes
+              FROM toks
+            ),
+            segs AS (
+              SELECT doc_id, tk,
+                     list_prepend(0, list_transform(closes, c -> c + 1))
+                       AS starts,
+                     list_append(closes, len(tk) - 1) AS ends
+              FROM bounds
+            ),
+            chunked AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(range(0, len(starts)),
+                         k -> array_to_string(
+                                tk[CAST(starts[CAST(k + 1 AS INT)] + 1
+                                        AS INT)
+                                   : CAST(ends[CAST(k + 1 AS INT)] + 1
+                                          AS INT)], ' ')),
+                       x -> x <> '') AS cs
+              FROM segs
+            ),
+            chunks AS (
+              SELECT doc_id,
+                     CASE WHEN len(cs) = 0 THEN [''] ELSE cs END AS cs
+              FROM chunked
+            ),
+            wins AS (
+              SELECT doc_id,
+                     unnest(cs) AS win,
+                     unnest(range(0, len(cs))) AS pos
+              FROM chunks
+            ),
+            ranked AS (
+              SELECT doc_id, pos, win,
+                     CASE WHEN length(win) > 0
+                          THEN row_number() OVER (
+                            PARTITION BY win ORDER BY doc_id, pos)
+                          ELSE 1 END AS rk
+              FROM wins
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN rk = 1 THEN win END, ' '
+                                       ORDER BY pos), '') AS text,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_removed
+            FROM ranked GROUP BY doc_id
         """,
     }

@@ -1277,6 +1277,20 @@ def token_window_dedup(
             ).alias("__pos", "__win"),
         )
     )
+    return _keep_first_rebuild(wins, id_col, text_col, "n_windows")
+
+
+def _keep_first_rebuild(
+    wins: DataFrame, id_col: str, text_col: str, count_alias: str
+) -> DataFrame:
+    """Shared tail of the token-granular dedup family: given
+    (id, __pos, __win) occurrence rows, keep each window text's globally
+    FIRST occurrence (ordered by (id, pos)), rebuild documents from the
+    survivors in order, and report per-doc occurrence/removal counts.
+    Skew-safe: min(struct(id, pos)) per md5(window) partial-aggregates
+    map-side and the join back is AQE skew-split; empty windows
+    (tokenless docs) take per-occurrence salted keys so md5('') never
+    funnels a join partition."""
     eligible = F.length("__win") > 0
     firsts = (
         wins.filter(eligible)
@@ -1285,9 +1299,6 @@ def token_window_dedup(
             F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first")
         )
     )
-    # empty windows (tokenless docs) take a per-occurrence salted key:
-    # md5('') would funnel them into one join partition (same rationale
-    # as paragraph_exact_dedup)
     ranked = wins.withColumn(
         "__h",
         F.when(eligible, F.md5("__win")).otherwise(
@@ -1320,13 +1331,108 @@ def token_window_dedup(
                 ),
                 " ",
             ).alias(text_col),
-            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.count(F.lit(1)).cast("long").alias(count_alias),
             F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias(
                 "n_removed"
             ),
         )
-        .select(id_col, text_col, "n_windows", "n_removed")
+        .select(id_col, text_col, count_alias, "n_removed")
     )
+
+
+def cdc_window_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    boundary_bits: int = 4,
+) -> DataFrame:
+    """Exact-substring dedup at CONTENT-DEFINED chunk granularity —
+    the alignment-robust complement to :func:`token_window_dedup`,
+    whose fixed windows only catch a duplicated passage when both
+    copies start at the same offset modulo the window.  Here a chunk
+    boundary falls AFTER any token whose hash has its low
+    ``boundary_bits`` bits zero (expected chunk length =
+    2^boundary_bits tokens), so chunk boundaries are a function of the
+    CONTENT alone: a passage duplicated at any offset produces
+    identical interior chunks in both copies, and every interior chunk
+    dedups regardless of shift — the classic CDC property (LBFS /
+    rsync lineage) applied to token streams.  Edge chunks (where the
+    duplicated region meets surrounding text) still differ; recall is
+    chunk-granular, precision exact.
+
+    The per-token hash is the md5-hex prefix as a bigint — portable to
+    the SQL oracle, unlike xxhash.  Standard CDC caveat: chunk length
+    is geometric (expected 2^bits), unbounded in the extreme; a
+    pathological no-boundary document yields one doc-sized chunk,
+    which is exactly :func:`paragraph_exact_dedup`'s granularity, not
+    a failure.
+
+    Returns ``(id_col, text_col, n_chunks, n_removed)``; documents
+    rebuild from surviving chunks in order, single-space joined; a
+    fully-removed or NULL/empty document yields ``''``.
+
+    Scale shape: chunking is PURE map-side higher-order-function work
+    (flags → boundary indices → slices — no per-doc window, no
+    explode-then-regroup); then the family's shared skew-safe
+    first-occurrence aggregation + AQE-splittable join back
+    (:func:`_keep_first_rebuild`).  O(tokens), not O(pairs).
+    """
+    if not 0 < boundary_bits < 32:
+        raise ValueError(
+            f"boundary_bits must be in (0, 32), got {boundary_bits}"
+        )
+    mask = 1 << boundary_bits
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+    tk = F.col("__toks")
+
+    def tok_hash(t):
+        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+
+    # 0-based indices whose token CLOSES a chunk; sequence counts DOWN
+    # for empty arrays, hence the explicit guard
+    idx0 = F.when(
+        F.size(tk) > 0, F.sequence(F.lit(0), F.size(tk) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    closes = F.filter(
+        idx0, lambda i: tok_hash(F.element_at(tk, i + 1)) % mask == 0
+    )
+    starts = F.concat(
+        F.array(F.lit(0)), F.transform(closes, lambda c: c + 1)
+    )
+    ends = F.concat(closes, F.array(F.size(tk) - 1))
+    chunk_texts = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size(starts) - 1),
+            lambda k: F.array_join(
+                F.slice(
+                    tk,
+                    F.element_at(starts, k + 1) + 1,
+                    F.greatest(
+                        F.element_at(ends, k + 1)
+                        - F.element_at(starts, k + 1)
+                        + 1,
+                        F.lit(0),
+                    ),
+                ),
+                " ",
+            ),
+        ),
+        lambda x: x != "",
+    )
+    # a tokenless doc must still emit ONE (empty) occurrence so the
+    # document survives the rebuild as '' (same contract as
+    # token_window_dedup's n_win >= 1 guard)
+    chunk_texts = F.when(
+        F.size(chunk_texts) > 0, chunk_texts
+    ).otherwise(F.array(F.lit("")))
+    wins = df.select(F.col(id_col), toks.alias("__toks")).select(
+        F.col(id_col),
+        F.posexplode(chunk_texts).alias("__pos", "__win"),
+    )
+    return _keep_first_rebuild(wins, id_col, text_col, "n_chunks")
 
 
 def write_minhash_index(

@@ -1323,3 +1323,62 @@ class TestMinhashIndex:
         }
         assert via_index == via_pairs and len(via_index) > 0
         self._clean(spark, table)
+
+
+class TestCdcWindowDedup:
+    """Content-defined chunking dedup: boundaries are a function of
+    token content (md5 low bits), so duplicated passages dedup at ANY
+    offset — the alignment robustness fixed windows lack.  Fixture
+    tokens w18/w35/w44 are verified boundary tokens (md5 prefix % 16
+    == 0); w0..w11, w990.. are verified non-boundaries."""
+
+    #: passage with deterministic chunk closes after w18, w35, w44
+    P = "w0 w1 w2 w18 w3 w4 w5 w35 w6 w7 w8 w44 w9 w10 w11"
+
+    def _run(self, spark, rows, **kw):
+        from gdp_etl_spark.operators.dedup import cdc_window_dedup
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: (r["text"], r["n_chunks"], r["n_removed"])
+            for r in cdc_window_dedup(df, "text", "doc_id", **kw).collect()
+        }
+
+    def test_shifted_duplicate_interior_chunks_dedup(self, spark):
+        got = self._run(spark, [
+            (1, self.P),
+            (2, "w990 w991 w992 " + self.P),  # 3-token shift
+        ])
+        assert got[1] == (self.P, 4, 0)
+        # the edge chunk (prefix + first chunk) differs; the three
+        # INTERIOR chunks are identical despite the shift and dedup
+        assert got[2] == ("w990 w991 w992 w0 w1 w2 w18", 4, 3)
+
+    def test_exact_duplicate_fully_removed(self, spark):
+        got = self._run(spark, [(1, self.P), (2, self.P)])
+        assert got[1] == (self.P, 4, 0)
+        assert got[2] == ("", 4, 4)
+
+    def test_null_and_empty_docs_survive_as_empty(self, spark):
+        got = self._run(spark, [(1, None), (2, ""), (3, "   ")])
+        assert got[1] == ("", 1, 0)
+        assert got[2] == ("", 1, 0)
+        assert got[3] == ("", 1, 0)
+
+    def test_no_boundary_doc_is_one_chunk(self, spark):
+        # no boundary token: whole doc = one chunk — paragraph-granular
+        # recall, not a failure
+        got = self._run(spark, [(1, "w0 w1 w2 w3"), (2, "w0 w1 w2 w3")])
+        assert got[1] == ("w0 w1 w2 w3", 1, 0)
+        assert got[2] == ("", 1, 1)
+
+    def test_boundary_bits_guard(self, spark):
+        import pytest
+
+        from gdp_etl_spark.operators.dedup import cdc_window_dedup
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            cdc_window_dedup(df, "text", "doc_id", boundary_bits=0)
+        with pytest.raises(ValueError):
+            cdc_window_dedup(df, "text", "doc_id", boundary_bits=32)
