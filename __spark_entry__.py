@@ -4739,6 +4739,32 @@ def q_cdc_dedup(spark, sf_dir):
     )
 
 
+def q_cluster_split(spark, sf_dir):
+    """Cluster-aware leak-free split (sampling.cluster_safe_split):
+    near-dup chains of three (doc, doc+1, doc+2 for every %10==0 doc)
+    must land in ONE split — the split key is the cluster's canonical
+    (minimum reachable) id, so near-identical documents can never
+    straddle train/test (memorization read as generalization).  The
+    oracle derives cluster ids from FIRST PRINCIPLES of the chain
+    construction and replays hash_split's md5-bucket rule on them."""
+    from gdp_etl_spark.operators.sampling import cluster_safe_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    roots = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    pairs = roots.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+    ).unionByName(
+        roots.select(
+            (F.col("doc_id") + 1).alias("id_a"),
+            (F.col("doc_id") + 2).alias("id_b"),
+        )
+    )
+    return cluster_safe_split(docs, pairs, "doc_id").select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     verifies the FIRST 50 keys each round, and EXACTLY 50 must precede
@@ -4978,6 +5004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip": q_html_strip,
         "line_dedup_doc": q_line_dedup_doc,
         "cdc_dedup": q_cdc_dedup,
+        "cluster_split": q_cluster_split,
     }
 
 
@@ -8933,5 +8960,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT)
                      AS n_removed
             FROM ranked GROUP BY doc_id
+        """,
+        # chain construction gives the closed-form component (min of the
+        # chain); split replays hash_split's md5-bucket thresholds on
+        # the CLUSTER id
+        "cluster_split": """
+            WITH c AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 <= 2
+                          THEN doc_id - doc_id % 10
+                          ELSE doc_id END AS cluster_id
+              FROM documents
+            )
+            SELECT doc_id, cluster_id,
+                   CASE WHEN b < 3865470566 THEN 'train'
+                        WHEN b < 4080218931 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, cluster_id,
+                         CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)
+                              || ':' || '42'), 1, 8)) AS BIGINT) AS b
+                  FROM c)
         """,
     }

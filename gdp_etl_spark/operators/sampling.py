@@ -288,3 +288,45 @@ def temperature_mix(
         df.join(F.broadcast(rates), domain_col)
         .filter(bucket < F.col("rate_ppm"))
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    near_dup_pairs: DataFrame,
+    id_col: str,
+    fractions: Mapping[str, float] | None = None,
+    seed: str = "42",
+) -> DataFrame:
+    """Leak-free dataset split for pipelines that KEEP near-duplicates:
+    every member of a near-dup cluster lands in the SAME split, because
+    the split key is the cluster's canonical id (minimum reachable
+    member), not the document's own id.  Splitting on doc ids leaks —
+    two near-identical documents straddling train/test is memorization
+    measured as generalization; deduplicating first avoids it only when
+    deletion is acceptable, which eval-set curation often forbids.
+
+    ``near_dup_pairs`` is any (id_a, id_b) frame — MinHash-LSH,
+    SimHash, embedding-cosine.  Isolated documents (no pair) are their
+    own cluster and split by their own id, so the output is a total
+    function of the input: every doc gets exactly one split label.
+    Returns all ``docs`` columns plus ``cluster_id`` and ``split``.
+
+    Scale shape: components over the PAIR graph (near-dup-pair-sized,
+    ≪ corpus; driver union-find fast path under the threshold, bounded
+    min-label loop above it), broadcast-joined back to the corpus when
+    small; the split itself is the map-only md5-bucket rule of
+    :func:`hash_split` applied to the cluster key — deterministic
+    across runs, engines, and partitionings.
+    """
+    from .cluster import connected_components
+
+    comp = connected_components(near_dup_pairs, "id_a", "id_b")
+    labeled = docs.join(
+        comp.withColumnRenamed("node", id_col),
+        id_col,
+        "left",
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+    out = hash_split(labeled, "cluster_id", fractions, seed)
+    return out

@@ -792,3 +792,66 @@ class TestDedupLinesInDoc:
     def test_null_text_yields_empty(self, spark):
         got = self._run(spark, None)
         assert got == ""
+
+
+class TestClusterSafeSplit:
+    """Leak-free split for corpora that KEEP near-dups: cluster members
+    co-assign (split key = canonical cluster id), isolated docs split
+    by their own id, assignment is partitioning-independent."""
+
+    def _fixture(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(12)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+        )
+        return docs, pairs
+
+    def test_cluster_members_share_split(self, spark):
+        from gdp_etl_spark.operators.sampling import cluster_safe_split
+
+        docs, pairs = self._fixture(spark)
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["split"])
+            for r in cluster_safe_split(docs, pairs, "doc_id").collect()
+        }
+        assert got[1] == got[2] == got[3]          # chain co-assigns
+        assert got[7] == got[8]
+        assert got[1][0] == 1 and got[7][0] == 7   # canonical = min id
+        assert got[5][0] == 5                      # isolated: own id
+        assert len(got) == 12                      # total function
+
+    def test_partitioning_independent(self, spark):
+        from gdp_etl_spark.operators.sampling import cluster_safe_split
+
+        docs, pairs = self._fixture(spark)
+        a = {r["doc_id"]: r["split"]
+             for r in cluster_safe_split(
+                 docs.repartition(1), pairs, "doc_id").collect()}
+        b = {r["doc_id"]: r["split"]
+             for r in cluster_safe_split(
+                 docs.repartition(7), pairs, "doc_id").collect()}
+        assert a == b
+
+    def test_leak_prevented_vs_doc_id_split(self, spark):
+        """The defining property: a near-dup pair whose DOC ids hash to
+        different splits must still co-assign under the cluster key."""
+        from gdp_etl_spark.operators.sampling import (
+            cluster_safe_split,
+            hash_split,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(200)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 200, 2)], "id_a long, id_b long"
+        )
+        naive = {r["doc_id"]: r["split"]
+                 for r in hash_split(docs, "doc_id").collect()}
+        # the naive per-doc split DOES straddle at least one pair
+        assert any(naive[i] != naive[i + 1] for i in range(0, 200, 2))
+        safe = {r["doc_id"]: r["split"]
+                for r in cluster_safe_split(docs, pairs, "doc_id").collect()}
+        assert all(safe[i] == safe[i + 1] for i in range(0, 200, 2))
