@@ -1403,19 +1403,20 @@ def cdc_window_dedup(
         F.array(F.lit(0)), F.transform(closes, lambda c: c + 1)
     )
     ends = F.concat(closes, F.array(F.size(tk) - 1))
+    # zip the bound arrays FIRST: an element_at(starts, k) per chunk
+    # would re-inline the whole boundary expression (Project collapse
+    # defeats reuse) and recompute every token hash once per access —
+    # measured quadratic, 21 s for 5k docs.  arrays_zip evaluates each
+    # bound array once; the transform then reads struct fields.
+    bounds = F.arrays_zip(starts.alias("s"), ends.alias("e"))
     chunk_texts = F.filter(
         F.transform(
-            F.sequence(F.lit(0), F.size(starts) - 1),
-            lambda k: F.array_join(
+            bounds,
+            lambda b: F.array_join(
                 F.slice(
                     tk,
-                    F.element_at(starts, k + 1) + 1,
-                    F.greatest(
-                        F.element_at(ends, k + 1)
-                        - F.element_at(starts, k + 1)
-                        + 1,
-                        F.lit(0),
-                    ),
+                    b["s"] + 1,
+                    F.greatest(b["e"] - b["s"] + 1, F.lit(0)),
                 ),
                 " ",
             ),
