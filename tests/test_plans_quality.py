@@ -772,6 +772,7 @@ def test_text_granular_dedup_plans_have_no_window(spark):
     own target case — would pin every occurrence on one task."""
     from gdp_etl_spark.operators.dedup import (
         boilerplate_line_filter,
+        cdc_window_dedup,
         paragraph_exact_dedup,
         token_window_dedup,
     )
@@ -783,6 +784,7 @@ def test_text_granular_dedup_plans_have_no_window(spark):
         paragraph_exact_dedup(docs, "text", "doc_id"),
         token_window_dedup(docs, "text", "doc_id", 20),
         boilerplate_line_filter(docs, "text", "doc_id"),
+        cdc_window_dedup(docs, "text", "doc_id"),
     ):
         plan = _plan(frame)
         assert "Window" not in plan
