@@ -4501,23 +4501,26 @@ def q_chunk_embed_pool(spark, sf_dir):
         .select("doc_id", "text")
     )
     chunks = chunk_documents(docs, "text", "doc_id", size=32, stride=16)
-    # the digest gets its OWN projection: eight components reference it,
-    # and an inlined md5 would re-hash the chunk once per component
+    # ONE md5 per chunk, for real: a separate projection is NOT enough
+    # (CollapseProject re-inlines the digest into the 8-component
+    # lambda, re-hashing per component — verified on the optimized
+    # plan); binding the digest to a LAMBDA VARIABLE via a 1-element
+    # transform is a collapse-proof evaluation point, the same trick
+    # as cdc_window_dedup's arrays_zip
     emb = chunks.select(
-        "doc_id", F.md5(F.col("chunk_text")).alias("__h")
-    ).select(
         "doc_id",
         F.transform(
-            F.sequence(F.lit(0), F.lit(7)),
-            lambda k: (
-                F.conv(
-                    F.col("__h").substr(
-                        k * F.lit(3) + F.lit(1), F.lit(8)
-                    ),
-                    16, 10,
-                ).cast("bigint") % 2001 - 1000
-            ).cast("double") / F.lit(1000.0),
-        ).alias("embedding"),
+            F.array(F.md5(F.col("chunk_text"))),
+            lambda h: F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda k: (
+                    F.conv(
+                        h.substr(k * F.lit(3) + F.lit(1), F.lit(8)),
+                        16, 10,
+                    ).cast("bigint") % 2001 - 1000
+                ).cast("double") / F.lit(1000.0),
+            ),
+        )[0].alias("embedding"),
     )
     pooled = mean_pool_embeddings(emb, "doc_id", "embedding")
     return pooled.select(

@@ -748,8 +748,15 @@ def dedup_lines_in_doc(
     DOCUMENT — bounded by document size, which is exactly the budget a
     map-side rule may spend at 100 TB; documents are never compared to
     each other here.
+
+    ``sep`` is a LITERAL separator on both sides: ``F.split`` takes a
+    regex, so the pattern is escaped — an unescaped ``|`` or ``.``
+    would split between every character while the rejoin stayed
+    literal, silently corrupting the document.
     """
-    lines = F.split(F.coalesce(text, F.lit("")), sep)
+    import re as _re
+
+    lines = F.split(F.coalesce(text, F.lit("")), _re.escape(sep))
     kept = F.filter(
         lines,
         lambda x, i: (F.length(F.trim(x)) < min_chars)

@@ -1087,6 +1087,24 @@ def dedup_against_index(
     )
 
 
+def _num_buckets(spark, table: str) -> int:
+    """Bucket count of a live table, read from the catalog so callers
+    (appends, compactions) can never desynchronize from the table's
+    actual spec.  Raises with a clear message for a non-bucketed
+    table — appending unbucketed data would silently break every
+    shuffle-free probe plan."""
+    meta = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    }
+    if "Num Buckets" not in meta:
+        raise ValueError(
+            f"{table} is not a bucketed table — the index write/append "
+            "cycle requires the bucketed spec (write_*_index creates it)"
+        )
+    return int(meta["Num Buckets"])
+
+
 def append_to_dedup_index(
     admitted: DataFrame, text_col: str, index_table: str
 ) -> None:
@@ -1104,13 +1122,7 @@ def append_to_dedup_index(
     batch-distinct, so no duplicates arise at all.
     """
     spark = admitted.sparkSession
-    # Spark rejects an append whose bucketing differs from the table's;
-    # read the spec from the catalog so callers can't desynchronize it.
-    meta = {
-        r["col_name"]: r["data_type"]
-        for r in spark.sql(f"DESCRIBE EXTENDED {index_table}").collect()
-    }
-    n_buckets = int(meta["Num Buckets"])
+    n_buckets = _num_buckets(spark, index_table)
     (
         admitted.select(F.md5(F.col(text_col)).alias("text_md5"))
         .filter(F.col("text_md5").isNotNull())
@@ -1146,8 +1158,10 @@ def compact_dedup_index(spark, index_table: str) -> tuple[int, int]:
     ``__old``) — each rename is atomic; a probe can land between them,
     so run compaction in the nightly cycle's quiet window, not
     concurrently with ingest.  A failed rewrite never loses the live
-    table (the fresh copy builds under ``__compacting`` first; if the
-    swap-in rename fails the original is restored).
+    table: the fresh copy builds under ``__compacting`` first, a
+    failed swap-in rename restores the original, and a hard crash
+    between the renames is healed by the NEXT run (live-name-missing +
+    ``__old``-present is detected on entry and the original restored).
 
     Returns ``(files_before, files_after)`` for the ops ledger.
     """
@@ -1161,16 +1175,28 @@ def _compact_bucketed_table(
     distinct full rows → rewrite under ``__compacting`` with the LIVE
     table's bucket count (read from the catalog, so callers can't
     desynchronize it) → metastore-rename swap, original restored if the
-    swap-in fails.  Sort columns = bucket columns, matching every index
-    table this package writes."""
-    spark.catalog.refreshTable(table)
-    meta = {
-        r["col_name"]: r["data_type"]
-        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
-    }
-    n_buckets = int(meta["Num Buckets"])
-    files_before = len(spark.table(table).inputFiles())
+    swap-in rename FAILS.  A hard crash (kill/OOM) between the two
+    renames is also recoverable: the next compaction run detects the
+    live-name-missing/``__old``-present state on entry and restores
+    the original before proceeding, so the cycle self-heals instead of
+    stranding every probe on TABLE_NOT_FOUND.  Sort columns = bucket
+    columns, matching every index table this package writes."""
     tmp, old = f"{table}__compacting", f"{table}__old"
+    # self-heal a crash inside a PREVIOUS compaction's rename window:
+    # if the live name is gone but __old survives, the crash landed
+    # between the two renames — restore the original before anything
+    # else (a probe crashing on TABLE_NOT_FOUND until a human renames
+    # it back is the failure mode the docstring promises away).
+    if not spark.catalog.tableExists(table):
+        if spark.catalog.tableExists(old):
+            spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+        else:
+            raise ValueError(
+                f"{table} does not exist (and no {old} to restore)"
+            )
+    spark.catalog.refreshTable(table)
+    n_buckets = _num_buckets(spark, table)
+    files_before = len(spark.table(table).inputFiles())
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     (
         spark.table(table)
@@ -1560,13 +1586,6 @@ def append_to_minhash_index(
     """
     spark = admitted.sparkSession
 
-    def _spec(table: str) -> int:
-        meta = {
-            r["col_name"]: r["data_type"]
-            for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
-        }
-        return int(meta["Num Buckets"])
-
     from ..functions.text import shingles as _shingles
 
     sh = admitted.select(
@@ -1583,7 +1602,7 @@ def append_to_minhash_index(
             )
             .write.mode("append")
             .format("parquet")
-            .bucketBy(_spec(f"{index_table}_sets"), "doc_id")
+            .bucketBy(_num_buckets(spark, f"{index_table}_sets"), "doc_id")
             .sortBy("doc_id")
             .saveAsTable(f"{index_table}_sets")
         )
@@ -1595,7 +1614,7 @@ def append_to_minhash_index(
             _banded("doc_id", sig, num_perm, bands)
             .write.mode("append")
             .format("parquet")
-            .bucketBy(_spec(index_table), "band", "bucket")
+            .bucketBy(_num_buckets(spark, index_table), "band", "bucket")
             .sortBy("band", "bucket")
             .saveAsTable(index_table)
         )

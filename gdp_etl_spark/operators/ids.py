@@ -116,7 +116,8 @@ def grouped_ntile(
     (tie-break on an id column), the same rule a stable windowed
     ``ntile`` needs.  The offsets/totals broadcasts assume the group
     count is bounded (languages, sources, splits) — statistics-sized,
-    not corpus-sized.
+    not corpus-sized.  A NULL group is ONE group (null-safe joins),
+    exactly as ``PARTITION BY`` treats it — rows are never dropped.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
@@ -147,9 +148,33 @@ def grouped_ntile(
     )
     totals = counts.groupBy(*group_cols).agg(F.sum("__n").alias("__tot"))
     w_local = Window.partitionBy("__pid", *group_cols).orderBy(*order_exprs)
+    # NULL-SAFE joins: a windowed ntile puts all NULL-group rows in one
+    # partition, so this formulation must keep them too — a name-list
+    # equi-join would silently DROP every NULL-group row (NULL keys
+    # never equi-match), which is data loss, not an edge case, in a
+    # corpus pipeline (think lang = NULL).
+    off = offsets.select(
+        F.col("__pid").alias("__o_pid"),
+        *[F.col(c).alias(f"__o_{c}") for c in group_cols],
+        "__off",
+    )
+    off_cond = (F.col("__pid") == F.col("__o_pid"))
+    for c in group_cols:
+        off_cond = off_cond & F.col(c).eqNullSafe(F.col(f"__o_{c}"))
+    tot = totals.select(
+        *[F.col(c).alias(f"__t_{c}") for c in group_cols], "__tot"
+    )
+    tot_cond = F.lit(True)
+    for c in group_cols:
+        tot_cond = tot_cond & F.col(c).eqNullSafe(F.col(f"__t_{c}"))
     ranked = (
-        with_pid.join(F.broadcast(offsets), ["__pid", *group_cols])
-        .join(F.broadcast(totals), group_cols)
+        with_pid.join(F.broadcast(off), off_cond)
+        .join(F.broadcast(tot), tot_cond)
+        .drop(
+            "__o_pid",
+            *[f"__o_{c}" for c in group_cols],
+            *[f"__t_{c}" for c in group_cols],
+        )
         .withColumn(
             "__rank",
             F.row_number().over(w_local).cast("long") + F.col("__off"),

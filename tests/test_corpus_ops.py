@@ -793,6 +793,14 @@ class TestDedupLinesInDoc:
         got = self._run(spark, None)
         assert got == ""
 
+    def test_regex_metachar_separator_is_literal(self, spark):
+        # split() takes a regex; an unescaped '|' would split between
+        # every character and silently corrupt the doc on rejoin
+        got = self._run(spark, "aa|bb|aa", sep="|")
+        assert got == "aa|bb"
+        got = self._run(spark, "xx.yy.xx", sep=".")
+        assert got == "xx.yy"
+
 
 class TestClusterSafeSplit:
     """Leak-free split for corpora that KEEP near-dups: cluster members

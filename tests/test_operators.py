@@ -532,6 +532,34 @@ class TestGroupedNtile:
             }
             assert got == want
 
+    def test_null_group_rows_are_kept_as_one_group(self, spark):
+        # PARTITION BY treats NULL as one partition; the prefix-sum
+        # formulation must too — a name-list equi-join would silently
+        # DROP every NULL-group row (lang = NULL in a corpus pipeline)
+        from pyspark.sql import Window
+        from gdp_etl_spark.operators.ids import grouped_ntile
+
+        df = spark.createDataFrame(
+            [(1, "en", 5), (2, "en", 3), (3, None, 7),
+             (4, None, 1), (5, None, 4)],
+            "id long, g string, score long",
+        )
+        order = [F.col("score").desc(), F.col("id").asc()]
+        got = {
+            r["id"]: r["bucket"]
+            for r in grouped_ntile(
+                df, ["g"], order, 2, num_partitions=3
+            ).collect()
+        }
+        want = {
+            r["id"]: r["bucket"]
+            for r in df.withColumn(
+                "bucket",
+                F.ntile(2).over(Window.partitionBy("g").orderBy(*order)),
+            ).collect()
+        }
+        assert len(got) == 5 and got == want
+
     def test_partition_count_invariant(self, spark):
         from gdp_etl_spark.operators.ids import grouped_ntile
 

@@ -1382,3 +1382,44 @@ class TestCdcWindowDedup:
             cdc_window_dedup(df, "text", "doc_id", boundary_bits=0)
         with pytest.raises(ValueError):
             cdc_window_dedup(df, "text", "doc_id", boundary_bits=32)
+
+
+def test_compaction_self_heals_crash_between_renames(spark):
+    """A kill between 'live -> __old' and '__compacting -> live'
+    leaves no table under the live name; the next compaction run must
+    restore __old on entry and complete normally."""
+    import shutil
+
+    from gdp_etl_spark.operators.dedup import (
+        compact_dedup_index,
+        dedup_against_index,
+        write_dedup_index,
+    )
+
+    table = "t_idx_crash_heal"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for suffix in ("", "__compacting", "__old"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        shutil.rmtree(f"{wh}/{table}{suffix}", ignore_errors=True)
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id int, text string"
+    )
+    write_dedup_index(corpus, "text", table, n_buckets=4)
+    # simulate the crash window: live renamed away, swap-in never ran
+    spark.sql(f"ALTER TABLE {table} RENAME TO {table}__old")
+    assert not spark.catalog.tableExists(table)
+
+    before, after = compact_dedup_index(spark, table)
+    assert after == 4
+    # the healed table admits correctly end-to-end
+    probe = spark.createDataFrame(
+        [(90, "doc 3"), (91, "brand new")], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]
+        for r in dedup_against_index(
+            spark, probe, "text", "doc_id", table
+        ).collect()
+    }
+    assert got == {91}
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
