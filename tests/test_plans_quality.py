@@ -789,3 +789,21 @@ def test_text_granular_dedup_plans_have_no_window(spark):
         plan = _plan(frame)
         assert "Window" not in plan
         assert "HashAggregate" in plan
+
+
+def test_markup_and_line_dedup_queries_are_map_only(spark):
+    """strip_markup / dedup_lines_in_doc are pure expressions: their
+    registered queries must plan ZERO exchanges — a scan and projection
+    work, nothing else (the 100-TB claim is 'inherits the scan
+    partitioning', which an Exchange would falsify)."""
+    import __spark_entry__ as e
+
+    for name in ("html_strip", "line_dedup_doc"):
+        plan = _plan(e.queries()[name](spark, SF))
+        # the table loader's round-robin repartition (tiny-SF
+        # parallelism) is fixture plumbing; the OPERATOR must add no
+        # keyed redistribution of any kind
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "Exchange rangepartitioning" not in plan, name
+        assert "Exchange SinglePartition" not in plan, name
+        assert "Scan parquet" in plan or "FileScan" in plan, name
