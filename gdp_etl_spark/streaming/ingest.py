@@ -169,6 +169,7 @@ def run_near_dup_ingest(
     bands: int = 4,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
+    within_batch: bool = False,
     timeout_sec: int = 120,
 ) -> None:
     """Streaming corpus ingestion with BOTH admission screens — the
@@ -202,11 +203,16 @@ def run_near_dup_ingest(
     Near-dup admission is inherently ORDER-DEPENDENT across batches
     (near-dup is not transitive: whichever copy arrives first is
     admitted and screens the rest) — same arrival-order semantics as
-    the exact screen's cross-batch keep-first.  Within one micro-batch
-    the screen tests against the INDEXED corpus only; two mutual
-    near-dups arriving in the same batch both admit (they are
-    different exact texts).  Parameters must match the ones the
-    MinHash index was written with.
+    the exact screen's cross-batch keep-first.  By default, within one
+    micro-batch the screen tests against the INDEXED corpus only, so
+    two mutual near-dups arriving in the same batch both admit (they
+    are different exact texts); ``within_batch=True`` adds a third
+    screen — MinHash-LSH pairs INSIDE the corpus-screen survivors,
+    connected-components clustered, only each cluster's canonical
+    (minimum-id) member admitted — which runs AFTER the corpus screen
+    so a doc is never rejected merely for resembling an already-
+    rejected batchmate.  Parameters must match the ones the MinHash
+    index was written with.
     """
     from ..operators.dedup import (
         append_to_dedup_index,
@@ -249,6 +255,21 @@ def run_near_dup_ingest(
         admitted = fresh.join(rejected, id_col, "left_anti").localCheckpoint(
             eager=True
         )
+        if within_batch:
+            from ..operators.cluster import dedup_clusters
+            from ..operators.dedup import minhash_lsh_pairs
+
+            wb_pairs = minhash_lsh_pairs(
+                admitted, text_col, id_col,
+                num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                jaccard_threshold=jaccard_threshold,
+            )
+            admitted = (
+                dedup_clusters(admitted, wb_pairs, id_col)
+                .filter(F.col("is_canonical"))
+                .drop("cluster_id", "is_canonical")
+                .localCheckpoint(eager=True)
+            )
         if admitted.isEmpty():
             return
         admitted.write.mode("overwrite").parquet(path)

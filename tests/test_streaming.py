@@ -898,3 +898,36 @@ class TestStreamingNearDupIngest:
         assert 52 in all_ids
         assert 50 not in all_ids and 51 not in all_ids
         self._drop(spark, exact, near)
+
+    def test_within_batch_screen_keeps_cluster_canonical(self, spark, tmp_path):
+        """within_batch=True: two mutual near-dups landing in ONE
+        micro-batch admit only the cluster canonical (min id); the
+        default admits both (corpus-screen-only semantics)."""
+        from gdp_etl_spark.streaming.ingest import run_near_dup_ingest
+
+        for flag, expect in ((False, {60, 61, 62}), (True, {60, 62})):
+            exact, near = f"t_nd_wb_{int(flag)}", f"t_nd_wbn_{int(flag)}"
+            self._setup_indexes(spark, exact, near)
+            src, out = tmp_path / f"src{int(flag)}", tmp_path / f"out{int(flag)}"
+            src.mkdir()
+            # coalesce(1): one part file == one micro-batch — split part
+            # files would make this a CROSS-batch case (60 rejected
+            # against the just-indexed 61 even without the flag)
+            spark.createDataFrame(
+                [(61, self.OTHER + " zulu"),   # near-dup of 60, same batch
+                 (60, self.OTHER),
+                 (62, "a separate standalone document about shuffle "
+                      "partitions and broadcast thresholds")],
+                "doc_id long, text string",
+            ).coalesce(1).write.parquet(str(src / "f1"))
+            run_near_dup_ingest(
+                self._stream(spark, src), "text", "doc_id", exact, near,
+                str(out), jaccard_threshold=0.5, within_batch=flag,
+                **self.PARAMS,
+            )
+            got = {
+                r["doc_id"]
+                for r in spark.read.parquet(f"{out}/batch=*").collect()
+            }
+            assert got == expect, (flag, got)
+            self._drop(spark, exact, near)
