@@ -4612,13 +4612,22 @@ def q_source_terciles(spark, sf_dir):
     per-source window partition — a source at half the corpus would
     otherwise pin one unsplittable task.  Second driver-checked context
     for grouped_ntile beyond lm_buckets (different group key, different
-    ordering metric)."""
+    ordering metric), and the fixture NULLs every %7==0 source so the
+    NULL-group branch (one partition, null-safe joins — rows must
+    never drop) is oracle-exercised."""
     from gdp_etl_spark.functions.text import quality_score
     from gdp_etl_spark.operators.ids import grouped_ntile
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        "source",
+        # every %7==0 doc gets a NULL source: PARTITION BY treats NULL
+        # as ONE group, and the prefix-sum formulation must keep (and
+        # bucket) those rows identically — the silent-drop regression
+        # the null-safe joins exist to prevent
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+            F.lit(None).cast("string"),
+        ).otherwise(F.col("source")).alias("source"),
         F.floor(quality_score(F.col("text")) * F.lit(1e9))
         .cast("long")
         .alias("q9"),
@@ -8812,7 +8821,9 @@ def oracle_sql() -> dict[str, str]:
         # per source over the quantized quality score
         "source_terciles": f"""
             WITH s AS (
-              SELECT doc_id, source,
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN NULL
+                          ELSE source END AS source,
                      CAST(floor(({quality}) * 1e9) AS BIGINT) AS q9
               FROM documents
             )
