@@ -807,3 +807,27 @@ def test_markup_and_line_dedup_queries_are_map_only(spark):
         assert "Exchange rangepartitioning" not in plan, name
         assert "Exchange SinglePartition" not in plan, name
         assert "Scan parquet" in plan or "FileScan" in plan, name
+
+
+def test_keep_best_join_back_never_keys_on_the_hash_alone(spark):
+    """The dedup join-backs are better than 'AQE will split the hot
+    key': Catalyst pushes the survivor filter INTO the equi-join keys,
+    so the SortMergeJoin keys are (survivor-struct, hash) — a text
+    duplicated 10⁹× distributes across partitions by (quality, id)
+    instead of concentrating on md5(text).  AQE skew-join remains the
+    backstop; this pins the structural de-skew."""
+    from gdp_etl_spark.operators.dedup import exact_dedup_keep_best
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", (F.col("doc_id") % 97).cast("double").alias("q")
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(exact_dedup_keep_best(docs, "text", "doc_id", "q"))
+        smj = [l for l in plan.splitlines() if "SortMergeJoin" in l]
+        assert smj, plan
+        # the join-key list carries the survivor struct (__nq/__id),
+        # not just the 16-byte hash
+        assert "__nq" in smj[0] and "__h" in smj[0], smj[0]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
