@@ -4785,7 +4785,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries whose Spark code, fixture, or oracle CHANGED this round
     lead (NULL-handling fixes, the grouped-ntile lm_buckets rewrite,
     the shuffle-free bm25 rewrite, canonical_url / hamming_pairs
-    correctness fixes, bench-slice caps), then the 3 stalest entries
+    correctness fixes, bench-slice caps), then the SIX new round-8
+    queries (source_terciles, hamming_d4, html_strip, line_dedup_doc,
+    cdc_dedup, cluster_split — new operators deserve driver rows more
+    than the six most-stable micro-op re-checks they displace), then
+    the 3 stalest entries
     (driver-green round 2, twice dropped by the marker bug), then the
     twice-dropped round-3 re-checks plus the named stale r3/r4 greens
     (qa_* family, sql_api family, the source scans, build_fact), then
@@ -4815,6 +4819,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_audit": q_curation_audit,
         "chunk_embed_pool": q_chunk_embed_pool,
         "cogroup_reconcile": q_cogroup_reconcile,
+        # NEW round-8 operators — driver-verify them this round
+        "source_terciles": q_source_terciles,
+        "hamming_d4": q_hamming_d4,
+        "html_strip": q_html_strip,
+        "line_dedup_doc": q_line_dedup_doc,
+        "cdc_dedup": q_cdc_dedup,
+        "cluster_split": q_cluster_split,
         # stalest re-checks: driver-green round 2, dropped from the
         # r6/r7 windows by the off-by-four marker bug
         "fingerprint": q_fingerprint,
@@ -4850,13 +4861,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "kmeans_assign": q_kmeans_assign,
         "lsh_topk": q_lsh_topk,
+        # -- end of driver window (50) --------------------------------------
+        # rotated out for the six new round-8 queries (r3-green,
+        # locally oracle-checked; next window's re-check candidates)
         "merge_upsert": q_merge_upsert,
         "native_rollup": q_native_rollup,
         "ngram_jaccard": q_ngram_jaccard,
         "pack_sequences": q_pack_sequences,
         "pii_redact": q_pii_redact,
         "profile_table": q_profile_table,
-        # -- end of driver window (50) --------------------------------------
         # rotated out of the window — every entry below is driver-green
         # in some round and stays locally oracle-checked
         # (tools/check_correctness.py)
@@ -5010,13 +5023,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_volume": q_trade_volume,
         "range_join": q_range_join,
         "repetition_stats": q_repetition_stats,
-        # round-8 additions (below the window; local oracle coverage)
-        "source_terciles": q_source_terciles,
-        "hamming_d4": q_hamming_d4,
-        "html_strip": q_html_strip,
-        "line_dedup_doc": q_line_dedup_doc,
-        "cdc_dedup": q_cdc_dedup,
-        "cluster_split": q_cluster_split,
     }
 
 
