@@ -107,7 +107,6 @@ def minhash_lsh_pairs(
     The bucket join is an equi-join on (band_index, band_hash) — the only
     shuffle, sized by candidates rather than the corpus square.  Final
     exact Jaccard over shingle sets kills false positives."""
-    rows_per_band = num_perm // bands
     # the shingle frame feeds the signature path AND both sides of the
     # verify join — persist so the O(tokens·k) shingling runs once, not
     # three times (MEMORY_AND_DISK: spills instead of recomputing at
@@ -116,31 +115,10 @@ def minhash_lsh_pairs(
         F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sig = sh.select(
-        F.col(id_col), _signature_from_shingles(F.col("sh"), num_perm).alias("signature")
+        F.col(id_col),
+        _signature_from_shingles(F.col("sh"), num_perm).alias("__sig"),
     )
-
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("signature")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _banded(id_col, sig, num_perm, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -1582,7 +1560,8 @@ def append_to_minhash_index(
     generation distincts and verification tests pair existence — and
     a duplicated verified pair in the probe's output repeats, which
     callers using the pairs as a set already tolerate.  A periodic
-    :func:`write_minhash_index` rebuild reclaims the bytes.
+    :func:`compact_minhash_index` reclaims the bytes and the file
+    accretion in both tables.
     """
     spark = admitted.sparkSession
 
