@@ -4777,6 +4777,41 @@ def q_cluster_split(spark, sf_dir):
     )
 
 
+def q_variant_extract(spark, sf_dir):
+    """Semi-structured metadata via Spark 4's VariantType (parse_json →
+    try_variant_get typed path extraction): every document carries a
+    deterministic JSON metadata blob (lang, count, tag array, nested
+    object) parsed ONCE into the Variant binary encoding, then four
+    typed extractions — string, int, array index, nested path.  At
+    100 TB this is the right container for ragged crawl/source
+    metadata: Variant's binary form makes repeated path access cheap
+    (no per-access re-parse) and columnar shredding keeps pruning
+    alive, where a JSON string column would re-parse per expression.
+    All values are integers/strings in transit (no double formatting
+    parity risk); the oracle replays with DuckDB's JSON functions."""
+    d = _t(spark, sf_dir, "documents")
+    j = F.concat(
+        F.lit('{"lang":"'), F.col("lang"),
+        F.lit('","n":'), F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+        F.lit(',"tags":["s:'), F.col("source"),
+        F.lit('","p:'), F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+        F.lit('"],"nested":{"q":'),
+        F.pmod(F.col("doc_id") * 7, F.lit(100)).cast("string"),
+        F.lit("}}"),
+    )
+    v = d.select("doc_id", F.parse_json(j).alias("v"))
+    return v.select(
+        "doc_id",
+        F.try_variant_get(F.col("v"), "$.lang", "string").alias("lang_v"),
+        F.try_variant_get(F.col("v"), "$.n", "int").alias("n_v"),
+        F.try_variant_get(F.col("v"), "$.tags[1]", "string").alias("tag1"),
+        (
+            F.try_variant_get(F.col("v"), "$.nested.q", "int").cast("double")
+            / F.lit(10.0)
+        ).alias("q_v"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     verifies the FIRST 50 keys each round, and EXACTLY 50 must precede
@@ -5023,6 +5058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_volume": q_trade_volume,
         "range_join": q_range_join,
         "repetition_stats": q_repetition_stats,
+        "variant_extract": q_variant_extract,
     }
 
 
@@ -9000,5 +9036,26 @@ def oracle_sql() -> dict[str, str]:
                          CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)
                               || ':' || '42'), 1, 8)) AS BIGINT) AS b
                   FROM c)
+        """,
+        # the same JSON blob replayed through DuckDB's JSON functions
+        # (integer/string transit only — no double-format parity risk)
+        "variant_extract": """
+            WITH m AS (
+              SELECT doc_id,
+                     '{"lang":"' || lang || '","n":'
+                     || CAST(doc_id % 50 AS VARCHAR)
+                     || ',"tags":["s:' || source || '","p:'
+                     || CAST(doc_id % 3 AS VARCHAR)
+                     || '"],"nested":{"q":'
+                     || CAST((doc_id * 7) % 100 AS VARCHAR) || '}}' AS j
+              FROM documents
+            )
+            SELECT doc_id,
+                   json_extract_string(j, '$.lang') AS lang_v,
+                   CAST(json_extract(j, '$.n') AS INT) AS n_v,
+                   json_extract_string(j, '$.tags[1]') AS tag1,
+                   CAST(CAST(json_extract(j, '$.nested.q') AS INT)
+                        AS DOUBLE) / 10.0 AS q_v
+            FROM m
         """,
     }
