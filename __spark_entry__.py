@@ -4812,6 +4812,63 @@ def q_variant_extract(spark, sf_dir):
     )
 
 
+_RECURSIVE_CLOSURE_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT doc_id AS src, doc_id + 1 AS dst
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1, doc_id + 2
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    reach(root, node) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges) r
+      UNION ALL
+      SELECT reach.root, e.dst
+      FROM reach JOIN edges e ON e.src = reach.node
+    )
+    SELECT root, node FROM reach
+"""
+
+
+def q_recursive_cte(spark, sf_dir):
+    """Native WITH RECURSIVE transitive reachability (Spark 4 recursive
+    CTE support) over chain edges (doc → doc+1 → doc+2 for every
+    %10==0 doc): each root reaches itself and its two descendants.
+    The SAME SQL text is the Spark query AND the DuckDB oracle —
+    recursive CTEs are the declarative alternative to
+    operators/closure.py's iterative loop (which remains the scale
+    path: a recursive CTE's per-iteration shuffle has no driver-side
+    convergence cap; the loop checkpoints and bounds iterations).  The
+    fixture recursion depth is fixed (2), so both engines terminate
+    identically."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_RECURSIVE_CLOSURE_SQL)
+
+
+def q_sql_udf(spark, sf_dir):
+    """Spark 4 SQL scalar UDF (CREATE TEMPORARY FUNCTION ... RETURN
+    expr): a reusable named expression that stays ENTIRELY inside
+    Catalyst — unlike a Python UDF it inlines into the plan, keeps
+    whole-stage codegen, and costs nothing at 100 TB.  The function
+    scores a document id band; the oracle inlines the identical
+    arithmetic (a SQL UDF is macro expansion, so inlining IS the
+    semantics)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION id_band(x BIGINT) "
+        "RETURNS STRING RETURN CASE WHEN x % 100 < 10 THEN 'low' "
+        "WHEN x % 100 < 60 THEN 'mid' ELSE 'high' END"
+    )
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT id_band(doc_id) AS band,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(doc_id) AS BIGINT) AS min_id
+        FROM documents GROUP BY id_band(doc_id)
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness gate
     verifies the FIRST 50 keys each round, and EXACTLY 50 must precede
@@ -5059,6 +5116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "repetition_stats": q_repetition_stats,
         "variant_extract": q_variant_extract,
+        "recursive_cte": q_recursive_cte,
+        "sql_udf": q_sql_udf,
     }
 
 
@@ -9057,5 +9116,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(json_extract(j, '$.nested.q') AS INT)
                         AS DOUBLE) / 10.0 AS q_v
             FROM m
+        """,
+        # the SAME recursive SQL text — DuckDB runs it verbatim
+        "recursive_cte": _RECURSIVE_CLOSURE_SQL,
+        # SQL UDFs are macro expansion: the oracle inlines the body
+        "sql_udf": """
+            SELECT CASE WHEN doc_id % 100 < 10 THEN 'low'
+                        WHEN doc_id % 100 < 60 THEN 'mid'
+                        ELSE 'high' END AS band,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(doc_id) AS BIGINT) AS min_id
+            FROM documents
+            GROUP BY 1
         """,
     }
