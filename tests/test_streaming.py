@@ -931,3 +931,52 @@ class TestStreamingNearDupIngest:
             }
             assert got == expect, (flag, got)
             self._drop(spark, exact, near)
+
+    def test_compaction_mid_cycle_preserves_admissions(self, spark, tmp_path):
+        """The full ops cycle: ingest days 1-2, compact ALL THREE index
+        tables, ingest day 3 — the compacted indexes must reject
+        exact and near copies of everything already admitted, exactly
+        as the uncompacted ones would."""
+        from gdp_etl_spark.operators.dedup import (
+            compact_dedup_index,
+            compact_minhash_index,
+        )
+        from gdp_etl_spark.streaming.ingest import run_near_dup_ingest
+
+        exact, near = "t_nd_cycle_e", "t_nd_cycle_n"
+        self._setup_indexes(spark, exact, near)
+        src, out = tmp_path / "src", tmp_path / "out"
+        src.mkdir()
+        spark.createDataFrame(
+            [(10, self.OTHER)], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(src / "f1"))
+        spark.createDataFrame(
+            [(20, "a brand new day two document about watermarks and "
+                  "stateful operators")],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(str(src / "f2"))
+        run_near_dup_ingest(
+            self._stream(spark, src), "text", "doc_id", exact, near,
+            str(out), jaccard_threshold=0.5, **self.PARAMS,
+        )
+        compact_dedup_index(spark, exact)
+        compact_minhash_index(spark, near)
+        # day 3: exact copy of day-1 doc, near copy of day-2 doc, one new
+        spark.createDataFrame(
+            [(30, self.OTHER),                      # exact copy: reject
+             (31, "a brand new day two document about watermarks and "
+                  "stateful operators tail"),        # near copy: reject
+             (32, "closing fixture doc mentioning bloom filters and "
+                  "dynamic partition pruning")],     # new: admit
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(str(src / "f3"))
+        run_near_dup_ingest(
+            self._stream(spark, src), "text", "doc_id", exact, near,
+            str(out), jaccard_threshold=0.5, **self.PARAMS,
+        )
+        got = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/batch=*").collect()
+        }
+        assert got == {10, 20, 32}
+        self._drop(spark, exact, near)
