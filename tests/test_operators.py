@@ -1041,3 +1041,33 @@ def test_expand_hierarchy_null_codes_paths_agree(spark):
     assert fast == dist
     # the NULL child expanded through the NULL parent to the target
     assert any(r[0] == "A" and r[5] == "t" for r in fast)
+
+
+class TestObservedProfile:
+    """Observation-API telemetry: metrics piggyback on the caller's
+    action — no second scan."""
+
+    def test_metrics_arrive_with_the_action(self, spark):
+        from gdp_etl_spark.operators.observe import observed_profile
+
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 30.0), (4, None)],
+            "id long, v double",
+        )
+        observed, obs = observed_profile(df, ["v"], name="t1")
+        # the caller's own action; metrics cost no extra pass
+        assert observed.filter(F.col("id") > 1).count() == 3
+        got = obs.get
+        assert got["n_rows"] == 4          # observe sits ABOVE the filter
+        assert got["v_nulls"] == 2
+        assert got["v_min"] == 10.0 and got["v_max"] == 30.0
+
+    def test_fresh_observation_per_call(self, spark):
+        from gdp_etl_spark.operators.observe import observed_profile
+
+        df = spark.range(5).select(F.col("id"), F.col("id").alias("v"))
+        a_df, a = observed_profile(df, ["v"], name="ta")
+        b_df, b = observed_profile(df, ["v"], name="tb")
+        a_df.write.format("noop").mode("overwrite").save()
+        b_df.write.format("noop").mode("overwrite").save()
+        assert a.get["n_rows"] == 5 and b.get["n_rows"] == 5
