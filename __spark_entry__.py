@@ -4683,6 +4683,7 @@ def q_html_strip(spark, sf_dir):
     backreferences), so the oracle replays the chain
     operator-for-operator.  Map-only, zero shuffle."""
     from gdp_etl_spark.functions.text import strip_markup
+    from gdp_etl_spark.session import local_df
 
     d = _t(spark, sf_dir, "documents")
     html = F.concat(
@@ -4697,8 +4698,28 @@ def q_html_strip(spark, sf_dir):
         F.col("doc_id").cast("string"),
         F.lit(" --></body></html>"),
     )
-    return d.select(
-        "doc_id", strip_markup(html).alias("clean_text")
+    # adversarial rows (negative ids, mirrored verbatim in the oracle),
+    # one per documented edge: nested + unclosed block tags; an &amp;
+    # chain that must STOP at one decode level (&amp;lt; -> &lt;, never
+    # <; &amp;amp; -> &amp; — replace is single-pass); a '>' inside an
+    # attribute value (the tag regex closes at the FIRST '>', tail
+    # leaks as text — pinned, identical in both engines); mixed-case
+    # script/style (the (?is) flags); a comment spanning newlines
+    adversarial = local_df(
+        spark,
+        [
+            (-1, "<div><p>nested <b>tags</b><p>unclosed</div> tail"),
+            (-2, "chain &amp;lt;b&amp;gt; stays; &amp;amp; once"),
+            (-3, '<a title="a>b">attr-gt</a> <P CLASS=x>case</P>'),
+            (-4, '<SCRIPT type="t">var s=1;</SCRIPT><STYLE>q{}</STYLE>kept'),
+            (-5, "before<!-- multi\nline\ncomment -->after"),
+        ],
+        "doc_id bigint, html string",
+    )
+    return (
+        d.select("doc_id", html.alias("html"))
+        .unionByName(adversarial)
+        .select("doc_id", strip_markup(F.col("html")).alias("clean_text"))
     )
 
 
@@ -4711,19 +4732,50 @@ def q_line_dedup_doc(spark, sf_dir):
     Pure indexed-HOF expression: map-only, zero shuffle, O(lines²)
     bounded per document."""
     from gdp_etl_spark.functions.text import dedup_lines_in_doc
+    from gdp_etl_spark.session import local_df
 
-    d = _t(spark, sf_dir, "documents")
+    # the source column is renamed AWAY from the output alias before
+    # the dedup expressions are built: with both named "text", Spark
+    # 4's lateral-column-alias resolution binds references INSIDE a
+    # higher-order-function lambda to the earlier output alias while
+    # the same expression OUTSIDE the lambda binds to the input column
+    # (input precedence) — the prefix test then walks the wrong lines
+    # array.  Found by this query's pipe variant; pinned by
+    # tests/test_text_dedup.py::test_lateral_alias_lambda_isolation.
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("raw")
+    )
+    body = F.coalesce(F.col("raw"), F.lit(""))
     multi = F.concat_ws(
         "\n",
-        F.lit("== SITE BANNER =="),
-        F.coalesce(F.col("text"), F.lit("")),
-        F.lit("-"),
-        F.lit("== SITE BANNER =="),
-        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("== SITE BANNER =="), body, F.lit("-"),
+        F.lit("== SITE BANNER =="), body,
     )
-    return d.select(
+    # same document rebuilt with '|' as the line separator: '|' is a
+    # regex metachar, so an unescaped F.split would split between
+    # EVERY character while the rejoin stayed literal — this column
+    # pins the escape (the oracle's string_split is literal-only)
+    multi_pipe = F.concat_ws(
+        "|",
+        F.lit("== SITE BANNER =="), body, F.lit("-"),
+        F.lit("== SITE BANNER =="), body,
+    )
+    # adversarial rows (negative ids, mirrored in the oracle): lines
+    # whose CONTENT is regex metachars (dedup compares by equality,
+    # never by pattern — 'a.b' must not absorb 'axb'), and an embedded
+    # repeated line inside the body itself
+    adversarial = local_df(
+        spark,
+        [
+            (-1, "a.b\naxb\na.b\n[x]+\n[x]+"),
+            (-2, "dup line\ndup line\nunique\ndup line"),
+        ],
+        "doc_id bigint, raw string",
+    )
+    return d.unionByName(adversarial).select(
         "doc_id",
         dedup_lines_in_doc(multi).alias("text"),
+        dedup_lines_in_doc(multi_pipe, sep="|").alias("text_pipe"),
     )
 
 
@@ -4869,35 +4921,148 @@ def q_sql_udf(spark, sf_dir):
     )
 
 
+def q_batch_screen(spark, sf_dir):
+    """Within-batch near-dup admission screen (dedup.within_batch_screen
+    — the third stage of streaming.ingest.run_near_dup_ingest, factored
+    out as a pure batch operator): the batch = documents plus a
+    suffix-edited mirror of every %6==0 doc (id+20000); mutual
+    near-dups arriving in ONE batch are invisible to the corpus-index
+    screens (neither is indexed yet), so the screen LSH-pairs the
+    batch, clusters connected components, and admits only each
+    cluster's canonical (minimum-id) member.  Oracle = exact all-pairs
+    Jaccard (8 bands x 2 rows at threshold 0.8 -> P[candidate miss]
+    < 1e-7 per true pair, so LSH recall is exhaustive) + recursive
+    reachability; admit iff doc_id = min reachable id."""
+    from gdp_etl_spark.operators.dedup import within_batch_screen
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    mirror = docs.filter(F.pmod(F.col("doc_id"), F.lit(6)) == 0).select(
+        (F.col("doc_id") + F.lit(20000)).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" slightly changed mirror")).alias(
+            "text"
+        ),
+        F.col("lang"),
+    )
+    admitted = within_batch_screen(
+        docs.unionByName(mirror), "text", "doc_id",
+        num_perm=16, bands=8, jaccard_threshold=0.8,
+    )
+    return admitted.select("doc_id", "lang")
+
+
+def q_observed_profile(spark, sf_dir):
+    """Zero-extra-pass telemetry (observe.observed_profile): a filter
+    stage's data-quality profile — row count plus per-column null
+    count / min / max — piggybacked on the action the caller already
+    runs (Observation API accumulators), never a second scan.  The
+    query RUNS the observed action (a count) and returns the
+    observation's metrics as a one-row frame; a literal NULL-lang row
+    is unioned in so the null counters are exercised, not just zero.
+    The oracle recomputes the same aggregates declaratively — the
+    Observation contract is exactly "these aggregates over the rows
+    that flowed through"."""
+    from gdp_etl_spark.operators.observe import observed_profile
+    from gdp_etl_spark.session import local_df
+
+    d = _t(spark, sf_dir, "documents").select("lang", "n_chars").unionByName(
+        local_df(spark, [(None, 9999)], "lang string, n_chars bigint")
+    ).filter(F.col("n_chars") > 200)
+    observed, obs = observed_profile(d, ["lang", "n_chars"])
+    observed.count()  # the action the metrics piggyback on
+    m = obs.get
+    return local_df(
+        spark,
+        [(
+            m["n_rows"], m["lang_nulls"], m["lang_min"], m["lang_max"],
+            m["n_chars_nulls"], m["n_chars_min"], m["n_chars_max"],
+        )],
+        "n_rows bigint, lang_nulls bigint, lang_min string, "
+        "lang_max string, n_chars_nulls bigint, n_chars_min bigint, "
+        "n_chars_max bigint",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registration order is load-bearing: the driver's correctness gate
-    verifies the FIRST 50 keys each round, and EXACTLY 50 must precede
-    the end-of-window marker (the r6/r7 windows mis-registered 54 and
-    silently dropped the last four).  The round-8 window: the 13
-    queries whose Spark code, fixture, or oracle CHANGED this round
-    lead (NULL-handling fixes, the grouped-ntile lm_buckets rewrite,
-    the shuffle-free bm25 rewrite, canonical_url / hamming_pairs
-    correctness fixes, bench-slice caps), then the SIX new round-8
-    queries (source_terciles, hamming_d4, html_strip, line_dedup_doc,
-    cdc_dedup, cluster_split — new operators deserve driver rows more
-    than the six most-stable micro-op re-checks they displace), then
-    the 3 stalest entries
-    (driver-green round 2, twice dropped by the marker bug), then the
-    twice-dropped round-3 re-checks plus the named stale r3/r4 greens
-    (qa_* family, sql_api family, the source scans, build_fact), then
-    22 more round-3 greens — every window entry is either changed or
-    the longest-unchecked of its cohort.  Everything rotated out stays
-    registered below with identical local oracle coverage
+    """Registration order is load-bearing: the driver's correctness
+    gate verifies the FIRST 50 keys each round, and EXACTLY 50 must
+    precede the end-of-window marker (pinned by
+    tests/test_driver_window.py; the r6/r7 windows mis-registered 54
+    and silently dropped the last four).  Since round 9 the window is
+    COMPUTED, not hand-picked: ``tools/window_staleness.py`` reads
+    every CORRECTNESS_r*.json ledger and ranks (1) queries whose code,
+    fixture, or oracle changed this round, (2) queries with no driver
+    row in any round, (3) everything else stalest-first (last-green
+    round ascending, name tie-break).  The round-9 window: the two NEW
+    queries (batch_screen, observed_profile), the two whose fixtures +
+    oracles gained adversarial rows (html_strip, line_dedup_doc), the
+    three registered after the r8 window rotation and therefore never
+    driver-checked (recursive_cte, sql_udf, variant_extract), then the
+    43 stalest re-checks (all r3/r4-green: the TPC-H topology sweep,
+    stats/monitoring, and multimodal families).  Everything rotated
+    out stays registered below with identical local oracle coverage
     (``tools/check_correctness.py``)."""
     return {
         # -- driver correctness window (first 50) --------------------------
-        # CHANGED this round (round 8) — re-verify every query whose
-        # Spark code, fixture, or oracle moved: the NULL-handling fix
-        # (dedup_keep_best + corpus DAGs), the grouped-ntile rewrite
-        # (lm_buckets), the shuffle-free bm25 rewrite, the
-        # canonical_url / hamming_pairs correctness fixes, and the
-        # bench-slice caps (lm_score, minhash_index, curation_audit,
-        # chunk_embed_pool, cogroup_reconcile)
+        # computed by: python tools/window_staleness.py --changed \
+        #   batch_screen observed_profile html_strip line_dedup_doc
+        # NEW this round + adversarial-fixture re-verifies
+        "batch_screen": q_batch_screen,
+        "observed_profile": q_observed_profile,
+        "html_strip": q_html_strip,
+        "line_dedup_doc": q_line_dedup_doc,
+        # registered after the r8 window rotation -> zero driver rows yet
+        "recursive_cte": q_recursive_cte,
+        "sql_udf": q_sql_udf,
+        "variant_extract": q_variant_extract,
+        # stalest re-checks (driver-green r3, oldest first by name)
+        "merge_upsert": q_merge_upsert,
+        "native_rollup": q_native_rollup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "pack_sequences": q_pack_sequences,
+        "pii_redact": q_pii_redact,
+        "profile_table": q_profile_table,
+        "range_join": q_range_join,
+        "repetition_stats": q_repetition_stats,
+        "resample_locf": q_resample_locf,
+        "returned_revenue": q_returned_revenue,
+        "rolling_corr": q_rolling_corr,
+        "scalar_share": q_scalar_share,
+        "scd2": q_scd2,
+        "scd2_lookup": q_scd2_lookup,
+        "shipping_priority": q_shipping_priority,
+        "table_checksum": q_table_checksum,
+        "trade_volume": q_trade_volume,
+        # stalest re-checks (driver-green r4)
+        "array_agg": q_array_agg,
+        "array_map_funcs": q_array_map_funcs,
+        "benford": q_benford,
+        "big_order_customers": q_big_order_customers,
+        "binary_header": q_binary_header,
+        "column_entropy": q_column_entropy,
+        "corpus_mix": q_corpus_mix,
+        "corr_matrix": q_corr_matrix,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "dq_checks": q_dq_checks,
+        "embed_transform": q_embed_transform,
+        "events_sliding": q_events_sliding,
+        "excess_suppliers": q_excess_suppliers,
+        "forecast_revenue": q_forecast_revenue,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "important_parts": q_important_parts,
+        "interval_overlap": q_interval_overlap,
+        "inverted_index": q_inverted_index,
+        "late_orders": q_late_orders,
+        "linear_trend": q_linear_trend,
+        "market_share": q_market_share,
+        "min_cost_supplier": q_min_cost_supplier,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_meta": q_multimodal_meta,
+        "nation_profit": q_nation_profit,
+        # -- end of driver window (50) --------------------------------------
+        # rotated out — every entry below is driver-green in some round
+        # (or rows-only by design: ivf_topk, sketch_stats) and stays
+        # locally oracle-checked (tools/check_correctness.py)
         "dedup_keep_best": q_dedup_keep_best,
         "corpus_clean": q_corpus_clean,
         "corpus_curate": q_corpus_curate,
@@ -4911,19 +5076,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_audit": q_curation_audit,
         "chunk_embed_pool": q_chunk_embed_pool,
         "cogroup_reconcile": q_cogroup_reconcile,
-        # NEW round-8 operators — driver-verify them this round
         "source_terciles": q_source_terciles,
         "hamming_d4": q_hamming_d4,
-        "html_strip": q_html_strip,
-        "line_dedup_doc": q_line_dedup_doc,
         "cdc_dedup": q_cdc_dedup,
         "cluster_split": q_cluster_split,
-        # stalest re-checks: driver-green round 2, dropped from the
-        # r6/r7 windows by the off-by-four marker bug
         "fingerprint": q_fingerprint,
         "ivf_topk": q_ivf_topk,
         "rolling_window": q_rolling_window,
-        # twice-dropped round-3 re-checks + named stale r3/r4 greens
         "flagship_revenue": q_flagship_revenue,
         "usis_export": q_usis_export,
         "qa_discrepancies": q_qa_discrepancies,
@@ -4936,7 +5095,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_csv_scan": q_http_csv_scan,
         "excel_scan": q_excel_scan,
         "build_fact": q_build_fact,
-        # remaining longest-unchecked (driver-green round 3)
         "asof_join": q_asof_join,
         "base_broadcast": q_base_broadcast,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -4953,18 +5111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "kmeans_assign": q_kmeans_assign,
         "lsh_topk": q_lsh_topk,
-        # -- end of driver window (50) --------------------------------------
-        # rotated out for the six new round-8 queries (r3-green,
-        # locally oracle-checked; next window's re-check candidates)
-        "merge_upsert": q_merge_upsert,
-        "native_rollup": q_native_rollup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "pack_sequences": q_pack_sequences,
-        "pii_redact": q_pii_redact,
-        "profile_table": q_profile_table,
-        # rotated out of the window — every entry below is driver-green
-        # in some round and stays locally oracle-checked
-        # (tools/check_correctness.py)
         "golden_comments": q_golden_comments,
         "index_dedup": q_index_dedup,
         "substring_dedup": q_substring_dedup,
@@ -5058,66 +5204,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closure_leaves": q_closure_leaves,
         "rollup_hierarchy": q_rollup_hierarchy,
         "group_first": q_group_first,
-        "embed_transform": q_embed_transform,
-        "dq_checks": q_dq_checks,
-        "corpus_mix": q_corpus_mix,
-        "array_agg": q_array_agg,
-        "min_cost_supplier": q_min_cost_supplier,
         "top_acctbal_no_orders": q_top_acctbal_no_orders,
         "regional_volume": q_regional_volume,
-        "market_share": q_market_share,
-        "nation_profit": q_nation_profit,
         "order_count_dist": q_order_count_dist,
         "promo_ratio": q_promo_ratio,
         "top_supplier": q_top_supplier,
         "small_qty_revenue": q_small_qty_revenue,
-        "big_order_customers": q_big_order_customers,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "late_orders": q_late_orders,
         "waiting_supplier": q_waiting_supplier,
-        "forecast_revenue": q_forecast_revenue,
-        "important_parts": q_important_parts,
         "priority_by_flag": q_priority_by_flag,
         "part_supplier_counts": q_part_supplier_counts,
-        "excess_suppliers": q_excess_suppliers,
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
         "record_linkage": q_record_linkage,
         "prefix_jaccard": q_prefix_jaccard,
         "semantic_decontam": q_semantic_decontam,
-        "corr_matrix": q_corr_matrix,
-        "column_entropy": q_column_entropy,
-        "benford": q_benford,
         "row_ids": q_row_ids,
         "seasonal_anomalies": q_seasonal_anomalies,
         "outlier_fences": q_outlier_fences,
-        "linear_trend": q_linear_trend,
-        "array_map_funcs": q_array_map_funcs,
-        "inverted_index": q_inverted_index,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "binary_header": q_binary_header,
         "pseudonymize": q_pseudonymize,
-        "events_sliding": q_events_sliding,
-        "interval_overlap": q_interval_overlap,
-        "fuzzy_pairs": q_fuzzy_pairs,
         "python_datasource": q_python_datasource,
         "schema_evolution": q_schema_evolution,
-        "scd2": q_scd2,
-        "scd2_lookup": q_scd2_lookup,
-        "shipping_priority": q_shipping_priority,
-        "returned_revenue": q_returned_revenue,
-        "table_checksum": q_table_checksum,
-        "scalar_share": q_scalar_share,
-        "rolling_corr": q_rolling_corr,
-        "resample_locf": q_resample_locf,
-        "trade_volume": q_trade_volume,
-        "range_join": q_range_join,
-        "repetition_stats": q_repetition_stats,
-        "variant_extract": q_variant_extract,
-        "recursive_cte": q_recursive_cte,
-        "sql_udf": q_sql_udf,
     }
 
 
@@ -7172,6 +7278,60 @@ def oracle_sql() -> dict[str, str]:
                    d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
         """,
+        # the within-batch admission stage: same sound-oracle rationale
+        # as minhash_lsh/dedup_clusters (8 bands x 2 rows at J >= 0.8
+        # -> exhaustive recall), admit = min reachable id of the
+        # exact-Jaccard pair graph over the batch + mirror corpus
+        "batch_screen": f"""
+            WITH RECURSIVE
+            corpus AS (
+              SELECT doc_id, text, lang FROM documents
+              UNION ALL
+              SELECT doc_id + 20000, text || ' slightly changed mirror',
+                     lang
+              FROM documents WHERE doc_id % 6 = 0
+            ),
+            sh AS (SELECT doc_id, {sh} AS sh FROM corpus),
+            p AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       {jaccard} AS jaccard
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                 AND len(a.sh) * 5 >= len(b.sh) * 4
+                 AND len(b.sh) * 5 >= len(a.sh) * 4)
+              WHERE jaccard >= 0.8),
+            edges AS (SELECT id_a AS u, id_b AS v FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            walk(node, reach) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, w.reach FROM edges e JOIN walk w ON e.v = w.node),
+            comp AS (SELECT node, min(reach) AS component
+                     FROM walk GROUP BY node)
+            SELECT c.doc_id, c.lang
+            FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+            WHERE coalesce(comp.component, c.doc_id) = c.doc_id
+        """,
+        # the Observation contract is "these aggregates over the rows
+        # that flowed through the observed stage" — replayed declaratively
+        # (the NULL-lang literal row exercises the null counters)
+        "observed_profile": """
+            WITH d AS (
+              SELECT lang, n_chars FROM documents
+              UNION ALL
+              SELECT NULL, CAST(9999 AS BIGINT)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS lang_nulls,
+                   min(lang) AS lang_min,
+                   max(lang) AS lang_max,
+                   CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_chars_nulls,
+                   CAST(min(n_chars) AS BIGINT) AS n_chars_min,
+                   CAST(max(n_chars) AS BIGINT) AS n_chars_max
+            FROM d WHERE n_chars > 200
+        """,
         # exact all-pairs 8-gram Jaccard: sound oracle for the LSH-blocked
         # Spark side because P[band miss] <= (1 - J^2)^16 ~ 2e-6 at J=0.75
         # (equality with the exact set verified at sf0.01 and sf0.1)
@@ -8968,6 +9128,20 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(doc_id AS VARCHAR) || ' --></body></html>'
                        AS t
               FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES
+                (CAST(-1 AS BIGINT),
+                 '<div><p>nested <b>tags</b><p>unclosed</div> tail'),
+                (CAST(-2 AS BIGINT),
+                 'chain &amp;lt;b&amp;gt; stays; &amp;amp; once'),
+                (CAST(-3 AS BIGINT),
+                 '<a title="a>b">attr-gt</a> <P CLASS=x>case</P>'),
+                (CAST(-4 AS BIGINT),
+                 '<SCRIPT type="t">var s=1;</SCRIPT><STYLE>q{}</STYLE>kept'),
+                (CAST(-5 AS BIGINT),
+                 'before<!-- multi' || chr(10) || 'line' || chr(10)
+                 || 'comment -->after')
+              ) v(doc_id, t)
             )
             SELECT doc_id,
                    trim(regexp_replace(
@@ -8988,12 +9162,27 @@ def oracle_sql() -> dict[str, str]:
         # indexed list_filter keep-first replay (1-based i; prefix =
         # lines[1:i-1]); single-char separator always survives
         "line_dedup_doc": """
-            WITH m AS (
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES
+                (CAST(-1 AS BIGINT),
+                 'a.b' || chr(10) || 'axb' || chr(10) || 'a.b'
+                 || chr(10) || '[x]+' || chr(10) || '[x]+'),
+                (CAST(-2 AS BIGINT),
+                 'dup line' || chr(10) || 'dup line' || chr(10)
+                 || 'unique' || chr(10) || 'dup line')
+              ) v(doc_id, text)
+            ),
+            m AS (
               SELECT doc_id,
                      '== SITE BANNER ==' || chr(10) || coalesce(text, '')
                      || chr(10) || '-' || chr(10) || '== SITE BANNER =='
-                     || chr(10) || coalesce(text, '') AS t
-              FROM documents
+                     || chr(10) || coalesce(text, '') AS t,
+                     '== SITE BANNER ==' || '|' || coalesce(text, '')
+                     || '|' || '-' || '|' || '== SITE BANNER =='
+                     || '|' || coalesce(text, '') AS tp
+              FROM base
             )
             SELECT doc_id,
                    array_to_string(
@@ -9001,7 +9190,13 @@ def oracle_sql() -> dict[str, str]:
                        (x, i) -> length(trim(x)) < 2
                               OR list_position(
                                    string_split(t, chr(10))[1:i-1], x) = 0),
-                     chr(10)) AS text
+                     chr(10)) AS text,
+                   array_to_string(
+                     list_filter(string_split(tp, '|'),
+                       (x, i) -> length(trim(x)) < 2
+                              OR list_position(
+                                   string_split(tp, '|')[1:i-1], x) = 0),
+                     '|') AS text_pipe
             FROM m
         """,
         # content-defined chunking replayed: boundary after any token

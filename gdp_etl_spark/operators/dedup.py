@@ -1696,3 +1696,49 @@ def near_dup_against_index(
     finally:
         bsh.unpersist()
     return result
+
+
+def within_batch_screen(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup admission screen WITHIN one document set: MinHash-LSH
+    pairs among ``docs`` (:func:`minhash_lsh_pairs`), connected-
+    components clustered, and only each cluster's canonical
+    (minimum-``id_col``) member admitted.  Schema is preserved —
+    the output is a subset of ``docs``'s rows.
+
+    This is the third admission stage of
+    :func:`~gdp_etl_spark.streaming.ingest.run_near_dup_ingest`
+    (``within_batch=True``), factored out as a pure batch operator:
+    two mutual near-dups arriving in the SAME micro-batch are
+    invisible to the corpus-index screens (neither is indexed yet), so
+    without this stage both admit.  The admit set is deterministic —
+    canonical = minimum id of the near-dup component — which is what
+    makes the stage oracle-replayable (exact all-pairs Jaccard +
+    recursive reachability in SQL).
+
+    Scale shape: inherits :func:`minhash_lsh_pairs`'s banded candidate
+    join (never all-pairs) and
+    :func:`~gdp_etl_spark.operators.cluster.connected_components`'s
+    driver fast path — near-dup pair graphs are tiny relative to the
+    batch, so the cluster step costs one bounded collect; the final
+    admit is a filter on the clustered frame, no extra shuffle.
+    """
+    from .cluster import dedup_clusters
+
+    pairs = minhash_lsh_pairs(
+        docs, text_col, id_col,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+    )
+    return (
+        dedup_clusters(docs, pairs, id_col)
+        .filter(F.col("is_canonical"))
+        .drop("cluster_id", "is_canonical")
+    )

@@ -256,20 +256,13 @@ def run_near_dup_ingest(
             eager=True
         )
         if within_batch:
-            from ..operators.cluster import dedup_clusters
-            from ..operators.dedup import minhash_lsh_pairs
+            from ..operators.dedup import within_batch_screen
 
-            wb_pairs = minhash_lsh_pairs(
+            admitted = within_batch_screen(
                 admitted, text_col, id_col,
                 num_perm=num_perm, bands=bands, shingle_k=shingle_k,
                 jaccard_threshold=jaccard_threshold,
-            )
-            admitted = (
-                dedup_clusters(admitted, wb_pairs, id_col)
-                .filter(F.col("is_canonical"))
-                .drop("cluster_id", "is_canonical")
-                .localCheckpoint(eager=True)
-            )
+            ).localCheckpoint(eager=True)
         if admitted.isEmpty():
             return
         admitted.write.mode("overwrite").parquet(path)

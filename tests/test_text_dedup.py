@@ -1423,3 +1423,33 @@ def test_compaction_self_heals_crash_between_renames(spark):
     }
     assert got == {91}
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_lateral_alias_lambda_isolation(spark):
+    """Pin the Spark 4 resolution quirk q_line_dedup_doc works around:
+    when an output alias SHADOWS an input column name ("text"), a
+    reference inside a higher-order-function lambda resolves to the
+    LATERAL alias (the earlier output column) while the identical
+    reference outside the lambda resolves to the input column — the
+    prefix test then walks a different lines array than the one being
+    filtered.  The sanctioned shape renames the input away from every
+    output alias before building the expressions; this test asserts
+    that shape stays correct for both separators in ONE projection."""
+    from gdp_etl_spark.functions.text import dedup_lines_in_doc
+
+    df = spark.createDataFrame(
+        [(1, "a.b\naxb\na.b\n[x]+\n[x]+")], "doc_id long, raw string"
+    )
+    body = F.coalesce(F.col("raw"), F.lit(""))
+    multi = F.concat_ws(
+        "\n", F.lit("== B =="), body, F.lit("-"), F.lit("== B =="), body
+    )
+    multi_pipe = F.concat_ws(
+        "|", F.lit("== B =="), body, F.lit("-"), F.lit("== B =="), body
+    )
+    row = df.select(
+        dedup_lines_in_doc(multi).alias("text"),
+        dedup_lines_in_doc(multi_pipe, sep="|").alias("text_pipe"),
+    ).collect()[0]
+    assert row.text == "== B ==\na.b\naxb\n[x]+\n-"
+    assert row.text_pipe == "== B ==|a.b\naxb\na.b\n[x]+\n[x]+|-"
