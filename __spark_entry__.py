@@ -4921,6 +4921,60 @@ def q_sql_udf(spark, sf_dir):
     )
 
 
+def q_link_graph(spark, sf_dir):
+    """WAT-style link-graph extraction (text.extract_links +
+    text.url_host — the link-side complement of strip_markup's WET
+    text): every doc is wrapped in crawl HTML carrying an absolute
+    https link (mixed-case host, www + default-port noise), a
+    single-quoted scheme-relative CDN link, and a relative link; hosts
+    aggregate to (n_links, n_docs, min_doc).  The relative link
+    resolves to NULL host and drops — intra-site edges are the
+    caller's choice.  Extraction and host parsing are one
+    RE2-compatible pattern each (engine-replayable), map-only; the
+    single shuffle is the host rollup."""
+    from gdp_etl_spark.functions.text import extract_links, url_host
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<p>Doc</p><a href="https://WWW.Site'),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".example.com:443/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">x</a> <a class=l href=\'//cdn'),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+        F.lit(".example.net/asset'>y</a> <a href=\"/rel/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">z</a>'),
+    )
+    links = d.select(
+        "doc_id", F.explode(extract_links(html)).alias("link")
+    ).select("doc_id", url_host(F.col("link")).alias("host"))
+    return links.filter(F.col("host").isNotNull()).groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+def q_salted_topk(spark, sf_dir):
+    """Skew-proof EXACT grouped top-k (skew.grouped_topk): top-5
+    orders by total price per order priority WITHOUT a window — a
+    row_number over a hot key sorts the whole group in one task (the
+    straggler shape grouped_ntile killed for lm_buckets); the salted
+    two-phase aggregation spreads each key over 16 reducers with
+    bounded merge state and map-side partials.  Exact by pigeonhole
+    (every global top-k row is in its salt's top-k); oracle = the
+    window form it replaces."""
+    from gdp_etl_spark.operators.skew import grouped_topk
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return grouped_topk(
+        o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=5
+    )
+
+
 def q_batch_screen(spark, sf_dir):
     """Within-batch near-dup admission screen (dedup.within_batch_screen
     — the third stage of streaming.ingest.run_near_dup_ingest, factored
@@ -4992,12 +5046,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every CORRECTNESS_r*.json ledger and ranks (1) queries whose code,
     fixture, or oracle changed this round, (2) queries with no driver
     row in any round, (3) everything else stalest-first (last-green
-    round ascending, name tie-break).  The round-9 window: the two NEW
-    queries (batch_screen, observed_profile), the two whose fixtures +
-    oracles gained adversarial rows (html_strip, line_dedup_doc), the
-    three registered after the r8 window rotation and therefore never
-    driver-checked (recursive_cte, sql_udf, variant_extract), then the
-    43 stalest re-checks (all r3/r4-green: the TPC-H topology sweep,
+    round ascending, name tie-break).  The round-9 window: the four
+    NEW queries (batch_screen, observed_profile, link_graph,
+    salted_topk), the two whose fixtures + oracles gained adversarial
+    rows (html_strip, line_dedup_doc), the three registered after the
+    r8 window rotation and therefore never driver-checked
+    (recursive_cte, sql_udf, variant_extract), then the 41 stalest
+    re-checks (all r3/r4-green: the TPC-H topology sweep,
     stats/monitoring, and multimodal families).  Everything rotated
     out stays registered below with identical local oracle coverage
     (``tools/check_correctness.py``)."""
@@ -5010,11 +5065,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "observed_profile": q_observed_profile,
         "html_strip": q_html_strip,
         "line_dedup_doc": q_line_dedup_doc,
-        # registered after the r8 window rotation -> zero driver rows yet
+        # never driver-checked (new, or registered after a rotation)
+        "link_graph": q_link_graph,
         "recursive_cte": q_recursive_cte,
+        "salted_topk": q_salted_topk,
         "sql_udf": q_sql_udf,
         "variant_extract": q_variant_extract,
-        # stalest re-checks (driver-green r3, oldest first by name)
+        # stalest re-checks, oldest-green first (r3 then r4), name tie-break
         "merge_upsert": q_merge_upsert,
         "native_rollup": q_native_rollup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5032,7 +5089,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "table_checksum": q_table_checksum,
         "trade_volume": q_trade_volume,
-        # stalest re-checks (driver-green r4)
         "array_agg": q_array_agg,
         "array_map_funcs": q_array_map_funcs,
         "benford": q_benford,
@@ -5057,12 +5113,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
-        "multimodal_meta": q_multimodal_meta,
-        "nation_profit": q_nation_profit,
         # -- end of driver window (50) --------------------------------------
         # rotated out — every entry below is driver-green in some round
         # (or rows-only by design: ivf_topk, sketch_stats) and stays
         # locally oracle-checked (tools/check_correctness.py)
+        "multimodal_meta": q_multimodal_meta,
+        "nation_profit": q_nation_profit,
         "dedup_keep_best": q_dedup_keep_best,
         "corpus_clean": q_corpus_clean,
         "corpus_curate": q_corpus_curate,
@@ -7331,6 +7387,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n_chars) AS BIGINT) AS n_chars_min,
                    CAST(max(n_chars) AS BIGINT) AS n_chars_max
             FROM d WHERE n_chars > 200
+        """,
+        # extract_links + url_host replayed pattern-for-pattern (both
+        # RE2); relative links' empty host nullifies and drops
+        "link_graph": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<p>Doc</p><a href="https://WWW.Site'
+                     || CAST(doc_id % 7 AS VARCHAR) || '.example.com:443/p/'
+                     || CAST(doc_id AS VARCHAR)
+                     || '">x</a> <a class=l href=''//cdn'
+                     || CAST(doc_id % 3 AS VARCHAR)
+                     || '.example.net/asset''>y</a> <a href="/rel/'
+                     || CAST(doc_id AS VARCHAR) || '">z</a>' AS t
+              FROM documents
+            ),
+            links AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(t,
+                       '(?is)<a\s[^>]*href\s*=\s*["'']([^"'']*)["'']', 1))
+                       AS link
+              FROM h
+            ),
+            hosts AS (
+              SELECT doc_id,
+                     nullif(regexp_replace(regexp_replace(
+                       lower(regexp_extract(trim(link),
+                         '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//([^/?#]+)', 1)),
+                       '^www\.', ''), ':[0-9]+$', ''), '') AS host
+              FROM links
+            )
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc
+            FROM hosts WHERE host IS NOT NULL
+            GROUP BY host
+        """,
+        # the window form grouped_topk replaces IS the oracle
+        "salted_topk": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice
+            FROM orders
+            QUALIFY row_number() OVER (
+              PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey) <= 5
         """,
         # exact all-pairs 8-gram Jaccard: sound oracle for the LSH-blocked
         # Spark side because P[band miss] <= (1 - J^2)^16 ~ 2e-6 at J=0.75

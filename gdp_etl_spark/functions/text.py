@@ -763,3 +763,43 @@ def dedup_lines_in_doc(
         | (F.array_position(F.slice(lines, F.lit(1), i), x) == 0),
     )
     return F.array_join(kept, sep)
+
+
+def extract_links(html: Column) -> Column:
+    """Anchor ``href`` targets in document order — the WAT-side
+    complement of :func:`strip_markup`'s WET extraction: a crawl
+    pipeline keeps the link graph (PageRank-style quality priors,
+    anchor-text mining, frontier discovery) from the same markup whose
+    prose goes to text dedup.
+
+    One RE2-compatible pattern (no backreferences, engine-replayable):
+    ``<a`` + whitespace, any attributes, ``href=`` with either quote
+    style; the capture stops at EITHER quote char, so a quote of the
+    opposite style inside an href truncates the value — the documented
+    trade for single-pass, backreference-free extraction.  NULL/blank
+    markup yields an empty array.  Map-only expression, zero shuffle;
+    feed the result through ``explode`` + :func:`url_host` for the
+    host-level graph.
+    """
+    t = F.coalesce(html, F.lit(""))
+    return F.regexp_extract_all(
+        t, F.lit("(?is)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']"), F.lit(1)
+    )
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of an absolute URL — ``www.`` prefix and port
+    dropped (host identity, unlike :func:`canonical_url`'s
+    resource identity, ignores the port: the graph node is the site).
+    Scheme-relative ``//host/...`` links resolve like absolute ones
+    (the crawl convention); anything else (relative paths, fragments,
+    ``mailto:`` without ``//``) yields NULL — callers decide whether
+    intra-site edges matter.  Pure expression, map-only."""
+    u = F.trim(F.coalesce(url, F.lit("")))
+    host = F.lower(
+        F.regexp_extract(
+            u, "^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//([^/?#]+)", 1
+        )
+    )
+    host = F.regexp_replace(F.regexp_replace(host, "^www\\.", ""), ":[0-9]+$", "")
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)

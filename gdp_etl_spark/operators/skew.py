@@ -42,3 +42,65 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
     )
     return left.join(right, [*on, "__salt"], how).drop("__salt")
+
+
+def grouped_topk(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    id_col: str,
+    k: int,
+    num_salts: int = 16,
+) -> DataFrame:
+    """EXACT top-``k`` rows per key group, ordered by ``order_col``
+    descending with ``id_col`` ascending as the total-order tie-break —
+    WITHOUT a window.  ``row_number() OVER (PARTITION BY key ...)``
+    sorts each key's entire group in ONE task: a hot key (the
+    dominant-language / null-bucket shape) pins a straggler exactly
+    like the pre-round-8 ``lm_buckets`` ntile did.
+
+    Two-phase salted aggregation instead:
+
+    1. group by (keys, ``xxhash64(id) % num_salts``) and keep each
+       salt's LOCAL top-k (``array_sort`` + ``slice`` over the
+       collected items) — the hot key's rows spread across
+       ``num_salts`` independent reducers, each holding
+       O(group/num_salts) items transiently and emitting ≤ k;
+    2. group by keys alone and merge the ≤ ``num_salts·k`` partials —
+       bounded regardless of group size.
+
+    Exact by the pigeonhole: every global top-k row is in its own
+    salt's top-k.  Map-side partial aggregation applies to both
+    phases (unlike any window).  The sort uses an explicit comparator
+    over (order, id) only, so payload columns need not be orderable
+    (maps/arrays ride along untouched); ``order_col`` compares as
+    DOUBLE with NULL ranking last, and ties beyond (order, id) cannot
+    exist since ``id_col`` is unique per row.
+    """
+    cols = df.columns
+    item = F.struct(
+        F.coalesce(F.col(order_col).cast("double"), F.lit(float("-inf")))
+        .alias("__o"),
+        F.col(id_col).alias("__t"),
+        F.struct(*cols).alias("__r"),
+    )
+
+    def _cmp(a, b):  # descending __o, ascending __t
+        return (
+            F.when(a["__o"] > b["__o"], F.lit(-1))
+            .when(a["__o"] < b["__o"], F.lit(1))
+            .when(a["__t"] < b["__t"], F.lit(-1))
+            .when(a["__t"] > b["__t"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    def _topk(arr):
+        return F.slice(F.array_sort(arr, _cmp), 1, k)
+
+    salted = df.groupBy(
+        *keys, F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_salts)).alias("__s")
+    ).agg(_topk(F.collect_list(item)).alias("__a"))
+    merged = salted.groupBy(*keys).agg(
+        _topk(F.flatten(F.collect_list("__a"))).alias("__a")
+    )
+    return merged.select(F.explode("__a").alias("__e")).select("__e.__r.*")

@@ -1071,3 +1071,60 @@ class TestObservedProfile:
         a_df.write.format("noop").mode("overwrite").save()
         b_df.write.format("noop").mode("overwrite").save()
         assert a.get["n_rows"] == 5 and b.get["n_rows"] == 5
+
+
+def test_grouped_topk_matches_window_form(spark):
+    """Exactness of the salted two-phase top-k against the window form
+    it replaces, on a skewed distribution (one hot key holding half the
+    rows), including NULL order values (rank last) and a non-orderable
+    payload column (map) that must ride along untouched."""
+    from pyspark.sql import Window
+
+    from gdp_etl_spark.operators.skew import grouped_topk
+
+    rows_in = [
+        ("hot", i, float(i % 97), {"m": str(i)}) for i in range(500)
+    ] + [
+        ("cold%d" % (i % 7), 1000 + i, float(i), {"m": str(i)})
+        for i in range(140)
+    ] + [("hot", 2000, None, {"m": "null-order"})]
+    df = spark.createDataFrame(
+        rows_in, "k string, id long, v double, payload map<string,string>"
+    )
+    got = {
+        (r.k, r.id)
+        for r in grouped_topk(df, ["k"], "v", "id", k=5, num_salts=8).collect()
+    }
+    w = Window.partitionBy("k").orderBy(
+        F.col("v").desc_nulls_last(), F.col("id")
+    )
+    want = {
+        (r.k, r.id)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .collect()
+    }
+    assert got == want
+    # k larger than the group: every row of a small group survives
+    tiny = spark.createDataFrame([("a", 1, 1.0), ("a", 2, 2.0)],
+                                 "k string, id long, v double")
+    assert grouped_topk(tiny, ["k"], "v", "id", k=10).count() == 2
+
+
+def test_grouped_topk_plan_has_no_window(spark):
+    """The operator's reason to exist: partial aggregation instead of a
+    per-key sort — the physical plan must contain no Window node and
+    keep hash aggregates (map-side partials apply)."""
+    from gdp_etl_spark.operators.skew import grouped_topk
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        F.col("id").alias("id"),
+        F.col("id").cast("double").alias("v"),
+    )
+    plan = (
+        grouped_topk(df, ["k"], "v", "id", k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan

@@ -1453,3 +1453,29 @@ def test_lateral_alias_lambda_isolation(spark):
     ).collect()[0]
     assert row.text == "== B ==\na.b\naxb\n[x]+\n-"
     assert row.text_pipe == "== B ==|a.b\naxb\na.b\n[x]+\n[x]+|-"
+
+
+def test_extract_links_and_url_host_edges(spark):
+    """WAT-side link extraction: both quote styles, attributes before
+    href, case-insensitive tag, multiline anchors; url_host: www/port
+    stripping, scheme-relative resolution, NULL for relative links and
+    non-URL schemes without //."""
+    from gdp_etl_spark.functions.text import extract_links, url_host
+
+    html = (
+        '<A HREF="https://WWW.Ex.COM:8443/a">x</A>'
+        "<a class=q href='//cdn.ex.net/b'>y</a>"
+        '<a data-x="1"\n   href="/rel/c">z</a>'
+        '<a href="mailto:a@b.c">m</a>'
+        "<p>no link</p>"
+    )
+    df = spark.createDataFrame([(html,), (None,)], "h string")
+    got = df.select(extract_links(F.col("h")).alias("links")).collect()
+    assert got[0].links == [
+        "https://WWW.Ex.COM:8443/a", "//cdn.ex.net/b", "/rel/c", "mailto:a@b.c",
+    ]
+    assert got[1].links == []  # NULL markup -> empty array
+    hosts = spark.createDataFrame(
+        [(u,) for u in got[0].links], "u string"
+    ).select(url_host(F.col("u")).alias("h")).collect()
+    assert [r.h for r in hosts] == ["ex.com", "cdn.ex.net", None, None]
