@@ -4975,6 +4975,42 @@ def q_salted_topk(spark, sf_dir):
     )
 
 
+def q_source_overlap(spark, sf_dir):
+    """Pairwise corpus-slice overlap from per-slice MinHash signatures
+    (sketches.source_minhash_overlap): "how much of source B is
+    already in source A" without shuffling a single shingle — the
+    slice signature is the elementwise min of its documents'
+    signatures (map-side partial-min to |slices|×32 values), pairwise
+    agreement estimates Jaccard.  The permutation hash is the portable
+    md5 fold, so the oracle replays the ESTIMATE bit-exactly — unlike
+    the HLL demo, this sketch is engine-replayable, not just
+    error-bounded."""
+    from gdp_etl_spark.operators.sketches import source_minhash_overlap
+
+    return source_minhash_overlap(
+        _t(spark, sf_dir, "documents"), "text", "source", num_perm=32
+    )
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Reproducible per-epoch corpus shuffle + sharding
+    (sampling.epoch_shuffle): every epoch serves the same rows in a
+    different but fully deterministic (engine-replayable md5) order —
+    shard = hash(id:epoch) mod 8, position = rank of the hash within
+    the shard.  Epochs 0 and 1 are unioned to pin that re-folding the
+    epoch yields an independent permutation.  The only non-map work is
+    the per-shard rank, whose partitions are hash-uniform and sized by
+    the caller's shard count."""
+    from gdp_etl_spark.operators.sampling import epoch_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        epoch_shuffle(d, "doc_id", epoch=0, n_shards=8)
+        .unionByName(epoch_shuffle(d, "doc_id", epoch=1, n_shards=8))
+        .select("doc_id", "shard", "position", "epoch")
+    )
+
+
 def q_batch_screen(spark, sf_dir):
     """Within-batch near-dup admission screen (dedup.within_batch_screen
     — the third stage of streaming.ingest.run_near_dup_ingest, factored
@@ -5046,13 +5082,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every CORRECTNESS_r*.json ledger and ranks (1) queries whose code,
     fixture, or oracle changed this round, (2) queries with no driver
     row in any round, (3) everything else stalest-first (last-green
-    round ascending, name tie-break).  The round-9 window: the four
-    NEW queries (batch_screen, observed_profile, link_graph,
-    salted_topk), the two whose fixtures + oracles gained adversarial
-    rows (html_strip, line_dedup_doc), the three registered after the
-    r8 window rotation and therefore never driver-checked
-    (recursive_cte, sql_udf, variant_extract), then the 41 stalest
-    re-checks (all r3/r4-green: the TPC-H topology sweep,
+    round ascending, name tie-break).  The round-9 window: the six NEW
+    queries (batch_screen, observed_profile, link_graph, salted_topk,
+    source_overlap, epoch_shuffle), the two whose fixtures + oracles
+    gained adversarial rows (html_strip, line_dedup_doc), the three
+    registered after the r8 window rotation and therefore never
+    driver-checked (recursive_cte, sql_udf, variant_extract), then the
+    39 stalest re-checks (all r3/r4-green: the TPC-H topology sweep,
     stats/monitoring, and multimodal families).  Everything rotated
     out stays registered below with identical local oracle coverage
     (``tools/check_correctness.py``)."""
@@ -5066,9 +5102,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip": q_html_strip,
         "line_dedup_doc": q_line_dedup_doc,
         # never driver-checked (new, or registered after a rotation)
+        "epoch_shuffle": q_epoch_shuffle,
         "link_graph": q_link_graph,
         "recursive_cte": q_recursive_cte,
         "salted_topk": q_salted_topk,
+        "source_overlap": q_source_overlap,
         "sql_udf": q_sql_udf,
         "variant_extract": q_variant_extract,
         # stalest re-checks, oldest-green first (r3 then r4), name tie-break
@@ -5111,12 +5149,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_trend": q_linear_trend,
         "market_share": q_market_share,
         "min_cost_supplier": q_min_cost_supplier,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
         # -- end of driver window (50) --------------------------------------
         # rotated out — every entry below is driver-green in some round
         # (or rows-only by design: ivf_topk, sketch_stats) and stays
         # locally oracle-checked (tools/check_correctness.py)
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
         "nation_profit": q_nation_profit,
         "dedup_keep_best": q_dedup_keep_best,
@@ -7423,6 +7461,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS min_doc
             FROM hosts WHERE host IS NOT NULL
             GROUP BY host
+        """,
+        # the slice-signature estimate replayed exactly: same md5 fold,
+        # same elementwise min, same pairwise agreement count
+        "source_overlap": f"""
+            WITH sh AS (
+              SELECT source, unnest({sh}) AS s FROM documents
+            ),
+            hx AS (
+              SELECT source, i,
+                     min(CAST(('0x' || substr(md5(s || ':'
+                           || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT))
+                       AS hmin
+              FROM sh, range(0, 32) t(i)
+              GROUP BY source, i
+            ),
+            sig AS (
+              SELECT source, list(hmin ORDER BY i) AS sig
+              FROM hx GROUP BY source
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(len(list_filter(range(1, 33),
+                        j -> a.sig[j] = b.sig[j])) AS INT) AS n_matches,
+                   CAST(len(list_filter(range(1, 33),
+                        j -> a.sig[j] = b.sig[j])) AS DOUBLE) / 32.0
+                     AS est_jaccard
+            FROM sig a JOIN sig b ON a.source < b.source
+        """,
+        # the md5 epoch fold + per-shard rank replayed verbatim
+        "epoch_shuffle": """
+            WITH e AS (
+              SELECT doc_id, 0 AS epoch,
+                     md5(CAST(doc_id AS VARCHAR) || ':0:epoch') AS h
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 1,
+                     md5(CAST(doc_id AS VARCHAR) || ':1:epoch')
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % 8
+                        AS INT) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY epoch,
+                       CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % 8
+                     ORDER BY h, doc_id) AS INT) AS position,
+                   CAST(epoch AS INT) AS epoch
+            FROM e
         """,
         # the window form grouped_topk replaces IS the oracle
         "salted_topk": """

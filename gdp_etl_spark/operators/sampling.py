@@ -330,3 +330,51 @@ def cluster_safe_split(
     ).drop("component")
     out = hash_split(labeled, "cluster_id", fractions, seed)
     return out
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    n_shards: int,
+    seed: str = "epoch",
+) -> DataFrame:
+    """Reproducible per-epoch global shuffle + sharding for training-
+    data serving: every epoch reads the corpus in a DIFFERENT but
+    fully deterministic order (same rows, same shards, same positions
+    across runs, engines, and cluster sizes — ``df.sample``/
+    ``orderBy(rand())`` give neither).  Each row gets
+
+    * ``shard`` — ``hash(id : epoch : seed) mod n_shards``: which
+      output file serves it this epoch;
+    * ``position`` — the row's rank by that hash inside its shard:
+      the read order within the file.
+
+    The hash is the portable md5 fold (see ``_hash_bucket``), so the
+    assignment replays in any engine.  Epoch e+1 re-hashes with a new
+    fold key — an independent permutation, which is what shuffling
+    between epochs is for (the same pairwise orderings never repeat).
+
+    Scale shape: the only non-map work is the per-shard rank — ONE
+    window whose partitions are hash-uniform by construction, each
+    ~N/n_shards rows; callers pick ``n_shards`` to size shard files
+    for serving (e.g. ≤1 GiB), which simultaneously bounds the sort
+    task.  There is no global sort and no driver state.
+    """
+    fold = f"{epoch}:{seed}"
+    h = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(fold))
+    )
+    out = df.withColumn("__h", h).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring(F.col("__h"), 1, 15), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return (
+        out.withColumn("position", F.row_number().over(w))
+        .drop("__h")
+        .withColumn("epoch", F.lit(epoch).cast("int"))
+    )

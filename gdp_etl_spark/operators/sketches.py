@@ -160,3 +160,81 @@ def group_quantile_sketch(
         ).alias("quantiles_approx"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def source_minhash_overlap(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Pairwise shingle-set OVERLAP between corpus slices (sources,
+    snapshots, languages) estimated from per-slice MinHash signatures
+    — the corpus-diagnostics question ("how much of source B is
+    already in source A?") answered WITHOUT ever shuffling a shingle.
+
+    The slice signature is the elementwise MIN of its documents'
+    signatures (min-hash of a union is the min of the parts' min-
+    hashes), so the whole computation is a map-side partial-min
+    aggregation to ``|slices| × num_perm`` values, then a tiny
+    pairwise zip: fixed-size mergeable state, same scale shape as the
+    HLL/KLL sketches above, at any corpus size.  Estimated Jaccard =
+    fraction of agreeing components, standard error ≈
+    sqrt(J(1−J)/num_perm).
+
+    Unlike the sibling HLL demo, this sketch IS engine-replayable: the
+    permutation hash is ``md5(shingle || ':' || perm)`` folded to a
+    63-bit bigint (first 15 hex chars), bit-compatible between Spark's
+    ``conv`` and DuckDB's hex cast — the oracle replays the ESTIMATE
+    exactly, not a bound.  (The near-dup family keeps xxhash64: faster,
+    and its oracles compare against exact Jaccard instead.)
+
+    Returns one row per unordered slice pair (a < b) with the match
+    count and the Jaccard estimate.
+    """
+    from ..functions.text import shingles
+
+    sig = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.transform(
+                shingles(F.col(text_col), shingle_k),
+                lambda s: F.struct(
+                    *[
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat_ws(":", s, F.lit(str(i)))),
+                                1, 15,
+                            ),
+                            16, 10,
+                        ).cast("long").alias(f"h{i}")
+                        for i in range(num_perm)
+                    ]
+                ),
+            )
+        ).alias("__h"),
+    ).select(
+        "grp", *[F.col(f"__h.h{i}").alias(f"h{i}") for i in range(num_perm)]
+    )
+    # one partial-min per (slice, perm) — map-side combine collapses
+    # each partition to |slices| rows before the only (tiny) shuffle
+    mins = sig.groupBy("grp").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_perm)]
+    )
+    a, b = mins.alias("a"), mins.alias("b")
+    matches = sum(
+        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int")
+        for i in range(num_perm)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.grp") < F.col("b.grp"))
+        .select(
+            F.col("a.grp").alias("source_a"),
+            F.col("b.grp").alias("source_b"),
+            matches.alias("n_matches"),
+            (matches.cast("double") / F.lit(float(num_perm))).alias(
+                "est_jaccard"
+            ),
+        )
+    )

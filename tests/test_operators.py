@@ -1128,3 +1128,52 @@ def test_grouped_topk_plan_has_no_window(spark):
     )
     assert "Window" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_source_minhash_overlap_estimates(spark):
+    """Slice-signature containment: identical slices agree on every
+    permutation, disjoint slices on (essentially) none, and a planted
+    half-overlap estimates within the sketch's standard error."""
+    from gdp_etl_spark.operators.sketches import source_minhash_overlap
+
+    mk = lambda i: f"shared tokens {' '.join(str(j) for j in range(i, i + 12))}"
+    rows_in = (
+        [("a", mk(i)) for i in range(20)]
+        + [("b", mk(i)) for i in range(20)]          # b == a
+        + [("c", mk(i + 1000)) for i in range(20)]   # c disjoint
+        + [("d", mk(i)) for i in range(10, 30)]      # d half-overlaps a
+    )
+    df = spark.createDataFrame(rows_in, "source string, text string")
+    got = {
+        (r.source_a, r.source_b): (r.n_matches, r.est_jaccard)
+        for r in source_minhash_overlap(df, "text", "source", num_perm=64).collect()
+    }
+    assert got[("a", "b")] == (64, 1.0)
+    assert got[("a", "c")][0] <= 3
+    # true J(a, d) is ~1/3 (shared 10 of ~30 distinct starts); 64 perms
+    # -> se ~ 0.06, assert within 4 se
+    assert abs(got[("a", "d")][1] - 1 / 3) < 0.25
+
+
+def test_epoch_shuffle_deterministic_permutations(spark):
+    """Same epoch twice -> identical (shard, position); different
+    epochs -> different order of the same rows; positions contiguous
+    from 1 within every shard."""
+    from gdp_etl_spark.operators.sampling import epoch_shuffle
+
+    d = spark.range(200).select(F.col("id").alias("doc_id"))
+    e0a = {(r.doc_id): (r.shard, r.position)
+           for r in epoch_shuffle(d, "doc_id", 0, 4).collect()}
+    e0b = {(r.doc_id): (r.shard, r.position)
+           for r in epoch_shuffle(d, "doc_id", 0, 4).collect()}
+    e1 = {(r.doc_id): (r.shard, r.position)
+          for r in epoch_shuffle(d, "doc_id", 1, 4).collect()}
+    assert e0a == e0b                      # reproducible
+    assert e0a != e1                       # epochs permute independently
+    assert set(e0a) == set(e1) == set(range(200))  # same rows, once each
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for _, (s, p) in e0a.items():
+        by_shard[s].append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))

@@ -556,6 +556,10 @@ _SCALAR_BNLJ_OK = {
     # BOUNDED query-vector set against the corpus by definition; the
     # scale paths are lsh_topk / ivf_topk
     "ann_topk",
+    # source_overlap: the inequality self-pairing of the |slices|-row
+    # signature frame (sources × 32 mins — fixed-size sketch state,
+    # never data-scale); the corpus itself is map-side partial-min
+    "source_overlap",
 }
 
 
