@@ -4956,15 +4956,16 @@ def q_link_graph(spark, sf_dir):
     )
 
 
-def q_salted_topk(spark, sf_dir):
-    """Skew-proof EXACT grouped top-k (skew.grouped_topk): top-5
-    orders by total price per order priority WITHOUT a window — a
-    row_number over a hot key sorts the whole group in one task (the
-    straggler shape grouped_ntile killed for lm_buckets); the salted
-    two-phase aggregation spreads each key over 16 reducers with
-    bounded merge state and map-side partials.  Exact by pigeonhole
-    (every global top-k row is in its salt's top-k); oracle = the
-    window form it replaces."""
+def q_grouped_topk(spark, sf_dir):
+    """Exact grouped top-k at skew (skew.grouped_topk): top-5 orders
+    by total price per order priority.  Deliberately the plain
+    row_number window — Catalyst's rank-limit pushdown (SPARK-37099)
+    inserts a PARTIAL WindowGroupLimit that prunes to ≤k rows per
+    (key, input partition) MAP-SIDE, so a hot key ships k rows per
+    split instead of its whole group (plan-pinned; two hand-rolled
+    "skew-proof" alternatives measured slower — see
+    tools/probe_grouped_topk.py and SCALE.md).  Oracle = the same
+    window in SQL."""
     from gdp_etl_spark.operators.skew import grouped_topk
 
     o = _t(spark, sf_dir, "orders").select(
@@ -4972,6 +4973,150 @@ def q_salted_topk(spark, sf_dir):
     )
     return grouped_topk(
         o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=5
+    )
+
+
+def _pq_sql(m=4, sub=16, k_codes=16, queries=(0, 1, 2), k=10, seed="pq",
+            rerank=0):
+    """DuckDB replay of similarity.pq_topk: per-subspace fixed-point
+    Lloyd's (the kmeans_assign oracle's CTE chain, generated instead of
+    hand-unrolled), final-codebook encoding, exact-integer ADC scoring,
+    and (rerank>0) the exact full-dimension re-rank of the ADC
+    shortlist — the product-quantization result hash-matches, it is
+    not a recall bound."""
+    rng = f"range(1, {sub + 1})"
+    qlist = ", ".join(str(q) for q in queries)
+
+    def d2(va, vb):
+        return (f"CAST(list_sum(list_transform({rng}, "
+                f"i -> ({va}.q[i] - {vb}.c[i]) * ({va}.q[i] - {vb}.c[i])))"
+                f" AS BIGINT)")
+
+    parts = [f"""qq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000.0)
+                         AS BIGINT)) AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    )"""]
+    for s in range(m):
+        lo = s * sub
+        parts.append(f"""qs{s} AS (
+      SELECT vec_id, q[{lo + 1}:{lo + sub}] AS q,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                                      || ':{seed}{s}'), 1, 8)) AS BIGINT) AS h
+      FROM qq
+    )""")
+        parts.append(f"""c0_{s} AS (
+      SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster, q AS c
+      FROM qs{s} QUALIFY row_number() OVER (ORDER BY h, vec_id) <= {k_codes}
+    )""")
+        prev = f"c0_{s}"
+        for it in (1, 2):
+            parts.append(f"""d{it}_{s} AS (
+      SELECT v.vec_id, v.q, c.cluster, {d2('v', 'c')} AS d2
+      FROM qs{s} v CROSS JOIN {prev} c
+    )""")
+            parts.append(f"""a{it}_{s} AS (
+      SELECT vec_id, q, cluster FROM d{it}_{s}
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cluster) = 1
+    )""")
+            parts.append(f"""u{it}_{s} AS (
+      SELECT a.cluster, t.i AS dim, SUM(a.q[t.i]) AS sm, COUNT(*) AS n
+      FROM a{it}_{s} a, (SELECT unnest({rng}) AS i) t
+      GROUP BY a.cluster, t.i
+    )""")
+            parts.append(f"""c{it}_{s} AS (
+      SELECT {prev}.cluster, COALESCE(upd.c, {prev}.c) AS c
+      FROM {prev} LEFT JOIN (
+        SELECT cluster, list(CAST(sm // n AS BIGINT) ORDER BY dim) AS c
+        FROM u{it}_{s} GROUP BY cluster
+      ) upd USING (cluster)
+    )""")
+            prev = f"c{it}_{s}"
+        parts.append(f"""enc{s} AS (
+      SELECT vec_id, cluster AS code FROM (
+        SELECT v.vec_id, c.cluster, {d2('v', 'c')} AS d2
+        FROM qs{s} v CROSS JOIN {prev} c)
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cluster) = 1
+    )""")
+        parts.append(f"""qd{s} AS (
+      SELECT quer.vec_id AS query_id, cc.cluster AS code,
+             {d2('quer', 'cc')} AS d2
+      FROM qs{s} quer CROSS JOIN {prev} cc
+      WHERE quer.vec_id IN ({qlist})
+    )""")
+    joins = "\n      ".join(
+        f"JOIN enc{s} e{s} ON e{s}.vec_id = e0.vec_id" for s in range(1, m)
+    )
+    qd_joins = "\n      ".join(
+        f"JOIN qd{s} ON qd{s}.code = e{s}.code"
+        + ("" if s == 0 else f" AND qd{s}.query_id = qd0.query_id")
+        for s in range(m)
+    )
+    total = " + ".join(f"qd{s}.d2" for s in range(m))
+    parts.append(f"""scores AS (
+      SELECT qd0.query_id, e0.vec_id AS neighbour_id, {total} AS approx_d2
+      FROM enc0 e0
+      {joins}
+      {qd_joins}
+    )""")
+    if not rerank:
+        return ("WITH " + ",\n    ".join(parts) + f"""
+    SELECT CAST(query_id AS BIGINT) AS query_id, neighbour_id,
+           CAST(approx_d2 AS BIGINT) AS score_d2,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_d2, neighbour_id) AS INT) AS rank
+    FROM scores WHERE neighbour_id <> query_id
+    QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY approx_d2, neighbour_id) <= {k}
+    """)
+    rng_full = f"range(1, {m * sub + 1})"
+    parts.append(f"""shortlist AS (
+      SELECT query_id, neighbour_id FROM scores
+      WHERE neighbour_id <> query_id
+      QUALIFY row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_d2, neighbour_id) <= {rerank}
+    )""")
+    parts.append(f"""exact_s AS (
+      SELECT s.query_id, s.neighbour_id,
+             CAST(list_sum(list_transform({rng_full},
+               i -> (vq.q[i] - vn.q[i]) * (vq.q[i] - vn.q[i])))
+               AS BIGINT) AS score_d2
+      FROM shortlist s
+      JOIN qq vq ON vq.vec_id = s.query_id
+      JOIN qq vn ON vn.vec_id = s.neighbour_id
+    )""")
+    return ("WITH " + ",\n    ".join(parts) + f"""
+    SELECT CAST(query_id AS BIGINT) AS query_id, neighbour_id, score_d2,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score_d2, neighbour_id) AS INT) AS rank
+    FROM exact_s
+    QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY score_d2, neighbour_id) <= {k}
+    """)
+
+
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN top-k (similarity.pq_topk — the third
+    leg of the FAISS triad next to lsh_topk and ivf_topk): vectors
+    compress to 4 codebook indices (4×16 codes ≈ 4 bytes/vector — the
+    only index that fits a memory tier at 100 TB of embeddings);
+    queries score against CODES via exact-integer ADC lookup tables.
+    Codebooks train with the deterministic fixed-point Lloyd's
+    (kmeans.train_kmeans_fixed) per 16-dim subspace, so the oracle
+    replays training, encoding, AND scoring bit-exactly (generated CTE
+    chain, _pq_sql) — hash equality, not a recall bound.  The ADC
+    top-50 shortlist is re-ranked with the EXACT fixed-point distance
+    (the FAISS recall repair; characterized in tests).  Encode and
+    score are map-only; both top-k windows are WindowGroupLimit-pruned."""
+    from gdp_etl_spark.operators.similarity import pq_topk
+
+    return pq_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2], k=10,
+        m=4, k_codes=16, n_iter=2, rerank=50,
     )
 
 
@@ -5082,16 +5227,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every CORRECTNESS_r*.json ledger and ranks (1) queries whose code,
     fixture, or oracle changed this round, (2) queries with no driver
     row in any round, (3) everything else stalest-first (last-green
-    round ascending, name tie-break).  The round-9 window: the six NEW
-    queries (batch_screen, observed_profile, link_graph, salted_topk,
-    source_overlap, epoch_shuffle), the two whose fixtures + oracles
-    gained adversarial rows (html_strip, line_dedup_doc), the three
-    registered after the r8 window rotation and therefore never
-    driver-checked (recursive_cte, sql_udf, variant_extract), then the
-    39 stalest re-checks (all r3/r4-green: the TPC-H topology sweep,
-    stats/monitoring, and multimodal families).  Everything rotated
-    out stays registered below with identical local oracle coverage
-    (``tools/check_correctness.py``)."""
+    round ascending, name tie-break).  The round-9 window: the seven
+    NEW queries (batch_screen, observed_profile, link_graph,
+    grouped_topk, pq_topk, source_overlap, epoch_shuffle), the two
+    whose fixtures + oracles gained adversarial rows (html_strip,
+    line_dedup_doc), the three registered after the r8 window rotation
+    and therefore never driver-checked (recursive_cte, sql_udf,
+    variant_extract), then the 38 stalest re-checks (all r3/r4-green:
+    the TPC-H topology sweep, stats/monitoring, and multimodal
+    families).  Everything rotated out stays registered below with
+    identical local oracle coverage (``tools/check_correctness.py``)."""
     return {
         # -- driver correctness window (first 50) --------------------------
         # computed by: python tools/window_staleness.py --changed \
@@ -5103,9 +5248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_doc": q_line_dedup_doc,
         # never driver-checked (new, or registered after a rotation)
         "epoch_shuffle": q_epoch_shuffle,
+        "grouped_topk": q_grouped_topk,
         "link_graph": q_link_graph,
+        "pq_topk": q_pq_topk,
         "recursive_cte": q_recursive_cte,
-        "salted_topk": q_salted_topk,
         "source_overlap": q_source_overlap,
         "sql_udf": q_sql_udf,
         "variant_extract": q_variant_extract,
@@ -5148,11 +5294,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_orders": q_late_orders,
         "linear_trend": q_linear_trend,
         "market_share": q_market_share,
-        "min_cost_supplier": q_min_cost_supplier,
         # -- end of driver window (50) --------------------------------------
         # rotated out — every entry below is driver-green in some round
         # (or rows-only by design: ivf_topk, sketch_stats) and stays
         # locally oracle-checked (tools/check_correctness.py)
+        "min_cost_supplier": q_min_cost_supplier,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
@@ -7462,6 +7608,8 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts WHERE host IS NOT NULL
             GROUP BY host
         """,
+        # generated CTE replay of PQ train/encode/ADC (see _pq_sql)
+        "pq_topk": _pq_sql(rerank=50),
         # the slice-signature estimate replayed exactly: same md5 fold,
         # same elementwise min, same pairwise agreement count
         "source_overlap": f"""
@@ -7509,8 +7657,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch AS INT) AS epoch
             FROM e
         """,
-        # the window form grouped_topk replaces IS the oracle
-        "salted_topk": """
+        # the same window in SQL — WindowGroupLimit is a physical
+        # rewrite, invisible to semantics
+        "grouped_topk": """
             SELECT o_orderpriority, o_orderkey, o_totalprice
             FROM orders
             QUALIFY row_number() OVER (

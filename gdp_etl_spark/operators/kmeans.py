@@ -64,6 +64,83 @@ def _dist2(q: Column, cent: Column) -> Column:
     )
 
 
+def _quantized_frame(
+    df: DataFrame, id_col: str, vec_col: str,
+    scale: float, offset: float, seed: str,
+) -> DataFrame:
+    """(__id, __q, __h): the fixed-point frame every step reads."""
+    h = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+    )
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        _quantize(F.col(vec_col), scale, offset).alias("__q"),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("__h"),
+    )
+
+
+def _lloyd(qdf: DataFrame, k: int, n_iter: int) -> list[list[int]]:
+    """Train on an already-quantized frame; returns the final centroids
+    (hash-seeded, integer updates, empty clusters keep their centroid —
+    the module-docstring recipe).  Shared by :func:`kmeans_fixed` and
+    :func:`train_kmeans_fixed` so the PQ/IVF callers train EXACTLY the
+    assignment the oracle replays."""
+    seeds = qdf.orderBy("__h", "__id").limit(k).select("__q").collect()
+    centroids = [list(r["__q"]) for r in seeds]
+    k = len(centroids)
+    if k == 0:
+        return []
+    dim = len(centroids[0])
+
+    def assign() -> DataFrame:
+        cents = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
+        dists = F.transform(cents, lambda c: _dist2(F.col("__q"), c))
+        return qdf.select(
+            "__q",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int").alias("cluster"),
+        )
+
+    for _ in range(n_iter):
+        stats = (
+            assign().groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.element_at("__q", i + 1)).alias(f"s{i}")
+                  for i in range(dim)],
+            )
+            .collect()
+        )
+        for r in stats:
+            c, n = r["cluster"], r["n"]
+            # non-negative sums: truncating div == floor div (oracle //)
+            centroids[c] = [int(r[f"s{i}"]) // n for i in range(dim)]
+    return centroids
+
+
+def train_kmeans_fixed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 2,
+    scale: float = 1e6,
+    offset: float = 1.0,
+    seed: str = "km",
+) -> list[list[int]]:
+    """Train-only entry point: the final QUANTIZED centroids as plain
+    Python ints (k·d numbers — driver-safe by construction), for
+    callers that assign with their own expressions (PQ codebooks,
+    IVF cells).  Same deterministic recipe as :func:`kmeans_fixed`."""
+    qdf = _quantized_frame(df, id_col, vec_col, scale, offset, seed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        return _lloyd(qdf, k, n_iter)
+    finally:
+        qdf.unpersist(blocking=False)
+
+
 def kmeans_fixed(
     df: DataFrame,
     id_col: str,
@@ -86,69 +163,26 @@ def kmeans_fixed(
     keep their previous centroid.  ``k`` is capped at the row count.  Assignment plans as pure map work (literal centroids);
     each iteration's update is ONE k-row shuffle + a k·d driver collect.
     """
-    dim = None
     # quantize once and persist: every iteration re-reads this frame
-    h = F.md5(
-        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
-    )
-    qdf = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(
-            F.col(id_col).alias("__id"),
-            _quantize(F.col(vec_col), scale, offset).alias("__q"),
-            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("__h"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    qdf = _quantized_frame(df, id_col, vec_col, scale, offset, seed).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     try:
-        seeds = (
-            qdf.orderBy("__h", "__id").limit(k).select("__q").collect()
-        )
-        centroids = [list(r["__q"]) for r in seeds]  # hash order = cluster id
-        k = len(centroids)
-        if k == 0:
+        centroids = _lloyd(qdf, k, n_iter)
+        if not centroids:
             return df.select(
                 F.col(id_col),
                 F.lit(None).cast("int").alias("cluster"),
                 F.lit(None).cast("bigint").alias("dist2"),
             ).limit(0)
-        dim = len(centroids[0])
-
-        def cents_lit() -> Column:
-            return F.array(
-                *[F.array(*[F.lit(v) for v in c]) for c in centroids]
-            )
-
-        def assign() -> DataFrame:
-            dists = F.transform(cents_lit(), lambda c: _dist2(F.col("__q"), c))
-            return qdf.select(
-                "__id",
-                "__q",
-                (F.array_position(dists, F.array_min(dists)) - 1)
-                .cast("int")
-                .alias("cluster"),
-                F.array_min(dists).alias("dist2"),
-            )
-
-        for _ in range(n_iter):
-            stats = (
-                assign()
-                .groupBy("cluster")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[
-                        F.sum(F.element_at("__q", i + 1)).alias(f"s{i}")
-                        for i in range(dim)
-                    ],
-                )
-                .collect()
-            )
-            for r in stats:
-                c, n = r["cluster"], r["n"]
-                # non-negative sums: truncating div == floor div (oracle //)
-                centroids[c] = [int(r[f"s{i}"]) // n for i in range(dim)]
-
-        return assign().select(F.col("__id").alias(id_col), "cluster", "dist2")
+        cents = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
+        dists = F.transform(cents, lambda c: _dist2(F.col("__q"), c))
+        return qdf.select(
+            F.col("__id").alias(id_col),
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int").alias("cluster"),
+            F.array_min(dists).alias("dist2"),
+        )
     finally:
         # lazily unpersist: the returned plan re-derives __q cheaply
         qdf.unpersist(blocking=False)

@@ -691,3 +691,181 @@ def pca_project(
             yield pdf[cols + [out_col]]
 
     return df.mapInPandas(project, out_schema)
+
+
+def pq_topk(
+    df: DataFrame,
+    query_ids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 4,
+    k_codes: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+    scale: float = 1e6,
+    offset: float = 1.0,
+    seed: str = "pq",
+    rerank: int = 0,
+) -> DataFrame:
+    """Product-quantization approximate top-k — the third leg of the
+    FAISS triad next to :func:`lsh_topk` (hash buckets) and
+    :func:`ivf_topk` (coarse cells): compress every vector to ``m``
+    codebook indices (here 4 × 16 codes = 4 bytes/vector instead of
+    256) and score queries against the CODES via asymmetric distance
+    computation (ADC) — at 100 TB of embeddings, the only way the
+    whole index fits a memory tier at all.
+
+    Spark-first shape:
+
+    * **train** — per subspace, the deterministic fixed-point Lloyd's
+      of :func:`~gdp_etl_spark.operators.kmeans.train_kmeans_fixed`
+      (hash-seeded, integer updates) on the SLICED vectors: codebooks
+      are model state, k_codes·dim integers on the driver.
+    * **encode** — ONE map-only pass: each row's m argmin codes against
+      the literal codebooks (nested HOFs, whole-stage codegen, no
+      shuffle).  At rest the codes column IS the index.
+    * **score** — the |queries|·m·k_codes ADC lookup tables are exact
+      Python ints computed driver-side and shipped as literals; each
+      corpus row's approximate distance per query is m array lookups —
+      again map-only — and the per-query top-k is a row_number window
+      that Catalyst prunes map-side (WindowGroupLimit, see
+      skew.grouped_topk).
+
+    Everything is the repo's fixed-point recipe, so the DuckDB oracle
+    replays training, encoding, and ADC bit-exactly — the check is
+    hash equality on (query_id, neighbour_id, approx_d2, rank), not a
+    recall bound.  (Recall vs exact cosine is characterized separately
+    in tests, the ivf_recall pattern.)
+
+    Returns (query_id, neighbour_id, score_d2, rank), self-matches
+    excluded.  ``score_d2`` is the ADC estimate when ``rerank=0``;
+    with ``rerank=R`` the top-R ADC shortlist is re-scored with the
+    EXACT fixed-point distance and ``score_d2`` is exact — the
+    standard recall repair (uniform-random embeddings are PQ's worst
+    case: pure ADC recall@10 ≈ 0.2 on the synthetic table, shortlist
+    re-rank at R=5k/|corpus| restores most of it; characterized in
+    tests/test_similarity_multimodal.py).
+    """
+    from .kmeans import _dist2, _quantize, train_kmeans_fixed
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    base = df.filter(F.col(vec_col).isNotNull())
+
+    codebooks = []
+    for s in range(m):
+        sliced = base.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
+        )
+        codebooks.append(
+            train_kmeans_fixed(
+                sliced, id_col, vec_col, k=k_codes, n_iter=n_iter,
+                scale=scale, offset=offset, seed=f"{seed}{s}",
+            )
+        )
+
+    q = _quantize(F.col(vec_col), scale, offset)
+
+    def _code_expr(s: int):
+        # a closure, NOT `lambda c, _s=s`: a default arg would make the
+        # lambda two-argument and F.transform would bind the ARRAY
+        # INDEX to it (PySpark infers HOF arity from the signature) —
+        # silently slicing a different subspace per centroid.  Found
+        # the hard way; pinned by tests/test_similarity_multimodal.py.
+        cents = F.array(
+            *[F.array(*[F.lit(v) for v in c]) for c in codebooks[s]]
+        )
+        dists = F.transform(
+            cents,
+            lambda c: _dist2(F.slice(F.col("__q"), s * sub + 1, sub), c),
+        )
+        return (
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int").alias(f"__c{s}")
+        )
+
+    enc = base.select(F.col(id_col), q.alias("__q")).select(
+        id_col, *[_code_expr(s) for s in range(m)]
+    )
+
+    # exact integer ADC tables, driver-side (|Q|·m·k_codes ints)
+    qrows = {
+        r[id_col]: list(r["__q"])
+        for r in base.select(F.col(id_col), q.alias("__q"))
+        .filter(F.col(id_col).isin(list(query_ids)))
+        .collect()
+    }
+    missing = [qi for qi in query_ids if qi not in qrows]
+    if missing:
+        raise ValueError(f"query ids not in corpus: {missing}")
+
+    def adc(qi, s):
+        qs = qrows[qi][s * sub:(s + 1) * sub]
+        return [
+            sum((a - b) * (a - b) for a, b in zip(qs, c))
+            for c in codebooks[s]
+        ]
+
+    per_query = F.array(*[
+        F.struct(
+            F.lit(qi).cast("bigint").alias("query_id"),
+            sum(
+                F.element_at(
+                    F.array(*[F.lit(v) for v in adc(qi, s)]),
+                    F.col(f"__c{s}") + 1,
+                )
+                for s in range(m)
+            ).cast("bigint").alias("approx_d2"),
+        )
+        for qi in query_ids
+    ])
+    scored = enc.select(
+        F.col(id_col).alias("neighbour_id"), F.explode(per_query).alias("__e")
+    ).select("__e.query_id", "neighbour_id", "__e.approx_d2").filter(
+        F.col("neighbour_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbour_id").asc()
+    )
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbour_id",
+                    F.col("approx_d2").alias("score_d2"),
+                    F.col("rank").cast("int").alias("rank"))
+        )
+    # ADC shortlist → EXACT fixed-point re-rank (the standard FAISS
+    # recipe): quantization distortion picks the shortlist, the true
+    # integer distance picks the final k.  The shortlist is
+    # |Q|·rerank rows; the exact pass joins it back to the quantized
+    # vectors once — still engine-replayable, still hash-exact.
+    shortlist = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= rerank)
+        .drop("__rn")
+    )
+    full = base.select(
+        F.col(id_col).alias("neighbour_id"), q.alias("__qv")
+    )
+    exact = shortlist.join(full, "neighbour_id").select(
+        "query_id", "neighbour_id",
+        F.coalesce(*[
+            F.when(F.col("query_id") == F.lit(qi),
+                   _dist2(F.array(*[F.lit(v) for v in qrows[qi]]),
+                          F.col("__qv")))
+            for qi in query_ids
+        ]).alias("score_d2"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score_d2").asc(), F.col("neighbour_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbour_id", "score_d2",
+                F.col("rank").cast("int").alias("rank"))
+    )

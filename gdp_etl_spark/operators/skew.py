@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,57 +50,40 @@ def grouped_topk(
     order_col: str,
     id_col: str,
     k: int,
-    num_salts: int = 16,
 ) -> DataFrame:
     """EXACT top-``k`` rows per key group, ordered by ``order_col``
-    descending with ``id_col`` ascending as the total-order tie-break —
-    WITHOUT a window.  ``row_number() OVER (PARTITION BY key ...)``
-    sorts each key's entire group in ONE task: a hot key (the
-    dominant-language / null-bucket shape) pins a straggler exactly
-    like the pre-round-8 ``lm_buckets`` ntile did.
+    descending (NULLs last) with ``id_col`` ascending as the
+    total-order tie-break.
 
-    Two-phase salted aggregation instead:
+    This is deliberately the PLAIN ``row_number`` window + filter —
+    and that is the scale-safe form, which is not obvious: the naive
+    reading says the hot key's entire group sorts in one task.  Since
+    rank-limit pushdown (SPARK-37099, Spark 3.5+), Catalyst rewrites a
+    ``row_number() <= k`` filter into ``WindowGroupLimit`` nodes: a
+    PARTIAL pass keeps at most k rows per (key, input partition)
+    MAP-SIDE, before the exchange, so the shuffle carries ≤
+    k × n_input_partitions rows per key — bounded by k, independent of
+    group size — and the final per-key pass touches only those.  A hot
+    key at 50% of a 100-TB corpus ships k rows per input split, not
+    half the corpus.
 
-    1. group by (keys, ``xxhash64(id) % num_salts``) and keep each
-       salt's LOCAL top-k (``array_sort`` + ``slice`` over the
-       collected items) — the hot key's rows spread across
-       ``num_salts`` independent reducers, each holding
-       O(group/num_salts) items transiently and emitting ≤ k;
-    2. group by keys alone and merge the ≤ ``num_salts·k`` partials —
-       bounded regardless of group size.
-
-    Exact by the pigeonhole: every global top-k row is in its own
-    salt's top-k.  Map-side partial aggregation applies to both
-    phases (unlike any window).  The sort uses an explicit comparator
-    over (order, id) only, so payload columns need not be orderable
-    (maps/arrays ride along untouched); ``order_col`` compares as
-    DOUBLE with NULL ranking last, and ties beyond (order, id) cannot
-    exist since ``id_col`` is unique per row.
+    Two hand-rolled "skew-proof" alternatives were built and measured
+    against this (see ``tools/probe_grouped_topk.py``): a salted
+    ``collect_list``-array top-k (10× SLOWER at 20M rows — object
+    aggregation materializes whole groups as JVM objects and cannot
+    spill) and a salted two-level window (strictly more work than
+    what WindowGroupLimit already does for free).  The optimizer wins;
+    the plan shape is pinned by
+    ``tests/test_operators.py::test_grouped_topk_plan_partial_limit``.
+    Payload columns are never compared (maps/arrays ride along), any
+    orderable ``order_col`` works, and the semantics ARE the window
+    form — which is also the DuckDB oracle.
     """
-    cols = df.columns
-    item = F.struct(
-        F.coalesce(F.col(order_col).cast("double"), F.lit(float("-inf")))
-        .alias("__o"),
-        F.col(id_col).alias("__t"),
-        F.struct(*cols).alias("__r"),
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc_nulls_last(), F.col(id_col)
     )
-
-    def _cmp(a, b):  # descending __o, ascending __t
-        return (
-            F.when(a["__o"] > b["__o"], F.lit(-1))
-            .when(a["__o"] < b["__o"], F.lit(1))
-            .when(a["__t"] < b["__t"], F.lit(-1))
-            .when(a["__t"] > b["__t"], F.lit(1))
-            .otherwise(F.lit(0))
-        )
-
-    def _topk(arr):
-        return F.slice(F.array_sort(arr, _cmp), 1, k)
-
-    salted = df.groupBy(
-        *keys, F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_salts)).alias("__s")
-    ).agg(_topk(F.collect_list(item)).alias("__a"))
-    merged = salted.groupBy(*keys).agg(
-        _topk(F.flatten(F.collect_list("__a"))).alias("__a")
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
-    return merged.select(F.explode("__a").alias("__e")).select("__e.__r.*")

@@ -1073,13 +1073,11 @@ class TestObservedProfile:
         assert a.get["n_rows"] == 5 and b.get["n_rows"] == 5
 
 
-def test_grouped_topk_matches_window_form(spark):
-    """Exactness of the salted two-phase top-k against the window form
-    it replaces, on a skewed distribution (one hot key holding half the
-    rows), including NULL order values (rank last) and a non-orderable
-    payload column (map) that must ride along untouched."""
-    from pyspark.sql import Window
-
+def test_grouped_topk_semantics(spark):
+    """Ordering + edge semantics on a skewed distribution: one hot key
+    holding half the rows, NULL order values (rank last), a
+    non-orderable payload column (map) riding along, and k larger than
+    a small group (all rows survive)."""
     from gdp_etl_spark.operators.skew import grouped_topk
 
     rows_in = [
@@ -1087,34 +1085,32 @@ def test_grouped_topk_matches_window_form(spark):
     ] + [
         ("cold%d" % (i % 7), 1000 + i, float(i), {"m": str(i)})
         for i in range(140)
-    ] + [("hot", 2000, None, {"m": "null-order"})]
+    ] + [("nullish", 2000, None, {"m": "null-order"}),
+         ("nullish", 2001, 5.0, {"m": "real"})]
     df = spark.createDataFrame(
         rows_in, "k string, id long, v double, payload map<string,string>"
     )
-    got = {
-        (r.k, r.id)
-        for r in grouped_topk(df, ["k"], "v", "id", k=5, num_salts=8).collect()
-    }
-    w = Window.partitionBy("k").orderBy(
-        F.col("v").desc_nulls_last(), F.col("id")
-    )
-    want = {
-        (r.k, r.id)
-        for r in df.withColumn("rn", F.row_number().over(w))
-        .filter("rn <= 5")
-        .collect()
-    }
-    assert got == want
-    # k larger than the group: every row of a small group survives
-    tiny = spark.createDataFrame([("a", 1, 1.0), ("a", 2, 2.0)],
-                                 "k string, id long, v double")
-    assert grouped_topk(tiny, ["k"], "v", "id", k=10).count() == 2
+    got = grouped_topk(df, ["k"], "v", "id", k=5)
+    by_key = {}
+    for r in got.collect():
+        by_key.setdefault(r.k, []).append((r.id, r.v))
+    # hot: v = id % 97 peaks at 96 for ids 96, 193, 290, 387, 484 —
+    # value ties break by ascending id
+    assert sorted(by_key["hot"]) == [(96, 96.0), (193, 96.0), (290, 96.0),
+                                     (387, 96.0), (484, 96.0)]
+    # NULL order ranks last but still fills k when the group is small
+    assert sorted(by_key["nullish"]) == [(2000, None), (2001, 5.0)]
+    assert all(len(v) == 5 for key, v in by_key.items()
+               if key.startswith("cold"))
 
 
-def test_grouped_topk_plan_has_no_window(spark):
-    """The operator's reason to exist: partial aggregation instead of a
-    per-key sort — the physical plan must contain no Window node and
-    keep hash aggregates (map-side partials apply)."""
+def test_grouped_topk_plan_partial_limit(spark):
+    """The operator's scale claim: Catalyst's rank-limit pushdown
+    (SPARK-37099) must insert a PARTIAL WindowGroupLimit — the
+    map-side ≤k-per-(key, partition) prune that runs BEFORE the
+    exchange, bounding per-key shuffle volume by k instead of group
+    size.  If a Spark upgrade ever drops this rewrite, the operator's
+    100-TB story breaks and this test says so."""
     from gdp_etl_spark.operators.skew import grouped_topk
 
     df = spark.range(100).select(
@@ -1126,8 +1122,10 @@ def test_grouped_topk_plan_has_no_window(spark):
         grouped_topk(df, ["k"], "v", "id", k=3)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Window" not in plan
-    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[-1] or \
+        sum("WindowGroupLimit" in l and "Partial" in l
+            for l in plan.splitlines()) >= 1
 
 
 def test_source_minhash_overlap_estimates(spark):
