@@ -774,11 +774,16 @@ def extract_links(html: Column) -> Column:
 
     One RE2-compatible pattern (no backreferences, engine-replayable):
     ``<a`` + whitespace, any attributes, ``href=`` with either quote
-    style; the capture stops at EITHER quote char, so a quote of the
-    opposite style inside an href truncates the value — the documented
-    trade for single-pass, backreference-free extraction.  NULL/blank
-    markup yields an empty array.  Map-only expression, zero shuffle;
-    feed the result through ``explode`` + :func:`url_host` for the
+    style.  Two documented trades for single-pass, backreference-free
+    extraction: the capture stops at EITHER quote char (a quote of the
+    opposite style inside an href truncates the value), and the
+    ``[^>]*`` attribute skip cannot cross a ``>`` inside an EARLIER
+    quoted attribute (``<a title="a>b" href=...`` silently drops that
+    link — the same first-``>``-wins convention :func:`strip_markup`
+    pins for tag removal; a crawl pipeline needing that fidelity swaps
+    in a real parser behind this column contract).  NULL/blank markup
+    yields an empty array.  Map-only expression, zero shuffle; feed
+    the result through ``explode`` + :func:`url_host` for the
     host-level graph.
     """
     t = F.coalesce(html, F.lit(""))
@@ -788,9 +793,12 @@ def extract_links(html: Column) -> Column:
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased host of an absolute URL — ``www.`` prefix and port
-    dropped (host identity, unlike :func:`canonical_url`'s
-    resource identity, ignores the port: the graph node is the site).
+    """Lowercased host of an absolute URL — userinfo (``user@``),
+    ``www.`` prefix, and port dropped (host identity, unlike
+    :func:`canonical_url`'s resource identity, ignores the port: the
+    graph node is the site).  Bracketed IPv6 hosts keep their brackets
+    and lose only a real ``]:port`` suffix — a bare ``:[0-9]+$`` strip
+    would eat the last hextet of ``[::8080]``-shaped addresses.
     Scheme-relative ``//host/...`` links resolve like absolute ones
     (the crawl convention); anything else (relative paths, fragments,
     ``mailto:`` without ``//``) yields NULL — callers decide whether
@@ -801,5 +809,11 @@ def url_host(url: Column) -> Column:
             u, "^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//([^/?#]+)", 1
         )
     )
-    host = F.regexp_replace(F.regexp_replace(host, "^www\\.", ""), ":[0-9]+$", "")
+    host = F.regexp_replace(host, "^[^@]*@", "")
+    # port: after ']' (IPv6) or on a bracketless host only — never
+    # inside the brackets
+    host = F.regexp_replace(
+        host, "^(\\[[^\\]]*\\]|[^:\\[]*)(:[0-9]+)$", "$1"
+    )
+    host = F.regexp_replace(host, "^www\\.", "")
     return F.when(host == "", F.lit(None).cast("string")).otherwise(host)

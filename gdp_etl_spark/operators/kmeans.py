@@ -64,6 +64,26 @@ def _dist2(q: Column, cent: Column) -> Column:
     )
 
 
+def assign_expr(
+    centroids: list[list[int]], q: Column
+) -> tuple[Column, Column]:
+    """(cluster, dist2) argmin expressions for a quantized vector
+    column against literal centroids — THE assignment shape, shared by
+    the Lloyd's loop, :func:`kmeans_fixed`'s final select, and
+    similarity.pq_topk's subspace encoder so the tie rule (first =
+    smallest cluster id) and the HOF arity live in exactly one place.
+    The transform lambda must stay ONE-argument: a second parameter —
+    even a ``_s=s`` default used to bind a loop variable — makes
+    PySpark pass the ARRAY INDEX to it (HOF arity is inferred from the
+    signature; the pq_topk encoder shipped that bug once)."""
+    cents = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
+    dists = F.transform(cents, lambda c: _dist2(q, c))
+    return (
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        F.array_min(dists),
+    )
+
+
 def _quantized_frame(
     df: DataFrame, id_col: str, vec_col: str,
     scale: float, offset: float, seed: str,
@@ -93,13 +113,8 @@ def _lloyd(qdf: DataFrame, k: int, n_iter: int) -> list[list[int]]:
     dim = len(centroids[0])
 
     def assign() -> DataFrame:
-        cents = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
-        dists = F.transform(cents, lambda c: _dist2(F.col("__q"), c))
-        return qdf.select(
-            "__q",
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int").alias("cluster"),
-        )
+        cluster, _ = assign_expr(centroids, F.col("__q"))
+        return qdf.select("__q", cluster.alias("cluster"))
 
     for _ in range(n_iter):
         stats = (
@@ -175,13 +190,11 @@ def kmeans_fixed(
                 F.lit(None).cast("int").alias("cluster"),
                 F.lit(None).cast("bigint").alias("dist2"),
             ).limit(0)
-        cents = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
-        dists = F.transform(cents, lambda c: _dist2(F.col("__q"), c))
+        cluster, dist2 = assign_expr(centroids, F.col("__q"))
         return qdf.select(
             F.col("__id").alias(id_col),
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int").alias("cluster"),
-            F.array_min(dists).alias("dist2"),
+            cluster.alias("cluster"),
+            dist2.alias("dist2"),
         )
     finally:
         # lazily unpersist: the returned plan re-derives __q cheaply

@@ -361,6 +361,15 @@ def epoch_shuffle(
     for serving (e.g. ≤1 GiB), which simultaneously bounds the sort
     task.  There is no global sort and no driver state.
     """
+    clashes = {"shard", "position", "epoch", "__h"} & set(df.columns)
+    if clashes:
+        # withColumn would silently OVERWRITE these — and a frame that
+        # already carries shard/epoch from a previous pass is exactly
+        # this operator's natural input
+        raise ValueError(
+            f"epoch_shuffle output columns collide with input columns "
+            f"{sorted(clashes)}; rename or drop them first"
+        )
     fold = f"{epoch}:{seed}"
     h = F.md5(
         F.concat_ws(":", F.col(id_col).cast("string"), F.lit(fold))

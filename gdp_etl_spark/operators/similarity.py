@@ -747,7 +747,12 @@ def pq_topk(
     re-rank at R=5k/|corpus| restores most of it; characterized in
     tests/test_similarity_multimodal.py).
     """
-    from .kmeans import _dist2, _quantize, train_kmeans_fixed
+    from .kmeans import (
+        _dist2,
+        _quantize,
+        assign_expr,
+        train_kmeans_fixed,
+    )
 
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -770,22 +775,13 @@ def pq_topk(
     q = _quantize(F.col(vec_col), scale, offset)
 
     def _code_expr(s: int):
-        # a closure, NOT `lambda c, _s=s`: a default arg would make the
-        # lambda two-argument and F.transform would bind the ARRAY
-        # INDEX to it (PySpark infers HOF arity from the signature) —
-        # silently slicing a different subspace per centroid.  Found
-        # the hard way; pinned by tests/test_similarity_multimodal.py.
-        cents = F.array(
-            *[F.array(*[F.lit(v) for v in c]) for c in codebooks[s]]
+        # assign_expr holds THE argmin shape (and the one-arg-lambda
+        # arity rule this encoder once violated — see its docstring;
+        # pinned by tests/test_similarity_multimodal.py)
+        cluster, _ = assign_expr(
+            codebooks[s], F.slice(F.col("__q"), s * sub + 1, sub)
         )
-        dists = F.transform(
-            cents,
-            lambda c: _dist2(F.slice(F.col("__q"), s * sub + 1, sub), c),
-        )
-        return (
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int").alias(f"__c{s}")
-        )
+        return cluster.alias(f"__c{s}")
 
     enc = base.select(F.col(id_col), q.alias("__q")).select(
         id_col, *[_code_expr(s) for s in range(m)]

@@ -50,3 +50,40 @@ def test_every_window_query_has_an_oracle_or_is_rows_only_by_design():
         if n not in oracles and n not in rows_only_ok
     ]
     assert not missing, f"window entries without an oracle: {missing}"
+
+
+def test_window_staleness_compose_ranking():
+    """The rotation tool's ranking contract: changed first (in given
+    order), then never-checked (alphabetical), then stalest-first by
+    last-green round with name tie-break; rows-only queries rotate on
+    their last-any round; slots cap respected."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "window_staleness",
+        Path(__file__).resolve().parent.parent / "tools" / "window_staleness.py",
+    )
+    ws = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ws)
+
+    queries = ["a", "b", "c", "d", "e", "f", "g", "r"]
+    last_green = {"a": 3, "b": 8, "c": 4, "d": 0, "e": 3, "f": 0, "g": 5,
+                  "r": 4}
+    last_any = {"a": 3, "b": 8, "c": 4, "d": 0, "e": 3, "f": 7, "g": 5,
+                "r": 9}
+    # f is rows-only (any=7, green=0); d is never-checked; r REGRESSED
+    # (green r4, then a non-green row in r9 — must jump the queue, not
+    # sort as r9-fresh)
+    window, never = ws.compose(
+        queries, last_green, last_any, changed=["g", "zz"], slots=6
+    )
+    assert never == ["d"]
+    # g changed (zz ignored: not registered), r regressed, d never,
+    # then a/e (r3, name tie-break), then c (r4)
+    assert window == ["g", "r", "d", "a", "e", "c"]
+    # full ordering without the cap: rows-only f sorts at its last_any
+    window_all, _ = ws.compose(
+        queries, last_green, last_any, changed=[], slots=99
+    )
+    assert window_all == ["r", "d", "a", "e", "c", "g", "f", "b"]

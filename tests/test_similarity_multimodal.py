@@ -530,9 +530,10 @@ class TestPerceptualHash:
 
 
 def test_pq_topk_recall_and_arity_pin(spark):
-    """PQ is approximate by design — characterize recall@10 against the
-    exact fixed-point brute force on the sf0.001 embeddings (the
-    ivf_recall pattern), and pin the HOF-arity trap: the codes must
+    """PQ is approximate by design — characterize recall@10 against
+    the exact fixed-point brute force on the sf0.01 embeddings (the
+    ivf_recall pattern; sf0.001's 50 uniform-random vectors are
+    structureless for any quantizer), and pin the HOF-arity trap: the codes must
     differ across subspaces for a vector whose subvectors differ (the
     `lambda c, _s=s` bug encoded every subspace with index-shifted
     slices and produced near-constant scores)."""

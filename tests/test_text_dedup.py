@@ -1476,6 +1476,13 @@ def test_extract_links_and_url_host_edges(spark):
     ]
     assert got[1].links == []  # NULL markup -> empty array
     hosts = spark.createDataFrame(
-        [(u,) for u in got[0].links], "u string"
+        [(u,) for u in got[0].links]
+        + [("https://user:pw@www.Ex.com:8443/q",),   # userinfo + port
+           ("http://[2001:db8::8080]/x",),            # IPv6, no port
+           ("http://[2001:db8::1]:8080/x",)],         # IPv6 + port
+        "u string",
     ).select(url_host(F.col("u")).alias("h")).collect()
-    assert [r.h for r in hosts] == ["ex.com", "cdn.ex.net", None, None]
+    assert [r.h for r in hosts] == [
+        "ex.com", "cdn.ex.net", None, None,
+        "ex.com", "[2001:db8::8080]", "[2001:db8::1]",
+    ]

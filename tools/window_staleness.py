@@ -76,6 +76,15 @@ def evidence(queries: list[str]) -> tuple[dict[str, int], dict[str, int]]:
 def compose(queries, last_green, last_any, changed, slots):
     changed = [q for q in changed if q in set(queries)]
     seen = set(changed)
+    # REGRESSED: was green once, but a LATER driver row is non-green —
+    # the one class that must never wait out a rotation (sorting these
+    # by max(green, any) would treat the failure round as freshness
+    # and push the known-bad query to the BACK of the queue)
+    regressed = sorted(
+        q for q in queries
+        if q not in seen and 0 < last_green[q] < last_any[q]
+    )
+    seen.update(regressed)
     never = sorted(
         (q for q in queries if q not in seen and last_any[q] == 0),
     )
@@ -84,9 +93,9 @@ def compose(queries, last_green, last_any, changed, slots):
     # last_any so they still rotate through on the normal cadence
     rest = sorted(
         (q for q in queries if q not in seen),
-        key=lambda q: (max(last_green[q], last_any[q]), q),
+        key=lambda q: (last_green[q] or last_any[q], q),
     )
-    window = (changed + never + rest)[:slots]
+    window = (changed + regressed + never + rest)[:slots]
     return window, never
 
 
