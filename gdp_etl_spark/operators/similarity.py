@@ -847,7 +847,10 @@ def pq_topk(
     full = base.select(
         F.col(id_col).alias("neighbour_id"), q.alias("__qv")
     )
-    exact = shortlist.join(full, "neighbour_id").select(
+    # the shortlist is ≤ |Q|·rerank rows by construction — hint it as
+    # the broadcast side so the CORPUS never shuffles for the re-rank
+    # (at sf0.01 the planner would happily build the other side)
+    exact = F.broadcast(shortlist).join(full, "neighbour_id").select(
         "query_id", "neighbour_id",
         F.coalesce(*[
             F.when(F.col("query_id") == F.lit(qi),
