@@ -5136,6 +5136,23 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
+def q_stratified_split(spark, sf_dir):
+    """EXACT-proportion stratified split (sampling.stratified_split):
+    every language is hash-ordered and ntile-cut 8/1/1 into
+    train/val/test — quotas are exact to ntile granularity WITHIN each
+    stratum (hash_split's Bernoulli gates only hit them in
+    expectation, which an eval set cannot accept).  The ntile is the
+    de-skewed grouped_ntile (range partitions + prefix sums — ntile
+    has no WindowGroupLimit rescue), bit-identical to the windowed
+    form the oracle replays."""
+    from gdp_etl_spark.operators.sampling import stratified_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_split(
+        d, "doc_id", "lang", {"train": 8, "val": 1, "test": 1}
+    )
+
+
 def q_source_overlap(spark, sf_dir):
     """Pairwise corpus-slice overlap from per-slice MinHash signatures
     (sketches.source_minhash_overlap): "how much of source B is
@@ -5247,13 +5264,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every CORRECTNESS_r*.json ledger and ranks (1) queries whose code,
     fixture, or oracle changed this round, (2) queries with no driver
     row in any round, (3) everything else stalest-first (last-green
-    round ascending, name tie-break).  The round-9 window: the seven
+    round ascending, name tie-break).  The round-9 window: the eight
     NEW queries (batch_screen, observed_profile, link_graph,
-    grouped_topk, pq_topk, source_overlap, epoch_shuffle), the two
+    grouped_topk, pq_topk, source_overlap, epoch_shuffle,
+    stratified_split), the two
     whose fixtures + oracles gained adversarial rows (html_strip,
     line_dedup_doc), the three registered after the r8 window rotation
     and therefore never driver-checked (recursive_cte, sql_udf,
-    variant_extract), then the 38 stalest re-checks (all r3/r4-green:
+    variant_extract), then the 37 stalest re-checks (all r3/r4-green:
     the TPC-H topology sweep, stats/monitoring, and multimodal
     families).  Everything rotated out stays registered below with
     identical local oracle coverage (``tools/check_correctness.py``)."""
@@ -5274,6 +5292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_cte": q_recursive_cte,
         "source_overlap": q_source_overlap,
         "sql_udf": q_sql_udf,
+        "stratified_split": q_stratified_split,
         "variant_extract": q_variant_extract,
         # stalest re-checks, oldest-green first (r3 then r4), name tie-break
         "merge_upsert": q_merge_upsert,
@@ -5313,11 +5332,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "late_orders": q_late_orders,
         "linear_trend": q_linear_trend,
-        "market_share": q_market_share,
         # -- end of driver window (50) --------------------------------------
         # rotated out — every entry below is driver-green in some round
         # (or rows-only by design: ivf_topk, sketch_stats) and stays
         # locally oracle-checked (tools/check_correctness.py)
+        "market_share": q_market_share,
         "min_cost_supplier": q_min_cost_supplier,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -7664,6 +7683,22 @@ def oracle_sql() -> dict[str, str]:
                         j -> a.sig[j] = b.sig[j])) AS DOUBLE) / 32.0
                      AS est_jaccard
             FROM sig a JOIN sig b ON a.source < b.source
+        """,
+        # the grouped_ntile contract: bit-identical to windowed ntile
+        # over the same (hash, id) total order; tile runs -> labels
+        "stratified_split": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     ntile(10) OVER (PARTITION BY lang
+                       ORDER BY CAST(('0x' || substr(md5(
+                         CAST(doc_id AS VARCHAR) || ':split'), 1, 8))
+                         AS BIGINT), doc_id) AS tile
+              FROM documents)
+            SELECT doc_id, lang,
+                   CASE WHEN tile <= 8 THEN 'train'
+                        WHEN tile = 9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM t
         """,
         # the md5 epoch fold + per-shard rank replayed verbatim
         "epoch_shuffle": """

@@ -387,3 +387,64 @@ def epoch_shuffle(
         .drop("__h")
         .withColumn("epoch", F.lit(epoch).cast("int"))
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    splits: Mapping[str, int],
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """EXACT-proportion, leak-stable train/val/test assignment per
+    stratum — the quota-true sibling of :func:`stratified_hash_sample`
+    (which is Bernoulli per row: a 10% val split of a 1,000-doc
+    language holds 100 docs only in expectation; evaluation sets need
+    the quota, not its expectation).
+
+    ``splits`` maps label → integer weight (e.g. ``{"train": 8,
+    "val": 1, "test": 1}``); each stratum is ordered by the portable
+    md5 fold of (id, seed) and cut into ``sum(weights)`` ntiles by the
+    exact even-split rule, with consecutive ntile runs assigned to
+    labels in the caller's dict order.  Proportions are therefore
+    exact to ntile granularity WITHIN EVERY stratum, assignment is
+    deterministic across runs/engines/partitionings, and the hash
+    ordering makes the cut independent of any data column.
+
+    Scale shape: the ntile comes from
+    :func:`~gdp_etl_spark.operators.ids.grouped_ntile` (range
+    partitions + prefix-sum offsets), so a dominant stratum never pins
+    one task the way ``ntile() OVER (PARTITION BY stratum)`` would —
+    and unlike row_number-top-k there is NO optimizer pushdown that
+    rescues the window form (ntile has no WindowGroupLimit).
+
+    Note the contract difference vs :func:`hash_sample`: re-splitting
+    after the corpus grows REASSIGNS rows (quotas are exact for the
+    new total), whereas per-row hash gates are append-stable but only
+    approximate.  Pick by need; this operator is for frozen evaluation
+    snapshots.
+    """
+    from .ids import grouped_ntile
+
+    if not splits or any(w < 1 for w in splits.values()):
+        raise ValueError("splits must map labels to positive weights")
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    n = sum(splits.values())
+    bucketed = grouped_ntile(
+        df,
+        [stratum_col],
+        [_hash_bucket(F.col(id_col), seed), F.col(id_col)],
+        n_buckets=n,
+        bucket_col="__tile",
+    )
+    expr = None
+    lo = 1
+    for label, w in splits.items():
+        cond = F.col("__tile") < F.lit(lo + w)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(
+            cond, F.lit(label)
+        )
+        lo += w
+    return bucketed.withColumn(out_col, expr).drop("__tile")

@@ -1175,3 +1175,41 @@ def test_epoch_shuffle_deterministic_permutations(spark):
         by_shard[s].append(p)
     for s, ps in by_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_stratified_split_exact_quotas(spark):
+    """Quotas are EXACT per stratum (not Bernoulli-expected): 100 rows
+    per stratum at 8/1/1 weights give exactly 80/10/10; assignment is
+    deterministic across calls; a stratum smaller than the weight sum
+    still covers every label run the ntile rule reaches; collisions
+    with an existing 'split' column raise."""
+    import pytest as _pytest
+
+    from gdp_etl_spark.operators.sampling import stratified_split
+
+    df = spark.createDataFrame(
+        [(s * 1000 + i, f"s{s}") for s in range(3) for i in range(100)],
+        "id long, stratum string",
+    )
+    out = stratified_split(df, "id", "stratum",
+                           {"train": 8, "val": 1, "test": 1})
+    counts = {
+        (r.stratum, r.split): r.n
+        for r in out.groupBy("stratum", "split").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    for s in range(3):
+        assert counts[(f"s{s}", "train")] == 80
+        assert counts[(f"s{s}", "val")] == 10
+        assert counts[(f"s{s}", "test")] == 10
+    again = stratified_split(df, "id", "stratum",
+                             {"train": 8, "val": 1, "test": 1})
+    assert {(r.id, r.split) for r in out.collect()} == {
+        (r.id, r.split) for r in again.collect()
+    }
+    tiny = spark.createDataFrame([(1, "s"), (2, "s")], "id long, stratum string")
+    lab = {r.split for r in stratified_split(
+        tiny, "id", "stratum", {"train": 8, "val": 1, "test": 1}).collect()}
+    assert lab == {"train"}  # 2 rows -> tiles 1..2 -> both in the train run
+    with _pytest.raises(ValueError):
+        stratified_split(out, "id", "stratum", {"a": 1})
