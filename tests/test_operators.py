@@ -1213,3 +1213,68 @@ def test_stratified_split_exact_quotas(spark):
     assert lab == {"train"}  # 2 rows -> tiles 1..2 -> both in the train run
     with _pytest.raises(ValueError):
         stratified_split(out, "id", "stratum", {"a": 1})
+
+
+def test_within_batch_screen_admits_canonicals_only(spark):
+    """Direct operator-level check of the ingest's third admission
+    stage: mutual near-dups inside ONE frame admit only the
+    minimum-id member; dissimilar docs pass untouched; the schema is
+    preserved (output rows are a subset of the input's)."""
+    from gdp_etl_spark.operators.dedup import within_batch_screen
+
+    base = "the quick brown fox jumps over the lazy dog again today ok"
+    rows_in = [
+        (1, base, "a"),
+        (2, base + " indeed", "b"),          # near-dup of 1
+        (3, "completely different words about spark engines", "c"),
+        (4, base + " indeed", "d"),          # exact text of 2 -> J=1
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string, src string")
+    out = within_batch_screen(
+        df, "text", "doc_id", num_perm=16, bands=16, jaccard_threshold=0.8
+    )
+    assert out.columns == df.columns
+    got = {(r.doc_id, r.src) for r in out.collect()}
+    assert got == {(1, "a"), (3, "c")}
+
+
+def test_epoch_shuffle_collision_guard(spark):
+    import pytest as _pytest
+
+    from gdp_etl_spark.operators.sampling import epoch_shuffle
+
+    d = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("shard")
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        epoch_shuffle(d, "doc_id", 0, 4)
+
+
+def test_pq_full_rerank_equals_exact_brute_force(spark):
+    """Exactness property: with rerank >= corpus size the ADC
+    shortlist is everything, so pq_topk degenerates to the exact
+    fixed-point brute force — quantization can reorder NOTHING.  Pins
+    the re-rank join and the exact-distance expression end to end."""
+    import heapq
+
+    from gdp_etl_spark.operators.kmeans import _quantize
+    from gdp_etl_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    got = [
+        (r.query_id, r.rank, r.neighbour_id, r.score_d2)
+        for r in pq_topk(emb, [0, 1], k=5, m=4, k_codes=8, n_iter=1,
+                         rerank=n).collect()
+    ]
+    q = emb.select("vec_id", _quantize(F.col("embedding"), 1e6, 1.0).alias("q"))
+    rows = {r.vec_id: list(r.q) for r in q.collect()}
+    want = []
+    for qi in (0, 1):
+        d = [
+            (sum((a - b) * (a - b) for a, b in zip(rows[qi], v)), vid)
+            for vid, v in rows.items() if vid != qi
+        ]
+        for rank, (d2, vid) in enumerate(heapq.nsmallest(5, d), start=1):
+            want.append((qi, rank, vid, d2))
+    assert sorted(got) == sorted(want)
