@@ -1083,6 +1083,50 @@ def _num_buckets(spark, table: str) -> int:
     return int(meta["Num Buckets"])
 
 
+def _stamp_minhash_params(
+    spark, index_table: str, num_perm: int, bands: int, shingle_k: int
+) -> None:
+    """Persist the banding parameters AS TABLE PROPERTIES on the band
+    table: a probe or append with different parameters generates a
+    different candidate space — recall silently collapses with no
+    error anywhere.  The properties make the mismatch loud."""
+    spark.sql(
+        f"ALTER TABLE {index_table} SET TBLPROPERTIES ("
+        f"'minhash.num_perm' = '{int(num_perm)}', "
+        f"'minhash.bands' = '{int(bands)}', "
+        f"'minhash.shingle_k' = '{int(shingle_k)}')"
+    )
+
+
+def _check_minhash_params(
+    spark, index_table: str, num_perm: int, bands: int, shingle_k: int
+) -> None:
+    """Raise on a parameter mismatch with the stamped index; tables
+    written before the stamp existed (no properties) pass unchecked —
+    absence is legacy, disagreement is a bug."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {index_table}").collect()
+    props = {r["key"]: r["value"] for r in rows}
+    want = {
+        "minhash.num_perm": str(int(num_perm)),
+        "minhash.bands": str(int(bands)),
+        "minhash.shingle_k": str(int(shingle_k)),
+    }
+    bad = {
+        k: (props[k], v) for k, v in want.items()
+        if k in props and props[k] != v
+    }
+    if bad:
+        detail = ", ".join(
+            f"{k}: index={a} caller={b}" for k, (a, b) in sorted(bad.items())
+        )
+        raise ValueError(
+            f"MinHash parameter mismatch against index {index_table!r} "
+            f"({detail}) — candidates would come from a DIFFERENT "
+            f"banding space and recall would silently collapse; use the "
+            f"parameters the index was written with, or rebuild it"
+        )
+
+
 def append_to_dedup_index(
     admitted: DataFrame, text_col: str, index_table: str
 ) -> None:
@@ -1174,6 +1218,14 @@ def _compact_bucketed_table(
             )
     spark.catalog.refreshTable(table)
     n_buckets = _num_buckets(spark, table)
+    # carry the table's own properties (e.g. the minhash.* parameter
+    # stamp) across the swap — the rewrite is a NEW metastore entry and
+    # would silently drop them, disarming the probe-time mismatch guard
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        if not r["key"].startswith(("transient_", "spark.sql."))
+    }
     files_before = len(spark.table(table).inputFiles())
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     (
@@ -1193,6 +1245,9 @@ def _compact_bucketed_table(
         spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
         raise
     spark.sql(f"DROP TABLE {old}")
+    if props:
+        kv = ", ".join(f"'{k}' = '{v}'" for k, v in sorted(props.items()))
+        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
     spark.catalog.refreshTable(table)
     return files_before, len(spark.table(table).inputFiles())
 
@@ -1498,6 +1553,9 @@ def write_minhash_index(
             ["band", "bucket"], num_buckets=n_buckets,
             sort_by=["band", "bucket"],
         )
+        _stamp_minhash_params(
+            corpus.sparkSession, index_table, num_perm, bands, shingle_k
+        )
     finally:
         sh.unpersist()
 
@@ -1564,6 +1622,7 @@ def append_to_minhash_index(
     accretion in both tables.
     """
     spark = admitted.sparkSession
+    _check_minhash_params(spark, index_table, num_perm, bands, shingle_k)
 
     from ..functions.text import shingles as _shingles
 
@@ -1639,6 +1698,7 @@ def near_dup_against_index(
     t_mill = int(-(-jaccard_threshold * 1000 // 1))
     spark.catalog.refreshTable(index_table)
     spark.catalog.refreshTable(f"{index_table}_sets")
+    _check_minhash_params(spark, index_table, num_perm, bands, shingle_k)
 
     bsh = batch.select(
         F.col(id_col).alias("batch_id"),

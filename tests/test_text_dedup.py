@@ -1486,3 +1486,59 @@ def test_extract_links_and_url_host_edges(spark):
         "ex.com", "cdn.ex.net", None, None,
         "ex.com", "[2001:db8::8080]", "[2001:db8::1]",
     ]
+
+
+def test_minhash_param_stamp_guard(spark, tmp_path):
+    """The banding parameters are stamped as table properties at index
+    write: a probe or append with different parameters raises instead
+    of silently generating candidates from a different banding space;
+    compaction's rename-swap carries the stamp; a legacy (unstamped)
+    table passes unchecked."""
+    import shutil
+    import os
+
+    import pytest as _pytest
+
+    from gdp_etl_spark.operators.dedup import (
+        compact_minhash_index,
+        near_dup_against_index,
+        write_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some repeated tokens number {i} padding words here ok "
+             f"{'x ' * (i % 4)}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    table = "t_mh_stamp"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (table, f"{table}_sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    write_minhash_index(docs, "text", "doc_id", table,
+                        num_perm=16, bands=8, n_buckets=4)
+    batch = docs.limit(5)
+    # matching params probe: fine
+    near_dup_against_index(spark, batch, "text", "doc_id", table,
+                           num_perm=16, bands=8).count()
+    # mismatched bands: loud
+    with _pytest.raises(ValueError, match="parameter mismatch"):
+        near_dup_against_index(spark, batch, "text", "doc_id", table,
+                               num_perm=16, bands=4)
+    # mismatched shingle_k: loud
+    with _pytest.raises(ValueError, match="shingle_k"):
+        near_dup_against_index(spark, batch, "text", "doc_id", table,
+                               num_perm=16, bands=8, shingle_k=3)
+    # the stamp survives compaction's rename-swap
+    compact_minhash_index(spark, table)
+    with _pytest.raises(ValueError, match="parameter mismatch"):
+        near_dup_against_index(spark, batch, "text", "doc_id", table,
+                               num_perm=16, bands=4)
+    # legacy table without the stamp: unchecked (absence != mismatch)
+    spark.sql(f"ALTER TABLE {table} UNSET TBLPROPERTIES "
+              f"('minhash.num_perm', 'minhash.bands', 'minhash.shingle_k')")
+    near_dup_against_index(spark, batch, "text", "doc_id", table,
+                           num_perm=16, bands=4).count()
+    for t in (table, f"{table}_sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
