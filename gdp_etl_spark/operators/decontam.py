@@ -221,3 +221,55 @@ def contamination_overlap_fraction(
             ),
         )
     )
+
+
+def benchmark_shingle_hashes(
+    benchmark: DataFrame, text_col: str, shingle_k: int = 8
+) -> DataFrame:
+    """The benchmark's distinct shingle-hash set as a 1-column frame
+    (``__h`` bigint) — the precomputable half of :func:`decontaminate`,
+    factored out so a STREAMING ingest can derive it once instead of
+    re-shingling the benchmark every micro-batch.  Benchmark suites are
+    bounded by contract (they broadcast), so the set is collectable."""
+    return (
+        benchmark.select(
+            F.explode(shingles(F.col(text_col), shingle_k)).alias("__s")
+        )
+        .select(F.xxhash64("__s").alias("__h"))
+        .distinct()
+    )
+
+
+def screen_contaminated(
+    docs: DataFrame,
+    bench_hashes: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Admission form of :func:`decontaminate`: return the rows of
+    ``docs`` whose distinct-shingle overlap with the benchmark set is
+    BELOW ``min_overlap`` (schema preserved; the flagged/audit form is
+    :func:`decontaminate`).  ``bench_hashes`` is
+    :func:`benchmark_shingle_hashes` output — possibly rebuilt on
+    another session (streaming foreachBatch), which is why the hash
+    set travels as a frame, not a closure over the benchmark plan.
+
+    Scale shape: the benchmark set broadcasts; the per-doc overlap is
+    one map-side explode + broadcast semi-join, and for
+    ``min_overlap == 1`` the counting aggregate is skipped entirely —
+    any hit disqualifies."""
+    doc_hashes = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),
+    ).select(id_col, F.xxhash64("__s").alias("__h"))
+    hits = doc_hashes.join(F.broadcast(bench_hashes), "__h")
+    if min_overlap > 1:
+        hits = (
+            hits.groupBy(id_col)
+            .agg(F.count_distinct("__h").alias("__n"))
+            .filter(F.col("__n") >= F.lit(min_overlap))
+        )
+    contaminated = hits.select(id_col).distinct()
+    return docs.join(contaminated, id_col, "left_anti")

@@ -170,6 +170,9 @@ def run_near_dup_ingest(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
     within_batch: bool = False,
+    benchmark: DataFrame | None = None,
+    decontam_shingle_k: int = 8,
+    decontam_min_overlap: int = 1,
     timeout_sec: int = 120,
 ) -> None:
     """Streaming corpus ingestion with BOTH admission screens — the
@@ -212,7 +215,20 @@ def run_near_dup_ingest(
     (minimum-id) member admitted — which runs AFTER the corpus screen
     so a doc is never rejected merely for resembling an already-
     rejected batchmate.  Parameters must match the ones the MinHash
-    index was written with.
+    index was written with (enforced: the index stamps them as table
+    properties and the probe raises on mismatch).
+
+    ``benchmark`` adds the FOURTH admission screen — evaluation-set
+    decontamination: any doc sharing ≥ ``decontam_min_overlap``
+    distinct ``decontam_shingle_k``-gram shingles with the benchmark
+    is rejected (operators.decontam.screen_contaminated).  The
+    benchmark's shingle-hash set is derived ONCE driver-side before
+    the stream starts (benchmark suites are bounded — that is the
+    decontam module's broadcast contract) and rebuilt as a local frame
+    on each micro-batch's session, so no cross-session plan mixing
+    occurs.  The screen runs after the exact screen (cheapest first)
+    and is a deterministic pure filter, so the exactly-once protocol
+    is untouched: a redelivered batch re-screens identically.
     """
     from ..operators.dedup import (
         append_to_dedup_index,
@@ -221,6 +237,17 @@ def run_near_dup_ingest(
         near_dup_against_index,
     )
     from pyspark.sql import functions as F
+
+    bench_hash_rows: list[tuple] | None = None
+    if benchmark is not None:
+        from ..operators.decontam import benchmark_shingle_hashes
+
+        bench_hash_rows = [
+            (r["__h"],)
+            for r in benchmark_shingle_hashes(
+                benchmark, text_col, decontam_shingle_k
+            ).collect()
+        ]
 
     def _fold_into_indexes(docs: DataFrame) -> None:
         append_to_dedup_index(docs, text_col, exact_index_table)
@@ -244,6 +271,18 @@ def run_near_dup_ingest(
         fresh = dedup_against_index(
             bspark, batch_df, text_col, id_col, exact_index_table
         ).localCheckpoint(eager=True)
+        if bench_hash_rows is not None:
+            from gdp_etl_spark.session import local_df
+
+            from ..operators.decontam import screen_contaminated
+
+            fresh = screen_contaminated(
+                fresh,
+                local_df(bspark, bench_hash_rows, "__h bigint"),
+                text_col, id_col,
+                shingle_k=decontam_shingle_k,
+                min_overlap=decontam_min_overlap,
+            ).localCheckpoint(eager=True)
         near = near_dup_against_index(
             bspark, fresh, text_col, id_col, near_index_table,
             num_perm=num_perm, bands=bands, shingle_k=shingle_k,

@@ -980,3 +980,61 @@ class TestStreamingNearDupIngest:
         }
         assert got == {10, 20, 32}
         self._drop(spark, exact, near)
+
+
+class TestStreamingDecontamScreen:
+    """run_near_dup_ingest(benchmark=...): the FOURTH admission screen —
+    evaluation-set decontamination composed into the ingest."""
+
+    def test_benchmark_screen_rejects_contaminated(self, spark, tmp_path):
+        from gdp_etl_spark.operators.decontam import (
+            benchmark_shingle_hashes,
+            screen_contaminated,
+        )
+        from gdp_etl_spark.streaming.ingest import run_near_dup_ingest
+
+        t = TestStreamingNearDupIngest()
+        exact, near = "t_nd_exact_dc", "t_nd_near_dc"
+        t._setup_indexes(spark, exact, near)
+        bench = spark.createDataFrame(
+            [(1, "what is the capital of france and where is it located "
+                 "on a map of europe exactly")],
+            "qid long, text string",
+        )
+        src, out = tmp_path / "src", tmp_path / "out"
+        src.mkdir()
+        rows_ = [
+            # leaks an 8-gram of the benchmark question: reject
+            (30, "trivia dump: what is the capital of france and where "
+                 "is it located plus other questions"),
+            # clean novel doc: admit
+            (31, "a clean document about shuffle partitions and adaptive "
+                 "query execution tuning at scale"),
+        ]
+        spark.createDataFrame(rows_, "doc_id long, text string").write.parquet(
+            str(src / "f0")
+        )
+        run_near_dup_ingest(
+            t._stream(spark, src), "text", "doc_id", exact, near,
+            str(out), jaccard_threshold=0.5, benchmark=bench,
+            **t.PARAMS,
+        )
+        got = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/batch=*").collect()
+        }
+        assert got == {31}
+
+        # parity with the batch form of the screen
+        docs = spark.createDataFrame(rows_, "doc_id long, text string")
+        kept = screen_contaminated(
+            docs, benchmark_shingle_hashes(bench, "text"), "text", "doc_id"
+        )
+        assert {r.doc_id for r in kept.collect()} == {31}
+        # min_overlap > 1: one shared 8-gram is no longer disqualifying
+        kept2 = screen_contaminated(
+            docs, benchmark_shingle_hashes(bench, "text"), "text", "doc_id",
+            min_overlap=10,
+        )
+        assert {r.doc_id for r in kept2.collect()} == {30, 31}
+        t._drop(spark, exact, near)
