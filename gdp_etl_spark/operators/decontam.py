@@ -37,13 +37,7 @@ def decontaminate(
     flag form is returned so audits can count/export what was dropped.
     """
     b_text = benchmark_text_col or text_col
-    bench_hashes = (
-        benchmark.select(
-            F.explode(shingles(F.col(b_text), shingle_k)).alias("__s")
-        )
-        .select(F.xxhash64("__s").alias("__h"))
-        .distinct()
-    )
+    bench_hashes = benchmark_shingle_hashes(benchmark, b_text, shingle_k)
     doc_hashes = docs.select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),
@@ -173,14 +167,9 @@ def contamination_overlap_fraction(
 
     t_mill = int(-(-frac_threshold * 1000 // 1))  # ceil(t*1000)
     b_text = benchmark_text_col or text_col
-    bench_hashes = (
-        benchmark.select(
-            F.explode(shingles(F.col(b_text), shingle_k)).alias("__s")
-        )
-        .select(F.xxhash64("__s").alias("__h"))
-        .distinct()
-        .withColumn("__hit", F.lit(1))
-    )
+    bench_hashes = benchmark_shingle_hashes(
+        benchmark, b_text, shingle_k
+    ).withColumn("__hit", F.lit(1))
     doc_hashes = (
         docs.select(
             F.col(id_col),
@@ -260,6 +249,12 @@ def screen_contaminated(
     one map-side explode + broadcast semi-join, and for
     ``min_overlap == 1`` the counting aggregate is skipped entirely —
     any hit disqualifies."""
+    if min_overlap < 1:
+        # decontaminate(min_overlap=0) flags EVERYTHING contaminated;
+        # silently clamping to 1 here would break the documented
+        # batch/streaming parity — an admit-nothing screen is a config
+        # bug, so say so
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
     doc_hashes = docs.select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),

@@ -1218,13 +1218,15 @@ def _compact_bucketed_table(
             )
     spark.catalog.refreshTable(table)
     n_buckets = _num_buckets(spark, table)
-    # carry the table's own properties (e.g. the minhash.* parameter
-    # stamp) across the swap — the rewrite is a NEW metastore entry and
-    # would silently drop them, disarming the probe-time mismatch guard
+    # carry the minhash.* parameter stamp across the swap — the rewrite
+    # is a NEW metastore entry and would silently drop it, disarming the
+    # probe-time mismatch guard.  Allowlist, not blocklist: carrying
+    # engine-managed properties (Hive stats like numFiles/totalSize)
+    # would restamp the OLD file layout onto the compacted table
     props = {
         r["key"]: r["value"]
         for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-        if not r["key"].startswith(("transient_", "spark.sql."))
+        if r["key"].startswith("minhash.")
     }
     files_before = len(spark.table(table).inputFiles())
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
@@ -1246,7 +1248,12 @@ def _compact_bucketed_table(
         raise
     spark.sql(f"DROP TABLE {old}")
     if props:
-        kv = ", ".join(f"'{k}' = '{v}'" for k, v in sorted(props.items()))
+        # escape embedded quotes: an unescaped value would make this a
+        # syntax error AFTER the swap already happened (stamp lost)
+        kv = ", ".join(
+            "'{}' = '{}'".format(k.replace("'", "''"), v.replace("'", "''"))
+            for k, v in sorted(props.items())
+        )
         spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
     spark.catalog.refreshTable(table)
     return files_before, len(spark.table(table).inputFiles())

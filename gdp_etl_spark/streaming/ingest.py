@@ -171,6 +171,7 @@ def run_near_dup_ingest(
     jaccard_threshold: float = 0.8,
     within_batch: bool = False,
     benchmark: DataFrame | None = None,
+    benchmark_text_col: str | None = None,
     decontam_shingle_k: int = 8,
     decontam_min_overlap: int = 1,
     timeout_sec: int = 120,
@@ -221,7 +222,9 @@ def run_near_dup_ingest(
     ``benchmark`` adds the FOURTH admission screen — evaluation-set
     decontamination: any doc sharing ≥ ``decontam_min_overlap``
     distinct ``decontam_shingle_k``-gram shingles with the benchmark
-    is rejected (operators.decontam.screen_contaminated).  The
+    is rejected (operators.decontam.screen_contaminated; the
+    benchmark's text column defaults to ``text_col`` — pass
+    ``benchmark_text_col`` when the suite names it differently).  The
     benchmark's shingle-hash set is derived ONCE driver-side before
     the stream starts (benchmark suites are bounded — that is the
     decontam module's broadcast contract) and rebuilt as a local frame
@@ -245,7 +248,8 @@ def run_near_dup_ingest(
         bench_hash_rows = [
             (r["__h"],)
             for r in benchmark_shingle_hashes(
-                benchmark, text_col, decontam_shingle_k
+                benchmark, benchmark_text_col or text_col,
+                decontam_shingle_k,
             ).collect()
         ]
 

@@ -78,6 +78,16 @@ def main() -> None:
         for q in shared
         if old[q] > 0 and abs(new[q] - old[q]) >= args.floor
     ]
+    # sub-ms medians are recorded as 0.0 — a 0.0 -> 5.0s move has no
+    # ratio but IS a regression; list it rather than reading as flat
+    from_zero = sorted(
+        (q for q in shared if old[q] == 0 and new[q] >= args.floor),
+        key=lambda q: -new[q],
+    )
+    if from_zero:
+        print("\ngrew from a 0.0s median (no ratio):")
+        for q in from_zero:
+            print(f"  {q:28s}    0.00s -> {new[q]:7.2f}s")
     regress = sorted((m for m in moved if m[0] > 1), reverse=True)[:args.top]
     improve = sorted(m for m in moved if m[0] < 1)[:args.top]
     if regress:
@@ -88,7 +98,7 @@ def main() -> None:
         print(f"\nfaster (>= {args.floor}s delta):")
         for r, q, a, b in improve:
             print(f"  {q:28s} {a:7.2f}s -> {b:7.2f}s  ({r:.2f}x)")
-    if not moved:
+    if not moved and not from_zero:
         print("no per-query move beyond the floor — flat round.")
 
 
