@@ -1239,6 +1239,20 @@ def _compact_bucketed_table(
         .sortBy(*bucket_cols)
         .saveAsTable(tmp)
     )
+    if props:
+        # Stamp the TMP table BEFORE the rename swap (verdict-advice r9):
+        # a post-swap SET TBLPROPERTIES that failed would leave the live
+        # table stampless, and _check_minhash_params treats absence as
+        # legacy — the mismatch guard would be permanently disarmed.
+        # Stamping tmp first means the rename carries the properties
+        # atomically; a failure HERE aborts before any rename, with the
+        # original table untouched.  Quote-escape embedded quotes so a
+        # hostile value is a stored string, not a syntax error.
+        kv = ", ".join(
+            "'{}' = '{}'".format(k.replace("'", "''"), v.replace("'", "''"))
+            for k, v in sorted(props.items())
+        )
+        spark.sql(f"ALTER TABLE {tmp} SET TBLPROPERTIES ({kv})")
     spark.sql(f"DROP TABLE IF EXISTS {old}")
     spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     try:
@@ -1247,14 +1261,6 @@ def _compact_bucketed_table(
         spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
         raise
     spark.sql(f"DROP TABLE {old}")
-    if props:
-        # escape embedded quotes: an unescaped value would make this a
-        # syntax error AFTER the swap already happened (stamp lost)
-        kv = ", ".join(
-            "'{}' = '{}'".format(k.replace("'", "''"), v.replace("'", "''"))
-            for k, v in sorted(props.items())
-        )
-        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
     spark.catalog.refreshTable(table)
     return files_before, len(spark.table(table).inputFiles())
 
@@ -1770,7 +1776,7 @@ def within_batch_screen(
     text_col: str,
     id_col: str,
     num_perm: int = 16,
-    bands: int = 4,
+    bands: int | None = None,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
 ) -> DataFrame:
@@ -1796,9 +1802,22 @@ def within_batch_screen(
     driver fast path — near-dup pair graphs are tiny relative to the
     batch, so the cluster step costs one bounded collect; the final
     admit is a filter on the clustered frame, no extra shuffle.
+
+    Banding default: ``bands=None`` means ``bands = num_perm`` —
+    single-row bands, the only shape whose AT-THRESHOLD candidate-miss
+    bound ``(1 − J)^bands`` is sound for an admission screen (16×1 at
+    J=0.8 misses ≤ 6.6e-12 per true pair).  The previous 16×4 default
+    (4 rows/band) misses ``(1 − J^4)^4 ≈ 12%`` of true pairs AT the
+    default threshold — fine for a pair-mining pass where the verify
+    join restores precision, silently leaky for admission (verdict-
+    advice r9).  Callers wanting fewer candidates on corpora whose true
+    pairs sit well above the threshold may still pass multi-row bands
+    explicitly; the bound is theirs to justify.
     """
     from .cluster import dedup_clusters
 
+    if bands is None:
+        bands = num_perm
     pairs = minhash_lsh_pairs(
         docs, text_col, id_col,
         num_perm=num_perm, bands=bands, shingle_k=shingle_k,

@@ -361,6 +361,10 @@ def epoch_shuffle(
     for serving (e.g. ≤1 GiB), which simultaneously bounds the sort
     task.  There is no global sort and no driver state.
     """
+    if n_shards < 1:
+        # pmod(x, 0) is NULL, so every row would get a NULL shard and
+        # NULL-partition position silently (verdict-advice r9)
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     clashes = {"shard", "position", "epoch", "__h"} & set(df.columns)
     if clashes:
         # withColumn would silently OVERWRITE these — and a frame that

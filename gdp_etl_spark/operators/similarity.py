@@ -756,6 +756,26 @@ def pq_topk(
 
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    # query_id literals are cast to bigint below; a non-integral id
+    # (string doc ids, floats) would cast to NULL, null-fail the
+    # self-match filter and silently return an EMPTY frame — raise
+    # instead (verdict-advice r9).
+    bad = [
+        qi for qi in query_ids
+        if not isinstance(qi, int) or isinstance(qi, bool)
+    ]
+    if bad:
+        raise TypeError(
+            f"pq_topk: query_ids must be Python ints (bigint id space); "
+            f"got {bad[:3]!r}{'…' if len(bad) > 3 else ''}. Non-integral "
+            f"ids would cast to NULL and silently empty the result."
+        )
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"pq_topk: id column {id_col!r} must be an integral type to "
+            f"compare against bigint query_id literals; got {id_type}."
+        )
     sub = dim // m
     base = df.filter(F.col(vec_col).isNotNull())
 

@@ -8,8 +8,13 @@ Shuffle volume grows by ``num_salts × |small side|`` and the hot
 partition shrinks by ``num_salts×`` — the right trade whenever one
 partition would otherwise exceed executor memory.
 
-Result equivalence: a salted equi-join is row-for-row identical to the
-plain join (tested); only the physical partitioning changes.
+Result equivalence: for ``inner``/``left``/``left_semi``/``left_anti``
+a salted equi-join is row-for-row identical to the plain join (tested);
+only the physical partitioning changes.  Joins that preserve unmatched
+rows of the REPLICATED side (``right``/``full`` and aliases) are
+rejected: the ``other`` side is exploded once per salt, so an unmatched
+right row would survive ``num_salts`` times — a silent
+row-multiplication wrong answer, not a perf trade.
 """
 
 from __future__ import annotations
@@ -33,7 +38,28 @@ def salted_join(
     The salt is a deterministic hash of the skewed side's full row, so
     rows sharing a hot key still scatter across buckets while the same
     input always produces the same partitioning (replayable plans).
+
+    ``how`` must keep unmatched-replicated-side rows out of the result:
+    only ``inner``, ``left``(``leftouter``/``left_outer``), ``left_semi``
+    (``leftsemi``/``semi``) and ``left_anti`` (``leftanti``/``anti``)
+    are accepted.  ``right``/``full``/``outer`` variants would emit each
+    unmatched ``other`` row once per salt; raise instead of multiplying
+    rows silently.
     """
+    safe_hows = {
+        "inner",
+        "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti",
+    }
+    normalized = how.lower().replace(" ", "")
+    if normalized not in safe_hows:
+        raise ValueError(
+            f"salted_join: how={how!r} is unsafe — the non-skewed side is "
+            f"replicated {num_salts}x, so joins preserving its unmatched rows "
+            f"(right/full/outer) would duplicate them per salt. "
+            f"Supported: {sorted(safe_hows)}."
+        )
     salt = F.pmod(
         F.xxhash64(F.struct(*[F.col(c) for c in skewed.columns])), F.lit(num_salts)
     ).cast("int")

@@ -228,6 +228,66 @@ def test_salted_join_equals_plain_join(spark):
     assert salts > 1
 
 
+def test_salted_join_left_parity_with_unmatched_left_rows(spark):
+    """``left`` keeps unmatched SKEWED-side rows exactly once: the salt
+    column rides on the left, so the null-extended row is not
+    replicated — parity with the plain left join including its
+    unmatched rows."""
+    from gdp_etl_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(9, 900)], "k int, v int"
+    )  # k=9 has no match on the right
+    right = spark.createDataFrame([(1, "hot")], "k int, tag string")
+    plain = rows(left.join(right, ["k"], "left"))
+    salted = rows(salted_join(left, right, ["k"], num_salts=4, how="left"))
+    assert salted == plain
+    assert (9, 900, None) in salted
+
+
+def test_salted_join_rejects_replicated_side_outer_hows(spark):
+    """right/full/outer would emit each unmatched replicated-side row
+    once per salt — the guard raises instead of multiplying rows."""
+    from gdp_etl_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, 1)], "k int, v int")
+    right = spark.createDataFrame([(2, "x")], "k int, tag string")
+    for how in ("right", "rightouter", "full", "outer", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="unsafe"):
+            salted_join(left, right, ["k"], num_salts=4, how=how)
+    # the safe set still works, spelled any of Spark's accepted ways
+    assert salted_join(left, right, ["k"], how="left_semi").count() == 0
+    assert salted_join(left, right, ["k"], how="leftanti").count() == 1
+
+
+def test_epoch_shuffle_rejects_nonpositive_shards(spark):
+    from gdp_etl_spark.operators.sampling import epoch_shuffle
+
+    d = spark.range(3).select(F.col("id").alias("doc_id"))
+    for n in (0, -1):
+        with pytest.raises(ValueError, match="n_shards"):
+            epoch_shuffle(d, "doc_id", 0, n)
+
+
+def test_pq_topk_rejects_non_integral_query_ids(spark):
+    """A string/float query id would cast to NULL bigint, null-fail the
+    self-match filter and silently return an EMPTY frame — pq_topk must
+    raise instead (and likewise for a non-integral id column)."""
+    from gdp_etl_spark.operators.similarity import pq_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(TypeError, match="ints"):
+        pq_topk(vecs, ["0"], dim=8, m=2, k_codes=2)
+    with pytest.raises(TypeError, match="ints"):
+        pq_topk(vecs, [0.5], dim=8, m=2, k_codes=2)
+    svecs = vecs.withColumn("vec_id", F.col("vec_id").cast("string"))
+    with pytest.raises(TypeError, match="integral"):
+        pq_topk(svecs, [0], dim=8, m=2, k_codes=2)
+
+
 def test_all_pairs_guard_requires_opt_in(spark):
     from gdp_etl_spark.operators.dedup import (
         embedding_near_dup_pairs,
