@@ -1319,12 +1319,22 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF-style approximate top-k (centroid cells + nprobe probing) —
-    the partition-pruned ANN scale path; approximate → rows-only check
-    (the checkable companion is ``ivf_recall``)."""
+    """IVF approximate top-k (centroid cells + nprobe probing) — the
+    partition-pruned ANN scale path, on the ENGINE-REPLAYABLE
+    fixed-point recipe (similarity.ivf_topk_fixed): the coarse
+    quantizer trains with kmeans.train_kmeans_fixed, cells assign via
+    the shared literal-centroid argmin (map-only), each query's nprobe
+    cells come from the same integer distances, and candidates score
+    with the exact fixed-point squared L2 — so the oracle replays
+    training, assignment, probing AND scoring as a generated CTE chain
+    (_ivf_sql) and the check is HASH equality, not rows-only (the old
+    float/NumPy path remains as ivf_topk, equality-harnessed by
+    ``ivf_recall``).  Per-query top-k is WindowGroupLimit-pruned."""
+    from gdp_etl_spark.operators.similarity import ivf_topk_fixed
+
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, num_centroids=8, nprobe=3
+    return ivf_topk_fixed(
+        emb, [0, 1, 2, 3, 4], k=10, num_centroids=8, nprobe=3, n_iter=2
     )
 
 
@@ -4992,6 +5002,96 @@ def q_grouped_topk(spark, sf_dir):
     )
 
 
+def _ivf_sql(dim=64, k_cells=8, nprobe=3, queries=(0, 1, 2, 3, 4), k=10,
+             seed="ivf", n_iter=2):
+    """DuckDB replay of similarity.ivf_topk_fixed: ONE full-dimension
+    fixed-point Lloyd's chain (the _pq_sql per-subspace machinery with
+    a single subspace = the whole vector), corpus cell assignment,
+    per-query nprobe cell selection by the same integer distances, and
+    exact fixed-point scoring of the probed cells — the IVF result
+    hash-matches, upgrading ivf_topk from its old rows-only status."""
+    rng = f"range(1, {dim + 1})"
+    qlist = ", ".join(str(q) for q in queries)
+
+    def d2(va, vb):
+        return (f"CAST(list_sum(list_transform({rng}, "
+                f"i -> ({va}.q[i] - {vb}.c[i]) * ({va}.q[i] - {vb}.c[i])))"
+                f" AS BIGINT)")
+
+    parts = [f"""qq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000.0)
+                         AS BIGINT)) AS q,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                                      || ':{seed}'), 1, 8)) AS BIGINT) AS h
+      FROM embeddings WHERE embedding IS NOT NULL
+    )"""]
+    parts.append(f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster, q AS c
+      FROM qq QUALIFY row_number() OVER (ORDER BY h, vec_id) <= {k_cells}
+    )""")
+    prev = "c0"
+    for it in range(1, n_iter + 1):
+        parts.append(f"""d{it} AS (
+      SELECT v.vec_id, v.q, c.cluster, {d2('v', 'c')} AS d2
+      FROM qq v CROSS JOIN {prev} c
+    )""")
+        parts.append(f"""a{it} AS (
+      SELECT vec_id, q, cluster FROM d{it}
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cluster) = 1
+    )""")
+        parts.append(f"""u{it} AS (
+      SELECT a.cluster, t.i AS dim, SUM(a.q[t.i]) AS sm, COUNT(*) AS n
+      FROM a{it} a, (SELECT unnest({rng}) AS i) t
+      GROUP BY a.cluster, t.i
+    )""")
+        parts.append(f"""c{it} AS (
+      SELECT {prev}.cluster, COALESCE(upd.c, {prev}.c) AS c
+      FROM {prev} LEFT JOIN (
+        SELECT cluster, list(CAST(sm // n AS BIGINT) ORDER BY dim) AS c
+        FROM u{it} GROUP BY cluster
+      ) upd USING (cluster)
+    )""")
+        prev = f"c{it}"
+    parts.append(f"""enc AS (
+      SELECT vec_id, cluster AS cell FROM (
+        SELECT v.vec_id, c.cluster, {d2('v', 'c')} AS d2
+        FROM qq v CROSS JOIN {prev} c)
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cluster) = 1
+    )""")
+    parts.append(f"""probe AS (
+      SELECT query_id, cell FROM (
+        SELECT quer.vec_id AS query_id, cc.cluster AS cell,
+               {d2('quer', 'cc')} AS d2
+        FROM qq quer CROSS JOIN {prev} cc
+        WHERE quer.vec_id IN ({qlist}))
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY d2, cell) <= {nprobe}
+    )""")
+    parts.append(f"""scores AS (
+      SELECT p.query_id, e.vec_id AS neighbour_id,
+             CAST(list_sum(list_transform({rng},
+               i -> (vq.q[i] - vn.q[i]) * (vq.q[i] - vn.q[i])))
+               AS BIGINT) AS score_d2
+      FROM probe p
+      JOIN enc e ON e.cell = p.cell
+      JOIN qq vq ON vq.vec_id = p.query_id
+      JOIN qq vn ON vn.vec_id = e.vec_id
+      WHERE e.vec_id <> p.query_id
+    )""")
+    return ("WITH " + ",\n    ".join(parts) + f"""
+    SELECT CAST(query_id AS BIGINT) AS query_id, neighbour_id, score_d2,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score_d2, neighbour_id) AS INT) AS rank
+    FROM scores
+    QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY score_d2, neighbour_id) <= {k}
+    """)
+
+
 def _pq_sql(m=4, sub=16, k_codes=16, queries=(0, 1, 2), k=10, seed="pq",
             rerank=0):
     """DuckDB replay of similarity.pq_topk: per-subspace fixed-point
@@ -7658,6 +7758,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # generated CTE replay of PQ train/encode/ADC (see _pq_sql)
         "pq_topk": _pq_sql(rerank=50),
+        # generated CTE replay of the fixed-point IVF train/assign/
+        # probe/score chain (see _ivf_sql) — upgraded from rows-only
+        "ivf_topk": _ivf_sql(),
         # the slice-signature estimate replayed exactly: same md5 fold,
         # same elementwise min, same pairwise agreement count
         "source_overlap": f"""

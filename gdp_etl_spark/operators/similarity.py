@@ -410,6 +410,142 @@ def ivf_topk(
     )
 
 
+def ivf_topk_fixed(
+    df: DataFrame,
+    query_ids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_centroids: int = 8,
+    nprobe: int = 3,
+    n_iter: int = 2,
+    scale: float = 1e6,
+    offset: float = 1.0,
+    seed: str = "ivf",
+) -> DataFrame:
+    """Engine-replayable IVF approximate top-k — :func:`ivf_topk`'s
+    semantics on the repo's deterministic fixed-point recipe, so the
+    whole pipeline (coarse-quantizer training, cell assignment, probe
+    selection, candidate scoring, ranking) replays bit-exactly in any
+    engine: the driver check is HASH equality on the generated-CTE
+    DuckDB oracle, not a recall bound.  :func:`ivf_topk` keeps the
+    float/NumPy sampled-training path (and its exhaustive-probe
+    equality harness ``ivf_recall``); this is the variant whose result
+    is itself a verifiable contract.
+
+    The FAISS-IVF shape, unchanged:
+
+    * **train** — coarse centroids from
+      :func:`~gdp_etl_spark.operators.kmeans.train_kmeans_fixed` over
+      the FULL corpus (hash-seeded, integer Lloyd updates; per
+      iteration one k-row shuffle + a k·dim driver collect — model
+      state, bounded by parameters, never by data).
+    * **assign** — each corpus vector's nearest-centroid cell via the
+      shared literal-centroid argmin (:func:`kmeans.assign_expr`):
+      map-only, whole-stage codegen, no shuffle.  At rest the cell is
+      the vector table's partition key.
+    * **probe** — each query's ``nprobe`` nearest cells are computed
+      DRIVER-side from the same integer distances (queries are a
+      bounded literal list, like :func:`pq_topk`); candidates are the
+      corpus rows whose cell is probed, scored with the EXACT integer
+      squared distance — the per-query distance sits behind a
+      ``CASE WHEN cell IN probes`` so unprobed rows never evaluate it.
+      Work ∝ |corpus| assignment + |corpus ∩ probed cells|·|Q|
+      scoring, never |Q|·|corpus|.
+    * **rank** — the per-query top-k ``row_number`` window that
+      Catalyst prunes map-side (WindowGroupLimit, see
+      skew.grouped_topk).
+
+    Returns ``(query_id, neighbour_id, score_d2, rank)`` with
+    ``score_d2`` the exact fixed-point squared L2 distance;
+    self-matches excluded; ties break to the smaller neighbour id,
+    probe ties to the smaller cell id (matching the oracle's
+    ``ORDER BY d2, cluster``).
+    """
+    from .kmeans import _dist2, _quantize, assign_expr, train_kmeans_fixed
+
+    bad = [
+        qi for qi in query_ids
+        if not isinstance(qi, int) or isinstance(qi, bool)
+    ]
+    if bad:
+        raise TypeError(
+            f"ivf_topk_fixed: query_ids must be Python ints; got "
+            f"{bad[:3]!r}{'…' if len(bad) > 3 else ''} (non-integral ids "
+            f"would cast to NULL and silently empty the result)"
+        )
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"ivf_topk_fixed: id column {id_col!r} must be integral to "
+            f"compare against bigint query_id literals; got {id_type}."
+        )
+    base = df.filter(F.col(vec_col).isNotNull())
+    centroids = train_kmeans_fixed(
+        base, id_col, vec_col, k=num_centroids, n_iter=n_iter,
+        scale=scale, offset=offset, seed=seed,
+    )
+    if not centroids:
+        raise ValueError("empty corpus")
+
+    q = _quantize(F.col(vec_col), scale, offset)
+    cell, _ = assign_expr(centroids, F.col("__q"))
+    assigned = base.select(F.col(id_col), q.alias("__q")).select(
+        id_col, "__q", cell.alias("__cell")
+    )
+
+    qrows = {
+        r[id_col]: list(r["__q"])
+        for r in base.select(F.col(id_col), q.alias("__q"))
+        .filter(F.col(id_col).isin(list(query_ids)))
+        .collect()
+    }
+    missing = [qi for qi in query_ids if qi not in qrows]
+    if missing:
+        raise ValueError(f"query ids not in corpus: {missing}")
+
+    def _probe_cells(qi):
+        qv = qrows[qi]
+        ranked = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, c)), ci)
+            for ci, c in enumerate(centroids)
+        )
+        return [ci for _, ci in ranked[: min(nprobe, len(centroids))]]
+
+    per_query = F.array(*[
+        F.struct(
+            F.lit(qi).cast("bigint").alias("query_id"),
+            F.when(
+                F.col("__cell").isin(_probe_cells(qi)),
+                _dist2(
+                    F.array(*[F.lit(v) for v in qrows[qi]]), F.col("__q")
+                ),
+            ).alias("score_d2"),
+        )
+        for qi in query_ids
+    ])
+    scored = (
+        assigned.select(
+            F.col(id_col).alias("neighbour_id"),
+            F.explode(per_query).alias("__e"),
+        )
+        .select("__e.query_id", "neighbour_id", "__e.score_d2")
+        .filter(
+            F.col("score_d2").isNotNull()
+            & (F.col("neighbour_id") != F.col("query_id"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_d2").asc(), F.col("neighbour_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbour_id", "score_d2",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def expected_bucket_collision_prob(cos_sim: float, num_bits: int) -> float:
     """P[two vectors with given cosine share one table's bucket] =
     (1 − θ/π)^num_bits — the tuning identity for (num_bits, num_tables)."""

@@ -43,7 +43,7 @@ def test_every_window_query_has_an_oracle_or_is_rows_only_by_design():
 
     #: rows-only by design (non-SQL-expressible), each with an
     #: oracle-checked companion — keep this list deliberate and short
-    rows_only_ok = {"ivf_topk", "sketch_stats"}
+    rows_only_ok = {"sketch_stats"}
     oracles = e.oracle_sql()
     missing = [
         n for n in list(e.queries())[:50]

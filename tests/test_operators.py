@@ -1338,3 +1338,45 @@ def test_pq_full_rerank_equals_exact_brute_force(spark):
         for rank, (d2, vid) in enumerate(heapq.nsmallest(5, d), start=1):
             want.append((qi, rank, vid, d2))
     assert sorted(got) == sorted(want)
+
+
+def test_ivf_fixed_exhaustive_probe_equals_brute_force(spark):
+    """Exactness property (the ivf_recall harness for the fixed-point
+    variant): with nprobe = num_centroids every cell is probed, so
+    ivf_topk_fixed degenerates to the exact fixed-point brute force —
+    cell partitioning can DROP nothing.  Pins training, assignment,
+    probe selection and the exact-distance scoring end to end."""
+    import heapq
+
+    from gdp_etl_spark.operators.kmeans import _quantize
+    from gdp_etl_spark.operators.similarity import ivf_topk_fixed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = [
+        (r.query_id, r.rank, r.neighbour_id, r.score_d2)
+        for r in ivf_topk_fixed(
+            emb, [0, 1], k=5, num_centroids=4, nprobe=4, n_iter=1
+        ).collect()
+    ]
+    q = emb.select("vec_id", _quantize(F.col("embedding"), 1e6, 1.0).alias("q"))
+    rows = {r.vec_id: list(r.q) for r in q.collect()}
+    want = []
+    for qi in (0, 1):
+        d = [
+            (sum((a - b) * (a - b) for a, b in zip(rows[qi], v)), vid)
+            for vid, v in rows.items() if vid != qi
+        ]
+        for rank, (d2, vid) in enumerate(heapq.nsmallest(5, d), start=1):
+            want.append((qi, rank, vid, d2))
+    assert sorted(got) == sorted(want)
+
+
+def test_ivf_fixed_rejects_non_integral_ids(spark):
+    from gdp_etl_spark.operators.similarity import ivf_topk_fixed
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(TypeError, match="ints"):
+        ivf_topk_fixed(emb, ["0"], num_centroids=2)
