@@ -2470,6 +2470,52 @@ def q_decontaminate(spark, sf_dir):
     return out.select("doc_id", "n_overlap", "is_contaminated")
 
 
+#: decontam_screen fixture — tokens chosen to collide with nothing in
+#: the synthetic corpus.  Benchmark doc = 12 tokens → five 8-token
+#: shingles; doc -1 copies 9 benchmark tokens (2 shared shingles,
+#: BELOW min_overlap=3 → admitted), doc -2 copies 10 (3 shared
+#: shingles, AT threshold → rejected) — the branch the driver check
+#: must see straddled from both sides.
+_DS_BENCH = ("zq01 zq02 zq03 zq04 zq05 zq06 zq07 zq08 zq09 zq10 "
+             "zq11 zq12")
+_DS_BELOW = "zq01 zq02 zq03 zq04 zq05 zq06 zq07 zq08 zq09 qxa qxb qxc"
+_DS_AT = "zq01 zq02 zq03 zq04 zq05 zq06 zq07 zq08 zq09 zq10 qxd qxe qxf"
+
+
+def q_decontam_screen(spark, sf_dir):
+    """Threshold-branch decontamination screen
+    (decontam.screen_contaminated with min_overlap=3 — the admission
+    form run_near_dup_ingest composes as its fourth screen): documents
+    plus two planted fixture docs straddling the threshold against a
+    benchmark of every 50th doc plus a planted benchmark doc.  Doc -1
+    shares exactly 2 distinct 8-token shingles (admitted), doc -2
+    exactly 3 (rejected); real every-50th docs reject against
+    themselves.  The min_overlap>1 branch takes the count-distinct
+    aggregate path instead of the any-hit semi-join — this query is
+    what makes that branch oracle-checked rather than pytest-only.
+    Scale shape: broadcast benchmark hash set, map-side explode +
+    semi-join, per-doc partial aggregate — the corpus text never
+    shuffles."""
+    from gdp_etl_spark.operators.decontam import (
+        benchmark_shingle_hashes,
+        screen_contaminated,
+    )
+    from gdp_etl_spark.session import local_df
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fixture = local_df(
+        spark, [(-1, _DS_BELOW), (-2, _DS_AT)], "doc_id bigint, text string"
+    )
+    docs = d.unionByName(fixture)
+    bench = d.filter(F.col("doc_id") % 50 == 0).select("text").unionByName(
+        local_df(spark, [(_DS_BENCH,)], "text string")
+    )
+    hashes = benchmark_shingle_hashes(bench, "text", shingle_k=8)
+    return screen_contaminated(
+        docs, hashes, "text", "doc_id", shingle_k=8, min_overlap=3
+    ).select("doc_id")
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style intra-document repetition signals: duplicate
     bi/tri-gram fractions, top-token dominance, and the token count
@@ -5481,6 +5527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_trimmed": q_csv_trimmed,
         "cube": q_cube,
         "decontaminate": q_decontaminate,
+        "decontam_screen": q_decontam_screen,
         "embedding_near_dup": q_embedding_near_dup,
         "events_sessions": q_events_sessions,
         "events_tumbling": q_events_tumbling,
@@ -8525,6 +8572,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, CAST(coalesce(o.n, 0) AS INT) AS n_overlap,
                    coalesce(o.n, 0) >= 1 AS is_contaminated
             FROM documents d LEFT JOIN ov o USING (doc_id)
+        """,
+        "decontam_screen": f"""
+            WITH fx(doc_id, text) AS (VALUES
+              (CAST(-1 AS BIGINT), '{_DS_BELOW}'),
+              (CAST(-2 AS BIGINT), '{_DS_AT}')),
+            docs AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id, text FROM fx),
+            bt AS (SELECT text FROM documents WHERE doc_id % 50 = 0
+                   UNION ALL SELECT '{_DS_BENCH}'),
+            bs AS (SELECT DISTINCT unnest({sh8}) AS s FROM bt),
+            ds AS (SELECT doc_id, unnest({sh8}) AS s FROM docs),
+            ov AS (SELECT doc_id, count(DISTINCT s) AS n
+                   FROM ds JOIN bs USING (s) GROUP BY doc_id)
+            SELECT d.doc_id FROM docs d LEFT JOIN ov o USING (doc_id)
+            WHERE coalesce(o.n, 0) < 3
         """,
         "repetition_stats": f"""
             SELECT doc_id,

@@ -1488,6 +1488,50 @@ def test_extract_links_and_url_host_edges(spark):
     ]
 
 
+def test_extract_links_parsed_parity_and_fidelity(spark):
+    """Parser-backed link extraction: (a) PARITY with the expression
+    form on the adversarial-but-well-formed fixture (both quote
+    styles, attributes before href, case-insensitive tag, multiline
+    anchors, NULL markup); (b) recovers exactly the two documented
+    expression-form trades — opposite-quote truncation and the
+    ``title="a>b"`` hidden link; (c) survives malformed markup."""
+    from gdp_etl_spark.functions.text import extract_links, extract_links_parsed
+
+    html = (
+        '<A HREF="https://WWW.Ex.COM:8443/a">x</A>'
+        "<a class=q href='//cdn.ex.net/b'>y</a>"
+        '<a data-x="1"\n   href="/rel/c">z</a>'
+        '<a href="mailto:a@b.c">m</a>'
+        "<p>no link</p>"
+    )
+    df = spark.createDataFrame([(1, html), (2, None)], "doc_id long, h string")
+    expr = {r.doc_id: r.links for r in
+            df.select("doc_id", extract_links(F.col("h")).alias("links")).collect()}
+    parsed = {r.doc_id: r.links for r in
+              extract_links_parsed(df, "h").collect()}
+    assert parsed == expr  # drop-in parity on well-formed markup
+
+    tricky = spark.createDataFrame(
+        [(1, "<a href='http://ex.com/it\"s'>q</a>"),     # opposite quote inside
+         (2, '<a title="a>b" href="http://ex.com/hidden">h</a>'),
+         (3, '<a href="http://ex.com/x?a=1&amp;b=2">e</a>'),  # entity decode
+         (4, '<a href="http://ex.com/selfclose"/><a href=')],  # malformed tail
+        "doc_id long, h string",
+    )
+    got = {r.doc_id: r.links for r in extract_links_parsed(tricky, "h").collect()}
+    assert got[1] == ['http://ex.com/it"s']           # not truncated at "
+    assert got[2] == ["http://ex.com/hidden"]         # > in title kept
+    assert got[3] == ["http://ex.com/x?a=1&b=2"]      # entities decoded
+    assert got[4] == ["http://ex.com/selfclose"]      # startendtag + survives
+    # and the expression form's documented behavior on the same rows,
+    # pinned so the trade stays a KNOWN difference, not a drifting one
+    expr2 = {r.doc_id: r.links for r in
+             tricky.select("doc_id", extract_links(F.col("h")).alias("links")).collect()}
+    assert expr2[1] == ["http://ex.com/it"]            # truncated at "
+    assert expr2[2] == []                              # link hidden by >
+    assert expr2[3] == ["http://ex.com/x?a=1&amp;b=2"]  # raw entity
+
+
 def test_minhash_param_stamp_guard(spark, tmp_path):
     """The banding parameters are stamped as table properties at index
     write: a probe or append with different parameters raises instead
