@@ -87,3 +87,43 @@ def test_window_staleness_compose_ranking():
         queries, last_green, last_any, changed=[], slots=99
     )
     assert window_all == ["r", "d", "a", "e", "c", "g", "f", "b"]
+
+
+def test_bench_refresh_block_and_blockers(tmp_path):
+    """The round-close refresh block is generated, not hand-typed:
+    totals over shared queries, new/removed listed with cost, movers
+    beyond the absolute floor tabled, >1.3x regressions (and 0.0s->N
+    no-ratio growth) marked as close blockers and returned."""
+    import importlib.util
+    import json
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_refresh",
+        Path(__file__).parent.parent / "tools" / "bench_refresh.py",
+    )
+    br = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(br)
+
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({"queries": {
+        "a": 2.0, "b": 1.0, "c": 4.0, "gone": 1.0, "z": 0.0,
+    }}))
+    new.write_text(json.dumps({"queries": {
+        "a": 3.2,          # 1.6x, 1.2s delta -> blocker
+        "b": 1.2,          # 0.2s delta, below floor -> not listed
+        "c": 2.0,          # 0.5x improvement
+        "fresh": 1.5,      # added
+        "z": 0.9,          # grew from 0.0 median -> no-ratio blocker
+    }}))
+    block, blockers = br.build_block(str(old), str(new), 10, 0.5, 1.3)
+    assert sorted(blockers) == ["a", "z"]
+    assert "## Round-10 refresh" in block
+    assert "`fresh` 1.5 s" in block and "`gone`" in block
+    assert "1.60× **⚠ blocker**" in block
+    assert "CLOSE BLOCKER" in block
+    assert "`b`" not in block  # below the floor
+    # flat self-diff: no blockers, explicit flat message
+    block2, blockers2 = br.build_block(str(old), str(old), 11, 0.5, 1.3)
+    assert blockers2 == [] and "flat round" in block2
