@@ -5335,6 +5335,27 @@ def q_epoch_shuffle(spark, sf_dir):
     )
 
 
+def q_pack_segments(spark, sf_dir):
+    """GPT-style spanning sequence packing (packing.pack_segments —
+    the global, de-skewed sibling of pack_sequences' per-shard
+    first-token tagging): documents lay end to end in the reproducible
+    md5-fold order and the token stream cuts into exact 128-token
+    training sequences — one row per (doc, pack) SEGMENT with in-doc
+    and in-pack offsets; docs span pack boundaries (zero padding
+    waste), every pack but the last is exactly full.  The global
+    token-offset cumsum is the two-pass prefix-sum (range partitions +
+    broadcast offsets), never a single-partition global window; all
+    arithmetic is pure integer on the portable hash order, so the
+    oracle replays the layout with one window cumsum + range unnest."""
+    from gdp_etl_spark.functions.text import token_count_ws
+    from gdp_etl_spark.operators.packing import pack_segments
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return pack_segments(d, "doc_id", "n_tokens", seq_len=128)
+
+
 def q_batch_screen(spark, sf_dir):
     """Within-batch near-dup admission screen (dedup.within_batch_screen
     — the third stage of streaming.ingest.run_near_dup_ingest, factored
@@ -5528,6 +5549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "decontaminate": q_decontaminate,
         "decontam_screen": q_decontam_screen,
+        "pack_segments": q_pack_segments,
         "embedding_near_dup": q_embedding_near_dup,
         "events_sessions": q_events_sessions,
         "events_tumbling": q_events_tumbling,
@@ -8656,6 +8678,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(start / 512.0) AS BIGINT) AS seq_id,
                    CAST(start % 512 AS BIGINT) AS seq_offset
             FROM s
+        """,
+        # global spanning packing: one window cumsum over the md5-fold
+        # order + range unnest per (doc, pack) segment — the de-skewed
+        # two-pass prefix-sum on the Spark side is bit-identical to it
+        "pack_segments": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR len(trim(text)) = 0
+                          THEN 0 ELSE len({_TOKS_RAW}) END AS nt,
+                     md5(CAST(doc_id AS VARCHAR) || ':0:pack') AS h
+              FROM documents),
+            c AS (
+              SELECT doc_id, CAST(nt AS BIGINT) AS nt,
+                     CAST(COALESCE(SUM(nt) OVER (ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS b
+              FROM d WHERE nt > 0),
+            seg AS (
+              SELECT doc_id, b, b + nt AS e,
+                     unnest(range(b // 128, (b + nt - 1) // 128 + 1))
+                       AS pack_id
+              FROM c)
+            SELECT doc_id, pack_id,
+                   greatest(b, pack_id * 128) - b AS doc_offset,
+                   greatest(b, pack_id * 128) - pack_id * 128
+                     AS pack_offset,
+                   least(e, (pack_id + 1) * 128)
+                     - greatest(b, pack_id * 128) AS seg_tokens
+            FROM seg
         """,
         "embed_transform": f"""
             WITH b AS (

@@ -188,3 +188,128 @@ def chunk_documents(
     return df.select(F.col(id_col), F.explode(chunks).alias("__c")).select(
         id_col, "__c.*"
     )
+
+
+def pack_segments(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    epoch: int = 0,
+    seed: str = "pack",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic sequence packing for pretraining batches — the
+    GPT-style concat-then-split layout: documents are laid end to end
+    in a reproducible shuffled order and the token stream is cut into
+    fixed ``seq_len`` windows, so every training sequence is exactly
+    full (zero padding waste) and documents may SPAN pack boundaries
+    (the attention mask, not the packer, handles the seam).  The
+    missing serving step between
+    :func:`~gdp_etl_spark.operators.sampling.epoch_shuffle` (which
+    orders and shards documents) and the trainer, which consumes
+    fixed-length sequences.
+
+    Contrast with :func:`pack_sequences` above: that operator tags
+    each document with the sequence its FIRST token lands in, scoped
+    per caller-provided shard (one window per shard — a dominant
+    shard pins one task), and cannot say which later packs a long
+    document occupies.  This one is global (no natural shard
+    required, skew immaterial by construction) and emits the actual
+    SPANNING segments — the physical layout a sequence materializer
+    needs.
+
+    One output row per (document, pack) SEGMENT:
+
+    * ``pack_id`` — which ``seq_len``-token training sequence;
+    * ``doc_offset`` — the segment's first token's offset inside the
+      document (0 unless the document was cut by an earlier pack);
+    * ``pack_offset`` — where the segment starts inside the pack;
+    * ``seg_tokens`` — segment length; a document's segments are
+      contiguous and sum to its token count, every pack except the
+      last sums to exactly ``seq_len``.
+
+    The order is the portable md5 fold of (id : epoch : seed) — the
+    same independent-permutation-per-epoch rule as
+    :func:`~gdp_etl_spark.operators.sampling.epoch_shuffle` — and
+    every derived number is pure integer
+    arithmetic on that order, so the whole layout replays bit-exactly
+    in any engine (oracle: one window cumsum + ``range`` unnest).
+
+    Scale shape: the global token-offset cumsum is the two-pass
+    prefix-sum of :func:`~gdp_etl_spark.operators.ids.assign_row_ids`
+    with TOKEN sums instead of row counts — ``repartitionByRange`` on
+    the hash (uniform by construction), per-partition token totals
+    (one row per partition, statistics-scale), prefix-summed offsets
+    broadcast back, local window inside each partition.  No
+    single-partition global window ever materializes; the explode adds
+    ``ceil(doc_tokens / seq_len)`` rows per document, which is the
+    output's intrinsic size.  Zero-token documents are dropped (they
+    occupy no stream positions); ``floor`` on the double quotient is
+    exact for any corpus below 2^53 tokens (true-integer quotients of
+    exactly-representable operands round exactly).
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    clashes = {"pack_id", "doc_offset", "pack_offset", "seg_tokens",
+               "__h", "__pid", "__off", "__begin", "__end"} & set(df.columns)
+    if clashes:
+        raise ValueError(
+            f"pack_segments output columns collide with input columns "
+            f"{sorted(clashes)}; rename or drop them first"
+        )
+    fold = f"{epoch}:{seed}"
+    h = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(fold))
+    )
+    base = (
+        df.filter(F.col(n_tokens_col) > 0)
+        .select(F.col(id_col), F.col(n_tokens_col).cast("long").alias("__nt"))
+        .withColumn("__h", h)
+    )
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = base.repartitionByRange(n, F.col("__h"), F.col(id_col))
+    # one materialization of the range partitioning — see assign_row_ids:
+    # boundaries are not stable across re-executions, and the totals
+    # branch and the cumsum branch must see the SAME layout.
+    with_pid = ranged.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint()
+    counts = with_pid.groupBy("__pid").agg(F.sum("__nt").alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    L = F.lit(int(seq_len)).cast("long")
+    seg = (
+        with_pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "__begin",
+            F.coalesce(F.sum("__nt").over(w_local), F.lit(0)) + F.col("__off"),
+        )
+        .withColumn("__end", F.col("__begin") + F.col("__nt"))
+        .select(
+            id_col, "__begin", "__end",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__begin") / L).cast("long"),
+                    F.floor((F.col("__end") - 1) / L).cast("long"),
+                )
+            ).alias("pack_id"),
+        )
+    )
+    seg_begin = F.greatest(F.col("__begin"), F.col("pack_id") * L)
+    seg_end = F.least(F.col("__end"), (F.col("pack_id") + 1) * L)
+    return seg.select(
+        id_col,
+        "pack_id",
+        (seg_begin - F.col("__begin")).alias("doc_offset"),
+        (seg_begin - F.col("pack_id") * L).alias("pack_offset"),
+        (seg_end - seg_begin).alias("seg_tokens"),
+    )

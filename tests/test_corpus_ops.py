@@ -863,3 +863,63 @@ class TestClusterSafeSplit:
         safe = {r["doc_id"]: r["split"]
                 for r in cluster_safe_split(docs, pairs, "doc_id").collect()}
         assert all(safe[i] == safe[i + 1] for i in range(0, 200, 2))
+
+
+def test_pack_segments_invariants(spark):
+    """The spanning packer's defining properties, on a fixture with a
+    multi-pack document: (1) every pack except the last is EXACTLY
+    full; (2) a document's segments are contiguous in both doc and
+    stream coordinates and sum to its token count; (3) pack_offset is
+    consistent with pack fullness; (4) zero-token docs vanish; (5) the
+    layout is deterministic across repartitionings."""
+    from pyspark.sql import functions as F
+
+    from gdp_etl_spark.operators.packing import pack_segments
+
+    rows = [(i, 7 + (i * 13) % 40) for i in range(60)] + [
+        (100, 135),  # spans multiple 32-token packs
+        (101, 0),    # zero-token doc: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_segments(df, "doc_id", "n", seq_len=32).collect()
+    assert not any(r.doc_id == 101 for r in out)
+
+    per_pack = {}
+    per_doc = {}
+    for r in out:
+        per_pack[r.pack_id] = per_pack.get(r.pack_id, 0) + r.seg_tokens
+        per_doc.setdefault(r.doc_id, []).append(r)
+    last = max(per_pack)
+    assert all(v == 32 for p, v in per_pack.items() if p != last)
+    assert per_pack[last] <= 32
+    total = sum(n for _, n in rows if n > 0)
+    assert sum(per_pack.values()) == total
+
+    n_by_id = dict(rows)
+    for doc, segs in per_doc.items():
+        segs.sort(key=lambda r: r.pack_id)
+        # doc coverage: offsets tile [0, n) contiguously
+        assert segs[0].doc_offset == 0
+        acc = 0
+        for s in segs:
+            assert s.doc_offset == acc and s.seg_tokens > 0
+            acc += s.seg_tokens
+        assert acc == n_by_id[doc]
+        # stream contiguity: every later segment starts at pack start,
+        # and the previous segment filled its pack to the brim
+        for prev, s in zip(segs, segs[1:]):
+            assert s.pack_id == prev.pack_id + 1 and s.pack_offset == 0
+            assert prev.pack_offset + prev.seg_tokens == 32
+
+    again = pack_segments(
+        df.repartition(7), "doc_id", "n", seq_len=32
+    ).collect()
+    key = lambda r: (r.doc_id, r.pack_id, r.doc_offset, r.pack_offset,
+                     r.seg_tokens)
+    assert sorted(map(key, out)) == sorted(map(key, again))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="seq_len"):
+        pack_segments(df, "doc_id", "n", seq_len=0)
+    with _pytest.raises(ValueError, match="collide"):
+        pack_segments(df.withColumn("pack_id", F.lit(1)), "doc_id", "n", 32)
