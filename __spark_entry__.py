@@ -2516,6 +2516,30 @@ def q_decontam_screen(spark, sf_dir):
     ).select("doc_id")
 
 
+def q_bloom_screen(spark, sf_dir):
+    """Bloom-prefiltered exact-dedup screen (dedup.bloom_screen_dedup):
+    the %4==0 quarter is the corpus; the batch is the %4==2 quarter
+    plus verbatim mirrors (negated ids) of every %20==0 corpus doc.
+    The filter is built from portable md5 folds into bit_or-aggregated
+    63-bit words (parameter-bounded driver collect), the probe is
+    map-only against the literal words, and only bloom_hit rows reach
+    the confirming semi-join — the approximation changes COST, never
+    the answer (false negatives impossible; false positives resolved
+    by the join).  The oracle replays the filter bit-for-bit (same
+    folds, same words) AND the exact membership, so both bloom_hit and
+    is_dup hash-match."""
+    from gdp_etl_spark.operators.dedup import bloom_screen_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 2).unionByName(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0).select(
+            (-F.col("doc_id")).alias("doc_id"), "text"
+        )
+    )
+    return bloom_screen_dedup(batch, corpus, "text", "doc_id")
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style intra-document repetition signals: duplicate
     bi/tri-gram fractions, top-token dominance, and the token count
@@ -5550,6 +5574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontam_screen": q_decontam_screen,
         "pack_segments": q_pack_segments,
+        "bloom_screen": q_bloom_screen,
         "embedding_near_dup": q_embedding_near_dup,
         "events_sessions": q_events_sessions,
         "events_tumbling": q_events_tumbling,
@@ -8594,6 +8619,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, CAST(coalesce(o.n, 0) AS INT) AS n_overlap,
                    coalesce(o.n, 0) >= 1 AS is_contaminated
             FROM documents d LEFT JOIN ov o USING (doc_id)
+        """,
+        # the Bloom filter replayed bit-for-bit (same md5 folds, same
+        # 63-bit words) plus the exact membership it prefilters
+        "bloom_screen": """
+            WITH corpus AS (
+              SELECT DISTINCT coalesce(md5(text), 'NULLTEXT') AS ck
+              FROM documents WHERE doc_id % 4 = 0),
+            hpos AS (
+              SELECT ck,
+                     CAST(('0x' || substr(md5(ck || ':' ||
+                       CAST(j AS VARCHAR) || ':bloom'), 1, 15)) AS BIGINT)
+                       % 65536 AS pos
+              FROM corpus, (VALUES (0), (1), (2), (3)) t(j)),
+            words AS (
+              SELECT CAST(pos // 63 AS INT) AS widx,
+                     bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT))
+                       AS word
+              FROM hpos GROUP BY 1),
+            batch AS (
+              SELECT doc_id, coalesce(md5(text), 'NULLTEXT') AS k
+              FROM documents WHERE doc_id % 4 = 2
+              UNION ALL
+              SELECT -doc_id, coalesce(md5(text), 'NULLTEXT')
+              FROM documents WHERE doc_id % 20 = 0),
+            bp AS (
+              SELECT doc_id, k,
+                     CAST(('0x' || substr(md5(k || ':' ||
+                       CAST(j AS VARCHAR) || ':bloom'), 1, 15)) AS BIGINT)
+                       % 65536 AS pos
+              FROM batch, (VALUES (0), (1), (2), (3)) t(j)),
+            hit AS (
+              SELECT doc_id, k,
+                     bool_and((COALESCE(w.word, 0) &
+                       (CAST(1 AS BIGINT) << CAST(pos % 63 AS INT))) <> 0)
+                       AS bloom_hit
+              FROM bp LEFT JOIN words w ON w.widx = CAST(pos // 63 AS INT)
+              GROUP BY 1, 2)
+            SELECT h.doc_id, h.bloom_hit,
+                   h.bloom_hit AND EXISTS (
+                     SELECT 1 FROM corpus c WHERE c.ck = h.k) AS is_dup
+            FROM hit h
         """,
         "decontam_screen": f"""
             WITH fx(doc_id, text) AS (VALUES

@@ -1828,3 +1828,172 @@ def within_batch_screen(
         .filter(F.col("is_canonical"))
         .drop("cluster_id", "is_canonical")
     )
+
+
+def _bloom_positions(key, k: int, num_bits: int, seed: str) -> list:
+    """The k bit positions of ``key`` — md5 folds of (key : j : seed),
+    15 hex chars → non-negative bigint → mod num_bits.  Pure portable
+    expressions (the repo's standard hash recipe), so any engine
+    derives the identical filter."""
+    return [
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", key, F.lit(str(j)), F.lit(seed))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(int(num_bits)),
+        )
+        for j in range(k)
+    ]
+
+
+def bloom_words(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 16,
+    k: int = 4,
+    seed: str = "bloom",
+) -> list[int]:
+    """Build a Bloom filter over ``keys[key_col]`` as a driver-side
+    list of 64-bit words (63 usable bits each — bit 63 stays clear so
+    the ``1 << b`` never overflows in engines that range-check shifts,
+    e.g. DuckDB).  The build is one explode (k rows/key) + ``bit_or``
+    word aggregate; the collect is ``ceil(num_bits/63)`` rows — bounded
+    by the PARAMETER, never by data (the kmeans-stats rule).
+
+    Sizing: false-positive rate ≈ (1 − e^(−k·n/m))^k for n keys and
+    m = num_bits; the default 2^16 bits / k=4 holds ~4,500 keys at 1%.
+    The literal-words form is for BOUNDED key sets — benchmark
+    contamination hashes, URL blocklists, a recent-batch cache — where
+    it deletes the membership JOIN entirely (see :func:`bloom_hit`).
+    A corpus-scale index (billions of keys → tens of GB of bits)
+    cannot ship as a literal; at that scale keep the bucketed
+    anti-join (:func:`dedup_against_index`) — the filter's job there
+    is done by the bucket pruning.
+    """
+    if num_bits < 63:
+        raise ValueError(f"num_bits must be >= 63, got {num_bits}")
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("NULLKEY"))
+    pos = F.explode(
+        F.array(*_bloom_positions(key, k, num_bits, seed))
+    ).alias("__pos")
+    rows = (
+        keys.select(pos)
+        .select(
+            F.floor(F.col("__pos") / F.lit(63)).cast("int").alias("__w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(F.col("__pos"), F.lit(63)).cast("int"),
+            ).alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__m").alias("__word"))
+        .collect()
+    )
+    n_words = (int(num_bits) + 62) // 63
+    words = [0] * n_words
+    for r in rows:
+        words[r["__w"]] = r["__word"]
+    return words
+
+
+def bloom_hit(
+    key,
+    words: list[int],
+    num_bits: int = 1 << 16,
+    k: int = 4,
+    seed: str = "bloom",
+):
+    """Map-side membership test against a literal Bloom filter:
+    TRUE when all k bits are set (maybe-member — confirm with an exact
+    join), FALSE is a GUARANTEED non-member.  One ``forall`` over the
+    k positions with the words array bound once in the expression tree
+    (not once per position — the expression-reuse rule), so the probe
+    is whole-stage codegen with zero joins and zero shuffle."""
+    warr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    pos = F.array(*_bloom_positions(key, k, num_bits, seed))
+    return F.forall(
+        pos,
+        lambda p: (
+            F.element_at(warr, (F.floor(p / F.lit(63)) + F.lit(1)).cast("int"))
+            .bitwiseAND(
+                # python-API shiftleft takes only an int literal for the
+                # shift; call_function reaches the SQL form (col, col)
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    F.pmod(p, F.lit(63)).cast("int"),
+                )
+            )
+            != F.lit(0)
+        ),
+    )
+
+
+def bloom_screen_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_bits: int = 1 << 16,
+    k: int = 4,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Exact-dedup screen with a Bloom prefilter: flag each batch doc
+    with ``bloom_hit`` (maybe-seen) and ``is_dup`` (CONFIRMED exact
+    text match in the corpus).  The final answer is EXACT — Bloom
+    false positives are resolved by the confirming semi-join, false
+    negatives are impossible by construction (``NOT bloom_hit ⇒ NOT
+    is_dup``, pinned in tests) — so the approximation changes the
+    COST, never the result, and the whole pipeline stays
+    oracle-replayable (the filter derives from portable md5 folds).
+
+    Scale shape: the corpus is read once to build the words
+    (parameter-bounded collect); the batch probe is map-only; only the
+    ``bloom_hit`` rows — ≈ |true dups| + fp·|batch| — reach the exact
+    semi-join, so the join's batch side shrinks from |batch| to
+    roughly the duplicate mass.  NULL text takes the sentinel key on
+    BOTH sides (the NULL-key discipline: NULL md5 keys never equi-join
+    and would silently pass every NULL doc).
+    """
+    kb = F.coalesce(F.md5(F.col(text_col)), F.lit("NULLTEXT"))
+    ckeys = (
+        corpus.select(
+            F.coalesce(F.md5(F.col(text_col)), F.lit("NULLTEXT")).alias("__ck")
+        ).distinct()
+        # two consumers below (the bloom build and the confirming
+        # semi-join) — barrier once or the distinct re-executes per
+        # consumer (the repo's derived-frame persist rule); the frame
+        # is one 32-char hash per distinct corpus text
+        .localCheckpoint(eager=True)
+    )
+    words = bloom_words(ckeys, "__ck", num_bits=num_bits, k=k, seed=seed)
+    flagged = batch.select(
+        F.col(id_col),
+        kb.alias("__k"),
+        bloom_hit(kb, words, num_bits=num_bits, k=k, seed=seed).alias(
+            "bloom_hit"
+        ),
+        # the probe plan is read TWICE below (hit branch + join-back),
+        # and kb is referenced k+1 times in it (CollapseProject would
+        # re-inline a protective projection) — one eager output-sized
+        # barrier evaluates every md5 exactly once
+    ).localCheckpoint(eager=True)
+    dups = (
+        flagged.filter(F.col("bloom_hit"))
+        .join(ckeys, F.col("__k") == F.col("__ck"), "left_semi")
+        .select(id_col)
+        .withColumn("__d", F.lit(True))
+    )
+    return (
+        flagged.join(dups, id_col, "left")
+        .select(
+            id_col,
+            "bloom_hit",
+            F.coalesce(F.col("__d"), F.lit(False)).alias("is_dup"),
+        )
+    )

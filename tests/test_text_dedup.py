@@ -1586,3 +1586,45 @@ def test_minhash_param_stamp_guard(spark, tmp_path):
     for t in (table, f"{table}_sets"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+
+def test_bloom_screen_exact_under_forced_false_positives(spark):
+    """A deliberately tiny filter (63 bits, 30 corpus keys -> nearly
+    every probe collides) forces Bloom false positives — the screen's
+    answer must stay EXACT anyway: every true dup flagged, at least one
+    bloom_hit row that is NOT a dup (the fp, resolved by the confirming
+    join), and NOT bloom_hit => NOT is_dup everywhere (false negatives
+    are impossible by construction).  NULL text matches NULL text via
+    the sentinel key."""
+    from gdp_etl_spark.operators.dedup import bloom_screen_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} words") for i in range(30)]
+        + [(98, None)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "corpus document number 3 words"),   # true dup
+         (101, "corpus document number 17 words"),  # true dup
+         (102, "a brand new never seen document"),
+         (103, "another fresh document entirely"),
+         (104, None)],                              # NULL matches NULL
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.bloom_hit, r.is_dup)
+           for r in bloom_screen_dedup(batch, corpus, "text", "doc_id",
+                                       num_bits=63, k=2).collect()}
+    assert out[100] == (True, True) and out[101] == (True, True)
+    assert out[104] == (True, True)          # sentinel NULL key
+    assert all(hit or not dup for hit, dup in out.values())
+    assert out[102][1] is False and out[103][1] is False
+    # 63 bits with 31 keys x 2 hashes: the fresh docs collide w.h.p. —
+    # require at least one witnessed false positive so the fp-resolution
+    # path is actually exercised
+    assert any(hit and not dup for hit, dup in out.values())
+
+    # a roomy filter on the same data: no false positives at all
+    roomy = {r.doc_id: (r.bloom_hit, r.is_dup)
+             for r in bloom_screen_dedup(batch, corpus, "text", "doc_id",
+                                         num_bits=1 << 16, k=4).collect()}
+    assert all(hit == dup for hit, dup in roomy.values())
