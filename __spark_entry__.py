@@ -2516,6 +2516,38 @@ def q_decontam_screen(spark, sf_dir):
     ).select("doc_id")
 
 
+def q_decontam_scrub(spark, sf_dir):
+    """Span-level decontamination (decontam.scrub_contaminated_spans):
+    same corpus/benchmark/fixture layout as decontam_screen, but
+    instead of rejecting overlapping docs, only the tokens covered by
+    a contaminated 8-gram window are removed — doc -1 keeps its unique
+    tail (9 tokens scrubbed), doc -2 likewise (10 scrubbed), every
+    50th doc scrubs to empty against itself.  Start discovery is a
+    map-side explode + broadcast semi-join (only the contamination
+    mass shuffles); removal is a map-only indexed filter.  The oracle
+    replays windows, membership and the covered-token rule (DuckDB
+    list lambdas are 1-based where Spark's are 0-based — both sides
+    use 1-based token positions)."""
+    from gdp_etl_spark.operators.decontam import (
+        benchmark_shingle_hashes,
+        scrub_contaminated_spans,
+    )
+    from gdp_etl_spark.session import local_df
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fixture = local_df(
+        spark, [(-1, _DS_BELOW), (-2, _DS_AT)], "doc_id bigint, text string"
+    )
+    docs = d.unionByName(fixture)
+    bench = d.filter(F.col("doc_id") % 50 == 0).select("text").unionByName(
+        local_df(spark, [(_DS_BENCH,)], "text string")
+    )
+    hashes = benchmark_shingle_hashes(bench, "text", shingle_k=8)
+    return scrub_contaminated_spans(
+        docs, hashes, "text", "doc_id", shingle_k=8
+    ).select("doc_id", "text_clean", "n_removed_tokens")
+
+
 def q_bloom_screen(spark, sf_dir):
     """Bloom-prefiltered exact-dedup screen (dedup.bloom_screen_dedup):
     the %4==0 quarter is the corpus; the batch is the %4==2 quarter
@@ -5575,6 +5607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_screen": q_decontam_screen,
         "pack_segments": q_pack_segments,
         "bloom_screen": q_bloom_screen,
+        "decontam_scrub": q_decontam_scrub,
         "embedding_near_dup": q_embedding_near_dup,
         "events_sessions": q_events_sessions,
         "events_tumbling": q_events_tumbling,
@@ -8675,6 +8708,53 @@ def oracle_sql() -> dict[str, str]:
                    FROM ds JOIN bs USING (s) GROUP BY doc_id)
             SELECT d.doc_id FROM docs d LEFT JOIN ov o USING (doc_id)
             WHERE coalesce(o.n, 0) < 3
+        """,
+        # windows + membership + covered-token removal replayed; DuckDB
+        # list lambdas index 1-based (Spark's filter lambda is 0-based —
+        # both sides compare 1-based token positions)
+        "decontam_scrub": f"""
+            WITH fx(doc_id, text) AS (VALUES
+              (CAST(-1 AS BIGINT), '{_DS_BELOW}'),
+              (CAST(-2 AS BIGINT), '{_DS_AT}')),
+            docs AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id, text FROM fx),
+            bt AS (SELECT text FROM documents WHERE doc_id % 50 = 0
+                   UNION ALL SELECT '{_DS_BENCH}'),
+            bs AS (SELECT DISTINCT unnest({sh8}) AS s FROM bt),
+            tok AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR len(trim(text)) = 0
+                          THEN CAST([] AS VARCHAR[]) ELSE {_TOKS_LOW}
+                     END AS tl,
+                     CASE WHEN text IS NULL OR len(trim(text)) = 0
+                          THEN CAST([] AS VARCHAR[]) ELSE {_TOKS_RAW}
+                     END AS tr
+              FROM docs),
+            st AS (
+              SELECT doc_id, tl,
+                     unnest(range(1, greatest(len(tl) - 7, 1) + 1)) AS s0
+              FROM tok),
+            hit AS (
+              SELECT t.doc_id, t.s0
+              FROM (SELECT doc_id, s0,
+                           array_to_string(tl[s0:s0+7], ' ') AS g
+                    FROM st) t
+              JOIN bs ON bs.s = t.g),
+            spans AS (SELECT doc_id, list(s0) AS sp FROM hit
+                      GROUP BY doc_id),
+            kept AS (
+              SELECT t.doc_id,
+                     list_filter(t.tr, (x, i) ->
+                       len(list_filter(COALESCE(spans.sp, []),
+                           s -> s <= i AND i < s + 8)) = 0) AS kp,
+                     t.tr
+              FROM tok t LEFT JOIN spans USING (doc_id))
+            SELECT doc_id,
+                   -- DuckDB array_to_string([]) is NULL; Spark
+                   -- array_join([]) is '' — align on ''
+                   COALESCE(array_to_string(kp, ' '), '') AS text_clean,
+                   CAST(len(tr) - len(kp) AS INT) AS n_removed_tokens
+            FROM kept
         """,
         "repetition_stats": f"""
             SELECT doc_id,

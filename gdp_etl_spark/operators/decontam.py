@@ -268,3 +268,88 @@ def screen_contaminated(
         )
     contaminated = hits.select(id_col).distinct()
     return docs.join(contaminated, id_col, "left_anti")
+
+
+def scrub_contaminated_spans(
+    docs: DataFrame,
+    bench_hashes: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Span-level decontamination — the surgical sibling of
+    :func:`screen_contaminated`: instead of REJECTING a document that
+    shares shingles with the benchmark, remove only the tokens covered
+    by a contaminated shingle and keep the rest (a 10k-token document
+    with one quoted eval question loses ~``shingle_k`` tokens, not the
+    document).  Appends ``text_clean`` (surviving tokens rejoined
+    single-spaced — token-granularity rebuild, the
+    ``token_window_dedup`` caveat) and ``n_removed_tokens``; documents
+    with no overlap pass through with their token-normalized text and
+    0 removed.  NULL/blank text yields ``''`` and 0.
+
+    Matching is the same recipe as :func:`decontaminate`: lowercased
+    whitespace ``shingle_k``-grams, xxhash64 equi-membership against
+    the bounded benchmark set — so a doc's contaminated WINDOW STARTS
+    are exactly the shingles the screen would count.  A token is
+    removed iff some contaminated window covers it.
+
+    Scale shape: the start discovery is one map-side explode +
+    broadcast semi-join (only MATCHING (doc, start) pairs — the
+    contamination mass, not the corpus — reach the per-doc
+    ``collect_set`` shuffle); the removal is a map-only indexed
+    ``filter`` whose inner ``exists`` costs O(tokens × matched spans)
+    per document — bounded by document size, the budget a map-side
+    rule may spend.  The corpus text itself never shuffles.
+    """
+    from ..functions.text import ws_tokens
+
+    toks_low = ws_tokens(F.lower(F.col(text_col)))
+    n = F.size(toks_low)
+    starts_idx = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(shingle_k - 1), F.lit(1))
+    )
+    # (doc, start) pairs of contaminated windows; docs shorter than k
+    # tokens hash their whole text as one window at start 1 (the
+    # shingles() convention), so a short exact-benchmark doc scrubs to
+    # empty rather than slipping through
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode(starts_idx).alias("__start"),
+        toks_low.alias("__tl"),
+    ).select(
+        id_col,
+        "__start",
+        F.xxhash64(
+            F.concat_ws(
+                " ", F.slice(F.col("__tl"), F.col("__start"), shingle_k)
+            )
+        ).alias("__h"),
+    )
+    contaminated = (
+        pairs.join(F.broadcast(bench_hashes), "__h")
+        .groupBy(id_col)
+        .agg(F.collect_set("__start").alias("__spans"))
+    )
+    toks_raw = ws_tokens(F.col(text_col))
+    spans = F.coalesce(
+        F.col("__spans"), F.array().cast("array<int>")
+    )
+    kept = F.filter(
+        toks_raw,
+        lambda t, i: ~F.exists(
+            spans,
+            lambda s: (s <= i + F.lit(1))
+            & (i + F.lit(1) < s + F.lit(shingle_k)),
+        ),
+    )
+    out = (
+        docs.join(contaminated, id_col, "left")
+        .withColumn("text_clean", F.array_join(kept, " "))
+        .withColumn(
+            "n_removed_tokens",
+            (F.size(toks_raw) - F.size(kept)).cast("int"),
+        )
+        .drop("__spans")
+    )
+    return out

@@ -219,6 +219,16 @@ def run_near_dup_ingest(
     index was written with (enforced: the index stamps them as table
     properties and the probe raises on mismatch).
 
+    Banding honesty for ADMISSION use: the default 16 perms × 4 bands
+    (4 rows/band) misses a true pair AT the default ``0.8`` threshold
+    with probability ``(1 − 0.8⁴)⁴ ≈ 12%`` — acceptable for pair
+    MINING, leaky for a gate.  For a sound at-threshold bound write
+    the index with single-row bands (``bands=num_perm``: 16×1 misses
+    ≤ 6.6e-12 at J=0.8 — what ``within_batch_screen`` now defaults
+    to), trading 4× the band-table rows; the defaults here stay 16×4
+    because the index banding is stamped state existing deployments
+    probe against.
+
     ``benchmark`` adds the FOURTH admission screen — evaluation-set
     decontamination: any doc sharing ≥ ``decontam_min_overlap``
     distinct ``decontam_shingle_k``-gram shingles with the benchmark

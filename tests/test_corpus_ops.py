@@ -923,3 +923,42 @@ def test_pack_segments_invariants(spark):
         pack_segments(df, "doc_id", "n", seq_len=0)
     with _pytest.raises(ValueError, match="collide"):
         pack_segments(df.withColumn("pack_id", F.lit(1)), "doc_id", "n", 32)
+
+
+def test_scrub_contaminated_spans(spark):
+    """Span-level decontamination: only tokens covered by a
+    benchmark-overlapping k-gram window are removed — mid-document
+    quotes lose the quote, not the document; clean docs pass through
+    token-normalized; a short doc whose WHOLE text is benchmark text
+    scrubs to empty (the <k-token whole-text-window convention); NULL
+    text yields '' with 0 removed."""
+    from gdp_etl_spark.operators.decontam import (
+        benchmark_shingle_hashes,
+        scrub_contaminated_spans,
+    )
+
+    bench_text = "q1 q2 q3 q4"  # 4 tokens, k=3 -> windows q1-3, q2-4
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    hashes = benchmark_shingle_hashes(bench, "text", shingle_k=3)
+    docs = spark.createDataFrame(
+        [
+            # quote embedded mid-doc: windows at 4,5 cover tokens 4..7
+            (1, "a1 a2 a3 q1 q2 q3 q4 b1 b2"),
+            (2, "clean   document with  odd   spacing"),
+            (3, "q2 q3"),      # short doc, whole text ≠ any bench gram
+            (4, None),
+            (5, "q1 q2 q3"),   # exact benchmark window -> fully scrubbed
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text_clean, r.n_removed_tokens)
+        for r in scrub_contaminated_spans(
+            docs, hashes, "text", "doc_id", shingle_k=3
+        ).collect()
+    }
+    assert got[1] == ("a1 a2 a3 b1 b2", 4)
+    assert got[2] == ("clean document with odd spacing", 0)
+    assert got[3] == ("q2 q3", 0)
+    assert got[4] == ("", 0)
+    assert got[5] == ("", 3)
