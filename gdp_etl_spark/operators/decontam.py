@@ -304,6 +304,17 @@ def scrub_contaminated_spans(
     """
     from ..functions.text import ws_tokens
 
+    clashes = {"text_clean", "n_removed_tokens", "__spans", "__start",
+               "__tl", "__h"} & set(docs.columns)
+    if clashes:
+        # withColumn would silently OVERWRITE text_clean /
+        # n_removed_tokens (e.g. re-feeding a previous scrub's output),
+        # and a pre-existing __spans breaks the join — same guard as
+        # pack_segments/epoch_shuffle (r10 self-review finding)
+        raise ValueError(
+            f"scrub_contaminated_spans output columns collide with input "
+            f"columns {sorted(clashes)}; rename or drop them first"
+        )
     toks_low = ws_tokens(F.lower(F.col(text_col)))
     n = F.size(toks_low)
     starts_idx = F.sequence(

@@ -1987,6 +1987,10 @@ def bloom_screen_dedup(
         flagged.filter(F.col("bloom_hit"))
         .join(ckeys, F.col("__k") == F.col("__ck"), "left_semi")
         .select(id_col)
+        # distinct: a duplicated batch id would otherwise multiply rows
+        # quadratically through the join-back (one flag row per batch
+        # row is the contract; r10 self-review finding)
+        .distinct()
         .withColumn("__d", F.lit(True))
     )
     return (

@@ -474,6 +474,11 @@ def ivf_topk_fixed(
             f"{bad[:3]!r}{'…' if len(bad) > 3 else ''} (non-integral ids "
             f"would cast to NULL and silently empty the result)"
         )
+    if len(set(query_ids)) != len(query_ids):
+        # per_query builds one struct per LIST ELEMENT, so a duplicated
+        # id double-emits every candidate and row_number burns half the
+        # top-k on duplicates — silently (r10 self-review finding)
+        raise ValueError("ivf_topk_fixed: query_ids contains duplicates")
     id_type = df.schema[id_col].dataType.simpleString()
     if id_type not in ("tinyint", "smallint", "int", "bigint"):
         raise TypeError(
@@ -906,6 +911,10 @@ def pq_topk(
             f"got {bad[:3]!r}{'…' if len(bad) > 3 else ''}. Non-integral "
             f"ids would cast to NULL and silently empty the result."
         )
+    if len(set(query_ids)) != len(query_ids):
+        # one per-query struct per LIST ELEMENT: a duplicated id
+        # double-emits every candidate and halves the effective top-k
+        raise ValueError("pq_topk: query_ids contains duplicates")
     id_type = df.schema[id_col].dataType.simpleString()
     if id_type not in ("tinyint", "smallint", "int", "bigint"):
         raise TypeError(

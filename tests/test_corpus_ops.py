@@ -962,3 +962,12 @@ def test_scrub_contaminated_spans(spark):
     assert got[3] == ("q2 q3", 0)
     assert got[4] == ("", 0)
     assert got[5] == ("", 3)
+    # clash guard: re-feeding a scrub output (or any frame with the
+    # output/temp names) raises instead of silently overwriting
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+    with _pytest.raises(ValueError, match="collide"):
+        scrub_contaminated_spans(
+            docs.withColumn("text_clean", _F.lit("x")),
+            hashes, "text", "doc_id", shingle_k=3,
+        )

@@ -127,3 +127,11 @@ def test_bench_refresh_block_and_blockers(tmp_path):
     # flat self-diff: no blockers, explicit flat message
     block2, blockers2 = br.build_block(str(old), str(old), 11, 0.5, 1.3)
     assert blockers2 == [] and "flat round" in block2
+    # an all-zero old total must not divide by zero (sub-ms medians
+    # record 0.0; a salvaged truncated ledger can be all zeros)
+    z_old = tmp_path / "z_old.json"
+    z_new = tmp_path / "z_new.json"
+    z_old.write_text(json.dumps({"queries": {"z": 0.0}}))
+    z_new.write_text(json.dumps({"queries": {"z": 0.9}}))
+    block3, blockers3 = br.build_block(str(z_old), str(z_new), 12, 0.5, 1.3)
+    assert blockers3 == ["z"] and "no ratio" in block3

@@ -286,6 +286,10 @@ def test_pq_topk_rejects_non_integral_query_ids(spark):
     svecs = vecs.withColumn("vec_id", F.col("vec_id").cast("string"))
     with pytest.raises(TypeError, match="integral"):
         pq_topk(svecs, [0], dim=8, m=2, k_codes=2)
+    # duplicated ids double-emit every candidate and silently halve the
+    # effective top-k — loud error instead (r10 self-review)
+    with pytest.raises(ValueError, match="duplicates"):
+        pq_topk(vecs, [0, 0], dim=8, m=2, k_codes=2)
 
 
 def test_all_pairs_guard_requires_opt_in(spark):
@@ -1380,3 +1384,5 @@ def test_ivf_fixed_rejects_non_integral_ids(spark):
     )
     with pytest.raises(TypeError, match="ints"):
         ivf_topk_fixed(emb, ["0"], num_centroids=2)
+    with pytest.raises(ValueError, match="duplicates"):
+        ivf_topk_fixed(emb, [1, 1], num_centroids=2)

@@ -1623,6 +1623,16 @@ def test_bloom_screen_exact_under_forced_false_positives(spark):
     # path is actually exercised
     assert any(hit and not dup for hit, dup in out.values())
 
+    # a duplicated batch id yields one flag row PER BATCH ROW (2),
+    # never the quadratic 4 the join-back would produce without the
+    # distinct on the confirmed-dup ids (r10 self-review)
+    dup_batch = batch.union(batch.filter("doc_id = 100"))
+    rows7 = bloom_screen_dedup(
+        dup_batch, corpus, "text", "doc_id", num_bits=1 << 16, k=4
+    ).filter("doc_id = 100").collect()
+    assert len(rows7) == 2
+    assert all(r.bloom_hit and r.is_dup for r in rows7)
+
     # a roomy filter on the same data: no false positives at all
     roomy = {r.doc_id: (r.bloom_hit, r.is_dup)
              for r in bloom_screen_dedup(batch, corpus, "text", "doc_id",
