@@ -2516,6 +2516,27 @@ def q_decontam_screen(spark, sf_dir):
     ).select("doc_id")
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (sampling.dsir_weights — Xie et al.
+    2023): every document scored by how much likelier its hashed
+    word-bigram bag is under the TARGET distribution (the en %3==0
+    slice) than under the raw corpus, add-one smoothed over 4096
+    hashed features.  All four log terms per bucket are
+    floor(ln(integer)·1e9) bigints (the trigram_lm_scores recipe), so
+    per-doc sums are exact integer adds and the oracle replays
+    counting, smoothing, quantization AND scoring — full hash.  Scale:
+    two num_buckets-bounded count aggregates, one broadcast weight
+    table, map-side bucket hash, per-doc partial aggregate — corpus
+    text never shuffles."""
+    from gdp_etl_spark.operators.sampling import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = docs.filter(
+        (F.col("lang") == "en") & (F.col("doc_id") % 3 == 0)
+    )
+    return dsir_weights(docs, target, "text", "doc_id", n=2)
+
+
 def q_decontam_scrub(spark, sf_dir):
     """Span-level decontamination (decontam.scrub_contaminated_spans):
     same corpus/benchmark/fixture layout as decontam_screen, but
@@ -5501,8 +5522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # WINDOW (50): computed by tools/window_staleness.py --changed
         #   ivf_topk salted_join pq_topk epoch_shuffle batch_screen
-        # 5 changed + 4 never-checked (new this round) + 26 last-green-r4
-        # + 15 stalest r5 — the r10 stale burn-down (verdict task 1)
+        # 5 changed + 5 never-checked (new this round) + 26 last-green-r4
+        # + 14 stalest r5 — the r10 stale burn-down (verdict task 1)
         "ivf_topk": q_ivf_topk,
         "salted_join": q_salted_join,
         "pq_topk": q_pq_topk,
@@ -5511,6 +5532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_screen": q_bloom_screen,
         "decontam_screen": q_decontam_screen,
         "decontam_scrub": q_decontam_scrub,
+        "dsir_weights": q_dsir_weights,
         "pack_segments": q_pack_segments,
         "market_share": q_market_share,
         "min_cost_supplier": q_min_cost_supplier,
@@ -5552,7 +5574,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "drop_na": q_drop_na,
         "equidepth": q_equidepth,
-        "filter_band": q_filter_band,
         # -- end of driver window (50) --------------------------------------
         # below the window: alphabetical; all keep local oracle coverage
         # via tools/check_correctness.py
@@ -5603,6 +5624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "excel_scan": q_excel_scan,
         "excess_suppliers": q_excess_suppliers,
+        "filter_band": q_filter_band,
         "filter_compound": q_filter_compound,
         "filter_in": q_filter_in,
         "filter_strlen": q_filter_strlen,
@@ -8705,6 +8727,50 @@ def oracle_sql() -> dict[str, str]:
                    FROM ds JOIN bs USING (s) GROUP BY doc_id)
             SELECT d.doc_id FROM docs d LEFT JOIN ov o USING (doc_id)
             WHERE coalesce(o.n, 0) < 3
+        """,
+        # DSIR replayed end to end: hashed-bigram counting, add-one
+        # smoothing, the floor(ln·1e9) quantization of all four log
+        # terms, and per-doc occurrence-weighted scoring
+        "dsir_weights": f"""
+            WITH tg AS (
+              SELECT unnest({g2}) AS g FROM documents
+              WHERE lang = 'en' AND doc_id % 3 = 0),
+            tc AS (
+              SELECT CAST(('0x' || substr(md5(g || ':dsir'), 1, 15))
+                       AS BIGINT) % 4096 AS b, count(*) AS ct
+              FROM tg GROUP BY 1),
+            rg AS (SELECT unnest({g2}) AS g FROM documents),
+            rc AS (
+              SELECT CAST(('0x' || substr(md5(g || ':dsir'), 1, 15))
+                       AS BIGINT) % 4096 AS b, count(*) AS cr
+              FROM rg GROUP BY 1),
+            tot AS (
+              SELECT (SELECT COALESCE(sum(ct), 0) FROM tc) AS nt,
+                     (SELECT COALESCE(sum(cr), 0) FROM rc) AS nr),
+            w AS (
+              SELECT COALESCE(tc.b, rc.b) AS b,
+                     CAST(floor(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE))
+                          * 1e9) AS BIGINT)
+                   - CAST(floor(ln(CAST(nt + 4096 AS DOUBLE)) * 1e9)
+                          AS BIGINT)
+                   - CAST(floor(ln(CAST(COALESCE(cr, 0) + 1 AS DOUBLE))
+                          * 1e9) AS BIGINT)
+                   + CAST(floor(ln(CAST(nr + 4096 AS DOUBLE)) * 1e9)
+                          AS BIGINT) AS wq
+              FROM tc FULL JOIN rc USING (b), tot),
+            db AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(g || ':dsir'), 1, 15))
+                       AS BIGINT) % 4096 AS b
+              FROM (SELECT doc_id, unnest({g2}) AS g FROM documents)),
+            agg AS (
+              SELECT db.doc_id, count(*) AS n_grams,
+                     CAST(sum(w.wq) AS BIGINT) AS dsir_qsum
+              FROM db JOIN w USING (b) GROUP BY db.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.n_grams, 0) AS n_grams,
+                   CAST(COALESCE(a.dsir_qsum, 0) AS BIGINT) AS dsir_qsum
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         # windows + membership + covered-token removal replayed; DuckDB
         # list lambdas index 1-based (Spark's filter lambda is 0-based —

@@ -452,3 +452,125 @@ def stratified_split(
         )
         lo += w
     return bucketed.withColumn(out_col, expr).drop("__tile")
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    num_buckets: int = 4096,
+    seed: str = "dsir",
+    quantize: int = 10**9,
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every corpus document by how
+    much more likely its hashed word-``n``-gram bag is under the
+    TARGET distribution (a bounded sample of the data you want more
+    of) than under the RAW corpus distribution —
+    ``log w(doc) = Σ_grams [log p_target(bucket) − log p_raw(bucket)]``
+    with add-one smoothing over ``num_buckets`` hashed features.  The
+    standard cheap alternative to model-based quality filtering:
+    select/resample by weight to shift a 100-TB crawl toward a
+    curated target (composes with :func:`weighted_sample` for the
+    paper's resampling step, or a plain top-k for hard selection).
+
+    Returns ``(id_col, n_grams bigint, dsir_qsum bigint)`` where
+    ``dsir_qsum`` is the sum over the document's gram OCCURRENCES
+    (multiplicity kept — it is a unigram LM over features) of the
+    per-bucket quantized log-ratio.  Blank/tokenless docs score 0/0.
+
+    Determinism (the ``trigram_lm_scores`` recipe): each of the four
+    log terms per bucket is ``floor(ln(integer) · quantize)`` — ln of
+    exact integer counts, ≤ ``2·num_buckets + 2`` distinct inputs per
+    corpus — so per-doc sums are exact integer adds and the whole
+    score replays bit-identically across runs, partitionings and
+    engines (full-hash oracle).  Buckets unseen in either corpus get
+    count 0 → ``ln(1) = 0`` via smoothing.
+
+    Scale shape: two feature-count aggregates bounded by
+    ``num_buckets`` ROWS (never by data), fused into one broadcast
+    weight table; totals are two bounded collects; scoring is one
+    explode → map-side bucket hash → broadcast equi-join → per-doc
+    partial aggregate.  The corpus text never shuffles; shuffle keys
+    are (id, partial sums) only.
+    """
+    from ..functions.text import word_ngrams
+
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+
+    def bucket(gram: Column) -> Column:
+        h = F.md5(F.concat_ws(":", gram, F.lit(seed)))
+        return F.pmod(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"),
+            F.lit(int(num_buckets)),
+        )
+
+    def gram_buckets(df: DataFrame):
+        return df.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
+        ).select(bucket(F.col("__g")).alias("__b"))
+
+    t_counts = gram_buckets(target).groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__ct")
+    )
+    r_counts = gram_buckets(docs).groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cr")
+    )
+    # totals: bounded collects over the <= num_buckets-row count frames
+    # (the kmeans-stats rule) — embedding exact integers as literals
+    # keeps the scalar out of the plan (no 1-row crossJoin needed)
+    n_t = t_counts.agg(F.sum("__ct")).collect()[0][0] or 0
+    n_r = r_counts.agg(F.sum("__cr")).collect()[0][0] or 0
+
+    def qln(x: Column) -> Column:
+        return F.floor(
+            F.log(x.cast("double")) * F.lit(float(quantize))
+        ).cast("bigint")
+
+    weights = (
+        t_counts.join(r_counts, "__b", "full")
+        .select(
+            "__b",
+            (
+                qln(F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1))
+                # the totals are exact collected integers; their qln is
+                # a Spark expression (constant-folded) so ALL four log
+                # terms share one engine's ln — the same single
+                # cross-engine assumption trigram_lm_scores documents
+                - qln(F.lit(int(n_t + num_buckets)))
+                - qln(F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(1))
+                + qln(F.lit(int(n_r + num_buckets)))
+            ).alias("__w"),
+        )
+        # two consumers would re-run both aggregates — and the frame is
+        # <= num_buckets rows, output-sized by construction
+        .localCheckpoint(eager=True)
+    )
+    scored = (
+        docs.select(
+            F.col(id_col),
+            F.explode_outer(word_ngrams(F.col(text_col), n)).alias("__g"),
+        )
+        # explode_outer keeps gramless docs as one NULL-gram row; the
+        # bucket must stay NULL for it (concat_ws SKIPS null args, so
+        # an unguarded hash would silently bucket the seed string and
+        # count a phantom gram)
+        .select(
+            id_col,
+            F.when(
+                F.col("__g").isNotNull(), bucket(F.col("__g"))
+            ).alias("__b"),
+        )
+        .join(F.broadcast(weights), "__b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("__b")).alias("n_grams"),
+            F.coalesce(F.sum("__w"), F.lit(0)).cast("bigint").alias(
+                "dsir_qsum"
+            ),
+        )
+    )
+    return scored

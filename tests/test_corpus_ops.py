@@ -971,3 +971,40 @@ def test_scrub_contaminated_spans(spark):
             docs.withColumn("text_clean", _F.lit("x")),
             hashes, "text", "doc_id", shingle_k=3,
         )
+
+
+def test_dsir_weights_semantics(spark):
+    """DSIR sanity on a planted corpus: documents made of TARGET-style
+    bigrams must outscore documents of background-only bigrams (the
+    defining monotonicity), a gramless doc scores (0, 0), and the
+    weights are deterministic across repartitionings."""
+    from gdp_etl_spark.operators.sampling import dsir_weights
+
+    target = spark.createDataFrame(
+        [(i, "clean helpful prose about science topics") for i in range(8)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "clean helpful prose about science topics"),  # target-like
+         (2, "zz9 qq8 xx7 vv6 ww5 uu4"),                   # junk-only
+         (3, "")],                                          # gramless
+        "doc_id long, text string",
+    )
+    # raw distribution = the scored docs themselves (junk inflates its
+    # own raw counts, deflating its weight further — fine for the test)
+    out = {r.doc_id: (r.n_grams, r.dsir_qsum)
+           for r in dsir_weights(docs, target, "text", "doc_id",
+                                 n=2).collect()}
+    assert out[3] == (0, 0)
+    assert out[1][0] == 5 and out[2][0] == 5
+    # per-gram normalized comparison (equal gram counts here)
+    assert out[1][1] > out[2][1]
+
+    again = {r.doc_id: (r.n_grams, r.dsir_qsum)
+             for r in dsir_weights(docs.repartition(5), target,
+                                   "text", "doc_id", n=2).collect()}
+    assert again == out
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="num_buckets"):
+        dsir_weights(docs, target, "text", "doc_id", num_buckets=1)
