@@ -422,6 +422,7 @@ def ivf_topk_fixed(
     scale: float = 1e6,
     offset: float = 1.0,
     seed: str = "ivf",
+    train_ppm: int | None = None,
 ) -> DataFrame:
     """Engine-replayable IVF approximate top-k — :func:`ivf_topk`'s
     semantics on the repo's deterministic fixed-point recipe, so the
@@ -437,9 +438,17 @@ def ivf_topk_fixed(
 
     * **train** — coarse centroids from
       :func:`~gdp_etl_spark.operators.kmeans.train_kmeans_fixed` over
-      the FULL corpus (hash-seeded, integer Lloyd updates; per
-      iteration one k-row shuffle + a k·dim driver collect — model
-      state, bounded by parameters, never by data).
+      the FULL corpus by default (hash-seeded, integer Lloyd updates;
+      per iteration one k-row shuffle + a k·dim driver collect — model
+      state, bounded by parameters, never by data).  ``train_ppm``
+      caps the training SET the FAISS way: only rows whose portable
+      md5 gate ``hash(id : seed) mod 1e6 < train_ppm`` enter the
+      Lloyd passes (each iteration scans the training set, so at
+      100 TB training on everything pays |corpus| per iteration for
+      centroids a bounded deterministic sample fixes identically in
+      distribution).  The gate is the repo's hash_sample recipe, so
+      the ORACLE replays the same membership — sampled training stays
+      hash-exact, unlike :func:`ivf_topk`'s ``df.sample``.
     * **assign** — each corpus vector's nearest-centroid cell via the
       shared literal-centroid argmin (:func:`kmeans.assign_expr`):
       map-only, whole-stage codegen, no shuffle.  At rest the cell is
@@ -486,12 +495,35 @@ def ivf_topk_fixed(
             f"compare against bigint query_id literals; got {id_type}."
         )
     base = df.filter(F.col(vec_col).isNotNull())
+    train = base
+    if train_ppm is not None:
+        if not 0 < train_ppm <= 1_000_000:
+            raise ValueError(
+                f"train_ppm must be in (0, 1_000_000], got {train_ppm}"
+            )
+        gate = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(
+                        ":", F.col(id_col).cast("string"), F.lit(seed)
+                    )),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(1_000_000),
+        )
+        train = base.filter(gate < F.lit(int(train_ppm)))
     centroids = train_kmeans_fixed(
-        base, id_col, vec_col, k=num_centroids, n_iter=n_iter,
+        train, id_col, vec_col, k=num_centroids, n_iter=n_iter,
         scale=scale, offset=offset, seed=seed,
     )
     if not centroids:
-        raise ValueError("empty corpus")
+        raise ValueError(
+            "empty corpus"
+            if train_ppm is None
+            else "training sample is empty — raise train_ppm"
+        )
 
     q = _quantize(F.col(vec_col), scale, offset)
     cell, _ = assign_expr(centroids, F.col("__q"))

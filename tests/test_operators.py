@@ -1375,6 +1375,32 @@ def test_ivf_fixed_exhaustive_probe_equals_brute_force(spark):
     assert sorted(got) == sorted(want)
 
 
+def test_ivf_fixed_sampled_training_stays_exact_under_full_probe(spark):
+    """train_ppm caps the Lloyd training set via the portable hash
+    gate — centroid QUALITY changes, correctness must not: with
+    nprobe = num_centroids the result still equals the full-training
+    exhaustive probe (both are the exact brute force), and the sampled
+    variant is deterministic across repartitionings."""
+    from gdp_etl_spark.operators.similarity import ivf_topk_fixed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = ivf_topk_fixed(emb, [0, 1], k=5, num_centroids=4, nprobe=4,
+                          n_iter=1).collect()
+    sampled = ivf_topk_fixed(emb, [0, 1], k=5, num_centroids=4, nprobe=4,
+                             n_iter=1, train_ppm=400_000).collect()
+    key = lambda r: (r.query_id, r.rank, r.neighbour_id, r.score_d2)
+    assert sorted(map(key, sampled)) == sorted(map(key, full))
+    again = ivf_topk_fixed(emb.repartition(7), [0, 1], k=5,
+                           num_centroids=4, nprobe=4, n_iter=1,
+                           train_ppm=400_000).collect()
+    assert sorted(map(key, again)) == sorted(map(key, sampled))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="train_ppm"):
+        ivf_topk_fixed(emb, [0], num_centroids=2, train_ppm=0)
+    with _pytest.raises(ValueError, match="sample is empty"):
+        ivf_topk_fixed(emb, [0], num_centroids=2, train_ppm=1)
+
+
 def test_ivf_fixed_rejects_non_integral_ids(spark):
     from gdp_etl_spark.operators.similarity import ivf_topk_fixed
 
