@@ -494,3 +494,76 @@ def _parse_ddl(spark: SparkSession, ddl: str) -> StructType:
     from pyspark.sql.types import _parse_datatype_string
 
     return _parse_datatype_string(ddl)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Common-Crawl WET (extracted-text) reader — the crawl-side ingest
+    for a training-data pipeline: each WARC ``conversion`` record
+    becomes one row ``(target_uri, warc_date timestamp, content_length
+    bigint, text)``, ready for the text/dedup/decontam operators.
+
+    Spark-first shape: the file is read by ``spark.read.text`` with the
+    RECORD separator ``"WARC/1.0\\r\\n"`` as ``lineSep`` — one split
+    row per WARC record, parsed with pure expressions (header block =
+    everything before the first blank line; named headers via
+    ``regexp_extract``; body = the rest).  No Python per record, gzip
+    members decode transparently (``.wet.gz``), and the scan
+    parallelizes per file like any text source.
+
+    Documented trade (the extract_links convention): a record BODY
+    containing the literal record separator splits the record — the
+    fragment parses as a headerless record and is dropped by the
+    ``conversion``-type filter while the true record's body truncates.
+    Offset-exact parsing needs the WARC index / a real WARC library;
+    at crawl fidelity swap one in behind this column contract.  The
+    warcinfo header record and trailing blank splits drop the same
+    way.  ``Content-Length`` counts BYTES of the original body, so it
+    is reported, not recomputed (multi-byte text makes char length
+    differ legitimately).
+
+    Body whitespace contract: exactly one ``\\r\\n\\r\\n`` separates
+    headers from body, and each record's trailing ``\\r\\n\\r\\n``
+    (the inter-record gap) is stripped; interior newlines are
+    preserved verbatim.
+    """
+    rows = spark.read.text(path, lineSep="WARC/1.0\r\n")
+
+    def header(name: str) -> F.Column:
+        return F.regexp_extract(
+            F.col("__head"), f"(?m)^{name}:[ \\t]*([^\\r\\n]*)", 1
+        )
+
+    split_at = F.instr(F.col("value"), "\r\n\r\n")
+    parsed = (
+        rows.filter(F.length(F.trim(F.col("value"))) > 0)
+        .withColumn("__split", split_at)
+        .withColumn(
+            "__head",
+            F.when(F.col("__split") > 0,
+                   F.expr("substring(value, 1, __split - 1)")
+                   ).otherwise(F.col("value")),
+        )
+        .withColumn(
+            "__body",
+            F.when(
+                F.col("__split") > 0,
+                F.expr("substring(value, __split + 4)"),
+            ).otherwise(F.lit("")),
+        )
+    )
+    nullif = lambda c: F.when(c == "", None).otherwise(c)  # noqa: E731
+    return (
+        parsed.filter(header("WARC-Type") == "conversion")
+        .select(
+            nullif(header("WARC-Target-URI")).alias("target_uri"),
+            F.to_timestamp(
+                nullif(header("WARC-Date")), "yyyy-MM-dd'T'HH:mm:ssX"
+            ).alias("warc_date"),
+            nullif(header("Content-Length")).cast("bigint").alias(
+                "content_length"
+            ),
+            F.regexp_replace(
+                F.col("__body"), "(\\r\\n)+$", ""
+            ).alias("text"),
+        )
+    )

@@ -322,3 +322,57 @@ def test_multiple_na_markers_with_dotted_column_names(spark, tmp_path):
         na_values=["--", "n/a"],
     )
     assert rows(df) == [("A", None), ("B", "ok"), ("C", None)]
+
+
+def test_read_wet_records(spark, tmp_path):
+    """WET reader: conversion records parse to (uri, date, length,
+    text) with interior newlines preserved and the inter-record gap
+    stripped; the warcinfo preamble record is filtered; a record with
+    a missing optional header yields NULL; gzip decodes transparently."""
+    import gzip
+
+    from gdp_etl_spark.sources import read_wet
+
+    body1 = "First page text.\r\nSecond line."
+    body2 = "Solo line with trailing spaces   "
+    wet = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        "Content-Length: 10\r\n"
+        "\r\n"
+        "robots: x\r\n"
+        "\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://ex.com/a\r\n"
+        "WARC-Date: 2024-03-01T12:00:00Z\r\n"
+        f"Content-Length: {len(body1.encode())}\r\n"
+        "\r\n"
+        f"{body1}\r\n"
+        "\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Date: 2024-03-01T13:30:00Z\r\n"          # no URI header
+        f"Content-Length: {len(body2.encode())}\r\n"
+        "\r\n"
+        f"{body2}\r\n"
+        "\r\n"
+    )
+    p = tmp_path / "part.wet"
+    p.write_bytes(wet.encode())
+    gz = tmp_path / "part2.wet.gz"
+    gz.write_bytes(gzip.compress(wet.encode()))
+
+    for path in (p, gz):
+        got = sorted(
+            read_wet(spark, str(path)).collect(),
+            key=lambda r: r.warc_date,
+        )
+        assert len(got) == 2, path
+        a, b = got
+        assert a.target_uri == "http://ex.com/a"
+        assert a.text == body1                      # interior CRLF kept
+        assert a.content_length == len(body1.encode())
+        assert str(a.warc_date).startswith("2024-03-01 12:00:00")
+        assert b.target_uri is None                 # missing header -> NULL
+        assert b.text == body2                      # trailing spaces kept
