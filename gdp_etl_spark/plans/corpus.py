@@ -347,3 +347,47 @@ def curation_audit(
         s3.unpersist()
         base.unpersist()
     return result
+
+
+def wet_to_documents(spark, path: str) -> DataFrame:
+    """Crawl landing stage: WET records → the repo's ``documents``
+    shape, ready for every downstream operator (clean/curate, dedup
+    indexes, decontamination, DSIR, packing) — the missing first mile
+    between :func:`~gdp_etl_spark.sources.read_wet` and the pipeline.
+
+    Output: ``(doc_id bigint, text, lang, source, n_chars bigint,
+    url, fetched_at timestamp)`` — a superset of the synthetic
+    ``documents`` table's columns so existing operators take it
+    unchanged.  ``doc_id`` is CONTENT-ADDRESSED: ``xxhash64(uri, text)``
+    — stable across re-reads and crawls (the same page content at the
+    same URI gets the same id; a re-crawl with changed text gets a new
+    one), which is what incremental ingest and the dedup indexes key
+    on.  ``source`` is the registrable host
+    (:func:`~gdp_etl_spark.functions.text.url_host`), the natural
+    slice key for source mixing / overlap sketches; ``lang`` is the
+    heuristic n-gram language id.
+
+    Everything is per-row map work over the WET scan — no shuffle at
+    all; callers chain :func:`clean_corpus` / the dedup screens for
+    the stages that do shuffle.  Rows with NULL/blank extracted text
+    are dropped (they carry no trainable content and would all collide
+    on one hash).
+    """
+    from ..functions.text import url_host
+    from ..sources import read_wet
+
+    wet = read_wet(spark, path)
+    return (
+        wet.filter(F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0)
+        .select(
+            F.xxhash64(
+                F.coalesce(F.col("target_uri"), F.lit("")), F.col("text")
+            ).alias("doc_id"),
+            "text",
+            lang_id(F.col("text")).alias("lang"),
+            url_host(F.col("target_uri")).alias("source"),
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.col("target_uri").alias("url"),
+            F.col("warc_date").alias("fetched_at"),
+        )
+    )

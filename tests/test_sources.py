@@ -376,3 +376,47 @@ def test_read_wet_records(spark, tmp_path):
         assert str(a.warc_date).startswith("2024-03-01 12:00:00")
         assert b.target_uri is None                 # missing header -> NULL
         assert b.text == body2                      # trailing spaces kept
+
+
+def test_wet_to_documents_lands_pipeline_shape(spark, tmp_path):
+    """The crawl landing stage produces the documents-table shape from
+    a WET file: content-addressed stable ids, host as source, language
+    id, blank records dropped — and the result feeds an existing
+    operator (clean_corpus) unchanged."""
+    from gdp_etl_spark.plans.corpus import wet_to_documents
+
+    def rec(uri, body):
+        return (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "WARC-Date: 2024-03-01T12:00:00Z\r\n"
+            f"Content-Length: {len(body.encode())}\r\n"
+            "\r\n"
+            f"{body}\r\n"
+            "\r\n"
+        )
+
+    wet = (
+        rec("https://www.ex.com:8080/a",
+            "The quick brown fox jumps over the lazy dog and keeps "
+            "going with plenty of common English words to classify.")
+        + rec("https://other.net/b", "")          # blank -> dropped
+        + rec("https://other.net/c", "short text here")
+    )
+    p = tmp_path / "crawl.wet"
+    p.write_bytes(wet.encode())
+
+    docs = wet_to_documents(spark, str(p))
+    rows = {r.url: r for r in docs.collect()}
+    assert set(rows) == {"https://www.ex.com:8080/a", "https://other.net/c"}
+    a = rows["https://www.ex.com:8080/a"]
+    assert a.source == "ex.com" and a.lang == "en"
+    assert a.n_chars == len(a.text)
+    # content-addressed id is stable across re-reads
+    again = {r.url: r.doc_id for r in wet_to_documents(spark, str(p)).collect()}
+    assert again[a.url] == a.doc_id
+
+    from gdp_etl_spark.plans.corpus import clean_corpus
+    cleaned = clean_corpus(docs, langs=None)
+    assert cleaned.count() == 2
