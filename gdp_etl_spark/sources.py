@@ -567,3 +567,82 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
             ).alias("text"),
         )
     )
+
+
+def read_warc_responses(spark: SparkSession, path: str) -> DataFrame:
+    """WARC ``response`` record reader — the RAW-crawl sibling of
+    :func:`read_wet`: each HTTP response record becomes
+    ``(target_uri, warc_date timestamp, http_status int, content_type,
+    payload)`` where ``payload`` is the HTTP body (markup) — feed it to
+    :func:`~gdp_etl_spark.functions.text.strip_markup` for WET-style
+    text and :func:`~gdp_etl_spark.functions.text.extract_links` /
+    ``url_host`` for the WAT-style link graph, so one raw-crawl scan
+    serves both sides of the pipeline.
+
+    Same record-splitting recipe and the same documented
+    separator-in-body trade as :func:`read_wet` (``lineSep`` =
+    ``"WARC/1.0\\r\\n"``; offset-exact parsing needs a WARC index).
+    A response record carries TWO header blocks — WARC headers, blank
+    line, HTTP status line + headers, blank line, body — so the parse
+    is two ``\\r\\n\\r\\n`` splits: status and Content-Type come from
+    the HTTP block (case-insensitive header match, parameters like
+    ``; charset=`` stripped), and the body keeps interior newlines
+    with the inter-record gap trimmed.  Binary payloads survive only
+    if UTF-8-decodable (``spark.read.text`` is a TEXT reader — a
+    true image/PDF crawl needs ``binaryFile``/warcio; this reader is
+    for HTML/text crawls, which is what the downstream operators eat).
+    Non-response records (warcinfo, request, metadata) are filtered.
+    """
+    rows = spark.read.text(path, lineSep="WARC/1.0\r\n")
+
+    def warc_header(name: str) -> F.Column:
+        return F.regexp_extract(
+            F.col("__warc"), f"(?m)^{name}:[ \\t]*([^\\r\\n]*)", 1
+        )
+
+    nullif = lambda c: F.when(c == "", None).otherwise(c)  # noqa: E731
+    split1 = F.instr(F.col("value"), "\r\n\r\n")
+    parsed = (
+        rows.filter(F.length(F.trim(F.col("value"))) > 0)
+        .withColumn("__s1", split1)
+        .withColumn(
+            "__warc",
+            F.when(F.col("__s1") > 0,
+                   F.expr("substring(value, 1, __s1 - 1)")
+                   ).otherwise(F.col("value")),
+        )
+        .withColumn(
+            "__rest",
+            F.when(F.col("__s1") > 0,
+                   F.expr("substring(value, __s1 + 4)")).otherwise(F.lit("")),
+        )
+        .filter(warc_header("WARC-Type") == "response")
+        .withColumn("__s2", F.instr(F.col("__rest"), "\r\n\r\n"))
+        .withColumn(
+            "__http",
+            F.when(F.col("__s2") > 0,
+                   F.expr("substring(__rest, 1, __s2 - 1)")
+                   ).otherwise(F.col("__rest")),
+        )
+        .withColumn(
+            "__body",
+            F.when(F.col("__s2") > 0,
+                   F.expr("substring(__rest, __s2 + 4)")).otherwise(F.lit("")),
+        )
+    )
+    return parsed.select(
+        nullif(warc_header("WARC-Target-URI")).alias("target_uri"),
+        F.to_timestamp(
+            nullif(warc_header("WARC-Date")), "yyyy-MM-dd'T'HH:mm:ssX"
+        ).alias("warc_date"),
+        nullif(
+            F.regexp_extract(F.col("__http"), "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+        ).cast("int").alias("http_status"),
+        nullif(
+            F.regexp_extract(
+                F.col("__http"),
+                "(?im)^Content-Type:[ \\t]*([^;\\r\\n]*)", 1,
+            )
+        ).alias("content_type"),
+        F.regexp_replace(F.col("__body"), "(\\r\\n)+$", "").alias("payload"),
+    )

@@ -420,3 +420,56 @@ def test_wet_to_documents_lands_pipeline_shape(spark, tmp_path):
     from gdp_etl_spark.plans.corpus import clean_corpus
     cleaned = clean_corpus(docs, langs=None)
     assert cleaned.count() == 2
+
+
+def test_read_warc_responses_feeds_both_pipeline_sides(spark, tmp_path):
+    """WARC response reader: two-block parse (WARC headers, HTTP
+    status+headers, body), non-response records filtered, Content-Type
+    parameters stripped, status as int — and the payload drives BOTH
+    downstream sides (strip_markup text, extract_links graph) from one
+    scan."""
+    from pyspark.sql import functions as F
+
+    from gdp_etl_spark.functions.text import extract_links, strip_markup
+    from gdp_etl_spark.sources import read_warc_responses
+
+    html = ('<html><body><p>Hello crawl world.</p>'
+            '<a href="https://ex.com/next">n</a></body></html>')
+    warc = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n\r\nsoftware: test\r\n\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: request\r\n"
+        "WARC-Target-URI: https://ex.com/page\r\n"
+        "\r\nGET /page HTTP/1.1\r\nHost: ex.com\r\n\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: https://ex.com/page\r\n"
+        "WARC-Date: 2024-03-01T12:00:00Z\r\n"
+        "\r\n"
+        "HTTP/1.1 200 OK\r\n"
+        "content-type: text/html; charset=UTF-8\r\n"
+        f"Content-Length: {len(html.encode())}\r\n"
+        "\r\n"
+        f"{html}\r\n"
+        "\r\n"
+    )
+    p = tmp_path / "crawl.warc"
+    p.write_bytes(warc.encode())
+    got = read_warc_responses(spark, str(p)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.target_uri == "https://ex.com/page"
+    assert r.http_status == 200
+    assert r.content_type == "text/html"     # parameters stripped
+    assert r.payload == html
+    both = (
+        read_warc_responses(spark, str(p))
+        .select(
+            strip_markup(F.col("payload")).alias("wet_text"),
+            extract_links(F.col("payload")).alias("links"),
+        )
+        .collect()[0]
+    )
+    assert "Hello crawl world." in both.wet_text
+    assert both.links == ["https://ex.com/next"]
