@@ -2516,6 +2516,77 @@ def q_decontam_screen(spark, sf_dir):
     ).select("doc_id")
 
 
+#: q_warc_ingest fixture — one raw-crawl file exercising the reader's
+#: whole parse surface: warcinfo/request records to filter, mixed-case
+#: HTTP headers, a charset parameter to strip, a 404, and markup whose
+#: links hit the url_host edge cases (www+port, scheme-relative).
+_WARC_HTML = (
+    '<html><head><title>T</title></head><body><p>Alpha beta gamma.</p>'
+    '<A HREF="https://WWW.Ex.COM:8443/a">x</A>'
+    "<a href='//cdn.ex.net/b'>y</a></body></html>"
+)
+_WARC_FIXTURE = (
+    "WARC/1.0\r\n"
+    "WARC-Type: warcinfo\r\n\r\nsoftware: fixture\r\n\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: request\r\n"
+    "WARC-Target-URI: https://ex.com/page\r\n"
+    "\r\nGET /page HTTP/1.1\r\nHost: ex.com\r\n\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: response\r\n"
+    "WARC-Target-URI: https://user@www.Ex.com:8443/page\r\n"
+    "WARC-Date: 2024-03-01T12:00:00Z\r\n"
+    "\r\n"
+    "HTTP/1.1 200 OK\r\n"
+    "content-type: text/html; charset=UTF-8\r\n"
+    "\r\n"
+    f"{_WARC_HTML}\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: response\r\n"
+    "WARC-Target-URI: https://other.net/missing\r\n"
+    "WARC-Date: 2024-03-01T13:00:00Z\r\n"
+    "\r\n"
+    "HTTP/1.1 404 Not Found\r\n"
+    "Content-Type: text/plain\r\n"
+    "\r\n"
+    "not here\r\n"
+    "\r\n"
+)
+
+
+def q_warc_ingest(spark, sf_dir):
+    """Raw-crawl ingestion end to end (sources.read_warc_responses +
+    text.url_host + extract_links): a constant WARC fixture lands in
+    the warehouse dir, the reader parses its two header blocks per
+    record (warcinfo/request filtered, charset parameter stripped,
+    status as int), and one scan feeds both pipeline sides — the host
+    node and the extracted link list.  The fixture is a CONSTANT, so
+    the oracle mirrors the expected rows verbatim (the html_strip
+    pattern): any drift in record splitting, header matching, body
+    trimming, host normalization or link extraction breaks the hash."""
+    import os as _os
+
+    from gdp_etl_spark.functions.text import extract_links, url_host
+    from gdp_etl_spark.sources import read_warc_responses
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = _os.path.join(wh, "q_warc_fixture.warc")
+    if not _os.path.exists(path):
+        _os.makedirs(wh, exist_ok=True)
+        with open(path, "wb") as fh:
+            fh.write(_WARC_FIXTURE.encode())
+    recs = read_warc_responses(spark, path)
+    return recs.select(
+        "target_uri",
+        "http_status",
+        "content_type",
+        url_host(F.col("target_uri")).alias("host"),
+        F.concat_ws("|", extract_links(F.col("payload"))).alias("links"),
+        F.length("payload").cast("bigint").alias("payload_len"),
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (sampling.dsir_weights — Xie et al.
     2023): every document scored by how much likelier its hashed
@@ -5522,8 +5593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # WINDOW (50): computed by tools/window_staleness.py --changed
         #   ivf_topk salted_join pq_topk epoch_shuffle batch_screen
-        # 5 changed + 5 never-checked (new this round) + 26 last-green-r4
-        # + 14 stalest r5 — the r10 stale burn-down (verdict task 1)
+        # 5 changed + 6 never-checked (new this round) + 26 last-green-r4
+        # + 13 stalest r5 — the r10 stale burn-down (verdict task 1)
         "ivf_topk": q_ivf_topk,
         "salted_join": q_salted_join,
         "pq_topk": q_pq_topk,
@@ -5534,6 +5605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_scrub": q_decontam_scrub,
         "dsir_weights": q_dsir_weights,
         "pack_segments": q_pack_segments,
+        "warc_ingest": q_warc_ingest,
         "market_share": q_market_share,
         "min_cost_supplier": q_min_cost_supplier,
         "multimodal_features": q_multimodal_features,
@@ -5573,7 +5645,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_values": q_distinct_values,
         "drift_psi": q_drift_psi,
         "drop_na": q_drop_na,
-        "equidepth": q_equidepth,
         # -- end of driver window (50) --------------------------------------
         # below the window: alphabetical; all keep local oracle coverage
         # via tools/check_correctness.py
@@ -5618,6 +5689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_transform": q_embed_transform,
         "embedding_gram": q_embedding_gram,
         "embedding_near_dup": q_embedding_near_dup,
+        "equidepth": q_equidepth,
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
         "events_tumbling": q_events_tumbling,
@@ -8727,6 +8799,22 @@ def oracle_sql() -> dict[str, str]:
                    FROM ds JOIN bs USING (s) GROUP BY doc_id)
             SELECT d.doc_id FROM docs d LEFT JOIN ov o USING (doc_id)
             WHERE coalesce(o.n, 0) < 3
+        """,
+        # the fixture is a CONSTANT, so the expected rows mirror
+        # verbatim (the html_strip pattern): any drift in record
+        # splitting, header matching, body trimming, host
+        # normalization or link extraction breaks the hash
+        "warc_ingest": f"""
+            SELECT * FROM (VALUES
+              ('https://user@www.Ex.com:8443/page', CAST(200 AS INT),
+               'text/html', 'ex.com',
+               'https://WWW.Ex.COM:8443/a|//cdn.ex.net/b',
+               CAST({len(_WARC_HTML)} AS BIGINT)),
+              ('https://other.net/missing', CAST(404 AS INT),
+               'text/plain', 'other.net', '',
+               CAST(8 AS BIGINT))
+            ) t(target_uri, http_status, content_type, host, links,
+                payload_len)
         """,
         # DSIR replayed end to end: hashed-bigram counting, add-one
         # smoothing, the floor(ln·1e9) quantization of all four log

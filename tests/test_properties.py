@@ -253,3 +253,38 @@ def test_expand_hierarchy_paths_agree(spark, raw_edges):
         map(tuple, expand_hierarchy(df, driver_threshold=0).collect())
     )
     assert fast == dist
+
+
+@_SET
+@given(
+    st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=12),
+             min_size=1, max_size=12),
+    st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=12),
+             min_size=1, max_size=12),
+    st.sampled_from([63, 127, 1 << 10]),
+)
+def test_bloom_screen_never_false_negative(spark, corpus_texts,
+                                           batch_texts, num_bits):
+    """Bloom-screen invariants over random corpora at every filter
+    size, including degenerate 63-bit filters where nearly everything
+    collides: is_dup must equal EXACT set membership (coalesced NULL
+    semantics: '' is a real text), and NOT bloom_hit implies NOT
+    is_dup — a Bloom false negative is structurally impossible."""
+    from gdp_etl_spark.operators.dedup import bloom_screen_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch_texts)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.bloom_hit, r.is_dup)
+           for r in bloom_screen_dedup(batch, corpus, "text", "doc_id",
+                                       num_bits=num_bits, k=2).collect()}
+    members = set(corpus_texts)
+    for i, t in enumerate(batch_texts):
+        hit, dup = got[100 + i]
+        assert dup == (t in members), (t, num_bits)
+        assert hit or not dup
