@@ -2570,8 +2570,13 @@ def q_warc_ingest(spark, sf_dir):
     from gdp_etl_spark.functions.text import extract_links, url_host
     from gdp_etl_spark.sources import read_warc_responses
 
+    import hashlib as _hashlib
+
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    path = _os.path.join(wh, "q_warc_fixture.warc")
+    # content-addressed filename: editing _WARC_FIXTURE invalidates the
+    # cached file instead of silently reading stale bytes
+    tag = _hashlib.md5(_WARC_FIXTURE.encode()).hexdigest()[:12]
+    path = _os.path.join(wh, f"q_warc_fixture_{tag}.warc")
     if not _os.path.exists(path):
         _os.makedirs(wh, exist_ok=True)
         with open(path, "wb") as fh:

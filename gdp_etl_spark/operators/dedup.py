@@ -1913,7 +1913,21 @@ def bloom_hit(
     join), FALSE is a GUARANTEED non-member.  One ``forall`` over the
     k positions with the words array bound once in the expression tree
     (not once per position — the expression-reuse rule), so the probe
-    is whole-stage codegen with zero joins and zero shuffle."""
+    is whole-stage codegen with zero joins and zero shuffle.
+
+    ``words`` must be the exact ``ceil(num_bits/63)``-word array that
+    :func:`bloom_words` produced for the SAME ``num_bits`` — a larger
+    ``num_bits`` would index past the literal array (ANSI runtime
+    error; with ANSI off a NULL ``forall`` silently reads as not-hit,
+    breaking the no-false-negative invariant), so the mismatch is
+    rejected eagerly here."""
+    expected = (int(num_bits) + 62) // 63
+    if len(words) != expected:
+        raise ValueError(
+            f"words has {len(words)} entries but num_bits={num_bits} "
+            f"requires exactly {expected}; pass the same num_bits used "
+            "in bloom_words"
+        )
     warr = F.array(*[F.lit(int(w)).cast("long") for w in words])
     pos = F.array(*_bloom_positions(key, k, num_bits, seed))
     return F.forall(

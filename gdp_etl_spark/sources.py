@@ -496,6 +496,21 @@ def _parse_ddl(spark: SparkSession, ddl: str) -> StructType:
     return _parse_datatype_string(ddl)
 
 
+def _warc_timestamp(raw: F.Column) -> F.Column:
+    """Parse a WARC-Date header value.  WARC 1.0 mandates
+    ``yyyy-MM-ddTHH:mm:ssZ`` but WARC 1.1 (and real crawls) also emit
+    fractional seconds (``2024-03-01T12:00:00.123Z``), so the parse
+    coalesces the base pattern with milli/micro/nano-second variants.
+    ``try_to_timestamp`` (NULL on mismatch regardless of the session's
+    ANSI mode) keeps the coalesce semantics independent of config."""
+    return F.coalesce(
+        *[
+            F.try_to_timestamp(raw, F.lit(f"yyyy-MM-dd'T'HH:mm:ss{frac}X"))
+            for frac in ("", ".SSS", ".SSSSSS", ".SSSSSSSSS")
+        ]
+    )
+
+
 def read_wet(spark: SparkSession, path: str) -> DataFrame:
     """Common-Crawl WET (extracted-text) reader — the crawl-side ingest
     for a training-data pipeline: each WARC ``conversion`` record
@@ -529,8 +544,9 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     rows = spark.read.text(path, lineSep="WARC/1.0\r\n")
 
     def header(name: str) -> F.Column:
+        # (?i): WARC header names are case-insensitive per the spec
         return F.regexp_extract(
-            F.col("__head"), f"(?m)^{name}:[ \\t]*([^\\r\\n]*)", 1
+            F.col("__head"), f"(?im)^{name}:[ \\t]*([^\\r\\n]*)", 1
         )
 
     split_at = F.instr(F.col("value"), "\r\n\r\n")
@@ -556,9 +572,7 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
         parsed.filter(header("WARC-Type") == "conversion")
         .select(
             nullif(header("WARC-Target-URI")).alias("target_uri"),
-            F.to_timestamp(
-                nullif(header("WARC-Date")), "yyyy-MM-dd'T'HH:mm:ssX"
-            ).alias("warc_date"),
+            _warc_timestamp(nullif(header("WARC-Date"))).alias("warc_date"),
             nullif(header("Content-Length")).cast("bigint").alias(
                 "content_length"
             ),
@@ -596,8 +610,9 @@ def read_warc_responses(spark: SparkSession, path: str) -> DataFrame:
     rows = spark.read.text(path, lineSep="WARC/1.0\r\n")
 
     def warc_header(name: str) -> F.Column:
+        # (?i): WARC header names are case-insensitive per the spec
         return F.regexp_extract(
-            F.col("__warc"), f"(?m)^{name}:[ \\t]*([^\\r\\n]*)", 1
+            F.col("__warc"), f"(?im)^{name}:[ \\t]*([^\\r\\n]*)", 1
         )
 
     nullif = lambda c: F.when(c == "", None).otherwise(c)  # noqa: E731
@@ -632,9 +647,7 @@ def read_warc_responses(spark: SparkSession, path: str) -> DataFrame:
     )
     return parsed.select(
         nullif(warc_header("WARC-Target-URI")).alias("target_uri"),
-        F.to_timestamp(
-            nullif(warc_header("WARC-Date")), "yyyy-MM-dd'T'HH:mm:ssX"
-        ).alias("warc_date"),
+        _warc_timestamp(nullif(warc_header("WARC-Date"))).alias("warc_date"),
         nullif(
             F.regexp_extract(F.col("__http"), "^HTTP/[0-9.]+ ([0-9]{3})", 1)
         ).cast("int").alias("http_status"),

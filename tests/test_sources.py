@@ -473,3 +473,47 @@ def test_read_warc_responses_feeds_both_pipeline_sides(spark, tmp_path):
     )
     assert "Hello crawl world." in both.wet_text
     assert both.links == ["https://ex.com/next"]
+
+
+def test_warc_headers_case_insensitive_and_fractional_dates(spark, tmp_path):
+    """WARC header NAMES are case-insensitive per the spec, and
+    WARC 1.1 / real crawls emit fractional-second WARC-Dates — both
+    readers must parse them (the r10 verdict flagged the case-
+    sensitive match and the silently-NULLed .SSS timestamps)."""
+    from gdp_etl_spark.sources import read_warc_responses, read_wet
+
+    wet = (
+        "WARC/1.0\r\n"
+        "warc-type: conversion\r\n"                    # lower-case names
+        "warc-target-uri: http://ex.com/a\r\n"
+        "WARC-DATE: 2024-03-01T12:00:00.123Z\r\n"      # millis
+        "content-length: 4\r\n"
+        "\r\n"
+        "body\r\n"
+        "\r\n"
+    )
+    p = tmp_path / "ci.wet"
+    p.write_bytes(wet.encode())
+    got = read_wet(spark, str(p)).collect()
+    assert len(got) == 1
+    assert got[0].target_uri == "http://ex.com/a"
+    assert str(got[0].warc_date).startswith("2024-03-01 12:00:00.123")
+
+    warc = (
+        "WARC/1.0\r\n"
+        "Warc-Type: response\r\n"
+        "Warc-Target-Uri: https://ex.com/page\r\n"
+        "Warc-Date: 2024-03-01T12:00:00.123456Z\r\n"   # micros
+        "\r\n"
+        "HTTP/1.1 200 OK\r\n"
+        "Content-Type: text/plain\r\n"
+        "\r\n"
+        "hi\r\n"
+        "\r\n"
+    )
+    q = tmp_path / "ci.warc"
+    q.write_bytes(warc.encode())
+    got = read_warc_responses(spark, str(q)).collect()
+    assert len(got) == 1
+    assert got[0].http_status == 200
+    assert str(got[0].warc_date).startswith("2024-03-01 12:00:00.123456")

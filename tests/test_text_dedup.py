@@ -1638,3 +1638,22 @@ def test_bloom_screen_exact_under_forced_false_positives(spark):
              for r in bloom_screen_dedup(batch, corpus, "text", "doc_id",
                                          num_bits=1 << 16, k=4).collect()}
     assert all(hit == dup for hit, dup in roomy.values())
+
+
+def test_bloom_hit_rejects_mismatched_word_count():
+    """bloom_hit must refuse a words array whose length doesn't match
+    ceil(num_bits/63): a larger num_bits would index past the literal
+    array (ANSI error, or NULL forall silently reading as not-hit with
+    ANSI off — breaking the no-false-negative invariant)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gdp_etl_spark.operators.dedup import bloom_hit
+
+    words = [0] * (((1 << 10) + 62) // 63)
+    # matching num_bits builds fine (pure expression, no session needed)
+    bloom_hit(F.lit("x"), words, num_bits=1 << 10)
+    with _pytest.raises(ValueError, match="num_bits"):
+        bloom_hit(F.lit("x"), words, num_bits=1 << 12)
+    with _pytest.raises(ValueError, match="num_bits"):
+        bloom_hit(F.lit("x"), words[:-1], num_bits=1 << 10)
