@@ -2592,6 +2592,100 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
+#: q_wet_ingest fixture — one WET (extracted-text crawl) file covering
+#: the reader + landing-stage surface: a warcinfo preamble to filter,
+#: lower-case header names and fractional-second WARC-Dates (the spec
+#: fidelity fixes), a blank-body record to drop, a record with no
+#: Target-URI (NULL url/source, hash on the '' sentinel), and en/de/und
+#: texts for the language id.
+def _wet_rec(headers, body):
+    head = "".join(f"{k}: {v}\r\n" for k, v in headers)
+    return "WARC/1.0\r\n" + head + "\r\n" + body + "\r\n\r\n"
+
+
+_WET_FIXTURE = (
+    _wet_rec([("WARC-Type", "warcinfo"), ("Content-Length", "9")],
+             "robots: x")
+    + _wet_rec(
+        [("warc-type", "conversion"),
+         ("warc-target-uri", "https://www.Example.COM:8443/en/article"),
+         ("WARC-DATE", "2024-03-01T12:00:00.123Z"),
+         ("Content-Length", "92")],
+        "The quick brown fox jumps over the lazy dog and the rest of "
+        "this page is plain English text.",
+    )
+    + _wet_rec(
+        [("WARC-Type", "conversion"),
+         ("WARC-Target-URI", "https://empty.net/blank"),
+         ("WARC-Date", "2024-03-01T13:00:00Z"),
+         ("Content-Length", "3")],
+        "   ",
+    )
+    + _wet_rec(
+        [("WARC-Type", "conversion"),
+         ("WARC-Date", "2024-03-01T14:00:00Z"),
+         ("Content-Length", "28")],
+        "sin URI pero con texto util.",
+    )
+    + _wet_rec(
+        [("WARC-Type", "conversion"),
+         ("WARC-Target-URI", "http://de.beispiel.org/seite"),
+         ("WARC-Date", "2024-03-01T15:00:00.5Z"),
+         ("Content-Length", "64")],
+        "Der schnelle braune Fuchs springt und die Seite ist auf "
+        "Deutsch.",
+    )
+)
+
+
+def q_wet_ingest(spark, sf_dir):
+    """WET-side crawl ingestion end to end (sources.read_wet →
+    plans.corpus.wet_to_documents → clean_corpus quality/redaction):
+    the constant fixture lands in the warehouse dir, the reader splits
+    records and parses headers (warcinfo filtered, case-insensitive
+    names, fractional-second dates), the landing stage derives the
+    content-addressed xxhash64 doc_id, host source and language id and
+    drops the blank record, and clean_corpus contributes the quality
+    score and cleaned length.  The fixture is a CONSTANT, so the
+    oracle mirrors the expected rows verbatim (the warc_ingest
+    pattern): any drift in record splitting, header extraction, id
+    hashing, host/lang derivation or the quality pipeline breaks the
+    hash.  doc_id / quality constants are Spark-deterministic
+    (xxhash64 seed 42; quality quantized to integer micros)."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from gdp_etl_spark.plans.corpus import clean_corpus, wet_to_documents
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    tag = _hashlib.md5(_WET_FIXTURE.encode()).hexdigest()[:12]
+    path = _os.path.join(wh, f"q_wet_fixture_{tag}.wet")
+    if not _os.path.exists(path):
+        _os.makedirs(wh, exist_ok=True)
+        with open(path, "wb") as fh:
+            fh.write(_WET_FIXTURE.encode())
+    docs = wet_to_documents(spark, path)
+    cleaned = clean_corpus(docs, langs=None).select(
+        "doc_id",
+        F.floor(F.col("quality") * 1e6).cast("bigint").alias(
+            "quality_micro"
+        ),
+        F.length("text_clean").cast("bigint").alias("clean_len"),
+    )
+    return docs.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        "url",
+        "source",
+        "lang",
+        "n_chars",
+        F.date_format("fetched_at", "yyyy-MM-dd HH:mm:ss.SSS").alias(
+            "fetched_iso"
+        ),
+        "quality_micro",
+        "clean_len",
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (sampling.dsir_weights — Xie et al.
     2023): every document scored by how much likelier its hashed
@@ -5825,6 +5919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_extract": q_variant_extract,
         "vocab_coverage": q_vocab_coverage,
         "weighted_sample": q_weighted_sample,
+        "wet_ingest": q_wet_ingest,
         "zorder_stats": q_zorder_stats,
     }
 
@@ -8820,6 +8915,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(8 AS BIGINT))
             ) t(target_uri, http_status, content_type, host, links,
                 payload_len)
+        """,
+        # constant-fixture verbatim mirror (the warc_ingest pattern):
+        # doc_id = Spark xxhash64(uri, text) seed 42 (deterministic),
+        # quality_micro = floor(quality * 1e6) — any drift in record
+        # split, header parse, id hashing, host/lang derivation or the
+        # clean_corpus quality path breaks the hash
+        "wet_ingest": """
+            SELECT * FROM (VALUES
+              (CAST(-5030445573121216355 AS BIGINT),
+               'https://www.Example.COM:8443/en/article', 'example.com',
+               'en', CAST(92 AS BIGINT), '2024-03-01 12:00:00.123',
+               CAST(743304 AS BIGINT), CAST(92 AS BIGINT)),
+              (CAST(-1710350269278354878 AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               'und', CAST(28 AS BIGINT), '2024-03-01 14:00:00.000',
+               CAST(519428 AS BIGINT), CAST(28 AS BIGINT)),
+              (CAST(-6413988944502235877 AS BIGINT),
+               'http://de.beispiel.org/seite', 'de.beispiel.org',
+               'de', CAST(64 AS BIGINT), '2024-03-01 15:00:00.500',
+               CAST(575500 AS BIGINT), CAST(64 AS BIGINT))
+            ) t(doc_id, url, source, lang, n_chars, fetched_iso,
+                quality_micro, clean_len)
         """,
         # DSIR replayed end to end: hashed-bigram counting, add-one
         # smoothing, the floor(ln·1e9) quantization of all four log
