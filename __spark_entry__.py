@@ -2098,27 +2098,20 @@ def q_grouping_sets(spark, sf_dir):
 
 
 def q_sketch_stats(spark, sf_dir):
-    """HLL++ NDV + approximate quantiles per group — fixed-size mergeable
-    sketch state, the only cardinality/quantile shape that holds at
-    100 TB.  Approximate values are engine-specific → rows-only check;
-    the unit tests bound the error vs exact aggregates."""
-    from gdp_etl_spark.operators.sketches import (
-        group_cardinality_sketch,
-        group_quantile_sketch,
-    )
+    """Per-group NDV via the PORTABLE HyperLogLog
+    (sketches.portable_hll_ndv): md5-derived register index + rho,
+    register maxima in one fine-keyed groupBy, exact two-limb
+    fixed-point register sum, single IEEE double division for the
+    estimate — every step engine-replayable, so the oracle replays
+    hash, registers AND estimator bit-for-bit (this was the registry's
+    last rows-only query; the built-in HLL++/percentile_approx path
+    stays covered by sketch_bounds' error-bound contract).  Same scale
+    shape as the native sketch: fixed m=256 registers per group,
+    map-side partial maxima, hot groups spread over m reducers."""
+    from gdp_etl_spark.operators.sketches import portable_hll_ndv
 
     o = _t(spark, sf_dir, "orders")
-    ndv = group_cardinality_sketch(o, ["o_orderpriority"], "o_custkey")
-    qs = group_quantile_sketch(
-        o, ["o_orderpriority"], "o_totalprice", (0.5, 0.95)
-    ).select(
-        "o_orderpriority",
-        F.col("quantiles_approx")[0].alias("p50_approx"),
-        F.col("quantiles_approx")[1].alias("p95_approx"),
-    )
-    return ndv.join(qs, "o_orderpriority").select(
-        "o_orderpriority", "ndv_approx", "n_rows", "p50_approx", "p95_approx"
-    )
+    return portable_hll_ndv(o, ["o_orderpriority"], "o_custkey", p=8)
 
 
 def q_sketch_bounds(spark, sf_dir):
@@ -2525,6 +2518,20 @@ _WARC_HTML = (
     '<A HREF="https://WWW.Ex.COM:8443/a">x</A>'
     "<a href='//cdn.ex.net/b'>y</a></body></html>"
 )
+#: portable-HLL estimator constants for the sketch_stats oracle —
+#: numerator alpha_256 * 256^2 * 2^(8+53) and the linear-counting
+#: lookup, both sourced from sketches so the two sides cannot drift
+_HLL_NUM = 0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * float(1 << 61)
+
+
+def _hll_lc_sql() -> str:
+    from gdp_etl_spark.operators.sketches import _hll_lc_table
+
+    return ", ".join(str(v) for v in _hll_lc_table(256))
+
+
+_HLL_LC_SQL = _hll_lc_sql()
+
 _WARC_FIXTURE = (
     "WARC/1.0\r\n"
     "WARC-Type: warcinfo\r\n\r\nsoftware: fixture\r\n\r\n"
@@ -9510,6 +9517,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT o_orderpriority,
                    TRUE AS ndv_ok, TRUE AS p50_ok, TRUE AS p95_ok
             FROM orders
+        """,
+        # portable HLL replayed end to end: 60-bit md5 hash, register
+        # index/remainder split, rho via leading-zero count (bin strips
+        # leading zeros in both engines), register maxima, the two-limb
+        # fixed-point register sum, the single IEEE double division of
+        # the estimator (numerator = alpha*m^2*2^(p+53) as a literal),
+        # and the linear-counting small-range switch via the same
+        # precomputed round(m*ln(m/V)) literal lookup
+        "sketch_stats": f"""
+            WITH h AS (
+              SELECT o_orderpriority,
+                     CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                          1, 15)) AS BIGINT) AS hv
+              FROM orders WHERE o_custkey IS NOT NULL),
+            b AS (SELECT o_orderpriority, hv % 256 AS reg,
+                         hv // 256 AS w FROM h),
+            r AS (SELECT o_orderpriority, reg,
+                         max(53 - length(ltrim(bin(w), '0'))) AS rho,
+                         count(*) AS c
+                  FROM b GROUP BY 1, 2),
+            g AS (SELECT o_orderpriority, count(*) AS nb,
+                         CAST(sum(CASE WHEN rho <= 8
+                              THEN (CAST(1 AS BIGINT) << (8 - rho))
+                              ELSE 0 END) AS BIGINT) AS hi0,
+                         CAST(sum(CASE WHEN rho > 8
+                              THEN (CAST(1 AS BIGINT) << (61 - rho))
+                              ELSE 0 END) AS BIGINT) AS reg_lo,
+                         CAST(sum(c) AS BIGINT) AS n_vals
+                  FROM r GROUP BY 1),
+            e AS (SELECT o_orderpriority, reg_lo, n_vals,
+                         CAST(hi0 + (256 - nb) * 256 AS BIGINT) AS reg_hi,
+                         CAST(256 - nb AS BIGINT) AS v_zero,
+                         CAST({_HLL_NUM!r} AS DOUBLE) /
+                           (CAST(hi0 + (256 - nb) * 256 AS DOUBLE)
+                              * CAST(9007199254740992 AS DOUBLE)
+                            + CAST(reg_lo AS DOUBLE)) AS raw
+                  FROM g)
+            SELECT o_orderpriority,
+                   CASE WHEN v_zero > 0 AND raw <= 640.0
+                        THEN CAST([{_HLL_LC_SQL}][CAST(v_zero AS INT)]
+                                  AS BIGINT)
+                        ELSE CAST(floor(raw) AS BIGINT) END
+                     AS ndv_portable,
+                   reg_hi, reg_lo, v_zero, n_vals
+            FROM e
         """,
         "table_checksum": """
             SELECT count(*) AS n_rows,

@@ -9,10 +9,12 @@ the sketch parameter and independent of data volume.  These wrap Spark's
 built-in JVM implementations (``approx_count_distinct``,
 ``percentile_approx``) — no UDF, codegen-friendly.
 
-Approximate results are engine-specific by construction (a DuckDB HLL
-gives different low-order estimates), so the driver check for the demo
-query is rows-only; the unit tests bound the error against exact
-aggregates instead.
+The BUILT-IN sketches' approximate results are engine-specific by
+construction (a DuckDB HLL gives different low-order estimates), so
+their driver evidence is the error-bound contract (sketch_bounds) and
+unit tests against exact aggregates.  :func:`portable_hll_ndv` closes
+that gap for NDV: an HLL whose hash, registers and estimator are all
+engine-replayable, making the estimate itself oracle-checkable.
 """
 
 from __future__ import annotations
@@ -141,6 +143,141 @@ def cms_estimate(
             F.min(F.coalesce(F.col("sk_count"), F.lit(0)))
             .cast("long")
             .alias("est_count")
+        )
+    )
+
+
+def _hll_lc_table(m: int) -> list[int]:
+    """Linear-counting estimates ``round(m·ln(m/V))`` for V = 1..m —
+    the full (tiny) codomain of HLL's small-range correction, shipped
+    as a literal lookup so the oracle replays it without a runtime
+    ``ln``.  Computed once in Python, identical on both sides by
+    construction."""
+    import math
+
+    return [round(m * math.log(m / v)) for v in range(1, m + 1)]
+
+
+def portable_hll_ndv(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group NDV via a PORTABLE HyperLogLog — same shuffle shape as
+    :func:`group_cardinality_sketch` (map-side partial register maxima,
+    one tiny merge per group) but every step is engine-replayable, so
+    the estimate itself is oracle-checkable bit-for-bit (the repo's
+    md5/fixed-point recipe; DuckDB replays hash, registers AND
+    estimator exactly).
+
+    Pipeline, all integers until the final scalar per group:
+
+    1. hash: first 60 bits of md5(value) via base-16 parse (the
+       portable-hash recipe — ``conv``/``'0x'||substr`` agree across
+       engines);
+    2. register index = ``h % m`` (m = 2^p), remainder ``w = h div m``
+       ((60−p) bits; non-negative, so Spark ``div`` ≡ DuckDB ``//``);
+    3. rho = (60−p+1) − bitlength(w): ``bin``/``conv(…,10,2)`` emit no
+       leading zeros in either engine, and w = 0 maps to bitlength 0;
+    4. register maxima: groupBy(group, register) → max(rho) — the ONLY
+       shuffle, keyed finer than the group so a hot group spreads over
+       m reducers (built-in HLL's partial-merge has the same effect);
+    5. exact fixed-point register sum S = Σ 2^−rho as the two-limb
+       integer ``hi·2^53 + lo`` (hi: rho ≤ p, scaled 2^(p−rho); lo:
+       rho > p, scaled 2^(p+53−rho)) — each limb bounded by
+       construction (hi ≤ 2^2p, lo ≤ m·2^52), no overflow at p ≤ 11;
+    6. estimate E = α_m·m²/S evaluated in ONE double division — IEEE
+       +,*,/ are bit-identical across engines, and the numerator
+       α_m·m²·2^(p+53) ships as a literal — floored to a BIGINT.
+
+    Small-range correction (the standard linear-counting switch when
+    E ≤ 2.5·m and empty registers remain) IS applied, portably:
+    ``m·ln(m/V)`` has only m possible values, so it ships as a
+    precomputed literal lookup table indexed by V
+    (:func:`_hll_lc_table`) — no runtime ``ln``, which is not
+    bit-portable.  The 2.5·m switch compares the raw double estimate,
+    which both engines compute identically (IEEE +,*,/).  The built-in
+    HLL++ (:func:`group_cardinality_sketch`, error-bound-checked by
+    the sketch_bounds query) remains the accuracy/perf path.  NULL
+    values are ignored, matching ``count(distinct)`` /
+    ``approx_count_distinct``.
+
+    Returns group cols + ``(ndv_portable, v_zero, reg_hi, reg_lo,
+    n_vals)`` — the register limbs ride along so a checker pins the
+    whole register state, not just the rounded estimate.
+    """
+    if not 4 <= p <= 11:
+        raise ValueError(f"p must be in [4, 11], got {p}")
+    m = 1 << p
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    else:
+        alpha = {4: 0.673, 5: 0.697, 6: 0.709}[p]
+    numerator = alpha * m * m * float(1 << (p + 53))
+    wbits = 60 - p
+
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("__h"))
+        .select(
+            *group_cols,
+            F.pmod(F.col("__h"), F.lit(m)).cast("int").alias("__reg"),
+            F.expr(f"__h div {m}").alias("__w"),
+        )
+    )
+    bitlen = F.when(F.col("__w") == 0, F.lit(0)).otherwise(
+        F.length(F.conv(F.col("__w").cast("string"), 10, 2))
+    )
+    rho = (F.lit(wbits + 1) - bitlen).alias("__rho")
+    regs = (
+        hashed.select(*group_cols, "__reg", rho)
+        .groupBy(*group_cols, "__reg")
+        .agg(F.max("__rho").alias("__r"), F.count(F.lit(1)).alias("__c"))
+    )
+
+    def pow2(exp_col):
+        return F.call_function(
+            "shiftleft", F.lit(1).cast("long"), exp_col.cast("int")
+        )
+
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__nb"),
+        F.sum(
+            F.when(F.col("__r") <= p, pow2(F.lit(p) - F.col("__r")))
+            .otherwise(F.lit(0))
+        ).alias("__hi0"),
+        F.sum(
+            F.when(F.col("__r") > p, pow2(F.lit(p + 53) - F.col("__r")))
+            .otherwise(F.lit(0))
+        ).alias("reg_lo"),
+        F.sum("__c").alias("n_vals"),
+    )
+    v_zero = (F.lit(m) - F.col("__nb")).cast("long")
+    reg_hi = (F.col("__hi0") + v_zero * F.lit(m)).cast("long")
+    raw = F.lit(numerator) / (
+        F.col("reg_hi").cast("double") * F.lit(float(1 << 53))
+        + F.col("reg_lo").cast("double")
+    )
+    lc = F.array(*[F.lit(v).cast("long") for v in _hll_lc_table(m)])
+    est = F.when(
+        (F.col("v_zero") > 0) & (F.col("__raw") <= F.lit(2.5 * m)),
+        F.element_at(lc, F.col("v_zero").cast("int")),
+    ).otherwise(F.floor(F.col("__raw")).cast("long"))
+    return (
+        per_group.withColumn("v_zero", v_zero)
+        .withColumn("reg_hi", reg_hi)
+        .withColumn("__raw", raw)
+        .select(
+            *group_cols,
+            est.alias("ndv_portable"),
+            "reg_hi",
+            "reg_lo",
+            "v_zero",
+            "n_vals",
         )
     )
 

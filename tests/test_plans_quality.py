@@ -835,3 +835,63 @@ def test_keep_best_join_back_never_keys_on_the_hash_alone(spark):
         assert "__nq" in smj[0] and "__h" in smj[0], smj[0]
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_portable_hll_matches_invariants(spark):
+    """Portable HLL: estimate within raw-estimator tolerance of exact
+    NDV (no small-range correction → generous bound), register-limb
+    invariants hold (hi bounded by 2^2p, lo by m·2^52, n_vals = row
+    count), NULL values ignored, and the p guard rejects out-of-range
+    precisions."""
+    import pytest as _pytest
+
+    from gdp_etl_spark.operators.sketches import portable_hll_ndv
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    exact = {
+        r["o_orderpriority"]: r["ndv"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("ndv"))
+        .collect()
+    }
+    n_by_grp = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    got = {
+        r["o_orderpriority"]: r
+        for r in portable_hll_ndv(
+            o, ["o_orderpriority"], "o_custkey", p=8
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    for k, r in got.items():
+        # raw estimator at NDV ≈ 5m carries +~10% bias on top of the
+        # ±6.5% rsd — accept 30%
+        assert abs(r["ndv_portable"] - exact[k]) <= 0.30 * exact[k], k
+        assert 0 <= r["v_zero"] <= 256
+        assert 0 < r["reg_hi"] <= 1 << 16
+        assert 0 <= r["reg_lo"] <= 256 * (1 << 52)
+        assert r["n_vals"] == n_by_grp[k]
+
+    # NULLs ignored like count(distinct)
+    withnull = o.select(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_custkey")).alias(
+            "ck"
+        ),
+    )
+    half = {
+        r["o_orderpriority"]: r["n_vals"]
+        for r in portable_hll_ndv(
+            withnull, ["o_orderpriority"], "ck", p=8
+        ).collect()
+    }
+    assert all(half[k] < n_by_grp[k] for k in half)
+
+    with _pytest.raises(ValueError, match="p must be"):
+        portable_hll_ndv(o, ["o_orderpriority"], "o_custkey", p=3)
+    with _pytest.raises(ValueError, match="p must be"):
+        portable_hll_ndv(o, ["o_orderpriority"], "o_custkey", p=12)
