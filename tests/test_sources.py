@@ -517,3 +517,84 @@ def test_warc_headers_case_insensitive_and_fractional_dates(spark, tmp_path):
     assert len(got) == 1
     assert got[0].http_status == 200
     assert str(got[0].warc_date).startswith("2024-03-01 12:00:00.123456")
+
+
+def _warc_response_rec(uri, date, body: bytes, ctype=b"text/html"):
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n" + body
+    )
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+        b"WARC-Date: " + date.encode() + b"\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+        b"\r\n" + http + b"\r\n\r\n"
+    )
+
+
+def test_read_warc_parsed_parity_on_wellformed(spark, tmp_path):
+    """On a well-formed multi-record file (incl. gzip), the length-aware
+    parser returns exactly what the expression reader returns — the
+    swap-in contract."""
+    import gzip
+
+    from gdp_etl_spark.sources import read_warc_parsed, read_warc_responses
+
+    warc = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\n"
+        b"robots: x\r\n\r\n"
+        + _warc_response_rec(
+            "https://ex.com/a", "2024-03-01T12:00:00Z",
+            b"<html><body>Alpha</body></html>")
+        + _warc_response_rec(
+            "https://ex.com/b", "2024-03-01T13:00:00.123Z",
+            b"plain body\r\nsecond line", ctype=b"text/plain; charset=utf-8")
+    )
+    p = tmp_path / "ok.warc"
+    p.write_bytes(warc)
+    gz = tmp_path / "ok.warc.gz"
+    gz.write_bytes(gzip.compress(warc))
+
+    want = sorted(
+        (tuple(r) for r in read_warc_responses(spark, str(p)).collect())
+    )
+    for path in (p, gz):
+        got = sorted(
+            (tuple(r) for r in read_warc_parsed(spark, str(path)).collect())
+        )
+        assert got == want, path
+
+
+def test_read_warc_parsed_survives_separator_in_body(spark, tmp_path):
+    """THE fidelity case: a payload containing the literal record
+    separator "WARC/1.0\\r\\n".  The expression reader documents this
+    as corruption (truncated body + dropped fragment); the length-aware
+    parser must return the payload intact and keep the record count."""
+    from gdp_etl_spark.sources import read_warc_parsed, read_warc_responses
+
+    evil_body = (
+        b"before the marker\r\nWARC/1.0\r\n"
+        b"WARC-Type: response\r\nlooks like a header\r\n\r\n"
+        b"after the marker"
+    )
+    warc = (
+        _warc_response_rec("https://ex.com/evil", "2024-03-01T12:00:00Z",
+                           evil_body, ctype=b"text/plain")
+        + _warc_response_rec("https://ex.com/after",
+                             "2024-03-01T13:00:00Z", b"normal")
+    )
+    p = tmp_path / "evil.warc"
+    p.write_bytes(warc)
+
+    got = {r.target_uri: r.payload
+           for r in read_warc_parsed(spark, str(p)).collect()}
+    assert set(got) == {"https://ex.com/evil", "https://ex.com/after"}
+    assert got["https://ex.com/evil"] == evil_body.decode()
+    assert got["https://ex.com/after"] == "normal"
+
+    # and the expression reader DOES corrupt it (the documented trade) —
+    # if this ever starts passing, promote the expression reader
+    naive = {r.target_uri: r.payload
+             for r in read_warc_responses(spark, str(p)).collect()}
+    assert naive.get("https://ex.com/evil") != evil_body.decode()
