@@ -2693,6 +2693,117 @@ def q_wet_ingest(spark, sf_dir):
     )
 
 
+#: q_crawl_corpus fixture — a multi-record raw crawl whose records are
+#: built to trip each downstream gate exactly once: an exact-duplicate
+#: page (dedup), a German page (lang routing), a symbol-spam page
+#: (quality gate), a 404 and a text/plain record (parse filters), plus
+#: a URL and an email in the kept page (PII redaction).
+def _crawl_resp(uri, date, body, ctype="text/html", status="200 OK"):
+    http = f"HTTP/1.1 {status}\r\nContent-Type: {ctype}\r\n\r\n{body}"
+    return (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"Content-Length: {len(http.encode())}\r\n"
+        "\r\n" + http + "\r\n\r\n"
+    )
+
+
+_CRAWL_HTML_EN = (
+    "<html><head><title>Guide</title></head><body>"
+    "<h1>A practical guide</h1><p>This page explains how the data "
+    "pipeline works and why the quality of the training corpus "
+    "matters for every model we build. It keeps many common "
+    "English words so the classifier is confident about the "
+    "language of the document.</p><p>See "
+    "https://see.example.com/ref or mail a.b@example.com for "
+    "details.</p></body></html>"
+)
+_CRAWL_HTML_DE = (
+    "<html><body><p>Der schnelle braune Fuchs springt und die "
+    "Seite ist auf Deutsch geschrieben. Das ist ein guter Text "
+    "mit vielen deutschen Worten und einer klaren Sprache fuer "
+    "den Klassifikator.</p></body></html>"
+)
+_CRAWL_FIXTURE = (
+    "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\n"
+    "robots: x\r\n\r\n"
+    + _crawl_resp(
+        "https://en.example.com/guide", "2024-03-01T12:00:00Z",
+        _CRAWL_HTML_EN,
+    )
+    + _crawl_resp(
+        "https://mirror.example.net/guide-copy", "2024-03-01T12:05:00Z",
+        _CRAWL_HTML_EN,
+    )
+    + _crawl_resp(
+        "https://de.beispiel.org/seite", "2024-03-01T12:10:00Z",
+        _CRAWL_HTML_DE,
+    )
+    + _crawl_resp(
+        "https://junk.example.com/symbols", "2024-03-01T12:15:00Z",
+        "<html><body><p>$$$ !!! ### @@@ %%%</p></body></html>",
+    )
+    + _crawl_resp(
+        "https://gone.example.com/missing", "2024-03-01T12:20:00Z",
+        "<html>not found</html>", status="404 Not Found",
+    )
+    + _crawl_resp(
+        "https://plain.example.com/robots.txt", "2024-03-01T12:25:00Z",
+        "User-agent: *", ctype="text/plain",
+    )
+)
+
+
+def q_crawl_corpus(spark, sf_dir):
+    """The crawl front door feeding the WHOLE curation surface in one
+    query — the LLM-pipeline equivalent of corpus_curate:
+    read_warc_responses (parse + status/content-type gates) →
+    strip_markup → documents shape (content-addressed xxhash64 ids) →
+    clean_corpus (quality gate, language routing, PII redaction, exact
+    dedup).  The fixture is constant, so the PARSE+STRIP stage is
+    pinned verbatim in the oracle's docs VALUES, while every curation
+    stage downstream is REPLAYED by the generated CTE chain (the
+    corpus_clean fragments) — a regression in either half breaks the
+    hash.  Expected survivors: the lower-id copy of the duplicated
+    English page (redacted) and the German page; the symbol-spam page
+    dies at the quality gate, the 404/text-plain records at the parse
+    gates."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from gdp_etl_spark.functions.text import strip_markup
+    from gdp_etl_spark.plans.corpus import clean_corpus
+    from gdp_etl_spark.sources import read_warc_responses
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    tag = _hashlib.md5(_CRAWL_FIXTURE.encode()).hexdigest()[:12]
+    path = _os.path.join(wh, f"q_crawl_fixture_{tag}.warc")
+    if not _os.path.exists(path):
+        _os.makedirs(wh, exist_ok=True)
+        with open(path, "wb") as fh:
+            fh.write(_CRAWL_FIXTURE.encode())
+    recs = read_warc_responses(spark, path)
+    docs = (
+        recs.filter(
+            (F.col("http_status") == 200)
+            & (F.col("content_type") == "text/html")
+        )
+        .select(
+            "target_uri", strip_markup(F.col("payload")).alias("text")
+        )
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            F.xxhash64(
+                F.coalesce("target_uri", F.lit("")), "text"
+            ).alias("doc_id"),
+            "text",
+        )
+    )
+    return clean_corpus(docs, min_quality=0.5, langs=("de", "en"))
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (sampling.dsir_weights — Xie et al.
     2023): every document scored by how much likelier its hashed
@@ -5778,6 +5889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_frac": q_contamination_frac,
         "corpus_clean": q_corpus_clean,
         "corpus_curate": q_corpus_curate,
+        "crawl_corpus": q_crawl_corpus,
         "corpus_diff": q_corpus_diff,
         "corpus_mix": q_corpus_mix,
         "corr_matrix": q_corr_matrix,
@@ -8552,6 +8664,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang_pred, quality, text_clean FROM dedup
             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '42'),
                        1, 8) AS BIGINT) < 2147483648
+        """,
+        # crawl front door -> curation: the PARSE+STRIP half is pinned
+        # verbatim (constant fixture; doc_id = Spark xxhash64(uri,text)
+        # seed 42, text = strip_markup output), the curation half —
+        # quality gate, language routing, PII redaction, exact dedup —
+        # is REPLAYED by the same generated fragments corpus_clean uses
+        "crawl_corpus": f"""
+            WITH docs(doc_id, text) AS (VALUES
+              (CAST(-8767184678506436964 AS BIGINT),
+               'Guide A practical guide This page explains how the data pipeline works and why the quality of the training corpus matters for every model we build. It keeps many common English words so the classifier is confident about the language of the document. See https://see.example.com/ref or mail a.b@example.com for details.'),
+              (CAST(3367110237569064559 AS BIGINT),
+               'Guide A practical guide This page explains how the data pipeline works and why the quality of the training corpus matters for every model we build. It keeps many common English words so the classifier is confident about the language of the document. See https://see.example.com/ref or mail a.b@example.com for details.'),
+              (CAST(4567551937992625475 AS BIGINT),
+               'Der schnelle braune Fuchs springt und die Seite ist auf Deutsch geschrieben. Das ist ein guter Text mit vielen deutschen Worten und einer klaren Sprache fuer den Klassifikator.'),
+              (CAST(7734203982136530895 AS BIGINT),
+               '$$$ !!! ### @@@ %%%')),
+            scored AS (
+                SELECT doc_id, text, {quality} AS quality,
+                       {lang_case} AS lang_pred
+                FROM docs
+            ), kept AS (
+                SELECT doc_id, lang_pred, quality,
+                       {_pii_red_text} AS text_clean
+                FROM scored
+                WHERE quality >= 0.5 AND lang_pred IN ('de', 'en')
+            )
+            SELECT doc_id, lang_pred, quality, text_clean FROM kept
+            QUALIFY row_number()
+                    OVER (PARTITION BY md5(text_clean) ORDER BY doc_id) = 1
         """,
         "multimodal_meta": """
             SELECT doc_id,
