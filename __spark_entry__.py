@@ -2825,6 +2825,31 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(docs, target, "text", "doc_id", n=2)
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR selection (sampling.dsir_select — the paper's step AFTER
+    scoring): rank the corpus by the dsir_weights importance score and
+    keep documents in rank order until an 11,000-token budget fills;
+    the boundary doc that would overflow is dropped, so the selection
+    is a unique prefix of the ranked stream.  Oracle replays scoring
+    (the dsir_weights CTE chain) AND the budget cut (one SQL window
+    cumsum) — full hash.  Scale: scoring never shuffles corpus text;
+    the ranked cumsum is the two-pass prefix sum over slim (id, score,
+    tokens) rows, not a single global window."""
+    from gdp_etl_spark.functions.text import ws_tokens
+    from gdp_etl_spark.operators.sampling import dsir_select
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang",
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    target = docs.filter(
+        (F.col("lang") == "en") & (F.col("doc_id") % 3 == 0)
+    )
+    return dsir_select(
+        docs, target, "text", "doc_id", "n_tokens", budget=11_000, n=2
+    )
+
+
 def q_decontam_scrub(spark, sf_dir):
     """Span-level decontamination (decontam.scrub_contaminated_spans):
     same corpus/benchmark/fixture layout as decontam_screen, but
@@ -5903,6 +5928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "doc_chunks": q_doc_chunks,
         "dq_checks": q_dq_checks,
+        "dsir_select": q_dsir_select,
         "dup_ngram_profile": q_dup_ngram_profile,
         "embed_transform": q_embed_transform,
         "embedding_gram": q_embedding_gram,
@@ -9129,6 +9155,69 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_grams, 0) AS n_grams,
                    CAST(COALESCE(a.dsir_qsum, 0) AS BIGINT) AS dsir_qsum
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # dsir_weights' scoring chain + the budget cut: one window
+        # cumsum in rank order, selection = the prefix within budget
+        "dsir_select": f"""
+            WITH tg AS (
+              SELECT unnest({g2}) AS g FROM documents
+              WHERE lang = 'en' AND doc_id % 3 = 0),
+            tc AS (
+              SELECT CAST(('0x' || substr(md5(g || ':dsir'), 1, 15))
+                       AS BIGINT) % 4096 AS b, count(*) AS ct
+              FROM tg GROUP BY 1),
+            rg AS (SELECT unnest({g2}) AS g FROM documents),
+            rc AS (
+              SELECT CAST(('0x' || substr(md5(g || ':dsir'), 1, 15))
+                       AS BIGINT) % 4096 AS b, count(*) AS cr
+              FROM rg GROUP BY 1),
+            tot AS (
+              SELECT (SELECT COALESCE(sum(ct), 0) FROM tc) AS nt,
+                     (SELECT COALESCE(sum(cr), 0) FROM rc) AS nr),
+            w AS (
+              SELECT COALESCE(tc.b, rc.b) AS b,
+                     CAST(floor(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE))
+                          * 1e9) AS BIGINT)
+                   - CAST(floor(ln(CAST(nt + 4096 AS DOUBLE)) * 1e9)
+                          AS BIGINT)
+                   - CAST(floor(ln(CAST(COALESCE(cr, 0) + 1 AS DOUBLE))
+                          * 1e9) AS BIGINT)
+                   + CAST(floor(ln(CAST(nr + 4096 AS DOUBLE)) * 1e9)
+                          AS BIGINT) AS wq
+              FROM tc FULL JOIN rc USING (b), tot),
+            db AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(g || ':dsir'), 1, 15))
+                       AS BIGINT) % 4096 AS b
+              FROM (SELECT doc_id, unnest({g2}) AS g FROM documents)),
+            agg AS (
+              SELECT db.doc_id, count(*) AS n_grams,
+                     CAST(sum(w.wq) AS BIGINT) AS dsir_qsum
+              FROM db JOIN w USING (b) GROUP BY db.doc_id),
+            toks AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN text IS NULL
+                               OR length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text),
+                                                      '\\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents),
+            sel AS (
+              SELECT d.doc_id,
+                     COALESCE(a.n_grams, 0) AS n_grams,
+                     CAST(COALESCE(a.dsir_qsum, 0) AS BIGINT)
+                       AS dsir_qsum,
+                     t.n_tokens
+              FROM documents d LEFT JOIN agg a USING (doc_id)
+                               JOIN toks t USING (doc_id)),
+            c AS (
+              SELECT *,
+                     CAST(sum(n_tokens)
+                          OVER (ORDER BY dsir_qsum DESC, doc_id)
+                          AS BIGINT) AS cum_tokens
+              FROM sel)
+            SELECT doc_id, n_grams, dsir_qsum, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= 11000
         """,
         # windows + membership + covered-token removal replayed; DuckDB
         # list lambdas index 1-based (Spark's filter lambda is 0-based —

@@ -574,3 +574,85 @@ def dsir_weights(
         )
     )
     return scored
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n: int = 2,
+    num_buckets: int = 4096,
+    seed: str = "dsir",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DSIR selection — the step the paper runs AFTER scoring: rank
+    the corpus by importance weight and keep documents in rank order
+    until the token ``budget`` is filled (top-k importance selection;
+    for the probabilistic resampling variant compose
+    :func:`dsir_weights` with :func:`weighted_sample` instead).  The
+    boundary document that would overflow the budget is dropped — the
+    cut is a pure prefix of the ranked stream, so the selected set is
+    unique and engine-replayable (``SUM(tokens) OVER (ORDER BY
+    dsir_qsum DESC, id)`` ≤ budget in SQL).
+
+    Returns the selected docs' ``(id_col, n_grams, dsir_qsum,
+    tokens_col, cum_tokens)`` — ``cum_tokens`` includes the row itself.
+
+    Scale shape: scoring is :func:`dsir_weights` (corpus text never
+    shuffles); ranking+cumsum is the two-pass prefix sum
+    (range-repartition by the rank key, per-partition window, ONE
+    broadcast offsets row per partition — the pack_segments recipe),
+    never a single global window; the final filter is map-side.  Only
+    (id, score, tokens) rows enter the sort — text stays behind and is
+    re-joined by the caller if needed.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = dsir_weights(
+        docs, target, text_col, id_col,
+        n=n, num_buckets=num_buckets, seed=seed,
+    )
+    slim = docs.select(
+        id_col, F.col(tokens_col).cast("bigint").alias(tokens_col)
+    ).join(w, id_col)
+    # rank key: score DESC, id ASC — expressed as ascending (-score, id)
+    # so repartitionByRange and the window share one plain sort key
+    keyed = slim.withColumn("__negq", -F.col("dsir_qsum"))
+    npart = (
+        num_partitions
+        or docs.sparkSession.sparkContext.defaultParallelism
+    )
+    # materialize the range partitioning ONCE (assign_row_ids rule):
+    # RangePartitioner boundaries are not stable across
+    # re-materializations, and the totals branch + the cumsum branch
+    # must see the SAME partitioning
+    ranged = (
+        keyed.repartitionByRange(npart, F.col("__negq"), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = ranged.groupBy("__pid").agg(
+        F.sum(tokens_col).alias("__t")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # per-partition totals frame: ≤ npart rows — the one benign
+    # unpartitioned window (statistics-scale, same as pack_segments)
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_local = Window.partitionBy("__pid").orderBy("__negq", id_col)
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "cum_tokens",
+            F.sum(tokens_col).over(w_local) + F.col("__off"),
+        )
+        .filter(F.col("cum_tokens") <= F.lit(int(budget)))
+        .select(id_col, "n_grams", "dsir_qsum", tokens_col, "cum_tokens")
+    )

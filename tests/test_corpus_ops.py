@@ -1008,3 +1008,50 @@ def test_dsir_weights_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="num_buckets"):
         dsir_weights(docs, target, "text", "doc_id", num_buckets=1)
+
+
+def test_dsir_select_budget_prefix_and_determinism(spark):
+    """dsir_select keeps exactly the ranked prefix within the token
+    budget (boundary doc dropped), the selected set is identical
+    across partition counts, and a non-positive budget is rejected."""
+    import pytest as _pytest
+
+    from gdp_etl_spark.functions.text import ws_tokens
+    from gdp_etl_spark.operators.sampling import dsir_select, dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang",
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    target = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 3 == 0))
+    budget = 2_000
+
+    sel = dsir_select(
+        docs, target, "text", "doc_id", "n_tokens", budget=budget
+    ).collect()
+    assert sel, "budget must select something at this SF"
+    assert max(r.cum_tokens for r in sel) <= budget
+
+    # reference rule: sort ALL docs by (qsum desc, id), cut the prefix
+    w = {r.doc_id: r.dsir_qsum for r in dsir_weights(
+        docs, target, "text", "doc_id").collect()}
+    toks = {r.doc_id: r.n_tokens for r in docs.select(
+        "doc_id", "n_tokens").collect()}
+    ranked = sorted(toks, key=lambda d: (-w[d], d))
+    cum, want = 0, set()
+    for d in ranked:
+        cum += toks[d]
+        if cum > budget:
+            break
+        want.add(d)
+    assert {r.doc_id for r in sel} == want
+
+    # identical selection across partitionings
+    again = dsir_select(
+        docs, target, "text", "doc_id", "n_tokens",
+        budget=budget, num_partitions=3,
+    ).collect()
+    assert {r.doc_id for r in again} == want
+
+    with _pytest.raises(ValueError, match="budget"):
+        dsir_select(docs, target, "text", "doc_id", "n_tokens", budget=0)
