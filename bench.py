@@ -172,6 +172,12 @@ def main() -> None:
     # transient host-load spike lands on different queries per pass and
     # the median sees it at most once per query
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    # per-sample 1-min loadavg at query START: ambient hypervisor load
+    # arrives in ~20-min windows and inflates every query 9-15%
+    # uniformly (two full r10 runs were discarded to learn this) — the
+    # ledger records the evidence so tools/bench_refresh.py can flag a
+    # contaminated run mechanically instead of by post-hoc forensics
+    loads: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     bench_t0 = time.time()
     passes = 0
     for _ in range(repeat):
@@ -188,6 +194,7 @@ def main() -> None:
             if time.time() - bench_t0 > _BUDGET_SEC and len(samples[name]) >= 2:
                 continue
             fn = queries[name]
+            loads[name].append(round(os.getloadavg()[0], 1))
             t0 = time.time()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
@@ -220,18 +227,24 @@ def main() -> None:
     )
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    all_loads = [x for xs in loads.values() for x in xs]
+    loadavg_max = max(all_loads) if all_loads else 0.0
     out = {
         "metric": "total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "loadavg_max": loadavg_max,
     }
     if repeat > 1:
         out["repeat"] = repeat
         if cold_only:
             out["cold_only"] = cold_only
     print(json.dumps(out))
+    # the per-query load series goes to the FULL ledger only (the
+    # stdout line must stay compact for the driver's tail window)
+    out["loadavg"] = loads
     # full per-query ledger to a file when asked: the driver's BENCH
     # artifact truncates stdout to its tail, which blinds
     # round-over-round comparison for two-thirds of the suite — the
@@ -257,6 +270,7 @@ def main() -> None:
         "repeat": repeat,
         "n_queries": len(timings),
         "cold_only_n": len(cold_only),
+        "loadavg_max": loadavg_max,
         "top10_slowest": slowest,
     }
     print(json.dumps(summary))

@@ -117,21 +117,71 @@ def test_bench_refresh_block_and_blockers(tmp_path):
         "fresh": 1.5,      # added
         "z": 0.9,          # grew from 0.0 median -> no-ratio blocker
     }}))
-    block, blockers = br.build_block(str(old), str(new), 10, 0.5, 1.3)
+    block, blockers, uniform = br.build_block(str(old), str(new), 10, 0.5, 1.3)
     assert sorted(blockers) == ["a", "z"]
+    assert not uniform  # structural movers present -> not uniform
     assert "## Round-10 refresh" in block
     assert "`fresh` 1.5 s" in block and "`gone`" in block
     assert "1.60× **⚠ blocker**" in block
     assert "CLOSE BLOCKER" in block
     assert "`b`" not in block  # below the floor
     # flat self-diff: no blockers, explicit flat message
-    block2, blockers2 = br.build_block(str(old), str(old), 11, 0.5, 1.3)
+    block2, blockers2, uniform2 = br.build_block(str(old), str(old),
+                                                 11, 0.5, 1.3)
     assert blockers2 == [] and "flat round" in block2
+    assert not uniform2
     # an all-zero old total must not divide by zero (sub-ms medians
     # record 0.0; a salvaged truncated ledger can be all zeros)
     z_old = tmp_path / "z_old.json"
     z_new = tmp_path / "z_new.json"
     z_old.write_text(json.dumps({"queries": {"z": 0.0}}))
     z_new.write_text(json.dumps({"queries": {"z": 0.9}}))
-    block3, blockers3 = br.build_block(str(z_old), str(z_new), 12, 0.5, 1.3)
+    block3, blockers3, _ = br.build_block(str(z_old), str(z_new), 12, 0.5, 1.3)
     assert blockers3 == ["z"] and "no ratio" in block3
+
+
+def test_bench_refresh_flags_uniform_inflation(tmp_path):
+    """A ledger where (almost) every query drifted up ~10% with no
+    structural mover is a CONTAMINATED RUN (ambient host load), not
+    ten real regressions — build_block must flag it (and main exits 3)
+    so the manual discard rule that cost two full r10 runs is
+    mechanized.  A run with one genuine 2x blocker is NOT uniform."""
+    import importlib.util
+    import json
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_refresh",
+        Path(__file__).parent.parent / "tools" / "bench_refresh.py",
+    )
+    br = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(br)
+
+    base = {f"q{i}": 1.0 + i * 0.3 for i in range(12)}
+    old = tmp_path / "old.json"
+    old.write_text(json.dumps({"queries": base}))
+
+    # (a) uniform +11% inflation, no mover beyond the 1.3x blocker
+    infl = tmp_path / "inflated.json"
+    infl.write_text(json.dumps(
+        {"queries": {k: round(v * 1.11, 3) for k, v in base.items()},
+         "loadavg_max": 9.4}))
+    block, blockers, uniform = br.build_block(
+        str(old), str(infl), 11, 0.5, 1.3)
+    assert uniform and blockers == []
+    assert "SUSPECT LEDGER" in block and "9.4" in block
+
+    # (b) one genuine 2x structural mover, everything else flat
+    mover = dict(base)
+    mover["q3"] = base["q3"] * 2.0
+    mv = tmp_path / "mover.json"
+    mv.write_text(json.dumps({"queries": mover}))
+    block_b, blockers_b, uniform_b = br.build_block(
+        str(old), str(mv), 11, 0.5, 1.3)
+    assert blockers_b == ["q3"] and not uniform_b
+    assert "SUSPECT LEDGER" not in block_b
+
+    # (c) flat self-diff: neither
+    _, blockers_c, uniform_c = br.build_block(
+        str(old), str(old), 11, 0.5, 1.3)
+    assert blockers_c == [] and not uniform_c
