@@ -2114,6 +2114,53 @@ def q_sketch_stats(spark, sf_dir):
     return portable_hll_ndv(o, ["o_orderpriority"], "o_custkey", p=8)
 
 
+def q_sketch_rollup(spark, sf_dir):
+    """Sketch MERGEABILITY — the property that makes sketches the
+    100-TB answer: the portable-HLL register state is built ONCE at
+    (priority, status) granularity
+    (sketches.portable_hll_registers, ≤ 2^p rows per group,
+    localCheckpointed as the stored sketch table), then THREE rollup
+    levels — (priority, status), (priority), grand total — are
+    answered from that state alone by max-merging registers
+    (portable_hll_merge), never rescanning orders.  Because max is
+    associative, each merged estimate is bit-identical to sketching
+    the coarse group directly (pinned in pytest), and the oracle
+    replays registers + merge + estimator at every level — full
+    hash."""
+    from gdp_etl_spark.operators.sketches import (
+        portable_hll_merge,
+        portable_hll_registers,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    # the stored sketch state: one base-table pass, tiny frame
+    # (≤ |groups|·2^p rows) — eager checkpoint so the three level
+    # queries reuse it instead of re-scanning orders
+    regs = portable_hll_registers(
+        o, ["o_orderpriority", "o_orderstatus"], "o_custkey", p=8
+    ).localCheckpoint()
+    cols = ["ndv_portable", "reg_hi", "reg_lo", "v_zero", "n_vals"]
+    lv2 = portable_hll_merge(
+        regs, ["o_orderpriority", "o_orderstatus"]
+    ).select(
+        F.lit("priority_status").alias("level"),
+        "o_orderpriority", "o_orderstatus", *cols,
+    )
+    lv1 = portable_hll_merge(regs, ["o_orderpriority"]).select(
+        F.lit("priority").alias("level"),
+        "o_orderpriority",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        *cols,
+    )
+    lv0 = portable_hll_merge(regs, []).select(
+        F.lit("total").alias("level"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        *cols,
+    )
+    return lv2.unionByName(lv1).unionByName(lv0)
+
+
 def q_sketch_bounds(spark, sf_dir):
     """Driver-checkable companion to ``sketch_stats``: approximate
     sketch values are engine-specific, but their ERROR GUARANTEES are
@@ -2531,6 +2578,56 @@ def _hll_lc_sql() -> str:
 
 
 _HLL_LC_SQL = _hll_lc_sql()
+
+
+def _hll_rollup_levels_sql() -> str:
+    """Per-level merge + estimate blocks for the sketch_rollup oracle,
+    generated from one template so the three levels cannot drift.
+    Expects a CTE ``r(pri, st, reg, rho, c)`` of fine-grained
+    registers; emits the UNION ALL of the level estimates."""
+    levels = [
+        ("priority_status", ["pri", "st"]),
+        ("priority", ["pri"]),
+        ("total", []),
+    ]
+    blocks = []
+    for label, keys in levels:
+        kcsv = ", ".join(keys)
+        ksel = (kcsv + ", ") if keys else ""
+        merge_grp = f"GROUP BY {ksel}reg".rstrip(", ")
+        est_grp = f"GROUP BY {kcsv}" if keys else ""
+        pri = "pri" if "pri" in keys else "CAST(NULL AS VARCHAR)"
+        st = "st" if "st" in keys else "CAST(NULL AS VARCHAR)"
+        blocks.append(f"""
+            SELECT '{label}' AS level,
+                   {pri} AS o_orderpriority, {st} AS o_orderstatus,
+                   CASE WHEN (256 - nb) > 0 AND
+                             CAST({_HLL_NUM!r} AS DOUBLE) /
+                               (CAST(hi0 + (256 - nb) * 256 AS DOUBLE)
+                                  * CAST(9007199254740992 AS DOUBLE)
+                                + CAST(reg_lo AS DOUBLE)) <= 640.0
+                        THEN CAST([{_HLL_LC_SQL}][CAST(256 - nb AS INT)]
+                                  AS BIGINT)
+                        ELSE CAST(floor(CAST({_HLL_NUM!r} AS DOUBLE) /
+                               (CAST(hi0 + (256 - nb) * 256 AS DOUBLE)
+                                  * CAST(9007199254740992 AS DOUBLE)
+                                + CAST(reg_lo AS DOUBLE))) AS BIGINT)
+                        END AS ndv_portable,
+                   CAST(hi0 + (256 - nb) * 256 AS BIGINT) AS reg_hi,
+                   reg_lo, CAST(256 - nb AS BIGINT) AS v_zero, n_vals
+            FROM (
+              SELECT {ksel}count(*) AS nb,
+                     CAST(sum(CASE WHEN rho <= 8
+                          THEN (CAST(1 AS BIGINT) << (8 - rho))
+                          ELSE 0 END) AS BIGINT) AS hi0,
+                     CAST(sum(CASE WHEN rho > 8
+                          THEN (CAST(1 AS BIGINT) << (61 - rho))
+                          ELSE 0 END) AS BIGINT) AS reg_lo,
+                     CAST(sum(c) AS BIGINT) AS n_vals
+              FROM (SELECT {ksel}reg, max(rho) AS rho, sum(c) AS c
+                    FROM r {merge_grp})
+              {est_grp})""")
+    return " UNION ALL ".join(blocks)
 
 _WARC_FIXTURE = (
     "WARC/1.0\r\n"
@@ -6039,6 +6136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "simhash_pairs": q_simhash_pairs,
         "sketch_bounds": q_sketch_bounds,
+        "sketch_rollup": q_sketch_rollup,
         "sketch_stats": q_sketch_stats,
         "source_overlap": q_source_overlap,
         "source_report": q_source_report,
@@ -9747,6 +9845,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT o_orderpriority,
                    TRUE AS ndv_ok, TRUE AS p50_ok, TRUE AS p95_ok
             FROM orders
+        """,
+        # register state built once at (priority, status), each rollup
+        # level re-merged by max(rho) and estimated with the identical
+        # fixed-point + linear-counting pipeline as sketch_stats
+        "sketch_rollup": f"""
+            WITH h AS (
+              SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                     CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                          1, 15)) AS BIGINT) AS hv
+              FROM orders WHERE o_custkey IS NOT NULL),
+            b AS (SELECT pri, st, hv % 256 AS reg, hv // 256 AS w
+                  FROM h),
+            r AS (SELECT pri, st, reg,
+                         max(53 - length(ltrim(bin(w), '0'))) AS rho,
+                         count(*) AS c
+                  FROM b GROUP BY 1, 2, 3)
+            {_hll_rollup_levels_sql()}
         """,
         # portable HLL replayed end to end: 60-bit md5 hash, register
         # index/remainder split, rho via leading-zero count (bin strips

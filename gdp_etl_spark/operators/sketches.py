@@ -207,16 +207,34 @@ def portable_hll_ndv(
     n_vals)`` — the register limbs ride along so a checker pins the
     whole register state, not just the rounded estimate.
     """
+    regs = portable_hll_registers(df, group_cols, value_col, p)
+    return portable_hll_merge(regs, group_cols, p)
+
+
+def _check_p(p: int) -> int:
     if not 4 <= p <= 11:
         raise ValueError(f"p must be in [4, 11], got {p}")
-    m = 1 << p
-    if m >= 128:
-        alpha = 0.7213 / (1.0 + 1.079 / m)
-    else:
-        alpha = {4: 0.673, 5: 0.697, 6: 0.709}[p]
-    numerator = alpha * m * m * float(1 << (p + 53))
-    wbits = 60 - p
+    return 1 << p
 
+
+def portable_hll_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """The portable HLL's MERGEABLE state: per (group, register) the
+    maximum rho plus the value count — ≤ 2^p rows per group regardless
+    of group size, the fixed-size sketch property that makes NDV cheap
+    at 100 TB.  Persist this frame once at the finest granularity you
+    will ever query; :func:`portable_hll_merge` then answers ANY
+    coarser grouping (rollup levels, time ranges, unions of sources)
+    by max-merging registers — no rescan of the base data, and the
+    merged estimate is bit-identical to sketching the coarse group
+    directly (max is associative).  Columns: group cols + ``(reg int,
+    rho int, n_vals bigint)``."""
+    m = _check_p(p)
+    wbits = 60 - p
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -225,18 +243,42 @@ def portable_hll_ndv(
         .select(*group_cols, h.alias("__h"))
         .select(
             *group_cols,
-            F.pmod(F.col("__h"), F.lit(m)).cast("int").alias("__reg"),
+            F.pmod(F.col("__h"), F.lit(m)).cast("int").alias("reg"),
             F.expr(f"__h div {m}").alias("__w"),
         )
     )
     bitlen = F.when(F.col("__w") == 0, F.lit(0)).otherwise(
         F.length(F.conv(F.col("__w").cast("string"), 10, 2))
     )
-    rho = (F.lit(wbits + 1) - bitlen).alias("__rho")
-    regs = (
-        hashed.select(*group_cols, "__reg", rho)
-        .groupBy(*group_cols, "__reg")
-        .agg(F.max("__rho").alias("__r"), F.count(F.lit(1)).alias("__c"))
+    rho = (F.lit(wbits + 1) - bitlen).cast("int").alias("rho")
+    return (
+        hashed.select(*group_cols, "reg", rho)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"), F.count(F.lit(1)).alias("n_vals"))
+    )
+
+
+def portable_hll_merge(
+    regs: DataFrame,
+    group_cols: Sequence[str],
+    p: int = 8,
+) -> DataFrame:
+    """Estimate NDV per ``group_cols`` from a
+    :func:`portable_hll_registers` frame — ``group_cols`` may be any
+    SUBSET of the columns the registers were built with (the merge is
+    ``max(rho)`` per register, which is exactly how the sketch was
+    built, so coarser estimates are bit-identical to direct ones).
+    ``n_vals`` merges by sum (total non-null values, NOT distinct).
+    Output matches :func:`portable_hll_ndv`."""
+    m = _check_p(p)
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    else:
+        alpha = {4: 0.673, 5: 0.697, 6: 0.709}[p]
+    numerator = alpha * m * m * float(1 << (p + 53))
+
+    merged = regs.groupBy(*group_cols, "reg").agg(
+        F.max("rho").alias("__r"), F.sum("n_vals").alias("__c")
     )
 
     def pow2(exp_col):
@@ -244,7 +286,7 @@ def portable_hll_ndv(
             "shiftleft", F.lit(1).cast("long"), exp_col.cast("int")
         )
 
-    per_group = regs.groupBy(*group_cols).agg(
+    per_group = merged.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__nb"),
         F.sum(
             F.when(F.col("__r") <= p, pow2(F.lit(p) - F.col("__r")))

@@ -895,3 +895,36 @@ def test_portable_hll_matches_invariants(spark):
         portable_hll_ndv(o, ["o_orderpriority"], "o_custkey", p=3)
     with _pytest.raises(ValueError, match="p must be"):
         portable_hll_ndv(o, ["o_orderpriority"], "o_custkey", p=12)
+
+
+def test_portable_hll_merge_equals_direct(spark):
+    """Mergeability: estimating a coarse group by max-merging the fine
+    (priority, status) register state is bit-identical to sketching
+    the coarse group directly — the associativity that lets a stored
+    sketch table answer any rollup without rescanning base data."""
+    from gdp_etl_spark.operators.sketches import (
+        portable_hll_merge,
+        portable_hll_ndv,
+        portable_hll_registers,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    regs = portable_hll_registers(
+        o, ["o_orderpriority", "o_orderstatus"], "o_custkey", p=8
+    ).localCheckpoint()
+
+    def as_map(df, keys):
+        return {
+            tuple(r[k] for k in keys): (
+                r["ndv_portable"], r["reg_hi"], r["reg_lo"],
+                r["v_zero"], r["n_vals"],
+            )
+            for r in df.collect()
+        }
+
+    for keys in (["o_orderpriority"], []):
+        merged = as_map(portable_hll_merge(regs, keys), keys)
+        direct = as_map(
+            portable_hll_ndv(o, keys, "o_custkey", p=8), keys
+        )
+        assert merged == direct, keys
