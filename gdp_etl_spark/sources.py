@@ -804,3 +804,74 @@ def read_warc_parsed(spark: SparkSession, path: str) -> DataFrame:
         "path", "content"
     )
     return files.mapInPandas(scan, out_schema)
+
+
+def read_wet_parsed(spark: SparkSession, path: str) -> DataFrame:
+    """Length-aware sibling of :func:`read_wet` — SAME column contract
+    ``(target_uri, warc_date timestamp, content_length bigint, text)``
+    but records are consumed by the Content-Length-driven scanner
+    (:func:`_parse_warc_member`), so extracted text containing the
+    literal ``"WARC/1.0\\r\\n"`` separator survives intact.  Same
+    whole-file ``binaryFile`` + Arrow-batched ``mapInPandas`` shape,
+    trade and scale notes as :func:`read_warc_parsed`."""
+    import datetime as _dt
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("target_uri", StringType()),
+            StructField("warc_date", TimestampType()),
+            StructField("content_length", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    def _ts(raw: str | None):
+        if not raw:
+            return None
+        try:
+            d = _dt.datetime.fromisoformat(raw.replace("Z", "+00:00"))
+            return d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        except ValueError:
+            return None
+
+    def scan(batches):
+        import gzip as _gzip
+
+        for pdf in batches:
+            rows = []
+            for raw, fname in zip(pdf["content"], pdf["path"]):
+                data = bytes(raw)
+                if fname.endswith(".gz") or data[:2] == b"\x1f\x8b":
+                    data = _gzip.decompress(data)
+                for headers, block in _parse_warc_member(data):
+                    if headers.get("warc-type") != "conversion":
+                        continue
+                    clen = headers.get("content-length", "")
+                    rows.append(
+                        (
+                            headers.get("warc-target-uri") or None,
+                            _ts(headers.get("warc-date")),
+                            int(clen) if clen.isdigit() else None,
+                            block.decode("utf-8", "replace")
+                            .rstrip("\r\n"),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "target_uri", "warc_date", "content_length", "text",
+                ],
+            )
+
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+    return files.mapInPandas(scan, out_schema)

@@ -598,3 +598,47 @@ def test_read_warc_parsed_survives_separator_in_body(spark, tmp_path):
     naive = {r.target_uri: r.payload
              for r in read_warc_responses(spark, str(p)).collect()}
     assert naive.get("https://ex.com/evil") != evil_body.decode()
+
+
+def test_read_wet_parsed_parity_and_separator_fidelity(spark, tmp_path):
+    """read_wet_parsed matches read_wet on well-formed files and keeps
+    a body containing the literal record separator intact (where the
+    lineSep reader documents corruption)."""
+    from gdp_etl_spark.sources import read_wet, read_wet_parsed
+
+    def rec(uri, body):
+        return (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "WARC-Date: 2024-03-01T12:00:00Z\r\n"
+            f"Content-Length: {len(body.encode())}\r\n"
+            "\r\n"
+            f"{body}\r\n\r\n"
+        )
+
+    ok = (
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\n"
+        "robots: x\r\n\r\n"
+        + rec("http://ex.com/a", "First page text.\r\nSecond line.")
+        + rec("http://ex.com/b", "Another page entirely.")
+    )
+    p = tmp_path / "ok.wet"
+    p.write_bytes(ok.encode())
+    want = sorted(tuple(r) for r in read_wet(spark, str(p)).collect())
+    got = sorted(tuple(r) for r in read_wet_parsed(spark, str(p)).collect())
+    assert got == want
+
+    evil_body = "quoting a record header:\r\nWARC/1.0\r\nWARC-Type: x\r\n\r\ntail"
+    evil = rec("http://ex.com/evil", evil_body) + rec(
+        "http://ex.com/after", "normal"
+    )
+    q = tmp_path / "evil.wet"
+    q.write_bytes(evil.encode())
+    parsed = {r.target_uri: r.text
+              for r in read_wet_parsed(spark, str(q)).collect()}
+    assert parsed["http://ex.com/evil"] == evil_body
+    assert parsed["http://ex.com/after"] == "normal"
+    naive = {r.target_uri: r.text
+             for r in read_wet(spark, str(q)).collect()}
+    assert naive.get("http://ex.com/evil") != evil_body
