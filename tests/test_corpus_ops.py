@@ -1055,3 +1055,26 @@ def test_dsir_select_budget_prefix_and_determinism(spark):
 
     with _pytest.raises(ValueError, match="budget"):
         dsir_select(docs, target, "text", "doc_id", "n_tokens", budget=0)
+
+
+def test_dsir_select_data_window_is_partitioned(spark):
+    """The budget cumsum's DATA-path window must be partitioned by the
+    range-partition id (two-pass prefix sum); the only global window
+    allowed is over the per-partition totals frame (≤ num_partitions
+    rows — driver-scale)."""
+    from gdp_etl_spark.functions.text import ws_tokens
+    from gdp_etl_spark.operators.sampling import dsir_select
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        "doc_id", "text", "lang",
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    target = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 3 == 0))
+    plan = (
+        dsir_select(docs, target, "text", "doc_id", "n_tokens",
+                    budget=2_000, num_partitions=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition(__pid" in plan
