@@ -5930,117 +5930,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     families).  Everything rotated out stays registered below with
     identical local oracle coverage (``tools/check_correctness.py``)."""
     return {
-        # WINDOW (50): computed by tools/window_staleness.py --changed
-        #   ivf_topk salted_join pq_topk epoch_shuffle batch_screen
-        # 5 changed + 6 never-checked (new this round) + 26 last-green-r4
-        # + 13 stalest r5 — the r10 stale burn-down (verdict task 1)
-        "ivf_topk": q_ivf_topk,
-        "salted_join": q_salted_join,
-        "pq_topk": q_pq_topk,
-        "epoch_shuffle": q_epoch_shuffle,
-        "batch_screen": q_batch_screen,
-        "bloom_screen": q_bloom_screen,
-        "decontam_screen": q_decontam_screen,
-        "decontam_scrub": q_decontam_scrub,
-        "dsir_weights": q_dsir_weights,
-        "pack_segments": q_pack_segments,
+        "sketch_stats": q_sketch_stats,
         "warc_ingest": q_warc_ingest,
-        "market_share": q_market_share,
-        "min_cost_supplier": q_min_cost_supplier,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_meta": q_multimodal_meta,
-        "nation_profit": q_nation_profit,
-        "order_count_dist": q_order_count_dist,
-        "outlier_fences": q_outlier_fences,
-        "pagerank": q_pagerank,
-        "part_supplier_counts": q_part_supplier_counts,
-        "prefix_jaccard": q_prefix_jaccard,
-        "priority_by_flag": q_priority_by_flag,
-        "promo_ratio": q_promo_ratio,
-        "pseudonymize": q_pseudonymize,
-        "python_datasource": q_python_datasource,
-        "record_linkage": q_record_linkage,
-        "regional_volume": q_regional_volume,
-        "row_ids": q_row_ids,
-        "schema_evolution": q_schema_evolution,
-        "seasonal_anomalies": q_seasonal_anomalies,
-        "semantic_decontam": q_semantic_decontam,
-        "small_qty_revenue": q_small_qty_revenue,
-        "top_acctbal_no_orders": q_top_acctbal_no_orders,
-        "top_supplier": q_top_supplier,
-        "triangle_count": q_triangle_count,
-        "waiting_supplier": q_waiting_supplier,
-        "ab_test": q_ab_test,
-        "calendar_dim": q_calendar_dim,
-        "category_drift": q_category_drift,
-        "cdc_apply": q_cdc_apply,
-        "closure_leaves": q_closure_leaves,
-        "compute_project": q_compute_project,
-        "conditional_agg": q_conditional_agg,
-        "content_hash": q_content_hash,
-        "datetime_funcs": q_datetime_funcs,
-        "diff_classify": q_diff_classify,
-        "distinct_values": q_distinct_values,
-        "drift_psi": q_drift_psi,
-        "drop_na": q_drop_na,
-        # -- end of driver window (50) --------------------------------------
+        "wet_ingest": q_wet_ingest,
+        "crawl_corpus": q_crawl_corpus,
+        "dsir_select": q_dsir_select,
+        "sketch_rollup": q_sketch_rollup,
+        "bloom_screen": q_bloom_screen,
+        "equidepth": q_equidepth,
+        "filter_band": q_filter_band,
+        "filter_compound": q_filter_compound,
+        "filter_in": q_filter_in,
+        "filter_strlen": q_filter_strlen,
+        "golden_release_diff": q_golden_release_diff,
+        "golden_rollup": q_golden_rollup,
+        "golden_usis_export": q_golden_usis_export,
+        "group_first": q_group_first,
+        "group_stats": q_group_stats,
+        "hash_split": q_hash_split,
+        "heavy_hitters": q_heavy_hitters,
+        "histogram": q_histogram,
+        "join_composite": q_join_composite,
+        "join_label": q_join_label,
+        "join_suffix": q_join_suffix,
+        "json_extract": q_json_extract,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "left_join_sum_zero": q_left_join_sum_zero,
+        "length_batches": q_length_batches,
+        "mad_outliers": q_mad_outliers,
+        "neg_projection": q_neg_projection,
+        "orc_roundtrip": q_orc_roundtrip,
+        "pareto_share": q_pareto_share,
+        "projection": q_projection,
+        "range_frame": q_range_frame,
+        "rank_windows": q_rank_windows,
+        "rollup_hierarchy": q_rollup_hierarchy,
+        "sample_per_group": q_sample_per_group,
+        "semi_anti_join": q_semi_anti_join,
+        "sketch_bounds": q_sketch_bounds,
+        "string_funcs": q_string_funcs,
+        "top_bigrams": q_top_bigrams,
+        "udtf_matches": q_udtf_matches,
+        "value_windows": q_value_windows,
+        "weighted_sample": q_weighted_sample,
+        "ann_topk": q_ann_topk,
+        "bankers_round": q_bankers_round,
+        "blocklist_filter": q_blocklist_filter,
+        "boilerplate_lines": q_boilerplate_lines,
+        "conditional_overwrite": q_conditional_overwrite,
+        "contamination_frac": q_contamination_frac,
+        "corpus_diff": q_corpus_diff,
+        # -- end of driver window (50) -------------------------------------
         # below the window: alphabetical; all keep local oracle coverage
         # via tools/check_correctness.py
-        "ann_topk": q_ann_topk,
+        "ab_test": q_ab_test,
         "array_agg": q_array_agg,
         "array_map_funcs": q_array_map_funcs,
         "asof_join": q_asof_join,
-        "bankers_round": q_bankers_round,
         "base_broadcast": q_base_broadcast,
+        "batch_screen": q_batch_screen,
         "benford": q_benford,
         "big_order_customers": q_big_order_customers,
         "binary_header": q_binary_header,
-        "blocklist_filter": q_blocklist_filter,
         "bm25_topk": q_bm25_topk,
-        "boilerplate_lines": q_boilerplate_lines,
         "build_fact": q_build_fact,
+        "calendar_dim": q_calendar_dim,
+        "category_drift": q_category_drift,
+        "cdc_apply": q_cdc_apply,
         "cdc_dedup": q_cdc_dedup,
         "chunk_embed_pool": q_chunk_embed_pool,
+        "closure_leaves": q_closure_leaves,
         "cluster_split": q_cluster_split,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "cogroup_reconcile": q_cogroup_reconcile,
         "cohort_retention": q_cohort_retention,
         "column_entropy": q_column_entropy,
-        "conditional_overwrite": q_conditional_overwrite,
-        "contamination_frac": q_contamination_frac,
+        "compute_project": q_compute_project,
+        "conditional_agg": q_conditional_agg,
+        "content_hash": q_content_hash,
         "corpus_clean": q_corpus_clean,
         "corpus_curate": q_corpus_curate,
-        "crawl_corpus": q_crawl_corpus,
-        "corpus_diff": q_corpus_diff,
         "corpus_mix": q_corpus_mix,
         "corr_matrix": q_corr_matrix,
         "csv_roundtrip": q_csv_roundtrip,
         "csv_trimmed": q_csv_trimmed,
         "cube": q_cube,
         "curation_audit": q_curation_audit,
+        "datetime_funcs": q_datetime_funcs,
+        "decontam_screen": q_decontam_screen,
+        "decontam_scrub": q_decontam_scrub,
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
+        "diff_classify": q_diff_classify,
         "disjunctive_revenue": q_disjunctive_revenue,
+        "distinct_values": q_distinct_values,
         "doc_chunks": q_doc_chunks,
         "dq_checks": q_dq_checks,
-        "dsir_select": q_dsir_select,
+        "drift_psi": q_drift_psi,
+        "drop_na": q_drop_na,
+        "dsir_weights": q_dsir_weights,
         "dup_ngram_profile": q_dup_ngram_profile,
         "embed_transform": q_embed_transform,
         "embedding_gram": q_embedding_gram,
         "embedding_near_dup": q_embedding_near_dup,
-        "equidepth": q_equidepth,
+        "epoch_shuffle": q_epoch_shuffle,
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
         "events_tumbling": q_events_tumbling,
         "exact_dedup": q_exact_dedup,
         "excel_scan": q_excel_scan,
         "excess_suppliers": q_excess_suppliers,
-        "filter_band": q_filter_band,
-        "filter_compound": q_filter_compound,
-        "filter_in": q_filter_in,
-        "filter_strlen": q_filter_strlen,
         "fingerprint": q_fingerprint,
         "fixed_width": q_fixed_width,
         "flagship_revenue": q_flagship_revenue,
@@ -6049,19 +6049,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "gaps_islands": q_gaps_islands,
         "golden_comments": q_golden_comments,
-        "golden_release_diff": q_golden_release_diff,
-        "golden_rollup": q_golden_rollup,
-        "golden_usis_export": q_golden_usis_export,
         "group_extrema": q_group_extrema,
-        "group_first": q_group_first,
-        "group_stats": q_group_stats,
         "grouped_topk": q_grouped_topk,
         "grouping_sets": q_grouping_sets,
         "hamming_d4": q_hamming_d4,
         "hash_sample": q_hash_sample,
-        "hash_split": q_hash_split,
-        "heavy_hitters": q_heavy_hitters,
-        "histogram": q_histogram,
         "html_strip": q_html_strip,
         "http_csv_scan": q_http_csv_scan,
         "important_parts": q_important_parts,
@@ -6071,41 +6063,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "inverted_index": q_inverted_index,
         "ivf_recall": q_ivf_recall,
-        "join_composite": q_join_composite,
-        "join_label": q_join_label,
-        "join_suffix": q_join_suffix,
-        "json_extract": q_json_extract,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "ivf_topk": q_ivf_topk,
         "kmeans_assign": q_kmeans_assign,
         "late_orders": q_late_orders,
-        "left_join_sum_zero": q_left_join_sum_zero,
-        "length_batches": q_length_batches,
         "line_dedup_doc": q_line_dedup_doc,
         "linear_trend": q_linear_trend,
         "link_graph": q_link_graph,
         "lm_buckets": q_lm_buckets,
         "lm_score": q_lm_score,
         "lsh_topk": q_lsh_topk,
-        "mad_outliers": q_mad_outliers,
+        "market_share": q_market_share,
         "mean_pool": q_mean_pool,
         "merge_upsert": q_merge_upsert,
+        "min_cost_supplier": q_min_cost_supplier,
         "minhash_index": q_minhash_index,
         "minhash_lsh": q_minhash_lsh,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_meta": q_multimodal_meta,
+        "nation_profit": q_nation_profit,
         "native_rollup": q_native_rollup,
-        "neg_projection": q_neg_projection,
         "ngram_jaccard": q_ngram_jaccard,
         "norm_dedup": q_norm_dedup,
         "observed_profile": q_observed_profile,
-        "orc_roundtrip": q_orc_roundtrip,
+        "order_count_dist": q_order_count_dist,
+        "outlier_fences": q_outlier_fences,
+        "pack_segments": q_pack_segments,
         "pack_sequences": q_pack_sequences,
         "pad_codes": q_pad_codes,
+        "pagerank": q_pagerank,
         "paragraph_dedup": q_paragraph_dedup,
-        "pareto_share": q_pareto_share,
+        "part_supplier_counts": q_part_supplier_counts,
         "phash_dedup": q_phash_dedup,
         "pii_redact": q_pii_redact,
         "pivot_wide": q_pivot_wide,
+        "pq_topk": q_pq_topk,
+        "prefix_jaccard": q_prefix_jaccard,
+        "priority_by_flag": q_priority_by_flag,
         "profile_table": q_profile_table,
-        "projection": q_projection,
+        "promo_ratio": q_promo_ratio,
+        "pseudonymize": q_pseudonymize,
+        "python_datasource": q_python_datasource,
         "qa_added_years": q_qa_added_years,
         "qa_deflator_check": q_qa_deflator_check,
         "qa_discrepancies": q_qa_discrepancies,
@@ -6113,31 +6111,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_top_log_ratio": q_qa_top_log_ratio,
         "quality_gate": q_quality_gate,
         "quality_lang": q_quality_lang,
-        "range_frame": q_range_frame,
         "range_join": q_range_join,
-        "rank_windows": q_rank_windows,
         "recode_values": q_recode_values,
+        "record_linkage": q_record_linkage,
         "recursive_cte": q_recursive_cte,
         "ref_date_stamp": q_ref_date_stamp,
+        "regional_volume": q_regional_volume,
         "repetition_stats": q_repetition_stats,
         "resample_locf": q_resample_locf,
         "returned_revenue": q_returned_revenue,
         "rolling_corr": q_rolling_corr,
         "rolling_window": q_rolling_window,
-        "rollup_hierarchy": q_rollup_hierarchy,
-        "sample_per_group": q_sample_per_group,
+        "row_ids": q_row_ids,
+        "salted_join": q_salted_join,
         "scalar_share": q_scalar_share,
         "scd2": q_scd2,
         "scd2_lookup": q_scd2_lookup,
+        "schema_evolution": q_schema_evolution,
         "sci_format": q_sci_format,
-        "semi_anti_join": q_semi_anti_join,
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "semantic_decontam": q_semantic_decontam,
         "shard_assign": q_shard_assign,
         "shard_manifest": q_shard_manifest,
         "shipping_priority": q_shipping_priority,
         "simhash_pairs": q_simhash_pairs,
-        "sketch_bounds": q_sketch_bounds,
-        "sketch_rollup": q_sketch_rollup,
-        "sketch_stats": q_sketch_stats,
+        "small_qty_revenue": q_small_qty_revenue,
         "source_overlap": q_source_overlap,
         "source_report": q_source_report,
         "source_terciles": q_source_terciles,
@@ -6145,24 +6143,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_api_q3": q_sql_api_q3,
         "sql_udf": q_sql_udf,
         "stratified_split": q_stratified_split,
-        "string_funcs": q_string_funcs,
         "substring_dedup": q_substring_dedup,
         "table_checksum": q_table_checksum,
         "temperature_mix": q_temperature_mix,
         "token_stats": q_token_stats,
-        "top_bigrams": q_top_bigrams,
+        "top_acctbal_no_orders": q_top_acctbal_no_orders,
+        "top_supplier": q_top_supplier,
         "topk_orders": q_topk_orders,
         "trade_volume": q_trade_volume,
-        "udtf_matches": q_udtf_matches,
+        "triangle_count": q_triangle_count,
         "union_by_name": q_union_by_name,
         "unpivot_long": q_unpivot_long,
         "url_dedup": q_url_dedup,
         "usis_export": q_usis_export,
-        "value_windows": q_value_windows,
         "variant_extract": q_variant_extract,
         "vocab_coverage": q_vocab_coverage,
-        "weighted_sample": q_weighted_sample,
-        "wet_ingest": q_wet_ingest,
+        "waiting_supplier": q_waiting_supplier,
         "zorder_stats": q_zorder_stats,
     }
 
