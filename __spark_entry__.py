@@ -2566,9 +2566,15 @@ _WARC_HTML = (
     "<a href='//cdn.ex.net/b'>y</a></body></html>"
 )
 #: portable-HLL estimator constants for the sketch_stats oracle —
-#: numerator alpha_256 * 256^2 * 2^(8+53) and the linear-counting
-#: lookup, both sourced from sketches so the two sides cannot drift
-_HLL_NUM = 0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * float(1 << 61)
+#: numerator and linear-counting lookup BOTH imported from sketches so
+#: the operator and the oracle cannot drift
+def _hll_num() -> float:
+    from gdp_etl_spark.operators.sketches import _hll_numerator
+
+    return _hll_numerator(8)
+
+
+_HLL_NUM = _hll_num()
 
 
 def _hll_lc_sql() -> str:

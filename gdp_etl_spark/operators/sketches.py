@@ -147,6 +147,18 @@ def cms_estimate(
     )
 
 
+def _hll_numerator(p: int) -> float:
+    """The portable estimator's numerator α_m·m²·2^(p+53) as ONE double
+    literal — sourced here by both the Spark operator and the oracle
+    SQL generator so the two sides cannot drift."""
+    m = 1 << p
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    else:
+        alpha = {4: 0.673, 5: 0.697, 6: 0.709}[p]
+    return alpha * m * m * float(1 << (p + 53))
+
+
 def _hll_lc_table(m: int) -> list[int]:
     """Linear-counting estimates ``round(m·ln(m/V))`` for V = 1..m —
     the full (tiny) codomain of HLL's small-range correction, shipped
@@ -203,7 +215,7 @@ def portable_hll_ndv(
     values are ignored, matching ``count(distinct)`` /
     ``approx_count_distinct``.
 
-    Returns group cols + ``(ndv_portable, v_zero, reg_hi, reg_lo,
+    Returns group cols + ``(ndv_portable, reg_hi, reg_lo, v_zero,
     n_vals)`` — the register limbs ride along so a checker pins the
     whole register state, not just the rounded estimate.
     """
@@ -271,11 +283,7 @@ def portable_hll_merge(
     ``n_vals`` merges by sum (total non-null values, NOT distinct).
     Output matches :func:`portable_hll_ndv`."""
     m = _check_p(p)
-    if m >= 128:
-        alpha = 0.7213 / (1.0 + 1.079 / m)
-    else:
-        alpha = {4: 0.673, 5: 0.697, 6: 0.709}[p]
-    numerator = alpha * m * m * float(1 << (p + 53))
+    numerator = _hll_numerator(p)
 
     merged = regs.groupBy(*group_cols, "reg").agg(
         F.max("rho").alias("__r"), F.sum("n_vals").alias("__c")

@@ -691,7 +691,10 @@ def _parse_warc_member(data: bytes):
                 )
         block_start = hdr_end + 4
         clen = headers.get("content-length", "")
-        if clen.isdigit():
+        # isascii() guard: str.isdigit() accepts Unicode digit chars
+        # (e.g. superscripts) that int() rejects — a garbled header
+        # must take the fallback, not crash the task
+        if clen.isascii() and clen.isdigit():
             block_end = min(block_start + int(clen), n)
         else:
             # no usable length: scan for the next record boundary —
@@ -700,6 +703,46 @@ def _parse_warc_member(data: bytes):
             block_end = nxt if nxt >= 0 else n
         yield headers, data[block_start:block_end]
         pos = block_end
+
+
+def _maybe_gunzip(fname: str, data: bytes) -> bytes:
+    """Decompress one whole-file payload when it is a gzip member
+    (by extension or magic) — shared by both length-aware readers."""
+    import gzip
+
+    if fname.endswith(".gz") or data[:2] == b"\x1f\x8b":
+        return gzip.decompress(data)
+    return data
+
+
+def _warc_ts_py(raw: str | None):
+    """Python-side WARC-Date parse for the length-aware readers —
+    PARITY with :func:`_warc_timestamp`: offset-less values return
+    None (the expression patterns require an X offset; interpreting a
+    naive datetime as executor-local time would make the column
+    machine-dependent), and unparseable values return None."""
+    import datetime as _dt
+
+    if not raw:
+        return None
+    try:
+        d = _dt.datetime.fromisoformat(raw.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if d.tzinfo is None:
+        return None
+    return d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+
+
+def _strip_record_tail(body: bytes) -> str:
+    """Decode a record body and trim trailing CRLF PAIRS only —
+    byte-for-byte the expression readers' ``regexp_replace(body,
+    '(\\r\\n)+$', '')`` contract (``rstrip("\\r\\n")`` would also eat
+    genuine trailing bare LF/CR bytes, corrupting exactly the payloads
+    the fidelity readers exist to preserve)."""
+    import re
+
+    return re.sub(b"(\r\n)+$", b"", body).decode("utf-8", "replace")
 
 
 def read_warc_parsed(spark: SparkSession, path: str) -> DataFrame:
@@ -742,24 +785,11 @@ def read_warc_parsed(spark: SparkSession, path: str) -> DataFrame:
         ]
     )
 
-    def _ts(raw: str | None):
-        if not raw:
-            return None
-        try:
-            d = _dt.datetime.fromisoformat(raw.replace("Z", "+00:00"))
-            return d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        except ValueError:
-            return None
-
     def scan(batches):
-        import gzip as _gzip
-
         for pdf in batches:
             rows = []
             for raw, fname in zip(pdf["content"], pdf["path"]):
-                data = bytes(raw)
-                if fname.endswith(".gz") or data[:2] == b"\x1f\x8b":
-                    data = _gzip.decompress(data)
+                data = _maybe_gunzip(fname, bytes(raw))
                 for headers, block in _parse_warc_member(data):
                     if headers.get("warc-type") != "response":
                         continue
@@ -770,7 +800,13 @@ def read_warc_parsed(spark: SparkSession, path: str) -> DataFrame:
                     lines = http.split(b"\r\n")
                     if lines and lines[0][:5] == b"HTTP/":
                         parts = lines[0].split(b" ")
-                        if len(parts) > 1 and parts[1].isdigit():
+                        # exactly-3-digit rule: parity with the
+                        # expression reader's ([0-9]{3}) pattern
+                        if (
+                            len(parts) > 1
+                            and len(parts[1]) == 3
+                            and parts[1].isdigit()
+                        ):
                             status = int(parts[1])
                     for line in lines[1:]:
                         k, sep, v = line.partition(b":")
@@ -782,11 +818,10 @@ def read_warc_parsed(spark: SparkSession, path: str) -> DataFrame:
                     rows.append(
                         (
                             headers.get("warc-target-uri") or None,
-                            _ts(headers.get("warc-date")),
+                            _warc_ts_py(headers.get("warc-date")),
                             status,
                             ctype,
-                            body.decode("utf-8", "replace")
-                            .rstrip("\r\n"),
+                            _strip_record_tail(body),
                         )
                     )
             yield pd.DataFrame(
@@ -814,8 +849,6 @@ def read_wet_parsed(spark: SparkSession, path: str) -> DataFrame:
     literal ``"WARC/1.0\\r\\n"`` separator survives intact.  Same
     whole-file ``binaryFile`` + Arrow-batched ``mapInPandas`` shape,
     trade and scale notes as :func:`read_warc_parsed`."""
-    import datetime as _dt
-
     import pandas as pd
     from pyspark.sql.types import (
         LongType,
@@ -833,24 +866,11 @@ def read_wet_parsed(spark: SparkSession, path: str) -> DataFrame:
         ]
     )
 
-    def _ts(raw: str | None):
-        if not raw:
-            return None
-        try:
-            d = _dt.datetime.fromisoformat(raw.replace("Z", "+00:00"))
-            return d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        except ValueError:
-            return None
-
     def scan(batches):
-        import gzip as _gzip
-
         for pdf in batches:
             rows = []
             for raw, fname in zip(pdf["content"], pdf["path"]):
-                data = bytes(raw)
-                if fname.endswith(".gz") or data[:2] == b"\x1f\x8b":
-                    data = _gzip.decompress(data)
+                data = _maybe_gunzip(fname, bytes(raw))
                 for headers, block in _parse_warc_member(data):
                     if headers.get("warc-type") != "conversion":
                         continue
@@ -858,10 +878,11 @@ def read_wet_parsed(spark: SparkSession, path: str) -> DataFrame:
                     rows.append(
                         (
                             headers.get("warc-target-uri") or None,
-                            _ts(headers.get("warc-date")),
-                            int(clen) if clen.isdigit() else None,
-                            block.decode("utf-8", "replace")
-                            .rstrip("\r\n"),
+                            _warc_ts_py(headers.get("warc-date")),
+                            int(clen)
+                            if clen.isascii() and clen.isdigit()
+                            else None,
+                            _strip_record_tail(block),
                         )
                     )
             yield pd.DataFrame(

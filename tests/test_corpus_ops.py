@@ -1077,4 +1077,12 @@ def test_dsir_select_data_window_is_partitioned(spark):
                     budget=2_000, num_partitions=4)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "windowspecdefinition(__pid" in plan
+    # the DATA window must carry __pid as its PARTITION key followed by
+    # the __negq order key — "windowspecdefinition(__pid" alone would
+    # also match the offsets frame's orderBy("__pid") global window and
+    # pass vacuously if the data window lost its partitioning
+    import re
+
+    assert re.search(r"windowspecdefinition\(__pid#\d+, __negq#", plan), plan
+    # and no global (unpartitioned) window ordered by the rank key
+    assert not re.search(r"windowspecdefinition\(__negq#", plan)

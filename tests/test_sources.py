@@ -642,3 +642,57 @@ def test_read_wet_parsed_parity_and_separator_fidelity(spark, tmp_path):
     naive = {r.target_uri: r.text
              for r in read_wet(spark, str(q)).collect()}
     assert naive.get("http://ex.com/evil") != evil_body
+
+
+def test_parsed_readers_fidelity_edge_cases(spark, tmp_path):
+    """Review-found parity gaps, pinned: (1) a body ending with a bare
+    LF keeps it (only CRLF PAIRS are record-tail trimmed — matching the
+    expression readers' regex); (2) an offset-less WARC-Date is NULL in
+    BOTH readers (never executor-local time); (3) a Unicode-digit
+    Content-Length degrades to the boundary-scan fallback instead of
+    crashing the task; (4) a non-3-digit HTTP status is NULL, matching
+    the expression reader's ([0-9]{3}) rule."""
+    from gdp_etl_spark.sources import (
+        read_warc_parsed,
+        read_warc_responses,
+        read_wet,
+        read_wet_parsed,
+    )
+
+    body = b"real content ending with a bare newline\n"
+    http = b"HTTP/1.1 99 Weird\r\nContent-Type: text/plain\r\n\r\n" + body
+    warc = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://ex.com/a\r\n"
+        b"WARC-Date: 2024-03-01T12:00:00\r\n"          # no offset
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+        b"\r\n" + http + b"\r\n\r\n"
+    )
+    p = tmp_path / "edge.warc"
+    p.write_bytes(warc)
+    for reader in (read_warc_parsed, read_warc_responses):
+        got = reader(spark, str(p)).collect()
+        assert len(got) == 1, reader
+        r = got[0]
+        assert r.warc_date is None, reader          # naive date -> NULL
+        assert r.http_status is None, reader        # 2-digit status
+        assert r.payload == body.decode(), reader   # bare LF preserved
+
+    wet = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://ex.com/u\r\n"
+        "WARC-Date: 2024-03-01T12:00:00Z\r\n"
+        "Content-Length: ¹²\r\n"            # unicode digits
+        "\r\n"
+        "text body\r\n\r\n"
+    )
+    q = tmp_path / "edge.wet"
+    q.write_bytes(wet.encode())
+    got = read_wet_parsed(spark, str(q)).collect()
+    assert len(got) == 1
+    assert got[0].content_length is None
+    assert got[0].text == "text body"
+    naive = read_wet(spark, str(q)).collect()
+    assert len(naive) == 1 and naive[0].content_length is None

@@ -69,8 +69,9 @@ def build_table(prev_path: str, cur_path: str) -> tuple[str, list[str]]:
             f"{ratio:.2f}× | {'ok' if ok else '**FAIL**'} |"
         )
     verdict = (
-        f"**Headline totals: {t_base:.1f} s baseline → {t_cur:.1f} s "
-        f"current ({t_cur / t_base:.2f}×); gate "
+        f"**Headline totals: {t_base:.1f} s baseline → {t_prev:.1f} s "
+        f"previous → {t_cur:.1f} s "
+        f"current ({t_cur / t_base:.2f}× of baseline); gate "
         + ("PASS (every query ≤2× its baseline).**" if not fails else
            f"FAIL: {', '.join(f'`{q}`' for q in fails)}.**")
     )
