@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""SCALE probe: portable HLL vs the native HLL++ sketch.
+
+The portable HLL buys oracle-replayable estimates (md5 register hash,
+fixed-point sum, literal LC lookup) at the cost of per-row expression
+work the native JVM sketch doesn't do: an md5, a base-16 parse and a
+binary-string length per value, plus an extra (group, register)
+shuffle level.  This probe measures that premium at rows the local
+host can hold, on a skewed group layout (one group holds 50% of rows),
+so the docstring's "native stays the perf path" claim carries a
+number, and checks the estimate error of both.
+
+Run: python tools/probe_portable_hll.py [--rows 20000000]
+"""
+from __future__ import annotations
+
+import argparse
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20_000_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from gdp_etl_spark.operators.sketches import (
+        group_cardinality_sketch,
+        portable_hll_ndv,
+    )
+    from gdp_etl_spark.session import get_spark
+
+    spark = get_spark("probe_hll", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    n = args.rows
+    # one hot group (50% of rows), 7 cold groups; ~n/10 distinct values
+    df = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 2 == 0, "hot")
+            .otherwise(F.concat(F.lit("g"), (F.col("id") % 7).cast("string")))
+            .alias("grp"),
+            (F.col("id") % (n // 10)).alias("val"),
+        )
+        .localCheckpoint()
+    )
+
+    def timed(fn, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            ts.append(time.time() - t0)
+        return statistics.median(ts[1:]) if len(ts) > 2 else min(ts)
+
+    t_native = timed(lambda: group_cardinality_sketch(df, ["grp"], "val"))
+    t_port = timed(lambda: portable_hll_ndv(df, ["grp"], "val", p=8))
+    exact = {
+        r["grp"]: r["ndv"]
+        for r in df.groupBy("grp")
+        .agg(F.count_distinct("val").alias("ndv"))
+        .collect()
+    }
+    native = {
+        r["grp"]: r["ndv_approx"]
+        for r in group_cardinality_sketch(df, ["grp"], "val").collect()
+    }
+    port = {
+        r["grp"]: r["ndv_portable"]
+        for r in portable_hll_ndv(df, ["grp"], "val", p=8).collect()
+    }
+    print(f"rows={n:,}  native={t_native:.2f}s  portable={t_port:.2f}s  "
+          f"premium={t_port / t_native:.2f}x")
+    for g in sorted(exact):
+        e = exact[g]
+        print(f"  {g}: exact={e:,}  native={native[g]:,} "
+              f"({(native[g] - e) / e:+.1%})  portable={port[g]:,} "
+              f"({(port[g] - e) / e:+.1%})")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
