@@ -5849,6 +5849,35 @@ def q_pack_segments(spark, sf_dir):
     return pack_segments(d, "doc_id", "n_tokens", seq_len=128)
 
 
+def q_train_batches(spark, sf_dir):
+    """The SERVING path end to end — the trainer-side mirror of
+    crawl_corpus' ingest-side composition: clean_corpus (quality gate,
+    language routing, PII redaction, exact dedup) → hash_split train
+    slice (leak-free, engine-replayable thresholds) → pack_segments
+    over the CLEANED token counts (spanning 128-token training
+    sequences in the reproducible md5-fold order).  One query proves
+    corpus curation feeds batch materialization unchanged; the oracle
+    composes the corpus_clean CTE fragments, the hash_split threshold
+    rule and the pack cumsum+unnest replay — a regression in ANY stage
+    breaks the hash.  Scale: each stage keeps its individually-probed
+    shape (skew-safe dedup agg, map-only split, two-pass prefix-sum
+    packing)."""
+    from gdp_etl_spark.functions.text import token_count_ws
+    from gdp_etl_spark.operators.packing import pack_segments
+    from gdp_etl_spark.operators.sampling import hash_split
+    from gdp_etl_spark.plans.corpus import clean_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    cleaned = clean_corpus(d, min_quality=0.85, langs=("en",))
+    train = hash_split(cleaned, "doc_id", seed="42").filter(
+        F.col("split") == "train"
+    )
+    toks = train.select(
+        "doc_id", token_count_ws(F.col("text_clean")).alias("n_tokens")
+    )
+    return pack_segments(toks, "doc_id", "n_tokens", seq_len=128)
+
+
 def q_batch_screen(spark, sf_dir):
     """Within-batch near-dup admission screen (dedup.within_batch_screen
     — the third stage of streaming.ingest.run_near_dup_ingest, factored
@@ -6157,6 +6186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "topk_orders": q_topk_orders,
         "trade_volume": q_trade_volume,
+        "train_batches": q_train_batches,
         "triangle_count": q_triangle_count,
         "union_by_name": q_union_by_name,
         "unpivot_long": q_unpivot_long,
@@ -8790,6 +8820,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang_pred, quality, text_clean FROM dedup
             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '42'),
                        1, 8) AS BIGINT) < 2147483648
+        """,
+        # serving path composed: corpus_clean fragments -> hash_split
+        # train threshold -> pack cumsum+unnest replay over the CLEANED
+        # token counts
+        "train_batches": f"""
+            WITH scored AS (
+                SELECT doc_id, text, {quality} AS quality,
+                       {lang_case} AS lang_pred
+                FROM documents
+            ), kept AS (
+                SELECT doc_id, lang_pred, quality,
+                       {_pii_red_text} AS text_clean
+                FROM scored WHERE quality >= 0.85 AND lang_pred IN ('en')
+            ), dedup AS (
+                SELECT doc_id, text_clean FROM kept
+                QUALIFY row_number()
+                        OVER (PARTITION BY md5(text_clean)
+                              ORDER BY doc_id) = 1
+            ), train AS (
+                SELECT doc_id, text_clean FROM dedup
+                WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                           || ':' || '42'), 1, 8)) AS BIGINT)
+                      < 3865470566
+            ), d AS (
+                SELECT doc_id,
+                       CASE WHEN text_clean IS NULL
+                            OR len(trim(text_clean)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text_clean),
+                                                        '\\s+'))
+                       END AS nt,
+                       md5(CAST(doc_id AS VARCHAR) || ':0:pack') AS h
+                FROM train
+            ), c AS (
+                SELECT doc_id, CAST(nt AS BIGINT) AS nt,
+                       CAST(COALESCE(SUM(nt) OVER (ORDER BY h, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS b
+                FROM d WHERE nt > 0
+            ), seg AS (
+                SELECT doc_id, b, b + nt AS e,
+                       unnest(range(b // 128, (b + nt - 1) // 128 + 1))
+                         AS pack_id
+                FROM c)
+            SELECT doc_id, pack_id,
+                   greatest(b, pack_id * 128) - b AS doc_offset,
+                   greatest(b, pack_id * 128) - pack_id * 128
+                     AS pack_offset,
+                   least(e, (pack_id + 1) * 128)
+                     - greatest(b, pack_id * 128) AS seg_tokens
+            FROM seg
         """,
         # crawl front door -> curation: the PARSE+STRIP half is pinned
         # verbatim (constant fixture; doc_id = Spark xxhash64(uri,text)
