@@ -288,3 +288,46 @@ def test_bloom_screen_never_false_negative(spark, corpus_texts,
         hit, dup = got[100 + i]
         assert dup == (t in members), (t, num_bits)
         assert hit or not dup
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    records=st.lists(
+        st.tuples(
+            st.sampled_from(["response", "conversion", "metadata"]),
+            st.binary(min_size=0, max_size=400),
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_warc_scanner_roundtrip_arbitrary_bodies(records):
+    """Round-trip property of the length-aware scanner (no Spark):
+    ANY byte sequence — including ones embedding the record separator
+    "WARC/1.0\\r\\n", stray "WARC/" markers, CRLF runs, NULs — written
+    as a record body with a correct Content-Length is recovered
+    EXACTLY, with record count and order preserved.  This is the
+    guarantee the lineSep-split expression readers document away."""
+    from gdp_etl_spark.sources import _parse_warc_member
+
+    # every other record gets the full separator + a fake header block
+    # INJECTED mid-body — random bytes alone would almost never hit it
+    sep = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\n"
+    bodies = [
+        body[: len(body) // 2] + sep + body[len(body) // 2:]
+        if i % 2 else body
+        for i, (_, body) in enumerate(records)
+    ]
+    blob = b""
+    for (rtype, _), body in zip(records, bodies):
+        blob += (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: " + rtype.encode() + b"\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+            b"\r\n" + body + b"\r\n\r\n"
+        )
+    got = list(_parse_warc_member(blob))
+    assert len(got) == len(records)
+    for (rtype, _), body, (headers, block) in zip(records, bodies, got):
+        assert headers.get("warc-type") == rtype
+        assert block == body
