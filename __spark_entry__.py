@@ -17,6 +17,7 @@ Cross-engine determinism rules used throughout (see
 
 from __future__ import annotations
 
+import hashlib
 import os
 from collections.abc import Callable
 
@@ -2905,6 +2906,77 @@ def q_crawl_corpus(spark, sf_dir):
         )
     )
     return clean_corpus(docs, min_quality=0.5, langs=("de", "en"))
+
+
+#: q_warc_parsed_fidelity fixture — the adversarial crawl input the
+#: expression reader documents away: a payload quoting a full WARC
+#: record (separator + header block + HTTP block) verbatim mid-body, a
+#: payload ending with a bare LF (only CRLF PAIRS may be trimmed), and
+#: a conversion record to type-filter.  All records carry correct
+#: Content-Lengths, so the length-aware scanner must recover every
+#: payload byte-exactly.
+_WPF_EVIL = (
+    b"Quoting a crawl record verbatim:\r\nWARC/1.0\r\n"
+    b"WARC-Type: response\r\nWARC-Target-URI: https://fake.example/x\r\n"
+    b"\r\nHTTP/1.1 200 OK\r\n\r\nnested body\r\nend of quote."
+)
+_WPF_TAIL = b"This body ends with a bare newline\n"
+
+
+def _wpf_resp(uri: bytes, date: bytes, body: bytes) -> bytes:
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body
+    return (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: " + uri + b"\r\n"
+        b"WARC-Date: " + date + b"\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+
+
+_WPF_FIXTURE = (
+    _wpf_resp(b"https://ex.com/quote", b"2024-03-01T12:00:00Z", _WPF_EVIL)
+    + _wpf_resp(
+        b"https://ex.com/tail", b"2024-03-01T13:00:00.250Z", _WPF_TAIL
+    )
+    + b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+    b"WARC-Target-URI: https://ex.com/conv\r\n"
+    b"Content-Length: 4\r\n\r\nbody\r\n\r\n"
+)
+
+
+def q_warc_parsed_fidelity(spark, sf_dir):
+    """Driver evidence for the LENGTH-AWARE crawl reader
+    (sources.read_warc_parsed) on exactly the input the expression
+    reader cannot handle: a payload embedding the full record
+    separator survives byte-exactly (md5-pinned), a trailing bare LF
+    is preserved (only CRLF pairs are record-tail trimmed), fractional
+    WARC-Dates parse, and non-response records filter.  The oracle
+    mirrors the expected rows verbatim with payload md5s cross-computed
+    by hashlib — the lineSep expression reader would truncate the
+    quoted record and fail this hash by construction."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from gdp_etl_spark.sources import read_warc_parsed
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    tag = _hashlib.md5(_WPF_FIXTURE).hexdigest()[:12]
+    path = _os.path.join(wh, f"q_wpf_fixture_{tag}.warc")
+    if not _os.path.exists(path):
+        _os.makedirs(wh, exist_ok=True)
+        with open(path, "wb") as fh:
+            fh.write(_WPF_FIXTURE)
+    return read_warc_parsed(spark, path).select(
+        "target_uri",
+        "http_status",
+        "content_type",
+        F.length("payload").cast("bigint").alias("payload_len"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.date_format("warc_date", "yyyy-MM-dd HH:mm:ss.SSS").alias(
+            "fetched_iso"
+        ),
+    )
 
 
 def q_dsir_weights(spark, sf_dir):
@@ -5967,6 +6039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sketch_stats": q_sketch_stats,
         "warc_ingest": q_warc_ingest,
+        "warc_parsed_fidelity": q_warc_parsed_fidelity,
         "wet_ingest": q_wet_ingest,
         "crawl_corpus": q_crawl_corpus,
         "dsir_select": q_dsir_select,
@@ -9291,6 +9364,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(575500 AS BIGINT), CAST(64 AS BIGINT))
             ) t(doc_id, url, source, lang, n_chars, fetched_iso,
                 quality_micro, clean_len)
+        """,
+        # verbatim mirror; payload md5s computed from the same constant
+        # bytes by hashlib — only the length-aware reader produces them
+        "warc_parsed_fidelity": f"""
+            SELECT * FROM (VALUES
+              ('https://ex.com/quote', CAST(200 AS INT), 'text/plain',
+               CAST({len(_WPF_EVIL.decode())} AS BIGINT),
+               '{hashlib.md5(_WPF_EVIL).hexdigest()}',
+               '2024-03-01 12:00:00.000'),
+              ('https://ex.com/tail', CAST(200 AS INT), 'text/plain',
+               CAST({len(_WPF_TAIL.decode())} AS BIGINT),
+               '{hashlib.md5(_WPF_TAIL).hexdigest()}',
+               '2024-03-01 13:00:00.250')
+            ) t(target_uri, http_status, content_type, payload_len,
+                payload_md5, fetched_iso)
         """,
         # DSIR replayed end to end: hashed-bigram counting, add-one
         # smoothing, the floor(ln·1e9) quantization of all four log
