@@ -6039,12 +6039,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sketch_stats": q_sketch_stats,
         "warc_ingest": q_warc_ingest,
-        "warc_parsed_fidelity": q_warc_parsed_fidelity,
         "wet_ingest": q_wet_ingest,
         "crawl_corpus": q_crawl_corpus,
         "dsir_select": q_dsir_select,
         "sketch_rollup": q_sketch_rollup,
         "bloom_screen": q_bloom_screen,
+        "train_batches": q_train_batches,
+        "warc_parsed_fidelity": q_warc_parsed_fidelity,
         "equidepth": q_equidepth,
         "filter_band": q_filter_band,
         "filter_compound": q_filter_compound,
@@ -6086,8 +6087,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "boilerplate_lines": q_boilerplate_lines,
         "conditional_overwrite": q_conditional_overwrite,
-        "contamination_frac": q_contamination_frac,
-        "corpus_diff": q_corpus_diff,
         # -- end of driver window (50) -------------------------------------
         # below the window: alphabetical; all keep local oracle coverage
         # via tools/check_correctness.py
@@ -6115,9 +6114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy": q_column_entropy,
         "compute_project": q_compute_project,
         "conditional_agg": q_conditional_agg,
+        "contamination_frac": q_contamination_frac,
         "content_hash": q_content_hash,
         "corpus_clean": q_corpus_clean,
         "corpus_curate": q_corpus_curate,
+        "corpus_diff": q_corpus_diff,
         "corpus_mix": q_corpus_mix,
         "corr_matrix": q_corr_matrix,
         "csv_roundtrip": q_csv_roundtrip,
@@ -6259,7 +6260,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "topk_orders": q_topk_orders,
         "trade_volume": q_trade_volume,
-        "train_batches": q_train_batches,
         "triangle_count": q_triangle_count,
         "union_by_name": q_union_by_name,
         "unpivot_long": q_unpivot_long,
