@@ -2681,12 +2681,11 @@ def q_warc_ingest(spark, sf_dir):
     from gdp_etl_spark.functions.text import extract_links, url_host
     from gdp_etl_spark.sources import read_warc_responses
 
-    import hashlib as _hashlib
 
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     # content-addressed filename: editing _WARC_FIXTURE invalidates the
     # cached file instead of silently reading stale bytes
-    tag = _hashlib.md5(_WARC_FIXTURE.encode()).hexdigest()[:12]
+    tag = hashlib.md5(_WARC_FIXTURE.encode()).hexdigest()[:12]
     path = _os.path.join(wh, f"q_warc_fixture_{tag}.warc")
     if not _os.path.exists(path):
         _os.makedirs(wh, exist_ok=True)
@@ -2763,13 +2762,12 @@ def q_wet_ingest(spark, sf_dir):
     hashing, host/lang derivation or the quality pipeline breaks the
     hash.  doc_id / quality constants are Spark-deterministic
     (xxhash64 seed 42; quality quantized to integer micros)."""
-    import hashlib as _hashlib
     import os as _os
 
     from gdp_etl_spark.plans.corpus import clean_corpus, wet_to_documents
 
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    tag = _hashlib.md5(_WET_FIXTURE.encode()).hexdigest()[:12]
+    tag = hashlib.md5(_WET_FIXTURE.encode()).hexdigest()[:12]
     path = _os.path.join(wh, f"q_wet_fixture_{tag}.wet")
     if not _os.path.exists(path):
         _os.makedirs(wh, exist_ok=True)
@@ -2874,7 +2872,6 @@ def q_crawl_corpus(spark, sf_dir):
     English page (redacted) and the German page; the symbol-spam page
     dies at the quality gate, the 404/text-plain records at the parse
     gates."""
-    import hashlib as _hashlib
     import os as _os
 
     from gdp_etl_spark.functions.text import strip_markup
@@ -2882,7 +2879,7 @@ def q_crawl_corpus(spark, sf_dir):
     from gdp_etl_spark.sources import read_warc_responses
 
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    tag = _hashlib.md5(_CRAWL_FIXTURE.encode()).hexdigest()[:12]
+    tag = hashlib.md5(_CRAWL_FIXTURE.encode()).hexdigest()[:12]
     path = _os.path.join(wh, f"q_crawl_fixture_{tag}.warc")
     if not _os.path.exists(path):
         _os.makedirs(wh, exist_ok=True)
@@ -2955,13 +2952,12 @@ def q_warc_parsed_fidelity(spark, sf_dir):
     mirrors the expected rows verbatim with payload md5s cross-computed
     by hashlib — the lineSep expression reader would truncate the
     quoted record and fail this hash by construction."""
-    import hashlib as _hashlib
     import os as _os
 
     from gdp_etl_spark.sources import read_warc_parsed
 
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    tag = _hashlib.md5(_WPF_FIXTURE).hexdigest()[:12]
+    tag = hashlib.md5(_WPF_FIXTURE).hexdigest()[:12]
     path = _os.path.join(wh, f"q_wpf_fixture_{tag}.warc")
     if not _os.path.exists(path):
         _os.makedirs(wh, exist_ok=True)

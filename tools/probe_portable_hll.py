@@ -50,13 +50,15 @@ def main() -> None:
         .localCheckpoint()
     )
 
-    def timed(fn, reps=3):
+    def timed(fn, reps=4):
+        # reps=4 -> a true median of THREE warm samples (first sample
+        # dropped: one-time codegen), per the repo's measurement rule
         ts = []
         for _ in range(reps):
             t0 = time.time()
             fn().write.format("noop").mode("overwrite").save()
             ts.append(time.time() - t0)
-        return statistics.median(ts[1:]) if len(ts) > 2 else min(ts)
+        return statistics.median(ts[1:]) if len(ts) > 1 else ts[0]
 
     t_native = timed(lambda: group_cardinality_sketch(df, ["grp"], "val"))
     t_port = timed(lambda: portable_hll_ndv(df, ["grp"], "val", p=8))
