@@ -1038,3 +1038,92 @@ class TestStreamingDecontamScreen:
         )
         assert {r.doc_id for r in kept2.collect()} == {30, 31}
         t._drop(spark, exact, near)
+
+
+def test_crawl_lands_into_streaming_admission(spark, tmp_path):
+    """Ops-cycle integration for the CRAWL front door: two WET dumps
+    land via wet_to_documents (content-addressed ids) into the ingest
+    source dir; run_near_dup_ingest streams them through both
+    admission screens.  A re-crawl of the same page text at a NEW URI
+    gets a new doc_id but the SAME text — the exact screen must reject
+    it; an edited near-copy falls to the MinHash screen; fresh pages
+    are admitted.  Proves read_wet → wet_to_documents →
+    run_near_dup_ingest compose without adapters."""
+    import shutil
+
+    from gdp_etl_spark.plans.corpus import wet_to_documents
+    from gdp_etl_spark.streaming.ingest import run_near_dup_ingest
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen")
+    params = dict(num_perm=16, bands=8, shingle_k=3)
+
+    def wet_rec(uri, body):
+        return (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "WARC-Date: 2024-03-01T12:00:00Z\r\n"
+            f"Content-Length: {len(body.encode())}\r\n"
+            "\r\n"
+            f"{body}\r\n\r\n"
+        )
+
+    dumps = [
+        wet_rec("https://a.example/page", base)
+        + wet_rec("https://b.example/page", other),
+        wet_rec("https://mirror.example/recrawl", base)      # exact text
+        + wet_rec("https://b.example/page2", other + " yankee")  # near-dup
+        + wet_rec("https://c.example/fresh",
+                  "a genuinely novel crawl document mentioning "
+                  "watermarks checkpoints and exactly once sinks"),
+    ]
+    crawl, src, out = tmp_path / "crawl", tmp_path / "src", tmp_path / "out"
+    crawl.mkdir()
+    src.mkdir()
+    for i, dump in enumerate(dumps):
+        (crawl / f"dump{i}.wet").write_bytes(dump.encode())
+        # the landing stage: one batch job per crawl dump
+        wet_to_documents(spark, str(crawl / f"dump{i}.wet")).select(
+            "doc_id", "text", "url"
+        ).write.parquet(str(src / f"f{i}"))
+
+    exact, near = "t_crawl_exact", "t_crawl_near"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    from gdp_etl_spark.operators.dedup import (
+        write_dedup_index,
+        write_minhash_index,
+    )
+
+    for t in (exact, near, f"{near}_sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    seed = spark.createDataFrame(
+        [(1, "unrelated corpus seed text about parquet buckets and "
+             "sorted merge joins today")],
+        "doc_id long, text string",
+    )
+    write_dedup_index(seed, "text", exact, n_buckets=4)
+    write_minhash_index(seed, "text", "doc_id", near, n_buckets=4, **params)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_near_dup_ingest(
+        stream, "text", "doc_id", exact, near, str(out),
+        jaccard_threshold=0.5, **params,
+    )
+    admitted = {
+        r["url"] for r in spark.read.parquet(f"{out}/batch=*").collect()
+    }
+    assert admitted == {
+        "https://a.example/page",
+        "https://b.example/page",
+        "https://c.example/fresh",
+    }
+    for t in (exact, near, f"{near}_sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
