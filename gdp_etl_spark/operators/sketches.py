@@ -425,3 +425,123 @@ def source_minhash_overlap(
             ),
         )
     )
+
+
+#: TBLPROPERTIES keys stamping an NDV sketch table's parameters —
+#: a probe or append under different params is a silently different
+#: sketch space, so the stamp makes any mismatch loud (the
+#: minhash-index precedent, dedup._stamp_minhash_params)
+_NDV_P = "ndv.p"
+_NDV_VALUE = "ndv.value_col"
+_NDV_GROUPS = "ndv.group_cols"
+
+
+def write_ndv_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    table: str,
+    p: int = 8,
+) -> None:
+    """Materialize the portable-HLL register state as a metastore
+    TABLE — the production shape for NDV over a growing corpus: the
+    base data is scanned ONCE per ingest increment
+    (:func:`append_to_ndv_sketch`), and any rollup question at any
+    later time reads ≤ |groups|·2^p register rows instead of 100 TB
+    (:func:`ndv_from_sketch`).  Parameters are stamped as table
+    properties; appends and reads derive them from the stamp, so the
+    sketch space cannot silently fork."""
+    group_cols = list(group_cols)
+    bad = [c for c in group_cols if "," in c]
+    if bad:
+        raise ValueError(f"group column names may not contain ',': {bad}")
+    _check_p(p)
+    spark = df.sparkSession
+    regs = portable_hll_registers(df, group_cols, value_col, p)
+    regs.write.mode("errorifexists").saveAsTable(table)
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'{_NDV_P}' = '{int(p)}', "
+        f"'{_NDV_VALUE}' = '{value_col}', "
+        f"'{_NDV_GROUPS}' = '{','.join(group_cols)}')"
+    )
+
+
+def _ndv_stamp(spark, table: str) -> tuple[int, str, list[str]]:
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    missing = [k for k in (_NDV_P, _NDV_VALUE, _NDV_GROUPS)
+               if k not in props]
+    if missing:
+        raise ValueError(
+            f"{table} is not an NDV sketch table (missing properties "
+            f"{missing}); create it with write_ndv_sketch"
+        )
+    return (
+        int(props[_NDV_P]),
+        props[_NDV_VALUE],
+        props[_NDV_GROUPS].split(","),
+    )
+
+
+def append_to_ndv_sketch(df: DataFrame, table: str) -> None:
+    """Fold a NEW data increment into a stamped NDV sketch table: the
+    increment's registers simply APPEND — max is associative, so
+    merge-on-read (:func:`ndv_from_sketch`) gives estimates
+    bit-identical to sketching the full union directly (pinned in
+    pytest).  No read-modify-write, no rescan of prior data; run
+    :func:`compact_ndv_sketch` occasionally to fold accumulated
+    appends back to ≤ |groups|·2^p rows."""
+    spark = df.sparkSession
+    p, value_col, group_cols = _ndv_stamp(spark, table)
+    regs = portable_hll_registers(df, group_cols, value_col, p)
+    regs.write.mode("append").saveAsTable(table)
+
+
+def ndv_from_sketch(
+    spark,
+    table: str,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """NDV estimates from a stored sketch table at the stamped
+    granularity or ANY SUBSET of it (rollups come free from register
+    mergeability) — never touches the base data.  Output matches
+    :func:`portable_hll_ndv`."""
+    p, _, stamped = _ndv_stamp(spark, table)
+    keys = stamped if group_cols is None else list(group_cols)
+    extra = [c for c in keys if c not in stamped]
+    if extra:
+        raise ValueError(
+            f"group_cols {extra} not in the stamped granularity "
+            f"{stamped}; a FINER rollup needs a re-sketch"
+        )
+    # appends from other sessions/clones: refresh before reading (the
+    # repo's catalog-cache rule for appended tables)
+    spark.catalog.refreshTable(table)
+    return portable_hll_merge(spark.table(table), keys, p)
+
+
+def compact_ndv_sketch(spark, table: str) -> None:
+    """Fold accumulated appends back to one row per (group, register):
+    max-merge rho, sum the value counts.  Registers are
+    parameter-bounded (≤ |groups|·2^p rows), so the merged state is
+    localCheckpointed (a table cannot be overwritten by a frame still
+    reading it) and rewritten in place with the stamp re-applied
+    (overwrite recreates the table and drops properties)."""
+    p, value_col, group_cols = _ndv_stamp(spark, table)
+    spark.catalog.refreshTable(table)
+    merged = (
+        spark.table(table)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"), F.sum("n_vals").alias("n_vals"))
+        .localCheckpoint()
+    )
+    merged.write.mode("overwrite").saveAsTable(table)
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'{_NDV_P}' = '{int(p)}', "
+        f"'{_NDV_VALUE}' = '{value_col}', "
+        f"'{_NDV_GROUPS}' = '{','.join(group_cols)}')"
+    )

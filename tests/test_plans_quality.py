@@ -928,3 +928,85 @@ def test_portable_hll_merge_equals_direct(spark):
             portable_hll_ndv(o, keys, "o_custkey", p=8), keys
         )
         assert merged == direct, keys
+
+
+def test_ndv_sketch_table_incremental_lifecycle(spark):
+    """The persisted NDV sketch table: write day-1, APPEND day-2 (no
+    rescan of day-1), and merge-on-read estimates are bit-identical to
+    sketching the full union directly — at the stamped granularity AND
+    any coarser rollup.  Compaction folds appended rows back to one
+    per (group, register) without changing a single estimate.  Guards:
+    unstamped tables are rejected, finer-than-stamped rollups are
+    rejected, double-create errors."""
+    import shutil
+
+    import pytest as _pytest
+
+    from gdp_etl_spark.operators.sketches import (
+        append_to_ndv_sketch,
+        compact_ndv_sketch,
+        ndv_from_sketch,
+        portable_hll_ndv,
+        write_ndv_sketch,
+    )
+
+    table = "t_ndv_sketch"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    day1 = o.filter(F.col("o_orderkey") % 2 == 0)
+    day2 = o.filter(F.col("o_orderkey") % 2 == 1)
+
+    write_ndv_sketch(
+        day1, ["o_orderpriority", "o_orderstatus"], "o_custkey", table
+    )
+    with _pytest.raises(Exception):       # double-create must error
+        write_ndv_sketch(
+            day1, ["o_orderpriority", "o_orderstatus"], "o_custkey", table
+        )
+    append_to_ndv_sketch(day2, table)
+
+    def as_map(df, keys):
+        return {
+            tuple(r[k] for k in keys): (
+                r["ndv_portable"], r["reg_hi"], r["reg_lo"],
+                r["v_zero"], r["n_vals"],
+            )
+            for r in df.collect()
+        }
+
+    for keys in (["o_orderpriority", "o_orderstatus"],
+                 ["o_orderpriority"], []):
+        from_table = as_map(
+            ndv_from_sketch(spark, table,
+                            None if len(keys) == 2 else keys),
+            keys,
+        )
+        direct = as_map(portable_hll_ndv(o, keys, "o_custkey", p=8), keys)
+        assert from_table == direct, keys
+
+    n_before = spark.table(table).count()
+    compact_ndv_sketch(spark, table)
+    n_after = spark.table(table).count()
+    assert n_after < n_before            # appended rows folded
+    assert as_map(ndv_from_sketch(spark, table),
+                  ["o_orderpriority", "o_orderstatus"]) == as_map(
+        portable_hll_ndv(
+            o, ["o_orderpriority", "o_orderstatus"], "o_custkey", p=8
+        ),
+        ["o_orderpriority", "o_orderstatus"],
+    )
+
+    with _pytest.raises(ValueError, match="FINER"):
+        ndv_from_sketch(spark, table, ["o_orderpriority", "o_clerk"])
+
+    plain = "t_ndv_plain"
+    spark.sql(f"DROP TABLE IF EXISTS {plain}")
+    shutil.rmtree(f"{wh}/{plain}", ignore_errors=True)
+    day1.select("o_orderkey").limit(5).write.saveAsTable(plain)
+    with _pytest.raises(ValueError, match="not an NDV sketch table"):
+        append_to_ndv_sketch(day2, plain)
+    spark.sql(f"DROP TABLE IF EXISTS {plain}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
