@@ -2162,6 +2162,40 @@ def q_sketch_rollup(spark, sf_dir):
     return lv2.unionByName(lv1).unionByName(lv0)
 
 
+def q_ndv_incremental(spark, sf_dir):
+    """The persisted-sketch-table lifecycle under the driver's eye
+    (sketches.write_ndv_sketch / append_to_ndv_sketch /
+    ndv_from_sketch): day-1 orders (even keys) are sketched into a
+    stamped metastore table, day-2 (odd keys) APPENDS its registers —
+    one scan of the increment, no rescan of day 1 — and the estimates
+    read back from the stored state.  Because register max-merge is
+    associative, the result is bit-identical to sketching ALL orders
+    directly, so the oracle is simply the portable-HLL replay over the
+    full table at (priority, status) granularity: a broken write,
+    append, stamp or merge breaks the hash."""
+    import shutil as _shutil
+
+    from gdp_etl_spark.operators.sketches import (
+        append_to_ndv_sketch,
+        ndv_from_sketch,
+        write_ndv_sketch,
+    )
+
+    table = "q_ndv_sketch_tbl"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    o = _t(spark, sf_dir, "orders")
+    write_ndv_sketch(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        ["o_orderpriority", "o_orderstatus"],
+        "o_custkey",
+        table,
+    )
+    append_to_ndv_sketch(o.filter(F.col("o_orderkey") % 2 == 1), table)
+    return ndv_from_sketch(spark, table)
+
+
 def q_sketch_bounds(spark, sf_dir):
     """Driver-checkable companion to ``sketch_stats``: approximate
     sketch values are engine-specific, but their ERROR GUARANTEES are
@@ -6042,6 +6076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_screen": q_bloom_screen,
         "train_batches": q_train_batches,
         "warc_parsed_fidelity": q_warc_parsed_fidelity,
+        "ndv_incremental": q_ndv_incremental,
         "equidepth": q_equidepth,
         "filter_band": q_filter_band,
         "filter_compound": q_filter_compound,
@@ -6082,7 +6117,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bankers_round": q_bankers_round,
         "blocklist_filter": q_blocklist_filter,
         "boilerplate_lines": q_boilerplate_lines,
-        "conditional_overwrite": q_conditional_overwrite,
         # -- end of driver window (50) -------------------------------------
         # below the window: alphabetical; all keep local oracle coverage
         # via tools/check_correctness.py
@@ -6110,6 +6144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy": q_column_entropy,
         "compute_project": q_compute_project,
         "conditional_agg": q_conditional_agg,
+        "conditional_overwrite": q_conditional_overwrite,
         "contamination_frac": q_contamination_frac,
         "content_hash": q_content_hash,
         "corpus_clean": q_corpus_clean,
@@ -10011,6 +10046,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT o_orderpriority,
                    TRUE AS ndv_ok, TRUE AS p50_ok, TRUE AS p95_ok
             FROM orders
+        """,
+        # the stored-table lifecycle (write day-1 + append day-2 +
+        # merge-on-read) is bit-identical to sketching ALL orders
+        # directly — register max-merge is associative — so the oracle
+        # is the plain portable-HLL replay at (priority, status)
+        "ndv_incremental": f"""
+            WITH h AS (
+              SELECT o_orderpriority, o_orderstatus,
+                     CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                          1, 15)) AS BIGINT) AS hv
+              FROM orders WHERE o_custkey IS NOT NULL),
+            b AS (SELECT o_orderpriority, o_orderstatus,
+                         hv % 256 AS reg, hv // 256 AS w FROM h),
+            r AS (SELECT o_orderpriority, o_orderstatus, reg,
+                         max(53 - length(ltrim(bin(w), '0'))) AS rho,
+                         count(*) AS c
+                  FROM b GROUP BY 1, 2, 3),
+            g AS (SELECT o_orderpriority, o_orderstatus,
+                         count(*) AS nb,
+                         CAST(sum(CASE WHEN rho <= 8
+                              THEN (CAST(1 AS BIGINT) << (8 - rho))
+                              ELSE 0 END) AS BIGINT) AS hi0,
+                         CAST(sum(CASE WHEN rho > 8
+                              THEN (CAST(1 AS BIGINT) << (61 - rho))
+                              ELSE 0 END) AS BIGINT) AS reg_lo,
+                         CAST(sum(c) AS BIGINT) AS n_vals
+                  FROM r GROUP BY 1, 2),
+            e AS (SELECT o_orderpriority, o_orderstatus, reg_lo, n_vals,
+                         CAST(hi0 + (256 - nb) * 256 AS BIGINT) AS reg_hi,
+                         CAST(256 - nb AS BIGINT) AS v_zero,
+                         CAST({_HLL_NUM!r} AS DOUBLE) /
+                           (CAST(hi0 + (256 - nb) * 256 AS DOUBLE)
+                              * CAST(9007199254740992 AS DOUBLE)
+                            + CAST(reg_lo AS DOUBLE)) AS raw
+                  FROM g)
+            SELECT o_orderpriority, o_orderstatus,
+                   CASE WHEN v_zero > 0 AND raw <= 640.0
+                        THEN CAST([{_HLL_LC_SQL}][CAST(v_zero AS INT)]
+                                  AS BIGINT)
+                        ELSE CAST(floor(raw) AS BIGINT) END
+                     AS ndv_portable,
+                   reg_hi, reg_lo, v_zero, n_vals
+            FROM e
         """,
         # register state built once at (priority, status), each rollup
         # level re-merged by max(rho) and estimated with the identical
