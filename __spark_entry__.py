@@ -2621,27 +2621,26 @@ def _hll_lc_sql() -> str:
 _HLL_LC_SQL = _hll_lc_sql()
 
 
-def _hll_rollup_levels_sql() -> str:
-    """Per-level merge + estimate blocks for the sketch_rollup oracle,
-    generated from one template so the three levels cannot drift.
-    Expects a CTE ``r(pri, st, reg, rho, c)`` of fine-grained
-    registers; emits the UNION ALL of the level estimates."""
-    levels = [
-        ("priority_status", ["pri", "st"]),
-        ("priority", ["pri"]),
-        ("total", []),
-    ]
-    blocks = []
-    for label, keys in levels:
-        kcsv = ", ".join(keys)
-        ksel = (kcsv + ", ") if keys else ""
-        merge_grp = f"GROUP BY {ksel}reg".rstrip(", ")
-        est_grp = f"GROUP BY {kcsv}" if keys else ""
-        pri = "pri" if "pri" in keys else "CAST(NULL AS VARCHAR)"
-        st = "st" if "st" in keys else "CAST(NULL AS VARCHAR)"
-        blocks.append(f"""
-            SELECT '{label}' AS level,
-                   {pri} AS o_orderpriority, {st} AS o_orderstatus,
+def _hll_est_sql(
+    keys: list[str], head: str = "", select_keys: bool = True
+) -> str:
+    """THE portable-HLL estimate block, shared by every sketch oracle
+    (sketch_stats, sketch_rollup's three levels, ndv_incremental) so
+    the estimator SQL exists exactly once and cannot drift from
+    sketches.portable_hll_merge.  Emits a SELECT over a CTE
+    ``r({keys...}, reg, rho, c)`` of registers: re-merge per (keys,
+    reg) — an identity when r is already at that granularity — then
+    the two-limb fixed-point sum, the single IEEE division and the
+    linear-counting switch.  ``head`` prepends extra select items
+    (level labels, NULL pads); ``select_keys=False`` when the head
+    already aliases the key columns itself."""
+    kcsv = ", ".join(keys)
+    ksel = (kcsv + ", ") if keys else ""
+    out_keys = ksel if select_keys else ""
+    merge_grp = f"GROUP BY {ksel}reg"
+    est_grp = f"GROUP BY {kcsv}" if keys else ""
+    return f"""
+            SELECT {head}{out_keys}
                    CASE WHEN (256 - nb) > 0 AND
                              CAST({_HLL_NUM!r} AS DOUBLE) /
                                (CAST(hi0 + (256 - nb) * 256 AS DOUBLE)
@@ -2667,7 +2666,29 @@ def _hll_rollup_levels_sql() -> str:
                      CAST(sum(c) AS BIGINT) AS n_vals
               FROM (SELECT {ksel}reg, max(rho) AS rho, sum(c) AS c
                     FROM r {merge_grp})
-              {est_grp})""")
+              {est_grp})"""
+
+
+def _hll_rollup_levels_sql() -> str:
+    """Per-level estimate blocks for the sketch_rollup oracle — each
+    level is :func:`_hll_est_sql` with a label + NULL-pad head.
+    Expects a CTE ``r(pri, st, reg, rho, c)`` of fine registers."""
+    levels = [
+        ("priority_status", ["pri", "st"]),
+        ("priority", ["pri"]),
+        ("total", []),
+    ]
+    blocks = []
+    for label, keys in levels:
+        pri = "pri" if "pri" in keys else "CAST(NULL AS VARCHAR)"
+        st = "st" if "st" in keys else "CAST(NULL AS VARCHAR)"
+        head = (
+            f"'{label}' AS level, {pri} AS o_orderpriority, "
+            f"{st} AS o_orderstatus, "
+        )
+        # the head aliases the keys itself (with NULL pads), so the
+        # generator must not re-project the bare key columns
+        blocks.append(_hll_est_sql(keys, head, select_keys=False))
     return " UNION ALL ".join(blocks)
 
 _WARC_FIXTURE = (
@@ -10062,33 +10083,8 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT o_orderpriority, o_orderstatus, reg,
                          max(53 - length(ltrim(bin(w), '0'))) AS rho,
                          count(*) AS c
-                  FROM b GROUP BY 1, 2, 3),
-            g AS (SELECT o_orderpriority, o_orderstatus,
-                         count(*) AS nb,
-                         CAST(sum(CASE WHEN rho <= 8
-                              THEN (CAST(1 AS BIGINT) << (8 - rho))
-                              ELSE 0 END) AS BIGINT) AS hi0,
-                         CAST(sum(CASE WHEN rho > 8
-                              THEN (CAST(1 AS BIGINT) << (61 - rho))
-                              ELSE 0 END) AS BIGINT) AS reg_lo,
-                         CAST(sum(c) AS BIGINT) AS n_vals
-                  FROM r GROUP BY 1, 2),
-            e AS (SELECT o_orderpriority, o_orderstatus, reg_lo, n_vals,
-                         CAST(hi0 + (256 - nb) * 256 AS BIGINT) AS reg_hi,
-                         CAST(256 - nb AS BIGINT) AS v_zero,
-                         CAST({_HLL_NUM!r} AS DOUBLE) /
-                           (CAST(hi0 + (256 - nb) * 256 AS DOUBLE)
-                              * CAST(9007199254740992 AS DOUBLE)
-                            + CAST(reg_lo AS DOUBLE)) AS raw
-                  FROM g)
-            SELECT o_orderpriority, o_orderstatus,
-                   CASE WHEN v_zero > 0 AND raw <= 640.0
-                        THEN CAST([{_HLL_LC_SQL}][CAST(v_zero AS INT)]
-                                  AS BIGINT)
-                        ELSE CAST(floor(raw) AS BIGINT) END
-                     AS ndv_portable,
-                   reg_hi, reg_lo, v_zero, n_vals
-            FROM e
+                  FROM b GROUP BY 1, 2, 3)
+            {_hll_est_sql(["o_orderpriority", "o_orderstatus"])}
         """,
         # register state built once at (priority, status), each rollup
         # level re-merged by max(rho) and estimated with the identical
@@ -10125,32 +10121,8 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT o_orderpriority, reg,
                          max(53 - length(ltrim(bin(w), '0'))) AS rho,
                          count(*) AS c
-                  FROM b GROUP BY 1, 2),
-            g AS (SELECT o_orderpriority, count(*) AS nb,
-                         CAST(sum(CASE WHEN rho <= 8
-                              THEN (CAST(1 AS BIGINT) << (8 - rho))
-                              ELSE 0 END) AS BIGINT) AS hi0,
-                         CAST(sum(CASE WHEN rho > 8
-                              THEN (CAST(1 AS BIGINT) << (61 - rho))
-                              ELSE 0 END) AS BIGINT) AS reg_lo,
-                         CAST(sum(c) AS BIGINT) AS n_vals
-                  FROM r GROUP BY 1),
-            e AS (SELECT o_orderpriority, reg_lo, n_vals,
-                         CAST(hi0 + (256 - nb) * 256 AS BIGINT) AS reg_hi,
-                         CAST(256 - nb AS BIGINT) AS v_zero,
-                         CAST({_HLL_NUM!r} AS DOUBLE) /
-                           (CAST(hi0 + (256 - nb) * 256 AS DOUBLE)
-                              * CAST(9007199254740992 AS DOUBLE)
-                            + CAST(reg_lo AS DOUBLE)) AS raw
-                  FROM g)
-            SELECT o_orderpriority,
-                   CASE WHEN v_zero > 0 AND raw <= 640.0
-                        THEN CAST([{_HLL_LC_SQL}][CAST(v_zero AS INT)]
-                                  AS BIGINT)
-                        ELSE CAST(floor(raw) AS BIGINT) END
-                     AS ndv_portable,
-                   reg_hi, reg_lo, v_zero, n_vals
-            FROM e
+                  FROM b GROUP BY 1, 2)
+            {_hll_est_sql(["o_orderpriority"])}
         """,
         "table_checksum": """
             SELECT count(*) AS n_rows,

@@ -436,6 +436,23 @@ _NDV_VALUE = "ndv.value_col"
 _NDV_GROUPS = "ndv.group_cols"
 
 
+def _stamp_ndv_params(
+    spark, table: str, p: int, value_col: str, group_cols: list[str]
+) -> None:
+    """Stamp the sketch parameters as table properties.  Values are
+    quote-escaped (the _compact_bucketed_table rule: a hostile value
+    is a stored string, not a syntax error)."""
+    def q(v: str) -> str:
+        return v.replace("'", "''")
+
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'{_NDV_P}' = '{int(p)}', "
+        f"'{_NDV_VALUE}' = '{q(value_col)}', "
+        f"'{_NDV_GROUPS}' = '{q(','.join(group_cols))}')"
+    )
+
+
 def write_ndv_sketch(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -448,23 +465,29 @@ def write_ndv_sketch(
     base data is scanned ONCE per ingest increment
     (:func:`append_to_ndv_sketch`), and any rollup question at any
     later time reads ≤ |groups|·2^p register rows instead of 100 TB
-    (:func:`ndv_from_sketch`).  Parameters are stamped as table
-    properties; appends and reads derive them from the stamp, so the
-    sketch space cannot silently fork."""
+    (:func:`ndv_from_sketch`).  ``group_cols`` may be empty (a global
+    NDV sketch).  Parameters are stamped as table properties; appends
+    and reads derive them from the stamp, so the sketch space cannot
+    silently fork.
+
+    Durability protocol (the compaction-swap rule): the registers are
+    written and stamped under a TMP name, then RENAMED into place — a
+    crash between write and stamp can never leave a live-but-stampless
+    (i.e. bricked) table, and a failed attempt never blocks a retry."""
     group_cols = list(group_cols)
     bad = [c for c in group_cols if "," in c]
     if bad:
         raise ValueError(f"group column names may not contain ',': {bad}")
     _check_p(p)
     spark = df.sparkSession
+    if spark.catalog.tableExists(table):
+        raise ValueError(f"table {table} already exists")
+    tmp = f"{table}__new"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     regs = portable_hll_registers(df, group_cols, value_col, p)
-    regs.write.mode("errorifexists").saveAsTable(table)
-    spark.sql(
-        f"ALTER TABLE {table} SET TBLPROPERTIES ("
-        f"'{_NDV_P}' = '{int(p)}', "
-        f"'{_NDV_VALUE}' = '{value_col}', "
-        f"'{_NDV_GROUPS}' = '{','.join(group_cols)}')"
-    )
+    regs.write.mode("overwrite").saveAsTable(tmp)
+    _stamp_ndv_params(spark, tmp, p, value_col, group_cols)
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
 
 
 def _ndv_stamp(spark, table: str) -> tuple[int, str, list[str]]:
@@ -479,10 +502,13 @@ def _ndv_stamp(spark, table: str) -> tuple[int, str, list[str]]:
             f"{table} is not an NDV sketch table (missing properties "
             f"{missing}); create it with write_ndv_sketch"
         )
+    groups = props[_NDV_GROUPS]
     return (
         int(props[_NDV_P]),
         props[_NDV_VALUE],
-        props[_NDV_GROUPS].split(","),
+        # ''.split(',') is [''], not [] — a global (no-group) sketch
+        # stamps the empty string and must parse back to no columns
+        groups.split(",") if groups else [],
     )
 
 
@@ -525,23 +551,33 @@ def ndv_from_sketch(
 
 def compact_ndv_sketch(spark, table: str) -> None:
     """Fold accumulated appends back to one row per (group, register):
-    max-merge rho, sum the value counts.  Registers are
-    parameter-bounded (≤ |groups|·2^p rows), so the merged state is
-    localCheckpointed (a table cannot be overwritten by a frame still
-    reading it) and rewritten in place with the stamp re-applied
-    (overwrite recreates the table and drops properties)."""
+    max-merge rho, sum the value counts.
+
+    Durability protocol (the _compact_bucketed_table swap, verbatim in
+    spirit): the merged state is written AND stamped under a tmp name,
+    then swapped in via metastore renames with the original kept as
+    ``__old`` until the swap completes — at no crash point is the only
+    copy of the registers gone or stampless (an in-place overwrite
+    would risk both, and the base data the registers summarize may no
+    longer exist)."""
     p, value_col, group_cols = _ndv_stamp(spark, table)
     spark.catalog.refreshTable(table)
+    tmp, old = f"{table}__new", f"{table}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     merged = (
         spark.table(table)
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("rho"), F.sum("n_vals").alias("n_vals"))
-        .localCheckpoint()
     )
-    merged.write.mode("overwrite").saveAsTable(table)
-    spark.sql(
-        f"ALTER TABLE {table} SET TBLPROPERTIES ("
-        f"'{_NDV_P}' = '{int(p)}', "
-        f"'{_NDV_VALUE}' = '{value_col}', "
-        f"'{_NDV_GROUPS}' = '{','.join(group_cols)}')"
-    )
+    merged.write.mode("overwrite").saveAsTable(tmp)
+    _stamp_ndv_params(spark, tmp, p, value_col, group_cols)
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+    try:
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    except Exception:
+        # restore the original under its name; the stamped tmp remains
+        # for inspection
+        spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+        raise
+    spark.sql(f"DROP TABLE IF EXISTS {old}")

@@ -962,7 +962,7 @@ def test_ndv_sketch_table_incremental_lifecycle(spark):
     write_ndv_sketch(
         day1, ["o_orderpriority", "o_orderstatus"], "o_custkey", table
     )
-    with _pytest.raises(Exception):       # double-create must error
+    with _pytest.raises(ValueError, match="already exists"):
         write_ndv_sketch(
             day1, ["o_orderpriority", "o_orderstatus"], "o_custkey", table
         )
@@ -1010,3 +1010,20 @@ def test_ndv_sketch_table_incremental_lifecycle(spark):
         append_to_ndv_sketch(day2, plain)
     spark.sql(f"DROP TABLE IF EXISTS {plain}")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    # GLOBAL sketch (no group columns): stamps the empty string and
+    # must round-trip — review finding: ''.split(',') is [''], which
+    # bricked the table for its whole lifecycle
+    g = "t_ndv_global"
+    spark.sql(f"DROP TABLE IF EXISTS {g}")
+    shutil.rmtree(f"{wh}/{g}", ignore_errors=True)
+    write_ndv_sketch(day1, [], "o_custkey", g)
+    append_to_ndv_sketch(day2, g)
+    got = ndv_from_sketch(spark, g).collect()
+    want = portable_hll_ndv(o, [], "o_custkey", p=8).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    compact_ndv_sketch(spark, g)
+    assert [tuple(r) for r in ndv_from_sketch(spark, g).collect()] == [
+        tuple(r) for r in want
+    ]
+    spark.sql(f"DROP TABLE IF EXISTS {g}")
