@@ -1027,3 +1027,30 @@ def test_ndv_sketch_table_incremental_lifecycle(spark):
         tuple(r) for r in want
     ]
     spark.sql(f"DROP TABLE IF EXISTS {g}")
+
+
+def test_portable_hll_register_agg_is_map_side_partial(spark):
+    """The portable HLL's ONLY raw-row shuffle is the (group, register)
+    exchange, and the register maxima partial-aggregate BEFORE it
+    (map-side combine) — a hot group ships at most 2^p rows per input
+    split, the same dampening the built-in sketch gets from its
+    partial merge."""
+    from gdp_etl_spark.operators.sketches import portable_hll_ndv
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = (
+        portable_hll_ndv(o, ["o_orderpriority"], "o_custkey", p=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    # partial max over (group, reg) exists...
+    assert "partial_max(rho" in plan
+    # ...and it sits UPSTREAM of the (group, reg) exchange — the tree
+    # prints root-first, so the map-side partial must appear AFTER the
+    # exchange that consumes it (not after the later group-level one)
+    m = re.search(
+        r"Exchange hashpartitioning\(o_orderpriority#\d+, reg#\d+", plan
+    )
+    assert m, plan
+    assert plan.index("partial_max(rho") > m.start()
