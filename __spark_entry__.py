@@ -9901,12 +9901,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             s AS (
               SELECT *,
-                CASE WHEN w > 0 THEN
-                  ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                       || ':' || 'ws'), 1, 8)) AS BIGINT) + 1)
-                     / 4294967296.0) / w
-                ELSE CAST('-inf' AS DOUBLE) END AS score
-              FROM d)
+                ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                     || ':' || 'ws'), 1, 8)) AS BIGINT) + 1)
+                   / 4294967296.0) / w AS score
+              FROM d WHERE w > 0)
             SELECT doc_id, lang, w FROM s
             ORDER BY score DESC, doc_id LIMIT 50
         """,

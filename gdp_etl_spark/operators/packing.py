@@ -86,14 +86,22 @@ def length_bucketed_batches(
     if bucket_growth <= 1.0:
         raise ValueError("bucket_growth must be > 1")
     n = F.col(token_col).cast("double")
+    # NULL token counts must raise like over-budget ones do: NULL >
+    # budget is NULL -> otherwise(1), so an unguarded NULL would slip
+    # through into a NULL bucket whose cap silently becomes the whole
+    # budget (least() skips NULLs) — one full-budget batch per NULL doc
+    # (self-review finding)
     guard = F.when(
-        F.col(token_col) > batch_token_budget,
+        F.col(token_col).isNull()
+        | (F.col(token_col) > batch_token_budget),
         F.raise_error(
             F.format_string(
-                f"length_bucketed_batches: document of %s tokens exceeds "
-                f"the batch budget {batch_token_budget}; truncate or "
-                f"split first",
-                F.col(token_col).cast("string"),
+                f"length_bucketed_batches: document of %s tokens cannot "
+                f"batch under budget {batch_token_budget} (NULL or "
+                f"over-budget); clean or truncate first",
+                F.coalesce(
+                    F.col(token_col).cast("string"), F.lit("NULL")
+                ),
             )
         ),
     ).otherwise(F.lit(1))

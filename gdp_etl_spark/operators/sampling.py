@@ -50,9 +50,12 @@ def stratified_hash_sample(
     ``default_fraction``."""
     threshold: Column | None = None
     for stratum, frac in fractions.items():
-        t = F.when(F.col(stratum_col) == stratum, F.lit(int(frac * _BUCKETS)))
-        threshold = t if threshold is None else threshold.when(
-            F.col(stratum_col) == stratum, F.lit(int(frac * _BUCKETS))
+        cond = F.col(stratum_col) == stratum
+        lim = F.lit(int(frac * _BUCKETS))
+        threshold = (
+            F.when(cond, lim)
+            if threshold is None
+            else threshold.when(cond, lim)
         )
     default = F.lit(int(default_fraction * _BUCKETS))
     threshold = default if threshold is None else threshold.otherwise(default)
@@ -75,6 +78,12 @@ def hash_split(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
+    if "split" in df.columns:
+        raise ValueError(
+            "output column 'split' already exists — re-splitting a "
+            "labelled frame would silently overwrite its labels; drop "
+            "or rename the column first"
+        )
     bucket = _hash_bucket(F.col(key_col), seed)
     acc = 0.0
     expr = None
@@ -140,6 +149,9 @@ def mix_to_budget(
             f"drop domains.  Divide the weights by their gcd or express "
             f"budget/tokens_col in kilotokens."
         )
+    clash = {"rate_ppm", "__w", "__avail"} & set(df.columns)
+    if clash:
+        raise ValueError(f"output/work columns already exist: {sorted(clash)}")
     wmap = F.create_map(
         *[F.lit(x) for kv in weights.items() for x in kv]
     )
@@ -147,21 +159,41 @@ def mix_to_budget(
         F.sum(F.col(tokens_col).cast("bigint")).alias("__avail")
     )
     w = F.coalesce(wmap[F.col(domain_col)], F.lit(0)).cast("bigint")
+    # the numerator guard above is driver-side; the DENOMINATOR
+    # total_w*avail depends on data, so it gets a data-side guard — a
+    # wrap with ANSI off would yield a non-positive rate and silently
+    # drop the whole domain (self-review finding)
+    den_limit = ((1 << 63) - 1) // int(total_w)
+    guarded_avail = F.when(
+        F.col("__avail") > F.lit(den_limit),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"mix_to_budget: domain token total exceeds "
+                    f"int64/total_w (= {den_limit}) — the rate "
+                    f"denominator would wrap; express tokens_col in "
+                    f"kilotokens or reduce the weights: "
+                ),
+                F.col(domain_col).cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("__avail"))
     # BIGINT floor division (`div`), never `/` (double division in Spark)
     rate = F.least(
         F.lit(1_000_000).cast("bigint"),
         F.expr(
             f"(CAST({int(budget)} AS BIGINT) * __w * 1000000) "
-            f"div (CAST({int(total_w)} AS BIGINT) * __avail)"
+            f"div (CAST({int(total_w)} AS BIGINT) * __gavail)"
         ),
     )
     keep = _hash_bucket(F.col(key_col), seed) % F.lit(1_000_000)
     return (
         df.join(avail, domain_col)
         .withColumn("__w", w)
+        .withColumn("__gavail", guarded_avail)
         .withColumn("rate_ppm", rate)
         .filter(keep < F.col("rate_ppm"))
-        .drop("__avail", "__w")
+        .drop("__avail", "__w", "__gavail")
     )
 
 
@@ -181,16 +213,18 @@ def weighted_sample(
 
     Scale shape: score is per-row map work; top-k plans as
     TakeOrderedAndProject (per-partition heaps + driver merge of k),
-    never a global sort.  Zero-weight rows are excluded (score −∞ via
-    u^(1/0⁺) → ln-key −∞)."""
+    never a global sort.  Zero/negative/NULL-weight rows are EXCLUDED
+    by filter (P(select) ∝ weight means weight 0 is never selected —
+    the previous −∞ score let them pad the result when k exceeded the
+    positive-weight row count, a self-review finding)."""
     u = (
         (_hash_bucket(F.col(key_col), seed) + F.lit(1)).cast("double")
         / F.lit(float(_BUCKETS))
     )
     w = F.col(weight_col).cast("double")
-    score = F.when(w > 0, F.log(u) / w).otherwise(F.lit(float("-inf")))
     return (
-        df.withColumn("__score", score)
+        df.filter(w > 0)
+        .withColumn("__score", F.log(u) / w)
         .orderBy(F.col("__score").desc(), F.col(key_col))
         .limit(k)
         .drop("__score")
@@ -259,6 +293,11 @@ def temperature_mix(
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if "rate_ppm" in df.columns:
+        raise ValueError(
+            "output column 'rate_ppm' already exists — the rates join "
+            "would produce an ambiguous duplicate; drop or rename it"
+        )
     avail = df.groupBy(domain_col).agg(
         F.sum(F.col(tokens_col).cast("bigint")).alias("__avail")
     )
@@ -513,11 +552,23 @@ def dsir_weights(
             F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
         ).select(bucket(F.col("__g")).alias("__b"))
 
-    t_counts = gram_buckets(target).groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__ct")
+    # the count frames are <= num_buckets rows (output-sized, the
+    # cache discipline's requirement) and have TWO consumers each — the
+    # totals collect below and the weights join — so they materialize
+    # ONCE here; without the barrier the dominant cost (the corpus-wide
+    # n-gram explode) executed as two separate jobs (self-review
+    # finding)
+    t_counts = (
+        gram_buckets(target)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+        .localCheckpoint(eager=True)
     )
-    r_counts = gram_buckets(docs).groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__cr")
+    r_counts = (
+        gram_buckets(docs)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__cr"))
+        .localCheckpoint(eager=True)
     )
     # totals: bounded collects over the <= num_buckets-row count frames
     # (the kmeans-stats rule) — embedding exact integers as literals
@@ -545,9 +596,8 @@ def dsir_weights(
                 + qln(F.lit(int(n_r + num_buckets)))
             ).alias("__w"),
         )
-        # two consumers would re-run both aggregates — and the frame is
-        # <= num_buckets rows, output-sized by construction
-        .localCheckpoint(eager=True)
+        # no checkpoint needed here: both inputs are checkpointed tiny
+        # frames, and the weights join has a single consumer
     )
     scored = (
         docs.select(

@@ -329,7 +329,7 @@ def test_length_bucketed_batches_overlong_doc_raises(spark):
     df = spark.createDataFrame(
         [(1, "en", 9999)], "doc_id long, lang string, n_tok int"
     )
-    with _pytest.raises(Exception, match="exceeds the batch budget"):
+    with _pytest.raises(Exception, match="cannot batch under budget"):
         length_bucketed_batches(df, "n_tok", 128, ["lang"], ["doc_id"]).collect()
 
 
@@ -1086,3 +1086,61 @@ def test_dsir_select_data_window_is_partitioned(spark):
     assert re.search(r"windowspecdefinition\(__pid#\d+, __negq#", plan), plan
     # and no global (unpartitioned) window ordered by the rank key
     assert not re.search(r"windowspecdefinition\(__negq#", plan)
+
+
+def test_sampling_guards_from_self_review(spark):
+    """Round-11 standing-code review findings, pinned: (1)
+    weighted_sample never returns zero/NULL-weight rows even when k
+    exceeds the positive-weight count (the old -inf score let them pad
+    the result); (2) hash_split / temperature_mix / mix_to_budget
+    refuse frames already carrying their output columns; (3)
+    mix_to_budget's rate DENOMINATOR overflow raises instead of
+    silently dropping the domain; (4) length_bucketed_batches raises
+    on NULL token counts like it does on over-budget ones."""
+    from gdp_etl_spark.operators.packing import length_bucketed_batches
+    from gdp_etl_spark.operators.sampling import (
+        hash_split,
+        mix_to_budget,
+        temperature_mix,
+        weighted_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 5), (3, 0), (4, None), (5, -2)],
+        "doc_id long, w int",
+    )
+    got = {r.doc_id for r in weighted_sample(docs, "doc_id", "w", k=5).collect()}
+    assert got == {1, 2}
+
+    labelled = spark.createDataFrame([(1, "train")], "doc_id long, split string")
+    with pytest.raises(ValueError, match="split"):
+        hash_split(labelled, "doc_id")
+
+    rated = spark.createDataFrame(
+        [(1, "web", 10, 7)], "doc_id long, dom string, toks int, rate_ppm int"
+    )
+    with pytest.raises(ValueError, match="rate_ppm"):
+        temperature_mix(rated, "doc_id", "dom", "toks", budget=10)
+    with pytest.raises(ValueError, match="rate_ppm"):
+        mix_to_budget(rated, "doc_id", "dom", "toks", 10, {"web": 1})
+
+    # denominator wrap: total_w=1e9, one domain holding 1e10 tokens —
+    # the old code wrapped int64 negative and dropped the domain
+    big = spark.createDataFrame(
+        [(1, "web", (1 << 34))], "doc_id long, dom string, toks long"
+    )
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="denominator would wrap"):
+        mix_to_budget(
+            big, "doc_id", "dom", "toks", 1000,
+            {"web": 1, "code": 999_999_999},
+        ).collect()
+
+    nulltok = spark.createDataFrame(
+        [(1, "s", 5), (2, "s", None)], "doc_id long, shard string, n int"
+    )
+    with pytest.raises(Exception, match="NULL or"):
+        length_bucketed_batches(
+            nulltok, "n", 100, ["shard"], ["doc_id"]
+        ).collect()
