@@ -21,6 +21,31 @@ from pyspark.sql import functions as F
 from gdp_etl_spark.functions.text import shingles
 
 
+def _guarded_id(id_col: str):
+    """The doc id as used on every decontamination join key, with a
+    data-side NULL guard: aggregated overlap joins back on EQUALITY, so
+    a NULL id would never match and a contaminated NULL-id document
+    would silently pass every screen (self-review finding) — the exact
+    failure these operators exist to prevent.  The guard lives on the
+    (id, shingle) explode path, so it fires for precisely the rows that
+    carry contamination evidence; shingle-less docs have nothing to
+    leak.  Map-side, codegen-friendly."""
+    return (
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"decontamination requires non-NULL {id_col!r}: a "
+                    "NULL id never equi-joins, so a contaminated doc "
+                    "would silently pass the screen; clean ids first"
+                )
+            ),
+        )
+        .otherwise(F.col(id_col))
+        .alias(id_col)
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -36,10 +61,18 @@ def decontaminate(
     Callers filter ``~is_contaminated`` to keep the clean corpus; the
     flag form is returned so audits can count/export what was dropped.
     """
+    clashes = {"n_overlap", "is_contaminated", "__n", "__h", "__s"} & set(
+        docs.columns
+    )
+    if clashes:
+        raise ValueError(
+            f"decontaminate output/work columns collide with input "
+            f"columns {sorted(clashes)}; rename or drop them first"
+        )
     b_text = benchmark_text_col or text_col
     bench_hashes = benchmark_shingle_hashes(benchmark, b_text, shingle_k)
     doc_hashes = docs.select(
-        F.col(id_col),
+        _guarded_id(id_col),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),
     ).select(id_col, F.xxhash64("__s").alias("__h"))
     overlap = (
@@ -98,6 +131,27 @@ def semantic_decontaminate(
     from ..functions.vectors import cosine_exact
     from .similarity import rademacher_lsh_buckets
 
+    # dim must be ONE number for both sides: per-side inference on
+    # mismatched embeddings (corpus from one model, benchmark from
+    # another) raises no error anywhere — buckets rarely collide and
+    # any pair that does cosine-folds to NULL, so the function returns
+    # an EMPTY frame and the contaminated corpus silently passes
+    # (self-review finding).  The peek is one limit-1 action per side —
+    # bounded, the kmeans-stats rule.
+    d_dim = docs.select(F.size(F.col(vec_col))).limit(1).collect()
+    b_dim = benchmark.select(F.size(F.col(vec_col))).limit(1).collect()
+    if d_dim and b_dim and d_dim[0][0] != b_dim[0][0]:
+        raise ValueError(
+            f"embedding dims differ: docs={d_dim[0][0]} "
+            f"benchmark={b_dim[0][0]} — decontamination across models "
+            "is meaningless; re-embed one side"
+        )
+    if dim is not None and d_dim and d_dim[0][0] != dim:
+        raise ValueError(
+            f"dim={dim} does not match the docs' embedding size "
+            f"{d_dim[0][0]}"
+        )
+
     def bucketed(df: DataFrame, alias: str) -> DataFrame:
         return (
             rademacher_lsh_buckets(
@@ -152,40 +206,50 @@ def contamination_overlap_fraction(
     Returns ``docs`` + ``n_shingles`` (distinct), ``n_overlap``,
     ``overlap_frac`` (NULL for shingle-less docs — too short to carry
     evidence), ``is_dirty`` (always false for shingle-less docs).  The
-    threshold compares in integer millis (``n_overlap·1000 ≥
-    ceil(t·1000)·n_shingles``) — no float boundary, same discipline as
-    the Jaccard operators.
+    threshold compares in integer parts-per-million
+    (``n_overlap·10⁶ ≥ floor(t·10⁶)·n_shingles``) — no float boundary,
+    and FLOOR so a document exactly AT the threshold is flagged, per
+    the documented ≥ semantics (the previous ceil-millis form
+    under-flagged a band up to 1 milli wide at fractional thresholds
+    like 1/3 — self-review finding; any doc within 1e-6 BELOW the
+    threshold now over-flags instead, the fail-closed direction).
 
     Scale shape: the benchmark reduces to distinct 8-byte xxhash64
     shingle hashes and BROADCASTS (benchmarks are MBs, corpora are TBs);
-    the doc side is one explode + per-doc distinct + ONE groupBy on the
-    id.  Document bodies never shuffle; cost is O(doc shingles), flat
-    in the corpus count like :func:`decontaminate` (plan-asserted
-    broadcast in tests).
+    the doc side is one explode + ONE groupBy on the id — per-doc
+    distinctness folds into ``count_distinct`` so there is a single
+    shuffle of the (id, hash) stream, not a distinct() exchange
+    followed by a groupBy exchange.  Document bodies never shuffle;
+    cost is O(doc shingles), flat in the corpus count like
+    :func:`decontaminate` (plan-asserted broadcast in tests).
     """
-    from ..functions.text import shingles
-
-    t_mill = int(-(-frac_threshold * 1000 // 1))  # ceil(t*1000)
+    clashes = {
+        "n_shingles", "n_overlap", "overlap_frac", "is_dirty",
+        "__ns", "__no", "__h", "__s", "__hit",
+    } & set(docs.columns)
+    if clashes:
+        raise ValueError(
+            f"contamination_overlap_fraction output/work columns collide "
+            f"with input columns {sorted(clashes)}; rename or drop them "
+            "first"
+        )
+    t_ppm = int(frac_threshold * 1_000_000)  # floor(t*1e6)
     b_text = benchmark_text_col or text_col
     bench_hashes = benchmark_shingle_hashes(
         benchmark, b_text, shingle_k
     ).withColumn("__hit", F.lit(1))
-    doc_hashes = (
-        docs.select(
-            F.col(id_col),
-            F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),
-        )
-        .select(id_col, F.xxhash64("__s").alias("__h"))
-        .distinct()
-    )
+    doc_hashes = docs.select(
+        _guarded_id(id_col),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),
+    ).select(id_col, F.xxhash64("__s").alias("__h"))
     agg = (
         doc_hashes.join(F.broadcast(bench_hashes), "__h", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("__ns"),
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-            .cast("long")
-            .alias("__no"),
+            F.count_distinct("__h").cast("long").alias("__ns"),
+            F.count_distinct(
+                F.when(F.col("__hit") == 1, F.col("__h"))
+            ).cast("long").alias("__no"),
         )
     )
     return (
@@ -205,8 +269,8 @@ def contamination_overlap_fraction(
             "is_dirty",
             (F.col("n_shingles") > 0)
             & (
-                F.col("n_overlap") * 1000
-                >= F.lit(t_mill) * F.col("n_shingles")
+                F.col("n_overlap") * F.lit(1_000_000)
+                >= F.lit(t_ppm) * F.col("n_shingles")
             ),
         )
     )
@@ -256,7 +320,7 @@ def screen_contaminated(
         # bug, so say so
         raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
     doc_hashes = docs.select(
-        F.col(id_col),
+        _guarded_id(id_col),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),
     ).select(id_col, F.xxhash64("__s").alias("__h"))
     hits = doc_hashes.join(F.broadcast(bench_hashes), "__h")
@@ -317,15 +381,22 @@ def scrub_contaminated_spans(
         )
     toks_low = ws_tokens(F.lower(F.col(text_col)))
     n = F.size(toks_low)
-    starts_idx = F.sequence(
-        F.lit(1), F.greatest(n - F.lit(shingle_k - 1), F.lit(1))
-    )
+    starts_idx = F.when(
+        n > 0,
+        F.sequence(
+            F.lit(1), F.greatest(n - F.lit(shingle_k - 1), F.lit(1))
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     # (doc, start) pairs of contaminated windows; docs shorter than k
     # tokens hash their whole text as one window at start 1 (the
     # shingles() convention), so a short exact-benchmark doc scrubs to
-    # empty rather than slipping through
+    # empty rather than slipping through.  TOKENLESS docs emit no
+    # window at all — without the n > 0 guard they hashed the EMPTY
+    # string, relying on the implicit invariant that no caller's
+    # bench_hashes frame ever contains xxhash64('') (self-review
+    # finding; the function accepts arbitrary hash frames)
     pairs = docs.select(
-        F.col(id_col),
+        _guarded_id(id_col),
         F.explode(starts_idx).alias("__start"),
         toks_low.alias("__tl"),
     ).select(

@@ -113,7 +113,14 @@ def bm25_topk(
     would round 1.2 differently than IEEE text→double in edge cases).
     """
     # dedup while preserving order ('' can never match a ws_token)
-    terms = [t for t in dict.fromkeys(query_terms) if t != ""]
+    # lowercase BEFORE dedup: document tokens are lowercased at
+    # tokenization, so a mixed-case query term would silently match
+    # nothing (tf = 0 everywhere — self-review finding), and
+    # ["The", "the"] must count as ONE logical term
+    terms = [
+        t for t in dict.fromkeys(q.lower() for q in query_terms)
+        if t != ""
+    ]
     if not terms:
         raise ValueError("query_terms must contain a non-empty term")
 

@@ -1144,3 +1144,75 @@ def test_sampling_guards_from_self_review(spark):
         length_bucketed_batches(
             nulltok, "n", 100, ["shard"], ["doc_id"]
         ).collect()
+
+
+def test_decontam_guards_from_self_review(spark):
+    """Round-11 standing-code review of decontam.py/retrieval.py,
+    pinned: (1) a contaminated NULL-id doc RAISES instead of silently
+    passing every screen (NULL never equi-joins); (2) the fraction
+    threshold uses floor-ppm, so a doc exactly AT a fractional
+    threshold like 1/3 is flagged (the old ceil-millis under-flagged
+    it); (3) mismatched embedding dims raise instead of returning an
+    empty flag set; (4) bm25 matches mixed-case query terms (document
+    tokens are lowercased); (5) output-column clashes raise."""
+    from gdp_etl_spark.operators.decontam import (
+        contamination_overlap_fraction,
+        decontaminate,
+        semantic_decontaminate,
+    )
+    from gdp_etl_spark.operators.retrieval import bm25_topk
+
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    nullid = spark.createDataFrame(
+        [(None, "quick brown fox jumps over the lazy dog today")],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(Exception, match="non-NULL"):
+        decontaminate(nullid, bench, "text", "doc_id", shingle_k=8).collect()
+
+    # exactly 1 of 3 distinct shingles shared, threshold 1/3: must flag
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")],  # 3 distinct 8-shingles
+        "doc_id bigint, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(9, "a b c d e f g h")], "doc_id bigint, text string"
+    )
+    r = contamination_overlap_fraction(
+        docs, b2, "text", "doc_id", shingle_k=8, frac_threshold=1 / 3
+    ).collect()[0]
+    assert r.n_shingles == 3 and r.n_overlap == 1
+    assert r.is_dirty is True
+
+    d768 = spark.createDataFrame(
+        [(1, [0.1] * 8)], "vec_id bigint, embedding array<float>"
+    )
+    b384 = spark.createDataFrame(
+        [(2, [0.1] * 4)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dims differ"):
+        semantic_decontaminate(d768, b384, "embedding", "vec_id")
+
+    corpus = spark.createDataFrame(
+        [(1, "Paris is the capital of France and Paris is large")],
+        "doc_id bigint, text string",
+    )
+    hits = bm25_topk(corpus, ["Paris"], k=5).collect()
+    assert len(hits) == 1 and hits[0].doc_id == 1
+
+    flagged = decontaminate(
+        spark.createDataFrame([(1, "x")], "doc_id bigint, text string"),
+        bench, "text", "doc_id",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        decontaminate(flagged, bench, "text", "doc_id")
+    with pytest.raises(ValueError, match="collide"):
+        contamination_overlap_fraction(
+            contamination_overlap_fraction(
+                docs, b2, "text", "doc_id"
+            ),
+            b2, "text", "doc_id",
+        )
