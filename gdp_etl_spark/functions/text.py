@@ -483,10 +483,18 @@ def blocklist_matches(text: Column, blocklist: Sequence[str]) -> Column:
     terms = list(blocklist)
     if not terms:
         raise ValueError("blocklist must be non-empty")
-    bad = [t for t in terms if t != t.lower() or not t or t.strip() != t]
+    bad = [
+        t for t in terms
+        if t != t.lower() or not t or t.strip() != t
+        # a term with internal whitespace can never equal a single
+        # whitespace token — it would silently never match (the same
+        # failure mode this validation exists to catch)
+        or len(t.split()) != 1
+    ]
     if bad:
         raise ValueError(
-            f"blocklist terms must be lowercase and trimmed: {bad!r}"
+            f"blocklist terms must be single lowercase trimmed tokens: "
+            f"{bad!r}"
         )
     toks = F.array_distinct(ws_tokens(F.lower(text)))
     return F.array_sort(
