@@ -137,9 +137,18 @@ def semantic_decontaminate(
     # any pair that does cosine-folds to NULL, so the function returns
     # an EMPTY frame and the contaminated corpus silently passes
     # (self-review finding).  The peek is one limit-1 action per side —
-    # bounded, the kmeans-stats rule.
-    d_dim = docs.select(F.size(F.col(vec_col))).limit(1).collect()
-    b_dim = benchmark.select(F.size(F.col(vec_col))).limit(1).collect()
+    # bounded, the kmeans-stats rule — over NON-NULL vectors only (a
+    # NULL in the sampled row makes F.size NULL and the comparison
+    # vacuous — advisor finding).  The peek sees ONE row per side, so
+    # mixed dims WITHIN a frame get the data-side raise in ``guard``.
+    d_dim = (
+        docs.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col))).limit(1).collect()
+    )
+    b_dim = (
+        benchmark.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col))).limit(1).collect()
+    )
     if d_dim and b_dim and d_dim[0][0] != b_dim[0][0]:
         raise ValueError(
             f"embedding dims differ: docs={d_dim[0][0]} "
@@ -151,12 +160,33 @@ def semantic_decontaminate(
             f"dim={dim} does not match the docs' embedding size "
             f"{d_dim[0][0]}"
         )
+    dim_r = dim if dim is not None else (d_dim[0][0] if d_dim else None)
 
     def bucketed(df: DataFrame, alias: str) -> DataFrame:
+        # data-side dim validation: rows whose vector size disagrees
+        # with the resolved dim would bucket on garbage projections and
+        # cosine-fold to NULL — the silent-pass failure again, per-row
+        # this time.  NULL vectors stay skippable (a doc without an
+        # embedding cannot be semantically screened; the explode drops
+        # it), but a WRONG-SIZED one raises.
+        if dim_r is not None:
+            guard = F.when(
+                F.col(vec_col).isNotNull()
+                & (F.size(F.col(vec_col)) != F.lit(dim_r)),
+                F.raise_error(
+                    F.format_string(
+                        f"semantic_decontaminate: embedding of %s dims "
+                        f"in a frame resolved to dim {dim_r}; re-embed "
+                        f"or split by model",
+                        F.size(F.col(vec_col)).cast("string"),
+                    )
+                ).cast(df.schema[vec_col].dataType),
+            ).otherwise(F.col(vec_col))
+            df = df.withColumn(vec_col, guard)
         return (
             rademacher_lsh_buckets(
                 df, vec_col, num_bits=num_bits, num_tables=num_tables,
-                dim=dim, seed=seed, out_col="__b",
+                dim=dim_r, seed=seed, out_col="__b",
             )
             .select(
                 F.col(id_col).alias(f"{alias}_id"),

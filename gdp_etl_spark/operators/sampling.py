@@ -149,7 +149,7 @@ def mix_to_budget(
             f"drop domains.  Divide the weights by their gcd or express "
             f"budget/tokens_col in kilotokens."
         )
-    clash = {"rate_ppm", "__w", "__avail"} & set(df.columns)
+    clash = {"rate_ppm", "__w", "__avail", "__gavail"} & set(df.columns)
     if clash:
         raise ValueError(f"output/work columns already exist: {sorted(clash)}")
     wmap = F.create_map(
@@ -665,8 +665,23 @@ def dsir_select(
         docs, target, text_col, id_col,
         n=n, num_buckets=num_buckets, seed=seed,
     )
+    # NULL token counts must raise (the length_bucketed_batches rule):
+    # a NULL is skipped by the window F.sum, so the doc would inherit
+    # the previous cum_tokens, pass the budget filter, and be selected
+    # WITHOUT consuming budget — silently diverging from the oracle,
+    # which coalesces to 0 (advisor finding)
+    tok_guard = F.when(
+        F.col(tokens_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("dsir_select: NULL token count for "),
+                F.col(id_col).cast("string"),
+                F.lit("; clean or coalesce token counts first"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col(tokens_col).cast("bigint"))
     slim = docs.select(
-        id_col, F.col(tokens_col).cast("bigint").alias(tokens_col)
+        id_col, tok_guard.alias(tokens_col)
     ).join(w, id_col)
     # rank key: score DESC, id ASC — expressed as ascending (-score, id)
     # so repartitionByRange and the window share one plain sort key

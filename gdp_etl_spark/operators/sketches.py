@@ -559,11 +559,21 @@ def compact_ndv_sketch(spark, table: str) -> None:
     ``__old`` until the swap completes — at no crash point is the only
     copy of the registers gone or stampless (an in-place overwrite
     would risk both, and the base data the registers summarize may no
-    longer exist)."""
+    longer exist).
+
+    Concurrency: compaction assumes a SINGLE WRITER (the usual batch
+    maintenance-window contract; Spark's metastore renames give no
+    transactional fence).  As a cheap tripwire, the live table's row
+    count is re-checked after the merged tmp write: registers appended
+    by another session while the merge ran would otherwise be silently
+    dropped with ``__old`` (advisor finding).  The residual window
+    between the re-check and the rename remains — that part is the
+    single-writer assumption, now explicit."""
     p, value_col, group_cols = _ndv_stamp(spark, table)
     spark.catalog.refreshTable(table)
     tmp, old = f"{table}__new", f"{table}__old"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    n_at_scan = spark.table(table).count()
     merged = (
         spark.table(table)
         .groupBy(*group_cols, "reg")
@@ -571,6 +581,15 @@ def compact_ndv_sketch(spark, table: str) -> None:
     )
     merged.write.mode("overwrite").saveAsTable(tmp)
     _stamp_ndv_params(spark, tmp, p, value_col, group_cols)
+    spark.catalog.refreshTable(table)
+    n_now = spark.table(table).count()
+    if n_now != n_at_scan:
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        raise RuntimeError(
+            f"compact_ndv_sketch: {table} changed during compaction "
+            f"({n_at_scan} -> {n_now} rows) — a concurrent append "
+            f"would have been lost; retry when the writer is quiesced"
+        )
     spark.sql(f"DROP TABLE IF EXISTS {old}")
     spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     try:

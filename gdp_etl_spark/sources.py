@@ -720,7 +720,14 @@ def _warc_ts_py(raw: str | None):
     PARITY with :func:`_warc_timestamp`: offset-less values return
     None (the expression patterns require an X offset; interpreting a
     naive datetime as executor-local time would make the column
-    machine-dependent), and unparseable values return None."""
+    machine-dependent), and unparseable values return None.
+
+    Returns a tz-AWARE UTC datetime: Arrow carries the absolute
+    instant, so parity with the expression readers (which parse
+    absolute instants via the X offset) holds on ANY session timezone.
+    A naive return value would be reinterpreted in
+    ``spark.sql.session.timeZone`` at the Arrow boundary — silently
+    shifting every warc_date on a non-UTC session (advisor finding)."""
     import datetime as _dt
 
     if not raw:
@@ -731,7 +738,7 @@ def _warc_ts_py(raw: str | None):
         return None
     if d.tzinfo is None:
         return None
-    return d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return d.astimezone(_dt.timezone.utc)
 
 
 def _strip_record_tail(body: bytes) -> str:

@@ -1216,3 +1216,57 @@ def test_decontam_guards_from_self_review(spark):
             ),
             b2, "text", "doc_id",
         )
+
+
+def test_semantic_decontaminate_dim_guards(spark):
+    """Advisor finding: the limit-1 peek must skip NULL vectors, and a
+    WRONG-SIZED vector inside a frame must raise data-side instead of
+    cosine-folding to NULL (silent pass)."""
+    from pyspark.errors import SparkRuntimeException
+
+    from gdp_etl_spark.operators.decontam import semantic_decontaminate
+
+    bench_vec = [0.5, -0.3, 0.8, 0.1]
+    near = [x + 0.001 for x in bench_vec]
+    # NULL embedding first so a naive limit(1) peek would sample it
+    docs = spark.createDataFrame(
+        [(9, None), (10, near)], "vec_id bigint, embedding array<float>"
+    )
+    bench = spark.createDataFrame(
+        [(1, bench_vec)], "vec_id bigint, embedding array<float>"
+    )
+    out = semantic_decontaminate(
+        docs, bench, "embedding", "vec_id", threshold=0.95
+    )
+    # NULL-vector doc is skippable (cannot be screened), near one flags
+    assert rows(out, "vec_id", "n_hits") == [(10, 1)]
+
+    mixed = spark.createDataFrame(
+        [(10, near), (11, [0.1, 0.2])],
+        "vec_id bigint, embedding array<float>",
+    )
+    bad = semantic_decontaminate(
+        mixed, bench, "embedding", "vec_id", threshold=0.95, dim=4
+    )
+    with pytest.raises(SparkRuntimeException, match="re-embed"):
+        bad.collect()
+
+
+def test_dsir_select_null_tokens_raise(spark):
+    """Advisor finding: a NULL token count is skipped by the window sum,
+    inherits the previous cum_tokens, and gets selected WITHOUT
+    consuming budget — must raise loudly instead (the
+    length_bucketed_batches rule)."""
+    from pyspark.errors import SparkRuntimeException
+
+    from gdp_etl_spark.operators.sampling import dsir_select
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", 3), (2, "a b", None), (3, "c d", 2)],
+        "doc_id bigint, text string, n_tokens bigint",
+    )
+    target = docs.filter(F.col("doc_id") == 1)
+    # the guard fires at call time: dsir_select materializes the ranged
+    # frame via localCheckpoint (an action), so the raise is eager
+    with pytest.raises(SparkRuntimeException, match="NULL token count"):
+        dsir_select(docs, target, "text", "doc_id", "n_tokens", budget=100)

@@ -179,3 +179,15 @@ def test_mix_to_budget_overflow_guard(spark):
     # at the boundary the guard stays quiet (2^63-1 // 1e6 // 1000)
     mix_to_budget(df, "doc_id", "lang", "toks",
                   9_223_372_036, {"en": 1000, "de": 1})
+
+
+def test_mix_to_budget_gavail_clash_rejected(spark):
+    """__gavail is a work column mix_to_budget creates and drops — an
+    input column with that name would be silently overwritten and
+    destroyed, so the clash guard must cover it (advisor finding)."""
+    df = spark.createDataFrame(
+        [(1, "en", 10, 7)],
+        "doc_id long, lang string, toks long, __gavail long",
+    )
+    with pytest.raises(ValueError, match="__gavail"):
+        mix_to_budget(df, "doc_id", "lang", "toks", 100, {"en": 1})
