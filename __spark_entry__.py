@@ -6066,6 +6066,81 @@ def q_observed_profile(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer-vocabulary training
+    (operators/bpe.py): word frequencies via ONE map-side-combined
+    groupBy over the corpus (the only corpus-scale stage — its output
+    is the vocabulary, bounded by language, not by corpus size), then
+    10 merge rounds on the frequency table.  Under the
+    ``driver_threshold`` the merge loop runs driver-side on the
+    collected counts (the closure.py fast-path rule and the structure
+    of every production trainer: distributed count, local train);
+    above it each round is one vocab-bounded pair aggregate + a 1-row
+    collect + one left-to-right fold pass — pytest pins both paths to
+    the identical table.  All-integer/string output, so the DuckDB
+    replay (``_bpe_sql``: the same fold as a recursive CTE per round)
+    is HASH-exact.  Beyond-reference LLM-pipeline surface (Sennrich et
+    al. 2016; the reference repo has no tokenizer training)."""
+    from gdp_etl_spark.operators.bpe import bpe_word_freq, train_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    words = bpe_word_freq(docs, "text", lowercase=True, min_count=2)
+    return train_bpe_merges(words, num_merges=10)
+
+
+def _bpe_sql(num_merges=10, min_count=2):
+    """DuckDB replay of bpe_word_freq + train_bpe_merges: the word
+    aggregate, then per round (a) the argmax pair with the same
+    (count DESC, lhs, rhs) tie-break and (b) the identical greedy
+    left-to-right merge fold as a recursive CTE over symbol positions.
+    Every non-recursive CTE is MATERIALIZED — without the hint DuckDB
+    re-inlines the whole upstream chain into each recursive iteration
+    and the plan goes exponential in the round count."""
+    tok_re = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    parts = [f"""w0 AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+             list_transform(range(1, length(word) + 1),
+                            i -> substr(word, i, 1)) AS syms
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                   '{tok_re}')) AS word
+            FROM documents WHERE text IS NOT NULL)
+      GROUP BY word
+      HAVING COUNT(*) >= {min_count} AND length(word) >= 2
+    )"""]
+    for k in range(1, num_merges + 1):
+        parts.append(f"""p{k} AS MATERIALIZED (
+      SELECT lhs, rhs, lhs || rhs AS merged, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (SELECT syms[i] AS lhs, syms[i + 1] AS rhs, cnt
+            FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+                  FROM w{k - 1}))
+      GROUP BY lhs, rhs ORDER BY c DESC, lhs, rhs LIMIT 1
+    )""")
+        parts.append(f"""s{k} AS (
+      SELECT cnt, syms, CAST([] AS VARCHAR[]) AS acc, 1 AS i FROM w{k - 1}
+      UNION ALL
+      SELECT s.cnt, s.syms,
+        CASE WHEN len(s.acc) > 0 AND s.acc[-1] = p.lhs
+                  AND s.syms[s.i] = p.rhs
+             THEN list_append(s.acc[1:len(s.acc) - 1], p.merged)
+             ELSE list_append(s.acc, s.syms[s.i]) END,
+        s.i + 1
+      FROM s{k} s, p{k} p WHERE s.i <= len(s.syms)
+    )""")
+        parts.append(f"""w{k} AS MATERIALIZED (
+      SELECT cnt, acc AS syms FROM s{k}
+      WHERE i = len(syms) + 1 AND len(acc) >= 2
+    )""")
+    fin = "\n      UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS rank, lhs, rhs, merged, "
+        f"c AS pair_count FROM p{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return (
+        "WITH RECURSIVE " + ",\n    ".join(parts)
+        + f"\n    SELECT * FROM ({fin}) ORDER BY rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness
     gate verifies the FIRST 50 keys each round, and EXACTLY 50 must
@@ -6151,6 +6226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_order_customers": q_big_order_customers,
         "binary_header": q_binary_header,
         "bm25_topk": q_bm25_topk,
+        "bpe_merges": q_bpe_merges,
         "build_fact": q_build_fact,
         "calendar_dim": q_calendar_dim,
         "category_drift": q_category_drift,
@@ -8800,6 +8876,8 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 10
         """,
+        # generated recursive-CTE replay of the BPE trainer (see _bpe_sql)
+        "bpe_merges": _bpe_sql(),
         "inverted_index": r"""
             WITH tok AS (
                 SELECT doc_id,
