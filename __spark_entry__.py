@@ -1478,6 +1478,31 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(d, _BM25_TERMS, k=10)
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 (lexical) and exact-cosine top-20
+    for query vector 0 (semantic; doc_id ≡ vec_id in the synthetic
+    corpus) fused with reciprocal-rank fusion
+    (retrieval.rrf_fuse, Cormack et al. 2009) — the standard RAG
+    retrieval stack.  Both input lists are k-bounded by their
+    producers, the fused score is pure-BIGINT ``scale div (k0+rank)``
+    (engine-exact, no float calibration), and the final top-10 plans
+    as TakeOrderedAndProject."""
+    from gdp_etl_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, _BM25_TERMS, k=20).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("rank"),  # 20-row frame: the unpartitioned window is bounded
+    )
+    sem = brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=20,
+    ).select(F.col("neighbour_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, sem], "doc_id", k0=60, k=10)
+
+
 def q_inverted_index(spark, sf_dir):
     """Inverted index: term → df + sorted distinct posting list (one
     distinct + one term-keyed shuffle).  The registered output
@@ -6293,6 +6318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "html_strip": q_html_strip,
         "http_csv_scan": q_http_csv_scan,
+        "hybrid_rrf": q_hybrid_rrf,
         "important_parts": q_important_parts,
         "incremental_dedup": q_incremental_dedup,
         "index_dedup": q_index_dedup,
@@ -8878,6 +8904,70 @@ def oracle_sql() -> dict[str, str]:
         """,
         # generated recursive-CTE replay of the BPE trainer (see _bpe_sql)
         "bpe_merges": _bpe_sql(),
+        # BM25 top-20 (the bm25_topk chain, LIMIT 20 + rank) fused with
+        # exact-cosine top-20 for query vector 0 via integer RRF
+        "hybrid_rrf": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(lower(trim(text)), '\\s+'))
+                       END AS dl,
+                       CASE WHEN text IS NULL OR length(trim(text)) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(lower(trim(text)), '\\s+')
+                       END AS toks
+                FROM documents
+            ), stats AS (
+                SELECT count(*) AS n_docs,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                FROM tok
+            ), ex AS (
+                SELECT doc_id, dl, unnest(toks) AS term FROM tok
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+                FROM ex
+                WHERE term <> '' AND term IN ('spark', 'join', 'fast')
+                GROUP BY doc_id, term
+            ), dfs AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), scored AS (
+                SELECT tf.doc_id,
+                       ln(CAST(n_docs - df + 0.5 AS DOUBLE)
+                          / CAST(df + 0.5 AS DOUBLE) + 1.0)
+                         * (tf * 2.5)
+                         / (tf + 1.5 * (0.25 + 0.75 * dl / avgdl)) AS term_score
+                FROM tf JOIN dfs USING (term) CROSS JOIN stats
+            ), bm AS (
+                SELECT doc_id,
+                       CAST(SUM(CAST(floor(term_score * 1e12) AS BIGINT))
+                            AS DOUBLE) / 1e12 AS score
+                FROM scored GROUP BY doc_id
+                ORDER BY score DESC, doc_id LIMIT 20
+            ), lex AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+                FROM bm
+            ), cos AS (
+                SELECT c.vec_id AS doc_id,
+                       {_cos_sql('q.embedding', 'c.embedding')} AS cos_sim
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id = 0
+            ), sem AS (
+                SELECT doc_id, rn AS rank
+                FROM (SELECT doc_id, row_number() OVER (
+                        ORDER BY cos_sim DESC, doc_id ASC) AS rn FROM cos)
+                WHERE rn <= 20
+            ), u AS (
+                SELECT * FROM lex UNION ALL SELECT * FROM sem
+            )
+            SELECT doc_id,
+                   CAST(SUM(1000000000000 // (60 + rank)) AS BIGINT)
+                     AS rrf_score,
+                   CAST(COUNT(*) AS INT) AS n_lists,
+                   CAST(MIN(rank) AS INT) AS best_rank
+            FROM u GROUP BY doc_id
+            ORDER BY rrf_score DESC, doc_id LIMIT 10
+        """,
         "inverted_index": r"""
             WITH tok AS (
                 SELECT doc_id,

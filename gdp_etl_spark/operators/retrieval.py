@@ -225,3 +225,68 @@ def inverted_index(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    id_col: str = "doc_id",
+    k0: int = 60,
+    k: int = 10,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists —
+    the standard hybrid-retrieval combiner (BM25 + dense ANN): each
+    list contributes ``1 / (k0 + rank)`` per item; items high on ANY
+    list float to the top without score calibration across systems.
+
+    Fixed-point contract: the contribution is computed as
+    ``scale div (k0 + rank)`` in pure BIGINT arithmetic — engine-exact
+    (DuckDB ``//`` floors identically on non-negative operands), so
+    fused scores hash-match across engines; at the default scale the
+    quantization error is 1e-12 per term, far below any rank-swapping
+    threshold for k0 >= 1.
+
+    Inputs must carry ``(id_col, rank)`` with rank >= 1 (the usual
+    row_number output).  Returns the top-``k`` of
+    ``(id_col, rrf_score bigint, n_lists int, best_rank int)`` ordered
+    by fused score with the id tie-break.
+
+    Scale shape: each input list is already k-bounded by its producer
+    (top-k retrieval output, thousands of rows at most), so the union
+    + groupBy is bounded by sum(len(lists)) — never corpus-sized; the
+    final top-k plans as TakeOrderedAndProject.
+    """
+    from functools import reduce
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    scored = []
+    for i, df in enumerate(rankings):
+        if "rank" not in df.columns or id_col not in df.columns:
+            raise ValueError(
+                f"ranking {i} must have columns ({id_col}, rank); "
+                f"got {df.columns}"
+            )
+        scored.append(
+            df.select(
+                F.col(id_col),
+                F.expr(
+                    f"cast({int(scale)} as bigint) div "
+                    f"(cast({int(k0)} as bigint) + cast(rank as bigint))"
+                ).alias("__rrf"),
+                F.col("rank").cast("int").alias("__rank"),
+            )
+        )
+    u = reduce(DataFrame.unionByName, scored)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.sum("__rrf").alias("rrf_score"),
+            F.count(F.lit(1)).cast("int").alias("n_lists"),
+            F.min("__rank").alias("best_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), id_col)
+        .limit(k)
+    )

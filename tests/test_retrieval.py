@@ -148,3 +148,41 @@ def test_clean_corpus_null_text_not_silently_dropped(spark):
     # lowest id (5) — none vanish, none duplicate
     assert set(got) == {1, 5}
     assert got[5]["text_clean"] is None
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: items on both lists outrank single-list items; integer
+    fixed-point contributions are exact (scale div (k0 + rank))."""
+    from gdp_etl_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id bigint, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(3, 1), (4, 2), (1, 3)], "doc_id bigint, rank int"
+    )
+    out = rrf_fuse([lex, sem], "doc_id", k0=60, k=10).collect()
+    got = [(r.doc_id, r.rrf_score, r.n_lists, r.best_rank) for r in out]
+    S = 1_000_000_000_000
+    want = {
+        1: (S // 61 + S // 63, 2, 1),
+        2: (S // 62, 1, 2),
+        3: (S // 63 + S // 61, 2, 1),
+        4: (S // 62, 1, 2),
+    }
+    assert {g[0]: (g[1], g[2], g[3]) for g in got} == want
+    # both-list docs (1, 3) lead; ties break on doc_id ascending
+    assert [g[0] for g in got] == [1, 3, 2, 4]
+
+
+def test_rrf_fuse_validation(spark):
+    from gdp_etl_spark.operators.retrieval import rrf_fuse
+
+    df = spark.createDataFrame([(1, 1)], "doc_id bigint, rank int")
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([], "doc_id")
+    with pytest.raises(ValueError, match="k0"):
+        rrf_fuse([df], "doc_id", k0=0)
+    norank = spark.createDataFrame([(1,)], "doc_id bigint")
+    with pytest.raises(ValueError, match="rank"):
+        rrf_fuse([df, norank], "doc_id")
