@@ -1503,6 +1503,22 @@ def q_hybrid_rrf(spark, sf_dir):
     return rrf_fuse([lex, sem], "doc_id", k0=60, k=10)
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training
+    (similarity.mine_hard_negatives): per anchor (vec_id < 5), the
+    top-10 most-similar vectors with a DIFFERENT label, capped below
+    cosine 0.9999 (near-identical cross-label pairs are label noise).
+    Anchors broadcast; fixed-point cosine; per-anchor top-k is
+    WindowGroupLimit-pruned — the DPR mining recipe as one declarative
+    plan."""
+    from gdp_etl_spark.operators.similarity import mine_hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mine_hard_negatives(
+        emb.filter(F.col("vec_id") < 5), emb, k=10, max_sim=0.9999,
+    )
+
+
 def q_inverted_index(spark, sf_dir):
     """Inverted index: term → df + sorted distinct posting list (one
     distinct + one term-keyed shuffle).  The registered output
@@ -6318,6 +6334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "html_strip": q_html_strip,
         "http_csv_scan": q_http_csv_scan,
+        "hard_negatives": q_hard_negatives,
         "hybrid_rrf": q_hybrid_rrf,
         "important_parts": q_important_parts,
         "incremental_dedup": q_incremental_dedup,
@@ -8904,6 +8921,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # generated recursive-CTE replay of the BPE trainer (see _bpe_sql)
         "bpe_merges": _bpe_sql(),
+        "hard_negatives": f"""
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+                     {_cos_sql('q.embedding', 'c.embedding')} AS cos_sim
+              FROM embeddings q JOIN embeddings c
+                ON q.vec_id <> c.vec_id AND q.label <> c.label
+              WHERE q.vec_id < 5
+                AND q.label IS NOT NULL AND c.label IS NOT NULL)
+            SELECT query_id, neg_id, cos_sim, CAST(rn AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neg_id ASC) AS rn
+                  FROM scored WHERE cos_sim < 0.9999)
+            WHERE rn <= 10
+        """,
         # BM25 top-20 (the bm25_topk chain, LIMIT 20 + rank) fused with
         # exact-cosine top-20 for query vector 0 via integer RRF
         "hybrid_rrf": f"""

@@ -1065,3 +1065,73 @@ def pq_topk(
         .select("query_id", "neighbour_id", "score_d2",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def mine_hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    label_col: str = "label",
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+    max_sim: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR /
+    sentence-transformers recipe): for every anchor, the top-``k``
+    most-similar corpus items with a DIFFERENT ``label_col`` — similar
+    enough to be informative negatives, excluded from the anchor's own
+    class so they are actually negative.
+
+    ``max_sim`` additionally drops candidates at cosine >=
+    ``max_sim``: near-identical cross-label pairs are usually label
+    noise (false negatives), and training on them poisons the loss —
+    the standard "margin" filter.
+
+    Scale shape: anchors are a bounded training batch → broadcast, so
+    the corpus never shuffles for the join; similarity is the repo's
+    fixed-point ``cosine_exact`` (engine-replayable, so the mined set
+    is hash-checkable); per-anchor top-k is rank-windowed on the
+    anchor key (WindowGroupLimit map-side prune).  At full corpus
+    scale swap the brute-force candidate join for ``ivf_topk_fixed``
+    cells — mining only needs *hard* negatives, which live in the
+    anchor's probe cells by construction.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        F.col(label_col).alias("__qlab"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neg_id"),
+        F.col(corpus_vec).alias("__cv"),
+        F.col(label_col).alias("__clab"),
+    )
+    # label inequality is NULL-safe-negated: a NULL-labelled candidate
+    # is not provably a negative, so it must NOT be mined (eqNullSafe
+    # keeps NULL != NULL out of the negative set too)
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("neg_id"))
+            & ~F.col("__qlab").eqNullSafe(F.col("__clab"))
+            & F.col("__qlab").isNotNull()
+            & F.col("__clab").isNotNull(),
+        )
+        .withColumn("cos_sim", cosine_exact(F.col("__qv"), F.col("__cv")))
+        .drop("__qv", "__cv", "__qlab", "__clab")
+    )
+    if max_sim is not None:
+        scored = scored.filter(F.col("cos_sim") < F.lit(float(max_sim)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neg_id", "cos_sim",
+                F.col("rank").cast("int").alias("rank"))
+    )

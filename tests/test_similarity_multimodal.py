@@ -624,3 +624,40 @@ def test_pq_recall_on_clustered_embeddings(spark):
     df.unpersist()
     assert reranked >= 0.9, f"re-ranked recall collapsed: {reranked}"
     assert reranked > adc, (adc, reranked)
+
+
+def test_mine_hard_negatives_semantics(spark):
+    """Same-label and NULL-label candidates are never mined; max_sim
+    drops near-identical cross-label pairs; top-k orders by similarity
+    with id tie-break."""
+    from gdp_etl_spark.operators.similarity import mine_hard_negatives
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    rows_in = [
+        (0, v, "a"),                        # anchor
+        (1, [x + 0.00001 for x in v], "a"),  # same label: excluded
+        (2, [0.9999999, 0.001, 0.0, 0.0], "b"),  # ~identical: max_sim cut
+        (3, [0.9, 0.1, 0.0, 0.0], "b"),     # hard negative
+        (4, [0.5, 0.5, 0.0, 0.0], "b"),     # easier negative
+        (5, [0.9, 0.1, 0.0, 0.0], None),    # NULL label: excluded
+    ]
+    emb = spark.createDataFrame(
+        rows_in, "vec_id bigint, embedding array<float>, label string"
+    )
+    out = mine_hard_negatives(
+        emb.filter(F.col("vec_id") == 0), emb, k=3, max_sim=0.999
+    ).collect()
+    assert [(r.query_id, r.neg_id, r.rank) for r in out] == [
+        (0, 3, 1), (0, 4, 2),
+    ]
+    assert out[0].cos_sim > out[1].cos_sim
+
+    # without the cap the near-identical cross-label pair is mined
+    nocap = mine_hard_negatives(
+        emb.filter(F.col("vec_id") == 0), emb, k=3
+    ).collect()
+    assert [r.neg_id for r in nocap] == [2, 3, 4]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must"):
+        mine_hard_negatives(emb, emb, k=0)
