@@ -6264,6 +6264,33 @@ def _unicode_clean_sql():
         """
 
 
+def q_k_anon(spark, sf_dir):
+    """k-anonymity suppression-ladder release of customer
+    quasi-identifiers (operators/anonymize.py): level 0 =
+    (nation, segment, $2000 balance band), level 1 = (*, segment,
+    $5000 band), k = 6; rows neither level can anonymize are
+    suppressed with NULL QIs.  One count-over-QI-window shuffle per
+    level over a shrinking remainder; integer counts + string QI
+    renderings make the release hash-exact.  Extends the privacy
+    family (pii_redact, pseudonymize) to record-level release."""
+    from gdp_etl_spark.operators.anonymize import k_anonymize
+
+    cust = _t(spark, sf_dir, "customer")
+    ladder = [
+        {
+            "nation": F.col("c_nationkey").cast("string"),
+            "segment": F.col("c_mktsegment"),
+            "balance": (F.floor(F.col("c_acctbal") / 2000) * 2000),
+        },
+        {
+            "nation": F.lit("*"),
+            "segment": F.col("c_mktsegment"),
+            "balance": (F.floor(F.col("c_acctbal") / 5000) * 5000),
+        },
+    ]
+    return k_anonymize(cust, ladder, k=6, id_col="c_custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness
     gate verifies the FIRST 50 keys each round, and EXACTLY 50 must
@@ -6426,6 +6453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "ivf_recall": q_ivf_recall,
         "ivf_topk": q_ivf_topk,
+        "k_anon": q_k_anon,
         "kmeans_assign": q_kmeans_assign,
         "late_orders": q_late_orders,
         "line_dedup_doc": q_line_dedup_doc,
@@ -9001,6 +9029,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS INT) AS n_terms
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "k_anon": r"""
+            WITH l0 AS (
+              SELECT c_custkey,
+                     CAST(c_nationkey AS VARCHAR) AS nation,
+                     c_mktsegment AS segment,
+                     CAST(CAST(floor(c_acctbal / 2000) * 2000 AS BIGINT)
+                          AS VARCHAR) AS balance,
+                     c_nationkey, c_mktsegment AS seg_o, c_acctbal,
+                     COUNT(*) OVER (PARTITION BY
+                       CAST(c_nationkey AS VARCHAR), c_mktsegment,
+                       CAST(CAST(floor(c_acctbal / 2000) * 2000 AS BIGINT)
+                            AS VARCHAR)) AS n
+              FROM customer
+            ), e0 AS (
+              SELECT c_custkey, nation, segment, balance,
+                     CAST(0 AS INT) AS anon_level, FALSE AS suppressed
+              FROM l0 WHERE n >= 6
+            ), r0 AS (
+              SELECT c_custkey, c_nationkey, seg_o AS c_mktsegment,
+                     c_acctbal
+              FROM l0 WHERE n < 6
+            ), l1 AS (
+              SELECT c_custkey,
+                     '*' AS nation,
+                     c_mktsegment AS segment,
+                     CAST(CAST(floor(c_acctbal / 5000) * 5000 AS BIGINT)
+                          AS VARCHAR) AS balance,
+                     COUNT(*) OVER (PARTITION BY c_mktsegment,
+                       CAST(CAST(floor(c_acctbal / 5000) * 5000 AS BIGINT)
+                            AS VARCHAR)) AS n
+              FROM r0
+            ), e1 AS (
+              SELECT c_custkey, nation, segment, balance,
+                     CAST(1 AS INT) AS anon_level, FALSE AS suppressed
+              FROM l1 WHERE n >= 6
+            ), sup AS (
+              SELECT c_custkey, CAST(NULL AS VARCHAR) AS nation,
+                     CAST(NULL AS VARCHAR) AS segment,
+                     CAST(NULL AS VARCHAR) AS balance,
+                     CAST(2 AS INT) AS anon_level, TRUE AS suppressed
+              FROM l1 WHERE n < 6
+            )
+            SELECT * FROM e0 UNION ALL SELECT * FROM e1
+            UNION ALL SELECT * FROM sup
         """,
         "unicode_clean": _unicode_clean_sql(),
         # generated recursive-CTE replay of the BPE trainer (see _bpe_sql)
