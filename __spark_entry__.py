@@ -6267,8 +6267,8 @@ def _unicode_clean_sql():
 def q_k_anon(spark, sf_dir):
     """k-anonymity suppression-ladder release of customer
     quasi-identifiers (operators/anonymize.py): level 0 =
-    (nation, segment, $2000 balance band), level 1 = (*, segment,
-    $5000 band), k = 6; rows neither level can anonymize are
+    (nation, segment, $2000 balance band), level 1 = (nation,
+    segment, *), k = 6 — drop the most-identifying numeric first; rows neither level can anonymize are
     suppressed with NULL QIs.  One count-over-QI-window shuffle per
     level over a shrinking remainder; integer counts + string QI
     renderings make the release hash-exact.  Extends the privacy
@@ -6283,9 +6283,9 @@ def q_k_anon(spark, sf_dir):
             "balance": (F.floor(F.col("c_acctbal") / 2000) * 2000),
         },
         {
-            "nation": F.lit("*"),
+            "nation": F.col("c_nationkey").cast("string"),
             "segment": F.col("c_mktsegment"),
-            "balance": (F.floor(F.col("c_acctbal") / 5000) * 5000),
+            "balance": F.lit("*"),
         },
     ]
     return k_anonymize(cust, ladder, k=6, id_col="c_custkey")
@@ -9053,13 +9053,11 @@ def oracle_sql() -> dict[str, str]:
               FROM l0 WHERE n < 6
             ), l1 AS (
               SELECT c_custkey,
-                     '*' AS nation,
+                     CAST(c_nationkey AS VARCHAR) AS nation,
                      c_mktsegment AS segment,
-                     CAST(CAST(floor(c_acctbal / 5000) * 5000 AS BIGINT)
-                          AS VARCHAR) AS balance,
-                     COUNT(*) OVER (PARTITION BY c_mktsegment,
-                       CAST(CAST(floor(c_acctbal / 5000) * 5000 AS BIGINT)
-                            AS VARCHAR)) AS n
+                     '*' AS balance,
+                     COUNT(*) OVER (PARTITION BY
+                       CAST(c_nationkey AS VARCHAR), c_mktsegment) AS n
               FROM r0
             ), e1 AS (
               SELECT c_custkey, nation, segment, balance,
