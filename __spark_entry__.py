@@ -6291,6 +6291,107 @@ def q_k_anon(spark, sf_dir):
     return k_anonymize(cust, ladder, k=6, id_col="c_custkey")
 
 
+#: c4_clean fixture: one row per C4 rule — javascript line, short
+#: line, missing terminal punctuation, lorem-ipsum page drop, curly-
+#: brace page drop, a clean multi-sentence keeper, NULL text.
+_C4_FIX = [
+    (2000001, "This javascript line must go away now.\n"
+              "This line is long enough and ends well.\n"
+              "Second proper sentence stays right here.\n"
+              "Third proper sentence stays right here too.\n"
+              "Fourth proper sentence remains in the page.\n"
+              "Fifth proper sentence closes the page out."),
+    (2000002, "too short.\nno terminal punctuation at all\n"
+              "Only one good sentence survives this page."),
+    (2000003, "Lorem ipsum dolor sit amet is boilerplate filler.\n"
+              "Even five good sentences cannot save it. Yes. Yes. Yes."),
+    (2000004, "function f() { return 1; } is code not prose.\n"
+              "Curly braces drop the page. Yes. Yes. Yes. Yes."),
+    (2000005, None),
+]
+
+
+def q_c4_clean(spark, sf_dir):
+    """The C4 heuristic cleaning rules (functions/text.c4_rules;
+    Raffel et al. 2020 §2.2) over documents plus a constant fixture
+    exercising every rule: line-level terminal-punctuation /
+    min-words / javascript filters and doc-level min-sentences /
+    lorem-ipsum / curly-brace drops.  One per-row struct expression —
+    higher-order array filters, zero shuffle at any corpus size; the
+    oracle mirrors each rule with list_filter + regexp, hash-exact.
+    Complements the corpus-frequency boilerplate stage
+    (dedup.boilerplate_line_filter): C4 is per-row heuristics, no
+    corpus statistics needed."""
+    from gdp_etl_spark.functions.text import c4_rules
+    from gdp_etl_spark.session import local_df
+
+    # the synthetic corpus is single-line prose without punctuation —
+    # synthesize line structure (5-word sentences) so the line rules
+    # discriminate on real data too (the pii_redact augmentation rule)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), "((\\S+\\s+){4}\\S+)\\s+", "$1.\n"
+        ).alias("text"),
+    )
+    fix = local_df(spark, _C4_FIX, "doc_id bigint, text string")
+    u = d.unionByName(fix).withColumn("__c4", c4_rules(F.col("text")))
+    return u.select(
+        "doc_id",
+        F.col("__c4.text_c4").alias("text_c4"),
+        F.col("__c4.n_lines").alias("n_lines"),
+        F.col("__c4.n_kept").alias("n_kept"),
+        F.col("__c4.n_sentences").alias("n_sentences"),
+        F.col("__c4.keep").alias("keep"),
+    )
+
+
+def _c4_sql(min_words=3, min_sentences=5):
+    vals = ",\n              ".join(
+        f"({i}, {_sql_str(t)})" for i, t in _C4_FIX
+    )
+    line_keep = (
+        "l -> regexp_matches(trim(l), '[.!?\"]$') "
+        "AND len(list_filter(string_split_regex(trim(l), '\\s+'), "
+        f"w -> w <> '')) >= {min_words} "
+        "AND NOT contains(lower(trim(l)), 'javascript')"
+    )
+    return f"""
+            WITH fix(doc_id, text) AS (VALUES
+              {vals}),
+            u AS (SELECT doc_id,
+                         regexp_replace(text,
+                           '((\\S+\\s+){{4}}\\S+)\\s+',
+                           '\\1.' || chr(10), 'g') AS text
+                  FROM documents
+                  UNION ALL SELECT doc_id, text FROM fix),
+            r AS (
+              SELECT doc_id, text,
+                     string_split(coalesce(text, ''), chr(10)) AS ls,
+                     list_filter(string_split(coalesce(text, ''),
+                                 chr(10)), {line_keep}) AS kept
+              FROM u),
+            s AS (
+              SELECT doc_id, text,
+                     coalesce(array_to_string(kept, chr(10)), '')
+                       AS text_c4,
+                     len(ls) AS n_lines, len(kept) AS n_kept
+              FROM r)
+            SELECT doc_id, text_c4,
+                   CAST(n_lines AS INT) AS n_lines,
+                   CAST(n_kept AS INT) AS n_kept,
+                   CAST(len(regexp_extract_all(text_c4, '[.!?]'))
+                        AS INT) AS n_sentences,
+                   (len(regexp_extract_all(text_c4, '[.!?]'))
+                      >= {min_sentences}
+                    AND NOT contains(lower(coalesce(text, '')),
+                                     'lorem ipsum')
+                    AND NOT contains(coalesce(text, ''), '{{'))
+                     AS keep
+            FROM s
+        """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness
     gate verifies the FIRST 50 keys each round, and EXACTLY 50 must
@@ -6378,6 +6479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bpe_merges": q_bpe_merges,
         "build_fact": q_build_fact,
+        "c4_clean": q_c4_clean,
         "calendar_dim": q_calendar_dim,
         "category_drift": q_category_drift,
         "cdc_apply": q_cdc_apply,
@@ -9030,6 +9132,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 10
         """,
+        "c4_clean": _c4_sql(),
         "k_anon": r"""
             WITH l0 AS (
               SELECT c_custkey,

@@ -904,3 +904,64 @@ def extract_links_parsed(df, html_col: str, out_col: str = "links"):
             yield pdf
 
     return df.mapInPandas(_extract, out_schema)
+
+
+def c4_rules(
+    text: Column,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> Column:
+    """The C4 heuristic cleaning rules (Raffel et al. 2020, §2.2 —
+    the filter set behind the T5 training corpus), as ONE per-row
+    struct expression:
+
+    * line level (lines split on ``\\n``, judged after trim): keep a
+      line only if it ends in terminal punctuation (``. ! ? "``), has
+      at least ``min_words_per_line`` whitespace words, and does not
+      contain the word "javascript" (case-insensitive);
+    * doc level: ``keep`` is false when the retained text has fewer
+      than ``min_sentences`` sentence enders (``[.!?]``), or the
+      ORIGINAL text contains "lorem ipsum" (case-insensitive) or a
+      curly brace ``{`` (code).
+
+    Returns ``struct(text_c4, n_lines int, n_kept int,
+    n_sentences int, keep boolean)`` — callers filter on ``keep`` and
+    project ``text_c4``.  Pure higher-order array expressions: per-row
+    map work, zero shuffle at any corpus size, and every rule has an
+    exact DuckDB mirror (list_filter + regexp), so the cleaned corpus
+    is hash-checkable.  The remaining C4 stages are separate
+    operators by design: blocklist (``blocklist_flag``), three-
+    sentence-span dedup (``dedup.token_window_dedup``), language ID
+    (``lang_id``).
+    """
+    lines = F.split(F.coalesce(text, F.lit("")), "\n")
+
+    def line_ok(line: Column) -> Column:
+        t = F.trim(line)
+        words = F.size(
+            F.filter(F.split(t, "\\s+"), lambda w: w != F.lit(""))
+        )
+        return (
+            t.rlike('[.!?"]$')
+            & (words >= F.lit(int(min_words_per_line)))
+            & ~F.lower(t).rlike("javascript")
+        )
+
+    kept = F.filter(lines, line_ok)
+    text_c4 = F.array_join(kept, "\n")
+    n_sentences = F.size(
+        F.regexp_extract_all(text_c4, F.lit("[.!?]"), F.lit(0))
+    )
+    low = F.lower(F.coalesce(text, F.lit("")))
+    keep = (
+        (n_sentences >= F.lit(int(min_sentences)))
+        & ~low.contains("lorem ipsum")
+        & ~low.contains("{")
+    )
+    return F.struct(
+        text_c4.alias("text_c4"),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+        n_sentences.cast("int").alias("n_sentences"),
+        keep.alias("keep"),
+    )

@@ -1657,3 +1657,37 @@ def test_bloom_hit_rejects_mismatched_word_count():
         bloom_hit(F.lit("x"), words, num_bits=1 << 12)
     with _pytest.raises(ValueError, match="num_bits"):
         bloom_hit(F.lit("x"), words[:-1], num_bits=1 << 10)
+
+
+def test_c4_rules_each_rule(spark):
+    """Every C4 rule fires: terminal punctuation, min words,
+    javascript, min sentences, lorem ipsum, curly brace, NULL text."""
+    from gdp_etl_spark.functions.text import c4_rules
+
+    good5 = "\n".join(
+        f"Sentence number {i} is long enough." for i in range(5)
+    )
+    rows_in = [
+        (1, good5),                                     # keeps, 5 lines
+        (2, "no terminal punctuation here\nshort.\n"    # line rules
+            "This proper sentence number one stays.\n" + good5),
+        (3, "Click here to enable javascript support.\n" + good5),
+        (4, "Only two sentences here. Second one."),    # < 5 sentences
+        (5, "Lorem Ipsum dolor sit amet.\n" + good5),   # page drop
+        (6, "code { is } here.\n" + good5),             # page drop
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows_in, "id bigint, text string")
+    out = {r.id: r.c4 for r in df.select(
+        "id", c4_rules(F.col("text")).alias("c4")).collect()}
+
+    assert out[1].keep and out[1].n_kept == 5 and out[1].n_sentences == 5
+    # id 2: "short." fails min-words, unpunctuated line fails; 6 kept
+    assert out[2].n_lines == 8 and out[2].n_kept == 6 and out[2].keep
+    # javascript line removed but the page survives on the good lines
+    assert out[3].n_kept == 5 and out[3].keep
+    assert "javascript" not in out[3].text_c4
+    assert not out[4].keep and out[4].n_sentences == 2
+    assert not out[5].keep and out[5].n_kept == 6   # lines fine, page out
+    assert not out[6].keep                           # curly brace
+    assert out[7].text_c4 == "" and not out[7].keep and out[7].n_lines == 1
