@@ -6392,6 +6392,39 @@ def _c4_sql(min_words=3, min_sentences=5):
         """
 
 
+def q_hist_incremental(spark, sf_dir):
+    """The persisted HISTOGRAM sketch-table lifecycle — the quantile
+    twin of q_ndv_incremental (sketches.write_hist_sketch /
+    append_to_hist_sketch / quantiles_from_hist): day-1 orders (even
+    keys) bin into a stamped table, day-2 appends its bin counts (one
+    scan of the increment, counts ADD), and p50/p90 read back from the
+    stored state with exact-rank interpolation inside the hit bin.
+    Count additivity makes the result bit-identical to binning ALL
+    orders directly, so the oracle replays binning + the rank rule
+    over the full table — a broken write/append/stamp/merge/estimate
+    breaks the hash.  Any percentile question over a growing corpus
+    reads ≤ |groups|·|bins| stored rows, never the base data."""
+    import shutil as _shutil
+
+    from gdp_etl_spark.operators.sketches import (
+        append_to_hist_sketch,
+        quantiles_from_hist,
+        write_hist_sketch,
+    )
+
+    table = "q_hist_sketch_tbl"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    o = _t(spark, sf_dir, "orders")
+    write_hist_sketch(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        ["o_orderpriority"], "o_totalprice", table, bin_width=1000.0,
+    )
+    append_to_hist_sketch(o.filter(F.col("o_orderkey") % 2 == 1), table)
+    return quantiles_from_hist(spark, table, (0.5, 0.9))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness
     gate verifies the FIRST 50 keys each round, and EXACTLY 50 must
@@ -6402,84 +6435,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every CORRECTNESS_r*.json ledger and ranks (1) queries whose code,
     fixture, or oracle changed this round, (2) queries with no driver
     row in any round, (3) everything else stalest-first (last-green
-    round ascending, name tie-break).  The round-9 window: the eight
-    NEW queries (batch_screen, observed_profile, link_graph,
-    grouped_topk, pq_topk, source_overlap, epoch_shuffle,
-    stratified_split), the two
-    whose fixtures + oracles gained adversarial rows (html_strip,
-    line_dedup_doc), the three registered after the r8 window rotation
-    and therefore never driver-checked (recursive_cte, sql_udf,
-    variant_extract), then the 37 stalest re-checks (all r3/r4-green:
-    the TPC-H topology sweep, stats/monitoring, and multimodal
-    families).  Everything rotated out stays registered below with
+    round ascending, name tie-break).  The round-12 window: the seven
+    NEW queries (bpe_merges, hybrid_rrf, hard_negatives,
+    unicode_clean, k_anon, c4_clean, hist_incremental), the five whose code paths
+    changed in the advisor-finding fixes (dsir_select,
+    semantic_decontam, warc_parsed_fidelity, wet_ingest,
+    ndv_incremental), then the ENTIRE
+    last-green-r7 bucket (38 stalest re-checks) — so max staleness
+    across the registry drops to 4 rounds.  Everything rotated out stays registered below with
     identical local oracle coverage (``tools/check_correctness.py``)."""
     return {
-        "sketch_stats": q_sketch_stats,
-        "warc_ingest": q_warc_ingest,
-        "wet_ingest": q_wet_ingest,
-        "crawl_corpus": q_crawl_corpus,
+        "bpe_merges": q_bpe_merges,
+        "hybrid_rrf": q_hybrid_rrf,
+        "hard_negatives": q_hard_negatives,
+        "unicode_clean": q_unicode_clean,
+        "k_anon": q_k_anon,
+        "c4_clean": q_c4_clean,
         "dsir_select": q_dsir_select,
-        "sketch_rollup": q_sketch_rollup,
-        "bloom_screen": q_bloom_screen,
-        "train_batches": q_train_batches,
+        "semantic_decontam": q_semantic_decontam,
         "warc_parsed_fidelity": q_warc_parsed_fidelity,
+        "wet_ingest": q_wet_ingest,
         "ndv_incremental": q_ndv_incremental,
-        "equidepth": q_equidepth,
-        "filter_band": q_filter_band,
-        "filter_compound": q_filter_compound,
-        "filter_in": q_filter_in,
-        "filter_strlen": q_filter_strlen,
-        "golden_release_diff": q_golden_release_diff,
-        "golden_rollup": q_golden_rollup,
-        "golden_usis_export": q_golden_usis_export,
-        "group_first": q_group_first,
-        "group_stats": q_group_stats,
-        "hash_split": q_hash_split,
-        "heavy_hitters": q_heavy_hitters,
-        "histogram": q_histogram,
-        "join_composite": q_join_composite,
-        "join_label": q_join_label,
-        "join_suffix": q_join_suffix,
-        "json_extract": q_json_extract,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "left_join_sum_zero": q_left_join_sum_zero,
-        "length_batches": q_length_batches,
-        "mad_outliers": q_mad_outliers,
-        "neg_projection": q_neg_projection,
-        "orc_roundtrip": q_orc_roundtrip,
-        "pareto_share": q_pareto_share,
-        "projection": q_projection,
-        "range_frame": q_range_frame,
-        "rank_windows": q_rank_windows,
-        "rollup_hierarchy": q_rollup_hierarchy,
-        "sample_per_group": q_sample_per_group,
-        "semi_anti_join": q_semi_anti_join,
-        "sketch_bounds": q_sketch_bounds,
-        "string_funcs": q_string_funcs,
-        "top_bigrams": q_top_bigrams,
-        "udtf_matches": q_udtf_matches,
-        "value_windows": q_value_windows,
-        "weighted_sample": q_weighted_sample,
-        "ann_topk": q_ann_topk,
-        "bankers_round": q_bankers_round,
-        "blocklist_filter": q_blocklist_filter,
-        "boilerplate_lines": q_boilerplate_lines,
-        # -- end of driver window (50) -------------------------------------
-        # below the window: alphabetical; all keep local oracle coverage
-        # via tools/check_correctness.py
+        "conditional_overwrite": q_conditional_overwrite,
+        "contamination_frac": q_contamination_frac,
+        "corpus_diff": q_corpus_diff,
+        "csv_roundtrip": q_csv_roundtrip,
+        "dedup_clusters": q_dedup_clusters,
+        "doc_chunks": q_doc_chunks,
+        "dup_ngram_profile": q_dup_ngram_profile,
+        "embedding_gram": q_embedding_gram,
+        "exact_dedup": q_exact_dedup,
+        "gaps_islands": q_gaps_islands,
+        "golden_comments": q_golden_comments,
+        "group_extrema": q_group_extrema,
+        "hash_sample": q_hash_sample,
+        "incremental_dedup": q_incremental_dedup,
+        "index_dedup": q_index_dedup,
+        "interpolate": q_interpolate,
+        "mean_pool": q_mean_pool,
+        "minhash_lsh": q_minhash_lsh,
+        "norm_dedup": q_norm_dedup,
+        "pad_codes": q_pad_codes,
+        "paragraph_dedup": q_paragraph_dedup,
+        "pivot_wide": q_pivot_wide,
+        "quality_gate": q_quality_gate,
+        "quality_lang": q_quality_lang,
+        "recode_values": q_recode_values,
+        "ref_date_stamp": q_ref_date_stamp,
+        "sci_format": q_sci_format,
+        "shard_assign": q_shard_assign,
+        "shard_manifest": q_shard_manifest,
+        "source_report": q_source_report,
+        "substring_dedup": q_substring_dedup,
+        "temperature_mix": q_temperature_mix,
+        "token_stats": q_token_stats,
+        "topk_orders": q_topk_orders,
+        "union_by_name": q_union_by_name,
+        "unpivot_long": q_unpivot_long,
+        "vocab_coverage": q_vocab_coverage,
+        "zorder_stats": q_zorder_stats,
+        "hist_incremental": q_hist_incremental,
+        # -- end of driver window (50) -----------------------------------
+        # below the window: alphabetical; all keep local oracle
+        # coverage via tools/check_correctness.py
         "ab_test": q_ab_test,
+        "asof_join": q_asof_join,
+        "ann_topk": q_ann_topk,
         "array_agg": q_array_agg,
         "array_map_funcs": q_array_map_funcs,
-        "asof_join": q_asof_join,
+        "bankers_round": q_bankers_round,
         "base_broadcast": q_base_broadcast,
         "batch_screen": q_batch_screen,
         "benford": q_benford,
         "big_order_customers": q_big_order_customers,
         "binary_header": q_binary_header,
+        "blocklist_filter": q_blocklist_filter,
+        "bloom_screen": q_bloom_screen,
         "bm25_topk": q_bm25_topk,
-        "bpe_merges": q_bpe_merges,
+        "boilerplate_lines": q_boilerplate_lines,
         "build_fact": q_build_fact,
-        "c4_clean": q_c4_clean,
         "calendar_dim": q_calendar_dim,
         "category_drift": q_category_drift,
         "cdc_apply": q_cdc_apply,
@@ -6493,15 +6527,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy": q_column_entropy,
         "compute_project": q_compute_project,
         "conditional_agg": q_conditional_agg,
-        "conditional_overwrite": q_conditional_overwrite,
-        "contamination_frac": q_contamination_frac,
         "content_hash": q_content_hash,
         "corpus_clean": q_corpus_clean,
         "corpus_curate": q_corpus_curate,
-        "corpus_diff": q_corpus_diff,
         "corpus_mix": q_corpus_mix,
         "corr_matrix": q_corr_matrix,
-        "csv_roundtrip": q_csv_roundtrip,
+        "crawl_corpus": q_crawl_corpus,
         "csv_trimmed": q_csv_trimmed,
         "cube": q_cube,
         "curation_audit": q_curation_audit,
@@ -6509,90 +6540,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_screen": q_decontam_screen,
         "decontam_scrub": q_decontam_scrub,
         "decontaminate": q_decontaminate,
-        "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "diff_classify": q_diff_classify,
         "disjunctive_revenue": q_disjunctive_revenue,
         "distinct_values": q_distinct_values,
-        "doc_chunks": q_doc_chunks,
         "dq_checks": q_dq_checks,
         "drift_psi": q_drift_psi,
         "drop_na": q_drop_na,
         "dsir_weights": q_dsir_weights,
-        "dup_ngram_profile": q_dup_ngram_profile,
         "embed_transform": q_embed_transform,
-        "embedding_gram": q_embedding_gram,
         "embedding_near_dup": q_embedding_near_dup,
         "epoch_shuffle": q_epoch_shuffle,
+        "equidepth": q_equidepth,
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
         "events_tumbling": q_events_tumbling,
-        "exact_dedup": q_exact_dedup,
         "excel_scan": q_excel_scan,
         "excess_suppliers": q_excess_suppliers,
+        "filter_band": q_filter_band,
+        "filter_compound": q_filter_compound,
+        "filter_in": q_filter_in,
+        "filter_strlen": q_filter_strlen,
         "fingerprint": q_fingerprint,
         "fixed_width": q_fixed_width,
         "flagship_revenue": q_flagship_revenue,
         "forecast_revenue": q_forecast_revenue,
         "funnel": q_funnel,
         "fuzzy_pairs": q_fuzzy_pairs,
-        "gaps_islands": q_gaps_islands,
-        "golden_comments": q_golden_comments,
-        "group_extrema": q_group_extrema,
+        "golden_release_diff": q_golden_release_diff,
+        "golden_rollup": q_golden_rollup,
+        "golden_usis_export": q_golden_usis_export,
+        "group_first": q_group_first,
+        "group_stats": q_group_stats,
         "grouped_topk": q_grouped_topk,
         "grouping_sets": q_grouping_sets,
         "hamming_d4": q_hamming_d4,
-        "hash_sample": q_hash_sample,
+        "hash_split": q_hash_split,
+        "heavy_hitters": q_heavy_hitters,
+        "histogram": q_histogram,
         "html_strip": q_html_strip,
         "http_csv_scan": q_http_csv_scan,
-        "hard_negatives": q_hard_negatives,
-        "hybrid_rrf": q_hybrid_rrf,
         "important_parts": q_important_parts,
-        "incremental_dedup": q_incremental_dedup,
-        "index_dedup": q_index_dedup,
-        "interpolate": q_interpolate,
         "interval_overlap": q_interval_overlap,
         "inverted_index": q_inverted_index,
         "ivf_recall": q_ivf_recall,
         "ivf_topk": q_ivf_topk,
-        "k_anon": q_k_anon,
+        "join_composite": q_join_composite,
+        "join_label": q_join_label,
+        "join_suffix": q_join_suffix,
+        "json_extract": q_json_extract,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "kmeans_assign": q_kmeans_assign,
         "late_orders": q_late_orders,
+        "left_join_sum_zero": q_left_join_sum_zero,
+        "length_batches": q_length_batches,
         "line_dedup_doc": q_line_dedup_doc,
         "linear_trend": q_linear_trend,
         "link_graph": q_link_graph,
         "lm_buckets": q_lm_buckets,
         "lm_score": q_lm_score,
         "lsh_topk": q_lsh_topk,
+        "mad_outliers": q_mad_outliers,
         "market_share": q_market_share,
-        "mean_pool": q_mean_pool,
         "merge_upsert": q_merge_upsert,
         "min_cost_supplier": q_min_cost_supplier,
         "minhash_index": q_minhash_index,
-        "minhash_lsh": q_minhash_lsh,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
         "nation_profit": q_nation_profit,
         "native_rollup": q_native_rollup,
+        "neg_projection": q_neg_projection,
         "ngram_jaccard": q_ngram_jaccard,
-        "norm_dedup": q_norm_dedup,
         "observed_profile": q_observed_profile,
+        "orc_roundtrip": q_orc_roundtrip,
         "order_count_dist": q_order_count_dist,
         "outlier_fences": q_outlier_fences,
         "pack_segments": q_pack_segments,
         "pack_sequences": q_pack_sequences,
-        "pad_codes": q_pad_codes,
         "pagerank": q_pagerank,
-        "paragraph_dedup": q_paragraph_dedup,
+        "pareto_share": q_pareto_share,
         "part_supplier_counts": q_part_supplier_counts,
         "phash_dedup": q_phash_dedup,
         "pii_redact": q_pii_redact,
-        "pivot_wide": q_pivot_wide,
         "pq_topk": q_pq_topk,
         "prefix_jaccard": q_prefix_jaccard,
         "priority_by_flag": q_priority_by_flag,
         "profile_table": q_profile_table,
+        "projection": q_projection,
         "promo_ratio": q_promo_ratio,
         "pseudonymize": q_pseudonymize,
         "python_datasource": q_python_datasource,
@@ -6601,58 +6636,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_discrepancies": q_qa_discrepancies,
         "qa_missing_years": q_qa_missing_years,
         "qa_top_log_ratio": q_qa_top_log_ratio,
-        "quality_gate": q_quality_gate,
-        "quality_lang": q_quality_lang,
+        "range_frame": q_range_frame,
         "range_join": q_range_join,
-        "recode_values": q_recode_values,
+        "rank_windows": q_rank_windows,
         "record_linkage": q_record_linkage,
         "recursive_cte": q_recursive_cte,
-        "ref_date_stamp": q_ref_date_stamp,
         "regional_volume": q_regional_volume,
         "repetition_stats": q_repetition_stats,
         "resample_locf": q_resample_locf,
         "returned_revenue": q_returned_revenue,
         "rolling_corr": q_rolling_corr,
         "rolling_window": q_rolling_window,
+        "rollup_hierarchy": q_rollup_hierarchy,
         "row_ids": q_row_ids,
         "salted_join": q_salted_join,
+        "sample_per_group": q_sample_per_group,
         "scalar_share": q_scalar_share,
         "scd2": q_scd2,
         "scd2_lookup": q_scd2_lookup,
         "schema_evolution": q_schema_evolution,
-        "sci_format": q_sci_format,
         "seasonal_anomalies": q_seasonal_anomalies,
-        "semantic_decontam": q_semantic_decontam,
-        "shard_assign": q_shard_assign,
-        "shard_manifest": q_shard_manifest,
+        "semi_anti_join": q_semi_anti_join,
         "shipping_priority": q_shipping_priority,
         "simhash_pairs": q_simhash_pairs,
+        "sketch_bounds": q_sketch_bounds,
+        "sketch_rollup": q_sketch_rollup,
+        "sketch_stats": q_sketch_stats,
         "small_qty_revenue": q_small_qty_revenue,
         "source_overlap": q_source_overlap,
-        "source_report": q_source_report,
         "source_terciles": q_source_terciles,
         "sql_api": q_sql_api,
         "sql_api_q3": q_sql_api_q3,
         "sql_udf": q_sql_udf,
         "stratified_split": q_stratified_split,
-        "substring_dedup": q_substring_dedup,
+        "string_funcs": q_string_funcs,
         "table_checksum": q_table_checksum,
-        "temperature_mix": q_temperature_mix,
-        "token_stats": q_token_stats,
         "top_acctbal_no_orders": q_top_acctbal_no_orders,
+        "top_bigrams": q_top_bigrams,
         "top_supplier": q_top_supplier,
-        "topk_orders": q_topk_orders,
         "trade_volume": q_trade_volume,
+        "train_batches": q_train_batches,
         "triangle_count": q_triangle_count,
-        "unicode_clean": q_unicode_clean,
-        "union_by_name": q_union_by_name,
-        "unpivot_long": q_unpivot_long,
+        "udtf_matches": q_udtf_matches,
         "url_dedup": q_url_dedup,
         "usis_export": q_usis_export,
+        "value_windows": q_value_windows,
         "variant_extract": q_variant_extract,
-        "vocab_coverage": q_vocab_coverage,
         "waiting_supplier": q_waiting_supplier,
-        "zorder_stats": q_zorder_stats,
+        "warc_ingest": q_warc_ingest,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -9133,6 +9165,36 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc_id LIMIT 10
         """,
         "c4_clean": _c4_sql(),
+        "hist_incremental": r"""
+            WITH b AS (
+              SELECT o_orderpriority,
+                     CAST(floor(CAST(o_totalprice AS DOUBLE) / 1000.0)
+                          AS BIGINT) AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS n_vals
+              FROM orders WHERE o_totalprice IS NOT NULL
+              GROUP BY 1, 2
+            ), c AS (
+              SELECT o_orderpriority, bin, n_vals,
+                     CAST(SUM(n_vals) OVER (
+                       PARTITION BY o_orderpriority) AS BIGINT) AS n,
+                     CAST(COALESCE(SUM(n_vals) OVER (
+                       PARTITION BY o_orderpriority ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum0
+              FROM b
+            ), j AS (
+              SELECT c.*, q.q,
+                     CAST(ceil(q.q * CAST(c.n AS DOUBLE)) AS BIGINT)
+                       AS target
+              FROM c CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE),
+                                                CAST(0.9 AS DOUBLE)]) AS q) q
+            )
+            SELECT o_orderpriority, q, n,
+                   CAST(bin AS DOUBLE) * 1000.0
+                     + 1000.0 * CAST(target - cum0 AS DOUBLE)
+                       / CAST(n_vals AS DOUBLE) AS est
+            FROM j WHERE cum0 < target AND target <= cum0 + n_vals
+        """,
         "k_anon": r"""
             WITH l0 AS (
               SELECT c_custkey,

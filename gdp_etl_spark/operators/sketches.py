@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -597,6 +597,224 @@ def compact_ndv_sketch(spark, table: str) -> None:
     except Exception:
         # restore the original under its name; the stamped tmp remains
         # for inspection
+        spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+        raise
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+
+
+# ---------------------------------------------------------------------------
+# persisted HISTOGRAM sketch tables — the quantile twin of the NDV
+# lifecycle above: fixed-width bin counts are trivially mergeable
+# (counts ADD, where HLL registers MAX), so write / append /
+# merge-on-read / compact follow the identical protocol and any
+# percentile question over a growing corpus reads ≤ |groups|·|bins|
+# stored rows instead of the base data.  Estimates are exact-rank
+# interpolations within a bin, so the error is bounded by bin_width —
+# and unlike approx_percentile state, the stored counts are plain
+# integers every engine reproduces, keeping the whole lifecycle
+# hash-checkable.
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = "hist.bin_width"
+_HIST_VALUE = "hist.value_col"
+_HIST_GROUPS = "hist.group_cols"
+
+
+def hist_bins(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Fixed-width bin counts ``(group_cols..., bin bigint, n_vals
+    bigint)`` — ``bin = floor(value / bin_width)`` (IEEE double
+    division: engine-identical for identical literals).  NULL values
+    are excluded (a quantile is defined over observed values);
+    negative values bin correctly (floor, not truncate)."""
+    if not (bin_width > 0):
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            *group_cols,
+            F.floor(
+                F.col(value_col).cast("double") / F.lit(float(bin_width))
+            ).cast("bigint").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vals"))
+    )
+
+
+def _stamp_hist_params(
+    spark, table: str, bin_width: float, value_col: str,
+    group_cols: list[str],
+) -> None:
+    def q(v: str) -> str:
+        return v.replace("'", "''")
+
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'{_HIST_WIDTH}' = '{float(bin_width)!r}', "
+        f"'{_HIST_VALUE}' = '{q(value_col)}', "
+        f"'{_HIST_GROUPS}' = '{q(','.join(group_cols))}')"
+    )
+
+
+def _hist_stamp(spark, table: str) -> tuple[float, str, list[str]]:
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    missing = [k for k in (_HIST_WIDTH, _HIST_VALUE, _HIST_GROUPS)
+               if k not in props]
+    if missing:
+        raise ValueError(
+            f"{table} is not a histogram sketch table (missing "
+            f"properties {missing}); create it with write_hist_sketch"
+        )
+    groups = props[_HIST_GROUPS]
+    return (
+        float(props[_HIST_WIDTH]),
+        props[_HIST_VALUE],
+        groups.split(",") if groups else [],
+    )
+
+
+def write_hist_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    table: str,
+    bin_width: float,
+) -> None:
+    """Materialize fixed-width bin counts as a stamped metastore table
+    (the write_ndv_sketch durability protocol verbatim: tmp write +
+    stamp + rename — never live-but-stampless)."""
+    group_cols = list(group_cols)
+    bad = [c for c in group_cols if "," in c]
+    if bad:
+        raise ValueError(f"group column names may not contain ',': {bad}")
+    spark = df.sparkSession
+    if spark.catalog.tableExists(table):
+        raise ValueError(f"table {table} already exists")
+    tmp = f"{table}__new"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    bins = hist_bins(df, group_cols, value_col, bin_width)
+    bins.write.mode("overwrite").saveAsTable(tmp)
+    _stamp_hist_params(spark, tmp, bin_width, value_col, group_cols)
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+
+
+def append_to_hist_sketch(df: DataFrame, table: str) -> None:
+    """Fold a NEW data increment in: bin counts simply APPEND (sums
+    are associative), so merge-on-read equals binning the full union
+    directly — one scan of the increment, no rescan of prior data."""
+    spark = df.sparkSession
+    bin_width, value_col, group_cols = _hist_stamp(spark, table)
+    hist_bins(df, group_cols, value_col, bin_width).write.mode(
+        "append"
+    ).saveAsTable(table)
+
+
+def quantiles_from_hist(
+    spark,
+    table: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from the stored bins at the stamped
+    granularity or any SUBSET of it (coarser rollups come free from
+    count additivity) — never touches the base data.
+
+    Rank rule (engine-portable): the q-quantile is order statistic
+    ``ceil(q·n)`` (1-based); the estimate interpolates linearly inside
+    the bin holding that rank::
+
+        est = bin·w + w · (target − cum_before) / bin_count
+
+    Every input to the arithmetic is an exact integer (plus the
+    stamped width literal), so estimates are bit-identical across
+    engines, and the true order statistic provably lies within
+    ``bin_width`` of the estimate.  Returns one row per group and q:
+    ``(group_cols..., q double, n bigint, est double)``."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for x in qs:
+        if not (0.0 < x <= 1.0):
+            raise ValueError(f"quantiles must be in (0, 1], got {x}")
+    bin_width, _, stamped = _hist_stamp(spark, table)
+    keys = stamped if group_cols is None else list(group_cols)
+    extra = [c for c in keys if c not in stamped]
+    if extra:
+        raise ValueError(
+            f"group_cols {extra} not in the stamped granularity "
+            f"{stamped}; a FINER rollup needs a re-sketch"
+        )
+    spark.catalog.refreshTable(table)
+    merged = (
+        spark.table(table)
+        .groupBy(*keys, "bin")
+        .agg(F.sum("n_vals").alias("n_vals"))
+    )
+    w_tot = Window.partitionBy(*[F.lit(1)] if not keys else keys)
+    w_cum = Window.partitionBy(
+        *([F.lit(1)] if not keys else keys)
+    ).orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = merged.select(
+        *keys,
+        "bin",
+        "n_vals",
+        F.sum("n_vals").over(w_tot).alias("n"),
+        F.coalesce(F.sum("n_vals").over(w_cum), F.lit(0)).alias("cum0"),
+    )
+    qdf = cum.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(float(x)) for x in qs])).alias("q")
+    )
+    j = cum.crossJoin(F.broadcast(qdf))
+    target = F.ceil(F.col("q") * F.col("n")).cast("bigint")
+    hit = j.filter(
+        (F.col("cum0") < target) & (target <= F.col("cum0") + F.col("n_vals"))
+    )
+    w = F.lit(float(bin_width))
+    est = (
+        F.col("bin").cast("double") * w
+        + w * (target - F.col("cum0")).cast("double")
+        / F.col("n_vals").cast("double")
+    )
+    return hit.select(*keys, "q", "n", est.alias("est"))
+
+
+def compact_hist_sketch(spark, table: str) -> None:
+    """Fold accumulated appends back to one row per (group, bin) —
+    the compact_ndv_sketch swap protocol including the
+    concurrent-append tripwire and its explicit single-writer
+    assumption."""
+    bin_width, value_col, group_cols = _hist_stamp(spark, table)
+    spark.catalog.refreshTable(table)
+    tmp, old = f"{table}__new", f"{table}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    n_at_scan = spark.table(table).count()
+    merged = (
+        spark.table(table)
+        .groupBy(*group_cols, "bin")
+        .agg(F.sum("n_vals").alias("n_vals"))
+    )
+    merged.write.mode("overwrite").saveAsTable(tmp)
+    _stamp_hist_params(spark, tmp, bin_width, value_col, group_cols)
+    spark.catalog.refreshTable(table)
+    n_now = spark.table(table).count()
+    if n_now != n_at_scan:
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        raise RuntimeError(
+            f"compact_hist_sketch: {table} changed during compaction "
+            f"({n_at_scan} -> {n_now} rows) — a concurrent append "
+            f"would have been lost; retry when the writer is quiesced"
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+    try:
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    except Exception:
         spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
         raise
     spark.sql(f"DROP TABLE IF EXISTS {old}")

@@ -1056,3 +1056,73 @@ def test_portable_hll_register_agg_is_map_side_partial(spark):
     # rindex: the DEEPEST partial_max (the raw-row map-side combine —
     # the registers→merge chain adds a second, shallower one)
     assert plan.rindex("partial_max(rho") > m.start()
+
+
+def test_hist_sketch_lifecycle(spark, tmp_path):
+    """write + append + merge-on-read quantiles == binning the full
+    union directly; rollup subsets work; compaction preserves
+    estimates and shrinks rows; guards fire."""
+    import pytest as _pytest
+
+    from gdp_etl_spark.operators.sketches import (
+        append_to_hist_sketch,
+        compact_hist_sketch,
+        hist_bins,
+        quantiles_from_hist,
+        write_hist_sketch,
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    day1 = o.filter(F.col("o_orderkey") % 2 == 0)
+    day2 = o.filter(F.col("o_orderkey") % 2 == 1)
+    table = "t_hist_lifecycle"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    import shutil
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+
+    write_hist_sketch(day1, ["o_orderpriority"], "o_totalprice",
+                      table, bin_width=1000.0)
+    append_to_hist_sketch(day2, table)
+
+    got = {
+        (r["o_orderpriority"], r["q"]): (r["n"], r["est"])
+        for r in quantiles_from_hist(spark, table, (0.5, 0.9)).collect()
+    }
+    # reference: same rank rule over exact values, bounded by bin width
+    import math
+    vals = {}
+    for r in o.select("o_orderpriority", "o_totalprice").collect():
+        vals.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+    for pri, v in vals.items():
+        v.sort()
+        for q in (0.5, 0.9):
+            n, est = got[(pri, q)]
+            assert n == len(v)
+            true_stat = v[math.ceil(q * n) - 1]
+            assert abs(est - true_stat) <= 1000.0, (pri, q, est, true_stat)
+
+    # coarser rollup (global) comes free
+    g = quantiles_from_hist(spark, table, (0.5,), group_cols=[]).collect()
+    assert len(g) == 1 and g[0]["n"] == o.count()
+
+    # compaction: same estimates, fewer-or-equal rows
+    before = spark.table(table).count()
+    compact_hist_sketch(spark, table)
+    after = spark.table(table).count()
+    assert after <= before
+    got2 = {
+        (r["o_orderpriority"], r["q"]): (r["n"], r["est"])
+        for r in quantiles_from_hist(spark, table, (0.5, 0.9)).collect()
+    }
+    assert got2 == got
+
+    with _pytest.raises(ValueError, match="FINER"):
+        quantiles_from_hist(spark, table, (0.5,), group_cols=["o_orderstatus"])
+    with _pytest.raises(ValueError, match="already exists"):
+        write_hist_sketch(day1, [], "o_totalprice", table, 1000.0)
+    with _pytest.raises(ValueError, match="bin_width"):
+        hist_bins(o, [], "o_totalprice", 0.0)
+    with _pytest.raises(ValueError, match="quantiles"):
+        quantiles_from_hist(spark, table, (1.5,))
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
