@@ -40,6 +40,7 @@ def k_anonymize(
     ladder: Sequence[Mapping[str, Column]],
     k: int,
     id_col: str,
+    materialize: bool = True,
 ) -> DataFrame:
     """Anonymize ``df`` against a generalization ``ladder``.
 
@@ -49,6 +50,13 @@ def k_anonymize(
     define the same QI names.  Returns ``(id_col, *qi_cols,
     anon_level int, suppressed boolean)``; suppressed rows carry
     ``anon_level = len(ladder)`` and NULL QIs.
+
+    ``materialize`` (default True) localCheckpoints each level's
+    counted frame (the dsir_select rule): the emit branch and the
+    escalation branch both consume it, and a lazy plan would otherwise
+    recompute every upstream level's window per output branch — 5
+    exchanges + 3 scans for a 2-level ladder instead of 2 + 1 (plan-
+    audited).  Pass False for a fully lazy plan (plan tests).
     """
     if k < 2:
         raise ValueError(f"k must be >= 2 for any grouping guarantee, got {k}")
@@ -77,6 +85,8 @@ def k_anonymize(
         )
         w = Window.partitionBy(*[f"__qi_{c}" for c in qi_cols])
         counted = g.withColumn("__n", F.count(F.lit(1)).over(w))
+        if materialize:
+            counted = counted.localCheckpoint(eager=True)
         emitted.append(
             counted.filter(F.col("__n") >= k).select(
                 id_col,
