@@ -560,6 +560,18 @@ _SCALAR_BNLJ_OK = {
     # signature frame (sources × 32 mins — fixed-size sketch state,
     # never data-scale); the corpus itself is map-side partial-min
     "source_overlap",
+    # hard_negatives: the ann_topk class — the bounded anchor batch
+    # broadcasts against the corpus (non-equi label predicate); the
+    # scale path probes the anchors' IVF cells
+    "hard_negatives",
+    # hybrid_rrf: inherits bm25_topk's 1-row stats broadcast and
+    # ann_topk's bounded query-vector broadcast; the fused lists are
+    # producer-k-bounded
+    "hybrid_rrf",
+    # hist_incremental: the 2-row quantile frame crossJoins the
+    # |groups|·|bins|-row merged sketch — sketch-state-scale, never
+    # data-scale
+    "hist_incremental",
 }
 
 

@@ -427,7 +427,13 @@ class TestPcaProject:
         if pc1[np.argmax(np.abs(pc1))] < 0:
             pc1 = -pc1
         assert abs(abs(pc1 @ direction) - 1.0) < 0.01
-        # projection equals numpy matmul bit-for-bit (same comps, same op)
+        # projection equals numpy matmul to ~1 ulp: numpy's @ may take a
+        # blocked/SIMD summation order while Spark folds sequentially,
+        # so bit-for-bit equality is environment-dependent (observed
+        # flipping by host CPU dispatch) — the sound contract is a
+        # tight tolerance.  Engine-exactness of the DRIVER surface is
+        # separately guaranteed by the fixed-point Gram/transform
+        # oracles (embedding_gram, embed_transform).
         comps = evs[:, ::-1][:, :2]
         for c in range(2):
             m = np.argmax(np.abs(comps[:, c]))
@@ -435,7 +441,7 @@ class TestPcaProject:
                 comps[:, c] = -comps[:, c]
         proj = vecs @ comps
         for i in range(0, 300, 37):
-            assert got[i] == proj[i].tolist()
+            assert np.allclose(got[i], proj[i], rtol=1e-12, atol=1e-13)
 
     def test_deterministic_across_partitionings_and_k_guard(self, spark):
         import numpy as np
