@@ -6237,11 +6237,17 @@ def q_unicode_clean(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     fix = local_df(spark, _UNICODE_FIX, "doc_id bigint, text string")
     u = d.unionByName(fix)
-    return u.select(
+    # clean ONCE in an inner select: two clean_unicode() calls build
+    # two distinct pandas_udf instances Spark cannot CSE, doubling the
+    # Arrow/NFC traffic of the only Python step (review finding)
+    c = u.select(
         "doc_id",
-        clean_unicode(F.col("text")).alias("cleaned"),
         F.length("text").alias("n_before"),
-        F.length(clean_unicode(F.col("text"))).alias("n_after"),
+        clean_unicode(F.col("text")).alias("cleaned"),
+    )
+    return c.select(
+        "doc_id", "cleaned", "n_before",
+        F.length("cleaned").alias("n_after"),
     )
 
 
@@ -6308,6 +6314,14 @@ _C4_FIX = [
     (2000004, "function f() { return 1; } is code not prose.\n"
               "Curly braces drop the page. Yes. Yes. Yes. Yes."),
     (2000005, None),
+    # CRLF: '\r'-terminated lines must FAIL the punctuation rule in
+    # both engines (Java's $-before-final-terminator trap)
+    (2000006, "CRLF line ends properly so it stays.\r\n"
+              "no terminal punctuation after the carriage return\r\n"
+              "Sentence three is here. Four here. Five here too."),
+    # NBSP-edged line: neither engine's trim may eat the NBSP
+    (2000007, "NBSP after the period stays untrimmed.\xa0\n"
+              "Proper one two three. More. More. More. And more."),
 ]
 
 
@@ -6347,14 +6361,21 @@ def q_c4_clean(spark, sf_dir):
 
 
 def _c4_sql(min_words=3, min_sentences=5):
+    from gdp_etl_spark.functions.text import C4_WS_CLASS as _W
+
     vals = ",\n              ".join(
         f"({i}, {_sql_str(t)})" for i, t in _C4_FIX
     )
+    # the SAME explicit whitespace class as c4_rules (imported, cannot
+    # drift): DuckDB's bare trim() strips Unicode spaces (NBSP) that
+    # Spark's does not, and RE2's \s excludes \x0B — both divergences
+    # vanish with one shared class (review findings)
+    trim_l = f"regexp_replace(l, '^{_W}+|{_W}+$', '', 'g')"
     line_keep = (
-        "l -> regexp_matches(trim(l), '[.!?\"]$') "
-        "AND len(list_filter(string_split_regex(trim(l), '\\s+'), "
+        f"l -> regexp_matches({trim_l}, '[.!?\"]$') "
+        f"AND len(list_filter(string_split_regex({trim_l}, '{_W}+'), "
         f"w -> w <> '')) >= {min_words} "
-        "AND NOT contains(lower(trim(l)), 'javascript')"
+        f"AND NOT contains(lower({trim_l}), 'javascript')"
     )
     return f"""
             WITH fix(doc_id, text) AS (VALUES

@@ -906,6 +906,15 @@ def extract_links_parsed(df, html_col: str, out_col: str = "links"):
     return df.mapInPandas(_extract, out_schema)
 
 
+#: the whitespace class shared by c4_rules and its oracle mirror —
+#: Java's \s ([ \t\n\x0B\f\r]) spelled explicitly in brace-form hex so
+#: Spark (Java regex) and DuckDB (RE2, whose \s EXCLUDES \x0B) judge
+#: lines identically; also the CRLF fix: trimming \r explicitly keeps
+#: Java's "$ matches before a final \r? no — before a final \n only"
+#: subtlety out of the terminal-punctuation rule entirely.
+C4_WS_CLASS = "[ \\t\\r\\n\\f\\x{0B}]"
+
+
 def c4_rules(
     text: Column,
     min_words_per_line: int = 3,
@@ -937,9 +946,19 @@ def c4_rules(
     lines = F.split(F.coalesce(text, F.lit("")), "\n")
 
     def line_ok(line: Column) -> Column:
-        t = F.trim(line)
+        # explicit-class trim, NOT F.trim: CRLF text leaves \r at line
+        # ends after the \n split, F.trim strips spaces only, and
+        # Java's $ matches BEFORE a final line terminator — so
+        # 'ends well.\r' would pass the punctuation rule in Spark and
+        # fail it in the RE2 oracle (review finding).  The class also
+        # spells out Java's \s so \x0B behaves identically in RE2.
+        t = F.regexp_replace(
+            line, f"^{C4_WS_CLASS}+|{C4_WS_CLASS}+$", ""
+        )
         words = F.size(
-            F.filter(F.split(t, "\\s+"), lambda w: w != F.lit(""))
+            F.filter(
+                F.split(t, f"{C4_WS_CLASS}+"), lambda w: w != F.lit("")
+            )
         )
         return (
             t.rlike('[.!?"]$')

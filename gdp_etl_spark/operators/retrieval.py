@@ -269,14 +269,32 @@ def rrf_fuse(
                 f"ranking {i} must have columns ({id_col}, rank); "
                 f"got {df.columns}"
             )
+        # ranks must be >= 1 and non-NULL, loudly (the dsir_select
+        # rule): a NULL or negative rank would otherwise be SKIPPED by
+        # the fused sum (NULL div, NULL-on-div-by-zero with ANSI off)
+        # while still counting toward n_lists — silent score
+        # corruption, not an error (review finding)
+        guarded = F.when(
+            F.col("rank").isNull() | (F.col("rank") < 1),
+            F.raise_error(
+                F.format_string(
+                    f"rrf_fuse: ranking {i} has rank %s for {id_col} "
+                    f"%s; ranks must be >= 1",
+                    F.coalesce(F.col("rank").cast("string"),
+                               F.lit("NULL")),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col("rank").cast("bigint"))
         scored.append(
-            df.select(
-                F.col(id_col),
+            df.select(F.col(id_col), guarded.alias("__rankb"))
+            .select(
+                id_col,
                 F.expr(
                     f"cast({int(scale)} as bigint) div "
-                    f"(cast({int(k0)} as bigint) + cast(rank as bigint))"
+                    f"(cast({int(k0)} as bigint) + __rankb)"
                 ).alias("__rrf"),
-                F.col("rank").cast("int").alias("__rank"),
+                F.col("__rankb").cast("int").alias("__rank"),
             )
         )
     u = reduce(DataFrame.unionByName, scored)

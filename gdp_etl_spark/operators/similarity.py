@@ -1077,12 +1077,20 @@ def mine_hard_negatives(
     corpus_vec: str = "embedding",
     k: int = 5,
     max_sim: float | None = None,
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training (the DPR /
     sentence-transformers recipe): for every anchor, the top-``k``
     most-similar corpus items with a DIFFERENT ``label_col`` — similar
     enough to be informative negatives, excluded from the anchor's own
     class so they are actually negative.
+
+    ``exclude_same_id`` (default True) drops candidates whose corpus
+    id equals the anchor id — correct when anchors are drawn FROM the
+    corpus (the self-mining case).  Pass False when queries and
+    corpus are distinct collections with unrelated id spaces, where a
+    coincidental id match is a different object and a valid negative
+    (review finding).
 
     ``max_sim`` additionally drops candidates at cosine >=
     ``max_sim``: near-identical cross-label pairs are usually label
@@ -1113,14 +1121,15 @@ def mine_hard_negatives(
     # label inequality is NULL-safe-negated: a NULL-labelled candidate
     # is not provably a negative, so it must NOT be mined (eqNullSafe
     # keeps NULL != NULL out of the negative set too)
+    cond = (
+        ~F.col("__qlab").eqNullSafe(F.col("__clab"))
+        & F.col("__qlab").isNotNull()
+        & F.col("__clab").isNotNull()
+    )
+    if exclude_same_id:
+        cond = (F.col("query_id") != F.col("neg_id")) & cond
     scored = (
-        c.join(
-            F.broadcast(q),
-            (F.col("query_id") != F.col("neg_id"))
-            & ~F.col("__qlab").eqNullSafe(F.col("__clab"))
-            & F.col("__qlab").isNotNull()
-            & F.col("__clab").isNotNull(),
-        )
+        c.join(F.broadcast(q), cond)
         .withColumn("cos_sim", cosine_exact(F.col("__qv"), F.col("__cv")))
         .drop("__qv", "__cv", "__qlab", "__clab")
     )

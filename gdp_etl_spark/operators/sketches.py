@@ -570,23 +570,38 @@ def compact_ndv_sketch(spark, table: str) -> None:
     between the re-check and the rename remains — that part is the
     single-writer assumption, now explicit."""
     p, value_col, group_cols = _ndv_stamp(spark, table)
+    _swap_compacted(
+        spark,
+        table,
+        lambda t: (
+            t.groupBy(*group_cols, "reg").agg(
+                F.max("rho").alias("rho"),
+                F.sum("n_vals").alias("n_vals"),
+            )
+        ),
+        lambda tmp: _stamp_ndv_params(spark, tmp, p, value_col, group_cols),
+    )
+
+
+def _swap_compacted(spark, table: str, merge_fn, stamp_fn) -> None:
+    """The shared compaction swap protocol (ONE copy — review
+    finding): refresh, count, write the ``merge_fn`` result of the
+    live table under a tmp name, ``stamp_fn`` it, re-check the live
+    row count (concurrent-append tripwire), then swap via metastore
+    renames keeping ``__old`` until the swap completes — at no crash
+    point is the only copy of the state gone or stampless."""
     spark.catalog.refreshTable(table)
     tmp, old = f"{table}__new", f"{table}__old"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     n_at_scan = spark.table(table).count()
-    merged = (
-        spark.table(table)
-        .groupBy(*group_cols, "reg")
-        .agg(F.max("rho").alias("rho"), F.sum("n_vals").alias("n_vals"))
-    )
-    merged.write.mode("overwrite").saveAsTable(tmp)
-    _stamp_ndv_params(spark, tmp, p, value_col, group_cols)
+    merge_fn(spark.table(table)).write.mode("overwrite").saveAsTable(tmp)
+    stamp_fn(tmp)
     spark.catalog.refreshTable(table)
     n_now = spark.table(table).count()
     if n_now != n_at_scan:
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
         raise RuntimeError(
-            f"compact_ndv_sketch: {table} changed during compaction "
+            f"compaction: {table} changed during compaction "
             f"({n_at_scan} -> {n_now} rows) — a concurrent append "
             f"would have been lost; retry when the writer is quiesced"
         )
@@ -633,6 +648,12 @@ def hist_bins(
     negative values bin correctly (floor, not truncate)."""
     if not (bin_width > 0):
         raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    clash = {"bin", "n_vals"} & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"group columns clash with sketch output columns: "
+            f"{sorted(clash)} (rename before sketching)"
+        )
     return (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(
@@ -786,35 +807,16 @@ def quantiles_from_hist(
 
 def compact_hist_sketch(spark, table: str) -> None:
     """Fold accumulated appends back to one row per (group, bin) —
-    the compact_ndv_sketch swap protocol including the
-    concurrent-append tripwire and its explicit single-writer
-    assumption."""
+    the shared ``_swap_compacted`` protocol (tripwire + single-writer
+    assumption as in :func:`compact_ndv_sketch`)."""
     bin_width, value_col, group_cols = _hist_stamp(spark, table)
-    spark.catalog.refreshTable(table)
-    tmp, old = f"{table}__new", f"{table}__old"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    n_at_scan = spark.table(table).count()
-    merged = (
-        spark.table(table)
-        .groupBy(*group_cols, "bin")
-        .agg(F.sum("n_vals").alias("n_vals"))
+    _swap_compacted(
+        spark,
+        table,
+        lambda t: t.groupBy(*group_cols, "bin").agg(
+            F.sum("n_vals").alias("n_vals")
+        ),
+        lambda tmp: _stamp_hist_params(
+            spark, tmp, bin_width, value_col, group_cols
+        ),
     )
-    merged.write.mode("overwrite").saveAsTable(tmp)
-    _stamp_hist_params(spark, tmp, bin_width, value_col, group_cols)
-    spark.catalog.refreshTable(table)
-    n_now = spark.table(table).count()
-    if n_now != n_at_scan:
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-        raise RuntimeError(
-            f"compact_hist_sketch: {table} changed during compaction "
-            f"({n_at_scan} -> {n_now} rows) — a concurrent append "
-            f"would have been lost; retry when the writer is quiesced"
-        )
-    spark.sql(f"DROP TABLE IF EXISTS {old}")
-    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
-    try:
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
-    except Exception:
-        spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
-        raise
-    spark.sql(f"DROP TABLE IF EXISTS {old}")

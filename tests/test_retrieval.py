@@ -186,3 +186,19 @@ def test_rrf_fuse_validation(spark):
     norank = spark.createDataFrame([(1,)], "doc_id bigint")
     with pytest.raises(ValueError, match="rank"):
         rrf_fuse([df, norank], "doc_id")
+
+
+def test_rrf_fuse_bad_ranks_raise(spark):
+    """NULL / zero / negative ranks must raise loudly, not silently
+    skip the list's contribution (review finding)."""
+    from pyspark.errors import SparkRuntimeException
+
+    from gdp_etl_spark.operators.retrieval import rrf_fuse
+
+    ok = spark.createDataFrame([(1, 1)], "doc_id bigint, rank int")
+    for bad_rank in (None, 0, -60):
+        bad = spark.createDataFrame(
+            [(2, bad_rank)], "doc_id bigint, rank int"
+        )
+        with pytest.raises(SparkRuntimeException, match="rank"):
+            rrf_fuse([ok, bad], "doc_id").collect()

@@ -667,3 +667,23 @@ def test_mine_hard_negatives_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must"):
         mine_hard_negatives(emb, emb, k=0)
+
+
+def test_mine_hard_negatives_distinct_corpora(spark):
+    """exclude_same_id=False: a coincidental id match across DISTINCT
+    query/corpus collections is a different object and must be mined
+    (review finding)."""
+    from gdp_etl_spark.operators.similarity import mine_hard_negatives
+
+    q = spark.createDataFrame(
+        [(3, [1.0, 0.0], "a")],
+        "vec_id bigint, embedding array<float>, label string",
+    )
+    corpus = spark.createDataFrame(
+        [(3, [0.9, 0.1], "b"), (4, [0.1, 0.9], "b")],
+        "vec_id bigint, embedding array<float>, label string",
+    )
+    default = mine_hard_negatives(q, corpus, k=5).collect()
+    assert [r.neg_id for r in default] == [4]          # id 3 excluded
+    both = mine_hard_negatives(q, corpus, k=5, exclude_same_id=False)
+    assert [r.neg_id for r in both.collect()] == [3, 4]

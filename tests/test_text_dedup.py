@@ -1691,3 +1691,23 @@ def test_c4_rules_each_rule(spark):
     assert not out[5].keep and out[5].n_kept == 6   # lines fine, page out
     assert not out[6].keep                           # curly brace
     assert out[7].text_c4 == "" and not out[7].keep and out[7].n_lines == 1
+
+    # CRLF regression (review finding): Java's $ matches before a
+    # final \r, so an unpunctuated '...\r' line used to pass in Spark
+    # while failing in the RE2 oracle; the explicit-class trim must
+    # drop it in both, and a punctuated '...\r' line must survive
+    crlf = spark.createDataFrame(
+        [(8, "Ends with a period so it stays.\r\n"
+             "no terminal punctuation here\r\n"
+             "Sentence. More. More. More. And more.")],
+        "id bigint, text string",
+    )
+    r8 = crlf.select(c4_rules(F.col("text")).alias("c4")).first().c4
+    assert r8.n_lines == 3 and r8.n_kept == 2
+    # NBSP at line end is NOT whitespace-trimmed -> punctuation rule fails
+    nbsp = spark.createDataFrame(
+        [(9, "Period then NBSP.\xa0\nReal line one two three.")],
+        "id bigint, text string",
+    )
+    r9 = nbsp.select(c4_rules(F.col("text")).alias("c4")).first().c4
+    assert r9.n_kept == 1

@@ -31,7 +31,10 @@ from gdp_etl_spark.session import get_spark  # noqa: E402
 
 def run(docs, label, num_merges=10):
     t0 = time.time()
-    words = bpe_word_freq(docs, "text", min_count=2).localCheckpoint()
+    # min_count=1: replication must scale every count uniformly; a
+    # threshold would ADMIT former singletons (cnt 1 -> 10) into the
+    # replicated vocab and change the merge choices (review finding)
+    words = bpe_word_freq(docs, "text", min_count=1).localCheckpoint()
     n_vocab = words.count()
     t_freq = time.time() - t0
     t1 = time.time()
@@ -61,8 +64,15 @@ def main():
         )
     big = big.localCheckpoint()
     m10 = run(big, "sf0.1 x 10 ")
-    assert m1 == m10, "replication changed the merge table!"
-    print("merge tables identical across corpus sizes: OK")
+    # replication multiplies every pair_count by exactly 10 but must
+    # not change WHICH merges are learned (ties scale uniformly)
+    assert [m[:4] for m in m1] == [m[:4] for m in m10], (
+        "replication changed the learned merges!"
+    )
+    assert all(b[4] == 10 * a[4] for a, b in zip(m1, m10)), (
+        "pair counts did not scale 10x!"
+    )
+    print("merges identical, counts scaled exactly 10x: OK")
 
 
 if __name__ == "__main__":
