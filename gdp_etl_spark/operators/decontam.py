@@ -168,7 +168,10 @@ def semantic_decontaminate(
         # cosine-fold to NULL — the silent-pass failure again, per-row
         # this time.  NULL vectors stay skippable (a doc without an
         # embedding cannot be semantically screened; the explode drops
-        # it), but a WRONG-SIZED one raises.
+        # it), but a WRONG-SIZED one raises.  The check rides a
+        # SEPARATE boolean filter column: wrapping vec_col itself in a
+        # raise_error CASE measurably slowed the downstream projection
+        # fold (~1.5× on semantic_decontam — bench-refresh finding).
         if dim_r is not None:
             guard = F.when(
                 F.col(vec_col).isNotNull()
@@ -180,9 +183,9 @@ def semantic_decontaminate(
                         f"or split by model",
                         F.size(F.col(vec_col)).cast("string"),
                     )
-                ).cast(df.schema[vec_col].dataType),
-            ).otherwise(F.col(vec_col))
-            df = df.withColumn(vec_col, guard)
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+            df = df.filter(guard)
         return (
             rademacher_lsh_buckets(
                 df, vec_col, num_bits=num_bits, num_tables=num_tables,
