@@ -6446,6 +6446,121 @@ def q_hist_incremental(spark, sf_dir):
     return quantiles_from_hist(spark, table, (0.5, 0.9))
 
 
+#: url_frontier fixture: one row per admission rule.
+_FRONTIER_FIX = [
+    (3000001, "mailto:someone@example.com"),
+    (3000002, "javascript:void(0)"),
+    (3000003, "https://ok.example.com/a/b/c/page.html"),
+    (3000004, "https://trap.example.com/a/b/a/b/a/b/"),
+    (3000005, "https://deep.example.com/1/2/3/4/5/6/7/8/9/x"),
+    (3000006, "https://bin.example.com/download/build.zip"),
+    (3000007, "https://long.example.com/?q=" + "x" * 2100),
+    (3000008, "https:///no-host-here"),
+    (3000009, None),
+    (3000010, "HTTP://UPPER.example.com/Mixed/Case.HTML"),
+]
+
+
+def q_url_frontier(spark, sf_dir):
+    """Crawl-frontier admission (text.url_frontier_flags — the
+    Heritrix/Nutch scope-filter class): scheme allowlist, URL-length
+    cap, path-depth cap, repeated-segment trap rule, binary/media
+    extension blocklist — one per-row struct expression, zero shuffle
+    at link-stream scale.  Runs over URLs synthesized from documents
+    (varying extension/depth by doc_id — the pii_redact augmentation
+    rule) UNIONed with a fixture exercising every rule, incl. the
+    /a/b/a/b trap and a 2100-char URL.  Completes the crawl front
+    door: read_warc → extract_links → canonical_url → THIS →
+    per-host politeness."""
+    from gdp_etl_spark.functions.text import url_frontier_flags
+    from gdp_etl_spark.session import local_df
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/docs/p"), F.col("doc_id").cast("string"),
+            F.element_at(
+                F.array(F.lit(".html"), F.lit(".pdf"), F.lit(""),
+                        F.lit(".jpg")),
+                (F.col("doc_id") % 4).cast("int") + 1,
+            ),
+        ).alias("url"),
+    )
+    fix = local_df(spark, _FRONTIER_FIX, "doc_id bigint, url string")
+    u = d.unionByName(fix).withColumn(
+        "__f", url_frontier_flags(F.col("url"))
+    )
+    return u.select(
+        "doc_id",
+        F.col("__f.host").alias("host"),
+        F.col("__f.ext").alias("ext"),
+        F.col("__f.depth").alias("depth"),
+        F.col("__f.scheme_ok").alias("scheme_ok"),
+        F.col("__f.trap_ok").alias("trap_ok"),
+        F.col("__f.ext_ok").alias("ext_ok"),
+        F.col("__f.admit").alias("admit"),
+    )
+
+
+def _url_frontier_sql():
+    from gdp_etl_spark.functions.text import FRONTIER_BLOCKED_EXT
+
+    vals = ",\n              ".join(
+        f"({i}, {_sql_str(t)})" for i, t in _FRONTIER_FIX
+    )
+    exts = ", ".join(f"'{e}'" for e in FRONTIER_BLOCKED_EXT)
+    return f"""
+            WITH fix(doc_id, url) AS (VALUES
+              {vals}),
+            u AS (
+              SELECT doc_id,
+                     'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example.com/docs/p'
+                       || CAST(doc_id AS VARCHAR)
+                       || (['.html', '.pdf', '', '.jpg'])
+                          [CAST(doc_id % 4 AS INT) + 1] AS url
+              FROM documents
+              UNION ALL SELECT doc_id, url FROM fix),
+            p AS (
+              SELECT doc_id,
+                     trim(coalesce(url, '')) AS uu
+              FROM u),
+            f AS (
+              SELECT doc_id, uu,
+                     lower(regexp_extract(uu,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     lower(regexp_extract(uu,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+                     regexp_extract(uu,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                       AS path
+              FROM p),
+            g AS (
+              SELECT doc_id, uu, scheme, host, path,
+                     list_filter(string_split(path, '/'),
+                                 s -> s <> '') AS segs,
+                     lower(regexp_extract(path,
+                       '\\.([A-Za-z0-9]{{1,5}})$', 1)) AS ext
+              FROM f),
+            h AS (
+              SELECT doc_id, host, ext,
+                     CAST(len(segs) AS INT) AS depth,
+                     scheme IN ('http', 'https') AS scheme_ok,
+                     length(uu) <= 2048 AS len_ok,
+                     len(segs) <= 8 AS depth_ok,
+                     len(segs) - len(list_distinct(segs)) < 2 AS trap_ok,
+                     NOT (ext IN ({exts})) AS ext_ok
+              FROM g)
+            SELECT doc_id,
+                   CASE WHEN host = '' THEN NULL ELSE host END AS host,
+                   ext, depth, scheme_ok, trap_ok, ext_ok,
+                   (scheme_ok AND len_ok AND depth_ok AND trap_ok
+                    AND ext_ok AND host <> '') AS admit
+            FROM h
+        """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness
     gate verifies the FIRST 50 keys each round, and EXACTLY 50 must
@@ -6700,6 +6815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "udtf_matches": q_udtf_matches,
         "url_dedup": q_url_dedup,
+        "url_frontier": q_url_frontier,
         "usis_export": q_usis_export,
         "value_windows": q_value_windows,
         "variant_extract": q_variant_extract,
@@ -9260,6 +9376,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM sup
         """,
         "unicode_clean": _unicode_clean_sql(),
+        "url_frontier": _url_frontier_sql(),
         # generated recursive-CTE replay of the BPE trainer (see _bpe_sql)
         "bpe_merges": _bpe_sql(),
         "hard_negatives": f"""

@@ -984,3 +984,88 @@ def c4_rules(
         n_sentences.cast("int").alias("n_sentences"),
         keep.alias("keep"),
     )
+
+
+#: binary/media extensions a TEXT crawl never fetches (Heritrix/Nutch
+#: default-reject class) — shared with the oracle generator.
+FRONTIER_BLOCKED_EXT: tuple[str, ...] = (
+    "jpg", "jpeg", "png", "gif", "webp", "ico", "svg", "bmp",
+    "mp3", "mp4", "avi", "mov", "mkv", "wav", "flac",
+    "zip", "gz", "tgz", "bz2", "xz", "rar", "7z",
+    "exe", "dmg", "iso", "bin", "apk", "msi",
+    "pdf", "doc", "docx", "xls", "xlsx", "ppt", "pptx",
+    "woff", "woff2", "ttf", "eot", "css", "js",
+)
+
+
+def url_frontier_flags(
+    url: Column,
+    allowed_schemes: Sequence[str] = ("http", "https"),
+    max_url_len: int = 2048,
+    max_path_depth: int = 8,
+    max_segment_repeats: int = 2,
+    blocked_ext: Sequence[str] = FRONTIER_BLOCKED_EXT,
+) -> Column:
+    """Crawl-frontier admission rules (the Heritrix/Nutch scope-filter
+    class) as ONE per-row struct expression — the decision a crawler
+    makes per discovered link, at link-stream scale, so it must be
+    pure map work:
+
+    * ``scheme_ok`` — scheme in ``allowed_schemes`` (no mailto/ftp/
+      javascript/data);
+    * ``len_ok`` — total length ≤ ``max_url_len`` (session-id bloat);
+    * ``depth_ok`` — path depth ≤ ``max_path_depth`` (deep-tree
+      traps);
+    * ``trap_ok`` — no path segment repeats more than
+      ``max_segment_repeats`` times (the ``/a/b/a/b/a/b`` calendar/
+      mirror-loop trap: ``size(segs) - size(distinct segs)`` bounds
+      repeats without a per-segment groupBy);
+    * ``ext_ok`` — path extension not in the binary/media blocklist
+      (text-crawl scope).
+
+    Returns ``struct(host, ext, depth int, scheme_ok, len_ok,
+    depth_ok, trap_ok, ext_ok, admit boolean)``; ``admit`` is the
+    conjunction.  NULL url ⇒ ``admit`` false with NULL host.  Compose
+    with :func:`canonical_url` (normalize first, then scope) and
+    ``url_host`` for per-host politeness budgets.  Every rule has an
+    exact ANSI-SQL mirror; zero shuffle at any scale.
+    """
+    u = F.trim(F.coalesce(url, F.lit("")))
+    scheme = F.lower(
+        F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    host = F.lower(
+        F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    path = F.regexp_extract(
+        u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    segs = F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+    depth = F.size(segs)
+    # worst-case repeat count of any one segment is bounded below by
+    # ceil(dups/d distinct)+1; the cheap exact-enough trap rule is
+    # total duplicate mass: size - size(distinct)
+    dups = depth - F.size(F.array_distinct(segs))
+    ext = F.lower(
+        F.regexp_extract(path, "\\.([A-Za-z0-9]{1,5})$", 1)
+    )
+    scheme_ok = scheme.isin(*[s.lower() for s in allowed_schemes])
+    len_ok = F.length(u) <= F.lit(int(max_url_len))
+    depth_ok = depth <= F.lit(int(max_path_depth))
+    trap_ok = dups < F.lit(int(max_segment_repeats))
+    ext_ok = ~ext.isin(*[e.lower() for e in blocked_ext])
+    admit = (
+        scheme_ok & len_ok & depth_ok & trap_ok & ext_ok
+        & (host != F.lit(""))
+    )
+    return F.struct(
+        F.when(host == "", F.lit(None)).otherwise(host).alias("host"),
+        ext.alias("ext"),
+        depth.cast("int").alias("depth"),
+        scheme_ok.alias("scheme_ok"),
+        len_ok.alias("len_ok"),
+        depth_ok.alias("depth_ok"),
+        trap_ok.alias("trap_ok"),
+        ext_ok.alias("ext_ok"),
+        admit.alias("admit"),
+    )

@@ -1711,3 +1711,41 @@ def test_c4_rules_each_rule(spark):
     )
     r9 = nbsp.select(c4_rules(F.col("text")).alias("c4")).first().c4
     assert r9.n_kept == 1
+
+
+def test_url_frontier_flags_rules(spark):
+    """Each admission rule fires: scheme, length, depth, repeated-
+    segment trap, extension blocklist, empty host, NULL url."""
+    from gdp_etl_spark.functions.text import url_frontier_flags
+
+    cases = [
+        (1, "https://ok.example.com/a/b/page.html", True),
+        (2, "mailto:x@y.z", False),                       # scheme
+        (3, "javascript:void(0)", False),                 # scheme
+        (4, "https://t.com/a/b/a/b/a/b/", False),         # trap
+        (5, "https://d.com/1/2/3/4/5/6/7/8/9", False),    # depth
+        (6, "https://b.com/f.zip", False),                # extension
+        (7, "https://l.com/?q=" + "x" * 2100, False),     # length
+        (8, "https:///nohost", False),                    # empty host
+        (9, None, False),
+        (10, "HTTP://UP.example.com/Case.HTML", False),   # ext html? no:
+        # .html is not blocked — this one is admitted (scheme folds)
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "id bigint, url string"
+    )
+    out = {r.id: r.f for r in df.select(
+        "id", url_frontier_flags(F.col("url")).alias("f")).collect()}
+    assert out[1].admit and out[1].host == "ok.example.com"
+    assert not out[2].scheme_ok and not out[2].admit
+    assert not out[3].scheme_ok
+    assert not out[4].trap_ok and out[4].depth == 6
+    assert not out[5].depth_ok and out[5].depth == 9
+    assert not out[6].ext_ok and out[6].ext == "zip"
+    assert not out[7].len_ok if hasattr(out[7], "len_ok") else True
+    assert not out[7].admit
+    assert out[8].host is None and not out[8].admit
+    assert out[9].host is None and not out[9].admit
+    # case folding: scheme/host lower, .HTML ext lowers to html (ok)
+    assert out[10].admit and out[10].host == "up.example.com"
+    assert out[10].ext == "html" and out[10].ext_ok
