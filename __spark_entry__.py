@@ -6561,6 +6561,26 @@ def _url_frontier_sql():
         """
 
 
+def q_curriculum(spark, sf_dir):
+    """Curriculum data ordering (sampling.curriculum_stages, Bengio et
+    al. 2009): documents ranked easy→hard by the deterministic quality
+    score, cut into 4 exact equal-count stages, md5-shuffled WITHIN
+    each stage, and laid out as stage-pure 16-doc batches whose global
+    batch_id order walks the curriculum.  Both global rankings use the
+    two-pass prefix-sum row-id recipe (no single-partition window);
+    all layout arithmetic is integer, so the oracle replays rank →
+    stage cut → shuffle → batch numbering exactly."""
+    from gdp_etl_spark.functions.text import quality_score
+    from gdp_etl_spark.operators.sampling import curriculum_stages
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("difficulty")
+    )
+    return curriculum_stages(
+        d, "difficulty", "doc_id", n_stages=4, batch_size=16
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness
     gate verifies the FIRST 50 keys each round, and EXACTLY 50 must
@@ -6672,6 +6692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_trimmed": q_csv_trimmed,
         "cube": q_cube,
         "curation_audit": q_curation_audit,
+        "curriculum": q_curriculum,
         "datetime_funcs": q_datetime_funcs,
         "decontam_screen": q_decontam_screen,
         "decontam_scrub": q_decontam_scrub,
@@ -9377,6 +9398,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unicode_clean": _unicode_clean_sql(),
         "url_frontier": _url_frontier_sql(),
+        "curriculum": f"""
+            WITH s AS (
+                SELECT doc_id, {quality} AS difficulty FROM documents
+            ), r AS (
+                SELECT doc_id, difficulty,
+                       row_number() OVER (ORDER BY difficulty, doc_id)
+                         - 1 AS r0,
+                       COUNT(*) OVER () AS n
+                FROM s
+            ), st AS (
+                SELECT doc_id, difficulty,
+                       CAST(r0 * 4 // n AS INT) AS stage,
+                       md5(CAST(doc_id AS VARCHAR) || ':curriculum') AS h
+                FROM r
+            ), p AS (
+                SELECT *, row_number() OVER (ORDER BY stage, h, doc_id)
+                          - 1 AS pos
+                FROM st
+            ), q AS (
+                SELECT *, pos - MIN(pos) OVER (PARTITION BY stage) AS rel
+                FROM p
+            )
+            SELECT doc_id, difficulty, stage,
+                   CAST(CAST(stage AS BIGINT) * 1000000000
+                        + rel // 16 AS BIGINT) AS batch_id,
+                   CAST(rel % 16 AS INT) AS pos_in_batch
+            FROM q
+        """,
         # generated recursive-CTE replay of the BPE trainer (see _bpe_sql)
         "bpe_merges": _bpe_sql(),
         "hard_negatives": f"""

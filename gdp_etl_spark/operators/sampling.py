@@ -721,3 +721,97 @@ def dsir_select(
         .filter(F.col("cum_tokens") <= F.lit(int(budget)))
         .select(id_col, "n_grams", "dsir_qsum", tokens_col, "cum_tokens")
     )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    n_stages: int = 4,
+    batch_size: int = 32,
+    seed: str = "curriculum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Curriculum ordering for training data (Bengio et al. 2009, the
+    data-ordering recipe LLM runs use for difficulty ramps): rank every
+    doc easy→hard by ``score_col`` (ties broken by ``id_col``), cut the
+    ranking into ``n_stages`` equal-count stages, then DETERMINISTICALLY
+    shuffle within each stage (md5 of id+seed — stage order is the
+    curriculum, intra-stage order must not re-sort by difficulty or the
+    gradient sees a monotone drift) and emit fixed-size batches.
+
+    Returns ``(id_col, score_col, stage int, batch_id bigint,
+    pos_in_batch int)``: ``batch_id`` is globally unique and ordered —
+    all of stage s's batches precede stage s+1's — so a trainer
+    consuming batches in ``batch_id`` order walks the curriculum.
+
+    Scale shape: the global easy→hard ranking uses the two-pass
+    prefix-sum row-id recipe (``ids.assign_row_ids`` — range partition
+    + per-partition offsets, NO single-partition window); the
+    intra-stage shuffle ranking reuses the same machinery on the md5
+    key.  Everything downstream is integer arithmetic on the two
+    ordinals, so the full batch layout is engine-replayable.  NULL
+    scores are rejected loudly (the length_bucketed_batches rule) —
+    an unscored doc has no place in a difficulty ramp.
+    """
+    from .ids import assign_row_ids
+
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1, got {n_stages}")
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    guard = F.when(
+        F.col(score_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("curriculum_stages: NULL score for "),
+                F.col(id_col).cast("string"),
+                F.lit("; score every doc before ordering"),
+            )
+        ).cast("double"),
+    ).otherwise(F.col(score_col).cast("double"))
+    scored = df.select(id_col, guard.alias(score_col))
+    ranked = assign_row_ids(
+        scored, [score_col, id_col], id_col="__rank",
+        num_partitions=num_partitions,
+    )
+    n = ranked.count()  # bounded action on the checkpointed frame
+    if n == 0:
+        return ranked.select(
+            id_col, score_col,
+            F.lit(0).cast("int").alias("stage"),
+            F.lit(0).cast("bigint").alias("batch_id"),
+            F.lit(0).cast("int").alias("pos_in_batch"),
+        ).limit(0)
+    # stage s gets ranks [s*n/K, (s+1)*n/K) — integer, exact, balanced
+    stage = F.expr(f"cast(__rank * {int(n_stages)} div {int(n)} as int)")
+    staged = ranked.withColumn("stage", stage).withColumn(
+        "__shuf",
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))),
+    )
+    laid = assign_row_ids(
+        staged, ["stage", "__shuf", id_col], id_col="__pos",
+        num_partitions=num_partitions,
+    )
+    # __pos is globally dense in (stage, shuffle) order; batches must
+    # be STAGE-PURE (a ragged last batch per stage, never one spanning
+    # a difficulty boundary), so positions re-base on the stage's own
+    # offset.  The min-per-stage window is keyed on stage — n_stages
+    # partitions of the already-checkpointed frame, bounded work.
+    laid = laid.withColumn(
+        "__soff", F.min("__pos").over(Window.partitionBy("stage"))
+    )
+    rel = F.col("__pos") - F.col("__soff")
+    batch_in_stage = F.floor(rel / F.lit(int(batch_size))).cast("bigint")
+    return laid.select(
+        id_col,
+        score_col,
+        "stage",
+        # stage-major global batch id: all of stage s's batches precede
+        # stage s+1's (1e9 batches per stage is a safe stride)
+        (
+            F.col("stage").cast("bigint") * F.lit(1_000_000_000)
+            + batch_in_stage
+        ).alias("batch_id"),
+        (rel % F.lit(int(batch_size))).cast("int").alias("pos_in_batch"),
+    )

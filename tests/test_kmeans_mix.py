@@ -191,3 +191,52 @@ def test_mix_to_budget_gavail_clash_rejected(spark):
     )
     with pytest.raises(ValueError, match="__gavail"):
         mix_to_budget(df, "doc_id", "lang", "toks", 100, {"en": 1})
+
+
+def test_curriculum_stages_layout(spark):
+    """Stage assignment is an exact easy->hard rank cut; batches are
+    stage-pure, fixed-size (ragged tail), deterministic across
+    partitionings; NULL scores raise."""
+    from pyspark.errors import SparkRuntimeException
+
+    from gdp_etl_spark.operators.sampling import curriculum_stages
+
+    rows_in = [(i, float((i * 37) % 100)) for i in range(100)]
+    df = spark.createDataFrame(rows_in, "doc_id bigint, difficulty double")
+    out = curriculum_stages(
+        df, "difficulty", "doc_id", n_stages=4, batch_size=8
+    ).collect()
+    assert len(out) == 100
+    by_id = {r.doc_id: r for r in out}
+    # exact rank cut: 25 per stage, stage monotone in difficulty rank
+    ranked = sorted(rows_in, key=lambda t: (t[1], t[0]))
+    for rank, (i, _) in enumerate(ranked):
+        assert by_id[i].stage == rank * 4 // 100
+    # batches stage-pure and fixed-size with ragged tail (25 = 3*8+1)
+    from collections import Counter
+    sizes = Counter(r.batch_id for r in out)
+    for r in out:
+        assert r.batch_id // 1_000_000_000 == r.stage
+        assert 0 <= r.pos_in_batch < 8
+    per_stage = Counter()
+    for b, n in sizes.items():
+        per_stage[b // 1_000_000_000] += 1
+        assert n <= 8
+    assert all(v == 4 for v in per_stage.values())  # ceil(25/8) = 4
+    # batch_id order walks the curriculum: stage of batch ids ascending
+    # determinism across partitionings
+    again = curriculum_stages(
+        df.repartition(7), "difficulty", "doc_id", n_stages=4, batch_size=8
+    ).collect()
+    assert {(r.doc_id, r.stage, r.batch_id, r.pos_in_batch) for r in out} == \
+           {(r.doc_id, r.stage, r.batch_id, r.pos_in_batch) for r in again}
+
+    withnull = spark.createDataFrame(
+        [(1, 2.0), (2, None)], "doc_id bigint, difficulty double"
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL score"):
+        curriculum_stages(withnull, "difficulty", "doc_id").collect()
+    with pytest.raises(ValueError, match="n_stages"):
+        curriculum_stages(df, "difficulty", "doc_id", n_stages=0)
+    with pytest.raises(ValueError, match="batch_size"):
+        curriculum_stages(df, "difficulty", "doc_id", batch_size=0)
