@@ -6129,6 +6129,76 @@ def q_bpe_merges(spark, sf_dir):
     return train_bpe_merges(words, num_merges=10)
 
 
+#: bpe_encode fixture — a constant merge table (rank order) and a
+#: constant corpus covering every encoder behavior: rank priority
+#: (the LOWEST-rank applicable pair merges first, e.g. "lowest"
+#: must run (l,o) before (s,t) despite position), greedy i+=2 on
+#: same-symbol runs, cascading merges ((a,a) then
+#: (aa,aa)), lowercase folding, digit runs, punctuation symbols,
+#: empty and NULL text.  Expected token strings below were generated
+#: by an INDEPENDENT GPT-2-style reference encoder (get_pairs + min-
+#: rank bigram loop, structurally different from bpe.encode_word) and
+#: hand-checked for rows 1/2/9 — the warc_parsed_fidelity pattern:
+#: constant fixture, verbatim-VALUES oracle, cross-engine hash pin.
+_BPE_ENC_MERGES = [
+    ("a", "a"), ("aa", "aa"), ("l", "o"), ("lo", "w"), ("e", "r"),
+    ("t", "h"), ("th", "e"), ("1", "2"), ("s", "t"), ("e", "st"),
+]
+_BPE_ENC_FIX = [
+    (1, "the lowest rate", "the low est r a t e"),
+    (2, "aaaa aaa aaaaa", "aaaa aa a aaaa a"),
+    (3, "Lower THE stakes!", "low er the st a k e s !"),
+    (4, "est123 12 21", "est 12 3 12 2 1"),
+    (5, "", ""),
+    (6, None, ""),
+    (7, "lol low lowest", "lo l low low est"),
+    (8, "a1a2 r2r", "a 1 a 2 r 2 r"),
+    (9, "theater esther", "the a t er e s th er"),
+    (10, "!?., {}", "! ? . , { }"),
+]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE serving-path encoder (operators/bpe.bpe_encode): rank-
+    priority merge application — always the LOWEST-rank applicable
+    merge next, the Sennrich/GPT-2 encoder — as an Arrow-batched
+    pandas UDF with a per-batch word cache (the honest shape: the
+    priority loop is inherently iterative per word, exactly how
+    production tokenizers run it).  Encodes a constant fixture corpus
+    with a constant 10-merge table; tokens join to a space string
+    (BPE tokens never contain whitespace) so the verbatim-VALUES
+    oracle pins the arrays hash-exactly cross-engine — the driver
+    evidence the r12 verdict asked for on the one first-class LLM
+    operator that was pytest-only."""
+    from gdp_etl_spark.operators.bpe import bpe_encode
+    from gdp_etl_spark.session import local_df
+
+    docs = local_df(
+        spark,
+        [(i, t) for i, t, _ in _BPE_ENC_FIX],
+        "doc_id bigint, text string",
+    )
+    enc = bpe_encode(docs, _BPE_ENC_MERGES, "text", "toks")
+    return enc.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.array_join("toks", " ").alias("tokens_str"),
+    )
+
+
+def _bpe_encode_sql():
+    vals = ",\n              ".join(
+        f"({i}, {len(e.split(' ')) if e else 0}, {_sql_str(e)})"
+        for i, _, e in _BPE_ENC_FIX
+    )
+    return f"""
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                   tokens_str
+            FROM (VALUES
+              {vals}) t(doc_id, n_tokens, tokens_str)
+        """
+
+
 def _bpe_sql(num_merges=10, min_count=2):
     """DuckDB replay of bpe_word_freq + train_bpe_merges: the word
     aggregate, then per round (a) the argmax pair with the same
@@ -6137,7 +6207,9 @@ def _bpe_sql(num_merges=10, min_count=2):
     Every non-recursive CTE is MATERIALIZED — without the hint DuckDB
     re-inlines the whole upstream chain into each recursive iteration
     and the plan goes exponential in the round count."""
-    tok_re = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    # imported, not re-spelled: the literal is compiled by Java, RE2
+    # AND Python re, and \s drifts between them (review finding, r13)
+    from gdp_etl_spark.functions.text import BPE_TOKEN_RE as tok_re
     parts = [f"""w0 AS MATERIALIZED (
       SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
              list_transform(range(1, length(word) + 1),
@@ -6322,6 +6394,12 @@ _C4_FIX = [
     # NBSP-edged line: neither engine's trim may eat the NBSP
     (2000007, "NBSP after the period stays untrimmed.\xa0\n"
               "Proper one two three. More. More. More. And more."),
+    # Unicode line terminators (NEL U+0085, LS U+2028): Java's $
+    # matches before a FINAL one, RE2's does not — the shared trim
+    # class must remove them so both engines see the period (r13)
+    (2000008, "Unicode NEL line ends here.\x85\n"
+              "LS terminated line stays fine. \n"
+              "Proper one two three more. More. More. And more."),
 ]
 
 
@@ -6336,16 +6414,25 @@ def q_c4_clean(spark, sf_dir):
     Complements the corpus-frequency boilerplate stage
     (dedup.boilerplate_line_filter): C4 is per-row heuristics, no
     corpus statistics needed."""
-    from gdp_etl_spark.functions.text import c4_rules
+    from gdp_etl_spark.functions.text import (
+        C4_NWS_CLASS,
+        C4_WS_CLASS,
+        c4_rules,
+    )
     from gdp_etl_spark.session import local_df
 
     # the synthetic corpus is single-line prose without punctuation —
     # synthesize line structure (5-word sentences) so the line rules
-    # discriminate on real data too (the pii_redact augmentation rule)
+    # discriminate on real data too (the pii_redact augmentation rule).
+    # \S/\s spelled via the shared classes: Java's \s has \x0B, RE2's
+    # does not (review finding, round 13)
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.regexp_replace(
-            F.col("text"), "((\\S+\\s+){4}\\S+)\\s+", "$1.\n"
+            F.col("text"),
+            f"(({C4_NWS_CLASS}+{C4_WS_CLASS}+){{4}}{C4_NWS_CLASS}+)"
+            f"{C4_WS_CLASS}+",
+            "$1.\n",
         ).alias("text"),
     )
     fix = local_df(spark, _C4_FIX, "doc_id bigint, text string")
@@ -6361,6 +6448,7 @@ def q_c4_clean(spark, sf_dir):
 
 
 def _c4_sql(min_words=3, min_sentences=5):
+    from gdp_etl_spark.functions.text import C4_NWS_CLASS as _NW
     from gdp_etl_spark.functions.text import C4_WS_CLASS as _W
 
     vals = ",\n              ".join(
@@ -6382,7 +6470,7 @@ def _c4_sql(min_words=3, min_sentences=5):
               {vals}),
             u AS (SELECT doc_id,
                          regexp_replace(text,
-                           '((\\S+\\s+){{4}}\\S+)\\s+',
+                           '(({_NW}+{_W}+){{4}}{_NW}+){_W}+',
                            '\\1.' || chr(10), 'g') AS text
                   FROM documents
                   UNION ALL SELECT doc_id, text FROM fix),
@@ -6458,6 +6546,10 @@ _FRONTIER_FIX = [
     (3000008, "https:///no-host-here"),
     (3000009, None),
     (3000010, "HTTP://UPPER.example.com/Mixed/Case.HTML"),
+    # per-segment boundary (r13 semantics fix): two DISTINCT doubled
+    # segments — max single-segment count 2 <= cap 2, ADMITTED (the
+    # old duplicate-mass rule wrongly rejected it)
+    (3000011, "https://ok2.example.com/x/a/b/a/b"),
 ]
 
 
@@ -6549,7 +6641,10 @@ def _url_frontier_sql():
                      scheme IN ('http', 'https') AS scheme_ok,
                      length(uu) <= 2048 AS len_ok,
                      len(segs) <= 8 AS depth_ok,
-                     len(segs) - len(list_distinct(segs)) < 2 AS trap_ok,
+                     coalesce(list_max(list_transform(
+                       list_distinct(segs),
+                       d -> len(list_filter(segs, s -> s = d))))
+                       <= 2, true) AS trap_ok,
                      NOT (ext IN ({exts})) AS ext_ok
               FROM g)
             SELECT doc_id,
@@ -6601,6 +6696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     across the registry drops to 4 rounds.  Everything rotated out stays registered below with
     identical local oracle coverage (``tools/check_correctness.py``)."""
     return {
+        "curriculum": q_curriculum,
+        "url_frontier": q_url_frontier,
+        "bpe_encode": q_bpe_encode,
         "bpe_merges": q_bpe_merges,
         "hybrid_rrf": q_hybrid_rrf,
         "hard_negatives": q_hard_negatives,
@@ -6648,12 +6746,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "union_by_name": q_union_by_name,
         "unpivot_long": q_unpivot_long,
-        "vocab_coverage": q_vocab_coverage,
-        "zorder_stats": q_zorder_stats,
-        "hist_incremental": q_hist_incremental,
         # -- end of driver window (50) -----------------------------------
         # below the window: alphabetical; all keep local oracle
         # coverage via tools/check_correctness.py
+        "vocab_coverage": q_vocab_coverage,
+        "zorder_stats": q_zorder_stats,
+        "hist_incremental": q_hist_incremental,
         "ab_test": q_ab_test,
         "asof_join": q_asof_join,
         "ann_topk": q_ann_topk,
@@ -6692,7 +6790,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_trimmed": q_csv_trimmed,
         "cube": q_cube,
         "curation_audit": q_curation_audit,
-        "curriculum": q_curriculum,
         "datetime_funcs": q_datetime_funcs,
         "decontam_screen": q_decontam_screen,
         "decontam_scrub": q_decontam_scrub,
@@ -6836,7 +6933,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "udtf_matches": q_udtf_matches,
         "url_dedup": q_url_dedup,
-        "url_frontier": q_url_frontier,
         "usis_export": q_usis_export,
         "value_windows": q_value_windows,
         "variant_extract": q_variant_extract,
@@ -6909,9 +7005,14 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ELSE 'und' END"
     )
+    # PUNCT_CLASS imported, not re-spelled: Java/RE2/Python \s drift
+    # on \x0B and Unicode whitespace (review finding, round 13)
+    from gdp_etl_spark.functions.text import BPE_TOKEN_RE as _BPE_RE
+    from gdp_etl_spark.functions.text import PUNCT_CLASS as _PCLS
+
     pr = (
         "CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0 "
-        "ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)"
+        f"ELSE CAST(len(regexp_extract_all(text, '{_PCLS}')) AS DOUBLE)"
         " / CAST(length(text) AS DOUBLE) END"
     )
     swr = (
@@ -9259,7 +9360,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len({_TOKS_RAW}) AS INT) AS n_ws,
                    CAST(len(regexp_extract_all(text,
-                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe,
+                        '{_BPE_RE}')) AS INT) AS n_bpe,
                    {pr} AS punct_ratio,
                    {swr} AS stopword_ratio,
                    {mtl} AS mean_token_len
@@ -9428,6 +9529,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # generated recursive-CTE replay of the BPE trainer (see _bpe_sql)
         "bpe_merges": _bpe_sql(),
+        # verbatim-VALUES pin of the rank-priority encoder on a
+        # constant fixture (independent-encoder-generated, see fixture)
+        "bpe_encode": _bpe_encode_sql(),
         "hard_negatives": f"""
             WITH scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neg_id,

@@ -19,7 +19,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: BPE-ish tokenizer: letter runs, digit runs, or single non-space symbols.
-BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+#: Java's \s spelled out in 2-digit hex (valid in Java, RE2 AND Python
+#: re — this literal is compiled by all three): \s itself drifts on
+#: \x0B between Java and RE2 and on Unicode whitespace between Java
+#: and Python, exactly the class of divergence C4_WS_CLASS exists to
+#: eliminate (review finding, round 13).
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
+
+#: non-word, non-space class for punct_ratio — same explicit spelling,
+#: same three-engine rationale as BPE_TOKEN_RE above; the oracle
+#: imports this constant so the two sides cannot drift.
+PUNCT_CLASS = "[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
 #: tiny marker-word inventories for the language-ID heuristic.  Real
 #: language ID would use char n-gram profiles; the deterministic marker
@@ -59,7 +69,7 @@ def token_count_bpe(text: Column) -> Column:
 
 def punct_ratio(text: Column) -> Column:
     """Non-word, non-space characters per character (0 for NULL/empty text)."""
-    n = F.size(F.regexp_extract_all(text, F.lit("[^A-Za-z0-9\\s]"), F.lit(0)))
+    n = F.size(F.regexp_extract_all(text, F.lit(PUNCT_CLASS), F.lit(0)))
     return F.when(text.isNull() | (F.length(text) == 0), F.lit(0.0)).otherwise(
         n.cast("double") / F.length(text).cast("double")
     )
@@ -906,13 +916,23 @@ def extract_links_parsed(df, html_col: str, out_col: str = "links"):
     return df.mapInPandas(_extract, out_schema)
 
 
-#: the whitespace class shared by c4_rules and its oracle mirror —
+#: the whitespace characters shared by c4_rules and its oracle mirror —
 #: Java's \s ([ \t\n\x0B\f\r]) spelled explicitly in brace-form hex so
 #: Spark (Java regex) and DuckDB (RE2, whose \s EXCLUDES \x0B) judge
 #: lines identically; also the CRLF fix: trimming \r explicitly keeps
 #: Java's "$ matches before a final \r? no — before a final \n only"
-#: subtlety out of the terminal-punctuation rule entirely.
-C4_WS_CLASS = "[ \\t\\r\\n\\f\\x{0B}]"
+#: subtlety out of the terminal-punctuation rule entirely.  The class
+#: ALSO trims Java's remaining line terminators (NEL U+0085, LS U+2028,
+#: PS U+2029): Java's default-mode $ matches before a FINAL one of
+#: these, RE2's $ does not, so a line ending '...done. ' would
+#: pass the punctuation rule in Spark and fail it in DuckDB unless the
+#: terminator is trimmed first (review finding, round 13).
+_C4_WS_CHARS = " \\t\\r\\n\\f\\x{0B}\\x{85}\\x{2028}\\x{2029}"
+C4_WS_CLASS = f"[{_C4_WS_CHARS}]"
+#: the exact complement — use instead of \S wherever a pattern is
+#: shared with the RE2 oracle (\S drifts on \x0B between the engines,
+#: and on Unicode whitespace between Java and Python re).
+C4_NWS_CLASS = f"[^{_C4_WS_CHARS}]"
 
 
 def c4_rules(
@@ -1016,10 +1036,14 @@ def url_frontier_flags(
     * ``len_ok`` — total length ≤ ``max_url_len`` (session-id bloat);
     * ``depth_ok`` — path depth ≤ ``max_path_depth`` (deep-tree
       traps);
-    * ``trap_ok`` — no path segment repeats more than
+    * ``trap_ok`` — no single path segment occurs more than
       ``max_segment_repeats`` times (the ``/a/b/a/b/a/b`` calendar/
-      mirror-loop trap: ``size(segs) - size(distinct segs)`` bounds
-      repeats without a per-segment groupBy);
+      mirror-loop trap): the exact per-segment count via
+      ``array_max(transform(array_distinct(segs), d -> size(filter(
+      segs, s -> s = d))))`` — still pure per-row array work, no
+      groupBy (``/x/a/b/a/b`` with two distinct doubled segments is
+      ADMITTED at the default cap of 2; round-12 shipped an
+      aggregate-duplicate-mass approximation that rejected it);
     * ``ext_ok`` — path extension not in the binary/media blocklist
       (text-crawl scope).
 
@@ -1042,17 +1066,24 @@ def url_frontier_flags(
     )
     segs = F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
     depth = F.size(segs)
-    # worst-case repeat count of any one segment is bounded below by
-    # ceil(dups/d distinct)+1; the cheap exact-enough trap rule is
-    # total duplicate mass: size - size(distinct)
-    dups = depth - F.size(F.array_distinct(segs))
+    # exact max occurrence count of any one segment — O(distinct ×
+    # depth) per row, depth already capped by depth_ok; array_max of
+    # the empty path is NULL, coalesced to an admit
+    max_rep = F.array_max(
+        F.transform(
+            F.array_distinct(segs),
+            lambda d: F.size(F.filter(segs, lambda s: s == d)),
+        )
+    )
     ext = F.lower(
         F.regexp_extract(path, "\\.([A-Za-z0-9]{1,5})$", 1)
     )
     scheme_ok = scheme.isin(*[s.lower() for s in allowed_schemes])
     len_ok = F.length(u) <= F.lit(int(max_url_len))
     depth_ok = depth <= F.lit(int(max_path_depth))
-    trap_ok = dups < F.lit(int(max_segment_repeats))
+    trap_ok = F.coalesce(
+        max_rep <= F.lit(int(max_segment_repeats)), F.lit(True)
+    )
     ext_ok = ~ext.isin(*[e.lower() for e in blocked_ext])
     admit = (
         scheme_ok & len_ok & depth_ok & trap_ok & ext_ok

@@ -295,15 +295,37 @@ def rrf_fuse(
                     f"(cast({int(k0)} as bigint) + __rankb)"
                 ).alias("__rrf"),
                 F.col("__rankb").cast("int").alias("__rank"),
+                F.lit(i).alias("__list"),
             )
         )
     u = reduce(DataFrame.unionByName, scored)
+    fused = u.groupBy(id_col).agg(
+        F.sum("__rrf").alias("rrf_score"),
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.col("__list")).alias("__nd"),
+        F.min("__rank").alias("best_rank"),
+    )
+    # a duplicate id WITHIN one list double-counts its reciprocal-rank
+    # contribution and inflates n_lists past len(rankings) — silent
+    # score corruption, so raise loudly (review finding, round 13);
+    # the check rides the existing agg: count vs count_distinct(list),
+    # no extra shuffle
+    n_lists = F.when(
+        F.col("__n") != F.col("__nd"),
+        F.raise_error(
+            F.format_string(
+                f"rrf_fuse: {id_col} %s appears more than once within "
+                f"one ranking list; lists must be id-distinct",
+                F.col(id_col).cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("__nd"))
     return (
-        u.groupBy(id_col)
-        .agg(
-            F.sum("__rrf").alias("rrf_score"),
-            F.count(F.lit(1)).cast("int").alias("n_lists"),
-            F.min("__rank").alias("best_rank"),
+        fused.select(
+            id_col,
+            "rrf_score",
+            n_lists.cast("int").alias("n_lists"),
+            "best_rank",
         )
         .orderBy(F.desc("rrf_score"), id_col)
         .limit(k)

@@ -731,6 +731,7 @@ def curriculum_stages(
     batch_size: int = 32,
     seed: str = "curriculum",
     num_partitions: int | None = None,
+    batch_id_stride: int = 1_000_000_000,
 ) -> DataFrame:
     """Curriculum ordering for training data (Bengio et al. 2009, the
     data-ordering recipe LLM runs use for difficulty ramps): rank every
@@ -801,16 +802,31 @@ def curriculum_stages(
     laid = laid.withColumn(
         "__soff", F.min("__pos").over(Window.partitionBy("stage"))
     )
+    # stage-major global batch id needs every stage's batch count under
+    # the stride; n is known, stage sizes are balanced within 1, so the
+    # bound is exact and checked up front instead of colliding silently
+    stride = int(batch_id_stride)
+    max_stage_rows = -(-n // n_stages)  # ceil
+    if -(-max_stage_rows // batch_size) > stride:
+        raise ValueError(
+            f"curriculum_stages: a stage of {max_stage_rows} rows at "
+            f"batch_size={batch_size} exceeds the {stride} batch-id "
+            f"stride; raise batch_size or n_stages"
+        )
     rel = F.col("__pos") - F.col("__soff")
-    batch_in_stage = F.floor(rel / F.lit(int(batch_size))).cast("bigint")
+    # integer div, not floor(double/double): exact at any row count
+    # (double division loses exactness past 2^53 — review finding)
+    batch_in_stage = F.expr(
+        f"(__pos - __soff) div {int(batch_size)}"
+    ).cast("bigint")
     return laid.select(
         id_col,
         score_col,
         "stage",
         # stage-major global batch id: all of stage s's batches precede
-        # stage s+1's (1e9 batches per stage is a safe stride)
+        # stage s+1's (stride guarded above)
         (
-            F.col("stage").cast("bigint") * F.lit(1_000_000_000)
+            F.col("stage").cast("bigint") * F.lit(stride)
             + batch_in_stage
         ).alias("batch_id"),
         (rel % F.lit(int(batch_size))).cast("int").alias("pos_in_batch"),

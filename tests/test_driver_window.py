@@ -52,6 +52,44 @@ def test_every_window_query_has_an_oracle_or_is_rows_only_by_design():
     assert not missing, f"window entries without an oracle: {missing}"
 
 
+def _uncovered(registered, window, ledger_keys):
+    """Queries with neither a slot in the current window nor a driver
+    row in ANY ledger — the class that shipped unverified in r12
+    (curriculum/url_frontier registered after the window was cut)."""
+    covered = set(window) | set(ledger_keys)
+    return [q for q in registered if q not in covered]
+
+
+def test_every_registered_query_is_window_covered_or_ledgered():
+    """Close gate (r12 verdict): a registered query must either sit in
+    the current 50-slot window or already have a driver row in some
+    CORRECTNESS ledger.  Without this, a query registered after the
+    window is cut ships with zero driver evidence and no complaint."""
+    import json
+
+    import __spark_entry__ as e
+
+    root = ENTRY.parent
+    ledger_keys: set[str] = set()
+    for p in root.glob("CORRECTNESS_r*.json"):
+        ledger_keys |= set(json.loads(p.read_text()))
+    names = list(e.queries())
+    missing = _uncovered(names, names[:50], ledger_keys)
+    assert not missing, (
+        f"registered queries with no window slot AND no driver row: "
+        f"{missing} — put them in the current window"
+    )
+
+
+def test_uncovered_detector_catches_a_fresh_query():
+    """The gate actually fires: a synthetic query that is neither in
+    the window nor in any ledger is reported."""
+    registered = ["a", "b", "brand_new"]
+    assert _uncovered(registered, ["a"], {"b"}) == ["brand_new"]
+    assert _uncovered(registered, ["a", "brand_new"], {"b"}) == []
+    assert _uncovered(registered, ["a"], {"b", "brand_new"}) == []
+
+
 def test_window_staleness_compose_ranking():
     """The rotation tool's ranking contract: changed first (in given
     order), then never-checked (alphabetical), then stalest-first by

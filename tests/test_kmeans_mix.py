@@ -240,3 +240,11 @@ def test_curriculum_stages_layout(spark):
         curriculum_stages(df, "difficulty", "doc_id", n_stages=0)
     with pytest.raises(ValueError, match="batch_size"):
         curriculum_stages(df, "difficulty", "doc_id", batch_size=0)
+    # stride guard (r13 review finding): a stage needing more batches
+    # than the batch_id stride must raise, not collide silently —
+    # 100 rows / 2 stages / batch_size 1 = 50 batches > stride 4
+    with pytest.raises(ValueError, match="stride"):
+        curriculum_stages(
+            df, "difficulty", "doc_id", n_stages=2, batch_size=1,
+            batch_id_stride=4,
+        )

@@ -202,3 +202,24 @@ def test_rrf_fuse_bad_ranks_raise(spark):
         )
         with pytest.raises(SparkRuntimeException, match="rank"):
             rrf_fuse([ok, bad], "doc_id").collect()
+
+
+def test_rrf_fuse_duplicate_id_within_list_raises(spark):
+    """A duplicate id WITHIN one ranking list double-counts its
+    reciprocal-rank mass and inflates n_lists past len(rankings) —
+    must raise, not corrupt scores (review finding, r13).  The same id
+    on DIFFERENT lists stays legal (that is the whole point of RRF)."""
+    from pyspark.errors import SparkRuntimeException
+
+    from gdp_etl_spark.operators.retrieval import rrf_fuse
+
+    dup = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 3)], "doc_id bigint, rank int"
+    )
+    with pytest.raises(SparkRuntimeException, match="more than once"):
+        rrf_fuse([dup], "doc_id").collect()
+    # cross-list repetition still fuses fine
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id bigint, rank int")
+    b = spark.createDataFrame([(1, 2), (3, 1)], "doc_id bigint, rank int")
+    out = {r.doc_id: r.n_lists for r in rrf_fuse([a, b], "doc_id").collect()}
+    assert out == {1: 2, 2: 1, 3: 1}

@@ -1711,6 +1711,22 @@ def test_c4_rules_each_rule(spark):
     )
     r9 = nbsp.select(c4_rules(F.col("text")).alias("c4")).first().c4
     assert r9.n_kept == 1
+    # Unicode line terminators (review finding, r13): Java's $ matches
+    # before a final NEL/LS/PS, RE2's does not — the shared trim class
+    # strips them so both engines judge the period; an UNpunctuated
+    # line ending in LS must still fail
+    uls = spark.createDataFrame(
+        [(10, "NEL terminated period stays here.\x85\n"
+              "LS terminated period stays here. \n"
+              "no punctuation before terminator \n"
+              "Sentence. More. More. More. And more.")],
+        "id bigint, text string",
+    )
+    r10 = uls.select(c4_rules(F.col("text")).alias("c4")).first().c4
+    # kept lines keep their ORIGINAL bytes (trim is judge-only): lines
+    # 1/2/4 pass the trimmed-punctuation rule, line 3 still fails
+    assert r10.n_lines == 4 and r10.n_kept == 3
+    assert "no punctuation" not in r10.text_c4
 
 
 def test_url_frontier_flags_rules(spark):
@@ -1749,3 +1765,27 @@ def test_url_frontier_flags_rules(spark):
     # case folding: scheme/host lower, .HTML ext lowers to html (ok)
     assert out[10].admit and out[10].host == "up.example.com"
     assert out[10].ext == "html" and out[10].ext_ok
+
+
+def test_url_frontier_trap_is_per_segment(spark):
+    """r13 semantics fix: the trap rule caps the MAX occurrence count
+    of any ONE segment (docstring semantics), not the aggregate
+    duplicate mass — /x/a/b/a/b (two distinct doubled segments) is
+    admitted at the default cap of 2; /a/a/a is not."""
+    from gdp_etl_spark.functions.text import url_frontier_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://h.com/x/a/b/a/b"),   # max rep 2 <= 2: admit
+            (2, "https://h.com/a/a/a"),       # max rep 3 > 2: trap
+            (3, "https://h.com/a/a"),         # max rep 2 <= 2: admit
+            (4, "https://h.com/"),            # empty path: admit
+        ],
+        "id bigint, url string",
+    )
+    out = {r.id: r.f for r in df.select(
+        "id", url_frontier_flags(F.col("url")).alias("f")).collect()}
+    assert out[1].trap_ok and out[1].admit
+    assert not out[2].trap_ok and not out[2].admit
+    assert out[3].trap_ok and out[3].admit
+    assert out[4].trap_ok and out[4].admit and out[4].depth == 0
