@@ -1375,6 +1375,47 @@ def q_ivf_recall(spark, sf_dir):
     )
 
 
+def q_ivf_index(spark, sf_dir):
+    """Persisted IVF serving state under the driver's eye
+    (ann_index.write_ivf_index / append_to_ivf_index /
+    ivf_probe_index) — the train-once/serve-many shape the in-query
+    ivf_topk/pq_topk docstrings promise, built with the repo's two
+    persistence protocols: cell-bucketed posting lists (the dedup-
+    index spec — probes are bucket-pruned scans with NO index-side
+    Exchange, plan-pinned in pytest) and tmp-then-rename stamped
+    tables (the NDV-sketch spec).  Day-1 (even vec_ids) trains the
+    coarse quantizer and writes the index; day-2 (odd vec_ids)
+    APPENDS, assigned by the STORED centroids — one map-only pass
+    over the increment, no retrain, no rescan; the probe then serves
+    5 queries' top-10 purely from stored state.  The oracle replays
+    the whole lifecycle as the generated IVF CTE chain with the
+    training set restricted to the day-1 rows (train on evens, assign
+    everything) — a broken write, append, stamp, bucket spec or probe
+    breaks the hash."""
+    import shutil as _shutil
+
+    from gdp_etl_spark.operators.ann_index import (
+        append_to_ivf_index,
+        ivf_probe_index,
+        write_ivf_index,
+    )
+
+    table = "q_ivf_index_tbl"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (table, f"{table}__centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    write_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), table,
+        num_centroids=8, n_iter=2,
+    )
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), table)
+    return ivf_probe_index(
+        spark, table, [0, 1, 2, 3, 4], k=10, nprobe=3
+    )
+
+
 def q_kmeans_assign(spark, sf_dir):
     """Distributed deterministic k-means over the full embedding table
     (operators/kmeans.py): fixed-point Lloyd's — hash-seeded centroids,
@@ -5706,13 +5747,17 @@ def q_grouped_topk(spark, sf_dir):
 
 
 def _ivf_sql(dim=64, k_cells=8, nprobe=3, queries=(0, 1, 2, 3, 4), k=10,
-             seed="ivf", n_iter=2):
+             seed="ivf", n_iter=2, train_where=None):
     """DuckDB replay of similarity.ivf_topk_fixed: ONE full-dimension
     fixed-point Lloyd's chain (the _pq_sql per-subspace machinery with
     a single subspace = the whole vector), corpus cell assignment,
     per-query nprobe cell selection by the same integer distances, and
     exact fixed-point scoring of the probed cells — the IVF result
-    hash-matches, upgrading ivf_topk from its old rows-only status."""
+    hash-matches, upgrading ivf_topk from its old rows-only status.
+    ``train_where`` restricts the TRAINING set only (the ann_index
+    write/append split: centroids train on the day-1 batch, all rows
+    assign) — seeding and Lloyd passes run over the filtered rows,
+    assignment/probe/score over everything."""
     rng = f"range(1, {dim + 1})"
     qlist = ", ".join(str(q) for q in queries)
 
@@ -5730,15 +5775,21 @@ def _ivf_sql(dim=64, k_cells=8, nprobe=3, queries=(0, 1, 2, 3, 4), k=10,
                                       || ':{seed}'), 1, 8)) AS BIGINT) AS h
       FROM embeddings WHERE embedding IS NOT NULL
     )"""]
+    tr = "qq"
+    if train_where:
+        tr = "tr"
+        parts.append(f"""tr AS (
+      SELECT * FROM qq WHERE {train_where}
+    )""")
     parts.append(f"""c0 AS (
       SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster, q AS c
-      FROM qq QUALIFY row_number() OVER (ORDER BY h, vec_id) <= {k_cells}
+      FROM {tr} QUALIFY row_number() OVER (ORDER BY h, vec_id) <= {k_cells}
     )""")
     prev = "c0"
     for it in range(1, n_iter + 1):
         parts.append(f"""d{it} AS (
       SELECT v.vec_id, v.q, c.cluster, {d2('v', 'c')} AS d2
-      FROM qq v CROSS JOIN {prev} c
+      FROM {tr} v CROSS JOIN {prev} c
     )""")
         parts.append(f"""a{it} AS (
       SELECT vec_id, q, cluster FROM d{it}
@@ -6676,6 +6727,40 @@ def q_curriculum(spark, sf_dir):
     )
 
 
+def q_curriculum_batches(spark, sf_dir):
+    """Curriculum ordering composed into the SERVING path
+    (sampling.curriculum_stages → packing.pack_segments_staged): the
+    difficulty ramp survives batch materialization — documents rank
+    easy→hard, cut into 4 stages, md5-shuffle within stage, and the
+    token stream packs into 128-token training sequences SEPARATELY
+    per stage, so no pack ever mixes two difficulty stages and
+    consuming packs in pack_id order replays the curriculum exactly
+    (property-pinned in pytest).  Scale: both global rankings and the
+    token cumsum are two-pass prefix-sums (no single-partition
+    window); the per-stage re-base is a 4-row driver aggregate.  The
+    oracle replays rank → stage cut → shuffle → batch layout → per-
+    stage cumsum → segment unnest; a regression in ANY stage breaks
+    the hash."""
+    from gdp_etl_spark.functions.text import quality_score, token_count_ws
+    from gdp_etl_spark.operators.packing import pack_segments_staged
+    from gdp_etl_spark.operators.sampling import curriculum_stages
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality_score(F.col("text")).alias("difficulty"),
+        token_count_ws(F.col("text")).alias("n_tokens"),
+    )
+    cur = curriculum_stages(
+        d.select("doc_id", "difficulty"), "difficulty", "doc_id",
+        n_stages=4, batch_size=16,
+    )
+    j = cur.join(d.select("doc_id", "n_tokens"), "doc_id")
+    return pack_segments_staged(
+        j, "doc_id", "n_tokens", seq_len=128,
+        stage_col="stage", order_cols=["batch_id", "pos_in_batch"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness
     gate verifies the FIRST 50 keys each round, and EXACTLY 50 must
@@ -6699,6 +6784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum": q_curriculum,
         "url_frontier": q_url_frontier,
         "bpe_encode": q_bpe_encode,
+        "ivf_index": q_ivf_index,
+        "curriculum_batches": q_curriculum_batches,
         "bpe_merges": q_bpe_merges,
         "hybrid_rrf": q_hybrid_rrf,
         "hard_negatives": q_hard_negatives,
@@ -6744,11 +6831,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "token_stats": q_token_stats,
         "topk_orders": q_topk_orders,
-        "union_by_name": q_union_by_name,
-        "unpivot_long": q_unpivot_long,
         # -- end of driver window (50) -----------------------------------
         # below the window: alphabetical; all keep local oracle
         # coverage via tools/check_correctness.py
+        "union_by_name": q_union_by_name,
+        "unpivot_long": q_unpivot_long,
         "vocab_coverage": q_vocab_coverage,
         "zorder_stats": q_zorder_stats,
         "hist_incremental": q_hist_incremental,
@@ -9102,6 +9189,9 @@ def oracle_sql() -> dict[str, str]:
         # generated CTE replay of the fixed-point IVF train/assign/
         # probe/score chain (see _ivf_sql) — upgraded from rows-only
         "ivf_topk": _ivf_sql(),
+        # the persisted-index lifecycle: same generated chain, training
+        # set restricted to the day-1 write batch (see q_ivf_index)
+        "ivf_index": _ivf_sql(train_where="vec_id % 2 = 0"),
         # the slice-signature estimate replayed exactly: same md5 fold,
         # same elementwise min, same pairwise agreement count
         "source_overlap": f"""
@@ -9526,6 +9616,55 @@ def oracle_sql() -> dict[str, str]:
                         + rel // 16 AS BIGINT) AS batch_id,
                    CAST(rel % 16 AS INT) AS pos_in_batch
             FROM q
+        """,
+        # curriculum -> stage-pure packing: the curriculum layout replay
+        # extended with per-stage token cumsum + segment unnest
+        "curriculum_batches": f"""
+            WITH s AS (
+                SELECT doc_id, {quality} AS difficulty,
+                       CASE WHEN text IS NULL OR length(trim(text)) = 0
+                            THEN 0 ELSE len({_TOKS_RAW}) END AS nt
+                FROM documents
+            ), r AS (
+                SELECT doc_id, nt,
+                       row_number() OVER (ORDER BY difficulty, doc_id)
+                         - 1 AS r0,
+                       COUNT(*) OVER () AS n
+                FROM s
+            ), st AS (
+                SELECT doc_id, nt,
+                       CAST(r0 * 4 // n AS INT) AS stage,
+                       md5(CAST(doc_id AS VARCHAR) || ':curriculum') AS h
+                FROM r
+            ), p AS (
+                SELECT *, row_number() OVER (ORDER BY stage, h, doc_id)
+                          - 1 AS pos
+                FROM st
+            ), q AS (
+                SELECT doc_id, nt, stage,
+                       pos - MIN(pos) OVER (PARTITION BY stage) AS rel
+                FROM p
+            ), o AS (
+                SELECT doc_id, stage, CAST(nt AS BIGINT) AS nt,
+                       CAST(SUM(nt) OVER (PARTITION BY stage
+                            ORDER BY rel) - nt AS BIGINT) AS srel
+                FROM q WHERE nt > 0
+            ), segs AS (
+                SELECT doc_id, stage, nt, srel,
+                       unnest(range(srel // 128,
+                                    (srel + nt - 1) // 128 + 1)) AS pk
+                FROM o
+            )
+            SELECT doc_id, CAST(stage AS INT) AS stage,
+                   CAST(stage AS BIGINT) * 1000000000 + pk AS pack_id,
+                   CAST(GREATEST(srel, pk * 128) - srel AS BIGINT)
+                     AS doc_offset,
+                   CAST(GREATEST(srel, pk * 128) - pk * 128 AS BIGINT)
+                     AS pack_offset,
+                   CAST(LEAST(srel + nt, (pk + 1) * 128)
+                        - GREATEST(srel, pk * 128) AS BIGINT)
+                     AS seg_tokens
+            FROM segs
         """,
         # generated recursive-CTE replay of the BPE trainer (see _bpe_sql)
         "bpe_merges": _bpe_sql(),

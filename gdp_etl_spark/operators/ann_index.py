@@ -1,0 +1,320 @@
+"""Persisted ANN serving state — IVF centroids + cell-posting lists as
+stamped, bucketed metastore tables.
+
+``similarity.ivf_topk_fixed`` is honest about its cost: the coarse
+quantizer trains IN-QUERY so the result is an engine-replayable
+contract.  Production ANN does not retrain per query — FAISS builds the
+index once and serves many probes from stored state.  This module is
+that shape, applied with the repo's two existing persistence protocols:
+
+* the **dedup index** protocol (``dedup.append_to_dedup_index`` /
+  ``_compact_bucketed_table``): posting lists live in a BUCKETED table
+  keyed by ``cell``, so a probe is a bucket-pruned scan — no index-side
+  Exchange, ever (plan-pinned in pytest);
+* the **sketch table** protocol (``sketches.write_ndv_sketch``):
+  parameters are stamped as table properties, writes go tmp-then-rename
+  so a crash can never leave a live-but-stampless table, and appends
+  derive everything from the stamp so the index space cannot silently
+  fork.
+
+Lifecycle:
+
+* :func:`write_ivf_index` — train the coarse quantizer ONCE
+  (``kmeans.train_kmeans_fixed``: hash-seeded, integer Lloyd updates —
+  deterministic and oracle-replayable), store centroids in a companion
+  ``<table>__centroids`` table and the quantized corpus as posting
+  lists bucketed by cell.
+* :func:`append_to_ivf_index` — assign NEW vectors to cells using the
+  STORED centroids (one map-only pass over the increment, no retrain,
+  no rescan of prior data) and append with the bucket spec preserved.
+* :func:`ivf_probe_index` — serve top-k from stored state: centroids
+  collect driver-side (model state, kilobytes), probe cells per query
+  come from the same integer distances, candidates are the bucket-
+  pruned posting rows of the probed cells.  No training, no corpus
+  quantization — the query-time cost ``ivf_topk_fixed`` pays on every
+  call is paid once at build time.
+* :func:`compact_ivf_index` — fold append-accreted files back to one
+  per bucket (the ``_compact_bucketed_table`` swap, ``ivf.`` stamp
+  carried across).
+
+At 100 TB the posting table is the vector store: bucketed (at rest:
+partitioned) by cell, appended per ingest batch, compacted in the
+maintenance window; probes read only the ``nprobe`` cells they need.
+Semantics (quantization, seeding, tie-breaks) are shared with
+``ivf_topk_fixed`` so a stored-state probe is hash-identical to the
+in-query path trained on the same rows — the driver query ``ivf_index``
+pins exactly that cross-engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import _compact_bucketed_table, _num_buckets
+from .kmeans import _dist2, _quantize, assign_expr, train_kmeans_fixed
+
+__all__ = [
+    "write_ivf_index",
+    "append_to_ivf_index",
+    "ivf_probe_index",
+    "compact_ivf_index",
+]
+
+_P = "ivf."  # table-property namespace
+_KEYS = ("num_centroids", "n_iter", "scale", "offset", "seed",
+         "id_col", "vec_col")
+
+
+def _centroids_table(table: str) -> str:
+    return f"{table}__centroids"
+
+
+def _stamp(spark, table: str, params: dict) -> None:
+    """Quote-escaped property stamp (the _compact_bucketed_table rule:
+    a hostile value is a stored string, not a syntax error)."""
+    kv = ", ".join(
+        "'{}{}' = '{}'".format(_P, k, str(v).replace("'", "''"))
+        for k, v in sorted(params.items())
+    )
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+
+
+def _read_stamp(spark, table: str) -> dict:
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    missing = [k for k in _KEYS if _P + k not in props]
+    if missing:
+        raise ValueError(
+            f"{table} is not an IVF index table (missing properties "
+            f"{[_P + k for k in missing]}); create it with "
+            f"write_ivf_index"
+        )
+    return {
+        "num_centroids": int(props[_P + "num_centroids"]),
+        "n_iter": int(props[_P + "n_iter"]),
+        "scale": float(props[_P + "scale"]),
+        "offset": float(props[_P + "offset"]),
+        "seed": props[_P + "seed"],
+        "id_col": props[_P + "id_col"],
+        "vec_col": props[_P + "vec_col"],
+    }
+
+
+def _load_centroids(spark, table: str) -> list[list[int]]:
+    """Collect the stored coarse centroids — model state, bounded by
+    num_centroids × dim, never by data."""
+    rows = spark.table(_centroids_table(table)).orderBy("cell").collect()
+    if not rows:
+        raise ValueError(f"{_centroids_table(table)} is empty")
+    return [list(r["c"]) for r in rows]
+
+
+def _postings(df: DataFrame, id_col: str, vec_col: str,
+              centroids: list[list[int]], scale: float,
+              offset: float) -> DataFrame:
+    """Quantize + assign one batch of vectors — map-only (the shared
+    literal-centroid argmin, whole-stage codegen, no shuffle before
+    the bucketed write's own redistribution)."""
+    q = _quantize(F.col(vec_col), scale, offset)
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), q.alias("q")
+    )
+    cell, _ = assign_expr(centroids, F.col("q"))
+    return base.select(
+        cell.cast("int").alias("cell"), F.col(id_col), "q"
+    )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+    n_iter: int = 2,
+    scale: float = 1e6,
+    offset: float = 1.0,
+    seed: str = "ivf",
+    num_buckets: int = 8,
+) -> None:
+    """Build the IVF index: train the coarse quantizer on ``df`` (the
+    deterministic fixed-point Lloyd's of ``train_kmeans_fixed`` — per
+    iteration one k-row shuffle + a k·dim driver collect), store the
+    centroids in ``<table>__centroids`` and the quantized corpus as
+    cell-bucketed posting lists in ``table``.
+
+    Durability (the write_ndv_sketch rule): both tables are written and
+    stamped under tmp names, then renamed into place — centroids first,
+    postings last, so the index is live only when complete; a crash at
+    any point leaves either nothing or a retryable tmp, never a
+    stampless live table."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"write_ivf_index: id column {id_col!r} must be integral "
+            f"(probe compares against bigint literals); got {id_type}"
+        )
+    spark = df.sparkSession
+    ctable = _centroids_table(table)
+    for t in (table, ctable):
+        if spark.catalog.tableExists(t):
+            raise ValueError(f"table {t} already exists")
+    centroids = train_kmeans_fixed(
+        df.filter(F.col(vec_col).isNotNull()), id_col, vec_col,
+        k=num_centroids, n_iter=n_iter, scale=scale, offset=offset,
+        seed=seed,
+    )
+    if not centroids:
+        raise ValueError("empty corpus")
+    params = {
+        "num_centroids": num_centroids, "n_iter": n_iter,
+        "scale": repr(float(scale)), "offset": repr(float(offset)),
+        "seed": seed, "id_col": id_col, "vec_col": vec_col,
+    }
+    ctmp, ptmp = f"{ctable}__new", f"{table}__new"
+    spark.sql(f"DROP TABLE IF EXISTS {ctmp}")
+    spark.sql(f"DROP TABLE IF EXISTS {ptmp}")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, c array<bigint>",
+    ).write.mode("overwrite").saveAsTable(ctmp)
+    spark.sql(f"ALTER TABLE {ctmp} RENAME TO {ctable}")
+    (
+        _postings(df, id_col, vec_col, centroids, scale, offset)
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, "cell")
+        .sortBy("cell")
+        .saveAsTable(ptmp)
+    )
+    _stamp(spark, ptmp, params)
+    spark.sql(f"ALTER TABLE {ptmp} RENAME TO {table}")
+
+
+def append_to_ivf_index(df: DataFrame, table: str) -> None:
+    """Fold a NEW vector batch into the index: assign cells with the
+    STORED centroids (no retrain — one map-only pass over the
+    increment, prior data never rescanned) and append with the bucket
+    spec preserved.  Ids already present are the CALLER's contract (an
+    id-keyed store, like the dedup index's admitted-batch cycle);
+    duplicate rows cost bytes until :func:`compact_ivf_index`."""
+    spark = df.sparkSession
+    p = _read_stamp(spark, table)
+    centroids = _load_centroids(spark, table)
+    n_buckets = _num_buckets(spark, table)
+    (
+        _postings(df, p["id_col"], p["vec_col"], centroids,
+                  p["scale"], p["offset"])
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell")
+        .saveAsTable(table)
+    )
+    # the append_to_dedup_index catalog-cache rule: invalidate the
+    # cached file listing so a probe in this session sees the new rows
+    spark.catalog.refreshTable(table)
+
+
+def ivf_probe_index(
+    spark,
+    table: str,
+    query_ids: Sequence[int],
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Serve approximate top-k from STORED state — the production
+    probe: centroids collect driver-side, each query's ``nprobe``
+    nearest cells come from the same integer distances as
+    ``ivf_topk_fixed``, and candidates are the bucket-pruned posting
+    rows of the probed cells (a ``cell IN (...)`` scan of the bucketed
+    table: no index-side Exchange; the only shuffle is the bounded
+    candidate set into the per-query top-k window, which Catalyst
+    prunes map-side via WindowGroupLimit).
+
+    Returns ``(query_id, neighbour_id, score_d2, rank)`` — identical
+    schema, scoring (exact fixed-point squared L2) and tie-breaks to
+    ``ivf_topk_fixed``, so a probe over an index built on the same
+    rows is hash-identical to the in-query path (driver-pinned)."""
+    query_ids = list(query_ids)
+    bad = [qi for qi in query_ids
+           if not isinstance(qi, int) or isinstance(qi, bool)]
+    if bad:
+        raise TypeError(
+            f"ivf_probe_index: query_ids must be Python ints; got "
+            f"{bad[:3]!r}{'…' if len(bad) > 3 else ''}"
+        )
+    if len(set(query_ids)) != len(query_ids):
+        raise ValueError("ivf_probe_index: query_ids contains duplicates")
+    p = _read_stamp(spark, table)
+    centroids = _load_centroids(spark, table)
+    spark.catalog.refreshTable(table)
+    post = spark.table(table)
+    id_col = p["id_col"]
+    # query vectors come from the index itself (bounded collect, the
+    # ivf_topk_fixed rule) — a probe for ids the index has never seen
+    # is a caller error, loudly
+    qrows = {
+        r[id_col]: list(r["q"])
+        for r in post.filter(F.col(id_col).isin(query_ids)).collect()
+    }
+    missing = [qi for qi in query_ids if qi not in qrows]
+    if missing:
+        raise ValueError(f"query ids not in index: {missing}")
+
+    def _probe_cells(qi):
+        qv = qrows[qi]
+        ranked = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, c)), ci)
+            for ci, c in enumerate(centroids)
+        )
+        return [ci for _, ci in ranked[: min(nprobe, len(centroids))]]
+
+    all_cells = sorted({c for qi in query_ids for c in _probe_cells(qi)})
+    per_query = F.array(*[
+        F.struct(
+            F.lit(qi).cast("bigint").alias("query_id"),
+            F.when(
+                F.col("cell").isin(_probe_cells(qi)),
+                _dist2(
+                    F.array(*[F.lit(v) for v in qrows[qi]]), F.col("q")
+                ),
+            ).alias("score_d2"),
+        )
+        for qi in query_ids
+    ])
+    scored = (
+        post.filter(F.col("cell").isin(all_cells))  # bucket-pruned
+        .select(
+            F.col(id_col).alias("neighbour_id"),
+            F.explode(per_query).alias("__e"),
+        )
+        .select("__e.query_id", "neighbour_id", "__e.score_d2")
+        .filter(
+            F.col("score_d2").isNotNull()
+            & (F.col("neighbour_id") != F.col("query_id"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_d2").asc(), F.col("neighbour_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbour_id", "score_d2",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def compact_ivf_index(spark, table: str) -> tuple[int, int]:
+    """Fold append-accreted posting files back to one per bucket (and
+    drop exact-duplicate rows) via the shared bucketed-table swap —
+    self-healing renames, ``ivf.`` parameter stamp carried across.
+    Returns ``(files_before, files_after)`` for the ops ledger."""
+    return _compact_bucketed_table(spark, table, ["cell"], prop_prefix=_P)

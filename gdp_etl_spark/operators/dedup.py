@@ -1191,7 +1191,8 @@ def compact_dedup_index(spark, index_table: str) -> tuple[int, int]:
 
 
 def _compact_bucketed_table(
-    spark, table: str, bucket_cols: list[str]
+    spark, table: str, bucket_cols: list[str],
+    prop_prefix: str = "minhash.",
 ) -> tuple[int, int]:
     """Shared compaction cycle for an append-accreted bucketed table:
     distinct full rows → rewrite under ``__compacting`` with the LIVE
@@ -1226,7 +1227,7 @@ def _compact_bucketed_table(
     props = {
         r["key"]: r["value"]
         for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-        if r["key"].startswith("minhash.")
+        if r["key"].startswith(prop_prefix)
     }
     files_before = len(spark.table(table).inputFiles())
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")

@@ -321,3 +321,143 @@ def pack_segments(
         (seg_begin - F.col("pack_id") * L).alias("pack_offset"),
         (seg_end - seg_begin).alias("seg_tokens"),
     )
+
+
+def pack_segments_staged(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    stage_col: str = "stage",
+    order_cols: Sequence[str] = ("batch_id", "pos_in_batch"),
+    pack_id_stride: int = 1_000_000_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """:func:`pack_segments` for a PRE-ORDERED, STAGED stream — the
+    serving step after
+    :func:`~gdp_etl_spark.operators.sampling.curriculum_stages`: lay
+    documents end to end in the caller's explicit order
+    (``stage_col`` major, then ``order_cols``, id tie-break) and cut
+    each stage's token stream into ``seq_len`` windows SEPARATELY, so
+
+    * **no pack spans a stage boundary** — a difficulty ramp consumed
+      pack-by-pack never mixes two stages in one training sequence
+      (each stage's last pack may be ragged; every other pack is
+      exactly full);
+    * **the curriculum order survives packing** — within a stage,
+      consuming packs by ``pack_id`` and segments by ``pack_offset``
+      replays the (batch_id, pos_in_batch) order exactly;
+    * ``pack_id`` is stage-major global: ``stage * pack_id_stride +
+      pack_in_stage`` (stride guarded, the curriculum_stages rule).
+
+    Output: one row per (document, pack) segment — ``(id, stage,
+    pack_id, doc_offset, pack_offset, seg_tokens)``, same segment
+    semantics as :func:`pack_segments`.
+
+    Scale shape: the global token cumsum is the same two-pass
+    prefix-sum (range partition on the order key, per-partition
+    totals, broadcast offsets, local window — no single-partition
+    window); the per-stage re-base comes from DRIVER-side stage token
+    totals (``n_stages`` rows, an aggregate bounded by parameters,
+    which doubles as the stride guard); segment explode is the
+    output's intrinsic size.  All arithmetic is integer (``div``, not
+    ``floor(double)``), so the layout replays engine-exactly.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    order_cols = list(order_cols)
+    clashes = {"pack_id", "doc_offset", "pack_offset", "seg_tokens",
+               "__pid", "__off", "__nt", "__begin", "__end",
+               "__rel"} & set(df.columns)
+    if clashes:
+        raise ValueError(
+            f"pack_segments_staged output columns collide with input "
+            f"columns {sorted(clashes)}; rename or drop them first"
+        )
+    keys = [stage_col, *order_cols, id_col]
+    base = df.filter(F.col(n_tokens_col) > 0).select(
+        *keys, F.col(n_tokens_col).cast("long").alias("__nt")
+    )
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        base.repartitionByRange(n, *[F.col(c) for c in keys])
+        .withColumn("__pid", F.spark_partition_id())
+        # one materialization — the assign_row_ids rule: the totals
+        # branch and the cumsum branch must see the SAME partitioning
+        .localCheckpoint()
+    )
+    # driver-side stage token totals: n_stages rows — the stage starts
+    # for the re-base AND the stride guard in one bounded action
+    tots = {
+        r[stage_col]: int(r["__t"])
+        for r in ranged.groupBy(stage_col).agg(
+            F.sum("__nt").alias("__t")
+        ).collect()
+    }
+    if None in tots:
+        raise ValueError(
+            f"pack_segments_staged: NULL {stage_col} — stage every row "
+            f"before packing (curriculum_stages already guarantees it)"
+        )
+    L = int(seq_len)
+    worst = max((-(-t // L) for t in tots.values()), default=0)
+    if worst > pack_id_stride:
+        raise ValueError(
+            f"pack_segments_staged: a stage of {worst} packs exceeds "
+            f"the {pack_id_stride} pack-id stride; raise seq_len or "
+            f"pack_id_stride"
+        )
+    start_at, acc = {}, 0
+    for s in sorted(tots):
+        start_at[s] = acc
+        acc += tots[s]
+    stage_start = F.coalesce(*[
+        F.when(F.col(stage_col) == s, F.lit(v).cast("long"))
+        for s, v in start_at.items()
+    ]) if start_at else F.lit(0).cast("long")
+
+    counts = ranged.groupBy("__pid").agg(F.sum("__nt").alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c) for c in keys])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "__rel",
+            F.coalesce(F.sum("__nt").over(w_local), F.lit(0))
+            + F.col("__off") - stage_start,
+        )
+        .withColumn("__end", F.col("__rel") + F.col("__nt"))
+        .select(
+            id_col, stage_col, "__rel", "__end",
+            F.explode(
+                F.sequence(
+                    F.expr(f"__rel div {L}").cast("long"),
+                    F.expr(f"(__end - 1) div {L}").cast("long"),
+                )
+            ).alias("__pk"),
+        )
+    )
+    Lc = F.lit(L).cast("long")
+    seg_begin = F.greatest(F.col("__rel"), F.col("__pk") * Lc)
+    seg_end = F.least(F.col("__end"), (F.col("__pk") + 1) * Lc)
+    return seg.select(
+        id_col,
+        F.col(stage_col).cast("int").alias(stage_col),
+        (
+            F.col(stage_col).cast("bigint") * F.lit(int(pack_id_stride))
+            + F.col("__pk")
+        ).alias("pack_id"),
+        (seg_begin - F.col("__rel")).alias("doc_offset"),
+        (seg_begin - F.col("__pk") * Lc).alias("pack_offset"),
+        (seg_end - seg_begin).alias("seg_tokens"),
+    )

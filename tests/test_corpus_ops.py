@@ -1270,3 +1270,95 @@ def test_dsir_select_null_tokens_raise(spark):
     # frame via localCheckpoint (an action), so the raise is eager
     with pytest.raises(SparkRuntimeException, match="NULL token count"):
         dsir_select(docs, target, "text", "doc_id", "n_tokens", budget=100)
+
+def test_pack_segments_staged_invariants(spark):
+    """The stage-pure packer's defining properties (r12 verdict task:
+    stage order must survive packing): (1) NO pack spans a stage
+    boundary; (2) within a stage every pack except the LAST is exactly
+    full; (3) consuming packs by (pack_id, pack_offset) replays the
+    (batch_id, pos_in_batch) curriculum order; (4) segments tile each
+    document; (5) deterministic across repartitionings; (6) guards."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gdp_etl_spark.operators.packing import pack_segments_staged
+
+    # 3 stages x ~20 docs, varying lengths, one multi-pack document
+    rows = [
+        (i, i // 20, (i % 20), 0, 5 + (i * 7) % 23) for i in range(60)
+    ] + [(100, 1, 99, 0, 135)]  # long doc inside stage 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, stage int, batch_id long, pos long, n long"
+    )
+    out = pack_segments_staged(
+        df, "doc_id", "n", seq_len=32, stage_col="stage",
+        order_cols=["batch_id", "pos"], pack_id_stride=1000,
+    ).collect()
+
+    stage_of = {i: s for i, s, *_ in rows}
+    n_of = {i: n for i, *_, n in rows}
+    per_pack, per_doc = {}, {}
+    for r in out:
+        assert r.pack_id // 1000 == r.stage == stage_of[r.doc_id]  # (1)
+        per_pack[r.pack_id] = per_pack.get(r.pack_id, 0) + r.seg_tokens
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for s in (0, 1, 2):
+        packs = sorted(p for p in per_pack if p // 1000 == s)
+        for p in packs[:-1]:
+            assert per_pack[p] == 32                              # (2)
+        assert per_pack[packs[-1]] <= 32
+        tot = sum(n for i, st, *_, n in rows if st == s and n > 0)
+        assert sum(per_pack[p] for p in packs) == tot
+    # (3) pack order replays curriculum order within each stage
+    first_seg = {
+        d: min(segs, key=lambda r: (r.pack_id, r.pack_offset))
+        for d, segs in per_doc.items()
+    }
+    order_in = {
+        s: [i for i, st, b, p, n in sorted(rows, key=lambda t: (t[2], t[3], t[0]))
+            if st == s and n > 0]
+        for s in (0, 1, 2)
+    }
+    for s in (0, 1, 2):
+        got = sorted(
+            (d for d in first_seg if stage_of[d] == s),
+            key=lambda d: (first_seg[d].pack_id, first_seg[d].pack_offset),
+        )
+        assert got == order_in[s]
+    # (4) doc tiling
+    for d, segs in per_doc.items():
+        segs.sort(key=lambda r: r.pack_id)
+        acc = 0
+        for seg in segs:
+            assert seg.doc_offset == acc and seg.seg_tokens > 0
+            acc += seg.seg_tokens
+        assert acc == n_of[d]
+    # (5) determinism
+    again = pack_segments_staged(
+        df.repartition(7), "doc_id", "n", seq_len=32, stage_col="stage",
+        order_cols=["batch_id", "pos"], pack_id_stride=1000,
+    ).collect()
+    key = lambda r: tuple(r)  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, again))
+    # (6) guards
+    with _pytest.raises(ValueError, match="stride"):
+        pack_segments_staged(
+            df, "doc_id", "n", seq_len=1, stage_col="stage",
+            order_cols=["batch_id", "pos"], pack_id_stride=4,
+        )
+    with _pytest.raises(ValueError, match="NULL stage"):
+        pack_segments_staged(
+            df.withColumn(
+                "stage",
+                F.when(F.col("doc_id") == 0, F.lit(None)).otherwise(
+                    F.col("stage")
+                ),
+            ),
+            "doc_id", "n", seq_len=32, stage_col="stage",
+            order_cols=["batch_id", "pos"],
+        )
+    with _pytest.raises(ValueError, match="collide"):
+        pack_segments_staged(
+            df.withColumn("pack_id", F.lit(1)), "doc_id", "n", 32,
+            stage_col="stage", order_cols=["batch_id", "pos"],
+        )

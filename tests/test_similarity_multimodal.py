@@ -687,3 +687,127 @@ def test_mine_hard_negatives_distinct_corpora(spark):
     assert [r.neg_id for r in default] == [4]          # id 3 excluded
     both = mine_hard_negatives(q, corpus, k=5, exclude_same_id=False)
     assert [r.neg_id for r in both.collect()] == [3, 4]
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF serving state (operators/ann_index.py)
+# ---------------------------------------------------------------------------
+
+
+def _drop_ivf_tables(spark, table):
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (table, f"{table}__centroids", f"{table}__new",
+              f"{table}__centroids__new", f"{table}__compacting",
+              f"{table}__old"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+
+def test_ivf_index_probe_matches_in_query_path(spark):
+    """A stored-state probe over an index built on the SAME rows is
+    row-identical to ivf_topk_fixed — the train-once/serve-many shape
+    pays the training cost at build time, not per query."""
+    from gdp_etl_spark.operators.ann_index import (
+        ivf_probe_index,
+        write_ivf_index,
+    )
+    from gdp_etl_spark.operators.similarity import ivf_topk_fixed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    table = "t_ivf_idx_eq"
+    _drop_ivf_tables(spark, table)
+    try:
+        write_ivf_index(emb, table, num_centroids=8, n_iter=2)
+        got = ivf_probe_index(spark, table, [0, 1, 2], k=5, nprobe=3)
+        want = ivf_topk_fixed(
+            emb, [0, 1, 2], k=5, num_centroids=8, nprobe=3, n_iter=2
+        )
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        assert sorted(map(tuple, got.collect()), key=lambda t: t[:2]) == \
+               sorted(map(tuple, want.collect()), key=lambda t: t[:2])
+    finally:
+        _drop_ivf_tables(spark, table)
+
+
+def test_ivf_index_append_compact_and_guards(spark):
+    """Append assigns with the STORED centroids (no retrain: the
+    centroid table is unchanged and still equals the day-1 training),
+    compaction folds files without changing the probe result or losing
+    the parameter stamp, and the guard rails raise loudly."""
+    import pytest as _pytest
+
+    from gdp_etl_spark.operators.ann_index import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        ivf_probe_index,
+        write_ivf_index,
+        _read_stamp,
+    )
+    from gdp_etl_spark.operators.kmeans import train_kmeans_fixed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_all = emb.filter(F.col("embedding").isNotNull()).count()
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    table = "t_ivf_idx_app"
+    _drop_ivf_tables(spark, table)
+    try:
+        write_ivf_index(evens, table, num_centroids=4, n_iter=2)
+        append_to_ivf_index(odds, table)
+        assert spark.table(table).count() == n_all
+        # centroids still the day-1 training (append never retrains)
+        stored = [list(r["c"]) for r in
+                  spark.table(f"{table}__centroids").orderBy("cell").collect()]
+        trained = train_kmeans_fixed(
+            evens.filter(F.col("embedding").isNotNull()),
+            "vec_id", "embedding", k=4, n_iter=2, seed="ivf",
+        )
+        assert stored == trained
+        before = sorted(map(tuple,
+                        ivf_probe_index(spark, table, [1, 2], k=4,
+                                        nprobe=2).collect()))
+        files_before, files_after = compact_ivf_index(spark, table)
+        assert files_after <= files_before
+        after = sorted(map(tuple,
+                       ivf_probe_index(spark, table, [1, 2], k=4,
+                                       nprobe=2).collect()))
+        assert before == after
+        assert _read_stamp(spark, table)["num_centroids"] == 4  # stamp kept
+        # guards
+        with _pytest.raises(ValueError, match="already exists"):
+            write_ivf_index(evens, table)
+        with _pytest.raises(ValueError, match="not in index"):
+            ivf_probe_index(spark, table, [999_999_999], k=2)
+        with _pytest.raises(ValueError, match="duplicates"):
+            ivf_probe_index(spark, table, [1, 1], k=2)
+        with _pytest.raises(TypeError, match="ints"):
+            ivf_probe_index(spark, table, ["1"], k=2)
+    finally:
+        _drop_ivf_tables(spark, table)
+
+
+def test_ivf_index_probe_plan_is_bucket_pruned(spark):
+    """Plan pin: the probe's posting-list scan is bucket-pruned (cell
+    IN (...) on the bucketed key — SelectedBucketsCount in the scan)
+    and the index side contributes NO Exchange; the only shuffle in
+    the whole probe is the bounded candidate set entering the
+    per-query top-k window."""
+    from gdp_etl_spark.operators.ann_index import (
+        ivf_probe_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    table = "t_ivf_idx_plan"
+    _drop_ivf_tables(spark, table)
+    try:
+        write_ivf_index(emb, table, num_centroids=8, n_iter=1)
+        probe = ivf_probe_index(spark, table, [0, 1], k=3, nprobe=2)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan
+        assert plan.count("Exchange hashpartitioning") == 1  # window only
+        assert "Exchange rangepartitioning" not in plan
+    finally:
+        _drop_ivf_tables(spark, table)
