@@ -1416,6 +1416,47 @@ def q_ivf_index(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """Cluster-scoped semantic dedup (dedup.semantic_dedup — the
+    SemDeDup recipe, Abbas et al. 2023): deterministic k-means cells
+    over the embedding table, then near-duplicate detection ONLY
+    within each cell — candidate space Σ|cell|², never the all-pairs
+    n² (plan-pinned: the pair join is an equi-join on the cell id, no
+    cartesian).  A row is a duplicate iff an earlier same-cell row has
+    exact cosine >= 0.35 (the synthetic corpus' near-dup band);
+    dup_of = the smallest such id.  The oracle replays the whole
+    chain — quantize → hash-seeded Lloyd's → cell assignment →
+    intra-cell pair scan — via the shared generated k-means CTE
+    (_kmeans_cells_parts) + the cosine_exact mirror, hash-exact."""
+    from gdp_etl_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id", "embedding", threshold=0.35, num_cells=8, n_iter=2,
+    )
+
+
+def _semantic_dedup_sql(threshold=0.35, k_cells=8, n_iter=2,
+                        seed="semdedup", dim=64):
+    parts, _ = _kmeans_cells_parts(
+        dim=dim, k_cells=k_cells, seed=seed, n_iter=n_iter,
+    )
+    parts.append(f"""dup AS (
+      SELECT a.vec_id AS vec_id, MIN(b.vec_id) AS dup_of
+      FROM enc a JOIN enc b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE {_cos_sql('ea.embedding', 'eb.embedding')}
+            >= CAST({threshold} AS DOUBLE)
+      GROUP BY a.vec_id
+    )""")
+    return ("WITH " + ",\n    ".join(parts) + """
+    SELECT e.vec_id, CAST(e.cell AS INT) AS cell, d.dup_of,
+           d.dup_of IS NULL AS keep
+    FROM enc e LEFT JOIN dup d USING (vec_id)
+    """)
+
+
 def q_kmeans_assign(spark, sf_dir):
     """Distributed deterministic k-means over the full embedding table
     (operators/kmeans.py): fixed-point Lloyd's — hash-seeded centroids,
@@ -5746,20 +5787,15 @@ def q_grouped_topk(spark, sf_dir):
     )
 
 
-def _ivf_sql(dim=64, k_cells=8, nprobe=3, queries=(0, 1, 2, 3, 4), k=10,
-             seed="ivf", n_iter=2, train_where=None):
-    """DuckDB replay of similarity.ivf_topk_fixed: ONE full-dimension
-    fixed-point Lloyd's chain (the _pq_sql per-subspace machinery with
-    a single subspace = the whole vector), corpus cell assignment,
-    per-query nprobe cell selection by the same integer distances, and
-    exact fixed-point scoring of the probed cells — the IVF result
-    hash-matches, upgrading ivf_topk from its old rows-only status.
-    ``train_where`` restricts the TRAINING set only (the ann_index
-    write/append split: centroids train on the day-1 batch, all rows
-    assign) — seeding and Lloyd passes run over the filtered rows,
-    assignment/probe/score over everything."""
+def _kmeans_cells_parts(dim=64, k_cells=8, seed="ivf", n_iter=2,
+                        train_where=None):
+    """Shared CTE chain: quantize → hash-seeded init → n_iter
+    fixed-point Lloyd's rounds → final-cell assignment of ALL rows
+    (``enc(vec_id, cell)``).  Used by the IVF oracles and the
+    SemDeDup oracle; ``train_where`` restricts the TRAINING set only
+    (the ann_index write/append split) — seeding and Lloyd passes run
+    over the filtered rows, assignment over everything."""
     rng = f"range(1, {dim + 1})"
-    qlist = ", ".join(str(q) for q in queries)
 
     def d2(va, vb):
         return (f"CAST(list_sum(list_transform({rng}, "
@@ -5816,6 +5852,24 @@ def _ivf_sql(dim=64, k_cells=8, nprobe=3, queries=(0, 1, 2, 3, 4), k=10,
       QUALIFY row_number() OVER (PARTITION BY vec_id
                                  ORDER BY d2, cluster) = 1
     )""")
+    return parts, d2
+
+
+def _ivf_sql(dim=64, k_cells=8, nprobe=3, queries=(0, 1, 2, 3, 4), k=10,
+             seed="ivf", n_iter=2, train_where=None):
+    """DuckDB replay of similarity.ivf_topk_fixed: ONE full-dimension
+    fixed-point Lloyd's chain (the _pq_sql per-subspace machinery with
+    a single subspace = the whole vector), corpus cell assignment,
+    per-query nprobe cell selection by the same integer distances, and
+    exact fixed-point scoring of the probed cells — the IVF result
+    hash-matches, upgrading ivf_topk from its old rows-only status."""
+    rng = f"range(1, {dim + 1})"
+    qlist = ", ".join(str(q) for q in queries)
+    parts, d2 = _kmeans_cells_parts(
+        dim=dim, k_cells=k_cells, seed=seed, n_iter=n_iter,
+        train_where=train_where,
+    )
+    prev = f"c{n_iter}" if n_iter >= 1 else "c0"
     parts.append(f"""probe AS (
       SELECT query_id, cell FROM (
         SELECT quer.vec_id AS query_id, cc.cluster AS cell,
@@ -6786,6 +6840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "ivf_index": q_ivf_index,
         "curriculum_batches": q_curriculum_batches,
+        "semantic_dedup": q_semantic_dedup,
         "bpe_merges": q_bpe_merges,
         "hybrid_rrf": q_hybrid_rrf,
         "hard_negatives": q_hard_negatives,
@@ -6830,10 +6885,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "temperature_mix": q_temperature_mix,
         "token_stats": q_token_stats,
-        "topk_orders": q_topk_orders,
         # -- end of driver window (50) -----------------------------------
         # below the window: alphabetical; all keep local oracle
         # coverage via tools/check_correctness.py
+        "topk_orders": q_topk_orders,
         "union_by_name": q_union_by_name,
         "unpivot_long": q_unpivot_long,
         "vocab_coverage": q_vocab_coverage,
@@ -8061,6 +8116,8 @@ def oracle_sql() -> dict[str, str]:
                          WHEN lang = 'de' THEN 4294967296
                          ELSE 2147483648 END
         """,
+        # SemDeDup: shared k-means CTE chain + intra-cell cosine pairs
+        "semantic_dedup": _semantic_dedup_sql(),
         "semantic_decontam": f"""
             WITH d AS (SELECT vec_id, embedding,
                        {", ".join(f"{_rademacher_bucket_sql(4, 64, f'sd:{t}')} AS b{t}" for t in range(4))}

@@ -2016,3 +2016,84 @@ def bloom_screen_dedup(
             F.coalesce(F.col("__d"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    num_cells: int = 8,
+    n_iter: int = 2,
+    scale: float = 1e6,
+    offset: float = 1.0,
+    seed: str = "semdedup",
+) -> DataFrame:
+    """Cluster-scoped SEMANTIC dedup — the SemDeDup recipe (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): k-means the embedding space, then look
+    for near-duplicates ONLY within each cluster, so the candidate
+    space is Σ|cell|² instead of the all-pairs n² that no 100-TB
+    corpus survives.  Composes the repo's deterministic machinery:
+    ``kmeans_fixed`` cells (hash-seeded integer Lloyd's — cluster
+    membership replays engine-exactly) and ``cosine_exact`` scoring
+    (fixed-point dots, one final double op — engine-stable threshold
+    comparisons).
+
+    Dedup rule (the keep-best tie-break discipline of this module,
+    made explicit): a row is a DUPLICATE iff its cell contains an
+    EARLIER row (smaller ``id_col``) with cosine similarity >=
+    ``threshold``; ``dup_of`` is the smallest such id.  The rule is a
+    per-row predicate — no iteration, no connected components — so
+    it is fully SQL-replayable; unlike transitive clustering, a
+    chain a~b~c with cos(a,c) < threshold keeps only ``a`` (b ducks
+    under a, c under b): the paper's "keep one per ε-ball" behavior.
+    Zero-norm vectors have NULL cosine and can neither be nor create
+    duplicates; NULL embeddings are dropped up front (the
+    kmeans_fixed rule).
+
+    Returns one row per input row: ``(id_col, cell int, dup_of,
+    keep boolean)`` — filter ``keep`` for the deduplicated corpus,
+    join ``dup_of`` for provenance.
+
+    Scale shape: cell assignment is map-only (literal centroids);
+    the candidate join is an EQUI-join on the cell id (plan-pinned:
+    no cartesian, no broadcast nested loop), with the assigned frame
+    localCheckpoint-ed once so the quantize+assign pipeline does not
+    re-run per join side (the self-join persist-barrier rule).  A
+    dominant cell concentrates pairs — at corpus scale pick
+    ``num_cells ∝ n`` so expected cell size stays constant (the
+    paper's regime), and AQE's skew-join split backstops stragglers.
+    In-query training is the priced hash-exactness trade shared with
+    ``kmeans_assign``/``pq_topk``; for the train-once shape, persist
+    cells with ``ann_index.write_ivf_index`` and join postings
+    instead.
+    """
+    from .kmeans import kmeans_fixed
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    base = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    cells = kmeans_fixed(
+        base, id_col, vec_col, k=num_cells, n_iter=n_iter,
+        scale=scale, offset=offset, seed=seed,
+    ).select(id_col, F.col("cluster").cast("int").alias("cell"))
+    assigned = base.join(cells, id_col).localCheckpoint()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = cosine_exact(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .filter(sim >= F.lit(float(threshold)))
+        .groupBy(F.col(f"a.{id_col}").alias(id_col))
+        .agg(F.min(F.col(f"b.{id_col}")).alias("dup_of"))
+    )
+    return assigned.join(dup, id_col, "left").select(
+        id_col,
+        "cell",
+        "dup_of",
+        F.col("dup_of").isNull().alias("keep"),
+    )

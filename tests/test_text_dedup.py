@@ -1789,3 +1789,69 @@ def test_url_frontier_trap_is_per_segment(spark):
     assert not out[2].trap_ok and not out[2].admit
     assert out[3].trap_ok and out[3].admit
     assert out[4].trap_ok and out[4].admit and out[4].depth == 0
+
+
+def test_semantic_dedup_rule_and_plan(spark):
+    """SemDeDup (r13): (1) the dedup rule matches an independent
+    Python mirror — x is a dup iff an EARLIER same-cell row has exact
+    cosine >= threshold, dup_of = the smallest such id; (2) zero-norm
+    vectors (NULL cosine) neither are nor create duplicates; (3) the
+    pair join is an EQUI-join on the cell id — no cartesian, no
+    broadcast nested loop (the no-all-pairs plan pin); (4) threshold
+    validation."""
+    import math
+
+    import pytest as _pytest
+
+    from gdp_etl_spark.operators.dedup import semantic_dedup
+
+    def mk(i, ax, bx, noise):
+        v = [0.0] * 8
+        v[0], v[1], v[2] = ax, bx, noise
+        return (i, v)
+
+    rows = [
+        mk(0, 1.0, 0.0, 0.00),
+        mk(1, 0.99, 0.0, 0.01),   # ~dup of 0
+        mk(2, 0.98, 0.0, -0.02),  # ~dup of 0 and 1
+        mk(3, 0.0, 1.0, 0.00),
+        mk(4, 0.0, 0.97, 0.03),   # ~dup of 3
+        mk(5, 0.6, 0.6, 0.0),     # between groups
+        (6, [0.0] * 8),           # zero-norm: NULL cosine
+        (7, None),                # NULL embedding: dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.9, num_cells=2, n_iter=2
+    )
+    got = {r.vec_id: r for r in out.collect()}
+    assert 7 not in got and len(got) == 7   # NULL vec dropped
+
+    # independent mirror of the rule over the operator's own cells
+    vec = {i: v for i, v in rows if v is not None}
+    def cos(x, y):
+        nx = math.sqrt(sum(a * a for a in x))
+        ny = math.sqrt(sum(a * a for a in y))
+        if nx == 0 or ny == 0:
+            return None
+        return sum(a * b for a, b in zip(x, y)) / (nx * ny)
+    for i, r in got.items():
+        earlier = [
+            j for j, rj in got.items()
+            if j < i and rj.cell == r.cell
+            and (cos(vec[i], vec[j]) or -2) >= 0.9 - 1e-12
+        ]
+        want = min(earlier) if earlier else None
+        assert r.dup_of == want, (i, r.dup_of, want)
+        assert r.keep == (want is None)
+    # the fixture must actually exercise both outcomes
+    assert any(not r.keep for r in got.values())
+    assert got[6].keep   # zero-norm never a duplicate
+
+    # plan pin: equi-join on the cell id, never all-pairs
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    with _pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(df, "vec_id", "embedding", threshold=0.0)
