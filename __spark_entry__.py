@@ -1416,6 +1416,43 @@ def q_ivf_index(spark, sf_dir):
     )
 
 
+def q_pq_index(spark, sf_dir):
+    """Persisted PQ serving state (ann_index.write_pq_index /
+    append_to_pq_index / pq_probe_index) — the codes-only twin of
+    q_ivf_index: day-1 (even vec_ids) trains the 4×16 per-subspace
+    codebooks and writes the id-bucketed CODES table (4 bytes/vector —
+    the representation 100 TB of embeddings fits a memory tier in);
+    day-2 (odd vec_ids) APPENDS, encoded by the STORED codebooks (no
+    retrain); the probe then serves 3 query vectors' ADC top-10
+    purely from stored state — exact-integer lookup tables, map-only
+    scan, WindowGroupLimit top-k.  The oracle replays the lifecycle
+    via the generated PQ CTE chain with training restricted to the
+    day-1 rows — a broken write, append, stamp, encode or LUT breaks
+    the hash."""
+    import shutil as _shutil
+
+    from gdp_etl_spark.operators.ann_index import (
+        append_to_pq_index,
+        pq_probe_index,
+        write_pq_index,
+    )
+
+    table = "q_pq_index_tbl"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (table, f"{table}__codebooks"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    write_pq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), table,
+        m=4, k_codes=16, n_iter=2, dim=64,
+    )
+    append_to_pq_index(emb.filter(F.col("vec_id") % 2 == 1), table)
+    return pq_probe_index(
+        spark, emb.filter(F.col("vec_id") < 3), table, k=10
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """Cluster-scoped semantic dedup (dedup.semantic_dedup — the
     SemDeDup recipe, Abbas et al. 2023): deterministic k-means cells
@@ -5901,13 +5938,15 @@ def _ivf_sql(dim=64, k_cells=8, nprobe=3, queries=(0, 1, 2, 3, 4), k=10,
 
 
 def _pq_sql(m=4, sub=16, k_codes=16, queries=(0, 1, 2), k=10, seed="pq",
-            rerank=0):
+            rerank=0, train_where=None):
     """DuckDB replay of similarity.pq_topk: per-subspace fixed-point
     Lloyd's (the kmeans_assign oracle's CTE chain, generated instead of
     hand-unrolled), final-codebook encoding, exact-integer ADC scoring,
     and (rerank>0) the exact full-dimension re-rank of the ADC
     shortlist — the product-quantization result hash-matches, it is
-    not a recall bound."""
+    not a recall bound.  ``train_where`` restricts the TRAINING set
+    only (the ann_index write/append split) — codebook seeding and
+    Lloyd passes run over the filtered rows, encode/score over all."""
     rng = f"range(1, {sub + 1})"
     qlist = ", ".join(str(q) for q in queries)
 
@@ -5931,15 +5970,21 @@ def _pq_sql(m=4, sub=16, k_codes=16, queries=(0, 1, 2), k=10, seed="pq",
                                       || ':{seed}{s}'), 1, 8)) AS BIGINT) AS h
       FROM qq
     )""")
+        tr_s = f"qs{s}"
+        if train_where:
+            tr_s = f"ts{s}"
+            parts.append(f"""ts{s} AS (
+      SELECT * FROM qs{s} WHERE {train_where}
+    )""")
         parts.append(f"""c0_{s} AS (
       SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster, q AS c
-      FROM qs{s} QUALIFY row_number() OVER (ORDER BY h, vec_id) <= {k_codes}
+      FROM {tr_s} QUALIFY row_number() OVER (ORDER BY h, vec_id) <= {k_codes}
     )""")
         prev = f"c0_{s}"
         for it in (1, 2):
             parts.append(f"""d{it}_{s} AS (
       SELECT v.vec_id, v.q, c.cluster, {d2('v', 'c')} AS d2
-      FROM qs{s} v CROSS JOIN {prev} c
+      FROM {tr_s} v CROSS JOIN {prev} c
     )""")
             parts.append(f"""a{it}_{s} AS (
       SELECT vec_id, q, cluster FROM d{it}_{s}
@@ -6825,200 +6870,196 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every CORRECTNESS_r*.json ledger and ranks (1) queries whose code,
     fixture, or oracle changed this round, (2) queries with no driver
     row in any round, (3) everything else stalest-first (last-green
-    round ascending, name tie-break).  The round-12 window: the seven
-    NEW queries (bpe_merges, hybrid_rrf, hard_negatives,
-    unicode_clean, k_anon, c4_clean, hist_incremental), the five whose code paths
-    changed in the advisor-finding fixes (dsir_select,
-    semantic_decontam, warc_parsed_fidelity, wet_ingest,
-    ndv_incremental), then the ENTIRE
-    last-green-r7 bucket (38 stalest re-checks) — so max staleness
-    across the registry drops to 4 rounds.  Everything rotated out stays registered below with
+    round ascending, name tie-break).  The round-13 window: the four
+    queries whose code/oracle changed in the advisor-finding fixes
+    (c4_clean, bpe_merges, hybrid_rrf, token_stats — the shared
+    regex-class constants), the six never-driver-checked queries
+    (bpe_encode, curriculum, curriculum_batches, ivf_index,
+    pq_index, semantic_dedup, url_frontier — the two r12 post-close
+    additions plus this round's five new operators), then the first
+    39 of the 47-query last-green-r8 bucket; the 8 spilled r8 queries
+    (qa_top_log_ratio, rolling_window … usis_export) keep their r8
+    ledger rows, pass the local oracle today, and lead the r14
+    window.  The remaining
+    lockstep-constant queries (quality_lang, quality_gate,
+    source_report, train_batches, weighted_sample, crawl_corpus,
+    corpus_clean/corpus_curate/curation_audit/source_terciles are IN
+    the window) were re-verified with tools/check_correctness.py this
+    round — both engines import the same constants, so parity is
+    structural.  Everything rotated out stays registered below with
     identical local oracle coverage (``tools/check_correctness.py``)."""
     return {
-        "curriculum": q_curriculum,
-        "url_frontier": q_url_frontier,
-        "bpe_encode": q_bpe_encode,
-        "ivf_index": q_ivf_index,
-        "curriculum_batches": q_curriculum_batches,
-        "semantic_dedup": q_semantic_dedup,
+        "c4_clean": q_c4_clean,
         "bpe_merges": q_bpe_merges,
         "hybrid_rrf": q_hybrid_rrf,
-        "hard_negatives": q_hard_negatives,
-        "unicode_clean": q_unicode_clean,
-        "k_anon": q_k_anon,
-        "c4_clean": q_c4_clean,
-        "dsir_select": q_dsir_select,
-        "semantic_decontam": q_semantic_decontam,
-        "warc_parsed_fidelity": q_warc_parsed_fidelity,
-        "wet_ingest": q_wet_ingest,
-        "ndv_incremental": q_ndv_incremental,
-        "conditional_overwrite": q_conditional_overwrite,
-        "contamination_frac": q_contamination_frac,
-        "corpus_diff": q_corpus_diff,
-        "csv_roundtrip": q_csv_roundtrip,
-        "dedup_clusters": q_dedup_clusters,
-        "doc_chunks": q_doc_chunks,
-        "dup_ngram_profile": q_dup_ngram_profile,
-        "embedding_gram": q_embedding_gram,
-        "exact_dedup": q_exact_dedup,
-        "gaps_islands": q_gaps_islands,
-        "golden_comments": q_golden_comments,
-        "group_extrema": q_group_extrema,
-        "hash_sample": q_hash_sample,
-        "incremental_dedup": q_incremental_dedup,
-        "index_dedup": q_index_dedup,
-        "interpolate": q_interpolate,
-        "mean_pool": q_mean_pool,
-        "minhash_lsh": q_minhash_lsh,
-        "norm_dedup": q_norm_dedup,
-        "pad_codes": q_pad_codes,
-        "paragraph_dedup": q_paragraph_dedup,
-        "pivot_wide": q_pivot_wide,
-        "quality_gate": q_quality_gate,
-        "quality_lang": q_quality_lang,
-        "recode_values": q_recode_values,
-        "ref_date_stamp": q_ref_date_stamp,
-        "sci_format": q_sci_format,
-        "shard_assign": q_shard_assign,
-        "shard_manifest": q_shard_manifest,
-        "source_report": q_source_report,
-        "substring_dedup": q_substring_dedup,
-        "temperature_mix": q_temperature_mix,
         "token_stats": q_token_stats,
+        "bpe_encode": q_bpe_encode,
+        "curriculum": q_curriculum,
+        "curriculum_batches": q_curriculum_batches,
+        "ivf_index": q_ivf_index,
+        "semantic_dedup": q_semantic_dedup,
+        "pq_index": q_pq_index,
+        "url_frontier": q_url_frontier,
+        "asof_join": q_asof_join,
+        "base_broadcast": q_base_broadcast,
+        "bm25_topk": q_bm25_topk,
+        "build_fact": q_build_fact,
+        "cdc_dedup": q_cdc_dedup,
+        "chunk_embed_pool": q_chunk_embed_pool,
+        "cluster_split": q_cluster_split,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "cogroup_reconcile": q_cogroup_reconcile,
+        "cohort_retention": q_cohort_retention,
+        "corpus_clean": q_corpus_clean,
+        "corpus_curate": q_corpus_curate,
+        "csv_trimmed": q_csv_trimmed,
+        "cube": q_cube,
+        "curation_audit": q_curation_audit,
+        "decontaminate": q_decontaminate,
+        "dedup_keep_best": q_dedup_keep_best,
+        "embedding_near_dup": q_embedding_near_dup,
+        "events_sessions": q_events_sessions,
+        "events_tumbling": q_events_tumbling,
+        "excel_scan": q_excel_scan,
+        "fingerprint": q_fingerprint,
+        "fixed_width": q_fixed_width,
+        "flagship_revenue": q_flagship_revenue,
+        "funnel": q_funnel,
+        "grouping_sets": q_grouping_sets,
+        "hamming_d4": q_hamming_d4,
+        "http_csv_scan": q_http_csv_scan,
+        "ivf_recall": q_ivf_recall,
+        "kmeans_assign": q_kmeans_assign,
+        "lm_buckets": q_lm_buckets,
+        "lm_score": q_lm_score,
+        "lsh_topk": q_lsh_topk,
+        "minhash_index": q_minhash_index,
+        "phash_dedup": q_phash_dedup,
+        "qa_added_years": q_qa_added_years,
+        "qa_deflator_check": q_qa_deflator_check,
+        "qa_discrepancies": q_qa_discrepancies,
+        "qa_missing_years": q_qa_missing_years,
         # -- end of driver window (50) -----------------------------------
         # below the window: alphabetical; all keep local oracle
         # coverage via tools/check_correctness.py
-        "topk_orders": q_topk_orders,
-        "union_by_name": q_union_by_name,
-        "unpivot_long": q_unpivot_long,
-        "vocab_coverage": q_vocab_coverage,
-        "zorder_stats": q_zorder_stats,
-        "hist_incremental": q_hist_incremental,
+        "qa_top_log_ratio": q_qa_top_log_ratio,
         "ab_test": q_ab_test,
-        "asof_join": q_asof_join,
         "ann_topk": q_ann_topk,
         "array_agg": q_array_agg,
         "array_map_funcs": q_array_map_funcs,
         "bankers_round": q_bankers_round,
-        "base_broadcast": q_base_broadcast,
         "batch_screen": q_batch_screen,
         "benford": q_benford,
         "big_order_customers": q_big_order_customers,
         "binary_header": q_binary_header,
         "blocklist_filter": q_blocklist_filter,
         "bloom_screen": q_bloom_screen,
-        "bm25_topk": q_bm25_topk,
         "boilerplate_lines": q_boilerplate_lines,
-        "build_fact": q_build_fact,
         "calendar_dim": q_calendar_dim,
         "category_drift": q_category_drift,
         "cdc_apply": q_cdc_apply,
-        "cdc_dedup": q_cdc_dedup,
-        "chunk_embed_pool": q_chunk_embed_pool,
         "closure_leaves": q_closure_leaves,
-        "cluster_split": q_cluster_split,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "cogroup_reconcile": q_cogroup_reconcile,
-        "cohort_retention": q_cohort_retention,
         "column_entropy": q_column_entropy,
         "compute_project": q_compute_project,
         "conditional_agg": q_conditional_agg,
+        "conditional_overwrite": q_conditional_overwrite,
+        "contamination_frac": q_contamination_frac,
         "content_hash": q_content_hash,
-        "corpus_clean": q_corpus_clean,
-        "corpus_curate": q_corpus_curate,
+        "corpus_diff": q_corpus_diff,
         "corpus_mix": q_corpus_mix,
         "corr_matrix": q_corr_matrix,
         "crawl_corpus": q_crawl_corpus,
-        "csv_trimmed": q_csv_trimmed,
-        "cube": q_cube,
-        "curation_audit": q_curation_audit,
+        "csv_roundtrip": q_csv_roundtrip,
         "datetime_funcs": q_datetime_funcs,
         "decontam_screen": q_decontam_screen,
         "decontam_scrub": q_decontam_scrub,
-        "decontaminate": q_decontaminate,
-        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_clusters": q_dedup_clusters,
         "diff_classify": q_diff_classify,
         "disjunctive_revenue": q_disjunctive_revenue,
         "distinct_values": q_distinct_values,
+        "doc_chunks": q_doc_chunks,
         "dq_checks": q_dq_checks,
         "drift_psi": q_drift_psi,
         "drop_na": q_drop_na,
+        "dsir_select": q_dsir_select,
         "dsir_weights": q_dsir_weights,
+        "dup_ngram_profile": q_dup_ngram_profile,
         "embed_transform": q_embed_transform,
-        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_gram": q_embedding_gram,
         "epoch_shuffle": q_epoch_shuffle,
         "equidepth": q_equidepth,
-        "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
-        "events_tumbling": q_events_tumbling,
-        "excel_scan": q_excel_scan,
+        "exact_dedup": q_exact_dedup,
         "excess_suppliers": q_excess_suppliers,
         "filter_band": q_filter_band,
         "filter_compound": q_filter_compound,
         "filter_in": q_filter_in,
         "filter_strlen": q_filter_strlen,
-        "fingerprint": q_fingerprint,
-        "fixed_width": q_fixed_width,
-        "flagship_revenue": q_flagship_revenue,
         "forecast_revenue": q_forecast_revenue,
-        "funnel": q_funnel,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "gaps_islands": q_gaps_islands,
+        "golden_comments": q_golden_comments,
         "golden_release_diff": q_golden_release_diff,
         "golden_rollup": q_golden_rollup,
         "golden_usis_export": q_golden_usis_export,
+        "group_extrema": q_group_extrema,
         "group_first": q_group_first,
         "group_stats": q_group_stats,
         "grouped_topk": q_grouped_topk,
-        "grouping_sets": q_grouping_sets,
-        "hamming_d4": q_hamming_d4,
+        "hard_negatives": q_hard_negatives,
+        "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "heavy_hitters": q_heavy_hitters,
+        "hist_incremental": q_hist_incremental,
         "histogram": q_histogram,
         "html_strip": q_html_strip,
-        "http_csv_scan": q_http_csv_scan,
         "important_parts": q_important_parts,
+        "incremental_dedup": q_incremental_dedup,
+        "index_dedup": q_index_dedup,
+        "interpolate": q_interpolate,
         "interval_overlap": q_interval_overlap,
         "inverted_index": q_inverted_index,
-        "ivf_recall": q_ivf_recall,
         "ivf_topk": q_ivf_topk,
         "join_composite": q_join_composite,
         "join_label": q_join_label,
         "join_suffix": q_join_suffix,
         "json_extract": q_json_extract,
         "jsonl_roundtrip": q_jsonl_roundtrip,
-        "kmeans_assign": q_kmeans_assign,
+        "k_anon": q_k_anon,
         "late_orders": q_late_orders,
         "left_join_sum_zero": q_left_join_sum_zero,
         "length_batches": q_length_batches,
         "line_dedup_doc": q_line_dedup_doc,
         "linear_trend": q_linear_trend,
         "link_graph": q_link_graph,
-        "lm_buckets": q_lm_buckets,
-        "lm_score": q_lm_score,
-        "lsh_topk": q_lsh_topk,
         "mad_outliers": q_mad_outliers,
         "market_share": q_market_share,
+        "mean_pool": q_mean_pool,
         "merge_upsert": q_merge_upsert,
         "min_cost_supplier": q_min_cost_supplier,
-        "minhash_index": q_minhash_index,
+        "minhash_lsh": q_minhash_lsh,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
         "nation_profit": q_nation_profit,
         "native_rollup": q_native_rollup,
+        "ndv_incremental": q_ndv_incremental,
         "neg_projection": q_neg_projection,
         "ngram_jaccard": q_ngram_jaccard,
+        "norm_dedup": q_norm_dedup,
         "observed_profile": q_observed_profile,
         "orc_roundtrip": q_orc_roundtrip,
         "order_count_dist": q_order_count_dist,
         "outlier_fences": q_outlier_fences,
         "pack_segments": q_pack_segments,
         "pack_sequences": q_pack_sequences,
+        "pad_codes": q_pad_codes,
         "pagerank": q_pagerank,
+        "paragraph_dedup": q_paragraph_dedup,
         "pareto_share": q_pareto_share,
         "part_supplier_counts": q_part_supplier_counts,
-        "phash_dedup": q_phash_dedup,
         "pii_redact": q_pii_redact,
+        "pivot_wide": q_pivot_wide,
         "pq_topk": q_pq_topk,
         "prefix_jaccard": q_prefix_jaccard,
         "priority_by_flag": q_priority_by_flag,
@@ -7027,16 +7068,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_ratio": q_promo_ratio,
         "pseudonymize": q_pseudonymize,
         "python_datasource": q_python_datasource,
-        "qa_added_years": q_qa_added_years,
-        "qa_deflator_check": q_qa_deflator_check,
-        "qa_discrepancies": q_qa_discrepancies,
-        "qa_missing_years": q_qa_missing_years,
-        "qa_top_log_ratio": q_qa_top_log_ratio,
+        "quality_gate": q_quality_gate,
+        "quality_lang": q_quality_lang,
         "range_frame": q_range_frame,
         "range_join": q_range_join,
         "rank_windows": q_rank_windows,
+        "recode_values": q_recode_values,
         "record_linkage": q_record_linkage,
         "recursive_cte": q_recursive_cte,
+        "ref_date_stamp": q_ref_date_stamp,
         "regional_volume": q_regional_volume,
         "repetition_stats": q_repetition_stats,
         "resample_locf": q_resample_locf,
@@ -7051,8 +7091,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": q_scd2,
         "scd2_lookup": q_scd2_lookup,
         "schema_evolution": q_schema_evolution,
+        "sci_format": q_sci_format,
         "seasonal_anomalies": q_seasonal_anomalies,
+        "semantic_decontam": q_semantic_decontam,
         "semi_anti_join": q_semi_anti_join,
+        "shard_assign": q_shard_assign,
+        "shard_manifest": q_shard_manifest,
         "shipping_priority": q_shipping_priority,
         "simhash_pairs": q_simhash_pairs,
         "sketch_bounds": q_sketch_bounds,
@@ -7060,27 +7104,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_stats": q_sketch_stats,
         "small_qty_revenue": q_small_qty_revenue,
         "source_overlap": q_source_overlap,
+        "source_report": q_source_report,
         "source_terciles": q_source_terciles,
         "sql_api": q_sql_api,
         "sql_api_q3": q_sql_api_q3,
         "sql_udf": q_sql_udf,
         "stratified_split": q_stratified_split,
         "string_funcs": q_string_funcs,
+        "substring_dedup": q_substring_dedup,
         "table_checksum": q_table_checksum,
+        "temperature_mix": q_temperature_mix,
         "top_acctbal_no_orders": q_top_acctbal_no_orders,
         "top_bigrams": q_top_bigrams,
         "top_supplier": q_top_supplier,
+        "topk_orders": q_topk_orders,
         "trade_volume": q_trade_volume,
         "train_batches": q_train_batches,
         "triangle_count": q_triangle_count,
         "udtf_matches": q_udtf_matches,
+        "unicode_clean": q_unicode_clean,
+        "union_by_name": q_union_by_name,
+        "unpivot_long": q_unpivot_long,
         "url_dedup": q_url_dedup,
         "usis_export": q_usis_export,
         "value_windows": q_value_windows,
         "variant_extract": q_variant_extract,
+        "vocab_coverage": q_vocab_coverage,
         "waiting_supplier": q_waiting_supplier,
         "warc_ingest": q_warc_ingest,
+        "warc_parsed_fidelity": q_warc_parsed_fidelity,
         "weighted_sample": q_weighted_sample,
+        "wet_ingest": q_wet_ingest,
+        "zorder_stats": q_zorder_stats,
     }
 
 
@@ -9243,6 +9298,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # generated CTE replay of PQ train/encode/ADC (see _pq_sql)
         "pq_topk": _pq_sql(rerank=50),
+        # the persisted-index lifecycle: same generated chain, training
+        # set restricted to the day-1 write batch (see q_pq_index)
+        "pq_index": _pq_sql(queries=(0, 1, 2), k=10,
+                            train_where="vec_id % 2 = 0"),
         # generated CTE replay of the fixed-point IVF train/assign/
         # probe/score chain (see _ivf_sql) — upgraded from rows-only
         "ivf_topk": _ivf_sql(),

@@ -62,6 +62,10 @@ __all__ = [
     "append_to_ivf_index",
     "ivf_probe_index",
     "compact_ivf_index",
+    "write_pq_index",
+    "append_to_pq_index",
+    "pq_probe_index",
+    "compact_pq_index",
 ]
 
 _P = "ivf."  # table-property namespace
@@ -318,3 +322,274 @@ def compact_ivf_index(spark, table: str) -> tuple[int, int]:
     self-healing renames, ``ivf.`` parameter stamp carried across.
     Returns ``(files_before, files_after)`` for the ops ledger."""
     return _compact_bucketed_table(spark, table, ["cell"], prop_prefix=_P)
+
+
+# ---------------------------------------------------------------------------
+# persisted PQ index — the codes-only twin of the IVF lifecycle above:
+# per-subspace codebooks are model state (m·k_codes·sub integers), the
+# corpus compresses to m codes/vector (4 bytes at the defaults — the
+# only representation 100 TB of embeddings fits a memory tier in), and
+# probes are ADC lookup-table scans of the codes table.  Unlike IVF
+# there is no pruning key — ADC's linear scan IS the design — so the
+# table buckets on the id column purely for the append/compact file
+# protocol (and bucket-pruned id lookups).
+# ---------------------------------------------------------------------------
+
+_PQ = "pq."
+_PQ_KEYS = ("m", "k_codes", "n_iter", "scale", "offset", "seed",
+            "id_col", "vec_col", "dim")
+
+
+def _pq_codebooks_table(table: str) -> str:
+    return f"{table}__codebooks"
+
+
+def _read_pq_stamp(spark, table: str) -> dict:
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    missing = [k for k in _PQ_KEYS if _PQ + k not in props]
+    if missing:
+        raise ValueError(
+            f"{table} is not a PQ index table (missing properties "
+            f"{[_PQ + k for k in missing]}); create it with "
+            f"write_pq_index"
+        )
+    return {
+        "m": int(props[_PQ + "m"]),
+        "k_codes": int(props[_PQ + "k_codes"]),
+        "n_iter": int(props[_PQ + "n_iter"]),
+        "scale": float(props[_PQ + "scale"]),
+        "offset": float(props[_PQ + "offset"]),
+        "seed": props[_PQ + "seed"],
+        "id_col": props[_PQ + "id_col"],
+        "vec_col": props[_PQ + "vec_col"],
+        "dim": int(props[_PQ + "dim"]),
+    }
+
+
+def _load_codebooks(spark, table: str, m: int) -> list[list[list[int]]]:
+    rows = (
+        spark.table(_pq_codebooks_table(table))
+        .orderBy("subspace", "code").collect()
+    )
+    books: list[list[list[int]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]].append(list(r["c"]))
+    if any(not b for b in books):
+        raise ValueError(f"{_pq_codebooks_table(table)} is incomplete")
+    return books
+
+
+def _pq_codes(df: DataFrame, id_col: str, vec_col: str,
+              books: list[list[list[int]]], sub: int, scale: float,
+              offset: float) -> DataFrame:
+    """Encode one batch: m argmin codes per row against the literal
+    codebooks — nested HOFs, whole-stage codegen, no shuffle before
+    the bucketed write's own redistribution."""
+    q = _quantize(F.col(vec_col), scale, offset)
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), q.alias("__q")
+    )
+
+    def code_expr(s: int):
+        cluster, _ = assign_expr(
+            books[s], F.slice(F.col("__q"), s * sub + 1, sub)
+        )
+        return cluster.cast("int")
+
+    return base.select(
+        id_col,
+        F.array(*[code_expr(s) for s in range(len(books))]).alias("codes"),
+    )
+
+
+def write_pq_index(
+    df: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k_codes: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+    scale: float = 1e6,
+    offset: float = 1.0,
+    seed: str = "pq",
+    num_buckets: int = 8,
+) -> None:
+    """Build the PQ index: train the ``m`` per-subspace codebooks ONCE
+    (the deterministic fixed-point Lloyd's of ``pq_topk``), store them
+    in ``<table>__codebooks`` and the corpus' code vectors in
+    ``table`` — the train/encode halves of ``pq_topk`` paid at build
+    time instead of per query.  Same durability protocol as
+    :func:`write_ivf_index`: tmp-then-rename, stamped, codebooks live
+    first, codes table last."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"write_pq_index: id column {id_col!r} must be integral; "
+            f"got {id_type}"
+        )
+    spark = df.sparkSession
+    ctable = _pq_codebooks_table(table)
+    for t in (table, ctable):
+        if spark.catalog.tableExists(t):
+            raise ValueError(f"table {t} already exists")
+    sub = dim // m
+    base = df.filter(F.col(vec_col).isNotNull())
+    books = []
+    for s in range(m):
+        sliced = base.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
+        )
+        books.append(
+            train_kmeans_fixed(
+                sliced, id_col, vec_col, k=k_codes, n_iter=n_iter,
+                scale=scale, offset=offset, seed=f"{seed}{s}",
+            )
+        )
+    if any(not b for b in books):
+        raise ValueError("empty corpus")
+    params = {
+        "m": m, "k_codes": k_codes, "n_iter": n_iter,
+        "scale": repr(float(scale)), "offset": repr(float(offset)),
+        "seed": seed, "id_col": id_col, "vec_col": vec_col, "dim": dim,
+    }
+    ctmp, ptmp = f"{ctable}__new", f"{table}__new"
+    spark.sql(f"DROP TABLE IF EXISTS {ctmp}")
+    spark.sql(f"DROP TABLE IF EXISTS {ptmp}")
+    spark.createDataFrame(
+        [(s, i, c) for s, book in enumerate(books)
+         for i, c in enumerate(book)],
+        "subspace int, code int, c array<bigint>",
+    ).write.mode("overwrite").saveAsTable(ctmp)
+    spark.sql(f"ALTER TABLE {ctmp} RENAME TO {ctable}")
+    (
+        _pq_codes(df, id_col, vec_col, books, sub, scale, offset)
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, id_col)
+        .sortBy(id_col)
+        .saveAsTable(ptmp)
+    )
+    _stamp_pq(spark, ptmp, params)
+    spark.sql(f"ALTER TABLE {ptmp} RENAME TO {table}")
+
+
+def _stamp_pq(spark, table: str, params: dict) -> None:
+    kv = ", ".join(
+        "'{}{}' = '{}'".format(_PQ, k, str(v).replace("'", "''"))
+        for k, v in sorted(params.items())
+    )
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+
+
+def append_to_pq_index(df: DataFrame, table: str) -> None:
+    """Encode a NEW vector batch with the STORED codebooks (no
+    retrain, one map-only pass over the increment) and append with
+    the bucket spec preserved."""
+    spark = df.sparkSession
+    p = _read_pq_stamp(spark, table)
+    books = _load_codebooks(spark, table, p["m"])
+    sub = p["dim"] // p["m"]
+    n_buckets = _num_buckets(spark, table)
+    (
+        _pq_codes(df, p["id_col"], p["vec_col"], books, sub,
+                  p["scale"], p["offset"])
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, p["id_col"])
+        .sortBy(p["id_col"])
+        .saveAsTable(table)
+    )
+    spark.catalog.refreshTable(table)
+
+
+def pq_probe_index(
+    spark,
+    queries: DataFrame,
+    table: str,
+    k: int = 10,
+    max_queries: int = 1024,
+) -> DataFrame:
+    """ADC top-k from STORED state: ``queries`` is a bounded frame of
+    ``(id_col, vec_col)`` rows (raw vectors — the PQ index stores
+    CODES only, 4 bytes/vector at the defaults; queries arrive as
+    vectors, the asymmetric in ADC).  The |Q|·m·k_codes lookup tables
+    are exact Python ints built from the stored codebooks driver-side;
+    each code row's approximate distance is m array lookups — map-only
+    scan of the codes table, per-query top-k WindowGroupLimit-pruned.
+    ``max_queries`` bounds the driver collect loudly."""
+    p = _read_pq_stamp(spark, table)
+    m, sub = p["m"], p["dim"] // p["m"]
+    books = _load_codebooks(spark, table, m)
+    id_col, vec_col = p["id_col"], p["vec_col"]
+    q = _quantize(F.col(vec_col), p["scale"], p["offset"])
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), q.alias("__q"))
+        .limit(int(max_queries) + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_probe_index: more than max_queries={max_queries} "
+            f"query rows; probe in bounded batches"
+        )
+    ids = [r[id_col] for r in qrows]
+    if len(set(ids)) != len(ids):
+        raise ValueError("pq_probe_index: duplicate query ids")
+    qvec = {r[id_col]: list(r["__q"]) for r in qrows}
+
+    def adc(qi, s):
+        qs = qvec[qi][s * sub:(s + 1) * sub]
+        return [
+            sum((a - b) * (a - b) for a, b in zip(qs, c))
+            for c in books[s]
+        ]
+
+    per_query = F.array(*[
+        F.struct(
+            F.lit(qi).cast("bigint").alias("query_id"),
+            sum(
+                F.element_at(
+                    F.array(*[F.lit(v) for v in adc(qi, s)]),
+                    F.element_at(F.col("codes"), s + 1) + 1,
+                )
+                for s in range(m)
+            ).cast("bigint").alias("approx_d2"),
+        )
+        for qi in ids
+    ])
+    spark.catalog.refreshTable(table)
+    scored = (
+        spark.table(table)
+        .select(F.col(id_col).alias("neighbour_id"),
+                F.explode(per_query).alias("__e"))
+        .select("__e.query_id", "neighbour_id", "__e.approx_d2")
+        .filter(F.col("neighbour_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbour_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbour_id",
+                F.col("approx_d2").alias("score_d2"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def compact_pq_index(spark, table: str) -> tuple[int, int]:
+    """Fold append-accreted code files back to one per bucket via the
+    shared bucketed-table swap (``pq.`` stamp carried)."""
+    p = _read_pq_stamp(spark, table)
+    return _compact_bucketed_table(
+        spark, table, [p["id_col"]], prop_prefix=_PQ
+    )

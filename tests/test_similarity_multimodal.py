@@ -811,3 +811,80 @@ def test_ivf_index_probe_plan_is_bucket_pruned(spark):
         assert "Exchange rangepartitioning" not in plan
     finally:
         _drop_ivf_tables(spark, table)
+
+
+def _drop_pq_tables(spark, table):
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (table, f"{table}__codebooks", f"{table}__new",
+              f"{table}__codebooks__new", f"{table}__compacting",
+              f"{table}__old"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+
+def test_pq_index_probe_matches_in_query_path(spark):
+    """A stored-state ADC probe over a PQ index built on the SAME rows
+    is row-identical to pq_topk (rerank=0) — train/encode paid at
+    build time; plus append-with-stored-codebooks, compaction
+    invariance and the guard rails."""
+    import pytest as _pytest
+
+    from gdp_etl_spark.operators.ann_index import (
+        append_to_pq_index,
+        compact_pq_index,
+        pq_probe_index,
+        write_pq_index,
+    )
+    from gdp_etl_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    table = "t_pq_idx"
+    _drop_pq_tables(spark, table)
+    try:
+        write_pq_index(emb, table, m=4, k_codes=8, n_iter=2, dim=64)
+        got = pq_probe_index(
+            spark, emb.filter(F.col("vec_id") < 3), table, k=5
+        )
+        want = pq_topk(
+            emb, [0, 1, 2], k=5, m=4, k_codes=8, n_iter=2, dim=64
+        )
+        assert sorted(map(tuple, got.collect())) == \
+               sorted(map(tuple, want.collect()))
+        # guards on the live index
+        with _pytest.raises(ValueError, match="already exists"):
+            write_pq_index(emb, table)
+        with _pytest.raises(ValueError, match="max_queries"):
+            pq_probe_index(spark, emb, table, k=2, max_queries=3)
+        dupq = emb.filter(F.col("vec_id") == 0).unionByName(
+            emb.filter(F.col("vec_id") == 0))
+        with _pytest.raises(ValueError, match="duplicate"):
+            pq_probe_index(spark, dupq, table, k=2)
+    finally:
+        _drop_pq_tables(spark, table)
+
+    # day-1/day-2 split: append encodes with the STORED (day-1)
+    # codebooks; compaction folds files without changing the probe
+    _drop_pq_tables(spark, table)
+    try:
+        evens = emb.filter(F.col("vec_id") % 2 == 0)
+        odds = emb.filter(F.col("vec_id") % 2 == 1)
+        write_pq_index(evens, table, m=4, k_codes=8, n_iter=2, dim=64)
+        books_before = sorted(map(tuple, spark.table(
+            f"{table}__codebooks").collect()))
+        append_to_pq_index(odds, table)
+        assert sorted(map(tuple, spark.table(
+            f"{table}__codebooks").collect())) == books_before
+        n_all = emb.filter(F.col("embedding").isNotNull()).count()
+        assert spark.table(table).count() == n_all
+        q = emb.filter(F.col("vec_id") < 2)
+        before = sorted(map(tuple,
+                        pq_probe_index(spark, q, table, k=4).collect()))
+        fb, fa = compact_pq_index(spark, table)
+        assert fa <= fb
+        after = sorted(map(tuple,
+                       pq_probe_index(spark, q, table, k=4).collect()))
+        assert before == after
+    finally:
+        _drop_pq_tables(spark, table)
