@@ -2078,9 +2078,26 @@ def semantic_dedup(
         base, id_col, vec_col, k=num_cells, n_iter=n_iter,
         scale=scale, offset=offset, seed=seed,
     ).select(id_col, F.col("cluster").cast("int").alias("cell"))
-    assigned = base.join(cells, id_col).localCheckpoint()
+    from ..functions.vectors import dot_fixed
+
+    # self-norms precompute PER ROW before the checkpoint: cosine_exact
+    # inline would re-evaluate dot_fixed(x, x) once per PAIR — 3 HOF
+    # folds per candidate instead of 1 — and the value is identical
+    # either way (same fixed-point recipe), so the oracle's
+    # cosine_exact mirror is unchanged
+    assigned = (
+        base.join(cells, id_col)
+        .withColumn("__n2", dot_fixed(F.col(vec_col), F.col(vec_col)))
+        .localCheckpoint()
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
-    sim = cosine_exact(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    na2, nb2 = F.col("a.__n2"), F.col("b.__n2")
+    sim = F.when(
+        (na2 <= 0) | (nb2 <= 0), F.lit(None).cast("double")
+    ).otherwise(
+        dot_fixed(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.sqrt(na2) * F.sqrt(nb2))
+    )
     dup = (
         a.join(
             b,
