@@ -6806,6 +6806,67 @@ def _url_frontier_sql():
         """
 
 
+def q_crawl_schedule(spark, sf_dir):
+    """Politeness scheduling of the admitted frontier
+    (operators/crawl.schedule_frontier — the Heritrix per-host fetch
+    cap): the url_frontier admission chain runs first (same synthetic
+    URL set + fixture), admitted links rank within their host by
+    (depth, doc_id) and split into fetch cycles of at most 4 links
+    per host per wave.  ONE window shuffle keyed on the host; all
+    integer arithmetic, so the oracle replays admission → ranking →
+    cycle layout exactly.  Completes the crawl chain: read_warc →
+    extract_links → canonical_url → url_frontier_flags → THIS."""
+    from gdp_etl_spark.functions.text import url_frontier_flags
+    from gdp_etl_spark.operators.crawl import schedule_frontier
+    from gdp_etl_spark.session import local_df
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/docs/p"), F.col("doc_id").cast("string"),
+            F.element_at(
+                F.array(F.lit(".html"), F.lit(".pdf"), F.lit(""),
+                        F.lit(".jpg")),
+                (F.col("doc_id") % 4).cast("int") + 1,
+            ),
+        ).alias("url"),
+    )
+    fix = local_df(spark, _FRONTIER_FIX, "doc_id bigint, url string")
+    u = d.unionByName(fix).withColumn(
+        "__f", url_frontier_flags(F.col("url"))
+    )
+    admitted = u.filter(F.col("__f.admit")).select(
+        "doc_id",
+        F.col("__f.host").alias("host"),
+        F.col("__f.depth").alias("depth"),
+    )
+    return schedule_frontier(
+        admitted, "host", "doc_id", priority_cols=["depth"],
+        per_host_budget=4,
+    )
+
+
+def _crawl_schedule_sql():
+    return f"""
+            WITH a AS (
+              SELECT doc_id, host, depth
+              FROM ({_url_frontier_sql()})
+              WHERE admit
+            ), r AS (
+              SELECT doc_id, host, depth,
+                     row_number() OVER (PARTITION BY host
+                       ORDER BY depth, doc_id) - 1 AS rn
+              FROM a
+            )
+            SELECT doc_id, host, depth,
+                   CAST(rn AS INT) AS host_rank,
+                   CAST(rn // 4 AS BIGINT) AS fetch_cycle,
+                   CAST(rn % 4 AS INT) AS slot
+            FROM r
+        """
+
+
 def q_curriculum(spark, sf_dir):
     """Curriculum data ordering (sampling.curriculum_stages, Bengio et
     al. 2009): documents ranked easy→hard by the deterministic quality
@@ -6823,6 +6884,31 @@ def q_curriculum(spark, sf_dir):
     )
     return curriculum_stages(
         d, "difficulty", "doc_id", n_stages=4, batch_size=16
+    )
+
+
+def q_preference_pairs(spark, sf_dir):
+    """Preference-pair construction for reward-model / DPO training
+    (operators/preference.py — the InstructGPT comparison-collection
+    step): documents grouped into 5-response "prompts" (doc_id div 5),
+    scored with the deterministic quality score, and paired
+    best-vs-worst per prompt with min-id tie-breaks and a 0.02
+    minimum gap.  ONE struct-ordered max_by/min_by aggregate —
+    map-side partial, the group never materializes (the "all
+    comparisons" mode is a group-keyed self-join with a loud
+    max_group_size guard, pytest-covered).  The oracle replays the
+    argmax/argmin via the two row_number windows; all-double
+    arithmetic is shared with the quality oracle, hash-exact."""
+    from gdp_etl_spark.functions.text import quality_score
+    from gdp_etl_spark.operators.preference import preference_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.expr("doc_id div 5").alias("prompt_id"),
+        F.col("doc_id"),
+        quality_score(F.col("text")).alias("score"),
+    )
+    return preference_pairs(
+        d, "prompt_id", "doc_id", "score", mode="extreme", min_gap=0.02
     )
 
 
@@ -6873,14 +6959,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round ascending, name tie-break).  The round-13 window: the four
     queries whose code/oracle changed in the advisor-finding fixes
     (c4_clean, bpe_merges, hybrid_rrf, token_stats — the shared
-    regex-class constants), the six never-driver-checked queries
-    (bpe_encode, curriculum, curriculum_batches, ivf_index,
-    pq_index, semantic_dedup, url_frontier — the two r12 post-close
-    additions plus this round's five new operators), then the first
-    39 of the 47-query last-green-r8 bucket; the 8 spilled r8 queries
-    (qa_top_log_ratio, rolling_window … usis_export) keep their r8
-    ledger rows, pass the local oracle today, and lead the r14
-    window.  The remaining
+    regex-class constants), the nine never-driver-checked queries
+    (bpe_encode, crawl_schedule, curriculum, curriculum_batches,
+    ivf_index, pq_index, preference_pairs, semantic_dedup,
+    url_frontier — the two r12 post-close additions plus this
+    round's seven new operators), then the first 37 of the 47-query
+    last-green-r8 bucket; the 10 spilled r8 queries
+    (qa_discrepancies, qa_missing_years, qa_top_log_ratio,
+    rolling_window … usis_export) keep their r8 ledger rows, pass
+    the local oracle today, and lead the r14 window.  The remaining
     lockstep-constant queries (quality_lang, quality_gate,
     source_report, train_batches, weighted_sample, crawl_corpus,
     corpus_clean/corpus_curate/curation_audit/source_terciles are IN
@@ -6899,6 +6986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index": q_ivf_index,
         "semantic_dedup": q_semantic_dedup,
         "pq_index": q_pq_index,
+        "preference_pairs": q_preference_pairs,
+        "crawl_schedule": q_crawl_schedule,
         "url_frontier": q_url_frontier,
         "asof_join": q_asof_join,
         "base_broadcast": q_base_broadcast,
@@ -6937,11 +7026,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dedup": q_phash_dedup,
         "qa_added_years": q_qa_added_years,
         "qa_deflator_check": q_qa_deflator_check,
-        "qa_discrepancies": q_qa_discrepancies,
-        "qa_missing_years": q_qa_missing_years,
         # -- end of driver window (50) -----------------------------------
         # below the window: alphabetical; all keep local oracle
         # coverage via tools/check_correctness.py
+        "qa_discrepancies": q_qa_discrepancies,
+        "qa_missing_years": q_qa_missing_years,
         "qa_top_log_ratio": q_qa_top_log_ratio,
         "ab_test": q_ab_test,
         "ann_topk": q_ann_topk,
@@ -9705,6 +9794,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unicode_clean": _unicode_clean_sql(),
         "url_frontier": _url_frontier_sql(),
+        # admission chain composed with per-host politeness scheduling
+        "crawl_schedule": _crawl_schedule_sql(),
         "curriculum": f"""
             WITH s AS (
                 SELECT doc_id, {quality} AS difficulty FROM documents
@@ -9732,6 +9823,30 @@ def oracle_sql() -> dict[str, str]:
                         + rel // 16 AS BIGINT) AS batch_id,
                    CAST(rel % 16 AS INT) AS pos_in_batch
             FROM q
+        """,
+        # DPO/RLHF preference pairs: per-prompt argmax/argmin replay
+        "preference_pairs": f"""
+            WITH s AS (
+                SELECT doc_id, doc_id // 5 AS prompt_id,
+                       {quality} AS score
+                FROM documents
+            ), c AS (
+                SELECT prompt_id, doc_id, score,
+                       row_number() OVER (PARTITION BY prompt_id
+                         ORDER BY score DESC, doc_id ASC) AS rc,
+                       row_number() OVER (PARTITION BY prompt_id
+                         ORDER BY score ASC, doc_id ASC) AS rr
+                FROM s
+            )
+            SELECT ch.prompt_id, ch.doc_id AS chosen_id,
+                   rj.doc_id AS rejected_id,
+                   ch.score AS chosen_score, rj.score AS rejected_score,
+                   ch.score - rj.score AS gap
+            FROM (SELECT * FROM c WHERE rc = 1) ch
+            JOIN (SELECT * FROM c WHERE rr = 1) rj USING (prompt_id)
+            WHERE ch.doc_id <> rj.doc_id
+              AND ch.score - rj.score >= CAST(0.02 AS DOUBLE)
+              AND ch.score - rj.score > CAST(0 AS DOUBLE)
         """,
         # curriculum -> stage-pure packing: the curriculum layout replay
         # extended with per-stage token cumsum + segment unnest

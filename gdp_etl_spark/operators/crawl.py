@@ -1,0 +1,89 @@
+"""Crawl-frontier scheduling — the politeness step after admission.
+
+``functions.text.url_frontier_flags`` decides WHETHER a discovered URL
+enters the frontier; this module decides WHEN: the Heritrix/Nutch
+politeness contract caps how many URLs one host is fetched in a crawl
+cycle, so the frontier must be laid out as per-host waves rather than
+drained in priority order (which would hammer whichever host dominates
+the queue).
+
+No counterpart exists in the reference repo (a GDP statistics
+pipeline); this operator belongs to the beyond-reference LLM-pipeline
+surface (the crawl chain: read_warc → extract_links → canonical_url →
+url_frontier_flags → THIS).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["schedule_frontier"]
+
+
+def schedule_frontier(
+    links: DataFrame,
+    host_col: str,
+    id_col: str,
+    priority_cols: Sequence[str] = (),
+    per_host_budget: int = 16,
+) -> DataFrame:
+    """Assign every admitted link a fetch cycle such that no host is
+    fetched more than ``per_host_budget`` times per cycle (the
+    Heritrix politeness queue, laid out as data): links rank
+    deterministically within their host (``priority_cols`` ascending,
+    ``id_col`` tie-break), and rank ``r`` lands in
+    ``fetch_cycle = r div budget`` at ``slot = r mod budget``.  A
+    crawler draining cycle 0, then 1, … touches each host at most
+    ``budget`` times per wave while still following the caller's
+    priority within the host.
+
+    Returns the input columns plus ``host_rank int``, ``fetch_cycle
+    bigint``, ``slot int``.  NULL hosts raise loudly — an unadmitted
+    link has no place in the frontier (compose with
+    ``url_frontier_flags`` and filter ``admit`` first).
+
+    Scale shape: ONE window shuffle keyed on the host.  Per-host link
+    counts are crawl-bounded (a frontier holds thousands of URLs per
+    host, not billions — the admission dedup upstream guarantees it),
+    so the per-host ranking task is small; the host count provides the
+    parallelism.  All arithmetic is integer (``div``/``mod``), so the
+    schedule replays engine-exactly.
+    """
+    if per_host_budget < 1:
+        raise ValueError(
+            f"per_host_budget must be >= 1, got {per_host_budget}"
+        )
+    clashes = {"host_rank", "fetch_cycle", "slot", "__r"} & set(
+        links.columns
+    )
+    if clashes:
+        raise ValueError(
+            f"schedule_frontier output columns collide with input "
+            f"columns {sorted(clashes)}; rename or drop them first"
+        )
+    guard = F.when(
+        F.col(host_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("schedule_frontier: NULL host for link "),
+                F.col(id_col).cast("string"),
+                F.lit("; admit and host-parse links before scheduling"),
+            )
+        ).cast(links.schema[host_col].dataType),
+    ).otherwise(F.col(host_col))
+    ordered = [F.col(c).asc() for c in priority_cols] + [
+        F.col(id_col).asc()
+    ]
+    w = Window.partitionBy(guard).orderBy(*ordered)
+    b = int(per_host_budget)
+    out = links.withColumn("__r", F.row_number().over(w) - F.lit(1))
+    return (
+        out.withColumn("host_rank", F.col("__r").cast("int"))
+        .withColumn("fetch_cycle", F.expr(f"__r div {b}").cast("bigint"))
+        .withColumn("slot", (F.col("__r") % F.lit(b)).cast("int"))
+        .drop("__r")
+    )

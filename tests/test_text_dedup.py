@@ -1855,3 +1855,43 @@ def test_semantic_dedup_rule_and_plan(spark):
 
     with _pytest.raises(ValueError, match="threshold"):
         semantic_dedup(df, "vec_id", "embedding", threshold=0.0)
+
+
+def test_schedule_frontier_politeness(spark):
+    """Per-host politeness (r13): within a host, links rank by
+    (priority, id) and split into fetch cycles of at most budget
+    links; cross-host assignment is independent; NULL hosts and
+    column clashes raise."""
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from gdp_etl_spark.operators.crawl import schedule_frontier
+
+    rows_in = [(i, "a.com" if i < 7 else "b.com", i % 3)
+               for i in range(10)]
+    df = spark.createDataFrame(rows_in, "id bigint, host string, d int")
+    out = {r.id: r for r in schedule_frontier(
+        df, "host", "id", priority_cols=["d"], per_host_budget=3
+    ).collect()}
+    assert len(out) == 10
+    # a.com ids 0..6 order by (d, id): d0:0,3,6 d1:1,4 d2:2,5
+    a_order = [0, 3, 6, 1, 4, 2, 5]
+    for rank, i in enumerate(a_order):
+        assert out[i].host_rank == rank
+        assert out[i].fetch_cycle == rank // 3
+        assert out[i].slot == rank % 3
+    # no host exceeds the budget within a cycle
+    from collections import Counter
+    c = Counter((r.host, r.fetch_cycle) for r in out.values())
+    assert max(c.values()) <= 3
+    # b.com starts its own cycle 0
+    assert min(r.fetch_cycle for r in out.values() if r.host == "b.com") == 0
+
+    with _pytest.raises(ValueError, match="per_host_budget"):
+        schedule_frontier(df, "host", "id", per_host_budget=0)
+    with _pytest.raises(ValueError, match="collide"):
+        schedule_frontier(df.withColumn("slot", F.lit(1)), "host", "id")
+    withnull = spark.createDataFrame(
+        [(1, None, 0)], "id bigint, host string, d int")
+    with _pytest.raises(SparkRuntimeException, match="NULL host"):
+        schedule_frontier(withnull, "host", "id").collect()
