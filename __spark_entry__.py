@@ -6887,6 +6887,100 @@ def q_curriculum(spark, sf_dir):
     )
 
 
+def q_kn_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM (operators/ngram_lm.py —
+    Kneser & Ney 1995 / Chen & Goodman 1998 eq. 4.26, the KenLM
+    estimator behind CCNet's quality filter), trained on the EVEN
+    doc_ids and scoring ALL documents, so the odd docs exercise every
+    backoff branch (unseen bigram / unseen context / unseen
+    continuation) cross-engine, not just the seen-bigram fast path.
+    Training is one corpus-scale bigram-count groupBy (output = the
+    bigram vocabulary) + two vocab-bounded derived aggregates; scoring
+    left-joins the three model frames and sums integer-quantized
+    log-probs per doc (the char_trigram_lm_score determinism
+    contract).  The oracle replays counts, the exact double formula
+    and the quantized sum, hash-exact."""
+    from gdp_etl_spark.operators.ngram_lm import kn_bigram_score
+
+    d = _t(spark, sf_dir, "documents")
+    return kn_bigram_score(
+        d.filter(F.col("doc_id") % 2 == 0), d, "text", "doc_id"
+    )
+
+
+def _kn_bigram_sql(discount=0.75, quantize=10**6):
+    toks = ("CASE WHEN text IS NULL OR length(trim(text)) = 0 "
+            f"THEN CAST([] AS VARCHAR[]) ELSE {_TOKS_LOW} END")
+    D = f"CAST({discount} AS DOUBLE)"
+    pairs = (
+        "unnest(list_transform(range(1, len(t)), "
+        "i -> {'w1': t[i], 'w2': t[i + 1]}), recursive := true)"
+    )
+    return f"""
+            WITH td AS (
+              SELECT doc_id, {toks} AS t FROM documents
+              WHERE doc_id % 2 = 0
+            ), tb AS (
+              SELECT doc_id, {pairs} FROM td WHERE len(t) >= 2
+            ), big AS (
+              SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+              FROM tb GROUP BY w1, w2
+            ), ctx AS (
+              SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                     CAST(COUNT(*) AS BIGINT) AS n1l
+              FROM big GROUP BY w1
+            ), cont AS (
+              SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r
+              FROM big GROUP BY w2
+            ), tot AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS nb FROM big
+            ), sd AS (
+              SELECT doc_id, {toks} AS t FROM documents
+            ), sb AS (
+              SELECT doc_id, {pairs} FROM sd WHERE len(t) >= 2
+            ), sj AS (
+              SELECT s.doc_id, big.c12, ctx.c1, ctx.n1l, cont.n1r, tot.nb
+              FROM sb s
+              LEFT JOIN big USING (w1, w2)
+              LEFT JOIN ctx USING (w1)
+              LEFT JOIN cont USING (w2), tot
+            ), pr AS (
+              SELECT doc_id,
+                CASE WHEN c12 IS NOT NULL THEN
+                       greatest(CAST(c12 AS DOUBLE) - {D},
+                                CAST(0 AS DOUBLE)) / CAST(c1 AS DOUBLE)
+                       + (({D} * CAST(n1l AS DOUBLE))
+                          / CAST(c1 AS DOUBLE)) * pc
+                     WHEN c1 IS NOT NULL THEN
+                       (({D} * CAST(n1l AS DOUBLE))
+                        / CAST(c1 AS DOUBLE)) * pc
+                     ELSE pc END AS p
+              FROM (SELECT *,
+                      CASE WHEN n1r IS NOT NULL
+                           THEN CAST(n1r AS DOUBLE) / nb
+                           ELSE CAST(1 AS DOUBLE)
+                                / (nb + CAST(1 AS DOUBLE)) END AS pc
+                    FROM sj)
+            ), per AS (
+              SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+                     CAST(SUM(CAST(floor(ln(p) * {quantize})
+                          AS BIGINT)) AS BIGINT) AS sum_logp_q
+              FROM pr GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(per.n_bigrams, 0) AS n_bigrams,
+                   CAST(COALESCE(per.sum_logp_q, 0) AS BIGINT)
+                     AS sum_logp_q,
+                   CASE WHEN per.n_bigrams IS NOT NULL THEN
+                     (CAST(per.sum_logp_q AS DOUBLE)
+                      / CAST({quantize} AS DOUBLE))
+                     / CAST(per.n_bigrams AS DOUBLE)
+                   END AS avg_logp
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN per USING (doc_id)
+        """
+
+
 def q_preference_pairs(spark, sf_dir):
     """Preference-pair construction for reward-model / DPO training
     (operators/preference.py — the InstructGPT comparison-collection
@@ -6959,15 +7053,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round ascending, name tie-break).  The round-13 window: the four
     queries whose code/oracle changed in the advisor-finding fixes
     (c4_clean, bpe_merges, hybrid_rrf, token_stats — the shared
-    regex-class constants), the nine never-driver-checked queries
+    regex-class constants), the ten never-driver-checked queries
     (bpe_encode, crawl_schedule, curriculum, curriculum_batches,
-    ivf_index, pq_index, preference_pairs, semantic_dedup,
-    url_frontier — the two r12 post-close additions plus this
-    round's seven new operators), then the first 37 of the 47-query
-    last-green-r8 bucket; the 10 spilled r8 queries
-    (qa_discrepancies, qa_missing_years, qa_top_log_ratio,
-    rolling_window … usis_export) keep their r8 ledger rows, pass
-    the local oracle today, and lead the r14 window.  The remaining
+    ivf_index, kn_bigram, pq_index, preference_pairs,
+    semantic_dedup, url_frontier — the two r12 post-close additions
+    plus this round's eight new operators), then the first 36 of the
+    47-query last-green-r8 bucket; the 11 spilled r8 queries
+    (qa_deflator_check … usis_export) keep their r8 ledger rows,
+    pass the local oracle today, and lead the r14 window.  The remaining
     lockstep-constant queries (quality_lang, quality_gate,
     source_report, train_batches, weighted_sample, crawl_corpus,
     corpus_clean/corpus_curate/curation_audit/source_terciles are IN
@@ -6988,6 +7081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_index": q_pq_index,
         "preference_pairs": q_preference_pairs,
         "crawl_schedule": q_crawl_schedule,
+        "kn_bigram": q_kn_bigram,
         "url_frontier": q_url_frontier,
         "asof_join": q_asof_join,
         "base_broadcast": q_base_broadcast,
@@ -7025,10 +7119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index": q_minhash_index,
         "phash_dedup": q_phash_dedup,
         "qa_added_years": q_qa_added_years,
-        "qa_deflator_check": q_qa_deflator_check,
         # -- end of driver window (50) -----------------------------------
         # below the window: alphabetical; all keep local oracle
         # coverage via tools/check_correctness.py
+        "qa_deflator_check": q_qa_deflator_check,
         "qa_discrepancies": q_qa_discrepancies,
         "qa_missing_years": q_qa_missing_years,
         "qa_top_log_ratio": q_qa_top_log_ratio,
@@ -9796,6 +9890,8 @@ def oracle_sql() -> dict[str, str]:
         "url_frontier": _url_frontier_sql(),
         # admission chain composed with per-host politeness scheduling
         "crawl_schedule": _crawl_schedule_sql(),
+        # interpolated Kneser-Ney bigram LM replay (counts + formula)
+        "kn_bigram": _kn_bigram_sql(),
         "curriculum": f"""
             WITH s AS (
                 SELECT doc_id, {quality} AS difficulty FROM documents
