@@ -124,10 +124,24 @@ def _postings(df: DataFrame, id_col: str, vec_col: str,
               offset: float) -> DataFrame:
     """Quantize + assign one batch of vectors — map-only (the shared
     literal-centroid argmin, whole-stage codegen, no shuffle before
-    the bucketed write's own redistribution)."""
+    the bucketed write's own redistribution).  Vector dimension is
+    checked per row against the stored centroids (silent truncation
+    is the failure mode)."""
+    dim = len(centroids[0])
     q = _quantize(F.col(vec_col), scale, offset)
+    guarded = F.when(
+        F.size(F.col(vec_col)) != F.lit(dim),
+        F.raise_error(
+            F.format_string(
+                f"ivf index: vector for {id_col} %s has dimension %s, "
+                f"index dimension is {dim}",
+                F.col(id_col).cast("string"),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ).cast("array<bigint>"),
+    ).otherwise(q)
     base = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), q.alias("q")
+        F.col(id_col), guarded.alias("q")
     )
     cell, _ = assign_expr(centroids, F.col("q"))
     return base.select(
@@ -232,6 +246,7 @@ def ivf_probe_index(
     query_ids: Sequence[int],
     k: int = 10,
     nprobe: int = 3,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Serve approximate top-k from STORED state — the production
     probe: centroids collect driver-side, each query's ``nprobe``
@@ -245,7 +260,16 @@ def ivf_probe_index(
     Returns ``(query_id, neighbour_id, score_d2, rank)`` — identical
     schema, scoring (exact fixed-point squared L2) and tie-breaks to
     ``ivf_topk_fixed``, so a probe over an index built on the same
-    rows is hash-identical to the in-query path (driver-pinned)."""
+    rows is hash-identical to the in-query path (driver-pinned).
+
+    ``queries``: an optional bounded frame of raw ``(id_col,
+    vec_col)`` rows for the probed ids — quantized with the stamped
+    parameters, so values match the stored postings bit-exactly.
+    Without it, query vectors are fetched from the index by id, which
+    is convenient but scans the posting table ONCE unpruned (the
+    bucket key is the cell, not the id) — at full scale pass
+    ``queries`` from an id-keyed store instead (self-review finding,
+    round 13)."""
     query_ids = list(query_ids)
     bad = [qi for qi in query_ids
            if not isinstance(qi, int) or isinstance(qi, bool)]
@@ -261,16 +285,23 @@ def ivf_probe_index(
     spark.catalog.refreshTable(table)
     post = spark.table(table)
     id_col = p["id_col"]
-    # query vectors come from the index itself (bounded collect, the
-    # ivf_topk_fixed rule) — a probe for ids the index has never seen
-    # is a caller error, loudly
-    qrows = {
-        r[id_col]: list(r["q"])
-        for r in post.filter(F.col(id_col).isin(query_ids)).collect()
-    }
+    if queries is not None:
+        # raw query vectors, quantized with the STAMPED params — the
+        # same expression the postings were written with
+        src = queries.filter(F.col(p["vec_col"]).isNotNull()).select(
+            F.col(id_col),
+            _quantize(F.col(p["vec_col"]), p["scale"],
+                      p["offset"]).alias("q"),
+        ).filter(F.col(id_col).isin(query_ids))
+    else:
+        # convenience path: fetch from the index by id (one unpruned
+        # scan — see docstring)
+        src = post.filter(F.col(id_col).isin(query_ids))
+    qrows = {r[id_col]: list(r["q"]) for r in src.collect()}
     missing = [qi for qi in query_ids if qi not in qrows]
     if missing:
-        raise ValueError(f"query ids not in index: {missing}")
+        where = "queries frame" if queries is not None else "index"
+        raise ValueError(f"query ids not in {where}: {missing}")
 
     def _probe_cells(qi):
         qv = qrows[qi]
@@ -387,10 +418,23 @@ def _pq_codes(df: DataFrame, id_col: str, vec_col: str,
               offset: float) -> DataFrame:
     """Encode one batch: m argmin codes per row against the literal
     codebooks — nested HOFs, whole-stage codegen, no shuffle before
-    the bucketed write's own redistribution."""
+    the bucketed write's own redistribution.  Vector dimension is
+    checked per row (slices truncate silently otherwise)."""
+    dim = len(books) * sub
     q = _quantize(F.col(vec_col), scale, offset)
+    guarded = F.when(
+        F.size(F.col(vec_col)) != F.lit(dim),
+        F.raise_error(
+            F.format_string(
+                f"pq index: vector for {id_col} %s has dimension %s, "
+                f"index dimension is {dim}",
+                F.col(id_col).cast("string"),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ).cast("array<bigint>"),
+    ).otherwise(q)
     base = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), q.alias("__q")
+        F.col(id_col), guarded.alias("__q")
     )
 
     def code_expr(s: int):

@@ -888,3 +888,53 @@ def test_pq_index_probe_matches_in_query_path(spark):
         assert before == after
     finally:
         _drop_pq_tables(spark, table)
+
+
+def test_ivf_index_vector_queries_and_dim_guard(spark):
+    """r13 self-review fixes: (1) probing with a raw-vector queries
+    frame (quantized via the stamp) returns exactly the id-fetch
+    result — the production path that avoids the unpruned id scan;
+    (2) appending wrong-dimension vectors raises instead of silently
+    truncating into wrong cells/codes."""
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from gdp_etl_spark.operators.ann_index import (
+        append_to_ivf_index,
+        append_to_pq_index,
+        ivf_probe_index,
+        write_ivf_index,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    table = "t_ivf_idx_vq"
+    _drop_ivf_tables(spark, table)
+    try:
+        write_ivf_index(emb, table, num_centroids=4, n_iter=1)
+        by_id = sorted(map(tuple, ivf_probe_index(
+            spark, table, [0, 1], k=4, nprobe=2).collect()))
+        by_vec = sorted(map(tuple, ivf_probe_index(
+            spark, table, [0, 1], k=4, nprobe=2,
+            queries=emb.filter(F.col("vec_id") < 2)).collect()))
+        assert by_id == by_vec
+        with _pytest.raises(ValueError, match="queries frame"):
+            ivf_probe_index(spark, table, [0, 99999], k=2,
+                            queries=emb.filter(F.col("vec_id") == 0))
+        bad = emb.filter(F.col("vec_id") < 3).select(
+            "vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+        with _pytest.raises(SparkRuntimeException, match="dimension"):
+            append_to_ivf_index(bad, table)
+    finally:
+        _drop_ivf_tables(spark, table)
+
+    table = "t_pq_idx_dim"
+    _drop_pq_tables(spark, table)
+    try:
+        write_pq_index(emb, table, m=4, k_codes=4, n_iter=1, dim=64)
+        bad = emb.filter(F.col("vec_id") < 3).select(
+            "vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+        with _pytest.raises(SparkRuntimeException, match="dimension"):
+            append_to_pq_index(bad, table)
+    finally:
+        _drop_pq_tables(spark, table)
