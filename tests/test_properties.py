@@ -331,3 +331,89 @@ def test_warc_scanner_roundtrip_arbitrary_bodies(records):
     for (rtype, _), body, (headers, block) in zip(records, bodies, got):
         assert headers.get("warc-type") == rtype
         assert block == body
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_pack_segments_staged_matches_reference(spark, data):
+    """pack_segments_staged against a pure-Python packer on random
+    staged inputs: identical (pack_id, offsets, seg_tokens) layout,
+    stage purity, exact tiling — the full spec, not spot values."""
+    from gdp_etl_spark.operators.packing import pack_segments_staged
+
+    n = data.draw(st.integers(1, 25))
+    seq_len = data.draw(st.integers(1, 9))
+    rows_in = [
+        (
+            i,
+            data.draw(st.integers(0, 2)),          # stage
+            data.draw(st.integers(0, 3)),          # batch_id
+            data.draw(st.integers(0, 50)),         # n_tokens (0 drops)
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows_in, "doc_id long, stage int, batch_id long, n long"
+    )
+    got = sorted(map(tuple, pack_segments_staged(
+        df, "doc_id", "n", seq_len=seq_len, stage_col="stage",
+        order_cols=["batch_id"], pack_id_stride=1000,
+    ).collect()))
+
+    # pure-Python reference: per stage, lay docs in (batch_id, doc_id)
+    # order and cut the token stream every seq_len
+    want = []
+    for s in sorted({r[1] for r in rows_in}):
+        pos = 0
+        docs = sorted(
+            (r for r in rows_in if r[1] == s and r[3] > 0),
+            key=lambda r: (r[2], r[0]),
+        )
+        for i, _, _, nt in docs:
+            off = 0
+            while off < nt:
+                pk = (pos + off) // seq_len
+                take = min(nt - off, (pk + 1) * seq_len - (pos + off))
+                want.append((i, s, s * 1000 + pk,
+                             off, (pos + off) - pk * seq_len, take))
+                off += take
+            pos += nt
+    assert got == sorted(want)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_preference_pairs_extreme_matches_reference(spark, data):
+    """preference_pairs(extreme) against a pure-Python argmax/argmin
+    with the documented tie-breaks and gap floor."""
+    from gdp_etl_spark.operators.preference import preference_pairs
+
+    n = data.draw(st.integers(1, 24))
+    rows_in = [
+        (
+            i,
+            data.draw(st.integers(0, 4)),                    # prompt
+            data.draw(st.integers(0, 5)) / 4.0,              # score
+        )
+        for i in range(n)
+    ]
+    min_gap = data.draw(st.integers(0, 3)) / 4.0
+    df = spark.createDataFrame(
+        rows_in, "resp_id long, prompt_id int, score double"
+    )
+    got = sorted(map(tuple, preference_pairs(
+        df, "prompt_id", "resp_id", "score", min_gap=min_gap
+    ).collect()))
+
+    want = []
+    for g in sorted({r[1] for r in rows_in}):
+        grp = [r for r in rows_in if r[1] == g]
+        chosen = min(grp, key=lambda r: (-r[2], r[0]))
+        rejected = min(grp, key=lambda r: (r[2], r[0]))
+        gap = chosen[2] - rejected[2]
+        if chosen[0] != rejected[0] and gap >= min_gap and gap > 0:
+            want.append((g, chosen[0], rejected[0],
+                         chosen[2], rejected[2], gap))
+    assert got == sorted(want)
