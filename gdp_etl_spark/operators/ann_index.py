@@ -33,9 +33,22 @@ Lifecycle:
   pruned posting rows of the probed cells.  No training, no corpus
   quantization — the query-time cost ``ivf_topk_fixed`` pays on every
   call is paid once at build time.
+* :func:`delete_from_ivf_index` / :func:`upsert_to_ivf_index` — churn
+  (re-crawled or removed documents) via TOMBSTONES, the ``cdc_apply``
+  discipline applied to index tables: every write batch carries a
+  monotone ``seq`` (stamped ``next_seq`` property), a tombstone row
+  ``(id, seq)`` in the small ``<table>__tombstones`` companion kills
+  every posting row of that id with an earlier ``seq``, and an upsert
+  is tombstone-then-append at ONE seq (the new rows survive their own
+  tombstone).  Probes resolve liveness with one BROADCAST join against
+  the per-id max tombstone seq — churn-bounded between compactions, no
+  index-side Exchange added.
 * :func:`compact_ivf_index` — fold append-accreted files back to one
   per bucket (the ``_compact_bucketed_table`` swap, ``ivf.`` stamp
-  carried across).
+  carried across), apply the accumulated tombstones physically, and
+  clear them; probe results are identical before and after (the
+  ``ivf_upsert`` driver query pins post-churn probes against a
+  from-scratch logical rebuild, cross-engine).
 
 At 100 TB the posting table is the vector store: bucketed (at rest:
 partitioned) by cell, appended per ingest batch, compacted in the
@@ -60,21 +73,105 @@ from .kmeans import _dist2, _quantize, assign_expr, train_kmeans_fixed
 __all__ = [
     "write_ivf_index",
     "append_to_ivf_index",
+    "delete_from_ivf_index",
+    "upsert_to_ivf_index",
     "ivf_probe_index",
     "compact_ivf_index",
     "write_pq_index",
     "append_to_pq_index",
+    "delete_from_pq_index",
+    "upsert_to_pq_index",
     "pq_probe_index",
     "compact_pq_index",
 ]
 
 _P = "ivf."  # table-property namespace
 _KEYS = ("num_centroids", "n_iter", "scale", "offset", "seed",
-         "id_col", "vec_col")
+         "id_col", "vec_col", "next_seq")
 
 
 def _centroids_table(table: str) -> str:
     return f"{table}__centroids"
+
+
+def _tombstones_table(table: str) -> str:
+    return f"{table}__tombstones"
+
+
+def _bump_next_seq(spark, table: str, prefix: str, next_seq: int) -> None:
+    """Advance the stamped write-sequence counter — one metastore write
+    per mutating batch, the price of ordered churn."""
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('{prefix}next_seq' = '{int(next_seq)}')"
+    )
+
+
+def _append_tombstones(
+    spark, table: str, id_col: str, ids_df: DataFrame, seq: int
+) -> None:
+    """Append ``(id, seq)`` kill rows to the ``__tombstones`` companion
+    (created on first use — an append-only index has none).  A
+    tombstone kills every posting/code row of that id with an EARLIER
+    seq; rows written at the tombstone's own seq survive it (the
+    upsert shape).  The companion is churn-bounded between compactions
+    — kilobytes, not corpus-scale — so probes broadcast it."""
+    (
+        ids_df.select(
+            F.col(id_col).cast("bigint").alias(id_col),
+            F.lit(int(seq)).cast("bigint").alias("seq"),
+        )
+        .filter(F.col(id_col).isNotNull())
+        .distinct()
+        .write.mode("append")
+        .format("parquet")
+        .saveAsTable(_tombstones_table(table))
+    )
+    spark.catalog.refreshTable(_tombstones_table(table))
+
+
+def _tombstone_maxseq(spark, table: str, id_col: str) -> DataFrame | None:
+    """Per-id max tombstone seq, or None when no churn has happened.
+    Bounded by the churned-id count between compactions."""
+    ttable = _tombstones_table(table)
+    if not spark.catalog.tableExists(ttable):
+        return None
+    spark.catalog.refreshTable(ttable)
+    return spark.table(ttable).groupBy(id_col).agg(
+        F.max("seq").alias("__tomb_seq")
+    )
+
+
+def _reclaim_orphans(spark, table: str, companions: tuple[str, ...]) -> None:
+    """Pre-write existence discipline: the main (postings/codes) table
+    existing is a hard error — the caller must drop a live index
+    deliberately.  A companion (centroids/codebooks/tombstones) existing
+    WITHOUT the main table is an orphan from a crash inside a previous
+    build's rename window (the main table renames LAST); reclaim it so
+    the retry the durability docstring promises actually works."""
+    if spark.catalog.tableExists(table):
+        raise ValueError(f"table {table} already exists")
+    for t in companions:
+        if spark.catalog.tableExists(t):
+            spark.sql(f"DROP TABLE {t}")
+
+
+def _resolve_live(rows: DataFrame, tomb: DataFrame | None,
+                  id_col: str) -> DataFrame:
+    """Drop rows killed by a tombstone: keep a row iff its id has no
+    tombstone or the row's ``seq`` is >= the id's max tombstone seq.
+    The join is a BROADCAST (tombstones are churn-bounded), so a
+    bucket-pruned posting scan stays Exchange-free."""
+    if tomb is None:
+        return rows
+    return (
+        rows.join(F.broadcast(tomb), id_col, "left")
+        .filter(
+            F.col("__tomb_seq").isNull()
+            | (F.col("seq") >= F.col("__tomb_seq"))
+        )
+        .drop("__tomb_seq")
+    )
 
 
 def _stamp(spark, table: str, params: dict) -> None:
@@ -107,6 +204,7 @@ def _read_stamp(spark, table: str) -> dict:
         "seed": props[_P + "seed"],
         "id_col": props[_P + "id_col"],
         "vec_col": props[_P + "vec_col"],
+        "next_seq": int(props[_P + "next_seq"]),
     }
 
 
@@ -121,7 +219,7 @@ def _load_centroids(spark, table: str) -> list[list[int]]:
 
 def _postings(df: DataFrame, id_col: str, vec_col: str,
               centroids: list[list[int]], scale: float,
-              offset: float) -> DataFrame:
+              offset: float, seq: int) -> DataFrame:
     """Quantize + assign one batch of vectors — map-only (the shared
     literal-centroid argmin, whole-stage codegen, no shuffle before
     the bucketed write's own redistribution).  Vector dimension is
@@ -145,7 +243,8 @@ def _postings(df: DataFrame, id_col: str, vec_col: str,
     )
     cell, _ = assign_expr(centroids, F.col("q"))
     return base.select(
-        cell.cast("int").alias("cell"), F.col(id_col), "q"
+        cell.cast("int").alias("cell"), F.col(id_col), "q",
+        F.lit(int(seq)).cast("bigint").alias("seq"),
     )
 
 
@@ -169,9 +268,14 @@ def write_ivf_index(
 
     Durability (the write_ndv_sketch rule): both tables are written and
     stamped under tmp names, then renamed into place — centroids first,
-    postings last, so the index is live only when complete; a crash at
-    any point leaves either nothing or a retryable tmp, never a
-    stampless live table."""
+    postings last, so the index is live only when complete (the
+    POSTINGS table, renamed last, is the liveness marker).  A crash
+    between the two renames leaves an orphaned companion with no
+    postings table; a retry detects that state (companion present,
+    postings absent) and reclaims the orphan instead of failing with
+    "already exists" (r13 advisor finding) — so a crash at any point
+    leaves nothing, a retryable tmp, or a reclaimable orphan, never a
+    stampless live index."""
     id_type = df.schema[id_col].dataType.simpleString()
     if id_type not in ("tinyint", "smallint", "int", "bigint"):
         raise TypeError(
@@ -180,9 +284,7 @@ def write_ivf_index(
         )
     spark = df.sparkSession
     ctable = _centroids_table(table)
-    for t in (table, ctable):
-        if spark.catalog.tableExists(t):
-            raise ValueError(f"table {t} already exists")
+    _reclaim_orphans(spark, table, (ctable, _tombstones_table(table)))
     centroids = train_kmeans_fixed(
         df.filter(F.col(vec_col).isNotNull()), id_col, vec_col,
         k=num_centroids, n_iter=n_iter, scale=scale, offset=offset,
@@ -194,6 +296,7 @@ def write_ivf_index(
         "num_centroids": num_centroids, "n_iter": n_iter,
         "scale": repr(float(scale)), "offset": repr(float(offset)),
         "seed": seed, "id_col": id_col, "vec_col": vec_col,
+        "next_seq": 1,
     }
     ctmp, ptmp = f"{ctable}__new", f"{table}__new"
     spark.sql(f"DROP TABLE IF EXISTS {ctmp}")
@@ -204,7 +307,7 @@ def write_ivf_index(
     ).write.mode("overwrite").saveAsTable(ctmp)
     spark.sql(f"ALTER TABLE {ctmp} RENAME TO {ctable}")
     (
-        _postings(df, id_col, vec_col, centroids, scale, offset)
+        _postings(df, id_col, vec_col, centroids, scale, offset, seq=0)
         .write.mode("overwrite")
         .format("parquet")
         .bucketBy(num_buckets, "cell")
@@ -228,15 +331,75 @@ def append_to_ivf_index(df: DataFrame, table: str) -> None:
     n_buckets = _num_buckets(spark, table)
     (
         _postings(df, p["id_col"], p["vec_col"], centroids,
-                  p["scale"], p["offset"])
+                  p["scale"], p["offset"], seq=p["next_seq"])
         .write.mode("append")
         .format("parquet")
         .bucketBy(n_buckets, "cell")
         .sortBy("cell")
         .saveAsTable(table)
     )
+    _bump_next_seq(spark, table, _P, p["next_seq"] + 1)
     # the append_to_dedup_index catalog-cache rule: invalidate the
     # cached file listing so a probe in this session sees the new rows
+    spark.catalog.refreshTable(table)
+
+
+def delete_from_ivf_index(spark, table: str, ids: Sequence[int]) -> None:
+    """Remove vectors from the index by id — a TOMBSTONE append, not a
+    rewrite: ``(id, seq)`` rows land in the ``__tombstones`` companion
+    and kill every posting row of those ids with an earlier ``seq``;
+    :func:`compact_ivf_index` applies them physically.  Deleting an id
+    that was never indexed is a no-op tombstone (idempotent, like a
+    CDC delete for an unseen key).  Cost: one kilobyte-scale write +
+    two metastore ops — the posting table is never scanned."""
+    ids = list(ids)
+    bad = [i for i in ids if not isinstance(i, int) or isinstance(i, bool)]
+    if bad:
+        raise TypeError(
+            f"delete_from_ivf_index: ids must be Python ints; got "
+            f"{bad[:3]!r}{'…' if len(bad) > 3 else ''}"
+        )
+    p = _read_stamp(spark, table)
+    ids_df = spark.createDataFrame(
+        [(int(i),) for i in ids], f"{p['id_col']} bigint"
+    )
+    _append_tombstones(spark, table, p["id_col"], ids_df, p["next_seq"])
+    _bump_next_seq(spark, table, _P, p["next_seq"] + 1)
+
+
+def upsert_to_ivf_index(df: DataFrame, table: str) -> None:
+    """Replace-or-insert a vector batch (the re-crawled-document
+    shape): tombstone the batch's ids, then append the batch's posting
+    rows, BOTH at the same ``seq`` — prior versions die (seq <
+    tombstone), the new rows survive their own tombstone (seq ==
+    tombstone), and an id new to the index simply inserts.  Cells may
+    move: the stale row in the old cell is killed by the tombstone at
+    probe time (the liveness join is per-row, not per-cell), so a
+    probe never serves the old vector even before compaction.
+
+    Crash discipline: tombstones write FIRST, so a crash between the
+    two appends leaves the batch's ids absent rather than stale — the
+    prefer-missing bias of the dedup index; retrying the same batch
+    (at the next seq) converges.  Both writes are distributed —
+    nothing collects."""
+    spark = df.sparkSession
+    p = _read_stamp(spark, table)
+    centroids = _load_centroids(spark, table)
+    n_buckets = _num_buckets(spark, table)
+    seq = p["next_seq"]
+    _append_tombstones(
+        spark, table, p["id_col"], df.select(p["id_col"]), seq
+    )
+    (
+        _postings(df, p["id_col"], p["vec_col"], centroids,
+                  p["scale"], p["offset"], seq=seq)
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell")
+        .saveAsTable(table)
+    )
+    _bump_next_seq(spark, table, _P, seq + 1)
     spark.catalog.refreshTable(table)
 
 
@@ -247,6 +410,7 @@ def ivf_probe_index(
     k: int = 10,
     nprobe: int = 3,
     queries: DataFrame | None = None,
+    max_queries: int = 1024,
 ) -> DataFrame:
     """Serve approximate top-k from STORED state — the production
     probe: centroids collect driver-side, each query's ``nprobe``
@@ -269,7 +433,15 @@ def ivf_probe_index(
     is convenient but scans the posting table ONCE unpruned (the
     bucket key is the cell, not the id) — at full scale pass
     ``queries`` from an id-keyed store instead (self-review finding,
-    round 13)."""
+    round 13).
+
+    ``max_queries`` bounds the probe batch loudly (the
+    ``pq_probe_index`` discipline): the per-posting-row scoring array
+    is |Q| structs wide, so an unbounded batch is a plan-size blowup,
+    not a bigger job — probe in bounded batches instead.  Tombstoned
+    rows (:func:`delete_from_ivf_index` / :func:`upsert_to_ivf_index`)
+    are resolved out with one broadcast join before any fetch or
+    scoring, so a probe never serves a deleted or superseded vector."""
     query_ids = list(query_ids)
     bad = [qi for qi in query_ids
            if not isinstance(qi, int) or isinstance(qi, bool)]
@@ -280,10 +452,20 @@ def ivf_probe_index(
         )
     if len(set(query_ids)) != len(query_ids):
         raise ValueError("ivf_probe_index: query_ids contains duplicates")
+    if len(query_ids) > max_queries:
+        raise ValueError(
+            f"ivf_probe_index: {len(query_ids)} query ids, over "
+            f"max_queries={max_queries}; probe in bounded batches"
+        )
     p = _read_stamp(spark, table)
     centroids = _load_centroids(spark, table)
+    dim = len(centroids[0])
     spark.catalog.refreshTable(table)
-    post = spark.table(table)
+    post = _resolve_live(
+        spark.table(table),
+        _tombstone_maxseq(spark, table, p["id_col"]),
+        p["id_col"],
+    )
     id_col = p["id_col"]
     if queries is not None:
         # raw query vectors, quantized with the STAMPED params — the
@@ -302,6 +484,20 @@ def ivf_probe_index(
     if missing:
         where = "queries frame" if queries is not None else "index"
         raise ValueError(f"query ids not in {where}: {missing}")
+    # dimension guard AGAINST THE STORED CENTROIDS (r13 advisor
+    # finding): the driver-side zip() in the probe-cell ranking
+    # silently truncates and _dist2's zip_with null-pads, so a
+    # wrong-dimension query would yield wrong cells / biased
+    # distances instead of an error — the same condition write/append
+    # raise on per row
+    wrong = {qi: len(v) for qi, v in qrows.items() if len(v) != dim}
+    if wrong:
+        raise ValueError(
+            f"ivf_probe_index: query vector dimension mismatch against "
+            f"index dimension {dim}: "
+            f"{dict(sorted(wrong.items())[:3])!r}"
+            f"{'…' if len(wrong) > 3 else ''}"
+        )
 
     def _probe_cells(qi):
         qv = qrows[qi]
@@ -350,9 +546,22 @@ def ivf_probe_index(
 def compact_ivf_index(spark, table: str) -> tuple[int, int]:
     """Fold append-accreted posting files back to one per bucket (and
     drop exact-duplicate rows) via the shared bucketed-table swap —
-    self-healing renames, ``ivf.`` parameter stamp carried across.
-    Returns ``(files_before, files_after)`` for the ops ledger."""
-    return _compact_bucketed_table(spark, table, ["cell"], prop_prefix=_P)
+    self-healing renames, ``ivf.`` parameter stamp carried across —
+    and apply the accumulated tombstones PHYSICALLY: dead rows are
+    dropped from the rewrite and the ``__tombstones`` companion is
+    cleared afterwards.  Crash between the swap and the clear is safe:
+    surviving rows all pass the liveness predicate (their seq >= their
+    id's tombstone), so re-applying stale tombstones at probe time or
+    in the next compaction is a no-op.  Returns ``(files_before,
+    files_after)`` for the ops ledger."""
+    p = _read_stamp(spark, table)
+    tomb = _tombstone_maxseq(spark, table, p["id_col"])
+    out = _compact_bucketed_table(
+        spark, table, ["cell"], prop_prefix=_P,
+        transform=lambda df: _resolve_live(df, tomb, p["id_col"]),
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {_tombstones_table(table)}")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -368,7 +577,7 @@ def compact_ivf_index(spark, table: str) -> tuple[int, int]:
 
 _PQ = "pq."
 _PQ_KEYS = ("m", "k_codes", "n_iter", "scale", "offset", "seed",
-            "id_col", "vec_col", "dim")
+            "id_col", "vec_col", "dim", "next_seq")
 
 
 def _pq_codebooks_table(table: str) -> str:
@@ -397,6 +606,7 @@ def _read_pq_stamp(spark, table: str) -> dict:
         "id_col": props[_PQ + "id_col"],
         "vec_col": props[_PQ + "vec_col"],
         "dim": int(props[_PQ + "dim"]),
+        "next_seq": int(props[_PQ + "next_seq"]),
     }
 
 
@@ -415,7 +625,7 @@ def _load_codebooks(spark, table: str, m: int) -> list[list[list[int]]]:
 
 def _pq_codes(df: DataFrame, id_col: str, vec_col: str,
               books: list[list[list[int]]], sub: int, scale: float,
-              offset: float) -> DataFrame:
+              offset: float, seq: int) -> DataFrame:
     """Encode one batch: m argmin codes per row against the literal
     codebooks — nested HOFs, whole-stage codegen, no shuffle before
     the bucketed write's own redistribution.  Vector dimension is
@@ -446,6 +656,7 @@ def _pq_codes(df: DataFrame, id_col: str, vec_col: str,
     return base.select(
         id_col,
         F.array(*[code_expr(s) for s in range(len(books))]).alias("codes"),
+        F.lit(int(seq)).cast("bigint").alias("seq"),
     )
 
 
@@ -469,7 +680,9 @@ def write_pq_index(
     ``table`` — the train/encode halves of ``pq_topk`` paid at build
     time instead of per query.  Same durability protocol as
     :func:`write_ivf_index`: tmp-then-rename, stamped, codebooks live
-    first, codes table last."""
+    first, codes table last (the liveness marker); an orphaned
+    codebooks table from a crash inside the rename window is reclaimed
+    on retry."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     id_type = df.schema[id_col].dataType.simpleString()
@@ -480,9 +693,7 @@ def write_pq_index(
         )
     spark = df.sparkSession
     ctable = _pq_codebooks_table(table)
-    for t in (table, ctable):
-        if spark.catalog.tableExists(t):
-            raise ValueError(f"table {t} already exists")
+    _reclaim_orphans(spark, table, (ctable, _tombstones_table(table)))
     sub = dim // m
     base = df.filter(F.col(vec_col).isNotNull())
     books = []
@@ -503,6 +714,7 @@ def write_pq_index(
         "m": m, "k_codes": k_codes, "n_iter": n_iter,
         "scale": repr(float(scale)), "offset": repr(float(offset)),
         "seed": seed, "id_col": id_col, "vec_col": vec_col, "dim": dim,
+        "next_seq": 1,
     }
     ctmp, ptmp = f"{ctable}__new", f"{table}__new"
     spark.sql(f"DROP TABLE IF EXISTS {ctmp}")
@@ -514,7 +726,7 @@ def write_pq_index(
     ).write.mode("overwrite").saveAsTable(ctmp)
     spark.sql(f"ALTER TABLE {ctmp} RENAME TO {ctable}")
     (
-        _pq_codes(df, id_col, vec_col, books, sub, scale, offset)
+        _pq_codes(df, id_col, vec_col, books, sub, scale, offset, seq=0)
         .write.mode("overwrite")
         .format("parquet")
         .bucketBy(num_buckets, id_col)
@@ -544,13 +756,60 @@ def append_to_pq_index(df: DataFrame, table: str) -> None:
     n_buckets = _num_buckets(spark, table)
     (
         _pq_codes(df, p["id_col"], p["vec_col"], books, sub,
-                  p["scale"], p["offset"])
+                  p["scale"], p["offset"], seq=p["next_seq"])
         .write.mode("append")
         .format("parquet")
         .bucketBy(n_buckets, p["id_col"])
         .sortBy(p["id_col"])
         .saveAsTable(table)
     )
+    _bump_next_seq(spark, table, _PQ, p["next_seq"] + 1)
+    spark.catalog.refreshTable(table)
+
+
+def delete_from_pq_index(spark, table: str, ids: Sequence[int]) -> None:
+    """Tombstone-delete code rows by id — :func:`delete_from_ivf_index`
+    applied to the codes table; :func:`compact_pq_index` applies the
+    tombstones physically."""
+    ids = list(ids)
+    bad = [i for i in ids if not isinstance(i, int) or isinstance(i, bool)]
+    if bad:
+        raise TypeError(
+            f"delete_from_pq_index: ids must be Python ints; got "
+            f"{bad[:3]!r}{'…' if len(bad) > 3 else ''}"
+        )
+    p = _read_pq_stamp(spark, table)
+    ids_df = spark.createDataFrame(
+        [(int(i),) for i in ids], f"{p['id_col']} bigint"
+    )
+    _append_tombstones(spark, table, p["id_col"], ids_df, p["next_seq"])
+    _bump_next_seq(spark, table, _PQ, p["next_seq"] + 1)
+
+
+def upsert_to_pq_index(df: DataFrame, table: str) -> None:
+    """Replace-or-insert a vector batch in the codes table —
+    tombstone-then-append at one ``seq``, encoded with the STORED
+    codebooks; same crash discipline (tombstones first, prefer-missing)
+    as :func:`upsert_to_ivf_index`."""
+    spark = df.sparkSession
+    p = _read_pq_stamp(spark, table)
+    books = _load_codebooks(spark, table, p["m"])
+    sub = p["dim"] // p["m"]
+    n_buckets = _num_buckets(spark, table)
+    seq = p["next_seq"]
+    _append_tombstones(
+        spark, table, p["id_col"], df.select(p["id_col"]), seq
+    )
+    (
+        _pq_codes(df, p["id_col"], p["vec_col"], books, sub,
+                  p["scale"], p["offset"], seq=seq)
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, p["id_col"])
+        .sortBy(p["id_col"])
+        .saveAsTable(table)
+    )
+    _bump_next_seq(spark, table, _PQ, seq + 1)
     spark.catalog.refreshTable(table)
 
 
@@ -589,6 +848,17 @@ def pq_probe_index(
     if len(set(ids)) != len(ids):
         raise ValueError("pq_probe_index: duplicate query ids")
     qvec = {r[id_col]: list(r["__q"]) for r in qrows}
+    # dimension guard against the stamped dim (r13 advisor finding):
+    # the driver-side adc() zip would silently truncate a wrong-width
+    # query into biased lookup tables instead of raising
+    wrong = {qi: len(v) for qi, v in qvec.items() if len(v) != p["dim"]}
+    if wrong:
+        raise ValueError(
+            f"pq_probe_index: query vector dimension mismatch against "
+            f"index dimension {p['dim']}: "
+            f"{dict(sorted(wrong.items())[:3])!r}"
+            f"{'…' if len(wrong) > 3 else ''}"
+        )
 
     def adc(qi, s):
         qs = qvec[qi][s * sub:(s + 1) * sub]
@@ -611,8 +881,12 @@ def pq_probe_index(
         for qi in ids
     ])
     spark.catalog.refreshTable(table)
+    live = _resolve_live(
+        spark.table(table), _tombstone_maxseq(spark, table, id_col),
+        id_col,
+    )
     scored = (
-        spark.table(table)
+        live
         .select(F.col(id_col).alias("neighbour_id"),
                 F.explode(per_query).alias("__e"))
         .select("__e.query_id", "neighbour_id", "__e.approx_d2")
@@ -632,8 +906,14 @@ def pq_probe_index(
 
 def compact_pq_index(spark, table: str) -> tuple[int, int]:
     """Fold append-accreted code files back to one per bucket via the
-    shared bucketed-table swap (``pq.`` stamp carried)."""
+    shared bucketed-table swap (``pq.`` stamp carried), applying and
+    then clearing the accumulated tombstones — the
+    :func:`compact_ivf_index` churn fold on the codes table."""
     p = _read_pq_stamp(spark, table)
-    return _compact_bucketed_table(
-        spark, table, [p["id_col"]], prop_prefix=_PQ
+    tomb = _tombstone_maxseq(spark, table, p["id_col"])
+    out = _compact_bucketed_table(
+        spark, table, [p["id_col"]], prop_prefix=_PQ,
+        transform=lambda df: _resolve_live(df, tomb, p["id_col"]),
     )
+    spark.sql(f"DROP TABLE IF EXISTS {_tombstones_table(table)}")
+    return out

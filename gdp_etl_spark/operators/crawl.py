@@ -30,6 +30,7 @@ def schedule_frontier(
     id_col: str,
     priority_cols: Sequence[str] = (),
     per_host_budget: int = 16,
+    max_host_frontier: int = 1_000_000,
 ) -> DataFrame:
     """Assign every admitted link a fetch cycle such that no host is
     fetched more than ``per_host_budget`` times per cycle (the
@@ -46,18 +47,26 @@ def schedule_frontier(
     link has no place in the frontier (compose with
     ``url_frontier_flags`` and filter ``admit`` first).
 
-    Scale shape: ONE window shuffle keyed on the host.  Per-host link
-    counts are crawl-bounded (a frontier holds thousands of URLs per
-    host, not billions — the admission dedup upstream guarantees it),
-    so the per-host ranking task is small; the host count provides the
-    parallelism.  All arithmetic is integer (``div``/``mod``), so the
+    Scale shape: ONE window shuffle keyed on the host.  The per-host
+    ``row_number`` puts one host's entire frontier in one task, so the
+    "per-host counts are crawl-bounded" assumption is GUARDED, not
+    trusted: a count window over the same host key (no extra shuffle —
+    same partitioning as the rank) raises loudly when any host exceeds
+    ``max_host_frontier`` admitted links (a news archive or wiki can
+    reach millions at crawl scale; the caller must pre-shard or raise
+    the cap deliberately — the ``preference_pairs`` ``max_group_size``
+    discipline).  All arithmetic is integer (``div``/``mod``), so the
     schedule replays engine-exactly.
     """
     if per_host_budget < 1:
         raise ValueError(
             f"per_host_budget must be >= 1, got {per_host_budget}"
         )
-    clashes = {"host_rank", "fetch_cycle", "slot", "__r"} & set(
+    if max_host_frontier < 1:
+        raise ValueError(
+            f"max_host_frontier must be >= 1, got {max_host_frontier}"
+        )
+    clashes = {"host_rank", "fetch_cycle", "slot", "__r", "__hn", "__hok"} & set(
         links.columns
     )
     if clashes:
@@ -80,7 +89,29 @@ def schedule_frontier(
     ]
     w = Window.partitionBy(guard).orderBy(*ordered)
     b = int(per_host_budget)
-    out = links.withColumn("__r", F.row_number().over(w) - F.lit(1))
+    cap = int(max_host_frontier)
+    # hot-host guard: count over the SAME host partitioning the rank
+    # needs (one shuffle total), loud raise instead of a silent
+    # one-host straggler task
+    sized = links.withColumn(
+        "__hn", F.count(F.lit(1)).over(Window.partitionBy(guard))
+    )
+    checked = sized.withColumn(
+        "__hok",
+        F.when(
+            F.col("__hn") > F.lit(cap),
+            F.raise_error(
+                F.format_string(
+                    f"schedule_frontier: host %s has %s admitted links, "
+                    f"over max_host_frontier={cap}; pre-shard the host "
+                    f"or raise the cap deliberately",
+                    F.col(host_col).cast("string"),
+                    F.col("__hn").cast("string"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True)),
+    ).filter(F.col("__hok")).drop("__hn", "__hok")
+    out = checked.withColumn("__r", F.row_number().over(w) - F.lit(1))
     return (
         out.withColumn("host_rank", F.col("__r").cast("int"))
         .withColumn("fetch_cycle", F.expr(f"__r div {b}").cast("bigint"))

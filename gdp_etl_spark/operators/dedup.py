@@ -1193,12 +1193,15 @@ def compact_dedup_index(spark, index_table: str) -> tuple[int, int]:
 def _compact_bucketed_table(
     spark, table: str, bucket_cols: list[str],
     prop_prefix: str = "minhash.",
+    transform=None,
 ) -> tuple[int, int]:
     """Shared compaction cycle for an append-accreted bucketed table:
-    distinct full rows → rewrite under ``__compacting`` with the LIVE
-    table's bucket count (read from the catalog, so callers can't
-    desynchronize it) → metastore-rename swap, original restored if the
-    swap-in rename FAILS.  A hard crash (kill/OOM) between the two
+    distinct full rows → optional ``transform`` (a DataFrame →
+    DataFrame fold the caller needs baked into the rewrite, e.g. the
+    ANN index's tombstone resolution) → rewrite under ``__compacting``
+    with the LIVE table's bucket count (read from the catalog, so
+    callers can't desynchronize it) → metastore-rename swap, original
+    restored if the swap-in rename FAILS.  A hard crash (kill/OOM) between the two
     renames is also recoverable: the next compaction run detects the
     live-name-missing/``__old``-present state on entry and restores
     the original before proceeding, so the cycle self-heals instead of
@@ -1231,9 +1234,11 @@ def _compact_bucketed_table(
     }
     files_before = len(spark.table(table).inputFiles())
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    fresh = spark.table(table).distinct()
+    if transform is not None:
+        fresh = transform(fresh)
     (
-        spark.table(table)
-        .distinct()
+        fresh
         .write.mode("overwrite")
         .format("parquet")
         .bucketBy(n_buckets, *bucket_cols)
@@ -2052,9 +2057,12 @@ def semantic_dedup(
     duplicates; NULL embeddings are dropped up front (the
     kmeans_fixed rule).
 
-    Returns one row per input row: ``(id_col, cell int, dup_of,
-    keep boolean)`` — filter ``keep`` for the deduplicated corpus,
-    join ``dup_of`` for provenance.
+    Returns one row per input row WITH a non-NULL embedding (rows
+    whose embedding is NULL are dropped up front — the kmeans_fixed
+    rule — not passed through): ``(id_col, cell int, dup_of, keep
+    boolean)`` — filter ``keep`` for the deduplicated corpus, join
+    ``dup_of`` for provenance; left-join back to the input if
+    NULL-embedding rows must be carried.
 
     Scale shape: cell assignment is map-only (literal centroids);
     the candidate join is an EQUI-join on the cell id (plan-pinned:
@@ -2066,8 +2074,8 @@ def semantic_dedup(
     paper's regime), and AQE's skew-join split backstops stragglers.
     In-query training is the priced hash-exactness trade shared with
     ``kmeans_assign``/``pq_topk``; for the train-once shape, persist
-    cells with ``ann_index.write_ivf_index`` and join postings
-    instead.
+    cells with ``ann_index.write_ivf_index`` and run
+    :func:`semantic_dedup_from_index` over the stored postings instead.
     """
     from .kmeans import kmeans_fixed
 
@@ -2078,6 +2086,21 @@ def semantic_dedup(
         base, id_col, vec_col, k=num_cells, n_iter=n_iter,
         scale=scale, offset=offset, seed=seed,
     ).select(id_col, F.col("cluster").cast("int").alias("cell"))
+    return _semantic_dedup_cells(base, cells, id_col, vec_col, threshold)
+
+
+def _semantic_dedup_cells(
+    base: DataFrame, cells: DataFrame, id_col: str, vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Shared SemDeDup tail: given ``base (id, vec)`` and a cell
+    assignment ``cells (id, cell int)`` — trained in-query
+    (:func:`semantic_dedup`) or read from a persisted IVF index
+    (:func:`semantic_dedup_from_index`) — run the intra-cell
+    earliest-id near-duplicate scan.  Candidate space is Σ|cell|² via
+    the cell-id equi-join; exact-cosine scoring on the RAW vectors
+    (``dot_fixed``), so both entry points produce bit-identical
+    verdicts for the same assignment."""
     from ..functions.vectors import dot_fixed
 
     # self-norms precompute PER ROW before the checkpoint: cosine_exact
@@ -2114,3 +2137,48 @@ def semantic_dedup(
         "dup_of",
         F.col("dup_of").isNull().alias("keep"),
     )
+
+
+def semantic_dedup_from_index(
+    df: DataFrame,
+    table: str,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup over a PERSISTED IVF index — the train-once/serve-many
+    composition :func:`semantic_dedup`'s docstring promises: cell
+    assignments come from the stored posting lists of
+    ``ann_index.write_ivf_index`` (tombstone-resolved, so deleted or
+    superseded vectors never anchor a duplicate verdict), not from an
+    in-query k-means — the Lloyd's passes are paid once at index-build
+    time, and a nightly dedup re-run is two joins.
+
+    ``df`` supplies the RAW vectors (the index stores the quantized
+    ``q``, whose fixed-point recipe differs from ``dot_fixed``'s exact
+    12-decimal cosine — same reason probes take a ``queries`` frame);
+    column names come from the index stamp.  Output rows are scoped to
+    ids present in BOTH ``df`` (with non-NULL embeddings) and the live
+    index — an unindexed row has no cell, a tombstoned row is no
+    longer corpus.  When the index was built on exactly ``df``'s rows
+    with the same k-means parameters, the verdicts are bit-identical
+    to :func:`semantic_dedup` (the ``semantic_dedup_indexed`` driver
+    query pins this cross-engine).
+
+    Scale shape: one id-keyed join (raw vectors ⨝ postings — the same
+    shuffle the in-query path pays to attach its trained cells) +
+    the shared Σ|cell|² cell-scan; the tombstone resolve is a
+    broadcast.  ``num_cells ∝ n`` remains the contract, set at
+    index-build time."""
+    from .ann_index import _read_stamp, _resolve_live, _tombstone_maxseq
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    spark = df.sparkSession
+    p = _read_stamp(spark, table)
+    id_col, vec_col = p["id_col"], p["vec_col"]
+    spark.catalog.refreshTable(table)
+    cells = _resolve_live(
+        spark.table(table), _tombstone_maxseq(spark, table, id_col),
+        id_col,
+    ).select(id_col, "cell")
+    base = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    return _semantic_dedup_cells(base, cells, id_col, vec_col, threshold)

@@ -91,13 +91,19 @@ def kn_bigram_score(
         ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
 
     tr = explode_bigrams(train_docs)
-    # bigram counts — the one corpus-scale aggregate; persisted because
-    # FOUR consumers read it (ctx, cont, the n_bi count, the score
-    # join) and each would otherwise re-run the corpus explode (the
-    # char_trigram_lm_score doc_tri precedent)
+    # bigram counts — the one corpus-scale aggregate; materialized via
+    # eager localCheckpoint (the repo's barrier idiom,
+    # preference.py::preference_pairs) because FOUR consumers read it
+    # (ctx, cont, the n_bi count, the score join) and each would
+    # otherwise re-run the corpus explode.  localCheckpoint — not
+    # persist() — so the blocks are released by the ContextCleaner when
+    # the returned frame is dropped; a bare persist() pins the
+    # vocabulary-scale cache for the session (the r13 verdict's
+    # accreted-RDD finding) since no safe unpersist point exists on a
+    # lazily-consumed result.
     big = tr.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c12")
-    ).persist()
+    ).localCheckpoint(eager=True)
     # per-context totals + fan-out (vocabulary-bounded)
     ctx = big.groupBy("w1").agg(
         F.sum("c12").alias("c1"),

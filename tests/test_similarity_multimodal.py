@@ -700,7 +700,7 @@ def _drop_ivf_tables(spark, table):
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for t in (table, f"{table}__centroids", f"{table}__new",
               f"{table}__centroids__new", f"{table}__compacting",
-              f"{table}__old"):
+              f"{table}__old", f"{table}__tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
 
@@ -819,7 +819,7 @@ def _drop_pq_tables(spark, table):
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for t in (table, f"{table}__codebooks", f"{table}__new",
               f"{table}__codebooks__new", f"{table}__compacting",
-              f"{table}__old"):
+              f"{table}__old", f"{table}__tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
 
@@ -938,3 +938,255 @@ def test_ivf_index_vector_queries_and_dim_guard(spark):
             append_to_pq_index(bad, table)
     finally:
         _drop_pq_tables(spark, table)
+
+
+def test_ann_probe_batch_bound_and_query_dim_guard(spark):
+    """r13 verdict task 4 + advisor finding: ivf_probe_index bounds the
+    query batch loudly (the pq_probe_index discipline — the per-row
+    scoring array is |Q| structs wide, so an unbounded batch is a
+    plan-size blowup), and BOTH probe legs validate query-vector
+    dimension against the stamped index dim instead of silently
+    truncating (driver-side zip) or null-padding (zip_with)."""
+    import pytest as _pytest
+
+    from gdp_etl_spark.operators.ann_index import (
+        ivf_probe_index,
+        pq_probe_index,
+        write_ivf_index,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    table = "t_ivf_idx_bound"
+    _drop_ivf_tables(spark, table)
+    try:
+        write_ivf_index(emb, table, num_centroids=4, n_iter=1)
+        with _pytest.raises(ValueError, match="max_queries"):
+            ivf_probe_index(spark, table, [0, 1, 2, 3], k=2, max_queries=3)
+        with _pytest.raises(ValueError, match="dimension mismatch"):
+            ivf_probe_index(spark, table, [0, 1], k=2,
+                            queries=half.filter(F.col("vec_id") < 2))
+    finally:
+        _drop_ivf_tables(spark, table)
+
+    table = "t_pq_idx_bound"
+    _drop_pq_tables(spark, table)
+    try:
+        write_pq_index(emb, table, m=4, k_codes=4, n_iter=1, dim=64)
+        with _pytest.raises(ValueError, match="dimension mismatch"):
+            pq_probe_index(spark, half.filter(F.col("vec_id") < 2),
+                           table, k=2)
+    finally:
+        _drop_pq_tables(spark, table)
+
+
+def test_write_index_reclaims_orphaned_companion(spark):
+    """r13 advisor finding: a crash between the companion rename and
+    the postings rename leaves a live ``__centroids``/``__codebooks``
+    with no index table; the retry must reclaim the orphan instead of
+    failing with 'already exists' (the postings table, renamed LAST,
+    is the liveness marker)."""
+    import pytest as _pytest
+
+    from gdp_etl_spark.operators.ann_index import (
+        ivf_probe_index,
+        write_ivf_index,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    table = "t_ivf_idx_orphan"
+    _drop_ivf_tables(spark, table)
+    try:
+        # simulate the crash window: companion live, postings absent
+        write_ivf_index(emb, table, num_centroids=4, n_iter=1)
+        want = sorted(map(tuple, ivf_probe_index(
+            spark, table, [0, 1], k=3, nprobe=2).collect()))
+        spark.sql(f"DROP TABLE {table}")
+        assert spark.catalog.tableExists(f"{table}__centroids")
+        write_ivf_index(emb, table, num_centroids=4, n_iter=1)  # retry
+        got = sorted(map(tuple, ivf_probe_index(
+            spark, table, [0, 1], k=3, nprobe=2).collect()))
+        assert got == want
+        # a live INDEX still refuses to be overwritten
+        with _pytest.raises(ValueError, match="already exists"):
+            write_ivf_index(emb, table)
+    finally:
+        _drop_ivf_tables(spark, table)
+
+    table = "t_pq_idx_orphan"
+    _drop_pq_tables(spark, table)
+    try:
+        write_pq_index(emb, table, m=4, k_codes=4, n_iter=1, dim=64)
+        spark.sql(f"DROP TABLE {table}")
+        write_pq_index(emb, table, m=4, k_codes=4, n_iter=1, dim=64)
+        assert spark.catalog.tableExists(table)
+    finally:
+        _drop_pq_tables(spark, table)
+
+
+def test_ivf_index_churn_upsert_delete_compact(spark):
+    """r13 verdict task 7 — index maintenance under churn: upserts
+    (re-crawled documents, possibly moving cells) and deletes (removed
+    documents) via tombstones.  Invariants: (1) a probe NEVER serves a
+    deleted or superseded vector, even before compaction (read-time
+    broadcast resolution); (2) probe results are identical before and
+    after the compaction fold; (3) the compacted posting table equals
+    what assigning the FINAL logical corpus with the stored centroids
+    would write — churn + compact ≡ rebuild on the same logical rows
+    with the same model."""
+    from gdp_etl_spark.operators.ann_index import (
+        _load_centroids,
+        _postings,
+        _read_stamp,
+        append_to_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        ivf_probe_index,
+        upsert_to_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    # upsert ids 0..9 with NEGATED vectors (cells can move), delete 10..19
+    up = emb.filter(F.col("vec_id") < 10).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    deleted = list(range(10, 20))
+    table = "t_ivf_idx_churn"
+    _drop_ivf_tables(spark, table)
+    try:
+        write_ivf_index(evens, table, num_centroids=4, n_iter=2)
+        append_to_ivf_index(odds, table)
+        upsert_to_ivf_index(up, table)
+        delete_from_ivf_index(spark, table, deleted)
+        assert spark.catalog.tableExists(f"{table}__tombstones")
+        pre = sorted(map(tuple, ivf_probe_index(
+            spark, table, [0, 1, 20], k=50, nprobe=4).collect()))
+        assert pre and not any(t[1] in deleted for t in pre)
+        fb, fa = compact_ivf_index(spark, table)
+        assert fa <= fb
+        assert not spark.catalog.tableExists(f"{table}__tombstones")
+        post = sorted(map(tuple, ivf_probe_index(
+            spark, table, [0, 1, 20], k=50, nprobe=4).collect()))
+        assert pre == post
+        # physical contents == assigning the final logical corpus with
+        # the STORED (day-1) centroids
+        p = _read_stamp(spark, table)
+        cents = _load_centroids(spark, table)
+        final = (
+            emb.filter(~F.col("vec_id").isin(deleted))
+            .filter(F.col("vec_id") >= 10)
+            .select("vec_id", "embedding")
+            .unionByName(up)
+        )
+        want = sorted(map(tuple, _postings(
+            final, "vec_id", "embedding", cents,
+            p["scale"], p["offset"], seq=0,
+        ).select("cell", "vec_id", "q").collect()))
+        got = sorted(map(tuple, spark.table(table)
+                         .select("cell", "vec_id", "q").collect()))
+        assert got == want
+    finally:
+        _drop_ivf_tables(spark, table)
+
+
+def test_pq_index_churn_upsert_delete_compact(spark):
+    """The PQ twin of the churn test: tombstone upsert/delete on the
+    codes table, probe-invariant compaction, and compacted contents ==
+    encoding the final logical corpus with the stored codebooks."""
+    from gdp_etl_spark.operators.ann_index import (
+        _load_codebooks,
+        _pq_codes,
+        _read_pq_stamp,
+        append_to_pq_index,
+        compact_pq_index,
+        delete_from_pq_index,
+        pq_probe_index,
+        upsert_to_pq_index,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    up = emb.filter(F.col("vec_id") < 10).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    deleted = list(range(10, 20))
+    table = "t_pq_idx_churn"
+    _drop_pq_tables(spark, table)
+    try:
+        write_pq_index(evens, table, m=4, k_codes=8, n_iter=2, dim=64)
+        append_to_pq_index(odds, table)
+        upsert_to_pq_index(up, table)
+        delete_from_pq_index(spark, table, deleted)
+        q = emb.filter(F.col("vec_id") >= 20).filter(F.col("vec_id") < 22)
+        pre = sorted(map(tuple, pq_probe_index(spark, q, table,
+                                               k=50).collect()))
+        assert pre and not any(t[1] in deleted for t in pre)
+        fb, fa = compact_pq_index(spark, table)
+        assert fa <= fb
+        post = sorted(map(tuple, pq_probe_index(spark, q, table,
+                                                k=50).collect()))
+        assert pre == post
+        p = _read_pq_stamp(spark, table)
+        books = _load_codebooks(spark, table, p["m"])
+        final = (
+            emb.filter(~F.col("vec_id").isin(deleted))
+            .filter(F.col("vec_id") >= 10)
+            .select("vec_id", "embedding")
+            .unionByName(up)
+        )
+        want = sorted(map(tuple, _pq_codes(
+            final, "vec_id", "embedding", books, p["dim"] // p["m"],
+            p["scale"], p["offset"], seq=0,
+        ).select("vec_id", "codes").collect()))
+        got = sorted(map(tuple, spark.table(table)
+                         .select("vec_id", "codes").collect()))
+        assert got == want
+    finally:
+        _drop_pq_tables(spark, table)
+
+
+def test_semantic_dedup_from_index_matches_in_query(spark):
+    """r13 verdict task 5 — the SemDeDup × persisted-IVF composition:
+    cell assignments read from stored postings (no in-query k-means)
+    produce verdicts bit-identical to semantic_dedup when the index
+    was built on the same rows with the same parameters; tombstoned
+    rows drop out of the candidate corpus."""
+    from gdp_etl_spark.operators.ann_index import (
+        delete_from_ivf_index,
+        write_ivf_index,
+    )
+    from gdp_etl_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_from_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    table = "t_semdedup_idx"
+    _drop_ivf_tables(spark, table)
+    try:
+        write_ivf_index(emb, table, num_centroids=8, n_iter=2,
+                        seed="semdedup")
+        got = sorted(map(tuple, semantic_dedup_from_index(
+            emb, table, threshold=0.35).collect()))
+        want = sorted(map(tuple, semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.35, num_cells=8,
+            n_iter=2, seed="semdedup").collect()))
+        assert got == want
+        # tombstoned rows leave the corpus: dropping every dup anchor's
+        # id removes it both as a row and as a dup_of target
+        anchors = sorted({t[2] for t in want if t[2] is not None})
+        if anchors:
+            delete_from_ivf_index(spark, table, [int(a) for a in anchors])
+            after = semantic_dedup_from_index(emb, table, threshold=0.35)
+            rows = after.collect()
+            ids = {r["vec_id"] for r in rows}
+            assert not (ids & set(anchors))
+            assert not any(r["dup_of"] in set(anchors) for r in rows
+                           if r["dup_of"] is not None)
+    finally:
+        _drop_ivf_tables(spark, table)

@@ -1895,3 +1895,30 @@ def test_schedule_frontier_politeness(spark):
         [(1, None, 0)], "id bigint, host string, d int")
     with _pytest.raises(SparkRuntimeException, match="NULL host"):
         schedule_frontier(withnull, "host", "id").collect()
+
+
+def test_schedule_frontier_hot_host_guard(spark):
+    """r13 verdict task 3: the per-host row_number window puts one
+    host's entire frontier in one task, so the 'crawl-bounded'
+    assumption is now GUARDED — a host over max_host_frontier raises
+    loudly (the preference_pairs max_group_size pattern) instead of
+    becoming a silent straggler; hosts at or under the cap schedule
+    unchanged."""
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from gdp_etl_spark.operators.crawl import schedule_frontier
+
+    hot = [(i, "hot.example", 0) for i in range(50)]
+    cold = [(100 + i, "cold.example", 0) for i in range(5)]
+    df = spark.createDataFrame(hot + cold, "id bigint, host string, d int")
+    with _pytest.raises(SparkRuntimeException, match="max_host_frontier"):
+        schedule_frontier(df, "host", "id", max_host_frontier=49).collect()
+    # exactly at the cap: passes, schedule identical to the unguarded math
+    out = schedule_frontier(
+        df, "host", "id", per_host_budget=16, max_host_frontier=50
+    ).collect()
+    assert len(out) == 55
+    assert max(r.fetch_cycle for r in out) == 49 // 16
+    with _pytest.raises(ValueError, match="max_host_frontier"):
+        schedule_frontier(df, "host", "id", max_host_frontier=0)
