@@ -1473,6 +1473,177 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_ivf_upsert(spark, sf_dir):
+    """ANN index maintenance under CHURN (ann_index.upsert_to_ivf_index
+    / delete_from_ivf_index / compact_ivf_index — the r13 verdict's
+    task 7): after the day-1 write (evens train the quantizer) and the
+    day-2 append (odds), vec_ids 0-19 are re-crawled with NEGATED
+    vectors (an upsert — cells can move) and 20-39 are removed (a
+    delete).  Both are tombstones: ``(id, seq)`` rows in the
+    ``__tombstones`` companion kill posting rows with an earlier
+    write-seq; the upsert's own rows survive their own tombstone
+    (written at the same seq).  The probe runs TWICE — before
+    compaction (read-time broadcast liveness resolution) and after
+    (tombstones applied physically and cleared) — and both stages must
+    equal the oracle's replay: train on original evens, assign the
+    FINAL logical corpus (negated 0-19, 20-39 gone) with the stored
+    centroids, probe from final vectors.  A stale row served, a lost
+    upsert, a leaked delete, or a compaction that changes any distance
+    breaks the hash."""
+    import shutil as _shutil
+
+    from gdp_etl_spark.operators.ann_index import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        ivf_probe_index,
+        upsert_to_ivf_index,
+        write_ivf_index,
+    )
+
+    table = "q_ivf_upsert_tbl"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (table, f"{table}__centroids", f"{table}__tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    write_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), table,
+        num_centroids=8, n_iter=2,
+    )
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), table)
+    upsert_to_ivf_index(
+        emb.filter(F.col("vec_id") < 20).select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        ),
+        table,
+    )
+    delete_from_ivf_index(spark, table, list(range(20, 40)))
+    qids = [0, 1, 2, 3, 100]
+    # pre-compact probe MATERIALIZES now (localCheckpoint): its plan
+    # reads the tombstone table, which compact drops below
+    pre = ivf_probe_index(
+        spark, table, qids, k=10, nprobe=3
+    ).select(F.lit("pre_compact").alias("stage"), "*").localCheckpoint()
+    compact_ivf_index(spark, table)
+    post = ivf_probe_index(
+        spark, table, qids, k=10, nprobe=3
+    ).select(F.lit("post_compact").alias("stage"), "*")
+    return pre.unionByName(post)
+
+
+def _churn_final_select(upsert_below=20, del_lo=20, del_hi=40):
+    """The FINAL logical corpus after the shared churn scenario, as a
+    quantized (vec_id, q) SELECT for the oracle generators: vec_ids
+    below ``upsert_below`` carry NEGATED embeddings, ids in
+    [del_lo, del_hi) are gone."""
+    return (
+        "SELECT vec_id, list_transform("
+        f"CASE WHEN vec_id < {upsert_below} THEN "
+        "list_transform(embedding, x -> -x) ELSE embedding END, "
+        "x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000.0) "
+        "AS BIGINT)) AS q "
+        "FROM embeddings WHERE embedding IS NOT NULL "
+        f"AND NOT (vec_id >= {del_lo} AND vec_id < {del_hi})"
+    )
+
+
+def _staged_sql(base_sql):
+    """Duplicate a probe replay into the pre/post-compaction stages the
+    churn driver queries return — compaction must be a pure physical
+    fold, so both stages carry identical values."""
+    return (
+        f"WITH res AS ({base_sql}) "
+        "SELECT 'pre_compact' AS stage, * FROM res "
+        "UNION ALL SELECT 'post_compact' AS stage, * FROM res"
+    )
+
+
+def q_pq_upsert(spark, sf_dir):
+    """The PQ twin of q_ivf_upsert: tombstone churn on the CODES table
+    (vec_ids 0-19 re-encoded from negated vectors with the STORED
+    day-1 codebooks, 20-39 deleted), ADC probes from the final query
+    vectors before and after the compaction fold.  The oracle replays
+    training on original evens and encoding of the final logical
+    corpus — stale codes, lost upserts or a lossy compaction break the
+    hash."""
+    import shutil as _shutil
+
+    from gdp_etl_spark.operators.ann_index import (
+        append_to_pq_index,
+        compact_pq_index,
+        delete_from_pq_index,
+        pq_probe_index,
+        upsert_to_pq_index,
+        write_pq_index,
+    )
+
+    table = "q_pq_upsert_tbl"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (table, f"{table}__codebooks", f"{table}__tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    write_pq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), table,
+        m=4, k_codes=16, n_iter=2, dim=64,
+    )
+    append_to_pq_index(emb.filter(F.col("vec_id") % 2 == 1), table)
+    upsert_to_pq_index(
+        emb.filter(F.col("vec_id") < 20).select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        ),
+        table,
+    )
+    delete_from_pq_index(spark, table, list(range(20, 40)))
+    # query vectors come from the FINAL corpus (0,1 upserted → negated;
+    # 100 untouched) — the id-keyed store the probe contract names
+    qvecs = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    ).unionByName(
+        emb.filter(F.col("vec_id") == 100).select("vec_id", "embedding")
+    )
+    pre = pq_probe_index(
+        spark, qvecs, table, k=10
+    ).select(F.lit("pre_compact").alias("stage"), "*").localCheckpoint()
+    compact_pq_index(spark, table)
+    post = pq_probe_index(
+        spark, qvecs, table, k=10
+    ).select(F.lit("post_compact").alias("stage"), "*")
+    return pre.unionByName(post)
+
+
+def q_semantic_dedup_indexed(spark, sf_dir):
+    """SemDeDup composed with the PERSISTED IVF index
+    (dedup.semantic_dedup_from_index — the r13 verdict's task 5): cell
+    assignments come from stored posting lists (tombstone-resolved),
+    not an in-query k-means, so the Lloyd's passes are paid once at
+    index-build time and a nightly dedup re-run is two joins.  Index
+    built on the full embedding table with semantic_dedup's own
+    parameters (seed='semdedup', k=8, 2 iters), so the verdicts are
+    bit-identical to the in-query `semantic_dedup` query — and the
+    oracle IS the same generated k-means+cosine CTE chain, hash-exact.
+    A drifted stored assignment, a broken stamp read, or a liveness
+    bug breaks the hash."""
+    import shutil as _shutil
+
+    from gdp_etl_spark.operators.ann_index import write_ivf_index
+    from gdp_etl_spark.operators.dedup import semantic_dedup_from_index
+
+    table = "q_semdedup_idx_tbl"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (table, f"{table}__centroids", f"{table}__tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    write_ivf_index(
+        emb, table, num_centroids=8, n_iter=2, seed="semdedup"
+    )
+    return semantic_dedup_from_index(emb, table, threshold=0.35)
+
+
 def _semantic_dedup_sql(threshold=0.35, k_cells=8, n_iter=2,
                         seed="semdedup", dim=64):
     parts, _ = _kmeans_cells_parts(
@@ -5825,13 +5996,18 @@ def q_grouped_topk(spark, sf_dir):
 
 
 def _kmeans_cells_parts(dim=64, k_cells=8, seed="ivf", n_iter=2,
-                        train_where=None):
+                        train_where=None, final_select=None):
     """Shared CTE chain: quantize → hash-seeded init → n_iter
     fixed-point Lloyd's rounds → final-cell assignment of ALL rows
     (``enc(vec_id, cell)``).  Used by the IVF oracles and the
     SemDeDup oracle; ``train_where`` restricts the TRAINING set only
     (the ann_index write/append split) — seeding and Lloyd passes run
-    over the filtered rows, assignment over everything."""
+    over the filtered rows, assignment over everything.
+    ``final_select`` (the churn split): a SELECT producing the FINAL
+    logical corpus as ``(vec_id, q)`` — when given, it is exposed as
+    CTE ``qf`` and the final assignment runs over it instead of
+    ``qq``, while training still reads the ORIGINAL rows (stored
+    centroids never retrain under upserts/deletes)."""
     rng = f"range(1, {dim + 1})"
 
     def d2(va, vb):
@@ -5853,6 +6029,12 @@ def _kmeans_cells_parts(dim=64, k_cells=8, seed="ivf", n_iter=2,
         tr = "tr"
         parts.append(f"""tr AS (
       SELECT * FROM qq WHERE {train_where}
+    )""")
+    assign_src = "qq"
+    if final_select:
+        assign_src = "qf"
+        parts.append(f"""qf AS (
+      {final_select}
     )""")
     parts.append(f"""c0 AS (
       SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster, q AS c
@@ -5885,7 +6067,7 @@ def _kmeans_cells_parts(dim=64, k_cells=8, seed="ivf", n_iter=2,
     parts.append(f"""enc AS (
       SELECT vec_id, cluster AS cell FROM (
         SELECT v.vec_id, c.cluster, {d2('v', 'c')} AS d2
-        FROM qq v CROSS JOIN {prev} c)
+        FROM {assign_src} v CROSS JOIN {prev} c)
       QUALIFY row_number() OVER (PARTITION BY vec_id
                                  ORDER BY d2, cluster) = 1
     )""")
@@ -5893,25 +6075,29 @@ def _kmeans_cells_parts(dim=64, k_cells=8, seed="ivf", n_iter=2,
 
 
 def _ivf_sql(dim=64, k_cells=8, nprobe=3, queries=(0, 1, 2, 3, 4), k=10,
-             seed="ivf", n_iter=2, train_where=None):
+             seed="ivf", n_iter=2, train_where=None, final_select=None):
     """DuckDB replay of similarity.ivf_topk_fixed: ONE full-dimension
     fixed-point Lloyd's chain (the _pq_sql per-subspace machinery with
     a single subspace = the whole vector), corpus cell assignment,
     per-query nprobe cell selection by the same integer distances, and
     exact fixed-point scoring of the probed cells — the IVF result
-    hash-matches, upgrading ivf_topk from its old rows-only status."""
+    hash-matches, upgrading ivf_topk from its old rows-only status.
+    ``final_select`` (the ann_index churn replay): assignment, query
+    vectors and scoring all read the FINAL logical corpus ``qf``;
+    training stays on the original rows per ``train_where``."""
     rng = f"range(1, {dim + 1})"
     qlist = ", ".join(str(q) for q in queries)
     parts, d2 = _kmeans_cells_parts(
         dim=dim, k_cells=k_cells, seed=seed, n_iter=n_iter,
-        train_where=train_where,
+        train_where=train_where, final_select=final_select,
     )
+    src = "qf" if final_select else "qq"
     prev = f"c{n_iter}" if n_iter >= 1 else "c0"
     parts.append(f"""probe AS (
       SELECT query_id, cell FROM (
         SELECT quer.vec_id AS query_id, cc.cluster AS cell,
                {d2('quer', 'cc')} AS d2
-        FROM qq quer CROSS JOIN {prev} cc
+        FROM {src} quer CROSS JOIN {prev} cc
         WHERE quer.vec_id IN ({qlist}))
       QUALIFY row_number() OVER (PARTITION BY query_id
                                  ORDER BY d2, cell) <= {nprobe}
@@ -5923,8 +6109,8 @@ def _ivf_sql(dim=64, k_cells=8, nprobe=3, queries=(0, 1, 2, 3, 4), k=10,
                AS BIGINT) AS score_d2
       FROM probe p
       JOIN enc e ON e.cell = p.cell
-      JOIN qq vq ON vq.vec_id = p.query_id
-      JOIN qq vn ON vn.vec_id = e.vec_id
+      JOIN {src} vq ON vq.vec_id = p.query_id
+      JOIN {src} vn ON vn.vec_id = e.vec_id
       WHERE e.vec_id <> p.query_id
     )""")
     return ("WITH " + ",\n    ".join(parts) + f"""
@@ -5938,7 +6124,7 @@ def _ivf_sql(dim=64, k_cells=8, nprobe=3, queries=(0, 1, 2, 3, 4), k=10,
 
 
 def _pq_sql(m=4, sub=16, k_codes=16, queries=(0, 1, 2), k=10, seed="pq",
-            rerank=0, train_where=None):
+            rerank=0, train_where=None, final_select=None):
     """DuckDB replay of similarity.pq_topk: per-subspace fixed-point
     Lloyd's (the kmeans_assign oracle's CTE chain, generated instead of
     hand-unrolled), final-codebook encoding, exact-integer ADC scoring,
@@ -5946,7 +6132,13 @@ def _pq_sql(m=4, sub=16, k_codes=16, queries=(0, 1, 2), k=10, seed="pq",
     shortlist — the product-quantization result hash-matches, it is
     not a recall bound.  ``train_where`` restricts the TRAINING set
     only (the ann_index write/append split) — codebook seeding and
-    Lloyd passes run over the filtered rows, encode/score over all."""
+    Lloyd passes run over the filtered rows, encode/score over all.
+    ``final_select`` (the churn replay): encode and query slices read
+    the FINAL logical corpus ``qf``; training stays on the original
+    rows."""
+    if rerank and final_select:
+        raise ValueError("_pq_sql: rerank re-reads qq; not wired for "
+                         "final_select — churn replays use rerank=0")
     rng = f"range(1, {sub + 1})"
     qlist = ", ".join(str(q) for q in queries)
 
@@ -5962,6 +6154,12 @@ def _pq_sql(m=4, sub=16, k_codes=16, queries=(0, 1, 2), k=10, seed="pq",
                          AS BIGINT)) AS q
       FROM embeddings WHERE embedding IS NOT NULL
     )"""]
+    enc_src = "qs"
+    if final_select:
+        enc_src = "fs"
+        parts.append(f"""qf AS (
+      {final_select}
+    )""")
     for s in range(m):
         lo = s * sub
         parts.append(f"""qs{s} AS (
@@ -5969,6 +6167,10 @@ def _pq_sql(m=4, sub=16, k_codes=16, queries=(0, 1, 2), k=10, seed="pq",
              CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
                                       || ':{seed}{s}'), 1, 8)) AS BIGINT) AS h
       FROM qq
+    )""")
+        if final_select:
+            parts.append(f"""fs{s} AS (
+      SELECT vec_id, q[{lo + 1}:{lo + sub}] AS q FROM qf
     )""")
         tr_s = f"qs{s}"
         if train_where:
@@ -6007,14 +6209,14 @@ def _pq_sql(m=4, sub=16, k_codes=16, queries=(0, 1, 2), k=10, seed="pq",
         parts.append(f"""enc{s} AS (
       SELECT vec_id, cluster AS code FROM (
         SELECT v.vec_id, c.cluster, {d2('v', 'c')} AS d2
-        FROM qs{s} v CROSS JOIN {prev} c)
+        FROM {enc_src}{s} v CROSS JOIN {prev} c)
       QUALIFY row_number() OVER (PARTITION BY vec_id
                                  ORDER BY d2, cluster) = 1
     )""")
         parts.append(f"""qd{s} AS (
       SELECT quer.vec_id AS query_id, cc.cluster AS code,
              {d2('quer', 'cc')} AS d2
-      FROM qs{s} quer CROSS JOIN {prev} cc
+      FROM {enc_src}{s} quer CROSS JOIN {prev} cc
       WHERE quer.vec_id IN ({qlist})
     )""")
     joins = "\n      ".join(
@@ -7050,136 +7252,141 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every CORRECTNESS_r*.json ledger and ranks (1) queries whose code,
     fixture, or oracle changed this round, (2) queries with no driver
     row in any round, (3) everything else stalest-first (last-green
-    round ascending, name tie-break).  The round-13 window: the four
-    queries whose code/oracle changed in the advisor-finding fixes
-    (c4_clean, bpe_merges, hybrid_rrf, token_stats — the shared
-    regex-class constants), the ten never-driver-checked queries
-    (bpe_encode, crawl_schedule, curriculum, curriculum_batches,
-    ivf_index, kn_bigram, pq_index, preference_pairs,
-    semantic_dedup, url_frontier — the two r12 post-close additions
-    plus this round's eight new operators), then the first 36 of the
-    47-query last-green-r8 bucket; the 11 spilled r8 queries
-    (qa_deflator_check … usis_export) keep their r8 ledger rows,
-    pass the local oracle today, and lead the r14 window.  The remaining
-    lockstep-constant queries (quality_lang, quality_gate,
-    source_report, train_batches, weighted_sample, crawl_corpus,
-    corpus_clean/corpus_curate/curation_audit/source_terciles are IN
-    the window) were re-verified with tools/check_correctness.py this
-    round — both engines import the same constants, so parity is
-    structural.  Everything rotated out stays registered below with
-    identical local oracle coverage (``tools/check_correctness.py``)."""
+    round ascending, name tie-break).  The round-14 window: the three
+    NEW churn/composition queries (ivf_upsert, pq_upsert,
+    semantic_dedup_indexed — never driver-checked), the five queries
+    whose operator code changed this round (crawl_schedule's hot-host
+    guard, ivf_index/pq_index's seq column + probe liveness + dim
+    guards, kn_bigram's localCheckpoint barrier, semantic_dedup's
+    shared-core refactor), the 11-query last-green-r8 tail the r13
+    window spilled (qa_deflator_check … usis_export — the r13
+    verdict's top carry), then the first 31 of the 47-query
+    last-green-r9 bucket (array_agg … profile_table).  Everything
+    rotated out stays registered below with identical local oracle
+    coverage (``tools/check_correctness.py``)."""
     return {
-        "c4_clean": q_c4_clean,
-        "bpe_merges": q_bpe_merges,
-        "hybrid_rrf": q_hybrid_rrf,
-        "token_stats": q_token_stats,
-        "bpe_encode": q_bpe_encode,
-        "curriculum": q_curriculum,
-        "curriculum_batches": q_curriculum_batches,
-        "ivf_index": q_ivf_index,
-        "semantic_dedup": q_semantic_dedup,
-        "pq_index": q_pq_index,
-        "preference_pairs": q_preference_pairs,
+        "ivf_upsert": q_ivf_upsert,
+        "pq_upsert": q_pq_upsert,
+        "semantic_dedup_indexed": q_semantic_dedup_indexed,
         "crawl_schedule": q_crawl_schedule,
+        "ivf_index": q_ivf_index,
         "kn_bigram": q_kn_bigram,
-        "url_frontier": q_url_frontier,
-        "asof_join": q_asof_join,
-        "base_broadcast": q_base_broadcast,
-        "bm25_topk": q_bm25_topk,
-        "build_fact": q_build_fact,
-        "cdc_dedup": q_cdc_dedup,
-        "chunk_embed_pool": q_chunk_embed_pool,
-        "cluster_split": q_cluster_split,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "cogroup_reconcile": q_cogroup_reconcile,
-        "cohort_retention": q_cohort_retention,
-        "corpus_clean": q_corpus_clean,
-        "corpus_curate": q_corpus_curate,
-        "csv_trimmed": q_csv_trimmed,
-        "cube": q_cube,
-        "curation_audit": q_curation_audit,
-        "decontaminate": q_decontaminate,
-        "dedup_keep_best": q_dedup_keep_best,
-        "embedding_near_dup": q_embedding_near_dup,
-        "events_sessions": q_events_sessions,
-        "events_tumbling": q_events_tumbling,
-        "excel_scan": q_excel_scan,
-        "fingerprint": q_fingerprint,
-        "fixed_width": q_fixed_width,
-        "flagship_revenue": q_flagship_revenue,
-        "funnel": q_funnel,
-        "grouping_sets": q_grouping_sets,
-        "hamming_d4": q_hamming_d4,
-        "http_csv_scan": q_http_csv_scan,
-        "ivf_recall": q_ivf_recall,
-        "kmeans_assign": q_kmeans_assign,
-        "lm_buckets": q_lm_buckets,
-        "lm_score": q_lm_score,
-        "lsh_topk": q_lsh_topk,
-        "minhash_index": q_minhash_index,
-        "phash_dedup": q_phash_dedup,
-        "qa_added_years": q_qa_added_years,
-        # -- end of driver window (50) -----------------------------------
-        # below the window: alphabetical; all keep local oracle
-        # coverage via tools/check_correctness.py
+        "pq_index": q_pq_index,
+        "semantic_dedup": q_semantic_dedup,
         "qa_deflator_check": q_qa_deflator_check,
         "qa_discrepancies": q_qa_discrepancies,
         "qa_missing_years": q_qa_missing_years,
         "qa_top_log_ratio": q_qa_top_log_ratio,
-        "ab_test": q_ab_test,
-        "ann_topk": q_ann_topk,
+        "rolling_window": q_rolling_window,
+        "simhash_pairs": q_simhash_pairs,
+        "source_terciles": q_source_terciles,
+        "sql_api": q_sql_api,
+        "sql_api_q3": q_sql_api_q3,
+        "url_dedup": q_url_dedup,
+        "usis_export": q_usis_export,
         "array_agg": q_array_agg,
         "array_map_funcs": q_array_map_funcs,
-        "bankers_round": q_bankers_round,
-        "batch_screen": q_batch_screen,
         "benford": q_benford,
         "big_order_customers": q_big_order_customers,
         "binary_header": q_binary_header,
+        "column_entropy": q_column_entropy,
+        "corpus_mix": q_corpus_mix,
+        "corr_matrix": q_corr_matrix,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "dq_checks": q_dq_checks,
+        "embed_transform": q_embed_transform,
+        "events_sliding": q_events_sliding,
+        "excess_suppliers": q_excess_suppliers,
+        "forecast_revenue": q_forecast_revenue,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "grouped_topk": q_grouped_topk,
+        "html_strip": q_html_strip,
+        "important_parts": q_important_parts,
+        "interval_overlap": q_interval_overlap,
+        "inverted_index": q_inverted_index,
+        "late_orders": q_late_orders,
+        "line_dedup_doc": q_line_dedup_doc,
+        "linear_trend": q_linear_trend,
+        "link_graph": q_link_graph,
+        "merge_upsert": q_merge_upsert,
+        "native_rollup": q_native_rollup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "observed_profile": q_observed_profile,
+        "pack_sequences": q_pack_sequences,
+        "pii_redact": q_pii_redact,
+        "profile_table": q_profile_table,
+        # -- end of driver window (50) -----------------------------------
+        # below the window: alphabetical; all keep local oracle
+        # coverage via tools/check_correctness.py
+        "ab_test": q_ab_test,
+        "ann_topk": q_ann_topk,
+        "asof_join": q_asof_join,
+        "bankers_round": q_bankers_round,
+        "base_broadcast": q_base_broadcast,
+        "batch_screen": q_batch_screen,
         "blocklist_filter": q_blocklist_filter,
         "bloom_screen": q_bloom_screen,
+        "bm25_topk": q_bm25_topk,
         "boilerplate_lines": q_boilerplate_lines,
+        "bpe_encode": q_bpe_encode,
+        "bpe_merges": q_bpe_merges,
+        "build_fact": q_build_fact,
+        "c4_clean": q_c4_clean,
         "calendar_dim": q_calendar_dim,
         "category_drift": q_category_drift,
         "cdc_apply": q_cdc_apply,
+        "cdc_dedup": q_cdc_dedup,
+        "chunk_embed_pool": q_chunk_embed_pool,
         "closure_leaves": q_closure_leaves,
-        "column_entropy": q_column_entropy,
+        "cluster_split": q_cluster_split,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "cogroup_reconcile": q_cogroup_reconcile,
+        "cohort_retention": q_cohort_retention,
         "compute_project": q_compute_project,
         "conditional_agg": q_conditional_agg,
         "conditional_overwrite": q_conditional_overwrite,
         "contamination_frac": q_contamination_frac,
         "content_hash": q_content_hash,
+        "corpus_clean": q_corpus_clean,
+        "corpus_curate": q_corpus_curate,
         "corpus_diff": q_corpus_diff,
-        "corpus_mix": q_corpus_mix,
-        "corr_matrix": q_corr_matrix,
         "crawl_corpus": q_crawl_corpus,
         "csv_roundtrip": q_csv_roundtrip,
+        "csv_trimmed": q_csv_trimmed,
+        "cube": q_cube,
+        "curation_audit": q_curation_audit,
+        "curriculum": q_curriculum,
+        "curriculum_batches": q_curriculum_batches,
         "datetime_funcs": q_datetime_funcs,
         "decontam_screen": q_decontam_screen,
         "decontam_scrub": q_decontam_scrub,
+        "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "diff_classify": q_diff_classify,
-        "disjunctive_revenue": q_disjunctive_revenue,
         "distinct_values": q_distinct_values,
         "doc_chunks": q_doc_chunks,
-        "dq_checks": q_dq_checks,
         "drift_psi": q_drift_psi,
         "drop_na": q_drop_na,
         "dsir_select": q_dsir_select,
         "dsir_weights": q_dsir_weights,
         "dup_ngram_profile": q_dup_ngram_profile,
-        "embed_transform": q_embed_transform,
         "embedding_gram": q_embedding_gram,
+        "embedding_near_dup": q_embedding_near_dup,
         "epoch_shuffle": q_epoch_shuffle,
         "equidepth": q_equidepth,
-        "events_sliding": q_events_sliding,
+        "events_sessions": q_events_sessions,
+        "events_tumbling": q_events_tumbling,
         "exact_dedup": q_exact_dedup,
-        "excess_suppliers": q_excess_suppliers,
+        "excel_scan": q_excel_scan,
         "filter_band": q_filter_band,
         "filter_compound": q_filter_compound,
         "filter_in": q_filter_in,
         "filter_strlen": q_filter_strlen,
-        "forecast_revenue": q_forecast_revenue,
-        "fuzzy_pairs": q_fuzzy_pairs,
+        "fingerprint": q_fingerprint,
+        "fixed_width": q_fixed_width,
+        "flagship_revenue": q_flagship_revenue,
+        "funnel": q_funnel,
         "gaps_islands": q_gaps_islands,
         "golden_comments": q_golden_comments,
         "golden_release_diff": q_golden_release_diff,
@@ -7188,20 +7395,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_extrema": q_group_extrema,
         "group_first": q_group_first,
         "group_stats": q_group_stats,
-        "grouped_topk": q_grouped_topk,
+        "grouping_sets": q_grouping_sets,
+        "hamming_d4": q_hamming_d4,
         "hard_negatives": q_hard_negatives,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "heavy_hitters": q_heavy_hitters,
         "hist_incremental": q_hist_incremental,
         "histogram": q_histogram,
-        "html_strip": q_html_strip,
-        "important_parts": q_important_parts,
+        "http_csv_scan": q_http_csv_scan,
+        "hybrid_rrf": q_hybrid_rrf,
         "incremental_dedup": q_incremental_dedup,
         "index_dedup": q_index_dedup,
         "interpolate": q_interpolate,
-        "interval_overlap": q_interval_overlap,
-        "inverted_index": q_inverted_index,
+        "ivf_recall": q_ivf_recall,
         "ivf_topk": q_ivf_topk,
         "join_composite": q_join_composite,
         "join_label": q_join_label,
@@ -7209,48 +7416,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "k_anon": q_k_anon,
-        "late_orders": q_late_orders,
+        "kmeans_assign": q_kmeans_assign,
         "left_join_sum_zero": q_left_join_sum_zero,
         "length_batches": q_length_batches,
-        "line_dedup_doc": q_line_dedup_doc,
-        "linear_trend": q_linear_trend,
-        "link_graph": q_link_graph,
+        "lm_buckets": q_lm_buckets,
+        "lm_score": q_lm_score,
+        "lsh_topk": q_lsh_topk,
         "mad_outliers": q_mad_outliers,
         "market_share": q_market_share,
         "mean_pool": q_mean_pool,
-        "merge_upsert": q_merge_upsert,
         "min_cost_supplier": q_min_cost_supplier,
+        "minhash_index": q_minhash_index,
         "minhash_lsh": q_minhash_lsh,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
         "nation_profit": q_nation_profit,
-        "native_rollup": q_native_rollup,
         "ndv_incremental": q_ndv_incremental,
         "neg_projection": q_neg_projection,
-        "ngram_jaccard": q_ngram_jaccard,
         "norm_dedup": q_norm_dedup,
-        "observed_profile": q_observed_profile,
         "orc_roundtrip": q_orc_roundtrip,
         "order_count_dist": q_order_count_dist,
         "outlier_fences": q_outlier_fences,
         "pack_segments": q_pack_segments,
-        "pack_sequences": q_pack_sequences,
         "pad_codes": q_pad_codes,
         "pagerank": q_pagerank,
         "paragraph_dedup": q_paragraph_dedup,
         "pareto_share": q_pareto_share,
         "part_supplier_counts": q_part_supplier_counts,
-        "pii_redact": q_pii_redact,
+        "phash_dedup": q_phash_dedup,
         "pivot_wide": q_pivot_wide,
         "pq_topk": q_pq_topk,
+        "preference_pairs": q_preference_pairs,
         "prefix_jaccard": q_prefix_jaccard,
         "priority_by_flag": q_priority_by_flag,
-        "profile_table": q_profile_table,
         "projection": q_projection,
         "promo_ratio": q_promo_ratio,
         "pseudonymize": q_pseudonymize,
         "python_datasource": q_python_datasource,
+        "qa_added_years": q_qa_added_years,
         "quality_gate": q_quality_gate,
         "quality_lang": q_quality_lang,
         "range_frame": q_range_frame,
@@ -7265,7 +7469,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_locf": q_resample_locf,
         "returned_revenue": q_returned_revenue,
         "rolling_corr": q_rolling_corr,
-        "rolling_window": q_rolling_window,
         "rollup_hierarchy": q_rollup_hierarchy,
         "row_ids": q_row_ids,
         "salted_join": q_salted_join,
@@ -7281,22 +7484,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "shard_manifest": q_shard_manifest,
         "shipping_priority": q_shipping_priority,
-        "simhash_pairs": q_simhash_pairs,
         "sketch_bounds": q_sketch_bounds,
         "sketch_rollup": q_sketch_rollup,
         "sketch_stats": q_sketch_stats,
         "small_qty_revenue": q_small_qty_revenue,
         "source_overlap": q_source_overlap,
         "source_report": q_source_report,
-        "source_terciles": q_source_terciles,
-        "sql_api": q_sql_api,
-        "sql_api_q3": q_sql_api_q3,
         "sql_udf": q_sql_udf,
         "stratified_split": q_stratified_split,
         "string_funcs": q_string_funcs,
         "substring_dedup": q_substring_dedup,
         "table_checksum": q_table_checksum,
         "temperature_mix": q_temperature_mix,
+        "token_stats": q_token_stats,
         "top_acctbal_no_orders": q_top_acctbal_no_orders,
         "top_bigrams": q_top_bigrams,
         "top_supplier": q_top_supplier,
@@ -7308,8 +7508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_clean": q_unicode_clean,
         "union_by_name": q_union_by_name,
         "unpivot_long": q_unpivot_long,
-        "url_dedup": q_url_dedup,
-        "usis_export": q_usis_export,
+        "url_frontier": q_url_frontier,
         "value_windows": q_value_windows,
         "variant_extract": q_variant_extract,
         "vocab_coverage": q_vocab_coverage,
@@ -9491,6 +9690,21 @@ def oracle_sql() -> dict[str, str]:
         # the persisted-index lifecycle: same generated chain, training
         # set restricted to the day-1 write batch (see q_ivf_index)
         "ivf_index": _ivf_sql(train_where="vec_id % 2 = 0"),
+        # index CHURN replays (see q_ivf_upsert / q_pq_upsert): train
+        # on original day-1 rows, assign/encode/probe the FINAL logical
+        # corpus (negated upserts, deletes gone), duplicated into the
+        # pre/post-compaction stages the driver queries return
+        "ivf_upsert": _staged_sql(_ivf_sql(
+            train_where="vec_id % 2 = 0", queries=(0, 1, 2, 3, 100),
+            final_select=_churn_final_select(),
+        )),
+        "pq_upsert": _staged_sql(_pq_sql(
+            train_where="vec_id % 2 = 0", queries=(0, 1, 100), k=10,
+            final_select=_churn_final_select(),
+        )),
+        # SemDeDup from the persisted index: bit-identical contract to
+        # the in-query path, so the oracle IS the same generated chain
+        "semantic_dedup_indexed": _semantic_dedup_sql(),
         # the slice-signature estimate replayed exactly: same md5 fold,
         # same elementwise min, same pairwise agreement count
         "source_overlap": f"""
