@@ -1644,6 +1644,66 @@ def q_semantic_dedup_indexed(spark, sf_dir):
     return semantic_dedup_from_index(emb, table, threshold=0.35)
 
 
+def q_semantic_dedup_increment(spark, sf_dir):
+    """The NIGHTLY SemDeDup screen (dedup.semantic_dedup_increment):
+    an index built on the day-1 corpus (vec_id < 400), then a new
+    batch (vec_id >= 400) screened against it — each new row's cell
+    assigned map-only with the STORED centroids (the exact expression
+    appends write), judged against every live same-cell row plus
+    earlier rows of its own batch.  Candidate space is
+    Σ|cell∩new|·|cell| — batch-proportional, not the corpus'
+    Σ|cell|².  The oracle replays train-on-day-1 → assign-everything →
+    pair scan restricted to new-row verdicts; screen-then-append ≡
+    append-then-rescreen is separately pinned in pytest.  A drifted
+    stored assignment or a candidate-scope bug breaks the hash."""
+    import shutil as _shutil
+
+    from gdp_etl_spark.operators.ann_index import write_ivf_index
+    from gdp_etl_spark.operators.dedup import semantic_dedup_increment
+
+    table = "q_semdedup_inc_tbl"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (table, f"{table}__centroids", f"{table}__tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    day1 = emb.filter(F.col("vec_id") < 400)
+    day2 = emb.filter(F.col("vec_id") >= 400)
+    write_ivf_index(
+        day1, table, num_centroids=8, n_iter=2, seed="semdedup"
+    )
+    return semantic_dedup_increment(day2, day1, table, threshold=0.35)
+
+
+def _semantic_dedup_inc_sql(split=400, threshold=0.35, k_cells=8,
+                            n_iter=2, seed="semdedup", dim=64):
+    """Oracle for q_semantic_dedup_increment: the shared k-means chain
+    trained on the day-1 rows only, ALL rows assigned by those
+    centroids (old rows = the stored postings, new rows = the
+    increment's map-only assignment), pair scan producing verdicts for
+    new rows only."""
+    parts, _ = _kmeans_cells_parts(
+        dim=dim, k_cells=k_cells, seed=seed, n_iter=n_iter,
+        train_where=f"vec_id < {split}",
+    )
+    parts.append(f"""dup AS (
+      SELECT a.vec_id AS vec_id, MIN(b.vec_id) AS dup_of
+      FROM enc a JOIN enc b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE a.vec_id >= {split}
+        AND {_cos_sql('ea.embedding', 'eb.embedding')}
+            >= CAST({threshold} AS DOUBLE)
+      GROUP BY a.vec_id
+    )""")
+    return ("WITH " + ",\n    ".join(parts) + f"""
+    SELECT e.vec_id, CAST(e.cell AS INT) AS cell, d.dup_of,
+           d.dup_of IS NULL AS keep
+    FROM enc e LEFT JOIN dup d USING (vec_id)
+    WHERE e.vec_id >= {split}
+    """)
+
+
 def _semantic_dedup_sql(threshold=0.35, k_cells=8, n_iter=2,
                         seed="semdedup", dim=64):
     parts, _ = _kmeans_cells_parts(
@@ -7252,21 +7312,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every CORRECTNESS_r*.json ledger and ranks (1) queries whose code,
     fixture, or oracle changed this round, (2) queries with no driver
     row in any round, (3) everything else stalest-first (last-green
-    round ascending, name tie-break).  The round-14 window: the three
+    round ascending, name tie-break).  The round-14 window: the four
     NEW churn/composition queries (ivf_upsert, pq_upsert,
-    semantic_dedup_indexed — never driver-checked), the five queries
-    whose operator code changed this round (crawl_schedule's hot-host
-    guard, ivf_index/pq_index's seq column + probe liveness + dim
-    guards, kn_bigram's localCheckpoint barrier, semantic_dedup's
-    shared-core refactor), the 11-query last-green-r8 tail the r13
-    window spilled (qa_deflator_check … usis_export — the r13
-    verdict's top carry), then the first 31 of the 47-query
-    last-green-r9 bucket (array_agg … profile_table).  Everything
-    rotated out stays registered below with identical local oracle
-    coverage (``tools/check_correctness.py``)."""
+    semantic_dedup_increment, semantic_dedup_indexed — never
+    driver-checked), the five queries whose operator code changed this
+    round (crawl_schedule's hot-host guard, ivf_index/pq_index's seq
+    column + probe liveness + dim guards, kn_bigram's localCheckpoint
+    barrier, semantic_dedup's shared-core refactor), the 11-query
+    last-green-r8 tail the r13 window spilled (qa_deflator_check …
+    usis_export — the r13 verdict's top carry), then the first 30 of
+    the 47-query last-green-r9 bucket (array_agg … pii_redact).
+    Everything rotated out stays registered below with identical local
+    oracle coverage (``tools/check_correctness.py``)."""
     return {
         "ivf_upsert": q_ivf_upsert,
         "pq_upsert": q_pq_upsert,
+        "semantic_dedup_increment": q_semantic_dedup_increment,
         "semantic_dedup_indexed": q_semantic_dedup_indexed,
         "crawl_schedule": q_crawl_schedule,
         "ivf_index": q_ivf_index,
@@ -7314,7 +7375,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "observed_profile": q_observed_profile,
         "pack_sequences": q_pack_sequences,
         "pii_redact": q_pii_redact,
-        "profile_table": q_profile_table,
         # -- end of driver window (50) -----------------------------------
         # below the window: alphabetical; all keep local oracle
         # coverage via tools/check_correctness.py
@@ -7450,6 +7510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": q_preference_pairs,
         "prefix_jaccard": q_prefix_jaccard,
         "priority_by_flag": q_priority_by_flag,
+        "profile_table": q_profile_table,
         "projection": q_projection,
         "promo_ratio": q_promo_ratio,
         "pseudonymize": q_pseudonymize,
@@ -9705,6 +9766,9 @@ def oracle_sql() -> dict[str, str]:
         # SemDeDup from the persisted index: bit-identical contract to
         # the in-query path, so the oracle IS the same generated chain
         "semantic_dedup_indexed": _semantic_dedup_sql(),
+        # the nightly increment screen: train on day-1, assign all,
+        # verdicts for the new batch only (see q_semantic_dedup_increment)
+        "semantic_dedup_increment": _semantic_dedup_inc_sql(),
         # the slice-signature estimate replayed exactly: same md5 fold,
         # same elementwise min, same pairwise agreement count
         "source_overlap": f"""

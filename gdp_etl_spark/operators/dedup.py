@@ -2091,7 +2091,7 @@ def semantic_dedup(
 
 def _semantic_dedup_cells(
     base: DataFrame, cells: DataFrame, id_col: str, vec_col: str,
-    threshold: float,
+    threshold: float, scope_col: str | None = None,
 ) -> DataFrame:
     """Shared SemDeDup tail: given ``base (id, vec)`` and a cell
     assignment ``cells (id, cell int)`` — trained in-query
@@ -2100,7 +2100,13 @@ def _semantic_dedup_cells(
     earliest-id near-duplicate scan.  Candidate space is Σ|cell|² via
     the cell-id equi-join; exact-cosine scoring on the RAW vectors
     (``dot_fixed``), so both entry points produce bit-identical
-    verdicts for the same assignment."""
+    verdicts for the same assignment.
+
+    ``scope_col``: optional boolean column in ``base`` restricting the
+    VERDICT side (and the output) to the flagged rows — the increment
+    shape (:func:`semantic_dedup_increment`): only flagged rows are
+    judged, but every row can be the earlier anchor they duck under,
+    so the candidate space shrinks to Σ|cell∩scope|·|cell|."""
     from ..functions.vectors import dot_fixed
 
     # self-norms precompute PER ROW before the checkpoint: cosine_exact
@@ -2113,7 +2119,10 @@ def _semantic_dedup_cells(
         .withColumn("__n2", dot_fixed(F.col(vec_col), F.col(vec_col)))
         .localCheckpoint()
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    scoped = (
+        assigned.filter(F.col(scope_col)) if scope_col else assigned
+    )
+    a, b = scoped.alias("a"), assigned.alias("b")
     na2, nb2 = F.col("a.__n2"), F.col("b.__n2")
     sim = F.when(
         (na2 <= 0) | (nb2 <= 0), F.lit(None).cast("double")
@@ -2131,7 +2140,7 @@ def _semantic_dedup_cells(
         .groupBy(F.col(f"a.{id_col}").alias(id_col))
         .agg(F.min(F.col(f"b.{id_col}")).alias("dup_of"))
     )
-    return assigned.join(dup, id_col, "left").select(
+    return scoped.join(dup, id_col, "left").select(
         id_col,
         "cell",
         "dup_of",
@@ -2182,3 +2191,74 @@ def semantic_dedup_from_index(
     ).select(id_col, "cell")
     base = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
     return _semantic_dedup_cells(base, cells, id_col, vec_col, threshold)
+
+
+def semantic_dedup_increment(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    table: str,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Screen a NEW batch against the live indexed corpus — the nightly
+    SemDeDup cycle (the ``dedup_against_index`` shape at the semantic
+    level): assign each new row's cell with the STORED centroids (one
+    map-only pass over the increment, the exact expression
+    ``append_to_ivf_index`` writes), then judge ONLY the new rows
+    against every live same-cell row.  Candidate space is
+    Σ|cell∩new|·|cell| — proportional to the BATCH, not the corpus'
+    Σ|cell|².  Screen-then-append equals append-then-rescreen: the
+    verdicts are bit-identical to
+    :func:`semantic_dedup_from_index` over the post-append index,
+    restricted to the new ids (pinned in pytest and by the
+    ``semantic_dedup_increment`` driver query cross-engine).
+
+    ``corpus_df`` supplies the indexed rows' RAW vectors by id (the
+    index stores quantized ``q`` — same reason the probes take a
+    ``queries`` frame).  Contracts: new ids are disjoint from indexed
+    ids (the append contract), and the earliest-id keep rule is global
+    — assign new batches LARGER ids than the corpus so the existing
+    corpus always wins ties.  New rows also screen against EARLIER
+    (smaller-id) rows of their own batch, so an internally-duplicated
+    batch admits one copy.
+
+    Returns one row per new row with a non-NULL embedding:
+    ``(id_col, cell int, dup_of, keep boolean)``.
+
+    Scale shape: the corpus-side id join (vectors ⨝ live postings) is
+    the one corpus-scale shuffle — the rescan the stored-q
+    representation cannot avoid; the pair scan is batch-proportional;
+    the tombstone resolve is a broadcast."""
+    from .ann_index import (
+        _load_centroids,
+        _postings,
+        _read_stamp,
+        _resolve_live,
+        _tombstone_maxseq,
+    )
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    spark = new_df.sparkSession
+    p = _read_stamp(spark, table)
+    id_col, vec_col = p["id_col"], p["vec_col"]
+    centroids = _load_centroids(spark, table)
+    spark.catalog.refreshTable(table)
+    # indexed side: live stored cells; new side: stored-centroid
+    # assignment (the same guarded expression appends write)
+    idx_cells = _resolve_live(
+        spark.table(table), _tombstone_maxseq(spark, table, id_col),
+        id_col,
+    ).select(id_col, "cell", F.lit(False).alias("__new"))
+    new_cells = _postings(
+        new_df, id_col, vec_col, centroids, p["scale"], p["offset"],
+        seq=0,
+    ).select(id_col, "cell", F.lit(True).alias("__new"))
+    cells = idx_cells.unionByName(new_cells)
+    base = (
+        corpus_df.select(id_col, vec_col)
+        .unionByName(new_df.select(id_col, vec_col))
+        .filter(F.col(vec_col).isNotNull())
+    )
+    return _semantic_dedup_cells(
+        base, cells, id_col, vec_col, threshold, scope_col="__new"
+    )

@@ -160,7 +160,7 @@ def test_bench_refresh_block_and_blockers(tmp_path):
     assert not uniform  # structural movers present -> not uniform
     assert "## Round-10 refresh" in block
     assert "`fresh` 1.5 s" in block and "`gone`" in block
-    assert "1.60× **⚠ blocker**" in block
+    assert "1.60× | — | — | **⚠ blocker**" in block
     assert "CLOSE BLOCKER" in block
     assert "`b`" not in block  # below the floor
     # flat self-diff: no blockers, explicit flat message
@@ -223,3 +223,52 @@ def test_bench_refresh_flags_uniform_inflation(tmp_path):
     _, blockers_c, uniform_c = br.build_block(
         str(old), str(old), 11, 0.5, 1.3)
     assert blockers_c == [] and not uniform_c
+
+
+def test_bench_refresh_detrend_and_load_classes(tmp_path):
+    """r13 verdict task 2: when a ledger pair carries a uniform load
+    shift, per-query ratios are de-trended by the median ratio and
+    blockers judged AFTER de-trending — a real regression hidden
+    inside uniform deflation (old ledger loud) must still surface,
+    while a mover whose new endpoint ran under visibly more load is
+    classed load-suspect, not structural."""
+    import importlib.util
+    import json
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_refresh",
+        Path(__file__).parent.parent / "tools" / "bench_refresh.py",
+    )
+    br = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(br)
+
+    base = {f"q{i}": 2.0 + i * 0.1 for i in range(12)}
+    old = tmp_path / "old.json"
+    old.write_text(json.dumps({"queries": base}))
+
+    # (a) old ledger was loud: everything deflates x0.82 EXCEPT q5,
+    # which is raw 1.15x — i.e. a ~1.40x de-trended regression
+    defl = {k: round(v * 0.82, 3) for k, v in base.items()}
+    defl["q5"] = round(base["q5"] * 1.15, 3)
+    newp = tmp_path / "new.json"
+    newp.write_text(json.dumps({"queries": defl}))
+    block, blockers, uniform = br.build_block(
+        str(old), str(newp), 14, 0.5, 1.3)
+    assert blockers == ["q5"]          # surfaced despite raw 1.15x
+    assert not uniform                  # deflation != suspect ledger
+    assert "uniform deflation" in block.lower()
+    assert "de-trended" in block
+
+    # (b) same shape, but q5's NEW sample ran under much higher load
+    # than its old one -> load-suspect, NOT a close blocker
+    old_l = tmp_path / "old_l.json"
+    old_l.write_text(json.dumps(
+        {"queries": base, "loadavg": {"q5": [1.0]}}))
+    new_l = tmp_path / "new_l.json"
+    new_l.write_text(json.dumps(
+        {"queries": defl, "loadavg": {"q5": [8.0, 8.5]}}))
+    block_b, blockers_b, _ = br.build_block(
+        str(old_l), str(new_l), 14, 0.5, 1.3)
+    assert blockers_b == []
+    assert "load-suspect" in block_b

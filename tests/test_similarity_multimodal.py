@@ -1190,3 +1190,39 @@ def test_semantic_dedup_from_index_matches_in_query(spark):
                            if r["dup_of"] is not None)
     finally:
         _drop_ivf_tables(spark, table)
+
+
+def test_semantic_dedup_increment_equals_rescreen(spark):
+    """The nightly screen: semantic_dedup_increment judges a new batch
+    against the live index with stored-centroid cell assignment;
+    screen-then-append must equal append-then-rescreen — verdicts for
+    the new ids are bit-identical to semantic_dedup_from_index over
+    the post-append index."""
+    from gdp_etl_spark.operators.ann_index import (
+        append_to_ivf_index,
+        write_ivf_index,
+    )
+    from gdp_etl_spark.operators.dedup import (
+        semantic_dedup_from_index,
+        semantic_dedup_increment,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    day1 = emb.filter(F.col("vec_id") < 40)
+    day2 = emb.filter(F.col("vec_id") >= 40)
+    n_new = day2.filter(F.col("embedding").isNotNull()).count()
+    table = "t_semdedup_inc"
+    _drop_ivf_tables(spark, table)
+    try:
+        write_ivf_index(day1, table, num_centroids=4, n_iter=2,
+                        seed="semdedup")
+        got = sorted(map(tuple, semantic_dedup_increment(
+            day2, day1, table, threshold=0.35).collect()))
+        assert len(got) == n_new
+        append_to_ivf_index(day2, table)
+        want = sorted(map(tuple, semantic_dedup_from_index(
+            emb, table, threshold=0.35)
+            .filter(F.col("vec_id") >= 40).collect()))
+        assert got == want
+    finally:
+        _drop_ivf_tables(spark, table)

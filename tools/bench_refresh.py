@@ -96,8 +96,11 @@ def build_block(old_path: str, new_path: str, rnd: int,
         new[q] / old[q] for q in shared if old[q] >= 0.2 and new[q] > 0
     )
     med_ratio = ratios[len(ratios) // 2] if ratios else 1.0
-    uniform_up = bool(ratios) and med_ratio > UNIFORM_RATIO
-    uniform_down = bool(ratios) and med_ratio < 1.0 / UNIFORM_RATIO
+    # a "trend" needs a population: never infer one from a handful of
+    # shared queries (a 3-query ledger's median is just one query)
+    enough = len(ratios) >= 8
+    uniform_up = enough and med_ratio > UNIFORM_RATIO
+    uniform_down = enough and med_ratio < 1.0 / UNIFORM_RATIO
     detrend = med_ratio if (uniform_up or uniform_down) else 1.0
 
     # the absolute mover floor applies to the DE-TRENDED delta: under a
