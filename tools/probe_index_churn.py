@@ -93,12 +93,17 @@ def main() -> None:
     t_up, t_del = [], []
     deleted: set[int] = set()
     for b in range(args.batches):
-        lo = b * args.rows_up
+        # upserts cycle over the LOWER half, deletes walk down from the
+        # top — disjoint, so the live count is exactly n - |deleted|
+        # (a delete-then-later-upsert would legitimately resurrect the
+        # id: tombstones are per-seq, not forever)
+        lo = (b * args.rows_up) % (n // 2)
         t0 = time.time()
         upsert_to_ivf_index(vecs(lo, lo + args.rows_up, salt=b + 1), table)
         t_up.append(time.time() - t0)
         dlo = n - (b + 1) * args.rows_del - 10  # keep qids alive
         dels = list(range(dlo, dlo + args.rows_del))
+        assert dlo >= n // 2 + args.rows_up, "ranges must stay disjoint"
         deleted.update(dels)
         t0 = time.time()
         delete_from_ivf_index(spark, table, dels)
