@@ -1533,6 +1533,117 @@ def q_ivf_upsert(spark, sf_dir):
     return pre.unionByName(post)
 
 
+def q_ivf_asof(spark, sf_dir):
+    """SNAPSHOT reads under churn (ann_index ``asof_seq`` — the
+    dataset-versioning contract a training pipeline needs): after the
+    write/append lifecycle, vec_ids 0-19 are upserted with negated
+    vectors and 20-39 deleted; the query probes the index TWICE — once
+    pinned to asof_seq=1 (the post-append snapshot: original vectors,
+    nothing deleted) and once at the latest state — and returns both
+    under a stage label.  The oracle replays the snapshot stage as the
+    plain day-1-trained lifecycle (the ivf_index chain) and the latest
+    stage as the churn replay (final_select): if later churn leaked
+    into the pinned snapshot, or the latest view served a stale row,
+    the hash breaks."""
+    import shutil as _shutil
+
+    from gdp_etl_spark.operators.ann_index import (
+        append_to_ivf_index,
+        delete_from_ivf_index,
+        ivf_probe_index,
+        upsert_to_ivf_index,
+        write_ivf_index,
+    )
+
+    table = "q_ivf_asof_tbl"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (table, f"{table}__centroids", f"{table}__tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    write_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), table,
+        num_centroids=8, n_iter=2,
+    )
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), table)
+    upsert_to_ivf_index(
+        emb.filter(F.col("vec_id") < 20).select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        ),
+        table,
+    )
+    delete_from_ivf_index(spark, table, list(range(20, 40)))
+    qids = [0, 1, 2, 3, 100]
+    asof = ivf_probe_index(
+        spark, table, qids, k=10, nprobe=3, asof_seq=1
+    ).select(F.lit("asof_append").alias("stage"), "*")
+    latest = ivf_probe_index(
+        spark, table, qids, k=10, nprobe=3
+    ).select(F.lit("latest").alias("stage"), "*")
+    return asof.unionByName(latest)
+
+
+def q_index_stats(spark, sf_dir):
+    """Index observability (ann_index.ivf_index_stats /
+    pq_index_stats): after write(evens) → append(odds) → upsert 0-9 →
+    delete 10-19 on BOTH index kinds, each reports its one-row churn
+    dashboard — physical rows, live rows (what a probe sees), dead
+    rows (compaction debt), distinct tombstoned ids, next write seq —
+    and the oracle replays every count from the embeddings table (the
+    physical `files` column is excluded as layout-dependent).  A
+    liveness-resolution bug or a seq-accounting bug breaks the hash."""
+    import shutil as _shutil
+
+    from gdp_etl_spark.operators.ann_index import (
+        append_to_ivf_index,
+        append_to_pq_index,
+        delete_from_ivf_index,
+        delete_from_pq_index,
+        ivf_index_stats,
+        pq_index_stats,
+        upsert_to_ivf_index,
+        upsert_to_pq_index,
+        write_ivf_index,
+        write_pq_index,
+    )
+
+    it, pt = "q_idx_stats_ivf", "q_idx_stats_pq"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (it, f"{it}__centroids", f"{it}__tombstones",
+              pt, f"{pt}__codebooks", f"{pt}__tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    up = emb.filter(F.col("vec_id") < 10).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    dels = list(range(10, 20))
+    # training params are deliberately MINIMAL: the stats accounting
+    # (and its oracle) is independent of model quality, so the query
+    # pays for the lifecycle, not for Lloyd's iterations
+    write_ivf_index(evens, it, num_centroids=4, n_iter=1)
+    append_to_ivf_index(odds, it)
+    upsert_to_ivf_index(up, it)
+    delete_from_ivf_index(spark, it, dels)
+    write_pq_index(evens, pt, m=4, k_codes=8, n_iter=1, dim=64)
+    append_to_pq_index(odds, pt)
+    upsert_to_pq_index(up, pt)
+    delete_from_pq_index(spark, pt, dels)
+    cols = ["rows_total", "rows_live", "rows_dead", "tombstoned_ids",
+            "next_seq"]
+    return (
+        ivf_index_stats(spark, it)
+        .select(F.lit("ivf").alias("index_kind"), *cols)
+        .unionByName(
+            pq_index_stats(spark, pt)
+            .select(F.lit("pq").alias("index_kind"), *cols)
+        )
+    )
+
+
 def _churn_final_select(upsert_below=20, del_lo=20, del_hi=40):
     """The FINAL logical corpus after the shared churn scenario, as a
     quantized (vec_id, q) SELECT for the oracle generators: vec_ids
@@ -7312,19 +7423,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every CORRECTNESS_r*.json ledger and ranks (1) queries whose code,
     fixture, or oracle changed this round, (2) queries with no driver
     row in any round, (3) everything else stalest-first (last-green
-    round ascending, name tie-break).  The round-14 window: the four
-    NEW churn/composition queries (ivf_upsert, pq_upsert,
-    semantic_dedup_increment, semantic_dedup_indexed — never
-    driver-checked), the five queries whose operator code changed this
-    round (crawl_schedule's hot-host guard, ivf_index/pq_index's seq
-    column + probe liveness + dim guards, kn_bigram's localCheckpoint
-    barrier, semantic_dedup's shared-core refactor), the 11-query
-    last-green-r8 tail the r13 window spilled (qa_deflator_check …
-    usis_export — the r13 verdict's top carry), then the first 30 of
-    the 47-query last-green-r9 bucket (array_agg … pii_redact).
-    Everything rotated out stays registered below with identical local
-    oracle coverage (``tools/check_correctness.py``)."""
+    round ascending, name tie-break).  The round-14 window: the six
+    NEW churn/composition/observability queries (index_stats,
+    ivf_asof, ivf_upsert, pq_upsert, semantic_dedup_increment,
+    semantic_dedup_indexed — never driver-checked), the five queries
+    whose operator code changed this round (crawl_schedule's hot-host
+    guard, ivf_index/pq_index's seq column + probe liveness + dim
+    guards, kn_bigram's localCheckpoint barrier, semantic_dedup's
+    shared-core refactor), the 11-query last-green-r8 tail the r13
+    window spilled (qa_deflator_check … usis_export — the r13
+    verdict's top carry), then the first 28 of the 47-query
+    last-green-r9 bucket (array_agg … observed_profile).  Everything
+    rotated out stays registered below with identical local oracle
+    coverage (``tools/check_correctness.py``)."""
     return {
+        "index_stats": q_index_stats,
+        "ivf_asof": q_ivf_asof,
         "ivf_upsert": q_ivf_upsert,
         "pq_upsert": q_pq_upsert,
         "semantic_dedup_increment": q_semantic_dedup_increment,
@@ -7373,8 +7487,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_rollup": q_native_rollup,
         "ngram_jaccard": q_ngram_jaccard,
         "observed_profile": q_observed_profile,
-        "pack_sequences": q_pack_sequences,
-        "pii_redact": q_pii_redact,
         # -- end of driver window (50) -----------------------------------
         # below the window: alphabetical; all keep local oracle
         # coverage via tools/check_correctness.py
@@ -7499,12 +7611,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_count_dist": q_order_count_dist,
         "outlier_fences": q_outlier_fences,
         "pack_segments": q_pack_segments,
+        "pack_sequences": q_pack_sequences,
         "pad_codes": q_pad_codes,
         "pagerank": q_pagerank,
         "paragraph_dedup": q_paragraph_dedup,
         "pareto_share": q_pareto_share,
         "part_supplier_counts": q_part_supplier_counts,
         "phash_dedup": q_phash_dedup,
+        "pii_redact": q_pii_redact,
         "pivot_wide": q_pivot_wide,
         "pq_topk": q_pq_topk,
         "preference_pairs": q_preference_pairs,
@@ -9769,6 +9883,43 @@ def oracle_sql() -> dict[str, str]:
         # the nightly increment screen: train on day-1, assign all,
         # verdicts for the new batch only (see q_semantic_dedup_increment)
         "semantic_dedup_increment": _semantic_dedup_inc_sql(),
+        # snapshot-vs-latest under churn (see q_ivf_asof): the pinned
+        # stage replays the plain post-append lifecycle; the latest
+        # stage replays the churned corpus
+        "ivf_asof": (
+            "SELECT 'asof_append' AS stage, * FROM ("
+            + _ivf_sql(train_where="vec_id % 2 = 0",
+                       queries=(0, 1, 2, 3, 100))
+            + ") UNION ALL SELECT 'latest' AS stage, * FROM ("
+            + _ivf_sql(train_where="vec_id % 2 = 0",
+                       queries=(0, 1, 2, 3, 100),
+                       final_select=_churn_final_select())
+            + ")"
+        ),
+        # churn dashboards replayed as pure counts over embeddings
+        # (see q_index_stats; upsert ids 0-9, delete ids 10-19, write
+        # seq 0 / append 1 / upsert 2 / delete 3 -> next_seq 4)
+        "index_stats": """
+            WITH nn AS (
+              SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
+            ),
+            c AS (SELECT
+              CAST((SELECT count(*) FROM nn) AS BIGINT) AS n_all,
+              CAST((SELECT count(*) FROM nn WHERE vec_id < 10)
+                   AS BIGINT) AS n_up,
+              CAST((SELECT count(*) FROM nn
+                    WHERE vec_id >= 10 AND vec_id < 20) AS BIGINT) AS n_del,
+              CAST((SELECT count(DISTINCT vec_id) FROM embeddings
+                    WHERE vec_id < 10) AS BIGINT) AS ids_up)
+            SELECT k.index_kind,
+                   c.n_all + c.n_up AS rows_total,
+                   c.n_all - c.n_del AS rows_live,
+                   c.n_up + c.n_del AS rows_dead,
+                   c.ids_up + 10 AS tombstoned_ids,
+                   CAST(4 AS BIGINT) AS next_seq
+            FROM (SELECT 'ivf' AS index_kind
+                  UNION ALL SELECT 'pq') k CROSS JOIN c
+        """,
         # the slice-signature estimate replayed exactly: same md5 fold,
         # same elementwise min, same pairwise agreement count
         "source_overlap": f"""

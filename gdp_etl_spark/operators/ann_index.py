@@ -76,12 +76,14 @@ __all__ = [
     "delete_from_ivf_index",
     "upsert_to_ivf_index",
     "ivf_probe_index",
+    "ivf_index_stats",
     "compact_ivf_index",
     "write_pq_index",
     "append_to_pq_index",
     "delete_from_pq_index",
     "upsert_to_pq_index",
     "pq_probe_index",
+    "pq_index_stats",
     "compact_pq_index",
 ]
 
@@ -172,6 +174,88 @@ def _resolve_live(rows: DataFrame, tomb: DataFrame | None,
         )
         .drop("__tomb_seq")
     )
+
+
+def _snapshot(spark, table: str, id_col: str,
+              asof_seq: int | None) -> DataFrame:
+    """The index's LIVE rows — at the latest state (``asof_seq=None``)
+    or AS OF a write sequence: only rows and tombstones written at
+    ``seq <= asof_seq`` participate, so the view is exactly what a
+    probe saw when ``next_seq`` was ``asof_seq + 1``.  Later appends,
+    upserts, deletes and even compactions cannot change it (compaction
+    keeps surviving rows' seqs; it only drops rows that were ALREADY
+    dead at every asof where they were tombstoned — asof reads BELOW a
+    compaction-applied tombstone are the one thing compaction
+    forfeits, which is why it is a maintenance-window decision).
+    This is the dataset-versioning contract a training pipeline needs:
+    a run pinned to ``asof_seq`` reads the same vector set forever."""
+    rows = spark.table(table)
+    tomb = _tombstone_maxseq(spark, table, id_col)
+    if asof_seq is not None:
+        s = int(asof_seq)
+        rows = rows.filter(F.col("seq") <= F.lit(s))
+        if tomb is not None:
+            ttable = _tombstones_table(table)
+            tomb = (
+                spark.table(ttable)
+                .filter(F.col("seq") <= F.lit(s))
+                .groupBy(id_col).agg(F.max("seq").alias("__tomb_seq"))
+            )
+    return _resolve_live(rows, tomb, id_col)
+
+
+def _index_stats(spark, table: str, id_col: str,
+                 next_seq: int) -> DataFrame:
+    """One-row observability frame for an index table: total vs live
+    vs dead row counts, distinct tombstoned ids, the stamped write
+    sequence, and the physical file count.  Aggregate-only — two scans
+    of the index (bounded output), one of the kilobyte tombstone
+    table; nothing collects but the one result row."""
+    spark.catalog.refreshTable(table)
+    rows = spark.table(table)
+    live = _snapshot(spark, table, id_col, None)
+    ttable = _tombstones_table(table)
+    if spark.catalog.tableExists(ttable):
+        tomb_ids = (
+            spark.table(ttable).select(id_col).distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("tombstoned_ids"))
+        )
+    else:
+        tomb_ids = spark.range(1).select(
+            F.lit(0).cast("long").alias("tombstoned_ids")
+        )
+    total = rows.agg(F.count(F.lit(1)).cast("long").alias("rows_total"))
+    nlive = live.agg(F.count(F.lit(1)).cast("long").alias("rows_live"))
+    n_files = len(rows.inputFiles())
+    return (
+        total.crossJoin(nlive).crossJoin(tomb_ids)
+        .select(
+            "rows_total",
+            "rows_live",
+            (F.col("rows_total") - F.col("rows_live")).cast("long")
+            .alias("rows_dead"),
+            "tombstoned_ids",
+            F.lit(int(next_seq)).cast("long").alias("next_seq"),
+            F.lit(int(n_files)).cast("long").alias("files"),
+        )
+    )
+
+
+def ivf_index_stats(spark, table: str) -> DataFrame:
+    """Ops ledger for an IVF index (one row): ``rows_total`` (physical
+    posting rows incl. superseded), ``rows_live`` (what a probe sees),
+    ``rows_dead`` (compaction debt), ``tombstoned_ids``, ``next_seq``,
+    ``files`` — the churn-cycle dashboard: rows_dead and files say when
+    to schedule :func:`compact_ivf_index`; after it, rows_dead and
+    tombstoned_ids read 0 and files returns to one per bucket."""
+    p = _read_stamp(spark, table)
+    return _index_stats(spark, table, p["id_col"], p["next_seq"])
+
+
+def pq_index_stats(spark, table: str) -> DataFrame:
+    """:func:`ivf_index_stats` for the PQ codes table."""
+    p = _read_pq_stamp(spark, table)
+    return _index_stats(spark, table, p["id_col"], p["next_seq"])
 
 
 def _stamp(spark, table: str, params: dict) -> None:
@@ -411,6 +495,7 @@ def ivf_probe_index(
     nprobe: int = 3,
     queries: DataFrame | None = None,
     max_queries: int = 1024,
+    asof_seq: int | None = None,
 ) -> DataFrame:
     """Serve approximate top-k from STORED state — the production
     probe: centroids collect driver-side, each query's ``nprobe``
@@ -441,7 +526,14 @@ def ivf_probe_index(
     not a bigger job — probe in bounded batches instead.  Tombstoned
     rows (:func:`delete_from_ivf_index` / :func:`upsert_to_ivf_index`)
     are resolved out with one broadcast join before any fetch or
-    scoring, so a probe never serves a deleted or superseded vector."""
+    scoring, so a probe never serves a deleted or superseded vector.
+
+    ``asof_seq`` pins the probe to a SNAPSHOT: only rows and
+    tombstones written at ``seq <= asof_seq`` participate — the view
+    a probe saw when ``next_seq`` was ``asof_seq + 1``, immutable
+    under later churn (the dataset-versioning contract; see
+    ``_snapshot``).  Run compaction only once no consumer needs
+    asof reads below the applied tombstones."""
     query_ids = list(query_ids)
     bad = [qi for qi in query_ids
            if not isinstance(qi, int) or isinstance(qi, bool)]
@@ -461,11 +553,7 @@ def ivf_probe_index(
     centroids = _load_centroids(spark, table)
     dim = len(centroids[0])
     spark.catalog.refreshTable(table)
-    post = _resolve_live(
-        spark.table(table),
-        _tombstone_maxseq(spark, table, p["id_col"]),
-        p["id_col"],
-    )
+    post = _snapshot(spark, table, p["id_col"], asof_seq)
     id_col = p["id_col"]
     if queries is not None:
         # raw query vectors, quantized with the STAMPED params — the
@@ -819,6 +907,7 @@ def pq_probe_index(
     table: str,
     k: int = 10,
     max_queries: int = 1024,
+    asof_seq: int | None = None,
 ) -> DataFrame:
     """ADC top-k from STORED state: ``queries`` is a bounded frame of
     ``(id_col, vec_col)`` rows (raw vectors — the PQ index stores
@@ -881,10 +970,7 @@ def pq_probe_index(
         for qi in ids
     ])
     spark.catalog.refreshTable(table)
-    live = _resolve_live(
-        spark.table(table), _tombstone_maxseq(spark, table, id_col),
-        id_col,
-    )
+    live = _snapshot(spark, table, id_col, asof_seq)
     scored = (
         live
         .select(F.col(id_col).alias("neighbour_id"),

@@ -1192,6 +1192,65 @@ def test_semantic_dedup_from_index_matches_in_query(spark):
         _drop_ivf_tables(spark, table)
 
 
+def test_ann_index_asof_snapshot_and_stats(spark):
+    """Dataset versioning (r14): a probe pinned to asof_seq reads the
+    index as it was when next_seq was asof_seq+1 — later upserts and
+    deletes cannot change it; asof at the latest seq equals the
+    unpinned probe.  ivf_index_stats reports the churn dashboard
+    (total/live/dead/tombstoned/next_seq) exactly, and compaction
+    zeroes the debt columns."""
+    from gdp_etl_spark.operators.ann_index import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        ivf_index_stats,
+        ivf_probe_index,
+        upsert_to_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_all = emb.filter(F.col("embedding").isNotNull()).count()
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    table = "t_ivf_idx_asof"
+    _drop_ivf_tables(spark, table)
+    try:
+        write_ivf_index(evens, table, num_centroids=4, n_iter=2)
+        append_to_ivf_index(odds, table)           # seq 1; next_seq 2
+        snap = sorted(map(tuple, ivf_probe_index(
+            spark, table, [0, 1], k=5, nprobe=2).collect()))
+        # churn AFTER the snapshot point
+        up = emb.filter(F.col("vec_id") < 6).select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"))
+        upsert_to_ivf_index(up, table)             # seq 2
+        delete_from_ivf_index(spark, table, [6, 7])  # seq 3
+        # asof the append point: identical to the pre-churn probe
+        asof = sorted(map(tuple, ivf_probe_index(
+            spark, table, [0, 1], k=5, nprobe=2, asof_seq=1).collect()))
+        assert asof == snap
+        # asof at the latest seq == the unpinned probe
+        now = ivf_probe_index(spark, table, [0, 1], k=5, nprobe=2)
+        now3 = ivf_probe_index(spark, table, [0, 1], k=5, nprobe=2,
+                               asof_seq=3)
+        assert sorted(map(tuple, now.collect())) == \
+               sorted(map(tuple, now3.collect()))
+        # stats: 6 upserted (old versions dead) + 2 deleted = 8 dead
+        s = ivf_index_stats(spark, table).collect()[0]
+        assert s["rows_total"] == n_all + 6
+        assert s["rows_live"] == n_all - 2
+        assert s["rows_dead"] == 8
+        assert s["tombstoned_ids"] == 8
+        assert s["next_seq"] == 4
+        compact_ivf_index(spark, table)
+        s2 = ivf_index_stats(spark, table).collect()[0]
+        assert s2["rows_dead"] == 0 and s2["tombstoned_ids"] == 0
+        assert s2["rows_live"] == n_all - 2
+    finally:
+        _drop_ivf_tables(spark, table)
+
+
 def test_semantic_dedup_increment_equals_rescreen(spark):
     """The nightly screen: semantic_dedup_increment judges a new batch
     against the live index with stored-centroid cell assignment;
