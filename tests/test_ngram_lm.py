@@ -98,22 +98,37 @@ def test_kn_bigram_model_cache_releases_with_result(spark):
     def n_persistent():
         return sc._jsc.sc().getPersistentRDDs().size()
 
+    def settle(target, seconds):
+        """Drive GC both sides until the persistent-RDD count reaches
+        ``target`` or ``seconds`` elapse — the ContextCleaner releases
+        asynchronously, and under a full-suite session its queue can
+        lag (this test flaked order-dependently with a fixed 45 s)."""
+        n = n_persistent()
+        for _ in range(seconds):
+            if n <= target:
+                return n
+            gc.collect()
+            spark._jvm.System.gc()
+            time.sleep(1)
+            n = n_persistent()
+        return n
+
     docs = spark.createDataFrame(
         [(i, "the quick brown fox jumps over the lazy dog " * 2)
          for i in range(20)],
         "doc_id bigint, text string",
     )
+    # flush earlier tests' pending releases so the baseline is settled
+    settle(0, 20)
     baseline = n_persistent()
     for _ in range(3):
         res = kn_bigram_score(docs, docs)
         res.collect()
         del res
     # each call checkpoints one model frame; they are only reachable
-    # through the dropped results, so GC must return us to baseline
-    for _ in range(45):
-        gc.collect()
-        spark._jvm.System.gc()
-        if n_persistent() <= baseline:
-            break
-        time.sleep(1)
-    assert n_persistent() <= baseline
+    # through the dropped results, so GC must return us to (about) the
+    # baseline.  Allow ONE pending straggler: the property under test
+    # is no accretion PER CALL (3 calls => +3 under the old persist()
+    # leak), not cleaner-queue synchrony.
+    final = settle(baseline + 1, 120)
+    assert final <= baseline + 1, (final, baseline)

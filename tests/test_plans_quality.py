@@ -549,6 +549,9 @@ _SCALAR_BNLJ_OK = {
     # dq_checks: the FK rule crossJoins two 1-row aggregates
     # (orphan count x total count) — scalar x scalar
     "dq_checks",
+    # index_stats: the dashboard row is three 1-row count aggregates
+    # crossJoined (total x live x tombstoned) — scalar x scalar
+    "index_stats",
     # temperature_mix: the |domains|-row rate table crossJoins the
     # 1-row pow-sum total — scalar broadcast, the documented pattern
     "temperature_mix",
