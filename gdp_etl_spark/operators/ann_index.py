@@ -57,6 +57,29 @@ Semantics (quantization, seeding, tie-breaks) are shared with
 ``ivf_topk_fixed`` so a stored-state probe is hash-identical to the
 in-query path trained on the same rows — the driver query ``ivf_index``
 pins exactly that cross-engine.
+
+**Single-writer contract (r14 advisor finding):** ``next_seq``
+allocation is a read-modify-write on table properties — this module
+assumes ONE mutator per index at a time (the same contract
+``sketches.write_ndv_sketch`` documents for its stamp).  The contract
+is ENFORCED by detection, not trusted: every mutating batch re-reads
+the stamped ``next_seq`` immediately before bumping it and raises
+``RuntimeError`` if another writer moved it mid-flight (a shared seq
+would let a delete spare a colliding upsert's rows — silent liveness
+corruption, the one failure mode tombstones cannot repair).
+Compaction likewise runs in a mutation QUIET WINDOW: tombstones that
+appear during the rewrite are preserved (never dropped unapplied) and
+their presence raises loudly after the swap, because posting rows
+appended mid-rewrite may not have been captured (prefer-missing —
+re-run the mutation batch).
+
+**Format note:** round 14 added the ``seq`` column, the ``next_seq``
+stamp and the ``__tombstones`` companion; round 15 adds the id-keyed
+``__vectors`` twin (the store probes fetch query vectors from, bucket-
+pruned).  Indexes written before these bumps fail loudly on the stamp
+read (missing ``next_seq``) — rebuild with :func:`write_ivf_index`;
+an index without the ``__vectors`` twin still probes via the
+documented (unpruned) posting-scan fallback.
 """
 
 from __future__ import annotations
@@ -100,12 +123,41 @@ def _tombstones_table(table: str) -> str:
     return f"{table}__tombstones"
 
 
-def _bump_next_seq(spark, table: str, prefix: str, next_seq: int) -> None:
+def _vectors_table(table: str) -> str:
+    return f"{table}__vectors"
+
+
+def _bump_next_seq(spark, table: str, prefix: str, expected: int) -> None:
     """Advance the stamped write-sequence counter — one metastore write
-    per mutating batch, the price of ordered churn."""
+    per mutating batch, the price of ordered churn — GUARDED by the
+    single-writer tripwire (r14 advisor finding + the
+    ``sketches.write_ndv_sketch`` concurrent-append discipline): the
+    stamp is re-read immediately before the bump and a ``RuntimeError``
+    raised if it is no longer the value this writer planned against.
+    Two mutators sharing a seq is silent liveness corruption (a delete
+    cannot kill a colliding upsert's rows, ``seq >= tomb_seq`` spares
+    them), so a detected race must fail the batch, loudly, AFTER its
+    data writes — the batch's rows/tombstones are then at an ambiguous
+    seq and the caller must inspect or re-run under the single-writer
+    contract the module docstring states."""
+    key = f"{prefix}next_seq"
+    rows = spark.sql(
+        f"SHOW TBLPROPERTIES {table} ('{key}')"
+    ).collect()
+    current = int(rows[0]["value"]) if rows and not str(
+        rows[0]["value"]).startswith("Table") else None
+    if current != int(expected):
+        raise RuntimeError(
+            f"{table}: stamped {key} is {current}, expected "
+            f"{int(expected)} — another writer mutated this index "
+            f"mid-batch (single-writer contract violated); this "
+            f"batch's rows share or skip a write seq and its liveness "
+            f"is ambiguous: inspect the __tombstones companion or "
+            f"re-run the batch alone"
+        )
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES "
-        f"('{prefix}next_seq' = '{int(next_seq)}')"
+        f"('{key}' = '{int(expected) + 1}')"
     )
 
 
@@ -176,8 +228,68 @@ def _resolve_live(rows: DataFrame, tomb: DataFrame | None,
     )
 
 
+def _twin_query_frame(spark, table: str, id_col: str,
+                      query_ids: list[int],
+                      asof_seq: int | None) -> DataFrame:
+    """The probe's query-vector fetch from the id-keyed ``__vectors``
+    twin: ``id IN (...)`` on the bucket key — bucket-pruned to
+    |distinct bucket ids of the probe batch| files (plan-pinned in
+    pytest) — with liveness/asof resolved against the shared
+    tombstone companion."""
+    vtable = _vectors_table(table)
+    spark.catalog.refreshTable(vtable)
+    return _snapshot(
+        spark, table, id_col, asof_seq,
+        rows=spark.table(vtable).filter(F.col(id_col).isin(query_ids)),
+    )
+
+
+def _twin_query_rows(spark, table: str, id_col: str,
+                     query_ids: list[int],
+                     asof_seq: int | None) -> list:
+    """Collect the twin fetch with bucketed scan FORCED on: Spark's
+    ``DisableUnnecessaryBucketedScan`` rule turns bucketed reading off
+    for a bare point lookup (no downstream join/agg needs the
+    distribution), which also discards the bucket-pruning filter and
+    rereads every file — for this |Q|-row fetch, pruning beats the
+    parallelism the rule is protecting.  The toggle is scoped to the
+    collect and restored."""
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        return _twin_query_frame(
+            spark, table, id_col, query_ids, asof_seq
+        ).collect()
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _upsert_ids(df: DataFrame, id_col: str, vec_col: str,
+                fn_name: str) -> DataFrame:
+    """The id frame an upsert's tombstones derive from — guarded so a
+    NULL-vector row RAISES instead of silently deleting the id (r14
+    advisor finding: the posting/code append drops NULL vectors, so an
+    unguarded tombstone would kill the id with no replacement row).
+    Deletion is a separate, explicit operation."""
+    guard = F.when(
+        F.col(vec_col).isNull(),
+        F.raise_error(
+            F.format_string(
+                f"{fn_name}: NULL {vec_col} for {id_col} %s — an "
+                f"upsert batch must carry a replacement vector for "
+                f"every row; remove ids explicitly with the delete "
+                f"operation instead",
+                F.col(id_col).cast("string"),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    return df.filter(guard).select(id_col)
+
+
 def _snapshot(spark, table: str, id_col: str,
-              asof_seq: int | None) -> DataFrame:
+              asof_seq: int | None,
+              rows: DataFrame | None = None) -> DataFrame:
     """The index's LIVE rows — at the latest state (``asof_seq=None``)
     or AS OF a write sequence: only rows and tombstones written at
     ``seq <= asof_seq`` participate, so the view is exactly what a
@@ -188,8 +300,13 @@ def _snapshot(spark, table: str, id_col: str,
     compaction-applied tombstone are the one thing compaction
     forfeits, which is why it is a maintenance-window decision).
     This is the dataset-versioning contract a training pipeline needs:
-    a run pinned to ``asof_seq`` reads the same vector set forever."""
-    rows = spark.table(table)
+    a run pinned to ``asof_seq`` reads the same vector set forever.
+
+    ``rows`` overrides the data side (e.g. the ``__vectors`` twin, or
+    a pre-filtered scan); liveness always resolves against ``table``'s
+    tombstone companion."""
+    if rows is None:
+        rows = spark.table(table)
     tomb = _tombstone_maxseq(spark, table, id_col)
     if asof_seq is not None:
         s = int(asof_seq)
@@ -301,34 +418,44 @@ def _load_centroids(spark, table: str) -> list[list[int]]:
     return [list(r["c"]) for r in rows]
 
 
-def _postings(df: DataFrame, id_col: str, vec_col: str,
-              centroids: list[list[int]], scale: float,
-              offset: float, seq: int) -> DataFrame:
-    """Quantize + assign one batch of vectors — map-only (the shared
-    literal-centroid argmin, whole-stage codegen, no shuffle before
-    the bucketed write's own redistribution).  Vector dimension is
-    checked per row against the stored centroids (silent truncation
-    is the failure mode)."""
-    dim = len(centroids[0])
+def _quantized(df: DataFrame, id_col: str, vec_col: str, dim: int,
+               scale: float, offset: float, seq: int,
+               kind: str = "ivf") -> DataFrame:
+    """Quantize one batch of vectors to ``(id, q, seq)`` — map-only,
+    whole-stage codegen, NULL vectors dropped (the kmeans_fixed rule).
+    Vector dimension is checked per row against the index dimension
+    (silent truncation is the failure mode).  Feeds both the cell
+    assignment of :func:`_postings` and the id-keyed ``__vectors``
+    twin the probe fetches query vectors from."""
     q = _quantize(F.col(vec_col), scale, offset)
     guarded = F.when(
         F.size(F.col(vec_col)) != F.lit(dim),
         F.raise_error(
             F.format_string(
-                f"ivf index: vector for {id_col} %s has dimension %s, "
-                f"index dimension is {dim}",
+                f"{kind} index: vector for {id_col} %s has dimension "
+                f"%s, index dimension is {dim}",
                 F.col(id_col).cast("string"),
                 F.size(F.col(vec_col)).cast("string"),
             )
         ).cast("array<bigint>"),
     ).otherwise(q)
-    base = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), guarded.alias("q")
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), guarded.alias("q"),
+        F.lit(int(seq)).cast("bigint").alias("seq"),
     )
+
+
+def _postings(df: DataFrame, id_col: str, vec_col: str,
+              centroids: list[list[int]], scale: float,
+              offset: float, seq: int) -> DataFrame:
+    """Quantize + assign one batch of vectors — map-only (the shared
+    literal-centroid argmin, whole-stage codegen, no shuffle before
+    the bucketed write's own redistribution)."""
+    base = _quantized(df, id_col, vec_col, len(centroids[0]),
+                      scale, offset, seq)
     cell, _ = assign_expr(centroids, F.col("q"))
     return base.select(
-        cell.cast("int").alias("cell"), F.col(id_col), "q",
-        F.lit(int(seq)).cast("bigint").alias("seq"),
+        cell.cast("int").alias("cell"), F.col(id_col), "q", "seq",
     )
 
 
@@ -368,7 +495,10 @@ def write_ivf_index(
         )
     spark = df.sparkSession
     ctable = _centroids_table(table)
-    _reclaim_orphans(spark, table, (ctable, _tombstones_table(table)))
+    vtable = _vectors_table(table)
+    _reclaim_orphans(
+        spark, table, (ctable, vtable, _tombstones_table(table))
+    )
     centroids = train_kmeans_fixed(
         df.filter(F.col(vec_col).isNotNull()), id_col, vec_col,
         k=num_centroids, n_iter=n_iter, scale=scale, offset=offset,
@@ -382,14 +512,30 @@ def write_ivf_index(
         "seed": seed, "id_col": id_col, "vec_col": vec_col,
         "next_seq": 1,
     }
-    ctmp, ptmp = f"{ctable}__new", f"{table}__new"
+    ctmp, vtmp, ptmp = f"{ctable}__new", f"{vtable}__new", f"{table}__new"
     spark.sql(f"DROP TABLE IF EXISTS {ctmp}")
+    spark.sql(f"DROP TABLE IF EXISTS {vtmp}")
     spark.sql(f"DROP TABLE IF EXISTS {ptmp}")
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "cell int, c array<bigint>",
     ).write.mode("overwrite").saveAsTable(ctmp)
     spark.sql(f"ALTER TABLE {ctmp} RENAME TO {ctable}")
+    dim = len(centroids[0])
+    # id-keyed __vectors twin: the store probes fetch query vectors
+    # from with BUCKET PRUNING (id IN (...) on the bucket key) — the
+    # id-keyed companion that closes the convenience path's unpruned
+    # posting scan (r14 verdict task 5).  Renamed before the postings
+    # table, which stays the liveness marker.
+    (
+        _quantized(df, id_col, vec_col, dim, scale, offset, seq=0)
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, id_col)
+        .sortBy(id_col)
+        .saveAsTable(vtmp)
+    )
+    spark.sql(f"ALTER TABLE {vtmp} RENAME TO {vtable}")
     (
         _postings(df, id_col, vec_col, centroids, scale, offset, seq=0)
         .write.mode("overwrite")
@@ -402,13 +548,37 @@ def write_ivf_index(
     spark.sql(f"ALTER TABLE {ptmp} RENAME TO {table}")
 
 
+def _append_twin(df: DataFrame, table: str, p: dict, dim: int,
+                 seq: int) -> None:
+    """Mirror a write batch into the id-keyed ``__vectors`` twin —
+    quantize-only (no cell assignment), bucketed by id so probe-time
+    query-vector fetches are bucket-pruned.  A pre-twin index (format
+    note in the module docstring) skips silently: the probe falls back
+    to the documented posting scan."""
+    spark = df.sparkSession
+    vtable = _vectors_table(table)
+    if not spark.catalog.tableExists(vtable):
+        return
+    (
+        _quantized(df, p["id_col"], p["vec_col"], dim,
+                   p["scale"], p["offset"], seq)
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(_num_buckets(spark, vtable), p["id_col"])
+        .sortBy(p["id_col"])
+        .saveAsTable(vtable)
+    )
+    spark.catalog.refreshTable(vtable)
+
+
 def append_to_ivf_index(df: DataFrame, table: str) -> None:
     """Fold a NEW vector batch into the index: assign cells with the
     STORED centroids (no retrain — one map-only pass over the
     increment, prior data never rescanned) and append with the bucket
-    spec preserved.  Ids already present are the CALLER's contract (an
-    id-keyed store, like the dedup index's admitted-batch cycle);
-    duplicate rows cost bytes until :func:`compact_ivf_index`."""
+    spec preserved (postings AND the id-keyed ``__vectors`` twin).
+    Ids already present are the CALLER's contract (an id-keyed store,
+    like the dedup index's admitted-batch cycle); duplicate rows cost
+    bytes until :func:`compact_ivf_index`."""
     spark = df.sparkSession
     p = _read_stamp(spark, table)
     centroids = _load_centroids(spark, table)
@@ -422,7 +592,8 @@ def append_to_ivf_index(df: DataFrame, table: str) -> None:
         .sortBy("cell")
         .saveAsTable(table)
     )
-    _bump_next_seq(spark, table, _P, p["next_seq"] + 1)
+    _append_twin(df, table, p, len(centroids[0]), p["next_seq"])
+    _bump_next_seq(spark, table, _P, p["next_seq"])
     # the append_to_dedup_index catalog-cache rule: invalidate the
     # cached file listing so a probe in this session sees the new rows
     spark.catalog.refreshTable(table)
@@ -448,7 +619,7 @@ def delete_from_ivf_index(spark, table: str, ids: Sequence[int]) -> None:
         [(int(i),) for i in ids], f"{p['id_col']} bigint"
     )
     _append_tombstones(spark, table, p["id_col"], ids_df, p["next_seq"])
-    _bump_next_seq(spark, table, _P, p["next_seq"] + 1)
+    _bump_next_seq(spark, table, _P, p["next_seq"])
 
 
 def upsert_to_ivf_index(df: DataFrame, table: str) -> None:
@@ -465,14 +636,20 @@ def upsert_to_ivf_index(df: DataFrame, table: str) -> None:
     two appends leaves the batch's ids absent rather than stale — the
     prefer-missing bias of the dedup index; retrying the same batch
     (at the next seq) converges.  Both writes are distributed —
-    nothing collects."""
+    nothing collects.  A NULL-vector row in the batch RAISES (r14
+    advisor finding): the posting append drops NULL vectors, so
+    tombstoning its id would silently delete instead of replace —
+    use :func:`delete_from_ivf_index` to remove ids."""
     spark = df.sparkSession
     p = _read_stamp(spark, table)
     centroids = _load_centroids(spark, table)
     n_buckets = _num_buckets(spark, table)
     seq = p["next_seq"]
     _append_tombstones(
-        spark, table, p["id_col"], df.select(p["id_col"]), seq
+        spark, table, p["id_col"],
+        _upsert_ids(df, p["id_col"], p["vec_col"],
+                    "upsert_to_ivf_index"),
+        seq,
     )
     (
         _postings(df, p["id_col"], p["vec_col"], centroids,
@@ -483,7 +660,8 @@ def upsert_to_ivf_index(df: DataFrame, table: str) -> None:
         .sortBy("cell")
         .saveAsTable(table)
     )
-    _bump_next_seq(spark, table, _P, seq + 1)
+    _append_twin(df, table, p, len(centroids[0]), seq)
+    _bump_next_seq(spark, table, _P, seq)
     spark.catalog.refreshTable(table)
 
 
@@ -514,11 +692,13 @@ def ivf_probe_index(
     ``queries``: an optional bounded frame of raw ``(id_col,
     vec_col)`` rows for the probed ids — quantized with the stamped
     parameters, so values match the stored postings bit-exactly.
-    Without it, query vectors are fetched from the index by id, which
-    is convenient but scans the posting table ONCE unpruned (the
-    bucket key is the cell, not the id) — at full scale pass
-    ``queries`` from an id-keyed store instead (self-review finding,
-    round 13).
+    Without it, query vectors are fetched from the id-keyed
+    ``__vectors`` twin the write path maintains: a BUCKET-PRUNED
+    ``id IN (...)`` scan (plan-pinned in pytest), tombstone/asof
+    resolved like the postings — the id-keyed store that closes the
+    r13 self-review finding (the old path scanned the cell-bucketed
+    posting table unpruned).  Only a pre-twin index (format note)
+    falls back to that documented unpruned scan.
 
     ``max_queries`` bounds the probe batch loudly (the
     ``pq_probe_index`` discipline): the per-posting-row scoring array
@@ -558,16 +738,24 @@ def ivf_probe_index(
     if queries is not None:
         # raw query vectors, quantized with the STAMPED params — the
         # same expression the postings were written with
-        src = queries.filter(F.col(p["vec_col"]).isNotNull()).select(
+        src_rows = queries.filter(
+            F.col(p["vec_col"]).isNotNull()
+        ).select(
             F.col(id_col),
             _quantize(F.col(p["vec_col"]), p["scale"],
                       p["offset"]).alias("q"),
-        ).filter(F.col(id_col).isin(query_ids))
+        ).filter(F.col(id_col).isin(query_ids)).collect()
+    elif spark.catalog.tableExists(_vectors_table(table)):
+        # id-keyed __vectors twin: bucket-pruned id IN (...) fetch,
+        # liveness/asof resolved against the shared tombstones
+        src_rows = _twin_query_rows(
+            spark, table, id_col, query_ids, asof_seq
+        )
     else:
-        # convenience path: fetch from the index by id (one unpruned
-        # scan — see docstring)
-        src = post.filter(F.col(id_col).isin(query_ids))
-    qrows = {r[id_col]: list(r["q"]) for r in src.collect()}
+        # pre-twin index (format note): fetch from the postings by id
+        # — one unpruned scan, the documented fallback
+        src_rows = post.filter(F.col(id_col).isin(query_ids)).collect()
+    qrows = {r[id_col]: list(r["q"]) for r in src_rows}
     missing = [qi for qi in query_ids if qi not in qrows]
     if missing:
         where = "queries frame" if queries is not None else "index"
@@ -631,24 +819,100 @@ def ivf_probe_index(
     )
 
 
+def _churn_fold(tomb: DataFrame | None, id_col: str,
+                content_cols: list[str]):
+    """Compaction transform for a churned index table: tombstone
+    resolution, then REDELIVERY dedup — physically identical rows that
+    landed at different seqs (a retried append after a lost ack: the
+    bump succeeded, the caller saw a failure and re-ran) collapse to
+    the max seq (r14 advisor finding: the plain ``.distinct()`` of the
+    shared swap no longer collapses them once rows carry a seq, and no
+    tombstone ever kills the twin — both would stay live forever and
+    consume top-k slots).  Grouping on the content columns restores
+    the pre-seq 'distinct full rows' guarantee; keeping the MAX seq
+    preserves liveness (the surviving row still outlives every folded
+    tombstone of its id)."""
+    def fold(df: DataFrame) -> DataFrame:
+        live = _resolve_live(df, tomb, id_col)
+        return live.groupBy(*content_cols).agg(
+            F.max("seq").alias("seq")
+        )
+    return fold
+
+
+def _retire_tombstones(spark, table: str, cutoff: int) -> None:
+    """Clear the folded tombstones WITHOUT destroying concurrent ones
+    (r14 advisor finding: the old unconditional DROP lost any
+    tombstone appended between the rewrite's read and the drop — a
+    confirmed delete silently un-deleted).  Every tombstone folded
+    into the rewrite was written at ``seq < cutoff`` (the stamp
+    captured on compaction entry), so only rows at ``seq >= cutoff``
+    — appended by a mutator RACING the compaction — survive the
+    clear, preserved into a rewritten companion.  Their presence then
+    raises (quiet-window enforcement): the racing batch's DATA rows
+    may or may not have been captured by the rewrite, so its ids are
+    prefer-missing — re-run that mutation batch.  Deletes stay safe
+    either way: a preserved tombstone that WAS already folded
+    re-applies as a no-op (surviving rows have seq >= it)."""
+    ttable = _tombstones_table(table)
+    if not spark.catalog.tableExists(ttable):
+        return
+    spark.catalog.refreshTable(ttable)
+    schema = spark.table(ttable).schema
+    leftover = spark.table(ttable).filter(
+        F.col("seq") >= F.lit(int(cutoff))
+    ).collect()
+    if not leftover:
+        spark.sql(f"DROP TABLE IF EXISTS {ttable}")
+        return
+    tmp = f"{ttable}__new"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    (
+        spark.createDataFrame(leftover, schema)
+        .write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    )
+    spark.sql(f"DROP TABLE {ttable}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {ttable}")
+    raise RuntimeError(
+        f"compaction on {table}: {len(leftover)} tombstone row(s) at "
+        f"seq >= {cutoff} appeared DURING the rewrite — a concurrent "
+        f"mutator violated the compaction quiet window (module "
+        f"docstring).  Their tombstones were preserved (deletes remain "
+        f"effective at probe time), but data rows that batch appended "
+        f"may not have been captured by the rewrite (prefer-missing): "
+        f"re-run the racing mutation batch"
+    )
+
+
 def compact_ivf_index(spark, table: str) -> tuple[int, int]:
-    """Fold append-accreted posting files back to one per bucket (and
-    drop exact-duplicate rows) via the shared bucketed-table swap —
-    self-healing renames, ``ivf.`` parameter stamp carried across —
-    and apply the accumulated tombstones PHYSICALLY: dead rows are
-    dropped from the rewrite and the ``__tombstones`` companion is
-    cleared afterwards.  Crash between the swap and the clear is safe:
-    surviving rows all pass the liveness predicate (their seq >= their
-    id's tombstone), so re-applying stale tombstones at probe time or
-    in the next compaction is a no-op.  Returns ``(files_before,
-    files_after)`` for the ops ledger."""
+    """Fold append-accreted posting files back to one per bucket via
+    the shared bucketed-table swap — self-healing renames, ``ivf.``
+    parameter stamp carried across — apply the accumulated tombstones
+    PHYSICALLY (dead rows dropped from the rewrite, redelivered
+    duplicates collapsed to their max seq — see :func:`_churn_fold`),
+    compact the ``__vectors`` twin under the same fold, and clear the
+    folded tombstones (concurrent ones are preserved and raise — see
+    :func:`_retire_tombstones`).  Crash between the swap and the clear
+    is safe: surviving rows all pass the liveness predicate (their seq
+    >= their id's tombstone), so re-applying stale tombstones at probe
+    time or in the next compaction is a no-op.  Run in a mutation
+    quiet window (single-writer contract, module docstring).  Returns
+    ``(files_before, files_after)`` for the ops ledger."""
     p = _read_stamp(spark, table)
-    tomb = _tombstone_maxseq(spark, table, p["id_col"])
+    id_col = p["id_col"]
+    cutoff = p["next_seq"]
+    tomb = _tombstone_maxseq(spark, table, id_col)
     out = _compact_bucketed_table(
         spark, table, ["cell"], prop_prefix=_P,
-        transform=lambda df: _resolve_live(df, tomb, p["id_col"]),
+        transform=_churn_fold(tomb, id_col, ["cell", id_col, "q"]),
     )
-    spark.sql(f"DROP TABLE IF EXISTS {_tombstones_table(table)}")
+    vtable = _vectors_table(table)
+    if spark.catalog.tableExists(vtable):
+        _compact_bucketed_table(
+            spark, vtable, [id_col], prop_prefix=_P,
+            transform=_churn_fold(tomb, id_col, [id_col, "q"]),
+        )
+    _retire_tombstones(spark, table, cutoff)
     return out
 
 
@@ -851,7 +1115,7 @@ def append_to_pq_index(df: DataFrame, table: str) -> None:
         .sortBy(p["id_col"])
         .saveAsTable(table)
     )
-    _bump_next_seq(spark, table, _PQ, p["next_seq"] + 1)
+    _bump_next_seq(spark, table, _PQ, p["next_seq"])
     spark.catalog.refreshTable(table)
 
 
@@ -871,14 +1135,14 @@ def delete_from_pq_index(spark, table: str, ids: Sequence[int]) -> None:
         [(int(i),) for i in ids], f"{p['id_col']} bigint"
     )
     _append_tombstones(spark, table, p["id_col"], ids_df, p["next_seq"])
-    _bump_next_seq(spark, table, _PQ, p["next_seq"] + 1)
+    _bump_next_seq(spark, table, _PQ, p["next_seq"])
 
 
 def upsert_to_pq_index(df: DataFrame, table: str) -> None:
     """Replace-or-insert a vector batch in the codes table —
     tombstone-then-append at one ``seq``, encoded with the STORED
     codebooks; same crash discipline (tombstones first, prefer-missing)
-    as :func:`upsert_to_ivf_index`."""
+    and NULL-vector raise as :func:`upsert_to_ivf_index`."""
     spark = df.sparkSession
     p = _read_pq_stamp(spark, table)
     books = _load_codebooks(spark, table, p["m"])
@@ -886,7 +1150,10 @@ def upsert_to_pq_index(df: DataFrame, table: str) -> None:
     n_buckets = _num_buckets(spark, table)
     seq = p["next_seq"]
     _append_tombstones(
-        spark, table, p["id_col"], df.select(p["id_col"]), seq
+        spark, table, p["id_col"],
+        _upsert_ids(df, p["id_col"], p["vec_col"],
+                    "upsert_to_pq_index"),
+        seq,
     )
     (
         _pq_codes(df, p["id_col"], p["vec_col"], books, sub,
@@ -897,7 +1164,7 @@ def upsert_to_pq_index(df: DataFrame, table: str) -> None:
         .sortBy(p["id_col"])
         .saveAsTable(table)
     )
-    _bump_next_seq(spark, table, _PQ, seq + 1)
+    _bump_next_seq(spark, table, _PQ, seq)
     spark.catalog.refreshTable(table)
 
 
@@ -992,14 +1259,18 @@ def pq_probe_index(
 
 def compact_pq_index(spark, table: str) -> tuple[int, int]:
     """Fold append-accreted code files back to one per bucket via the
-    shared bucketed-table swap (``pq.`` stamp carried), applying and
-    then clearing the accumulated tombstones — the
-    :func:`compact_ivf_index` churn fold on the codes table."""
+    shared bucketed-table swap (``pq.`` stamp carried) — the
+    :func:`compact_ivf_index` churn fold on the codes table: dead rows
+    dropped, redelivered duplicates collapsed on ``(id, codes)`` to
+    their max seq, folded tombstones cleared with concurrent ones
+    preserved (loud).  Run in a mutation quiet window."""
     p = _read_pq_stamp(spark, table)
-    tomb = _tombstone_maxseq(spark, table, p["id_col"])
+    id_col = p["id_col"]
+    cutoff = p["next_seq"]
+    tomb = _tombstone_maxseq(spark, table, id_col)
     out = _compact_bucketed_table(
-        spark, table, [p["id_col"]], prop_prefix=_PQ,
-        transform=lambda df: _resolve_live(df, tomb, p["id_col"]),
+        spark, table, [id_col], prop_prefix=_PQ,
+        transform=_churn_fold(tomb, id_col, [id_col, "codes"]),
     )
-    spark.sql(f"DROP TABLE IF EXISTS {_tombstones_table(table)}")
+    _retire_tombstones(spark, table, cutoff)
     return out

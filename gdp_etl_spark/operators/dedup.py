@@ -2152,6 +2152,7 @@ def semantic_dedup_from_index(
     df: DataFrame,
     table: str,
     threshold: float = 0.35,
+    asof_seq: int | None = None,
 ) -> DataFrame:
     """SemDeDup over a PERSISTED IVF index — the train-once/serve-many
     composition :func:`semantic_dedup`'s docstring promises: cell
@@ -2172,12 +2173,20 @@ def semantic_dedup_from_index(
     to :func:`semantic_dedup` (the ``semantic_dedup_indexed`` driver
     query pins this cross-engine).
 
+    ``asof_seq`` pins the verdict run to a SNAPSHOT of the index
+    (``ann_index._snapshot`` — only rows and tombstones at ``seq <=
+    asof_seq`` participate), so a nightly dedup is REPRODUCIBLE
+    against a pinned corpus version under later churn — the
+    dataset-versioning contract the probes carry, reaching the
+    composition (r14 verdict task 4).  Compaction forfeits asof reads
+    below its applied tombstones, as everywhere.
+
     Scale shape: one id-keyed join (raw vectors ⨝ postings — the same
     shuffle the in-query path pays to attach its trained cells) +
     the shared Σ|cell|² cell-scan; the tombstone resolve is a
     broadcast.  ``num_cells ∝ n`` remains the contract, set at
     index-build time."""
-    from .ann_index import _read_stamp, _resolve_live, _tombstone_maxseq
+    from .ann_index import _read_stamp, _snapshot
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -2185,10 +2194,9 @@ def semantic_dedup_from_index(
     p = _read_stamp(spark, table)
     id_col, vec_col = p["id_col"], p["vec_col"]
     spark.catalog.refreshTable(table)
-    cells = _resolve_live(
-        spark.table(table), _tombstone_maxseq(spark, table, id_col),
-        id_col,
-    ).select(id_col, "cell")
+    cells = _snapshot(spark, table, id_col, asof_seq).select(
+        id_col, "cell"
+    )
     base = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
     return _semantic_dedup_cells(base, cells, id_col, vec_col, threshold)
 
@@ -2198,6 +2206,7 @@ def semantic_dedup_increment(
     corpus_df: DataFrame,
     table: str,
     threshold: float = 0.35,
+    asof_seq: int | None = None,
 ) -> DataFrame:
     """Screen a NEW batch against the live indexed corpus — the nightly
     SemDeDup cycle (the ``dedup_against_index`` shape at the semantic
@@ -2224,6 +2233,13 @@ def semantic_dedup_increment(
     Returns one row per new row with a non-NULL embedding:
     ``(id_col, cell int, dup_of, keep boolean)``.
 
+    ``asof_seq`` pins the CORPUS side to an index snapshot (rows and
+    tombstones at ``seq <= asof_seq`` only) — the reproducible-nightly
+    contract: tonight's screen, re-run next week against the same
+    pinned corpus version, returns identical verdicts regardless of
+    churn in between (``corpus_df`` must supply the pinned rows' raw
+    vectors, exactly as it supplies the live rows' today).
+
     Scale shape: the corpus-side id join (vectors ⨝ live postings) is
     the one corpus-scale shuffle — the rescan the stored-q
     representation cannot avoid; the pair scan is batch-proportional;
@@ -2232,8 +2248,7 @@ def semantic_dedup_increment(
         _load_centroids,
         _postings,
         _read_stamp,
-        _resolve_live,
-        _tombstone_maxseq,
+        _snapshot,
     )
 
     if not 0.0 < threshold <= 1.0:
@@ -2243,12 +2258,12 @@ def semantic_dedup_increment(
     id_col, vec_col = p["id_col"], p["vec_col"]
     centroids = _load_centroids(spark, table)
     spark.catalog.refreshTable(table)
-    # indexed side: live stored cells; new side: stored-centroid
-    # assignment (the same guarded expression appends write)
-    idx_cells = _resolve_live(
-        spark.table(table), _tombstone_maxseq(spark, table, id_col),
-        id_col,
-    ).select(id_col, "cell", F.lit(False).alias("__new"))
+    # indexed side: live stored cells (snapshot-pinned when asof_seq
+    # is set); new side: stored-centroid assignment (the same guarded
+    # expression appends write)
+    idx_cells = _snapshot(spark, table, id_col, asof_seq).select(
+        id_col, "cell", F.lit(False).alias("__new")
+    )
     new_cells = _postings(
         new_df, id_col, vec_col, centroids, p["scale"], p["offset"],
         seq=0,

@@ -700,7 +700,10 @@ def _drop_ivf_tables(spark, table):
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for t in (table, f"{table}__centroids", f"{table}__new",
               f"{table}__centroids__new", f"{table}__compacting",
-              f"{table}__old", f"{table}__tombstones"):
+              f"{table}__old", f"{table}__tombstones",
+              f"{table}__tombstones__new", f"{table}__vectors",
+              f"{table}__vectors__new", f"{table}__vectors__compacting",
+              f"{table}__vectors__old"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
 
@@ -819,7 +822,8 @@ def _drop_pq_tables(spark, table):
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for t in (table, f"{table}__codebooks", f"{table}__new",
               f"{table}__codebooks__new", f"{table}__compacting",
-              f"{table}__old", f"{table}__tombstones"):
+              f"{table}__old", f"{table}__tombstones",
+              f"{table}__tombstones__new"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
 
@@ -1283,5 +1287,288 @@ def test_semantic_dedup_increment_equals_rescreen(spark):
             emb, table, threshold=0.35)
             .filter(F.col("vec_id") >= 40).collect()))
         assert got == want
+    finally:
+        _drop_ivf_tables(spark, table)
+
+
+def test_ivf_probe_twin_fetch_is_bucket_pruned(spark):
+    """The r15 id-keyed store: write/append/upsert maintain an
+    id-bucketed __vectors twin, the convenience probe (no ``queries``
+    frame) fetches query vectors from it with BUCKET PRUNING (id IN
+    (...) on the bucket key — SelectedBucketsCount in the scan, and
+    the scan reads the twin's files, not the posting table), and the
+    fetched vectors track churn: after an upsert the twin serves the
+    NEW vector, bit-identical to passing the raw frame explicitly."""
+    from gdp_etl_spark.operators.ann_index import (
+        _vectors_table,
+        append_to_ivf_index,
+        ivf_probe_index,
+        upsert_to_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    table = "t_ivf_twin"
+    _drop_ivf_tables(spark, table)
+    try:
+        write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), table,
+                        num_centroids=4, n_iter=1)
+        append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), table)
+        up = emb.filter(F.col("vec_id") < 4).select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"))
+        upsert_to_ivf_index(up, table)
+        vtable = _vectors_table(table)
+        assert spark.catalog.tableExists(vtable)
+        # the exact fetch frame the convenience path builds, under the
+        # same forced-bucketed-scan toggle _twin_query_rows collects it
+        # with (DisableUnnecessaryBucketedScan would otherwise discard
+        # the pruning for a bare point lookup)
+        from gdp_etl_spark.operators.ann_index import _twin_query_frame
+
+        key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try:
+            fetch = _twin_query_frame(spark, table, "vec_id", [0, 1],
+                                      None)
+            plan = fetch._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set(key, prev)
+        assert "SelectedBucketsCount" in plan
+        assert "__vectors" in plan
+        assert "t_ivf_twin[" not in plan  # posting table never scanned
+        # convenience probe == explicit-queries probe on the churned
+        # corpus (twin serves the upserted vectors)
+        final = up.unionByName(
+            emb.filter(F.col("vec_id").isin([5]))
+            .select("vec_id", "embedding"))
+        got = ivf_probe_index(spark, table, [0, 5], k=4, nprobe=2)
+        want = ivf_probe_index(spark, table, [0, 5], k=4, nprobe=2,
+                               queries=final)
+        assert sorted(map(tuple, got.collect())) == \
+               sorted(map(tuple, want.collect()))
+    finally:
+        _drop_ivf_tables(spark, table)
+
+
+def test_single_writer_tripwire_raises_on_concurrent_bump(spark, monkeypatch):
+    """The single-writer contract is enforced by detection (r14
+    verdict task 3 / advisor finding): a mutator that commits between
+    another writer's stamp read and its bump moves next_seq, and the
+    first writer's guarded bump raises instead of silently sharing or
+    skipping a seq."""
+    import pytest as _pytest
+
+    import gdp_etl_spark.operators.ann_index as ai
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    table = "t_ivf_tripwire"
+    _drop_ivf_tables(spark, table)
+    try:
+        ai.write_ivf_index(emb, table, num_centroids=4, n_iter=1)
+        orig = ai._append_tombstones
+        state = {"raced": False}
+
+        def race(spark_, table_, id_col_, ids_df_, seq_):
+            orig(spark_, table_, id_col_, ids_df_, seq_)
+            if not state["raced"]:
+                # a SECOND writer lands after the first's data write
+                # but before its bump — both planned against the same
+                # stamped next_seq
+                state["raced"] = True
+                ai.delete_from_ivf_index(spark_, table_, [999_999])
+
+        monkeypatch.setattr(ai, "_append_tombstones", race)
+        with _pytest.raises(RuntimeError, match="single-writer"):
+            ai.delete_from_ivf_index(spark, table, [5])
+    finally:
+        _drop_ivf_tables(spark, table)
+
+
+def test_compaction_preserves_concurrent_tombstones(spark, monkeypatch):
+    """The r15 advisor's medium finding: a tombstone appended DURING
+    the compaction rewrite must never be dropped unapplied.  A delete
+    racing the rewrite is preserved into the rewritten companion, the
+    quiet-window violation raises loudly, and a probe afterwards still
+    excludes BOTH the pre-compaction delete and the racing one."""
+    import pytest as _pytest
+
+    import gdp_etl_spark.operators.ann_index as ai
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    table = "t_ivf_racetomb"
+    _drop_ivf_tables(spark, table)
+    try:
+        ai.write_ivf_index(emb, table, num_centroids=4, n_iter=1)
+        ai.delete_from_ivf_index(spark, table, [3])        # seq 1
+        orig = ai._compact_bucketed_table
+        state = {"raced": False}
+
+        def race(spark_, tbl, bucket_cols, **kw):
+            if not state["raced"]:
+                state["raced"] = True
+                # a delete lands mid-compaction, after the fold read
+                ai.delete_from_ivf_index(spark_, table, [7])  # seq 2
+            return orig(spark_, tbl, bucket_cols, **kw)
+
+        monkeypatch.setattr(ai, "_compact_bucketed_table", race)
+        with _pytest.raises(RuntimeError, match="quiet window"):
+            ai.compact_ivf_index(spark, table)
+        monkeypatch.setattr(ai, "_compact_bucketed_table", orig)
+        # the racing tombstone survived the clear
+        tomb = {r["vec_id"] for r in
+                spark.table(f"{table}__tombstones").collect()}
+        assert tomb == {7}
+        got = {r["neighbour_id"] for r in ai.ivf_probe_index(
+            spark, table, [0], k=50, nprobe=4).collect()}
+        assert 3 not in got and 7 not in got
+        # the next (quiet) compaction folds the preserved tombstone
+        ai.compact_ivf_index(spark, table)
+        assert not spark.catalog.tableExists(f"{table}__tombstones")
+        got2 = {r["neighbour_id"] for r in ai.ivf_probe_index(
+            spark, table, [0], k=50, nprobe=4).collect()}
+        assert got2 == got
+    finally:
+        _drop_ivf_tables(spark, table)
+
+
+def test_upsert_null_vector_raises_not_deletes(spark):
+    """The r15 advisor finding: an upsert row with a NULL embedding
+    must RAISE, not silently delete the id (the posting append drops
+    NULL vectors, so an unguarded tombstone would kill the id with no
+    replacement).  The failed batch leaves no tombstone behind."""
+    import pytest as _pytest
+
+    from gdp_etl_spark.operators.ann_index import (
+        ivf_probe_index,
+        upsert_to_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    table = "t_ivf_nullup"
+    _drop_ivf_tables(spark, table)
+    try:
+        write_ivf_index(emb, table, num_centroids=4, n_iter=1)
+        bad = spark.createDataFrame(
+            [(2, None)], "vec_id bigint, embedding array<double>")
+        with _pytest.raises(Exception, match="NULL embedding"):
+            upsert_to_ivf_index(bad, table)
+        # prefer-missing would be acceptable, silent-delete is not:
+        # no tombstone landed and id 2 is still probe-able (it serves
+        # as its own query — a deleted id raises "not in index")
+        assert not spark.catalog.tableExists(f"{table}__tombstones")
+        got = ivf_probe_index(spark, table, [2], k=3, nprobe=2).collect()
+        assert len(got) == 3
+    finally:
+        _drop_ivf_tables(spark, table)
+
+
+def test_compaction_collapses_redelivered_appends(spark):
+    """The r15 advisor finding on redelivery: a retried append that
+    landed at a SECOND seq produces physically identical vectors at
+    two seqs — both live, both served (two top-k slots) until
+    compaction.  The churn fold collapses them on content to the max
+    seq, and the probe afterwards serves each neighbour once."""
+    from gdp_etl_spark.operators.ann_index import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        ivf_probe_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    n_all = emb.filter(F.col("embedding").isNotNull()).count()
+    table = "t_ivf_redeliver"
+    _drop_ivf_tables(spark, table)
+    try:
+        write_ivf_index(evens, table, num_centroids=4, n_iter=1)
+        append_to_ivf_index(odds, table)   # seq 1
+        append_to_ivf_index(odds, table)   # seq 2: the redelivery
+        n_odds = odds.filter(F.col("embedding").isNotNull()).count()
+        assert spark.table(table).count() == n_all + n_odds
+        compact_ivf_index(spark, table)
+        assert spark.table(table).count() == n_all
+        rows = ivf_probe_index(
+            spark, table, [0], k=20, nprobe=4).collect()
+        ids = [r["neighbour_id"] for r in rows]
+        assert len(ids) == len(set(ids))
+    finally:
+        _drop_ivf_tables(spark, table)
+
+
+def test_semantic_dedup_asof_reaches_composition(spark):
+    """r14 verdict task 4: the SemDeDup composition takes asof_seq, so
+    a nightly screen is reproducible against a pinned corpus version.
+    Pinned at the build snapshot, verdicts under later churn are
+    bit-identical to the in-query semantic_dedup on the original
+    corpus; the unpinned (latest) run sees the churn."""
+    from gdp_etl_spark.operators.ann_index import (
+        delete_from_ivf_index,
+        upsert_to_ivf_index,
+        write_ivf_index,
+    )
+    from gdp_etl_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_from_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    table = "t_semdedup_asof"
+    _drop_ivf_tables(spark, table)
+    try:
+        write_ivf_index(emb, table, num_centroids=4, n_iter=2,
+                        seed="semdedup")
+        want = sorted(map(tuple, semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.35, num_cells=4,
+            n_iter=2).collect()))
+        # churn AFTER the snapshot point (write = seq 0)
+        up = emb.filter(F.col("vec_id") < 4).select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"))
+        upsert_to_ivf_index(up, table)             # seq 1
+        delete_from_ivf_index(spark, table, [5, 6])  # seq 2
+        got = sorted(map(tuple, semantic_dedup_from_index(
+            emb, table, threshold=0.35, asof_seq=0).collect()))
+        assert got == want
+        latest_ids = {r["vec_id"] for r in semantic_dedup_from_index(
+            emb, table, threshold=0.35).collect()}
+        assert 5 not in latest_ids and 6 not in latest_ids
+    finally:
+        _drop_ivf_tables(spark, table)
+
+
+def test_semantic_dedup_increment_asof_pins_corpus(spark):
+    """The increment's asof contract: a screen pinned to the day-1
+    snapshot returns tonight's verdicts forever, regardless of churn
+    applied to the index after the pin."""
+    from gdp_etl_spark.operators.ann_index import (
+        delete_from_ivf_index,
+        write_ivf_index,
+    )
+    from gdp_etl_spark.operators.dedup import semantic_dedup_increment
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    day1 = emb.filter(F.col("vec_id") < 40)
+    day2 = emb.filter(F.col("vec_id") >= 40)
+    table = "t_semdedup_incasof"
+    _drop_ivf_tables(spark, table)
+    try:
+        write_ivf_index(day1, table, num_centroids=4, n_iter=2,
+                        seed="semdedup")
+        want = sorted(map(tuple, semantic_dedup_increment(
+            day2, day1, table, threshold=0.35).collect()))
+        delete_from_ivf_index(spark, table, list(range(0, 10)))
+        got = sorted(map(tuple, semantic_dedup_increment(
+            day2, day1, table, threshold=0.35, asof_seq=0).collect()))
+        assert got == want
+        # the unpinned run no longer judges against the deleted rows
+        unpinned = sorted(map(tuple, semantic_dedup_increment(
+            day2, day1, table, threshold=0.35).collect()))
+        assert unpinned != want or all(
+            r[2] is None or r[2] >= 10 for r in unpinned)
     finally:
         _drop_ivf_tables(spark, table)
