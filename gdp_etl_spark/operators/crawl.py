@@ -90,13 +90,21 @@ def schedule_frontier(
     w = Window.partitionBy(guard).orderBy(*ordered)
     b = int(per_host_budget)
     cap = int(max_host_frontier)
-    # hot-host guard: count over the SAME host partitioning the rank
-    # needs (one shuffle total), loud raise instead of a silent
-    # one-host straggler task
-    sized = links.withColumn(
-        "__hn", F.count(F.lit(1)).over(Window.partitionBy(guard))
+    # hot-host guard FOLDED into the rank's own window spec (r14
+    # bench attribution): the count runs over the SAME (partition,
+    # order) spec with an unbounded frame, so Catalyst evaluates rank
+    # and count in ONE WindowExec pass (plan-pinned in pytest: one
+    # Window node, one Exchange) — the r14 guard's separate unordered
+    # count window cost a second per-partition buffer pass (+0.3 s on
+    # the driver bench, the round's only real per-query regression)
+    w_all = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    checked = sized.withColumn(
+    out = links.select(
+        "*",
+        (F.row_number().over(w) - F.lit(1)).alias("__r"),
+        F.count(F.lit(1)).over(w_all).alias("__hn"),
+    ).withColumn(
         "__hok",
         F.when(
             F.col("__hn") > F.lit(cap),
@@ -111,7 +119,6 @@ def schedule_frontier(
             ).cast("boolean"),
         ).otherwise(F.lit(True)),
     ).filter(F.col("__hok")).drop("__hn", "__hok")
-    out = checked.withColumn("__r", F.row_number().over(w) - F.lit(1))
     return (
         out.withColumn("host_rank", F.col("__r").cast("int"))
         .withColumn("fetch_cycle", F.expr(f"__r div {b}").cast("bigint"))

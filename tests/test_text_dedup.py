@@ -1922,3 +1922,21 @@ def test_schedule_frontier_hot_host_guard(spark):
     assert max(r.fetch_cycle for r in out) == 49 // 16
     with _pytest.raises(ValueError, match="max_host_frontier"):
         schedule_frontier(df, "host", "id", max_host_frontier=0)
+
+
+def test_schedule_frontier_single_window_pass(spark):
+    """r14 bench attribution (crawl_schedule +0.3 s): the hot-host
+    count now shares the rank's (partition, order) window spec via an
+    unbounded frame, so the physical plan carries ONE Window operator
+    and ONE hash Exchange — the guard costs zero extra passes."""
+    from gdp_etl_spark.operators.crawl import schedule_frontier
+
+    df = spark.createDataFrame(
+        [(i, f"h{i % 3}.example", i % 2) for i in range(30)],
+        "id bigint, host string, d int",
+    )
+    out = schedule_frontier(df, "host", "id", priority_cols=["d"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
