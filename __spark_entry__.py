@@ -1402,7 +1402,7 @@ def q_ivf_index(spark, sf_dir):
 
     table = "q_ivf_index_tbl"
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in (table, f"{table}__centroids"):
+    for t in (table, f"{table}__centroids", f"{table}__vectors"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         _shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     emb = _t(spark, sf_dir, "embeddings")
@@ -1473,6 +1473,115 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+#: per-(application, sf_dir) cache of the shared index-churn scenario
+#: — see _churn_fixture.
+_CHURN_FX: dict = {}
+
+
+def _churn_fixture(spark, sf_dir):
+    """The SHARED index-churn scenario (r14 verdict task 1): the four
+    lifecycle driver queries — ivf_upsert, ivf_asof, pq_upsert,
+    index_stats — each pin a DIFFERENT contract (compaction purity,
+    snapshot immutability, ADC churn, observability accounting) over
+    the SAME write(evens) → append(odds) → upsert(0-19 negated) →
+    delete(20-39) → compact scenario, so the r14 registry built
+    near-identical scenarios four times over (~110 s of the 445 s
+    driver bench was duplicate index DDL + in-query Lloyd's).  This
+    fixture builds the scenario ONCE per Spark application per
+    sf_dir — both index kinds — and captures every stage probe
+    EAGERLY (localCheckpoint) at its correct lifecycle point: asof /
+    pre-compaction probes and the churn dashboards materialize before
+    the compaction fold runs, because compaction applies tombstones
+    physically and forfeits the states those probes read.  The
+    queries then relabel the captured stages; each keeps its own
+    oracle, so a broken write, append, upsert, delete, snapshot,
+    stats count or compaction still breaks the matching query's hash.
+    Bench note: whichever lifecycle query runs first in a session
+    pays the one-time build (~25 s at sf0.1); the rest reuse it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CHURN_FX:
+        return _CHURN_FX[key]
+    import shutil as _shutil
+
+    from gdp_etl_spark.operators.ann_index import (
+        append_to_ivf_index,
+        append_to_pq_index,
+        compact_ivf_index,
+        compact_pq_index,
+        delete_from_ivf_index,
+        delete_from_pq_index,
+        ivf_index_stats,
+        ivf_probe_index,
+        pq_index_stats,
+        pq_probe_index,
+        upsert_to_ivf_index,
+        upsert_to_pq_index,
+        write_ivf_index,
+        write_pq_index,
+    )
+
+    it, pt = "churn_fx_ivf", "churn_fx_pq"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (it, f"{it}__centroids", f"{it}__vectors",
+              f"{it}__tombstones",
+              pt, f"{pt}__codebooks", f"{pt}__tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    up = emb.filter(F.col("vec_id") < 20).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    dels = list(range(20, 40))
+    qids = [0, 1, 2, 3, 100]
+    # PQ probes take raw query vectors from the FINAL corpus (0,1
+    # upserted → negated; 100 untouched) — the id-keyed store the
+    # probe contract names
+    qvecs = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    ).unionByName(
+        emb.filter(F.col("vec_id") == 100).select("vec_id", "embedding")
+    )
+    fx = {}
+    # ---- IVF lifecycle: seqs 0 (write) / 1 (append) / 2 (upsert) /
+    # 3 (delete); next_seq 4 at the stats capture
+    write_ivf_index(evens, it, num_centroids=8, n_iter=2)
+    append_to_ivf_index(odds, it)
+    upsert_to_ivf_index(up, it)
+    delete_from_ivf_index(spark, it, dels)
+    fx["ivf_asof"] = ivf_probe_index(
+        spark, it, qids, k=10, nprobe=3, asof_seq=1
+    ).localCheckpoint()
+    fx["ivf_churn"] = ivf_probe_index(
+        spark, it, qids, k=10, nprobe=3
+    ).localCheckpoint()
+    fx["ivf_stats"] = ivf_index_stats(spark, it).localCheckpoint()
+    # ---- PQ lifecycle: same seq schedule on the codes table
+    write_pq_index(evens, pt, m=4, k_codes=16, n_iter=2, dim=64)
+    append_to_pq_index(odds, pt)
+    upsert_to_pq_index(up, pt)
+    delete_from_pq_index(spark, pt, dels)
+    fx["pq_churn"] = pq_probe_index(
+        spark, qvecs, pt, k=10
+    ).localCheckpoint()
+    fx["pq_stats"] = pq_index_stats(spark, pt).localCheckpoint()
+    # ---- compaction fold: tombstones applied physically; the post
+    # probes must equal the pre probes bit-exactly (pinned by the
+    # pre/post stage union in ivf_upsert / pq_upsert)
+    compact_ivf_index(spark, it)
+    compact_pq_index(spark, pt)
+    fx["ivf_post"] = ivf_probe_index(
+        spark, it, qids, k=10, nprobe=3
+    ).localCheckpoint()
+    fx["pq_post"] = pq_probe_index(
+        spark, qvecs, pt, k=10
+    ).localCheckpoint()
+    _CHURN_FX[key] = fx
+    return fx
+
+
 def q_ivf_upsert(spark, sf_dir):
     """ANN index maintenance under CHURN (ann_index.upsert_to_ivf_index
     / delete_from_ivf_index / compact_ivf_index — the r13 verdict's
@@ -1489,47 +1598,15 @@ def q_ivf_upsert(spark, sf_dir):
     FINAL logical corpus (negated 0-19, 20-39 gone) with the stored
     centroids, probe from final vectors.  A stale row served, a lost
     upsert, a leaked delete, or a compaction that changes any distance
-    breaks the hash."""
-    import shutil as _shutil
-
-    from gdp_etl_spark.operators.ann_index import (
-        append_to_ivf_index,
-        compact_ivf_index,
-        delete_from_ivf_index,
-        ivf_probe_index,
-        upsert_to_ivf_index,
-        write_ivf_index,
-    )
-
-    table = "q_ivf_upsert_tbl"
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in (table, f"{table}__centroids", f"{table}__tombstones"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        _shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
-    emb = _t(spark, sf_dir, "embeddings")
-    write_ivf_index(
-        emb.filter(F.col("vec_id") % 2 == 0), table,
-        num_centroids=8, n_iter=2,
-    )
-    append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), table)
-    upsert_to_ivf_index(
-        emb.filter(F.col("vec_id") < 20).select(
-            "vec_id",
-            F.transform("embedding", lambda x: -x).alias("embedding"),
-        ),
-        table,
-    )
-    delete_from_ivf_index(spark, table, list(range(20, 40)))
-    qids = [0, 1, 2, 3, 100]
-    # pre-compact probe MATERIALIZES now (localCheckpoint): its plan
-    # reads the tombstone table, which compact drops below
-    pre = ivf_probe_index(
-        spark, table, qids, k=10, nprobe=3
-    ).select(F.lit("pre_compact").alias("stage"), "*").localCheckpoint()
-    compact_ivf_index(spark, table)
-    post = ivf_probe_index(
-        spark, table, qids, k=10, nprobe=3
-    ).select(F.lit("post_compact").alias("stage"), "*")
+    breaks the hash.  Scenario built once per session in
+    _churn_fixture (r14 verdict task 1); stage capture order there
+    preserves exactly the probes this query returned when it built
+    its own tables."""
+    fx = _churn_fixture(spark, sf_dir)
+    pre = fx["ivf_churn"].select(
+        F.lit("pre_compact").alias("stage"), "*")
+    post = fx["ivf_post"].select(
+        F.lit("post_compact").alias("stage"), "*")
     return pre.unionByName(post)
 
 
@@ -1544,101 +1621,38 @@ def q_ivf_asof(spark, sf_dir):
     plain day-1-trained lifecycle (the ivf_index chain) and the latest
     stage as the churn replay (final_select): if later churn leaked
     into the pinned snapshot, or the latest view served a stale row,
-    the hash breaks."""
-    import shutil as _shutil
-
-    from gdp_etl_spark.operators.ann_index import (
-        append_to_ivf_index,
-        delete_from_ivf_index,
-        ivf_probe_index,
-        upsert_to_ivf_index,
-        write_ivf_index,
-    )
-
-    table = "q_ivf_asof_tbl"
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in (table, f"{table}__centroids", f"{table}__tombstones"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        _shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
-    emb = _t(spark, sf_dir, "embeddings")
-    write_ivf_index(
-        emb.filter(F.col("vec_id") % 2 == 0), table,
-        num_centroids=8, n_iter=2,
-    )
-    append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), table)
-    upsert_to_ivf_index(
-        emb.filter(F.col("vec_id") < 20).select(
-            "vec_id",
-            F.transform("embedding", lambda x: -x).alias("embedding"),
-        ),
-        table,
-    )
-    delete_from_ivf_index(spark, table, list(range(20, 40)))
-    qids = [0, 1, 2, 3, 100]
-    asof = ivf_probe_index(
-        spark, table, qids, k=10, nprobe=3, asof_seq=1
-    ).select(F.lit("asof_append").alias("stage"), "*")
-    latest = ivf_probe_index(
-        spark, table, qids, k=10, nprobe=3
-    ).select(F.lit("latest").alias("stage"), "*")
+    the hash breaks.  Scenario shared via _churn_fixture (r14 verdict
+    task 1): the asof probe is captured there BEFORE the compaction
+    fold, which forfeits snapshot reads below its applied
+    tombstones."""
+    fx = _churn_fixture(spark, sf_dir)
+    asof = fx["ivf_asof"].select(
+        F.lit("asof_append").alias("stage"), "*")
+    latest = fx["ivf_churn"].select(
+        F.lit("latest").alias("stage"), "*")
     return asof.unionByName(latest)
 
 
 def q_index_stats(spark, sf_dir):
     """Index observability (ann_index.ivf_index_stats /
-    pq_index_stats): after write(evens) → append(odds) → upsert 0-9 →
-    delete 10-19 on BOTH index kinds, each reports its one-row churn
-    dashboard — physical rows, live rows (what a probe sees), dead
-    rows (compaction debt), distinct tombstoned ids, next write seq —
-    and the oracle replays every count from the embeddings table (the
-    physical `files` column is excluded as layout-dependent).  A
-    liveness-resolution bug or a seq-accounting bug breaks the hash."""
-    import shutil as _shutil
-
-    from gdp_etl_spark.operators.ann_index import (
-        append_to_ivf_index,
-        append_to_pq_index,
-        delete_from_ivf_index,
-        delete_from_pq_index,
-        ivf_index_stats,
-        pq_index_stats,
-        upsert_to_ivf_index,
-        upsert_to_pq_index,
-        write_ivf_index,
-        write_pq_index,
-    )
-
-    it, pt = "q_idx_stats_ivf", "q_idx_stats_pq"
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in (it, f"{it}__centroids", f"{it}__tombstones",
-              pt, f"{pt}__codebooks", f"{pt}__tombstones"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        _shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
-    emb = _t(spark, sf_dir, "embeddings")
-    evens = emb.filter(F.col("vec_id") % 2 == 0)
-    odds = emb.filter(F.col("vec_id") % 2 == 1)
-    up = emb.filter(F.col("vec_id") < 10).select(
-        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
-    )
-    dels = list(range(10, 20))
-    # training params are deliberately MINIMAL: the stats accounting
-    # (and its oracle) is independent of model quality, so the query
-    # pays for the lifecycle, not for Lloyd's iterations
-    write_ivf_index(evens, it, num_centroids=4, n_iter=1)
-    append_to_ivf_index(odds, it)
-    upsert_to_ivf_index(up, it)
-    delete_from_ivf_index(spark, it, dels)
-    write_pq_index(evens, pt, m=4, k_codes=8, n_iter=1, dim=64)
-    append_to_pq_index(odds, pt)
-    upsert_to_pq_index(up, pt)
-    delete_from_pq_index(spark, pt, dels)
+    pq_index_stats): after write(evens) → append(odds) → upsert 0-19 →
+    delete 20-39 on BOTH index kinds (the shared _churn_fixture
+    scenario, r14 verdict task 1 — the dashboards are captured there
+    PRE-compaction, where the debt columns are non-zero), each
+    reports its one-row churn dashboard — physical rows, live rows
+    (what a probe sees), dead rows (compaction debt), distinct
+    tombstoned ids, next write seq — and the oracle replays every
+    count from the embeddings table (the physical `files` column is
+    excluded as layout-dependent).  A liveness-resolution bug or a
+    seq-accounting bug breaks the hash."""
+    fx = _churn_fixture(spark, sf_dir)
     cols = ["rows_total", "rows_live", "rows_dead", "tombstoned_ids",
             "next_seq"]
     return (
-        ivf_index_stats(spark, it)
+        fx["ivf_stats"]
         .select(F.lit("ivf").alias("index_kind"), *cols)
         .unionByName(
-            pq_index_stats(spark, pt)
+            fx["pq_stats"]
             .select(F.lit("pq").alias("index_kind"), *cols)
         )
     )
@@ -1678,51 +1692,12 @@ def q_pq_upsert(spark, sf_dir):
     vectors before and after the compaction fold.  The oracle replays
     training on original evens and encoding of the final logical
     corpus — stale codes, lost upserts or a lossy compaction break the
-    hash."""
-    import shutil as _shutil
-
-    from gdp_etl_spark.operators.ann_index import (
-        append_to_pq_index,
-        compact_pq_index,
-        delete_from_pq_index,
-        pq_probe_index,
-        upsert_to_pq_index,
-        write_pq_index,
-    )
-
-    table = "q_pq_upsert_tbl"
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in (table, f"{table}__codebooks", f"{table}__tombstones"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        _shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
-    emb = _t(spark, sf_dir, "embeddings")
-    write_pq_index(
-        emb.filter(F.col("vec_id") % 2 == 0), table,
-        m=4, k_codes=16, n_iter=2, dim=64,
-    )
-    append_to_pq_index(emb.filter(F.col("vec_id") % 2 == 1), table)
-    upsert_to_pq_index(
-        emb.filter(F.col("vec_id") < 20).select(
-            "vec_id",
-            F.transform("embedding", lambda x: -x).alias("embedding"),
-        ),
-        table,
-    )
-    delete_from_pq_index(spark, table, list(range(20, 40)))
-    # query vectors come from the FINAL corpus (0,1 upserted → negated;
-    # 100 untouched) — the id-keyed store the probe contract names
-    qvecs = emb.filter(F.col("vec_id").isin(0, 1)).select(
-        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
-    ).unionByName(
-        emb.filter(F.col("vec_id") == 100).select("vec_id", "embedding")
-    )
-    pre = pq_probe_index(
-        spark, qvecs, table, k=10
-    ).select(F.lit("pre_compact").alias("stage"), "*").localCheckpoint()
-    compact_pq_index(spark, table)
-    post = pq_probe_index(
-        spark, qvecs, table, k=10
-    ).select(F.lit("post_compact").alias("stage"), "*")
+    hash.  Scenario shared via _churn_fixture (r14 verdict task 1)."""
+    fx = _churn_fixture(spark, sf_dir)
+    pre = fx["pq_churn"].select(
+        F.lit("pre_compact").alias("stage"), "*")
+    post = fx["pq_post"].select(
+        F.lit("post_compact").alias("stage"), "*")
     return pre.unionByName(post)
 
 
@@ -1737,22 +1712,44 @@ def q_semantic_dedup_indexed(spark, sf_dir):
     bit-identical to the in-query `semantic_dedup` query — and the
     oracle IS the same generated k-means+cosine CTE chain, hash-exact.
     A drifted stored assignment, a broken stamp read, or a liveness
-    bug breaks the hash."""
+    bug breaks the hash.  Round 15 extends the pin to SNAPSHOT
+    REPRODUCIBILITY (r14 verdict task 4): the index is CHURNED after
+    the build (3 ids upserted negated, 2 deleted) and the screen runs
+    pinned to ``asof_seq=0`` — the build snapshot — so the verdicts
+    must STILL equal the in-query chain on the original corpus; churn
+    leaking through the pin breaks the hash."""
     import shutil as _shutil
 
-    from gdp_etl_spark.operators.ann_index import write_ivf_index
+    from gdp_etl_spark.operators.ann_index import (
+        delete_from_ivf_index,
+        upsert_to_ivf_index,
+        write_ivf_index,
+    )
     from gdp_etl_spark.operators.dedup import semantic_dedup_from_index
 
     table = "q_semdedup_idx_tbl"
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in (table, f"{table}__centroids", f"{table}__tombstones"):
+    for t in (table, f"{table}__centroids", f"{table}__vectors",
+              f"{table}__tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         _shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     emb = _t(spark, sf_dir, "embeddings")
     write_ivf_index(
         emb, table, num_centroids=8, n_iter=2, seed="semdedup"
     )
-    return semantic_dedup_from_index(emb, table, threshold=0.35)
+    # churn AFTER the snapshot point (write = seq 0): a nightly dedup
+    # pinned to the build must not see any of it
+    upsert_to_ivf_index(
+        emb.filter(F.col("vec_id") < 3).select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        ),
+        table,
+    )
+    delete_from_ivf_index(spark, table, [3, 4])
+    return semantic_dedup_from_index(
+        emb, table, threshold=0.35, asof_seq=0
+    )
 
 
 def q_semantic_dedup_increment(spark, sf_dir):
@@ -1774,7 +1771,8 @@ def q_semantic_dedup_increment(spark, sf_dir):
 
     table = "q_semdedup_inc_tbl"
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in (table, f"{table}__centroids", f"{table}__tombstones"):
+    for t in (table, f"{table}__centroids", f"{table}__vectors",
+              f"{table}__tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         _shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     emb = _t(spark, sf_dir, "embeddings")
@@ -7423,79 +7421,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every CORRECTNESS_r*.json ledger and ranks (1) queries whose code,
     fixture, or oracle changed this round, (2) queries with no driver
     row in any round, (3) everything else stalest-first (last-green
-    round ascending, name tie-break).  The round-14 window: the six
-    NEW churn/composition/observability queries (index_stats,
-    ivf_asof, ivf_upsert, pq_upsert, semantic_dedup_increment,
-    semantic_dedup_indexed — never driver-checked), the five queries
-    whose operator code changed this round (crawl_schedule's hot-host
-    guard, ivf_index/pq_index's seq column + probe liveness + dim
-    guards, kn_bigram's localCheckpoint barrier, semantic_dedup's
-    shared-core refactor), the 11-query last-green-r8 tail the r13
-    window spilled (qa_deflator_check … usis_export — the r13
-    verdict's top carry), then the first 28 of the 47-query
-    last-green-r9 bucket (array_agg … observed_profile).  Everything
-    rotated out stays registered below with identical local oracle
-    coverage (``tools/check_correctness.py``)."""
+    round ascending, name tie-break).  The round-15 window: the nine
+    queries whose code, fixture or oracle moved this round (the four
+    _churn_fixture consumers index_stats/ivf_asof/ivf_upsert/
+    pq_upsert, the asof-extended semantic_dedup_indexed, the
+    asof-param semantic_dedup_increment, crawl_schedule's folded
+    guard window, and ivf_index/pq_index over the new __vectors twin
+    + guarded-bump operator code), then the ENTIRE 19-query
+    last-green-r9 bucket the r14 verdict named (pack_sequences …
+    variant_extract), then the first 22 of the 47-query
+    last-green-r10 bucket (ab_test … multimodal_features).
+    Everything rotated out stays registered below with identical
+    local oracle coverage (``tools/check_correctness.py``)."""
     return {
         "index_stats": q_index_stats,
         "ivf_asof": q_ivf_asof,
         "ivf_upsert": q_ivf_upsert,
         "pq_upsert": q_pq_upsert,
-        "semantic_dedup_increment": q_semantic_dedup_increment,
         "semantic_dedup_indexed": q_semantic_dedup_indexed,
+        "semantic_dedup_increment": q_semantic_dedup_increment,
         "crawl_schedule": q_crawl_schedule,
         "ivf_index": q_ivf_index,
-        "kn_bigram": q_kn_bigram,
         "pq_index": q_pq_index,
-        "semantic_dedup": q_semantic_dedup,
-        "qa_deflator_check": q_qa_deflator_check,
-        "qa_discrepancies": q_qa_discrepancies,
-        "qa_missing_years": q_qa_missing_years,
-        "qa_top_log_ratio": q_qa_top_log_ratio,
-        "rolling_window": q_rolling_window,
-        "simhash_pairs": q_simhash_pairs,
-        "source_terciles": q_source_terciles,
-        "sql_api": q_sql_api,
-        "sql_api_q3": q_sql_api_q3,
-        "url_dedup": q_url_dedup,
-        "usis_export": q_usis_export,
-        "array_agg": q_array_agg,
-        "array_map_funcs": q_array_map_funcs,
-        "benford": q_benford,
-        "big_order_customers": q_big_order_customers,
-        "binary_header": q_binary_header,
-        "column_entropy": q_column_entropy,
-        "corpus_mix": q_corpus_mix,
-        "corr_matrix": q_corr_matrix,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "dq_checks": q_dq_checks,
-        "embed_transform": q_embed_transform,
-        "events_sliding": q_events_sliding,
-        "excess_suppliers": q_excess_suppliers,
-        "forecast_revenue": q_forecast_revenue,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "grouped_topk": q_grouped_topk,
-        "html_strip": q_html_strip,
-        "important_parts": q_important_parts,
-        "interval_overlap": q_interval_overlap,
-        "inverted_index": q_inverted_index,
-        "late_orders": q_late_orders,
-        "line_dedup_doc": q_line_dedup_doc,
-        "linear_trend": q_linear_trend,
-        "link_graph": q_link_graph,
-        "merge_upsert": q_merge_upsert,
-        "native_rollup": q_native_rollup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "observed_profile": q_observed_profile,
+        "pack_sequences": q_pack_sequences,
+        "pii_redact": q_pii_redact,
+        "profile_table": q_profile_table,
+        "range_join": q_range_join,
+        "recursive_cte": q_recursive_cte,
+        "repetition_stats": q_repetition_stats,
+        "resample_locf": q_resample_locf,
+        "returned_revenue": q_returned_revenue,
+        "rolling_corr": q_rolling_corr,
+        "scalar_share": q_scalar_share,
+        "scd2": q_scd2,
+        "scd2_lookup": q_scd2_lookup,
+        "shipping_priority": q_shipping_priority,
+        "source_overlap": q_source_overlap,
+        "sql_udf": q_sql_udf,
+        "stratified_split": q_stratified_split,
+        "table_checksum": q_table_checksum,
+        "trade_volume": q_trade_volume,
+        "variant_extract": q_variant_extract,
+        "ab_test": q_ab_test,
+        "batch_screen": q_batch_screen,
+        "calendar_dim": q_calendar_dim,
+        "category_drift": q_category_drift,
+        "cdc_apply": q_cdc_apply,
+        "closure_leaves": q_closure_leaves,
+        "compute_project": q_compute_project,
+        "conditional_agg": q_conditional_agg,
+        "content_hash": q_content_hash,
+        "datetime_funcs": q_datetime_funcs,
+        "decontam_screen": q_decontam_screen,
+        "decontam_scrub": q_decontam_scrub,
+        "diff_classify": q_diff_classify,
+        "distinct_values": q_distinct_values,
+        "drift_psi": q_drift_psi,
+        "drop_na": q_drop_na,
+        "dsir_weights": q_dsir_weights,
+        "epoch_shuffle": q_epoch_shuffle,
+        "ivf_topk": q_ivf_topk,
+        "market_share": q_market_share,
+        "min_cost_supplier": q_min_cost_supplier,
+        "multimodal_features": q_multimodal_features,
         # -- end of driver window (50) -----------------------------------
         # below the window: alphabetical; all keep local oracle
         # coverage via tools/check_correctness.py
-        "ab_test": q_ab_test,
         "ann_topk": q_ann_topk,
+        "array_agg": q_array_agg,
+        "array_map_funcs": q_array_map_funcs,
         "asof_join": q_asof_join,
         "bankers_round": q_bankers_round,
         "base_broadcast": q_base_broadcast,
-        "batch_screen": q_batch_screen,
+        "benford": q_benford,
+        "big_order_customers": q_big_order_customers,
+        "binary_header": q_binary_header,
         "blocklist_filter": q_blocklist_filter,
         "bloom_screen": q_bloom_screen,
         "bm25_topk": q_bm25_topk,
@@ -7504,24 +7504,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "build_fact": q_build_fact,
         "c4_clean": q_c4_clean,
-        "calendar_dim": q_calendar_dim,
-        "category_drift": q_category_drift,
-        "cdc_apply": q_cdc_apply,
         "cdc_dedup": q_cdc_dedup,
         "chunk_embed_pool": q_chunk_embed_pool,
-        "closure_leaves": q_closure_leaves,
         "cluster_split": q_cluster_split,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "cogroup_reconcile": q_cogroup_reconcile,
         "cohort_retention": q_cohort_retention,
-        "compute_project": q_compute_project,
-        "conditional_agg": q_conditional_agg,
+        "column_entropy": q_column_entropy,
         "conditional_overwrite": q_conditional_overwrite,
         "contamination_frac": q_contamination_frac,
-        "content_hash": q_content_hash,
         "corpus_clean": q_corpus_clean,
         "corpus_curate": q_corpus_curate,
         "corpus_diff": q_corpus_diff,
+        "corpus_mix": q_corpus_mix,
+        "corr_matrix": q_corr_matrix,
         "crawl_corpus": q_crawl_corpus,
         "csv_roundtrip": q_csv_roundtrip,
         "csv_trimmed": q_csv_trimmed,
@@ -7529,28 +7525,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_audit": q_curation_audit,
         "curriculum": q_curriculum,
         "curriculum_batches": q_curriculum_batches,
-        "datetime_funcs": q_datetime_funcs,
-        "decontam_screen": q_decontam_screen,
-        "decontam_scrub": q_decontam_scrub,
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
-        "diff_classify": q_diff_classify,
-        "distinct_values": q_distinct_values,
+        "disjunctive_revenue": q_disjunctive_revenue,
         "doc_chunks": q_doc_chunks,
-        "drift_psi": q_drift_psi,
-        "drop_na": q_drop_na,
+        "dq_checks": q_dq_checks,
         "dsir_select": q_dsir_select,
-        "dsir_weights": q_dsir_weights,
         "dup_ngram_profile": q_dup_ngram_profile,
+        "embed_transform": q_embed_transform,
         "embedding_gram": q_embedding_gram,
         "embedding_near_dup": q_embedding_near_dup,
-        "epoch_shuffle": q_epoch_shuffle,
         "equidepth": q_equidepth,
         "events_sessions": q_events_sessions,
+        "events_sliding": q_events_sliding,
         "events_tumbling": q_events_tumbling,
         "exact_dedup": q_exact_dedup,
         "excel_scan": q_excel_scan,
+        "excess_suppliers": q_excess_suppliers,
         "filter_band": q_filter_band,
         "filter_compound": q_filter_compound,
         "filter_in": q_filter_in,
@@ -7558,7 +7550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "fixed_width": q_fixed_width,
         "flagship_revenue": q_flagship_revenue,
+        "forecast_revenue": q_forecast_revenue,
         "funnel": q_funnel,
+        "fuzzy_pairs": q_fuzzy_pairs,
         "gaps_islands": q_gaps_islands,
         "golden_comments": q_golden_comments,
         "golden_release_diff": q_golden_release_diff,
@@ -7567,6 +7561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_extrema": q_group_extrema,
         "group_first": q_group_first,
         "group_stats": q_group_stats,
+        "grouped_topk": q_grouped_topk,
         "grouping_sets": q_grouping_sets,
         "hamming_d4": q_hamming_d4,
         "hard_negatives": q_hard_negatives,
@@ -7575,13 +7570,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "hist_incremental": q_hist_incremental,
         "histogram": q_histogram,
+        "html_strip": q_html_strip,
         "http_csv_scan": q_http_csv_scan,
         "hybrid_rrf": q_hybrid_rrf,
+        "important_parts": q_important_parts,
         "incremental_dedup": q_incremental_dedup,
         "index_dedup": q_index_dedup,
         "interpolate": q_interpolate,
+        "interval_overlap": q_interval_overlap,
+        "inverted_index": q_inverted_index,
         "ivf_recall": q_ivf_recall,
-        "ivf_topk": q_ivf_topk,
         "join_composite": q_join_composite,
         "join_label": q_join_label,
         "join_suffix": q_join_suffix,
@@ -7589,103 +7587,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "k_anon": q_k_anon,
         "kmeans_assign": q_kmeans_assign,
+        "kn_bigram": q_kn_bigram,
+        "late_orders": q_late_orders,
         "left_join_sum_zero": q_left_join_sum_zero,
         "length_batches": q_length_batches,
+        "line_dedup_doc": q_line_dedup_doc,
+        "linear_trend": q_linear_trend,
+        "link_graph": q_link_graph,
         "lm_buckets": q_lm_buckets,
         "lm_score": q_lm_score,
         "lsh_topk": q_lsh_topk,
         "mad_outliers": q_mad_outliers,
-        "market_share": q_market_share,
         "mean_pool": q_mean_pool,
-        "min_cost_supplier": q_min_cost_supplier,
+        "merge_upsert": q_merge_upsert,
         "minhash_index": q_minhash_index,
         "minhash_lsh": q_minhash_lsh,
-        "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
         "nation_profit": q_nation_profit,
+        "native_rollup": q_native_rollup,
         "ndv_incremental": q_ndv_incremental,
         "neg_projection": q_neg_projection,
+        "ngram_jaccard": q_ngram_jaccard,
         "norm_dedup": q_norm_dedup,
+        "observed_profile": q_observed_profile,
         "orc_roundtrip": q_orc_roundtrip,
         "order_count_dist": q_order_count_dist,
         "outlier_fences": q_outlier_fences,
         "pack_segments": q_pack_segments,
-        "pack_sequences": q_pack_sequences,
         "pad_codes": q_pad_codes,
         "pagerank": q_pagerank,
         "paragraph_dedup": q_paragraph_dedup,
         "pareto_share": q_pareto_share,
         "part_supplier_counts": q_part_supplier_counts,
         "phash_dedup": q_phash_dedup,
-        "pii_redact": q_pii_redact,
         "pivot_wide": q_pivot_wide,
         "pq_topk": q_pq_topk,
         "preference_pairs": q_preference_pairs,
         "prefix_jaccard": q_prefix_jaccard,
         "priority_by_flag": q_priority_by_flag,
-        "profile_table": q_profile_table,
         "projection": q_projection,
         "promo_ratio": q_promo_ratio,
         "pseudonymize": q_pseudonymize,
         "python_datasource": q_python_datasource,
         "qa_added_years": q_qa_added_years,
+        "qa_deflator_check": q_qa_deflator_check,
+        "qa_discrepancies": q_qa_discrepancies,
+        "qa_missing_years": q_qa_missing_years,
+        "qa_top_log_ratio": q_qa_top_log_ratio,
         "quality_gate": q_quality_gate,
         "quality_lang": q_quality_lang,
         "range_frame": q_range_frame,
-        "range_join": q_range_join,
         "rank_windows": q_rank_windows,
         "recode_values": q_recode_values,
         "record_linkage": q_record_linkage,
-        "recursive_cte": q_recursive_cte,
         "ref_date_stamp": q_ref_date_stamp,
         "regional_volume": q_regional_volume,
-        "repetition_stats": q_repetition_stats,
-        "resample_locf": q_resample_locf,
-        "returned_revenue": q_returned_revenue,
-        "rolling_corr": q_rolling_corr,
+        "rolling_window": q_rolling_window,
         "rollup_hierarchy": q_rollup_hierarchy,
         "row_ids": q_row_ids,
         "salted_join": q_salted_join,
         "sample_per_group": q_sample_per_group,
-        "scalar_share": q_scalar_share,
-        "scd2": q_scd2,
-        "scd2_lookup": q_scd2_lookup,
         "schema_evolution": q_schema_evolution,
         "sci_format": q_sci_format,
         "seasonal_anomalies": q_seasonal_anomalies,
         "semantic_decontam": q_semantic_decontam,
+        "semantic_dedup": q_semantic_dedup,
         "semi_anti_join": q_semi_anti_join,
         "shard_assign": q_shard_assign,
         "shard_manifest": q_shard_manifest,
-        "shipping_priority": q_shipping_priority,
+        "simhash_pairs": q_simhash_pairs,
         "sketch_bounds": q_sketch_bounds,
         "sketch_rollup": q_sketch_rollup,
         "sketch_stats": q_sketch_stats,
         "small_qty_revenue": q_small_qty_revenue,
-        "source_overlap": q_source_overlap,
         "source_report": q_source_report,
-        "sql_udf": q_sql_udf,
-        "stratified_split": q_stratified_split,
+        "source_terciles": q_source_terciles,
+        "sql_api": q_sql_api,
+        "sql_api_q3": q_sql_api_q3,
         "string_funcs": q_string_funcs,
         "substring_dedup": q_substring_dedup,
-        "table_checksum": q_table_checksum,
         "temperature_mix": q_temperature_mix,
         "token_stats": q_token_stats,
         "top_acctbal_no_orders": q_top_acctbal_no_orders,
         "top_bigrams": q_top_bigrams,
         "top_supplier": q_top_supplier,
         "topk_orders": q_topk_orders,
-        "trade_volume": q_trade_volume,
         "train_batches": q_train_batches,
         "triangle_count": q_triangle_count,
         "udtf_matches": q_udtf_matches,
         "unicode_clean": q_unicode_clean,
         "union_by_name": q_union_by_name,
         "unpivot_long": q_unpivot_long,
+        "url_dedup": q_url_dedup,
         "url_frontier": q_url_frontier,
+        "usis_export": q_usis_export,
         "value_windows": q_value_windows,
-        "variant_extract": q_variant_extract,
         "vocab_coverage": q_vocab_coverage,
         "waiting_supplier": q_waiting_supplier,
         "warc_ingest": q_warc_ingest,
@@ -9897,25 +9894,28 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         # churn dashboards replayed as pure counts over embeddings
-        # (see q_index_stats; upsert ids 0-9, delete ids 10-19, write
-        # seq 0 / append 1 / upsert 2 / delete 3 -> next_seq 4)
+        # (the shared _churn_fixture scenario: upsert ids 0-19, delete
+        # ids 20-39, write seq 0 / append 1 / upsert 2 / delete 3 ->
+        # next_seq 4; dashboards captured PRE-compaction).  ids_up
+        # counts NULL-filtered ids: upsert tombstones derive from the
+        # same NULL-vector-guarded frame the posting append uses
         "index_stats": """
             WITH nn AS (
               SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
             ),
             c AS (SELECT
               CAST((SELECT count(*) FROM nn) AS BIGINT) AS n_all,
-              CAST((SELECT count(*) FROM nn WHERE vec_id < 10)
+              CAST((SELECT count(*) FROM nn WHERE vec_id < 20)
                    AS BIGINT) AS n_up,
               CAST((SELECT count(*) FROM nn
-                    WHERE vec_id >= 10 AND vec_id < 20) AS BIGINT) AS n_del,
-              CAST((SELECT count(DISTINCT vec_id) FROM embeddings
-                    WHERE vec_id < 10) AS BIGINT) AS ids_up)
+                    WHERE vec_id >= 20 AND vec_id < 40) AS BIGINT) AS n_del,
+              CAST((SELECT count(DISTINCT vec_id) FROM nn
+                    WHERE vec_id < 20) AS BIGINT) AS ids_up)
             SELECT k.index_kind,
                    c.n_all + c.n_up AS rows_total,
                    c.n_all - c.n_del AS rows_live,
                    c.n_up + c.n_del AS rows_dead,
-                   c.ids_up + 10 AS tombstoned_ids,
+                   c.ids_up + 20 AS tombstoned_ids,
                    CAST(4 AS BIGINT) AS next_seq
             FROM (SELECT 'ivf' AS index_kind
                   UNION ALL SELECT 'pq') k CROSS JOIN c
