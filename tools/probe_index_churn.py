@@ -55,7 +55,8 @@ def main() -> None:
     n, dim = args.rows, args.dim
     table = "probe_churn_tbl"
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in (table, f"{table}__centroids", f"{table}__tombstones"):
+    for t in (table, f"{table}__centroids", f"{table}__vectors",
+              f"{table}__tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
 
@@ -139,7 +140,8 @@ def main() -> None:
         f"live rows={live:,} (= logical corpus)  "
         f"deleted-never-served: OK  compaction-invariant: OK"
     )
-    for t in (table, f"{table}__centroids", f"{table}__tombstones"):
+    for t in (table, f"{table}__centroids", f"{table}__vectors",
+              f"{table}__tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     spark.stop()
 
