@@ -91,7 +91,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .dedup import _compact_bucketed_table, _num_buckets
-from .kmeans import _dist2, _quantize, assign_expr, train_kmeans_fixed
+from .kmeans import (
+    _dist2,
+    _quantize,
+    assign_expr,
+    train_kmeans_fixed,
+    train_pq_codebooks,
+)
 
 __all__ = [
     "write_ivf_index",
@@ -1047,19 +1053,14 @@ def write_pq_index(
     ctable = _pq_codebooks_table(table)
     _reclaim_orphans(spark, table, (ctable, _tombstones_table(table)))
     sub = dim // m
-    base = df.filter(F.col(vec_col).isNotNull())
-    books = []
-    for s in range(m):
-        sliced = base.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
-        )
-        books.append(
-            train_kmeans_fixed(
-                sliced, id_col, vec_col, k=k_codes, n_iter=n_iter,
-                scale=scale, offset=offset, seed=f"{seed}{s}",
-            )
-        )
+    # fused trainer: one persisted frame + one action per Lloyd's step
+    # for ALL m subspaces (vs m persists and m·(n_iter+1) actions =
+    # m·(n_iter+1) corpus passes) — bit-identical per-subspace books
+    # (tests/test_kmeans_mix.py pins the equivalence)
+    books = train_pq_codebooks(
+        df, id_col, vec_col, m=m, sub=sub, k=k_codes, n_iter=n_iter,
+        scale=scale, offset=offset, seed=seed,
+    )
     if any(not b for b in books):
         raise ValueError("empty corpus")
     params = {

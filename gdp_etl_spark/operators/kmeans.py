@@ -133,6 +133,115 @@ def _lloyd(qdf: DataFrame, k: int, n_iter: int) -> list[list[int]]:
     return centroids
 
 
+def train_pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    sub: int,
+    k: int = 16,
+    n_iter: int = 2,
+    scale: float = 1e6,
+    offset: float = 1.0,
+    seed: str = "pq",
+) -> list[list[list[int]]]:
+    """Train the ``m`` per-subspace codebooks of a product quantizer in
+    ONE fused Lloyd's driver loop — bit-identical to ``m`` sequential
+    :func:`train_kmeans_fixed` calls over ``slice(vec, s*sub+1, sub)``
+    with seed ``f"{seed}{s}"`` (pinned in
+    tests/test_kmeans_mix.py::test_train_pq_codebooks_equals_sequential),
+    because every per-subspace quantity is unchanged: the seed hash is
+    the same ``md5(id:seed{s})`` prefix, seeds are the k smallest
+    ``(__h, __id)`` rows PER subspace, assignment is the same literal-
+    centroid argmin applied per subspace, and centroid updates are the
+    same per-subspace integer floor-divided sums.
+
+    What fuses (the r15 optimization): the sequential path persists m
+    sliced frames and runs m·(1 seed + n_iter update) driver actions —
+    at corpus scale that is m·(n_iter+1) passes over the vector bytes;
+    here ONE persisted frame holds all m quantized slices (same total
+    bytes as the corpus: m rows of dim/m elements per vector) and each
+    Lloyd's step is ONE action for all subspaces (seeds via a
+    per-subspace rank, updates via one groupBy(subspace, cluster)),
+    i.e. (n_iter+1) passes and (n_iter+1) actions regardless of m.
+
+    Returns ``m`` codebooks (possibly with fewer than ``k`` entries
+    when the corpus is smaller than ``k``; empty on an empty corpus —
+    the train_kmeans_fixed contract, per subspace)."""
+    from pyspark.sql import Window
+
+    slices = []
+    base = df.filter(F.col(vec_col).isNotNull())
+    for s in range(m):
+        h = F.md5(
+            F.concat_ws(
+                ":", F.col(id_col).cast("string"), F.lit(f"{seed}{s}")
+            )
+        )
+        slices.append(
+            base.select(
+                F.lit(s).alias("__sub"),
+                F.col(id_col).alias("__id"),
+                _quantize(
+                    F.slice(F.col(vec_col), s * sub + 1, sub),
+                    scale, offset,
+                ).alias("__q"),
+                F.conv(F.substring(h, 1, 8), 16, 10)
+                .cast("bigint")
+                .alias("__h"),
+            )
+        )
+    qdf = slices[0]
+    for sl in slices[1:]:
+        qdf = qdf.unionByName(sl)
+    qdf = qdf.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # ---- seeds: the k smallest (__h, __id) rows per subspace, in
+        # rank order — one action for all m subspaces
+        rn = F.row_number().over(
+            Window.partitionBy("__sub").orderBy("__h", "__id")
+        )
+        seed_rows = (
+            qdf.select("__sub", "__q", rn.alias("__rn"))
+            .filter(F.col("__rn") <= k)
+            .collect()
+        )
+        books: list[list[list[int]]] = [[] for _ in range(m)]
+        for r in sorted(seed_rows, key=lambda r: (r["__sub"], r["__rn"])):
+            books[r["__sub"]].append(list(r["__q"]))
+        if any(not b for b in books):
+            # an empty corpus empties EVERY subspace (same rows); the
+            # sequential path returns [] per subspace
+            return books
+        # ---- Lloyd's: one assignment+update action per iteration for
+        # all m subspaces; per-subspace math identical to _lloyd
+        for _ in range(n_iter):
+            cluster = None
+            for s in range(m):
+                c, _d = assign_expr(books[s], F.col("__q"))
+                cluster = (
+                    c if cluster is None
+                    else F.when(F.col("__sub") == s, c).otherwise(cluster)
+                )
+            stats = (
+                qdf.select("__sub", "__q", cluster.alias("cluster"))
+                .groupBy("__sub", "cluster")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.element_at("__q", i + 1)).alias(f"s{i}")
+                      for i in range(sub)],
+                )
+                .collect()
+            )
+            for r in stats:
+                s, c, n = r["__sub"], r["cluster"], r["n"]
+                # non-negative sums: truncating div == floor div
+                books[s][c] = [int(r[f"s{i}"]) // n for i in range(sub)]
+        return books
+    finally:
+        qdf.unpersist(blocking=False)
+
+
 def train_kmeans_fixed(
     df: DataFrame,
     id_col: str,

@@ -924,7 +924,7 @@ def pq_topk(
         _dist2,
         _quantize,
         assign_expr,
-        train_kmeans_fixed,
+        train_pq_codebooks,
     )
 
     if dim % m:
@@ -956,18 +956,13 @@ def pq_topk(
     sub = dim // m
     base = df.filter(F.col(vec_col).isNotNull())
 
-    codebooks = []
-    for s in range(m):
-        sliced = base.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
-        )
-        codebooks.append(
-            train_kmeans_fixed(
-                sliced, id_col, vec_col, k=k_codes, n_iter=n_iter,
-                scale=scale, offset=offset, seed=f"{seed}{s}",
-            )
-        )
+    # fused trainer (r15): one persisted frame + one action per Lloyd's
+    # step for ALL m subspaces instead of m sequential trainings —
+    # bit-identical books (tests/test_kmeans_mix.py pins it)
+    codebooks = train_pq_codebooks(
+        base, id_col, vec_col, m=m, sub=sub, k=k_codes, n_iter=n_iter,
+        scale=scale, offset=offset, seed=seed,
+    )
 
     q = _quantize(F.col(vec_col), scale, offset)
 

@@ -248,3 +248,58 @@ def test_curriculum_stages_layout(spark):
             df, "difficulty", "doc_id", n_stages=2, batch_size=1,
             batch_id_stride=4,
         )
+
+
+def test_train_pq_codebooks_equals_sequential(spark):
+    """The fused multi-subspace trainer (r15: one persisted frame, one
+    action per Lloyd's step for ALL subspaces) must be bit-identical to
+    m sequential train_kmeans_fixed calls over the vector slices with
+    per-subspace seeds — the equivalence write_pq_index / pq_topk rely
+    on when they swap the sequential loop for the fused one."""
+    from gdp_etl_spark.operators.kmeans import (
+        train_kmeans_fixed,
+        train_pq_codebooks,
+    )
+
+    # 8-dim vectors from the planted 4-d blobs: concat vec with its
+    # reverse so subspaces carry different geometry
+    df = _planted(spark).select(
+        "id", F.concat("vec", F.reverse("vec")).alias("vec")
+    )
+    m, sub = 4, 2
+    seq = []
+    for s in range(m):
+        sliced = df.select(
+            "id", F.slice("vec", s * sub + 1, sub).alias("vec")
+        )
+        seq.append(
+            train_kmeans_fixed(
+                sliced, "id", "vec", k=5, n_iter=2, seed=f"pq{s}"
+            )
+        )
+    fused = train_pq_codebooks(
+        df, "id", "vec", m=m, sub=sub, k=5, n_iter=2, seed="pq"
+    )
+    assert fused == seq
+
+    # k larger than the corpus: both cap at the row count, same order
+    small = df.limit(3)
+    seq_small = [
+        train_kmeans_fixed(
+            small.select(
+                "id", F.slice("vec", s * sub + 1, sub).alias("vec")
+            ),
+            "id", "vec", k=10, n_iter=1, seed=f"pq{s}",
+        )
+        for s in range(m)
+    ]
+    fused_small = train_pq_codebooks(
+        small, "id", "vec", m=m, sub=sub, k=10, n_iter=1, seed="pq"
+    )
+    assert fused_small == seq_small
+
+    # empty corpus: every subspace book is empty (the caller raises)
+    fused_empty = train_pq_codebooks(
+        df.limit(0), "id", "vec", m=m, sub=sub, k=5, n_iter=1, seed="pq"
+    )
+    assert fused_empty == [[] for _ in range(m)]
