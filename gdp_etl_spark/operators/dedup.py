@@ -2097,54 +2097,121 @@ def _semantic_dedup_cells(
     assignment ``cells (id, cell int)`` — trained in-query
     (:func:`semantic_dedup`) or read from a persisted IVF index
     (:func:`semantic_dedup_from_index`) — run the intra-cell
-    earliest-id near-duplicate scan.  Candidate space is Σ|cell|² via
-    the cell-id equi-join; exact-cosine scoring on the RAW vectors
-    (``dot_fixed``), so both entry points produce bit-identical
-    verdicts for the same assignment.
+    earliest-id near-duplicate scan.  Candidate space is Σ|cell|²,
+    evaluated as ONE Arrow-batched block per (cell, dim) group: each
+    row crosses the Python boundary once (never per pair — the
+    "decide with small rows, move big rows once" rule), and the pair
+    sims are vectorized numpy over the block.  r15 rewrite: the former
+    JVM shape (self equi-join on the cell id + per-pair zip_with/
+    aggregate dot + min groupBy + verdict left join) paid ~5 µs of
+    CodegenFallback HOF interpretation per PAIR and three extra
+    shuffles; this path ships each row once and scores blocks at
+    memory bandwidth.  Verdicts are bit-identical: the fixed-point
+    recipe (per-element ``floor(x·y·1e12)`` in IEEE double, exact
+    int64 accumulation, one final sqrt/divide) is the same arithmetic
+    ``dot_fixed`` folds — pinned against the old join path in pytest
+    and by the unchanged DuckDB oracle mirrors.
 
     ``scope_col``: optional boolean column in ``base`` restricting the
     VERDICT side (and the output) to the flagged rows — the increment
     shape (:func:`semantic_dedup_increment`): only flagged rows are
     judged, but every row can be the earlier anchor they duck under,
-    so the candidate space shrinks to Σ|cell∩scope|·|cell|."""
+    so the candidate space shrinks to Σ|cell∩scope|·|cell|.
+
+    Scale shape: one id equi-join (attach cells) + one Exchange by
+    (cell, dim) into the grouped block scorer — strictly fewer
+    shuffles than the old self-join chain.  A block holds one cell's
+    rows (the ``num_cells ∝ n`` contract bounds |cell|); the scorer
+    chunks its (|chunk|·|cell|·dim) product tensor to ~32 MB so peak
+    task memory is bounded by the cell's vectors, not by |cell|²."""
     from ..functions.vectors import dot_fixed
 
-    # self-norms precompute PER ROW before the checkpoint: cosine_exact
-    # inline would re-evaluate dot_fixed(x, x) once per PAIR — 3 HOF
-    # folds per candidate instead of 1 — and the value is identical
-    # either way (same fixed-point recipe), so the oracle's
-    # cosine_exact mirror is unchanged
-    assigned = (
-        base.join(cells, id_col)
-        .withColumn("__n2", dot_fixed(F.col(vec_col), F.col(vec_col)))
-        .localCheckpoint()
+    # self-norms per ROW in the JVM (one HOF fold per row, not per
+    # pair) — the exact dot_fixed(x, x) value: NULL for NULL-element
+    # vectors, 0 for zero vectors; both are excluded from scoring
+    # below exactly as the old sim expression's NULL/<=0 guard did.
+    # Non-participating rows get a zero block vector so the group's
+    # matrix stacks without NaN/None handling.
+    n2 = dot_fixed(F.col(vec_col), F.col(vec_col))
+    assigned = base.join(cells, id_col).select(
+        F.col(id_col),
+        F.col("cell").cast("int").alias("cell"),
+        F.size(F.col(vec_col)).alias("__dim"),
+        n2.alias("__n2"),
+        F.when(
+            n2 > 0,
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        ).otherwise(
+            F.array_repeat(F.lit(0.0), F.size(F.col(vec_col)))
+        ).alias("__vd"),
+        (F.col(scope_col) if scope_col else F.lit(True)).alias("__scope"),
     )
-    scoped = (
-        assigned.filter(F.col(scope_col)) if scope_col else assigned
-    )
-    a, b = scoped.alias("a"), assigned.alias("b")
-    na2, nb2 = F.col("a.__n2"), F.col("b.__n2")
-    sim = F.when(
-        (na2 <= 0) | (nb2 <= 0), F.lit(None).cast("double")
-    ).otherwise(
-        dot_fixed(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-        / (F.sqrt(na2) * F.sqrt(nb2))
-    )
-    dup = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+    idt = assigned.schema[id_col].dataType.simpleString()
+    if idt not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"semantic dedup: id column {id_col!r} must be integral "
+            f"(block scoring orders and min-reduces ids as int64); "
+            f"got {idt}"
         )
-        .filter(sim >= F.lit(float(threshold)))
-        .groupBy(F.col(f"a.{id_col}").alias(id_col))
-        .agg(F.min(F.col(f"b.{id_col}")).alias("dup_of"))
-    )
-    return scoped.join(dup, id_col, "left").select(
-        id_col,
-        "cell",
-        "dup_of",
-        F.col("dup_of").isNull().alias("keep"),
+    thr = float(threshold)
+
+    def _score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        n2v = pdf["__n2"].to_numpy(dtype=np.float64)[order]
+        scope = pdf["__scope"].to_numpy()[order]
+        cell_ids = pdf["cell"].to_numpy()[order]
+        part = n2v > 0  # NaN (NULL n2) and zero-norm both fall out
+        m = len(ids)
+        emat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["__vd"].to_numpy()[order]]
+        ) if m else np.zeros((0, 0))
+        dim = emat.shape[1] if m else 0
+        inv = np.where(part, np.sqrt(np.where(part, n2v, 1.0)), 1.0)
+        found = np.zeros(m, dtype=bool)
+        dup_of = np.zeros(m, dtype=np.int64)
+        chunk = max(1, (1 << 22) // max(1, m * max(dim, 1)))
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            sel = part[lo:hi] & scope[lo:hi]
+            if not sel.any():
+                continue
+            # per-element floor(x·y·1e12): each |term| ≤ ~1e12 is exact
+            # in float64, and the int64 accumulator sum is exact — the
+            # dot_fixed fold, vectorized
+            prods = emat[lo:hi, None, :] * emat[None, :, :]
+            np.multiply(prods, 1e12, out=prods)
+            np.floor(prods, out=prods)
+            dots = prods.sum(axis=2, dtype=np.int64)
+            sim = (dots / 1e12) / (inv[lo:hi, None] * inv[None, :])
+            ok = (
+                (sim >= thr)
+                & sel[:, None]
+                & part[None, :]
+                & (ids[None, :] < ids[lo:hi, None])
+            )
+            has = ok.any(axis=1)
+            # ids ascending → first True column is the smallest dup_of
+            first = np.argmax(ok, axis=1)
+            found[lo:hi] = has
+            dup_of[lo:hi] = np.where(has, ids[first], 0)
+        keep_rows = scope.astype(bool)
+        return pd.DataFrame({
+            id_col: pd.Series(ids[keep_rows], dtype=pdf[id_col].dtype),
+            "cell": pd.Series(cell_ids[keep_rows], dtype=pdf["cell"].dtype),
+            "dup_of": pd.Series(
+                [int(d) if f else None
+                 for d, f in zip(dup_of[keep_rows], found[keep_rows])],
+                dtype="object",
+            ),
+            "keep": pd.Series(~found[keep_rows], dtype=bool),
+        })
+
+    return assigned.groupBy("cell", "__dim").applyInPandas(
+        _score_block,
+        f"{id_col} {idt}, cell int, dup_of {idt}, keep boolean",
     )
 
 

@@ -1940,3 +1940,76 @@ def test_schedule_frontier_single_window_pass(spark):
     assert plan.count("Window") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_semantic_dedup_block_scorer_equals_join_path(spark):
+    """r15: the SemDeDup tail scores each (cell, dim) block vectorized
+    in one Arrow batch instead of the old JVM pair join.  The verdicts
+    must be BIT-IDENTICAL to the old shape — replayed here as the
+    original join + dot_fixed + min-agg chain — on a corpus that
+    exercises every guard: zero-norm rows, a NULL-element vector,
+    mixed dimensions inside one cell (old path: NULL sim via zip_with
+    padding; new path: dim-split groups), negative ids, and
+    at-threshold sims."""
+    from gdp_etl_spark.functions.vectors import dot_fixed
+    from gdp_etl_spark.operators.dedup import _semantic_dedup_cells
+
+    rows_in = [
+        (-3, [1.0, 0.0, 0.0, 0.0], 0),
+        (0, [0.99, 0.01, 0.0, 0.0], 0),
+        (1, [0.98, -0.02, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 0.0, 0.0], 0),          # zero norm
+        (3, [1.0, None, 0.0, 0.0], 0),         # NULL element
+        (4, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0),  # dim 6 in cell 0
+        (5, [0.999, 0.001, 0.0, 0.0, 0.0, 0.0], 0),
+        (6, [0.0, 1.0, 0.0, 0.0], 1),
+        (7, [0.0, 0.97, 0.2, 0.0], 1),
+        (8, [0.5, 0.5, 0.5, 0.5], 1),
+    ]
+    base = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows_in],
+        "vec_id long, embedding array<float>",
+    )
+    cells = spark.createDataFrame(
+        [(i, c) for i, v, c in rows_in], "vec_id long, cell int"
+    )
+    got = sorted(map(tuple, _semantic_dedup_cells(
+        base, cells, "vec_id", "embedding", threshold=0.9
+    ).collect()))
+
+    # the pre-r15 join shape, verbatim
+    assigned = (
+        base.join(cells, "vec_id")
+        .withColumn("__n2", dot_fixed(F.col("embedding"), F.col("embedding")))
+        .localCheckpoint()
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    na2, nb2 = F.col("a.__n2"), F.col("b.__n2")
+    sim = F.when(
+        (na2 <= 0) | (nb2 <= 0), F.lit(None).cast("double")
+    ).otherwise(
+        dot_fixed(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.sqrt(na2) * F.sqrt(nb2))
+    )
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(sim >= F.lit(0.9))
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("b.vec_id")).alias("dup_of"))
+    )
+    want = sorted(map(tuple, assigned.join(dup, "vec_id", "left").select(
+        "vec_id", "cell", "dup_of", F.col("dup_of").isNull().alias("keep")
+    ).collect()))
+    assert got == want
+    # the fixture must exercise dup hits, zero-norm keeps and the
+    # cross-dim NULL-sim split
+    assert any(not keep for _, _, _, keep in got)
+    d = dict((i, (dup_of, keep)) for i, _, dup_of, keep in got)
+    assert d[2] == (None, True)      # zero norm never a duplicate
+    assert d[3] == (None, True)      # NULL element: NULL n2, kept
+    assert d[5] == (4, False)        # dim-6 rows pair within their dim
+    assert d[0] == (-3, False)       # negative id is a valid anchor
