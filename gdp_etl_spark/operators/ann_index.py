@@ -90,6 +90,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import local_df
 from .dedup import _compact_bucketed_table, _num_buckets
 from .kmeans import (
     _dist2,
@@ -451,17 +452,26 @@ def _quantized(df: DataFrame, id_col: str, vec_col: str, dim: int,
     )
 
 
+def _assign_cells(qdf: DataFrame, id_col: str,
+                  centroids: list[list[int]]) -> DataFrame:
+    """Cell-assign an already-quantized ``(id, q, seq)`` frame —
+    map-only (the shared literal-centroid argmin, whole-stage codegen,
+    no shuffle before the bucketed write's own redistribution)."""
+    cell, _ = assign_expr(centroids, F.col("q"))
+    return qdf.select(
+        cell.cast("int").alias("cell"), F.col(id_col), "q", "seq",
+    )
+
+
 def _postings(df: DataFrame, id_col: str, vec_col: str,
               centroids: list[list[int]], scale: float,
               offset: float, seq: int) -> DataFrame:
-    """Quantize + assign one batch of vectors — map-only (the shared
-    literal-centroid argmin, whole-stage codegen, no shuffle before
-    the bucketed write's own redistribution)."""
-    base = _quantized(df, id_col, vec_col, len(centroids[0]),
-                      scale, offset, seq)
-    cell, _ = assign_expr(centroids, F.col("q"))
-    return base.select(
-        cell.cast("int").alias("cell"), F.col(id_col), "q", "seq",
+    """Quantize + assign one batch of vectors (see
+    :func:`_assign_cells` for the shared assignment tail)."""
+    return _assign_cells(
+        _quantized(df, id_col, vec_col, len(centroids[0]),
+                   scale, offset, seq),
+        id_col, centroids,
     )
 
 
@@ -522,8 +532,12 @@ def write_ivf_index(
     spark.sql(f"DROP TABLE IF EXISTS {ctmp}")
     spark.sql(f"DROP TABLE IF EXISTS {vtmp}")
     spark.sql(f"DROP TABLE IF EXISTS {ptmp}")
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
+    # centroids are model state (k rows): local_df ships ONE Arrow
+    # batch as a LocalRelation (~0.05 s) instead of pickling rows
+    # through executor Python workers (~0.5 s warm, 3 s cold — the
+    # session.local_df rationale, measured r15)
+    local_df(
+        spark, [(i, c) for i, c in enumerate(centroids)],
         "cell int, c array<bigint>",
     ).write.mode("overwrite").saveAsTable(ctmp)
     spark.sql(f"ALTER TABLE {ctmp} RENAME TO {ctable}")
@@ -532,7 +546,12 @@ def write_ivf_index(
     # from with BUCKET PRUNING (id IN (...) on the bucket key) — the
     # id-keyed companion that closes the convenience path's unpruned
     # posting scan (r14 verdict task 5).  Renamed before the postings
-    # table, which stays the liveness marker.
+    # table, which stays the liveness marker.  Both corpus writes are
+    # LAZY scans of the source (measured r15: persisting the shared
+    # quantized frame to feed them from cache costs more than the two
+    # columnar re-scans at bench scale, and at 100 TB it would write
+    # corpus bytes to the cache tier to save two pruned parquet scans
+    # — the guide's cache-only-when-recompute-is-costlier rule).
     (
         _quantized(df, id_col, vec_col, dim, scale, offset, seq=0)
         .write.mode("overwrite")
@@ -554,20 +573,19 @@ def write_ivf_index(
     spark.sql(f"ALTER TABLE {ptmp} RENAME TO {table}")
 
 
-def _append_twin(df: DataFrame, table: str, p: dict, dim: int,
-                 seq: int) -> None:
-    """Mirror a write batch into the id-keyed ``__vectors`` twin —
-    quantize-only (no cell assignment), bucketed by id so probe-time
-    query-vector fetches are bucket-pruned.  A pre-twin index (format
-    note in the module docstring) skips silently: the probe falls back
-    to the documented posting scan."""
-    spark = df.sparkSession
+def _append_twin(qdf: DataFrame, table: str, p: dict) -> None:
+    """Mirror an already-quantized write batch into the id-keyed
+    ``__vectors`` twin — the same ``(id, q, seq)`` frame the caller's
+    posting append reads (quantized once, shared) — bucketed by id so
+    probe-time query-vector fetches are bucket-pruned.  A pre-twin
+    index (format note in the module docstring) skips silently: the
+    probe falls back to the documented posting scan."""
+    spark = qdf.sparkSession
     vtable = _vectors_table(table)
     if not spark.catalog.tableExists(vtable):
         return
     (
-        _quantized(df, p["id_col"], p["vec_col"], dim,
-                   p["scale"], p["offset"], seq)
+        qdf
         .write.mode("append")
         .format("parquet")
         .bucketBy(_num_buckets(spark, vtable), p["id_col"])
@@ -581,7 +599,8 @@ def append_to_ivf_index(df: DataFrame, table: str) -> None:
     """Fold a NEW vector batch into the index: assign cells with the
     STORED centroids (no retrain — one map-only pass over the
     increment, prior data never rescanned) and append with the bucket
-    spec preserved (postings AND the id-keyed ``__vectors`` twin).
+    spec preserved (postings AND the id-keyed ``__vectors`` twin —
+    two map-only scans of the batch sharing one quantize plan).
     Ids already present are the CALLER's contract (an id-keyed store,
     like the dedup index's admitted-batch cycle); duplicate rows cost
     bytes until :func:`compact_ivf_index`."""
@@ -589,16 +608,19 @@ def append_to_ivf_index(df: DataFrame, table: str) -> None:
     p = _read_stamp(spark, table)
     centroids = _load_centroids(spark, table)
     n_buckets = _num_buckets(spark, table)
+    qdf = _quantized(
+        df, p["id_col"], p["vec_col"], len(centroids[0]),
+        p["scale"], p["offset"], seq=p["next_seq"],
+    )
     (
-        _postings(df, p["id_col"], p["vec_col"], centroids,
-                  p["scale"], p["offset"], seq=p["next_seq"])
+        _assign_cells(qdf, p["id_col"], centroids)
         .write.mode("append")
         .format("parquet")
         .bucketBy(n_buckets, "cell")
         .sortBy("cell")
         .saveAsTable(table)
     )
-    _append_twin(df, table, p, len(centroids[0]), p["next_seq"])
+    _append_twin(qdf, table, p)
     _bump_next_seq(spark, table, _P, p["next_seq"])
     # the append_to_dedup_index catalog-cache rule: invalidate the
     # cached file listing so a probe in this session sees the new rows
@@ -621,8 +643,8 @@ def delete_from_ivf_index(spark, table: str, ids: Sequence[int]) -> None:
             f"{bad[:3]!r}{'…' if len(bad) > 3 else ''}"
         )
     p = _read_stamp(spark, table)
-    ids_df = spark.createDataFrame(
-        [(int(i),) for i in ids], f"{p['id_col']} bigint"
+    ids_df = local_df(
+        spark, [(int(i),) for i in ids], f"{p['id_col']} bigint"
     )
     _append_tombstones(spark, table, p["id_col"], ids_df, p["next_seq"])
     _bump_next_seq(spark, table, _P, p["next_seq"])
@@ -657,16 +679,19 @@ def upsert_to_ivf_index(df: DataFrame, table: str) -> None:
                     "upsert_to_ivf_index"),
         seq,
     )
+    qdf = _quantized(
+        df, p["id_col"], p["vec_col"], len(centroids[0]),
+        p["scale"], p["offset"], seq=seq,
+    )
     (
-        _postings(df, p["id_col"], p["vec_col"], centroids,
-                  p["scale"], p["offset"], seq=seq)
+        _assign_cells(qdf, p["id_col"], centroids)
         .write.mode("append")
         .format("parquet")
         .bucketBy(n_buckets, "cell")
         .sortBy("cell")
         .saveAsTable(table)
     )
-    _append_twin(df, table, p, len(centroids[0]), seq)
+    _append_twin(qdf, table, p)
     _bump_next_seq(spark, table, _P, seq)
     spark.catalog.refreshTable(table)
 
@@ -1072,7 +1097,8 @@ def write_pq_index(
     ctmp, ptmp = f"{ctable}__new", f"{table}__new"
     spark.sql(f"DROP TABLE IF EXISTS {ctmp}")
     spark.sql(f"DROP TABLE IF EXISTS {ptmp}")
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(s, i, c) for s, book in enumerate(books)
          for i, c in enumerate(book)],
         "subspace int, code int, c array<bigint>",
@@ -1132,8 +1158,8 @@ def delete_from_pq_index(spark, table: str, ids: Sequence[int]) -> None:
             f"{bad[:3]!r}{'…' if len(bad) > 3 else ''}"
         )
     p = _read_pq_stamp(spark, table)
-    ids_df = spark.createDataFrame(
-        [(int(i),) for i in ids], f"{p['id_col']} bigint"
+    ids_df = local_df(
+        spark, [(int(i),) for i in ids], f"{p['id_col']} bigint"
     )
     _append_tombstones(spark, table, p["id_col"], ids_df, p["next_seq"])
     _bump_next_seq(spark, table, _PQ, p["next_seq"])
