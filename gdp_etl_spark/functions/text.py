@@ -42,6 +42,8 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
 }
 
+from .hof import bind_once
+
 #: stopword list for the quality score (EN markers — matches the corpus).
 STOPWORDS = LANG_MARKERS["en"]
 
@@ -75,39 +77,56 @@ def punct_ratio(text: Column) -> Column:
     )
 
 
-def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
-    toks = ws_tokens(text)
-    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    total = F.size(toks)
+def _stopword_ratio_ts(ts: Column, stopwords: tuple[str, ...]) -> Column:
+    hits = F.size(F.filter(ts, lambda t: t.isin(*stopwords)))
+    total = F.size(ts)
     return F.when(total == 0, F.lit(0.0)).otherwise(hits.cast("double") / total.cast("double"))
 
 
-def mean_token_len(text: Column) -> Column:
-    toks = ws_tokens(text)
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    # tokenize ONCE per row (bind_once): the unbound form re-split the
+    # text per sub-term
+    return bind_once(
+        ws_tokens(text), lambda ts: _stopword_ratio_ts(ts, stopwords)
+    )
+
+
+def _mean_token_len_ts(ts: Column) -> Column:
     total_chars = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t).cast("bigint")
+        ts, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t).cast("bigint")
     )
-    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
-        total_chars.cast("double") / F.size(toks).cast("double")
+    return F.when(F.size(ts) == 0, F.lit(0.0)).otherwise(
+        total_chars.cast("double") / F.size(ts).cast("double")
     )
+
+
+def mean_token_len(text: Column) -> Column:
+    return bind_once(ws_tokens(text), _mean_token_len_ts)
 
 
 def quality_score(text: Column) -> Column:
     """Composite [0,1] heuristic quality score: long enough, not
     punctuation-heavy, has some (but not only) stopwords, sane word length.
-    Deterministic arithmetic → oracle-checkable."""
-    n_tok = token_count_ws(text).cast("double")
-    length_ok = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    Deterministic arithmetic → oracle-checkable.  The token array is
+    bound ONCE per row (bind_once) and shared by all three token-based
+    sub-scores — the unbound form re-tokenized the text five times per
+    row; values are bit-identical (same sub-expressions, same order)."""
     punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * F.lit(4.0))
-    sw = stopword_ratio(text)
-    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
-    wl = mean_token_len(text)
-    wl_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    # no final rounding: each engine's round(double, n) differs in edge
-    # rounding, while the raw IEEE expression is bit-identical everywhere.
-    return (
-        length_ok * F.lit(0.4) + punct_pen * F.lit(0.2) + sw_ok * F.lit(0.2) + wl_ok * F.lit(0.2)
-    )
+
+    def _score(ts: Column) -> Column:
+        n_tok = F.size(ts).cast("double")
+        length_ok = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        sw = _stopword_ratio_ts(ts, STOPWORDS)
+        sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+        wl = _mean_token_len_ts(ts)
+        wl_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+        # no final rounding: each engine's round(double, n) differs in edge
+        # rounding, while the raw IEEE expression is bit-identical everywhere.
+        return (
+            length_ok * F.lit(0.4) + punct_pen * F.lit(0.2) + sw_ok * F.lit(0.2) + wl_ok * F.lit(0.2)
+        )
+
+    return bind_once(ws_tokens(text), _score)
 
 
 def _marker_filter(markers: tuple[str, ...]):
@@ -121,16 +140,19 @@ def _marker_filter(markers: tuple[str, ...]):
 def lang_id(text: Column) -> Column:
     """Marker-word language ID with deterministic alphabetical tie-break;
     'und' when no marker hits at all."""
-    toks = ws_tokens(F.lower(text))
-    scores = {
-        lang: F.size(F.filter(toks, _marker_filter(markers)))
-        for lang, markers in sorted(LANG_MARKERS.items())
-    }
-    best = F.greatest(*scores.values())
-    out = F.when(best == 0, F.lit("und"))
-    for lang in sorted(LANG_MARKERS):  # alphabetical ⇒ first max wins
-        out = out.when(scores[lang] == best, F.lit(lang))
-    return out.otherwise(F.lit("und"))
+    def _pick(ts: Column) -> Column:
+        scores = {
+            lang: F.size(F.filter(ts, _marker_filter(markers)))
+            for lang, markers in sorted(LANG_MARKERS.items())
+        }
+        best = F.greatest(*scores.values())
+        out = F.when(best == 0, F.lit("und"))
+        for lang in sorted(LANG_MARKERS):  # alphabetical ⇒ first max wins
+            out = out.when(scores[lang] == best, F.lit(lang))
+        return out.otherwise(F.lit("und"))
+
+    # one tokenize per row shared by every language score (bind_once)
+    return bind_once(ws_tokens(F.lower(text)), _pick)
 
 
 #: distinctive character trigrams per language for the n-gram heuristic
@@ -152,14 +174,20 @@ def char_trigrams(text: Column) -> Column:
     O(position) (it must scan codepoints), which makes the positional
     loop quadratic per document; array slicing is O(k)."""
     norm = F.lower(F.regexp_replace(F.coalesce(text, F.lit("")), "\\s+", " "))
-    chars = F.split(norm, "")
-    n = F.size(chars)
-    # sequence(1, 0) counts DOWN to [1, 0] and slice rejects start=0, so
-    # short texts need an explicit empty-index guard.
-    idx = F.when(
-        n >= 3, F.sequence(F.lit(1), n - F.lit(2))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.concat_ws("", F.slice(chars, i, 3)))
+
+    def _grams(cs: Column) -> Column:
+        n = F.size(cs)
+        # sequence(1, 0) counts DOWN to [1, 0] and slice rejects start=0,
+        # so short texts need an explicit empty-index guard.
+        idx = F.when(
+            n >= 3, F.sequence(F.lit(1), n - F.lit(2))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.concat_ws("", F.slice(cs, i, 3)))
+
+    # split ONCE per row (bind_once): a captured `chars` subtree would
+    # re-split per POSITION inside the interpreted lambda — O(len²)/doc
+    # (measured 34.5 → 2.0 s over the sf0.1 documents table, r15)
+    return bind_once(F.split(norm, ""), _grams)
 
 
 def _norm_text(text: Column) -> Column:
@@ -243,17 +271,22 @@ def redact_pii(text: Column) -> Column:
 def shingles(text: Column, k: int = 5) -> Column:
     """Distinct k-token shingles (word n-grams) as strings; documents
     shorter than k tokens contribute the whole text as one shingle."""
-    toks = ws_tokens(F.lower(text))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    gram = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
-    )
-    # tokenless (NULL/empty) docs get NO shingles — otherwise every empty
-    # doc would share the fingerprint md5("") and alias as a duplicate.
-    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(gram)
-    )
+    def _grams(ts: Column) -> Column:
+        n = F.size(ts)
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+        gram = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(ts, i, k))
+        )
+        # tokenless (NULL/empty) docs get NO shingles — otherwise every
+        # empty doc would share the fingerprint md5("") and alias as a
+        # duplicate.
+        return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(gram)
+        )
+
+    # tokenize ONCE per row (bind_once; the captured-subtree form
+    # re-split per shingle — O(len·tokens) per doc)
+    return bind_once(ws_tokens(F.lower(text)), _grams)
 
 
 def fingerprint(text: Column, k: int = 5) -> Column:
@@ -289,11 +322,15 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     """ALL word n-grams (duplicates kept, unlike ``shingles``) — the raw
     material for repetition metrics.  Docs shorter than n tokens yield
     one gram (the whole text); tokenless docs yield an empty array."""
-    toks = ws_tokens(F.lower(text))
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(1)))
-    gram = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(cnt == 0, F.array().cast("array<string>")).otherwise(gram)
+    def _grams(ts: Column) -> Column:
+        cnt = F.size(ts)
+        idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(1)))
+        gram = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i, n)))
+        return F.when(cnt == 0, F.array().cast("array<string>")).otherwise(gram)
+
+    # tokenize ONCE per row (bind_once; measured 5.3 → 0.5 s over the
+    # sf0.1 documents table, r15)
+    return bind_once(ws_tokens(F.lower(text)), _grams)
 
 
 def dup_ngram_ratio(text: Column, n: int = 3) -> Column:
@@ -312,17 +349,22 @@ def top_token_dominance(text: Column) -> Column:
     """Frequency share of the single most common token (1.0 ⇒ the doc is
     one token repeated).  0.0 for tokenless docs.  O(unique·n) per row —
     all JVM HOFs, fine for document-sized arrays."""
-    toks = ws_tokens(F.lower(text))
-    n = F.size(toks)
-    max_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    def _dominance(ts: Column) -> Column:
+        n = F.size(ts)
+        max_cnt = F.array_max(
+            F.transform(
+                F.array_distinct(ts),
+                lambda t: F.size(F.filter(ts, lambda x: x == t)),
+            )
         )
-    )
-    return F.when(n == 0, F.lit(0.0)).otherwise(
-        max_cnt.cast("double") / n.cast("double")
-    )
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            max_cnt.cast("double") / n.cast("double")
+        )
+
+    # tokenize ONCE per row (bind_once; the captured form re-split per
+    # DISTINCT token — O(unique·len) splits on top of the documented
+    # O(unique·n) scan)
+    return bind_once(ws_tokens(F.lower(text)), _dominance)
 
 
 def collapse_repeated_tokens(text: Column) -> Column:
@@ -332,17 +374,22 @@ def collapse_repeated_tokens(text: Column) -> Column:
     (``element_at`` is 1-based, so ``element_at(toks, i)`` IS the
     previous element for 0-based lambda index i ≥ 1).  NULL text stays
     NULL."""
-    toks = ws_tokens(text)
-    # CASE-gated so element_at(toks, 0) is never evaluated (it raises in
-    # every ANSI mode; `|` does not short-circuit, CASE branches do)
-    kept = F.filter(
-        toks,
-        lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
-            x != F.element_at(toks, i)
-        ),
-    )
+    def _collapse(ts: Column) -> Column:
+        # CASE-gated so element_at(ts, 0) is never evaluated (it raises
+        # in every ANSI mode; `|` does not short-circuit, CASE branches
+        # do)
+        kept = F.filter(
+            ts,
+            lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+                x != F.element_at(ts, i)
+            ),
+        )
+        return F.array_join(kept, " ")
+
+    # tokenize ONCE per row (bind_once; the captured form re-split per
+    # TOKEN inside the predicate's element_at)
     return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(
-        F.array_join(kept, " ")
+        bind_once(ws_tokens(text), _collapse)
     )
 
 
@@ -774,13 +821,20 @@ def dedup_lines_in_doc(
     """
     import re as _re
 
-    lines = F.split(F.coalesce(text, F.lit("")), _re.escape(sep))
-    kept = F.filter(
-        lines,
-        lambda x, i: (F.length(F.trim(x)) < min_chars)
-        | (F.array_position(F.slice(lines, F.lit(1), i), x) == 0),
+    def _dedup(ls: Column) -> Column:
+        kept = F.filter(
+            ls,
+            lambda x, i: (F.length(F.trim(x)) < min_chars)
+            | (F.array_position(F.slice(ls, F.lit(1), i), x) == 0),
+        )
+        return F.array_join(kept, sep)
+
+    # split ONCE per row (bind_once; the captured form re-split per
+    # LINE inside the prefix test, stacking an extra O(len) on the
+    # documented O(lines²) scan)
+    return bind_once(
+        F.split(F.coalesce(text, F.lit("")), _re.escape(sep)), _dedup
     )
-    return F.array_join(kept, sep)
 
 
 def extract_links(html: Column) -> Column:

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .hof import bind_once
+
 
 def _to_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -77,9 +79,14 @@ def l2_normalize(a: Column) -> Column:
     The norm comes from the fixed-point self-dot (``dot_fixed``), so the
     divisor — and therefore every element — is bit-identical across
     engines and partitionings."""
-    n2 = dot_fixed(a, a)
-    return F.when(n2 <= 0, F.lit(None).cast("array<double>")).otherwise(
-        F.transform(_to_double(a), lambda x: x / F.sqrt(n2))
+    # bind the self-dot ONCE per row (bind_once): captured in the
+    # transform lambda it would re-fold the whole vector per ELEMENT —
+    # O(dim²) per row
+    return bind_once(
+        dot_fixed(a, a),
+        lambda n2: F.when(
+            n2 <= 0, F.lit(None).cast("array<double>")
+        ).otherwise(F.transform(_to_double(a), lambda x: x / F.sqrt(n2))),
     )
 
 
@@ -87,12 +94,16 @@ def quantize_int8(a: Column) -> Column:
     """Symmetric int8 quantization: scale = 127/max|x|, elements →
     ``floor(x·scale + 0.5)`` (explicit half-up; engine ``round`` tie
     rules differ).  NULL for all-zero vectors."""
-    mx = F.array_max(F.transform(_to_double(a), F.abs))
-    scale = F.lit(127.0) / mx
-    return F.when(mx <= 0, F.lit(None).cast("array<int>")).otherwise(
-        F.transform(
-            _to_double(a), lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
-        )
+    # bind max|x| ONCE per row (bind_once; captured it re-scans the
+    # vector per element — O(dim²))
+    return bind_once(
+        F.array_max(F.transform(_to_double(a), F.abs)),
+        lambda mx: F.when(mx <= 0, F.lit(None).cast("array<int>")).otherwise(
+            F.transform(
+                _to_double(a),
+                lambda x: F.floor(x * (F.lit(127.0) / mx) + F.lit(0.5)).cast("int"),
+            )
+        ),
     )
 
 

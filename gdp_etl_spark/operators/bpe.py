@@ -48,6 +48,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import BPE_TOKEN_RE
+from ..session import local_df
 
 __all__ = ["bpe_word_freq", "train_bpe_merges", "bpe_encode"]
 
@@ -197,7 +198,7 @@ def train_bpe_merges(
                 [(r["cnt"], r["syms"]) for r in cur.collect()],
                 num_merges,
             )
-            return spark.createDataFrame(local, schema)
+            return local_df(spark, local, schema)
     else:
         cur = cur.localCheckpoint()
     out = []
@@ -228,7 +229,7 @@ def train_bpe_merges(
             .filter(F.size("syms") >= 2)
             .localCheckpoint()
         )
-    return spark.createDataFrame(out, schema)
+    return local_df(spark, out, schema)
 
 
 def bpe_encode(

@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hof import bind_once
 from ..functions.text import ws_tokens
 
 __all__ = ["kn_bigram_score"]
@@ -52,19 +53,23 @@ __all__ = ["kn_bigram_score"]
 def _bigrams(text: Column) -> Column:
     """Array of (w1, w2) structs over lowered whitespace tokens;
     empty for docs with < 2 tokens."""
-    toks = ws_tokens(F.lower(text))
-    n = F.size(toks)
-    return F.when(n < 2, F.array().cast(
-        "array<struct<w1:string,w2:string>>"
-    )).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
+    def _pairs(ts):
+        n = F.size(ts)
+        return F.when(n < 2, F.array().cast(
+            "array<struct<w1:string,w2:string>>"
+        )).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(ts, i).alias("w1"),
+                    F.element_at(ts, i + 1).alias("w2"),
+                ),
+            )
         )
-    )
+
+    # tokenize ONCE per row (bind_once): a captured token subtree
+    # re-splits the text per BIGRAM inside the interpreted lambda
+    return bind_once(ws_tokens(F.lower(text)), _pairs)
 
 
 def kn_bigram_score(

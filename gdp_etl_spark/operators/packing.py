@@ -171,28 +171,33 @@ def chunk_documents(
         raise ValueError("stride must be positive")
     if min_tokens < 1:
         raise ValueError("min_tokens must be >= 1")
+    from gdp_etl_spark.functions.hof import bind_once
     from gdp_etl_spark.functions.text import ws_tokens
 
-    toks = ws_tokens(F.col(text_col))
-    n = F.size(toks)
-    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
-        F.array().cast("array<int>")
-    )
-    # Build the finished chunk structs in ONE projection expression and
-    # explode the result, so the tokenize runs once per document (codegen
-    # subexpression elimination applies within a single Project) instead
-    # of being re-inlined into Generate + Filter + Project separately.
-    chunks = F.filter(
-        F.transform(
-            starts,
-            lambda s, i: F.struct(
-                i.cast("int").alias("chunk_id"),
-                F.array_join(F.slice(toks, s + 1, size), " ").alias("chunk_text"),
-                F.least(F.lit(size), n - s).cast("int").alias("chunk_tokens"),
+    # Tokenize ONCE per row: bind_once hands the token array to the
+    # chunk builder as a lambda VARIABLE — a captured `toks` subtree
+    # would re-split the text per CHUNK inside the interpreted
+    # higher-order lambda (and CollapseProject re-inlines a projected
+    # column the same way) — and build the finished chunk structs in
+    # ONE expression, exploded after.
+    def _chunks(ts):
+        n = F.size(ts)
+        starts = F.when(
+            n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.filter(
+            F.transform(
+                starts,
+                lambda s, i: F.struct(
+                    i.cast("int").alias("chunk_id"),
+                    F.array_join(F.slice(ts, s + 1, size), " ").alias("chunk_text"),
+                    F.least(F.lit(size), n - s).cast("int").alias("chunk_tokens"),
+                ),
             ),
-        ),
-        lambda c: c["chunk_tokens"] >= F.lit(min_tokens),
-    )
+            lambda c: c["chunk_tokens"] >= F.lit(min_tokens),
+        )
+
+    chunks = bind_once(ws_tokens(F.col(text_col)), _chunks)
     return df.select(F.col(id_col), F.explode(chunks).alias("__c")).select(
         id_col, "__c.*"
     )

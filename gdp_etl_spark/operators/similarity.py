@@ -225,18 +225,24 @@ def rademacher_lsh_buckets(
             for j in range(num_bits)
         ]
     )
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    projs = F.transform(
-        sign_matrix,
-        lambda row: F.aggregate(
-            F.zip_with(
-                vd,
-                row,
-                lambda x, s: F.floor(x * F.lit(1e12)).cast("bigint")
-                * s.cast("bigint"),
+    from ..functions.hof import bind_once
+
+    # bind the double-cast vector ONCE per row: captured in the
+    # per-sign-row lambda it re-casts the vector per PROJECTION row
+    projs = bind_once(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        lambda vd: F.transform(
+            sign_matrix,
+            lambda row: F.aggregate(
+                F.zip_with(
+                    vd,
+                    row,
+                    lambda x, s: F.floor(x * F.lit(1e12)).cast("bigint")
+                    * s.cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
             ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
         ),
     )
     with_projs = df.withColumn("__rlb_projs", projs)
