@@ -241,10 +241,10 @@ def main() -> None:
         out["repeat"] = repeat
         if cold_only:
             out["cold_only"] = cold_only
-    print(json.dumps(out))
     # the per-query load series goes to the FULL ledger only (the
     # stdout line must stay compact for the driver's tail window)
-    out["loadavg"] = loads
+    ledger = dict(out)
+    ledger["loadavg"] = loads
     # full per-query ledger to a file when asked: the driver's BENCH
     # artifact truncates stdout to its tail, which blinds
     # round-over-round comparison for two-thirds of the suite — the
@@ -253,12 +253,16 @@ def main() -> None:
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if out_path:
         with open(out_path, "w") as fh:
-            json.dump(out, fh, indent=1, sort_keys=True)
+            json.dump(ledger, fh, indent=1, sort_keys=True)
             fh.write("\n")
-    # The driver's BENCH artifact keeps only the TAIL of stdout, and the
-    # full per-query line above is >3 KB at 170+ queries — so the
-    # headline numbers are repeated in a compact (<500 byte) summary
-    # printed LAST, guaranteed to land inside any tail window.
+    # The driver's BENCH artifact keeps only the TAIL of stdout and its
+    # round-over-round comparison parses per-query medians out of that
+    # tail — so the LAST line printed must be the full per-query JSON
+    # (r15 printed it FIRST and the tail truncated it, blinding
+    # PERF_r15's per_query/geomean/scaling blocks).  A compact headline
+    # summary goes out first so even a few-hundred-byte capture still
+    # carries the totals; the per-query line is emitted last with
+    # minimal separators (~6 KB at 253 queries, inside a 16 KB tail).
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
@@ -274,6 +278,7 @@ def main() -> None:
         "top10_slowest": slowest,
     }
     print(json.dumps(summary))
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

@@ -74,6 +74,80 @@ def cosine_exact(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_exact_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized twin of :func:`cosine_exact` — bit-identical
+    values, different evaluation strategy: the three ``dot_fixed``
+    folds are CodegenFallback higher-order functions interpreted at
+    ~5 µs per PAIR, so bulk pair scoring (candidate joins in
+    decontamination / near-dup / top-k paths) pays per-pair
+    interpretation that dominates the stage at any scale.  This twin
+    ships each pair's vectors across the Python boundary once as Arrow
+    batches and runs the identical fixed-point recipe vectorized in
+    numpy: per element ``floor((x·y)·1e12)`` in IEEE double (exact
+    below 2⁵³), exact int64 accumulation, one final sqrt/divide — the
+    same arithmetic the ``_semantic_dedup_cells`` block scorer pinned
+    bit-exact in r15.
+
+    NULL semantics match the JVM fold: NULL on either side, mismatched
+    lengths, a NULL element anywhere, or a non-positive self-norm all
+    yield NULL.  (Caveat shared with the dedup block scorer: a real
+    NaN/Inf *float value* inside a vector — which the fixed-point
+    contract already excludes, and which would break the DuckDB oracle
+    mirrors on the JVM path too — is treated as a NULL element here,
+    where the interpreted fold would coerce its term to 0.)
+
+    Use this for bulk pair scoring AFTER a join; keep
+    :func:`cosine_exact` for single-row / plan-bound uses where adding
+    a Python node is not worth the boundary."""
+    import pandas as pd  # local: keep the expression module import-light
+
+    # NOTE: the module's `from __future__ import annotations` stringifies
+    # type hints, and pyspark's typehint parser cannot resolve the
+    # function-local `pd` from a string — so annotations are attached as
+    # real objects after the def, before the pandas_udf wrap.
+    def _cos(va, vb):
+        import numpy as np
+
+        n = len(va)
+        out = np.full(n, np.nan, dtype=np.float64)
+        valid = np.zeros(n, dtype=bool)
+        av, bv = va.to_numpy(), vb.to_numpy()
+        groups: dict[int, list[int]] = {}
+        for i in range(n):
+            x, y = av[i], bv[i]
+            if x is None or y is None or len(x) != len(y):
+                continue
+            groups.setdefault(len(x), []).append(i)
+        for dim, idxs in groups.items():
+            if dim == 0:
+                continue  # empty vectors: self-norm 0 -> NULL
+            ii = np.asarray(idxs, dtype=np.intp)
+            A = np.stack([np.asarray(av[i], dtype=np.float64) for i in idxs])
+            B = np.stack([np.asarray(bv[i], dtype=np.float64) for i in idxs])
+            # NULL elements arrive as NaN; the JVM fold nullifies the
+            # whole sum for them, so those pairs stay NULL.  Zero the
+            # rows before the int64 cast (NaN -> int64 is undefined).
+            ok = ~(np.isnan(A).any(axis=1) | np.isnan(B).any(axis=1))
+            A = np.where(ok[:, None], A, 0.0)
+            B = np.where(ok[:, None], B, 0.0)
+            na2 = np.floor((A * A) * _FP_SCALE).sum(axis=1, dtype=np.int64) / _FP_SCALE
+            nb2 = np.floor((B * B) * _FP_SCALE).sum(axis=1, dtype=np.int64) / _FP_SCALE
+            dab = np.floor((A * B) * _FP_SCALE).sum(axis=1, dtype=np.int64) / _FP_SCALE
+            ok &= (na2 > 0) & (nb2 > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                res = dab / (np.sqrt(np.abs(na2)) * np.sqrt(np.abs(nb2)))
+            out[ii[ok]] = res[ok]
+            valid[ii[ok]] = True
+        arr = pd.array(out, dtype="Float64")
+        arr[~valid] = pd.NA
+        return pd.Series(arr)
+
+    _cos.__annotations__ = {
+        "va": pd.Series, "vb": pd.Series, "return": pd.Series,
+    }
+    return F.pandas_udf("double")(_cos)(a, b)
+
+
 def l2_normalize(a: Column) -> Column:
     """Unit-norm vector as ``array<double>``; NULL for zero/NULL norm.
     The norm comes from the fixed-point self-dot (``dot_fixed``), so the

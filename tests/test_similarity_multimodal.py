@@ -65,6 +65,59 @@ def test_cosine_exact_zero_norm_is_null(spark):
     assert df.select(cosine_exact(F.col("a"), F.col("b")).alias("c")).first()["c"] is None
 
 
+def test_cosine_exact_arrow_equals_hof_fold(spark):
+    """r16: the Arrow-vectorized pair scorer must be BIT-identical to
+    the interpreted dot_fixed fold it replaces on every edge the fold
+    defines: plain pairs, negatives, zero norms, NULL vectors, NULL
+    elements, mismatched and empty dims, float32 representation
+    noise.  Exact equality (==, not approx): the swap is an
+    evaluation-strategy change and the DuckDB oracles replay values."""
+    import math
+
+    from gdp_etl_spark.functions.vectors import cosine_exact_arrow
+
+    pairs = [
+        ([1.0, 0.0, 0.0], [0.9, 0.1, 0.0]),
+        ([3.0, 4.0], [3.0, 4.0]),
+        ([-1.0, 2.5, -3.25], [0.5, -0.125, 2.0]),
+        ([0.0, 0.0], [1.0, 0.0]),          # zero norm -> NULL
+        ([1.0, 0.0], [0.0, 0.0]),          # zero norm other side
+        (None, [1.0, 0.0]),                # NULL vector
+        ([1.0, 0.0], None),
+        ([1.0, None, 0.0], [1.0, 1.0, 0.0]),  # NULL element -> NULL
+        ([1.0, 1.0, 0.0], [1.0, None, 0.0]),
+        ([1.0, 2.0], [1.0, 2.0, 3.0]),     # mismatched dims -> NULL
+        ([], []),                          # empty -> NULL
+        ([1e-7, 2e-7], [3e-7, -4e-7]),     # sub-quantum magnitudes
+        ([0.1, 0.2, 0.3], [0.1, 0.2, 0.3]),  # float32 repr noise
+        ([123.456, -789.012], [0.001, 0.002]),
+    ] + [
+        (
+            [math.sin(i * 7 + j) for j in range(16)],
+            [math.cos(i * 3 + j) for j in range(16)],
+        )
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i int, a array<float>, b array<float>",
+    )
+    got = {
+        r["i"]: (r["jvm"], r["arrow"])
+        for r in df.select(
+            "i",
+            cosine_exact(F.col("a"), F.col("b")).alias("jvm"),
+            cosine_exact_arrow(F.col("a"), F.col("b")).alias("arrow"),
+        ).collect()
+    }
+    for i, (jvm, arrow) in sorted(got.items()):
+        assert (jvm is None) == (arrow is None), (i, jvm, arrow)
+        if jvm is not None:
+            # bitwise equality, not approx
+            assert math.copysign(1, jvm) == math.copysign(1, arrow) and \
+                jvm == arrow, (i, jvm.hex(), arrow.hex())
+
+
 def test_brute_force_topk_ordering(spark):
     out = brute_force_topk(
         _vecs(spark).filter(F.col("vec_id") == 0), _vecs(spark), k=3

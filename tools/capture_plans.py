@@ -40,8 +40,10 @@ DEFAULT = [
 def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:] or DEFAULT
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r15")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r16"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
     spark.sparkContext.setLogLevel("ERROR")
