@@ -90,6 +90,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.expressions import bigint_array_lit
 from ..session import local_df
 from .dedup import _compact_bucketed_table, _num_buckets
 from .kmeans import (
@@ -820,9 +821,7 @@ def ivf_probe_index(
             F.lit(qi).cast("bigint").alias("query_id"),
             F.when(
                 F.col("cell").isin(_probe_cells(qi)),
-                _dist2(
-                    F.array(*[F.lit(v) for v in qrows[qi]]), F.col("q")
-                ),
+                _dist2(bigint_array_lit(qrows[qi]), F.col("q")),
             ).alias("score_d2"),
         )
         for qi in query_ids
@@ -1255,7 +1254,7 @@ def pq_probe_index(
             F.lit(qi).cast("bigint").alias("query_id"),
             sum(
                 F.element_at(
-                    F.array(*[F.lit(v) for v in adc(qi, s)]),
+                    bigint_array_lit(adc(qi, s)),
                     F.element_at(F.col("codes"), s + 1) + 1,
                 )
                 for s in range(m)

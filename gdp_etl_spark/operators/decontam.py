@@ -128,7 +128,7 @@ def semantic_decontaminate(
     therefore the flag set — engine-exact, so a SQL oracle replays
     buckets AND similarities bit-for-bit.
     """
-    from ..functions.vectors import cosine_exact
+    from ..functions.vectors import cosine_exact_arrow
     from .similarity import rademacher_lsh_buckets
 
     # dim must be ONE number for both sides: per-side inference on
@@ -136,31 +136,37 @@ def semantic_decontaminate(
     # another) raises no error anywhere — buckets rarely collide and
     # any pair that does cosine-folds to NULL, so the function returns
     # an EMPTY frame and the contaminated corpus silently passes
-    # (self-review finding).  The peek is one limit-1 action per side —
-    # bounded, the kmeans-stats rule — over NON-NULL vectors only (a
-    # NULL in the sampled row makes F.size NULL and the comparison
-    # vacuous — advisor finding).  The peek sees ONE row per side, so
-    # mixed dims WITHIN a frame get the data-side raise in ``guard``.
-    d_dim = (
-        docs.filter(F.col(vec_col).isNotNull())
-        .select(F.size(F.col(vec_col))).limit(1).collect()
-    )
-    b_dim = (
-        benchmark.filter(F.col(vec_col).isNotNull())
-        .select(F.size(F.col(vec_col))).limit(1).collect()
-    )
-    if d_dim and b_dim and d_dim[0][0] != b_dim[0][0]:
-        raise ValueError(
-            f"embedding dims differ: docs={d_dim[0][0]} "
-            f"benchmark={b_dim[0][0]} — decontamination across models "
-            "is meaningless; re-embed one side"
+    # (self-review finding).  With an EXPLICIT ``dim`` the peeks are
+    # skipped entirely (r16, guide §5 driver hygiene): the per-row
+    # ``guard`` filter below already raises on ANY vector — either
+    # side — whose size disagrees with ``dim``, which subsumes both the
+    # cross-side equality check and the dim-param check; the two
+    # limit-1 collects were 2 driver actions (~1.9 s of the 3.0 s
+    # semantic_decontam build, measured — each pays the input's
+    # repartition exchange) on every call.  Without ``dim`` the peek
+    # resolves it: one limit-1 action per side — bounded, the
+    # kmeans-stats rule — over NON-NULL vectors only (a NULL in the
+    # sampled row makes F.size NULL and the comparison vacuous —
+    # advisor finding).  The peek sees ONE row per side, so mixed dims
+    # WITHIN a frame get the data-side raise in ``guard``.
+    if dim is None:
+        d_dim = (
+            docs.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col))).limit(1).collect()
         )
-    if dim is not None and d_dim and d_dim[0][0] != dim:
-        raise ValueError(
-            f"dim={dim} does not match the docs' embedding size "
-            f"{d_dim[0][0]}"
+        b_dim = (
+            benchmark.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col))).limit(1).collect()
         )
-    dim_r = dim if dim is not None else (d_dim[0][0] if d_dim else None)
+        if d_dim and b_dim and d_dim[0][0] != b_dim[0][0]:
+            raise ValueError(
+                f"embedding dims differ: docs={d_dim[0][0]} "
+                f"benchmark={b_dim[0][0]} — decontamination across models "
+                "is meaningless; re-embed one side"
+            )
+        dim_r = d_dim[0][0] if d_dim else None
+    else:
+        dim_r = dim
 
     def bucketed(df: DataFrame, alias: str) -> DataFrame:
         # data-side dim validation: rows whose vector size disagrees
@@ -200,7 +206,12 @@ def semantic_decontaminate(
 
     d = bucketed(docs, "d")
     b = bucketed(benchmark, "b")
-    sim = cosine_exact(F.col("d_vec"), F.col("b_vec"))
+    # r16: Arrow-vectorized pair scoring (bit-identical twin of
+    # cosine_exact — guide §4.2): the interpreted dot_fixed folds paid
+    # ~5 µs × 3 per candidate PAIR, and the ArrowEvalPython node also
+    # acts as the codegen barrier that keeps the fold out of the
+    # rademacher bucket projection stage (the r15 norm-precompute trap).
+    sim = cosine_exact_arrow(F.col("d_vec"), F.col("b_vec"))
     return (
         d.join(F.broadcast(b), ["__tbl", "__bkt"])
         .withColumn("__sim", sim)

@@ -27,7 +27,7 @@ from pyspark.sql.types import LongType
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import shingles
-from ..functions.vectors import cosine_exact
+from ..functions.vectors import cosine_exact_arrow
 
 # Mersenne prime modulus → deterministic seeded-xxhash64 MinHash perms.
 _MERSENNE = (1 << 61) - 1
@@ -373,7 +373,12 @@ def embedding_near_dup_pairs(
         cond = cond & (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"))
     return (
         a.join(b, cond)
-        .withColumn("cos", cosine_exact(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")))
+        .withColumn(
+            "cos",
+            # r16: Arrow-vectorized bit-identical twin — the interpreted
+            # fold paid ~15 µs per candidate pair (guide §4.2)
+            cosine_exact_arrow(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+        )
         .filter(F.col("cos") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.storagelevel import StorageLevel
 
-from ..functions.vectors import cosine_exact
+from ..functions.expressions import bigint_array_lit, bigint_matrix_lit
+from ..functions.vectors import cosine_exact_arrow
 
 
 def brute_force_topk(
@@ -62,7 +63,7 @@ def brute_force_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbour_id"))
-        .withColumn("cos_sim", cosine_exact(F.col("__qv"), F.col("__cv")))
+        .withColumn("cos_sim", cosine_exact_arrow(F.col("__qv"), F.col("__cv")))
         .drop("__qv", "__cv")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -213,14 +214,13 @@ def rademacher_lsh_buckets(
     # num_tables·num_bits flattened fold expressions: semantically
     # identical, but the generated code is ~num_bits·num_tables×
     # smaller, which keeps whole-stage codegen compile time negligible.
-    sign_matrix = F.array(
-        *[
-            F.array(
-                *[
-                    F.lit(s)
-                    for s in rademacher_signs(num_bits, dim, f"{seed}:{t}")[j]
-                ]
-            )
+    # r16: the matrix is ONE parsed literal (bigint_matrix_lit) — the
+    # old num_tables·num_bits·dim F.lit py4j calls cost ~0.5 s of
+    # driver-side plan construction per build (the lambda already
+    # casts each sign to bigint, so values are unchanged).
+    sign_matrix = bigint_matrix_lit(
+        [
+            rademacher_signs(num_bits, dim, f"{seed}:{t}")[j]
             for t in range(num_tables)
             for j in range(num_bits)
         ]
@@ -316,7 +316,7 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbour_id"])
     )
     scored = cand.withColumn(
-        "cos_sim", cosine_exact(F.col("__qv"), F.col("__cv"))
+        "cos_sim", cosine_exact_arrow(F.col("__qv"), F.col("__cv"))
     ).drop("__qv", "__cv")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbour_id").asc()
@@ -404,7 +404,7 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         F.col("id").alias("neighbour_id"),
-        cosine_exact(F.col("__qv"), F.col("vec")).alias("cos_sim"),
+        cosine_exact_arrow(F.col("__qv"), F.col("vec")).alias("cos_sim"),
     ).dropDuplicates(["query_id", "neighbour_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbour_id").asc()
@@ -560,9 +560,7 @@ def ivf_topk_fixed(
             F.lit(qi).cast("bigint").alias("query_id"),
             F.when(
                 F.col("__cell").isin(_probe_cells(qi)),
-                _dist2(
-                    F.array(*[F.lit(v) for v in qrows[qi]]), F.col("__q")
-                ),
+                _dist2(bigint_array_lit(qrows[qi]), F.col("__q")),
             ).alias("score_d2"),
         )
         for qi in query_ids
@@ -614,17 +612,27 @@ def mean_pool_embeddings(
 
     Returns ``(group_col, n_vecs, centroid array<double>)``.
 
-    Scale shape: ONE group shuffle via ``applyInPandas`` with packed
-    Arrow vector batches — the pure-SQL alternative (posexplode →
-    groupBy (group, pos)) inflates rows ×dim (64–4096) before its
-    shuffle, paying dim× the shuffle bytes for the same result.
-    Python cost is one vectorized numpy reduction per group, never
-    per row.  Groups must fit an executor (they are documents'
-    chunks or cluster members — thousands, not corpus-sized); ragged
-    or NULL vectors raise inside the group fn: pooling over
-    inconsistent dimensions is a data bug, not a soft case.
+    Scale shape: ONE group shuffle with packed Arrow vector batches —
+    the pure-SQL alternative (posexplode → groupBy (group, pos))
+    inflates rows ×dim (64–4096) before its shuffle, paying dim× the
+    shuffle bytes for the same result.  r16 rewrite: the shuffle+sort
+    is the same exchange `groupBy().applyInPandas` produced, but the
+    Python side is `mapInArrow` over group-contiguous partitions —
+    ONE Python call per ~10k-row Arrow batch instead of one pandas
+    frame per GROUP (per-group frame construction dominated the old
+    stage: thousands of tiny frames for document-chunk pooling;
+    measured 5.20 → 0.92 s on chunk_embed_pool).  Arrow — not pandas —
+    because the pandas conversion coerces an integer key column with
+    NULLs to float64 (NaN keys split runs and can lose >2⁵³ id
+    precision); the Arrow batch keeps keys exact.  Partial sums carry
+    across batch boundaries; per-group sums are exact int64 either
+    way, so results are bit-identical to the per-group form
+    (associative integer addition).  Ragged, NULL, or NaN/NULL-element
+    vectors raise inside the stream fn: pooling over inconsistent
+    dimensions is a data bug, not a soft case.
     """
     import numpy as np
+    import pyarrow as pa
     from pyspark.sql.types import (
         ArrayType as _Arr,
         DoubleType as _Dbl,
@@ -642,34 +650,96 @@ def mean_pool_embeddings(
         ]
     )
 
-    def pool(pdf: pd.DataFrame) -> pd.DataFrame:
-        vecs = pdf[vec_col].tolist()
-        if any(v is None for v in vecs):
-            raise ValueError(
-                f"NULL {vec_col!r} in group {pdf[group_col].iloc[0]!r}"
-            )
-        try:
-            mat = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in vecs]
-            )
-        except ValueError as exc:  # ragged dims
-            raise ValueError(
-                f"inconsistent {vec_col!r} dimensions in group "
-                f"{pdf[group_col].iloc[0]!r}: {exc}"
-            ) from None
-        q = np.floor(mat * scale).astype(np.int64)
-        n = len(vecs)
-        centroid = (q.sum(axis=0).astype(np.float64) / scale) / n
-        return pd.DataFrame(
-            {
-                group_col: [pdf[group_col].iloc[0]],
-                "n_vecs": [n],
-                "centroid": [centroid.tolist()],
-            }
-        )
+    def pool_stream(batches):
+        # carried partial state for the group spanning a batch boundary
+        cur_key, cur_sum, cur_n = None, None, 0
+        started = False
+        key_type = None
 
-    return df.select(group_col, vec_col).groupBy(group_col).applyInPandas(
-        pool, schema=out_schema
+        def finish(key, q_sum, n):
+            centroid = (q_sum.astype(np.float64) / scale) / n
+            return key, n, centroid.tolist()
+
+        def emit(rows):
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in rows], type=key_type),
+                    pa.array([r[1] for r in rows], type=pa.int64()),
+                    pa.array(
+                        [r[2] for r in rows], type=pa.list_(pa.float64())
+                    ),
+                ],
+                names=[group_col, "n_vecs", "centroid"],
+            )
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            key_type = batch.schema.field(0).type
+            keys = batch.column(0).to_pylist()  # exact: None stays None
+            vcol = batch.column(1)
+            if vcol.null_count:
+                bad = keys[np.flatnonzero(np.asarray(vcol.is_null()))[0]]
+                raise ValueError(f"NULL {vec_col!r} in group {bad!r}")
+            offs = np.asarray(vcol.offsets)
+            flat = np.asarray(
+                vcol.values.to_numpy(zero_copy_only=False), dtype=np.float64
+            )
+            if np.isnan(flat).any():
+                bad = keys[
+                    int(
+                        np.searchsorted(
+                            offs, np.flatnonzero(np.isnan(flat))[0], "right"
+                        )
+                    ) - 1
+                ]
+                raise ValueError(
+                    f"NULL or NaN {vec_col!r} element in group {bad!r}"
+                )
+            q_flat = np.floor(flat * scale).astype(np.int64)
+            n_rows = batch.num_rows
+            # segment boundaries: rows are group-contiguous (sorted
+            # within the hash partition), so each run is one group
+            bounds = [0] + [
+                i for i in range(1, n_rows) if keys[i] != keys[i - 1]
+            ] + [n_rows]
+            out = []
+            for b in range(len(bounds) - 1):
+                lo, hi = bounds[b], bounds[b + 1]
+                key = keys[lo]
+                lens = offs[lo + 1:hi + 1] - offs[lo:hi]
+                if (lens != lens[0]).any():
+                    raise ValueError(
+                        f"inconsistent {vec_col!r} dimensions in group "
+                        f"{key!r}: sizes {sorted(set(lens.tolist()))}"
+                    )
+                seg = q_flat[offs[lo]:offs[hi]].reshape(hi - lo, lens[0])
+                s, n = seg.sum(axis=0), hi - lo
+                if started and key == cur_key:
+                    if len(cur_sum) != len(s):
+                        raise ValueError(
+                            f"inconsistent {vec_col!r} dimensions in "
+                            f"group {key!r}: sizes "
+                            f"{sorted({len(cur_sum), len(s)})}"
+                        )
+                    cur_sum = cur_sum + s
+                    cur_n += n
+                else:
+                    if started:
+                        out.append(finish(cur_key, cur_sum, cur_n))
+                    cur_key, cur_sum, cur_n = key, s, n
+                    started = True
+            # everything except the still-open last group is final
+            if out:
+                yield emit(out)
+        if started:
+            yield emit([finish(cur_key, cur_sum, cur_n)])
+
+    return (
+        df.select(group_col, vec_col)
+        .repartition(F.col(group_col))
+        .sortWithinPartitions(group_col)
+        .mapInArrow(pool_stream, schema=out_schema)
     )
 
 
@@ -1008,7 +1078,7 @@ def pq_topk(
             F.lit(qi).cast("bigint").alias("query_id"),
             sum(
                 F.element_at(
-                    F.array(*[F.lit(v) for v in adc(qi, s)]),
+                    bigint_array_lit(adc(qi, s)),
                     F.col(f"__c{s}") + 1,
                 )
                 for s in range(m)
@@ -1131,7 +1201,7 @@ def mine_hard_negatives(
         cond = (F.col("query_id") != F.col("neg_id")) & cond
     scored = (
         c.join(F.broadcast(q), cond)
-        .withColumn("cos_sim", cosine_exact(F.col("__qv"), F.col("__cv")))
+        .withColumn("cos_sim", cosine_exact_arrow(F.col("__qv"), F.col("__cv")))
         .drop("__qv", "__cv", "__qlab", "__clab")
     )
     if max_sim is not None:

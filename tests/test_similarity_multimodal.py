@@ -377,6 +377,33 @@ class TestMeanPoolEmbeddings:
         with _pytest.raises(Exception, match="inconsistent|dimensions"):
             mean_pool_embeddings(df, "label", "embedding").collect()
 
+    def test_stream_pooling_batch_boundaries_and_null_keys(self, spark):
+        """r16: pooling runs as ONE mapInArrow stream per partition
+        (not one pandas frame per group), so two internals need pins:
+        a group spanning several Arrow batches must merge its partial
+        sums exactly, and NULL group keys must pool as ONE group (the
+        pandas path coerced int+NULL keys to NaN, and NaN != NaN split
+        the run — caught in review; Arrow keeps keys exact)."""
+        from gdp_etl_spark.operators.similarity import mean_pool_embeddings
+
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        try:
+            rows = [(i // 20, [float(i % 5), 1.0]) for i in range(100)]
+            rows += [(None, [9.0, 9.0]), (None, [11.0, 11.0])]
+            df = spark.createDataFrame(rows, "g int, v array<double>")
+            out = {r["g"]: r for r in
+                   mean_pool_embeddings(df, "g", "v").collect()}
+            assert out[None]["n_vecs"] == 2
+            assert out[None]["centroid"] == [10.0, 10.0]
+            for g in range(5):  # 20 rows per group, batches of 7 -> spans
+                assert out[g]["n_vecs"] == 20, (g, out[g])
+                assert out[g]["centroid"] == [2.0, 1.0]
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+
     def test_null_vector_raises(self, spark):
         import pytest as _pytest
 
