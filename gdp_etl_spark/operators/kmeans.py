@@ -82,7 +82,15 @@ def assign_expr(
     pure driver-side plan-construction cost (~0.5 ms/element) that
     every assignment-bearing query paid per build; values and the
     argmin tie rule are unchanged (the old mixed int/long literals
-    coerced to bigint in the fold anyway)."""
+    coerced to bigint in the fold anyway).  A ``bind_once`` variant
+    that bound the dists array per row (on the theory that
+    ``array_position(dists, array_min(dists))`` pays the k·dim fold
+    twice) was A/B'd interleaved across six assignment-bearing queries
+    and measured par-to-slightly-SLOWER (e.g. semantic_dedup
+    1.99→2.18, pq_index 5.33→5.65) — projection-level subexpression
+    elimination already dedups the repeated subtree here, unlike the
+    captured-operand-per-element blowups bind_once exists for;
+    rejected."""
     from ..functions.expressions import bigint_matrix_lit
 
     cents = bigint_matrix_lit(centroids)
